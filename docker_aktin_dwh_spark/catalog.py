@@ -1,0 +1,233 @@
+"""Table registry over the driver-generated parquet fixtures.
+
+Maps the i2b2/AKTIN star-schema capability (reference:
+src/docker/database/Dockerfile:25-34 — i2b2crcdata tables created by
+concatenated init SQL) onto parquet-backed DataFrames.  The clinical
+tables (patient_dimension / visit_dimension / observation_fact /
+concept_dimension / ontology) are deterministic derivations of the
+TPC-H-ish family-A fixtures, per FIXTURES.md §B, so the DuckDB oracle
+can run the *same* derivation SQL.
+
+Scale note: everything here is a lazy DataFrame over parquet — no
+driver-side materialization.  At 100 TB the same code reads a
+date-partitioned directory tree; the derivations are narrow (project +
+join-on-key) and Catalyst pushes filters beneath them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import NANOS_AS_LONG
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: epoch for nanos->NTZ conversion; `ts div 1000` truncates to micros
+#: (DuckDB's naive TIMESTAMP precision) without float rounding.
+_NANOS_TO_NTZ = (
+    "timestamp_ntz'1970-01-01 00:00:00' + "
+    "make_interval(0,0,0,0,0,0, cast(cast(ts div 1000 as decimal(26,6)) / 1000000 as decimal(18,6)))"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the `events` nanos timestamp."""
+    if name == "events":
+        spark.conf.set(NANOS_AS_LONG, "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   clinical: bool = False) -> None:
+    """Register fixture tables (and optionally the clinical derivations)
+    as temp views so `spark.sql` works against them."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    if clinical:
+        for name, df in clinical_tables(spark, sf_dir).items():
+            df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Clinical star schema (FIXTURES.md §B) — i2b2crcdata analogue.
+#
+# The reference's fact table is EAV: one row per observation keyed by
+# (encounter_num, concept_cd, provider_id, start_date, modifier_cd,
+# instance_num), values split across tval_char / nval_num by valtype_cd
+# (reference: src/docker/database/Dockerfile:25-34 provisioning the i2b2
+# CRC schema; zip-as-string per update01_convert_zipcodes_to_str.sql at
+# src/docker/database/Dockerfile:31).
+# ---------------------------------------------------------------------------
+
+def patient_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        c.c_custkey.alias("patient_num"),
+        F.expr("date_add(date'1940-01-01', cast(c_custkey % 21915 as int))")
+            .alias("birth_date"),
+        F.element_at(F.array(F.lit("F"), F.lit("M"), F.lit("U")),
+                     (c.c_custkey % 3).cast("int") + 1).alias("sex_cd"),
+        F.lit("N").alias("vital_status_cd"),
+        # string zip with leading zeros — update01 parity
+        F.lpad((c.c_custkey % 99999).cast("string"), 5, "0").alias("zip_cd"),
+    )
+
+
+def visit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        o.o_orderkey.alias("encounter_num"),
+        o.o_custkey.alias("patient_num"),
+        o.o_orderdate.alias("start_date"),
+        F.expr("o_orderdate + make_interval(0,0,0,0, 4 + cast(o_orderkey % 20 as int), 0, 0)")
+            .alias("end_date"),
+        F.when(o.o_orderkey % 10 < 2, "I").otherwise("O").alias("inout_cd"),
+        o.o_orderpriority.alias("location_cd"),
+    )
+
+
+def observation_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    valtype = F.when(l.l_partkey % 3 == 0, "N").otherwise("T")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .select(
+            l.l_orderkey.alias("encounter_num"),
+            o.o_custkey.alias("patient_num"),
+            F.concat(F.lit("AKTIN:"), l.l_returnflag, F.lit(":"),
+                     (l.l_partkey % 50).cast("string")).alias("concept_cd"),
+            (l.l_suppkey % 100).cast("string").alias("provider_id"),
+            l.l_shipdate.alias("start_date"),
+            F.lit("@").alias("modifier_cd"),
+            l.l_linenumber.alias("instance_num"),
+            valtype.alias("valtype_cd"),
+            F.when(valtype == "T", l.l_linestatus).alias("tval_char"),
+            F.when(valtype == "N", l.l_quantity.cast("decimal(18,5)"))
+                .alias("nval_num"),
+            F.lit("1").alias("units_cd"),
+            l.l_shipdate.alias("end_date"),
+        )
+    )
+
+
+def concept_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    code = (l.l_partkey % 50).cast("string")
+    return (
+        l.select(
+            F.concat(F.lit("\\AKTIN\\"), l.l_returnflag, F.lit("\\"),
+                     code, F.lit("\\")).alias("concept_path"),
+            F.concat(F.lit("AKTIN:"), l.l_returnflag, F.lit(":"),
+                     code).alias("concept_cd"),
+        )
+        .distinct()
+        .withColumn("name_char", F.concat(F.lit("Concept "), F.col("concept_cd")))
+    )
+
+
+def ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2b2metadata-shaped term table: folders (hlevel 1) + leaves (2).
+
+    Materialized-path hierarchy via c_fullname, selected by prefix LIKE —
+    the reference's ontology addon seeds this shape (reference:
+    src/docker/database/Dockerfile:30 addon_i2b2metadata.sql).
+    """
+    leaves = concept_dimension(spark, sf_dir).select(
+        F.lit(2).alias("c_hlevel"),
+        F.col("concept_path").alias("c_fullname"),
+        F.col("name_char").alias("c_name"),
+        F.col("concept_cd").alias("c_basecode"),
+        F.lit("LA").alias("c_visualattributes"),
+    )
+    flags = (
+        leaves.select(F.split_part("c_fullname", F.lit("\\"), F.lit(3)).alias("flag"))
+        .distinct()
+        .select(
+            F.lit(1).alias("c_hlevel"),
+            F.concat(F.lit("\\AKTIN\\"), F.col("flag"), F.lit("\\")).alias("c_fullname"),
+            F.concat(F.lit("Folder "), F.col("flag")).alias("c_name"),
+            F.lit(None).cast("string").alias("c_basecode"),
+            F.lit("FA").alias("c_visualattributes"),
+        )
+    )
+    return leaves.unionByName(flags)
+
+
+def clinical_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        "patient_dimension": patient_dimension(spark, sf_dir),
+        "visit_dimension": visit_dimension(spark, sf_dir),
+        "observation_fact": observation_fact(spark, sf_dir),
+        "concept_dimension": concept_dimension(spark, sf_dir),
+        "ontology": ontology(spark, sf_dir),
+    }
+
+
+# DuckDB-runnable CTE bodies of the same derivations (oracle parity).
+CLINICAL_ORACLE_CTES = {
+    "patient_dimension": """
+        SELECT c_custkey AS patient_num,
+               DATE '1940-01-01' + CAST(c_custkey % 21915 AS INT) AS birth_date,
+               ['F','M','U'][CAST(c_custkey % 3 AS INT) + 1] AS sex_cd,
+               'N' AS vital_status_cd,
+               lpad(CAST(c_custkey % 99999 AS VARCHAR), 5, '0') AS zip_cd
+        FROM customer""",
+    "visit_dimension": """
+        SELECT o_orderkey AS encounter_num, o_custkey AS patient_num,
+               o_orderdate AS start_date,
+               o_orderdate + INTERVAL 1 HOUR * (4 + CAST(o_orderkey % 20 AS INT)) AS end_date,
+               CASE WHEN o_orderkey % 10 < 2 THEN 'I' ELSE 'O' END AS inout_cd,
+               o_orderpriority AS location_cd
+        FROM orders""",
+    "observation_fact": """
+        SELECT l_orderkey AS encounter_num, o_custkey AS patient_num,
+               'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd,
+               CAST(l_suppkey % 100 AS VARCHAR) AS provider_id,
+               l_shipdate AS start_date, '@' AS modifier_cd,
+               l_linenumber AS instance_num,
+               CASE WHEN l_partkey % 3 = 0 THEN 'N' ELSE 'T' END AS valtype_cd,
+               CASE WHEN l_partkey % 3 <> 0 THEN l_linestatus END AS tval_char,
+               CASE WHEN l_partkey % 3 = 0 THEN CAST(l_quantity AS DECIMAL(18,5)) END AS nval_num,
+               '1' AS units_cd, l_shipdate AS end_date
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "concept_dimension": """
+        SELECT concept_path, concept_cd, 'Concept ' || concept_cd AS name_char
+        FROM (SELECT DISTINCT
+                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS VARCHAR) || '\\' AS concept_path,
+                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd
+              FROM lineitem)""",
+    "ontology": """
+        SELECT 2 AS c_hlevel, concept_path AS c_fullname,
+               'Concept ' || concept_cd AS c_name, concept_cd AS c_basecode,
+               'LA' AS c_visualattributes
+        FROM (SELECT DISTINCT
+                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS VARCHAR) || '\\' AS concept_path,
+                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd
+              FROM lineitem)
+        UNION ALL
+        SELECT 1, '\\AKTIN\\' || flag || '\\', 'Folder ' || flag, NULL, 'FA'
+        FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem)""",
+}
+
+
+def clinical_with_clause(names: tuple[str, ...]) -> str:
+    """WITH-clause prefix for oracle SQL that needs clinical tables."""
+    parts = [f"{n} AS ({CLINICAL_ORACLE_CTES[n]})" for n in names]
+    return "WITH " + ",\n".join(parts) + "\n"

@@ -1,0 +1,266 @@
+"""Cohort / panel algebra — the reference's signature query semantics.
+
+The i2b2 CRC query builder turns a panel tree (AND of panels, OR within
+a panel, NOT for exclusion, same-encounter + temporal constraints) into
+SQL over observation_fact and answers COUNT(DISTINCT patient_num)
+(SURVEY.md §3.1 [P], anchored to the CRC schema provisioned at
+reference src/docker/database/Dockerfile:25-34 and the webclient at
+src/docker/httpd/Dockerfile:20).
+
+Spark re-design (SURVEY.md §3.1): no SQL-string round trip — each panel
+is a filtered fact scan; OR = IN-list, AND = left-semi chain on
+patient_num, NOT = left-anti; the final aggregate is an exact two-phase
+countDistinct.  Patient sets are reusable DataFrames (persist() is the
+temp-table analogue).  All shuffles key on patient_num; concept filters
+push down to the fact scan (IN-lists closed first via
+ontology.expand_subtree).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+from . import eav, ontology
+
+
+@dataclass(frozen=True)
+class Panel:
+    """One i2b2 panel: OR of concept items, optional constraints."""
+    concepts: tuple[str, ...]                 # OR within the panel
+    invert: bool = False                      # panel NOT (exclusion)
+    date_from: str | None = None              # 'YYYY-MM-DD' on start_date
+    date_to: str | None = None
+    min_value: float | None = None            # nval_num >= (valtype N)
+    subtree: str | None = None                # ontology path prefix (expands to concepts)
+
+
+@dataclass(frozen=True)
+class CohortQuery:
+    """AND across panels; same_encounter constrains all panels to one visit."""
+    panels: tuple[Panel, ...]
+    same_encounter: bool = False
+
+
+def _panel_facts(fact: DataFrame, panel: Panel,
+                 ont: DataFrame | None = None) -> DataFrame:
+    f = fact
+    if panel.subtree is not None:
+        assert ont is not None, "subtree panels need an ontology frame"
+        f = ontology.facts_in_subtree(f, ont, panel.subtree)
+    if panel.concepts:
+        f = f.filter(F.col("concept_cd").isin(list(panel.concepts)))
+    if panel.date_from:
+        f = f.filter(F.col("start_date")
+                     >= F.expr(f"timestamp_ntz'{panel.date_from} 00:00:00'"))
+    if panel.date_to:
+        f = f.filter(F.col("start_date")
+                     < F.expr(f"timestamp_ntz'{panel.date_to} 00:00:00'"))
+    if panel.min_value is not None:
+        f = f.filter((F.col("valtype_cd") == "N")
+                     & (F.col("nval_num") >= panel.min_value))
+    return f
+
+
+def compile_cohort(fact: DataFrame, q: CohortQuery,
+                   ont: DataFrame | None = None) -> DataFrame:
+    """Patient set (distinct patient_num) satisfying the panel tree."""
+    key = "encounter_num" if q.same_encounter else "patient_num"
+    positives = [p for p in q.panels if not p.invert]
+    negatives = [p for p in q.panels if p.invert]
+    if not positives:
+        raise ValueError("cohort needs at least one non-inverted panel")
+    acc = _panel_facts(fact, positives[0], ont).select(key).distinct()
+    for p in positives[1:]:
+        acc = acc.join(_panel_facts(fact, p, ont).select(key).distinct(),
+                       key, "left_semi")
+    for p in negatives:
+        acc = acc.join(_panel_facts(fact, p, ont).select(key).distinct(),
+                       key, "left_anti")
+    if q.same_encounter:
+        acc = (fact.select("encounter_num", "patient_num").distinct()
+                   .join(acc, "encounter_num", "left_semi")
+                   .select("patient_num").distinct())
+    return acc
+
+
+def patient_count(fact: DataFrame, q: CohortQuery,
+                  ont: DataFrame | None = None) -> DataFrame:
+    return compile_cohort(fact, q, ont).agg(
+        F.countDistinct("patient_num").alias("n_patients"))
+
+
+# --------------------------------------------------------------------------
+# Declared queries over the clinical derivations (FIXTURES.md §B)
+# --------------------------------------------------------------------------
+
+def _fact(spark, sf):
+    return catalog.observation_fact(spark, sf)
+
+
+def coh_01(spark, sf):
+    """Panel AND: patients with concept R:1 and concept N:2."""
+    q = CohortQuery(panels=(Panel(concepts=("AKTIN:R:1",)),
+                            Panel(concepts=("AKTIN:N:2",))))
+    return patient_count(_fact(spark, sf), q)
+
+
+def coh_02(spark, sf):
+    """OR within a panel: any of three codes."""
+    q = CohortQuery(panels=(
+        Panel(concepts=("AKTIN:R:1", "AKTIN:A:5", "AKTIN:N:7")),))
+    return patient_count(_fact(spark, sf), q)
+
+
+def coh_03(spark, sf):
+    """Exclusion: concept R:1 but never N:2."""
+    q = CohortQuery(panels=(Panel(concepts=("AKTIN:R:1",)),
+                            Panel(concepts=("AKTIN:N:2",), invert=True)))
+    return patient_count(_fact(spark, sf), q)
+
+
+def coh_04(spark, sf):
+    """Same-encounter AND (JN-07 clinical shape)."""
+    q = CohortQuery(panels=(Panel(concepts=("AKTIN:R:1",)),
+                            Panel(concepts=("AKTIN:N:2",))),
+                    same_encounter=True)
+    return patient_count(_fact(spark, sf), q)
+
+
+def coh_05(spark, sf):
+    """Value + date constraints, broken down by sex (report shape)."""
+    q = CohortQuery(panels=(
+        Panel(concepts=(), date_from="1996-01-01", date_to="1998-01-01",
+              min_value=30.0),))
+    cohort = compile_cohort(_fact(spark, sf), q)
+    pat = catalog.patient_dimension(spark, sf)
+    return (pat.join(cohort, "patient_num", "left_semi")
+               .groupBy("sex_cd").agg(F.count("*").alias("n"))
+               .orderBy("sex_cd"))
+
+
+def ont_01(spark, sf):
+    """Subtree expansion: facts per concept under \\AKTIN\\R\\."""
+    fact = _fact(spark, sf)
+    ont = catalog.ontology(spark, sf)
+    return (ontology.facts_in_subtree(fact, ont, "\\AKTIN\\R\\")
+            .groupBy("concept_cd").agg(F.count("*").alias("n"))
+            .orderBy("concept_cd"))
+
+
+def eav_01(spark, sf):
+    """EAV → wide pivot: numeric concepts per encounter (doubles for
+    engine-neutral schema)."""
+    fact = _fact(spark, sf)
+    wide = eav.widen(fact, ["AKTIN:N:0", "AKTIN:N:3", "AKTIN:N:6"],
+                     out_names=["c0", "c3", "c6"])
+    return (wide.select("encounter_num",
+                        F.col("c0").cast("double").alias("c0"),
+                        F.col("c3").cast("double").alias("c3"),
+                        F.col("c6").cast("double").alias("c6"))
+                .filter(F.coalesce("c0", "c3", "c6").isNotNull())
+                .orderBy("encounter_num"))
+
+
+def rep_01(spark, sf):
+    """Monthly zero-filled report: 1996 months × inout class (JN-10
+    scaffold + AGG-01 + FN-DT composition — the R-report analogue,
+    reference R runtime installed via src/build.sh:273)."""
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("m"))
+    classes = spark.createDataFrame([("I",), ("O",)], ["inout_cd"])
+    scaffold = months.crossJoin(classes)
+    v = catalog.visit_dimension(spark, sf)
+    counts = (v.filter((F.col("start_date") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+                       & (F.col("start_date") < F.expr("timestamp_ntz'1997-01-01 00:00:00'")))
+               .groupBy(F.month("start_date").alias("m"), "inout_cd")
+               .agg(F.count("*").alias("cnt")))
+    return (scaffold.join(counts, ["m", "inout_cd"], "left")
+                    .select("m", "inout_cd",
+                            F.coalesce("cnt", F.lit(0)).alias("n"))
+                    .orderBy("m", "inout_cd"))
+
+
+_CT = catalog.clinical_with_clause
+
+_ORACLES = {
+    "coh_01": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT patient_num) AS n_patients
+        FROM observation_fact f1
+        WHERE concept_cd = 'AKTIN:R:1' AND EXISTS (
+            SELECT 1 FROM observation_fact f2
+            WHERE f2.patient_num = f1.patient_num
+              AND f2.concept_cd = 'AKTIN:N:2')""",
+    "coh_02": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT patient_num) AS n_patients
+        FROM observation_fact
+        WHERE concept_cd IN ('AKTIN:R:1','AKTIN:A:5','AKTIN:N:7')""",
+    "coh_03": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT patient_num) AS n_patients
+        FROM observation_fact f1
+        WHERE concept_cd = 'AKTIN:R:1' AND NOT EXISTS (
+            SELECT 1 FROM observation_fact f2
+            WHERE f2.patient_num = f1.patient_num
+              AND f2.concept_cd = 'AKTIN:N:2')""",
+    "coh_04": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT patient_num) AS n_patients
+        FROM observation_fact f1
+        WHERE concept_cd = 'AKTIN:R:1' AND EXISTS (
+            SELECT 1 FROM observation_fact f2
+            WHERE f2.encounter_num = f1.encounter_num
+              AND f2.concept_cd = 'AKTIN:N:2')""",
+    "coh_05": _CT(("observation_fact", "patient_dimension")) + """
+        SELECT sex_cd, count(*) AS n FROM patient_dimension
+        WHERE patient_num IN (
+            SELECT patient_num FROM observation_fact
+            WHERE valtype_cd = 'N' AND nval_num >= 30.0
+              AND start_date >= TIMESTAMP '1996-01-01'
+              AND start_date < TIMESTAMP '1998-01-01')
+        GROUP BY sex_cd""",
+    "ont_01": _CT(("observation_fact", "ontology")) + """
+        SELECT concept_cd, count(*) AS n FROM observation_fact
+        WHERE concept_cd IN (
+            SELECT c_basecode FROM ontology
+            WHERE left(c_fullname, 9) = '\\AKTIN\\R\\'
+              AND c_basecode IS NOT NULL)
+        GROUP BY concept_cd""",
+    "eav_01": _CT(("observation_fact",)) + """
+        SELECT encounter_num,
+               CAST(max(CASE WHEN concept_cd = 'AKTIN:N:0' THEN nval_num END) AS DOUBLE) AS c0,
+               CAST(max(CASE WHEN concept_cd = 'AKTIN:N:3' THEN nval_num END) AS DOUBLE) AS c3,
+               CAST(max(CASE WHEN concept_cd = 'AKTIN:N:6' THEN nval_num END) AS DOUBLE) AS c6
+        FROM observation_fact GROUP BY encounter_num
+        HAVING COALESCE(c0, c3, c6) IS NOT NULL""",
+    "rep_01": _CT(("visit_dimension",)) + """
+        SELECT m, inout_cd, COALESCE(cnt, 0) AS n
+        FROM (SELECT CAST(unnest(range(1, 13)) AS INT) AS m) months
+        CROSS JOIN (SELECT 'I' AS inout_cd UNION ALL SELECT 'O') classes
+        LEFT JOIN (
+            SELECT CAST(month(start_date) AS INT) AS vm, inout_cd AS vc,
+                   count(*) AS cnt
+            FROM visit_dimension
+            WHERE start_date >= TIMESTAMP '1996-01-01'
+              AND start_date < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2) v ON v.vm = months.m AND v.vc = classes.inout_cd""",
+}
+
+_DOCS = {
+    "coh_01": "Cohort panel AND (semi-join chain + countDistinct)",
+    "coh_02": "Cohort OR within panel (IN-list)",
+    "coh_03": "Cohort exclusion (anti join)",
+    "coh_04": "Cohort same-encounter constraint",
+    "coh_05": "Cohort value+date constraints by sex (report feed)",
+    "ont_01": "Ontology subtree expansion → closed IN-list on fact scan",
+    "eav_01": "EAV pivot to wide per-encounter frame",
+    "rep_01": "Zero-filled monthly report (scaffold cross join)",
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("clinical",))
+            for k, d in _DOCS.items()]

@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over the `documents` table, all expressed as DataFrame
+ops with JVM-side hashing (xxhash64) — no Python in the per-row path:
+
+- exact        hash-groupBy on raw text (ded_exact)
+- n-gram Jaccard  exact pairwise via shingle-explode equi-join (ded_ngram)
+- MinHash+LSH  shingle → 128 minhashes → 32 bands × 4 rows → bucket
+               join → exact-Jaccard verification (ded_minhash)
+- SimHash      64-bit signature, 8×8-bit band blocking, Hamming ≤ k
+               verification (ded_simhash)
+- embedding    cosine ≥ τ pair join over ArrayType(FloatType) (ded_embed)
+
+Scale notes (100 TB): every strategy is shuffle-on-key (shingle, band
+hash, block byte) — never an all-pairs product.  The exact-verification
+joins touch only candidate pairs.  Band/row counts are chosen so a
+0.9-Jaccard pair is missed with probability < 1e-14 (32 bands of 4:
+(1 - 0.9^4)^32), which is what lets the MinHash path share the exact
+brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, shingles, tokens
+from ..registry import QuerySpec
+
+T = catalog.load
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, modulus for the hash family
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+JACCARD_THRESHOLD = 0.7
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8
+HAMMING_MAX = 6
+
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, MERSENNE31) for _ in range(N_PERM)]
+_PERM_B = [_rng.randrange(0, MERSENNE31) for _ in range(N_PERM)]
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc."""
+    return (docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s")))
+
+
+# ------------------------------------------------------------------- exact
+
+def ded_exact(spark, sf):
+    """Exact dedup by content hash.  The fixture has no duplicate texts,
+    so dup groups are constructed by unioning a slice of the corpus with
+    itself — the operator's semantics stay the interesting part."""
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") < 50)
+    corpus = d.unionByName(dupes)
+    return (corpus.groupBy(F.md5("text").alias("h"))
+                  .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_id"))
+                  .filter(F.col("n") > 1)
+                  .orderBy("h"))
+
+
+# ------------------------------------------------------- exact n-gram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs 3-gram Jaccard ≥ threshold via shingle equi-join.
+
+    Shuffles on shingle (never doc×doc): pair candidates are generated
+    only where a shingle co-occurs, then intersection counts aggregate
+    per pair.  Returns (i, j, jac)."""
+    sh = _shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("i"), "s")
+    b = sh.select(F.col("doc_id").alias("j"), "s")
+    inter = (a.join(b, "s")
+              .filter(F.col("i") < F.col("j"))
+              .groupBy("i", "j").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("nb"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")))
+    return (inter.join(sa, "i").join(sb, "j")
+                 .select("i", "j", jac.alias("jac"))
+                 .filter(F.col("jac") >= threshold))
+
+
+def ded_ngram(spark, sf):
+    docs = T(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    return (ngram_jaccard_pairs(docs, 0.8)
+            .select("i", "j", F.round("jac", 3).alias("jac"))
+            .orderBy("i", "j"))
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{N_PERM-1}) — min over shingles of the permuted
+    31-bit shingle hash.  One explode + one hash agg; all codegen."""
+    sh = _shingle_rows(docs)
+    x = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
+    sh = sh.select("doc_id", x.alias("x"))
+    aggs = [
+        F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("x") + F.lit(_PERM_B[i]),
+                     F.lit(MERSENNE31))).alias(f"mh_{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signature and bucket-join: candidate pairs (i, j)."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = [f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+             .alias("bh")))
+    banded = (sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+                 .select("doc_id", "b.band", "b.bh"))
+    a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("j"), "band", "bh")
+    return (a.join(b, ["band", "bh"])
+             .filter(F.col("i") < F.col("j"))
+             .select("i", "j").distinct())
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidates, verified with exact Jaccard ≥ threshold."""
+    cand = lsh_candidates(minhash_signatures(docs))
+    sh = _shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("i"), "s")
+    b = sh.select(F.col("doc_id").alias("j"), "s")
+    inter = (cand.join(a, "i").join(b, ["j", "s"])
+                 .groupBy("i", "j").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("nb"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")))
+    return (inter.join(sa, "i").join(sb, "j")
+                 .select("i", "j", jac.alias("jac"))
+                 .filter(F.col("jac") >= threshold))
+
+
+def ded_minhash(spark, sf):
+    docs = T(spark, sf, "documents")
+    return (minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
+            .select("i", "j", F.round("jac", 3).alias("jac"))
+            .orderBy("i", "j"))
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT): per-bit weighted vote over shingle
+    hashes.  64 conditional-sum aggregates in one hash agg pass."""
+    sh = _shingle_rows(docs).select(
+        "doc_id", F.xxhash64("s").alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"v{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    voted = sh.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{k}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), k)).otherwise(F.lit(0).cast("long"))
+        for k in range(SIMHASH_BITS)
+    ]
+    acc = bits[0]
+    for c in bits[1:]:
+        acc = acc.bitwiseOR(c)
+    return voted.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash: 8-bit band blocking (a pair within
+    Hamming ≤ 7 shares at least one of 8 bands by pigeonhole), then
+    exact Hamming ≤ max_hamming via bit_count(xor)."""
+    sig = simhash_signatures(docs)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", i * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for i in range(SIMHASH_BANDS)
+    ]
+    banded = (sig.select("doc_id", "simhash",
+                         F.explode(F.array(*bands)).alias("b"))
+                 .select("doc_id", "simhash", "b.band", "b.bv"))
+    a = banded.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"),
+                      "band", "bv")
+    b = banded.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"),
+                      "band", "bv")
+    ham = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
+    return (a.join(b, ["band", "bv"])
+             .filter(F.col("i") < F.col("j"))
+             .select("i", "j", ham.alias("hamming")).distinct()
+             .filter(F.col("hamming") <= max_hamming))
+
+
+def ded_simhash(spark, sf):
+    docs = T(spark, sf, "documents")
+    return simhash_dedup_pairs(docs).orderBy("i", "j")
+
+
+# ------------------------------------------------------- embedding cosine
+
+def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise cosine ≥ threshold over ArrayType(FloatType).
+
+    Double-precision sequential fold (zip_with + aggregate) so the value
+    is bit-identical to a sequential SQL dot product.  The pair join is
+    the brute-force baseline; the LSH-bucketed scale path lives in
+    similarity.py."""
+    e = emb.select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("v"))
+    a = e.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, F.col("i") < F.col("j"))
+             .select("i", "j", (dot / (na * nb)).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+
+
+def ded_embed(spark, sf):
+    emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+    return (cosine_pairs(emb, 0.4)
+            .select("i", "j", F.round("cos", 4).alias("cos"))
+            .orderBy("i", "j"))
+
+
+# ----------------------------------------------------------------- oracles
+
+_NGRAM_ORACLE = f"""
+WITH t0 AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t
+            FROM documents WHERE doc_id < 2000),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t0),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT i, j, ROUND(jac, 3) AS jac FROM p WHERE jac >= 0.8
+"""
+
+# MinHash shares the brute-force oracle: with 32 bands × 4 rows the miss
+# probability at Jaccard 0.9 is (1 - 0.9^4)^32 ≈ 1e-15 — the LSH result
+# equals exact ≥ 0.7 on this corpus (verified in tests against the
+# planted near-dup pairs, all of Jaccard ≥ 0.9).
+_MINHASH_ORACLE = f"""
+WITH t0 AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t0),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT i, j, ROUND(jac, 3) AS jac FROM p WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+_EMBED_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 2000)
+SELECT a.vec_id AS i, b.vec_id AS j,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+_EXACT_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50)
+SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+_DOCS = {
+    "ded_exact": "Exact dedup: content-hash groupBy",
+    "ded_ngram": "Exact 3-gram Jaccard pair dedup (shingle equi-join)",
+    "ded_minhash": "MinHash + LSH near-dup (128 perms, 32×4 bands, verified)",
+    "ded_simhash": "SimHash near-dup (64-bit, band blocking, Hamming ≤ 6)",
+    "ded_embed": "Embedding cosine near-dup pairs (double-fold dot product)",
+}
+
+_ORACLES = {
+    "ded_exact": _EXACT_ORACLE,
+    "ded_ngram": _NGRAM_ORACLE,
+    "ded_minhash": _MINHASH_ORACLE,
+    # ded_simhash: signature algebra is engine-specific → rows-only check;
+    # property-tested against brute force in tests/test_llmops.py.
+    "ded_embed": _EMBED_ORACLE,
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("dedup", "llm"))
+            for k, d in _DOCS.items()]

@@ -1,0 +1,116 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` transforms.  The decode libraries (PIL/ffmpeg/...) are
+not in this container, so the codec step is a clearly-marked
+deterministic STUB (`fake_decode`) — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested
+(tests/test_llmops.py).
+
+This generalizes the reference's blob handling: i2b2 keeps opaque
+payloads in observation_blob / CDA XML (reference: CRC schema
+provisioned at src/docker/database/Dockerfile:25-34; document volume
+/var/lib/aktin at src/docker/template.yml:51).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+
+T = catalog.load
+
+#: output schema of the fake decoder — what a real image decode would
+#: produce (dims + channel stats), minus the actual pixels.
+DECODE_SCHEMA = ("doc_id long, n_bytes int, width int, height int, "
+                 "mean_luma double")
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """Lift text docs into the media shape: (doc_id, payload binary,
+    media_type, meta struct).  With real data this is the schema the
+    binaryFile source yields."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(F.octet_length("text").alias("n_bytes"),
+                 F.col("source").alias("origin")).alias("meta"),
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """STUB: deterministic stand-in for an image decoder.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
+    raise NotImplementedError there if the codec is unavailable.  The
+    fake derives (width, height, mean_luma) from a sha256 of the bytes
+    so tests have stable expectations.
+    """
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    mean_luma = round(h[2] / 255.0, 6)
+    return width, height, mean_luma
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: streams Arrow batches, one output row per
+    payload — the partition-parallel shape a real decoder needs
+    (no collect, no per-row Python UDF)."""
+
+    def run(batches):
+        for pdf in batches:
+            dims = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "mean_luma": [d[2] for d in dims],
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+def mm_01(spark, sf):
+    """Binary-column plumbing: payload byte length via JVM expressions
+    (oracle-checkable part of the media path)."""
+    d = T(spark, sf, "documents")
+    m = as_media(d)
+    return (m.select("doc_id",
+                     F.octet_length("payload").alias("n_bytes"),
+                     F.col("meta.origin").alias("origin"))
+             .orderBy("doc_id"))
+
+
+def mm_02(spark, sf):
+    """Full decode pipeline (stubbed codec) — rows-only check."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return decode_features(as_media(d)).orderBy("doc_id")
+
+
+_ORACLES = {
+    "mm_01": ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
+              "AS n_bytes, source AS origin FROM documents"),
+}
+
+_DOCS = {
+    "mm_01": "Multimodal binary column plumbing (payload + metadata)",
+    "mm_02": "Multimodal decode via mapInPandas (stubbed codec)",
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("multimodal", "llm"))
+            for k, d in _DOCS.items()]

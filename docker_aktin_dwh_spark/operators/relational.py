@@ -1,0 +1,680 @@
+"""Relational core — SURVEY.md §2.2–§2.8 declared operators.
+
+Each builder is the idiomatic DataFrame expression of a query shape the
+provisioned i2b2/AKTIN workload issues against PostgreSQL (operator
+anchors in SURVEY.md §2; the reference itself implements no operators —
+it provisions postgres:14, reference src/docker/database/Dockerfile:8).
+
+Plan hygiene notes (100 TB posture):
+- dimension joins broadcast (JN-02) — no shuffle of the fact side;
+- aggregations are partial+final hash aggs (map-side combine for free);
+- filters/projections sit directly on the parquet scan (pushdown —
+  asserted in tests/test_plans.py);
+- the range join (JN-08) is bucketized: equi-join on a coarse time
+  bucket + residual predicate, never a broadcast nested loop over the
+  full fact table;
+- the as-of join (JN-09) is union + ordered window, a single shuffle by
+  key instead of a range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
+from ..registry import QuerySpec
+from . import temporal
+
+T = catalog.load
+
+
+# --------------------------------------------------------------- §2.2 PRJ/FLT
+
+def prj_01(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return l.select("l_orderkey", "l_quantity").orderBy("l_orderkey")
+
+
+def prj_02(spark, sf):
+    # VAT in exact decimal: price has 2-decimal semantics, so the
+    # product has 4 — rounding the *double* product would be at the
+    # mercy of shortest-repr vs binary rounding (engine-dependent).
+    o = T(spark, sf, "orders")
+    vat = F.round(o.o_totalprice.cast("decimal(18,2)")
+                  * F.expr("CAST(0.19 AS DECIMAL(3,2))"), 2).cast("double")
+    return o.select("o_orderkey", vat.alias("vat")).orderBy("o_orderkey")
+
+
+def flt_01(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return l.filter(l.l_returnflag == "R").orderBy("l_orderkey", "l_linenumber")
+
+
+def flt_02(spark, sf):
+    p = T(spark, sf, "part")
+    return p.filter(p.p_size.between(10, 20)).orderBy("p_partkey")
+
+
+def flt_03(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.filter((o.o_orderdate >= F.expr("timestamp_ntz'1995-01-01 00:00:00'"))
+                     & (o.o_orderdate < F.expr("timestamp_ntz'1996-01-01 00:00:00'")))
+             .agg(F.count("*").alias("n")))
+
+
+def flt_04(spark, sf):
+    p = T(spark, sf, "part")
+    return p.filter(p.p_type.startswith("PROMO")).select("p_partkey") \
+            .orderBy("p_partkey")
+
+
+def flt_05(spark, sf):
+    n = T(spark, sf, "nation")
+    return n.filter(n.n_regionkey.isin(0, 2)).select("n_name").orderBy("n_name")
+
+
+def flt_06(spark, sf):
+    e = T(spark, sf, "events")
+    return e.filter(e.props.isNotNull()).agg(F.count("*").alias("n"))
+
+
+def flt_07(spark, sf):
+    o = T(spark, sf, "orders")
+    cond = ((o.o_orderstatus == "F") | (o.o_orderstatus == "O")) & \
+           ~(o.o_orderpriority == "1-URGENT")
+    return o.filter(cond).select("o_orderkey").orderBy("o_orderkey")
+
+
+# ------------------------------------------------------------------- §2.3 JN
+
+def jn_01(spark, sf):
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+             .groupBy("n_name").agg(F.count("*").alias("c"))
+             .orderBy("n_name"))
+
+
+def jn_02(spark, sf):
+    # same result as JN-01, explicit broadcast of the dimension —
+    # plan-level assertion lives in tests/test_plans.py
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+             .groupBy("n_name").agg(F.count("*").alias("c"))
+             .orderBy("n_name"))
+
+
+def jn_03(spark, sf):
+    """Star join: revenue per region (minimum end-to-end slice, SURVEY §7.1)."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = T(spark, sf, "region").select("r_regionkey", "r_name")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name").agg(dsum("l_extendedprice").alias("rev"))
+             .orderBy("r_name"))
+
+
+def jn_04(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey").agg(F.count("o_orderkey").alias("n"))
+             .orderBy("c_custkey"))
+
+
+def jn_05(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    big = o.filter(o.o_totalprice > 100000)
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+             .select("c_custkey").orderBy("c_custkey"))
+
+
+def jn_06(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey").orderBy("c_custkey"))
+
+
+def jn_07(spark, sf):
+    l = T(spark, sf, "lineitem")
+    a = l.alias("a")
+    b = l.alias("b")
+    return (a.filter(F.col("a.l_orderkey") < 100)
+             .join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_linenumber") < F.col("b.l_linenumber")))
+             .select(F.col("a.l_orderkey").alias("l_orderkey"),
+                     F.col("a.l_linenumber").alias("l_linenumber"),
+                     F.col("b.l_linenumber").alias("other"))
+             .orderBy("l_orderkey", "l_linenumber", "other"))
+
+
+def jn_08(spark, sf):
+    """Interval join: events within 5 minutes after an anchor event.
+
+    Bucketized equi-join (temporal.range_join) — the scale-safe plan; a
+    naive theta join would degenerate to BroadcastNestedLoopJoin.
+    """
+    e = T(spark, sf, "events")
+    a = e.filter(e.event_id < 300).select(F.col("event_id"), F.col("ts"))
+    b = e.select(F.col("event_id").alias("other_id"), F.col("ts").alias("ts_b"))
+    joined = temporal.range_join(a, b, left_ts="ts", right_ts="ts_b",
+                                 window_seconds=300)
+    return joined.select("event_id", "other_id").orderBy("event_id", "other_id")
+
+
+def jn_09(spark, sf):
+    """As-of join: for each click, the latest prior 'view' of that user."""
+    e = T(spark, sf, "events")
+    clicks = e.filter(e.event_type == "click") \
+              .select("event_id", "user_id", "ts")
+    views = e.filter(e.event_type == "view") \
+             .select(e.user_id.alias("v_user"), e.ts.alias("v_ts"))
+    res = temporal.asof_join(clicks, views,
+                             left_key="user_id", right_key="v_user",
+                             left_ts="ts", right_ts="v_ts",
+                             value_col="v_ts", out_col="prior_view_ts")
+    return (res.select("event_id",
+                       F.date_trunc("second", "prior_view_ts")
+                        .alias("prior_view_ts"))
+               .orderBy("event_id"))
+
+
+def jn_10(spark, sf):
+    r = T(spark, sf, "region").select("r_name")
+    o = T(spark, sf, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(o).orderBy("r_name", "o_orderpriority")
+
+
+# ------------------------------------------------------------------ §2.4 AGG
+
+def agg_01(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("n")) \
+            .orderBy("o_orderstatus")
+
+
+def agg_02(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("patients"))
+             .orderBy("o_orderpriority"))
+
+
+def agg_03(spark, sf):
+    # HLL++ approximate distinct — tolerance-tested, no hash oracle
+    o = T(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.approx_count_distinct("o_custkey").alias("approx_patients"))
+             .orderBy("o_orderpriority"))
+
+
+def agg_04(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (l.groupBy("l_returnflag", "l_linestatus")
+             .agg(dsum("l_quantity").alias("s"),
+                  davg("l_extendedprice").alias("a"),
+                  F.min("l_shipdate").alias("mn"),
+                  F.max("l_shipdate").alias("mx"))
+             .orderBy("l_returnflag", "l_linestatus"))
+
+
+def agg_05(spark, sf):
+    """EAV-flattening shape: conditional aggregation (i2b2 wide view)."""
+    l = T(spark, sf, "lineitem")
+    dec = F.when(l.l_returnflag == "R", l.l_extendedprice) \
+           .otherwise(F.lit(0.0)).cast("decimal(18,4)")
+    return (l.groupBy("l_orderkey")
+             .agg(F.round(F.sum(dec), 2).cast("double").alias("r_rev"))
+             .orderBy("l_orderkey"))
+
+
+def agg_06(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.groupBy(F.floor(o.o_totalprice / 50000).cast("int").alias("bin"))
+             .agg(F.count("*").alias("n"))
+             .orderBy("bin"))
+
+
+def agg_07(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.rollup("o_orderstatus")
+             .agg(F.count("*").alias("n"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("s"), "n")
+             .orderBy("s"))
+
+
+def agg_08(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") >= 10)
+             .select("o_custkey").orderBy("o_custkey"))
+
+
+def agg_09(spark, sf):
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") < 50) \
+                              .select("o_orderkey")
+    return (l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderkey")
+             .agg(F.array_join(
+                     F.array_sort(F.collect_list(l.l_linenumber.cast("string"))),
+                     ",").alias("li"))
+             .orderBy("o_orderkey"))
+
+
+def agg_10(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.round(F.percentile("l_quantity", 0.5), 2).alias("med"))
+             .orderBy("l_returnflag"))
+
+
+# ------------------------------------------------------------------ §2.5 WIN
+
+def win_01(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey",
+                     F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") == 1)
+             .orderBy("o_custkey"))
+
+
+def win_02(spark, sf):
+    o = T(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey",
+                     F.datediff(o.o_orderdate,
+                                F.lag("o_orderdate").over(w)).alias("d"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+def win_03(spark, sf):
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    w = (Window.orderBy("o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (o.select("o_orderkey",
+                     F.round(F.sum("o_totalprice").over(w), 2).alias("run"))
+             .orderBy("o_orderkey"))
+
+
+def win_04(spark, sf):
+    e = T(spark, sf, "events")
+    return (e.groupBy("user_id")
+             .agg(F.max_by("event_type", "ts").alias("last_ev"))
+             .orderBy("user_id"))
+
+
+def win_05(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.select(F.ntile(4).over(w).alias("n"))
+             .groupBy("n").agg(F.count("*").alias("c"))
+             .orderBy("n"))
+
+
+# -------------------------------------------------------------- §2.6 SRT/SET
+
+def srt_01(spark, sf):
+    c = T(spark, sf, "customer")
+    return (c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+             .select("c_custkey").limit(100))
+
+
+def srt_02(spark, sf):
+    p = T(spark, sf, "part")
+    return (p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+             .select("p_partkey", "p_retailprice").limit(10))
+
+
+def set_01(spark, sf):
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    return (c.filter(c.c_nationkey == 1).select(c.c_custkey.alias("k"))
+             .unionByName(
+                 s.filter(s.s_nationkey == 1).select(s.s_suppkey.alias("k")))
+             .orderBy("k"))
+
+
+def set_02(spark, sf):
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    return (c.filter(c.c_nationkey == 1).select(c.c_custkey.alias("k"))
+             .union(s.filter(s.s_nationkey == 1).select(s.s_suppkey.alias("k")))
+             .distinct().orderBy("k"))
+
+
+def set_03(spark, sf):
+    o = T(spark, sf, "orders")
+    f = o.filter(o.o_orderstatus == "F").select("o_custkey")
+    op = o.filter(o.o_orderstatus == "O").select("o_custkey")
+    return f.intersect(op).orderBy("o_custkey")
+
+
+def set_04(spark, sf):
+    c = T(spark, sf, "customer").select(F.col("c_custkey"))
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct().orderBy("c_custkey")
+
+
+def set_05(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+# ------------------------------------------------------------------- §2.7 FN
+
+def fn_str(spark, sf):
+    p = T(spark, sf, "part")
+    return (p.select("p_partkey",
+                     F.upper(F.substring("p_name", 1, 5)).alias("u"),
+                     F.length("p_name").alias("l"))
+             .orderBy("p_partkey").limit(50))
+
+
+def fn_dt(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("y"),
+                      F.month("o_orderdate").alias("m"))
+             .agg(F.count("*").alias("n"))
+             .orderBy("y", "m"))
+
+
+def fn_math(spark, sf):
+    # exact decimal product (2+2+2 decimal operands → 6-decimal result);
+    # see prj_02 for why the double route would be engine-dependent
+    l = T(spark, sf, "lineitem")
+    net = F.round(
+        l.l_extendedprice.cast("decimal(18,2)")
+        * (1 - l.l_discount.cast("decimal(8,2)"))
+        * (1 + l.l_tax.cast("decimal(8,2)")), 2).cast("double")
+    return (l.select("l_orderkey", "l_linenumber", net.alias("net"))
+             .orderBy("l_orderkey", "l_linenumber").limit(100))
+
+
+def fn_cond(spark, sf):
+    o = T(spark, sf, "orders")
+    b = (F.when(o.o_totalprice > 200000, "hi")
+          .when(o.o_totalprice > 100000, "mid")
+          .otherwise("lo"))
+    return o.select("o_orderkey", b.alias("b")).orderBy("o_orderkey").limit(100)
+
+
+def fn_cast(spark, sf):
+    l = T(spark, sf, "lineitem")
+    return (l.groupBy(l.l_quantity.cast("int").alias("q"))
+             .agg(F.count("*").alias("n")).orderBy("q"))
+
+
+def fn_arr(spark, sf):
+    p = T(spark, sf, "part")
+    return (p.groupBy(F.size(F.split("p_type", " ")).alias("k"))
+             .agg(F.count("*").alias("n")).orderBy("k"))
+
+
+def fn_map(spark, sf):
+    e = T(spark, sf, "events")
+    m = F.from_json(e.props, "map<string,string>")
+    return (e.select(F.array_join(F.map_keys(m), ",").alias("ks"),
+                     F.element_at(m, "k").alias("v"))
+             .groupBy("ks")
+             .agg(F.count("*").alias("n"), F.countDistinct("v").alias("nv"))
+             .orderBy("ks"))
+
+
+def fn_json(spark, sf):
+    e = T(spark, sf, "events")
+    return (e.groupBy(F.get_json_object(e.props, "$.k").alias("v"))
+             .agg(F.count("*").alias("n"))
+             .orderBy("v"))
+
+
+def fn_hash(spark, sf):
+    c = T(spark, sf, "customer")
+    return (c.select("c_custkey", F.sha2(c.c_name, 256).alias("h"))
+             .orderBy("c_custkey").limit(20))
+
+
+# ------------------------------------------ §2.8 streaming (batch equivalents)
+
+def str_02(spark, sf):
+    e = T(spark, sf, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+             .agg(F.count("*").alias("n"))
+             .orderBy("ws"))
+
+
+def str_03(spark, sf):
+    """Sliding window (1h / 15min): each event lands in 4 windows."""
+    e = T(spark, sf, "events")
+    base = F.date_trunc("hour", F.col("ts"))
+    q = F.floor(F.minute(F.col("ts")) / 15).cast("int")
+    ws = base + F.expr("make_interval(0,0,0,0,0, 15 * (q - j), 0)")
+    return (e.select(F.col("ts"), q.alias("q"))
+             .select("ts", "q", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"))
+             .select(ws.alias("ws"))
+             .groupBy("ws").agg(F.count("*").alias("n"))
+             .orderBy("ws"))
+
+
+def str_04(spark, sf):
+    """Session windows (30 min gap) — gaps-and-islands batch form."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")), 1)
+         .otherwise(0).alias("new_sess"))
+    wcum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = flagged.select("user_id", "ts",
+                          F.sum("new_sess").over(wcum).alias("sess_seq"))
+    return (sess.groupBy("user_id", "sess_seq")
+                .agg(F.date_trunc("second", F.min("ts")).alias("sess_start"),
+                     F.count("*").alias("n_events"))
+                .orderBy("user_id", "sess_seq"))
+
+
+def str_06(spark, sf):
+    """Deterministic dedup: first event per (user_id, event_type)."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (e.select("user_id", "event_type", "event_id",
+                     F.row_number().over(w).alias("rn"))
+             .filter(F.col("rn") == 1)
+             .select("user_id", "event_type", "event_id")
+             .orderBy("user_id", "event_type"))
+
+
+# ----------------------------------------------------------------- oracles
+
+_ORACLES = {
+    "prj_01": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "prj_02": ("SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) "
+               "* CAST(0.19 AS DECIMAL(3,2)), 2) AS DOUBLE) AS vat FROM orders"),
+    "flt_01": "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "flt_02": "SELECT * FROM part WHERE p_size BETWEEN 10 AND 20",
+    "flt_03": ("SELECT count(*) AS n FROM orders "
+               "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+               "AND o_orderdate < TIMESTAMP '1996-01-01'"),
+    "flt_04": "SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%'",
+    "flt_05": "SELECT n_name FROM nation WHERE n_regionkey IN (0, 2)",
+    "flt_06": "SELECT count(*) AS n FROM events WHERE props IS NOT NULL",
+    "flt_07": ("SELECT o_orderkey FROM orders "
+               "WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O') "
+               "AND NOT o_orderpriority = '1-URGENT'"),
+    "jn_01": ("SELECT n_name, count(*) AS c FROM customer "
+              "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "jn_02": ("SELECT n_name, count(*) AS c FROM customer "
+              "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "jn_03": (f"SELECT r_name, {sql_dsum('l_extendedprice')} AS rev "
+              "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+              "JOIN customer ON o_custkey = c_custkey "
+              "JOIN nation ON c_nationkey = n_nationkey "
+              "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "jn_04": ("SELECT c_custkey, count(o_orderkey) AS n FROM customer "
+              "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"),
+    "jn_05": ("SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders "
+              "WHERE o_custkey = c_custkey AND o_totalprice > 100000)"),
+    "jn_06": ("SELECT c_custkey FROM customer WHERE NOT EXISTS "
+              "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "jn_07": ("SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber, "
+              "b.l_linenumber AS other FROM lineitem a JOIN lineitem b "
+              "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber "
+              "WHERE a.l_orderkey < 100"),
+    "jn_08": ("SELECT a.event_id AS event_id, b.event_id AS other_id "
+              "FROM events a JOIN events b "
+              "ON (epoch_ns(b.ts) // 1000) >= (epoch_ns(a.ts) // 1000) "
+              "AND (epoch_ns(b.ts) // 1000) < (epoch_ns(a.ts) // 1000) + 300000000 "
+              "WHERE a.event_id < 300"),
+    "jn_09": ("SELECT c.event_id, date_trunc('second', "
+              "(SELECT max(v.ts) FROM events v WHERE v.user_id = c.user_id "
+              "AND v.event_type = 'view' AND (epoch_ns(v.ts) // 1000) <= (epoch_ns(c.ts) // 1000))) "
+              "AS prior_view_ts FROM events c WHERE c.event_type = 'click'"),
+    "jn_10": ("SELECT r_name, o_orderpriority FROM region CROSS JOIN "
+              "(SELECT DISTINCT o_orderpriority FROM orders)"),
+    "agg_01": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    "agg_02": ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS patients "
+               "FROM orders GROUP BY o_orderpriority"),
+    "agg_04": (f"SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS s, "
+               f"{sql_davg('l_extendedprice')} AS a, "
+               "MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx "
+               "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "agg_05": ("SELECT l_orderkey, CAST(ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' "
+               "THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))), 2) AS DOUBLE) "
+               "AS r_rev FROM lineitem GROUP BY l_orderkey"),
+    "agg_06": ("SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin, "
+               "count(*) AS n FROM orders GROUP BY 1"),
+    "agg_07": ("SELECT COALESCE(o_orderstatus, 'ALL') AS s, count(*) AS n "
+               "FROM orders GROUP BY ROLLUP(o_orderstatus)"),
+    "agg_08": ("SELECT o_custkey FROM orders GROUP BY o_custkey "
+               "HAVING count(*) >= 10"),
+    "agg_09": ("SELECT o_orderkey, array_to_string(list_sort("
+               "list(CAST(l_linenumber AS VARCHAR))), ',') AS li "
+               "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+               "WHERE o_orderkey < 50 GROUP BY o_orderkey"),
+    "agg_10": ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 2) "
+               "AS med FROM lineitem GROUP BY l_returnflag"),
+    "win_01": ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, "
+               "CAST(row_number() OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderdate, o_orderkey) AS INT) AS rn FROM orders) "
+               "WHERE rn = 1"),
+    "win_02": ("SELECT o_custkey, o_orderkey, CAST(date_diff('day', "
+               "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS d "
+               "FROM orders WHERE o_custkey < 100"),
+    "win_03": ("SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+               "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+               "CURRENT ROW), 2) AS run FROM orders WHERE o_orderkey < 200"),
+    "win_04": ("SELECT user_id, max_by(event_type, ts) AS last_ev "
+               "FROM events GROUP BY user_id"),
+    "win_05": ("SELECT n, count(*) AS c FROM (SELECT CAST(ntile(4) OVER ("
+               "ORDER BY o_totalprice, o_orderkey) AS INT) AS n FROM orders) "
+               "GROUP BY n"),
+    "srt_01": ("SELECT c_custkey FROM (SELECT c_custkey FROM customer "
+               "ORDER BY c_acctbal DESC, c_custkey LIMIT 100)"),
+    "srt_02": ("SELECT p_partkey, p_retailprice FROM part "
+               "ORDER BY p_retailprice DESC, p_partkey LIMIT 10"),
+    "set_01": ("SELECT c_custkey AS k FROM customer WHERE c_nationkey = 1 "
+               "UNION ALL SELECT s_suppkey FROM supplier WHERE s_nationkey = 1"),
+    "set_02": ("SELECT c_custkey AS k FROM customer WHERE c_nationkey = 1 "
+               "UNION SELECT s_suppkey FROM supplier WHERE s_nationkey = 1"),
+    "set_03": ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+               "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
+    "set_04": ("SELECT c_custkey FROM customer "
+               "EXCEPT SELECT o_custkey FROM orders"),
+    "set_05": "SELECT DISTINCT o_orderpriority FROM orders",
+    "fn_str": ("SELECT p_partkey, upper(substr(p_name, 1, 5)) AS u, "
+               "CAST(length(p_name) AS INT) AS l FROM part "
+               "ORDER BY p_partkey LIMIT 50"),
+    "fn_dt": ("SELECT CAST(year(o_orderdate) AS INT) AS y, "
+              "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n "
+              "FROM orders GROUP BY 1, 2"),
+    "fn_math": ("SELECT l_orderkey, l_linenumber, CAST(ROUND("
+                "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "(1 - CAST(l_discount AS DECIMAL(8,2))) * "
+                "(1 + CAST(l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS net "
+                "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+    "fn_cond": ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'hi' "
+                "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS b "
+                "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    "fn_cast": ("SELECT CAST(l_quantity AS INT) AS q, count(*) AS n "
+                "FROM lineitem GROUP BY 1"),
+    "fn_arr": ("SELECT CAST(len(string_split(p_type, ' ')) AS INT) AS k, "
+               "count(*) AS n FROM part GROUP BY 1"),
+    "fn_map": ("SELECT array_to_string(json_keys(props), ',') AS ks, "
+               "count(*) AS n, count(DISTINCT json_extract_string(props, '$.k')) "
+               "AS nv FROM events GROUP BY 1"),
+    "fn_json": ("SELECT json_extract_string(props, '$.k') AS v, count(*) AS n "
+                "FROM events GROUP BY 1"),
+    "fn_hash": ("SELECT c_custkey, sha256(c_name) AS h FROM customer "
+                "ORDER BY c_custkey LIMIT 20"),
+    "str_02": ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, "
+               "count(*) AS n FROM events GROUP BY 1"),
+    "str_03": ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) + "
+               "INTERVAL 15 MINUTE * ((minute(ts) // 15) - j) AS ws, count(*) AS n "
+               "FROM events, (SELECT unnest(range(4)) AS j) GROUP BY 1"),
+    "str_04": ("WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN "
+               "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE "
+               "THEN 1 ELSE 0 END AS new_sess FROM events "
+               "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+               "sess AS (SELECT user_id, ts, CAST(SUM(new_sess) OVER ("
+               "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN "
+               "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM flagged) "
+               "SELECT user_id, sess_seq, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) "
+               "AS sess_start, count(*) AS n_events FROM sess GROUP BY user_id, sess_seq"),
+    "str_06": ("SELECT user_id, event_type, event_id FROM ("
+               "SELECT user_id, event_type, event_id, row_number() OVER ("
+               "PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
+               "FROM events) WHERE rn = 1"),
+}
+
+_DOCS = {
+    "prj_01": "PRJ-01 column projection", "prj_02": "PRJ-02 computed projection",
+    "flt_01": "FLT-01 equality predicate", "flt_02": "FLT-02 numeric range",
+    "flt_03": "FLT-03 date range", "flt_04": "FLT-04 prefix LIKE",
+    "flt_05": "FLT-05 IN-list", "flt_06": "FLT-06 NULL predicate",
+    "flt_07": "FLT-07 boolean combination",
+    "jn_01": "JN-01 equi inner join", "jn_02": "JN-02 broadcast hash join",
+    "jn_03": "JN-03 multi-way star join", "jn_04": "JN-04 left outer join",
+    "jn_05": "JN-05 left semi join", "jn_06": "JN-06 left anti join",
+    "jn_07": "JN-07 self join", "jn_08": "JN-08 interval/theta join (bucketized)",
+    "jn_09": "JN-09 as-of join", "jn_10": "JN-10 cross join",
+    "agg_01": "AGG-01 count group-by", "agg_02": "AGG-02 count distinct",
+    "agg_03": "AGG-03 approx distinct (HLL++)", "agg_04": "AGG-04 sum/avg/min/max",
+    "agg_05": "AGG-05 conditional agg (EAV pivot shape)",
+    "agg_06": "AGG-06 histogram bins", "agg_07": "AGG-07 rollup",
+    "agg_08": "AGG-08 having", "agg_09": "AGG-09 sorted collect_list",
+    "agg_10": "AGG-10 exact percentile",
+    "win_01": "WIN-01 row_number", "win_02": "WIN-02 lag/lead",
+    "win_03": "WIN-03 running frame sum", "win_04": "WIN-04 last-per-group (max_by)",
+    "win_05": "WIN-05 ntile",
+    "srt_01": "SRT-01 multi-key sort + limit", "srt_02": "SRT-02 top-k",
+    "set_01": "SET-01 union all", "set_02": "SET-02 union distinct",
+    "set_03": "SET-03 intersect", "set_04": "SET-04 except",
+    "set_05": "SET-05 distinct",
+    "fn_str": "FN-STR string functions", "fn_dt": "FN-DT date functions",
+    "fn_math": "FN-MATH arithmetic", "fn_cond": "FN-COND case/coalesce",
+    "fn_cast": "FN-CAST casts", "fn_arr": "FN-ARR array functions",
+    "fn_map": "FN-MAP map functions", "fn_json": "FN-JSON json extraction",
+    "fn_hash": "FN-HASH pseudonymization hash",
+    "str_02": "STR-02 tumbling window (batch equivalent)",
+    "str_03": "STR-03 sliding window (batch equivalent)",
+    "str_04": "STR-04 session window (batch equivalent)",
+    "str_06": "STR-06 dedup (batch equivalent)",
+}
+
+
+def specs() -> list[QuerySpec]:
+    out = []
+    g = globals()
+    for key, doc in _DOCS.items():
+        out.append(QuerySpec(key=key, fn=g[key], oracle=_ORACLES.get(key),
+                             doc=doc, tags=("relational",)))
+    return out

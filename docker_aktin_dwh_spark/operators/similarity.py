@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+- ``ann_topk``  exact brute-force cosine top-k — the correctness
+  baseline, a broadcast join of the (small) query set against the
+  corpus followed by a per-query window top-k.  At 100 TB the corpus
+  side stays partitioned; only queries broadcast.
+- ``ann_lsh``   random-hyperplane LSH: 4 tables × 16-bit signatures,
+  bucket join, exact re-rank within buckets — the scale path (recall
+  measured against brute force in tests/test_llmops.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+
+T = catalog.load
+
+DIM = 64
+N_TABLES = 4
+BITS_PER_TABLE = 16
+
+
+def _as_double(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k: (q_id, neighbor_id, rank, cos).
+
+    queries is assumed small → broadcast; ranking is a per-query window
+    (partitionBy q_id), so the shuffle is by query, never all-pairs."""
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      _as_double("embedding").alias("vc"))
+    q = queries.select(F.col("vec_id").alias("q_id"),
+                       _as_double("embedding").alias("vq"))
+    sim = (c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+            .select("q_id", "neighbor_id",
+                    (_dot("vq", "vc") / (_norm("vq") * _norm("vc"))).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+
+
+def ann_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (brute_force_topk(emb, queries, k=10)
+            .select("q_id", "neighbor_id", "rank",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("q_id", "rank"))
+
+
+# ------------------------------------------------------------------ LSH path
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded by table/bit/dim
+    via sha256 — reproducible across sessions, no runtime RNG)."""
+    planes = []
+    for t in range(N_TABLES):
+        for b in range(BITS_PER_TABLE):
+            row = []
+            for d in range(DIM):
+                h = hashlib.sha256(f"lsh:{t}:{b}:{d}".encode()).digest()
+                v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
+                row.append(v)
+            planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, table, sig): sign-of-dot-product bit signatures."""
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    sigs = []
+    for t in range(N_TABLES):
+        bit_cols = []
+        for b in range(BITS_PER_TABLE):
+            plane = F.array(*[F.lit(x) for x in _PLANES[t * BITS_PER_TABLE + b]])
+            dot = F.aggregate(F.zip_with("v", plane, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bit_cols.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        sig = bit_cols[0]
+        for c in bit_cols[1:]:
+            sig = sig.bitwiseOR(c)
+        sigs.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
+    return (e.select("vec_id", "v", F.explode(F.array(*sigs)).alias("s"))
+             .select("vec_id", "v", "s.table", "s.sig"))
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 table,
+    then exact cosine re-rank.  Bucket join shuffles on (table, sig)."""
+    cs = lsh_signatures(corpus).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vc"),
+        "table", "sig")
+    qs = lsh_signatures(queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("vq"), "table", "sig")
+    cand = (cs.join(F.broadcast(qs), ["table", "sig"])
+              .filter(F.col("q_id") != F.col("neighbor_id"))
+              .select("q_id", "vq", "neighbor_id", "vc").distinct())
+    sim = cand.select("q_id", "neighbor_id",
+                      (_dot("vq", "vc") / (_norm("vq") * _norm("vc"))).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+
+
+def ann_lsh(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (ann_lsh_topk(emb, queries, k=10)
+            .select("q_id", "neighbor_id", "rank",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("q_id", "rank"))
+
+
+_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id < 5),
+sim AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.vq, e.v)
+                 / (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        FROM q JOIN e ON e.vec_id <> q.q_id),
+ranked AS (SELECT q_id, neighbor_id, CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank, cos
+           FROM sim)
+SELECT q_id, neighbor_id, rank, ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= 10
+"""
+
+_DOCS = {
+    "ann_topk": "Exact brute-force cosine top-k (broadcast query join)",
+    "ann_lsh": "LSH-bucketed approximate top-k (scale path; recall-tested)",
+}
+
+_ORACLES = {"ann_topk": _TOPK_ORACLE}  # ann_lsh approximate → rows-only
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("similarity", "llm"))
+            for k, d in _DOCS.items()]

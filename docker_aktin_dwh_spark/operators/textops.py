@@ -1,0 +1,136 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM-side expressions over the `documents` table: token statistics,
+quality scoring, n-gram-heuristic language ID, and content
+fingerprinting.  The Spark and DuckDB formulas are kept structurally
+identical (same integer counts, same single double division) so the
+oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.textfns import SQL_TOKENS, tokens
+from ..registry import QuerySpec
+
+T = catalog.load
+
+#: tiny per-language stopword profiles for the n-gram/stopword vote.
+#: (The fixture vocabulary is synthetic; the *operator contract* is a
+#: deterministic argmax with a fixed tie order, which is what both
+#: engines implement.)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "que", "y", "en"),
+    "fr": ("le", "les", "et", "des", "une"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")
+
+
+def text_tokens(spark, sf):
+    """Token counting: whitespace tokens + chars (FN surface for BPE-ish
+    budgeting; exact token counts are the unit of 100 TB corpus stats)."""
+    d = T(spark, sf, "documents")
+    return (d.select("doc_id",
+                     F.size(tokens("text")).alias("n_tokens"),
+                     F.length("text").alias("len_chars"))
+             .orderBy("doc_id"))
+
+
+def text_quality(spark, sf):
+    """Quality scoring: token count, stopword ratio, mean token length."""
+    d = T(spark, sf, "documents")
+    tok = tokens("text")
+    all_stops = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    stop_cnt = F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
+    n_tok = F.size(tok)
+    mean_len = F.round((F.length(F.trim("text")) - (n_tok - 1))
+                       / n_tok.cast("double"), 4)
+    return (d.select("doc_id",
+                     n_tok.alias("n_tokens"),
+                     stop_cnt.alias("stop_cnt"),
+                     F.round(stop_cnt / n_tok.cast("double"), 4).alias("stop_ratio"),
+                     mean_len.alias("mean_tok_len"))
+             .orderBy("doc_id"))
+
+
+def text_langid(spark, sf):
+    """Language ID: stopword-profile vote, fixed-order argmax."""
+    d = T(spark, sf, "documents")
+    tok = tokens("text")
+    votes = {lang: F.size(F.filter(tok, lambda t: t.isin(*ws)))
+             for lang, ws in STOPWORDS.items()}
+    # strict-majority cascade in fixed LANG_ORDER: first language whose
+    # vote is >= all later ones and > all earlier-checked maxima
+    best = F.lit("und")
+    best_cnt = F.lit(0)
+    for lang in LANG_ORDER:
+        v = votes[lang]
+        take = v > best_cnt
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(take, v).otherwise(best_cnt)
+    return (d.select("doc_id", best.alias("pred_lang"), "lang")
+             .orderBy("doc_id"))
+
+
+def text_fp(spark, sf):
+    """Document fingerprint: md5 over whitespace-normalized text."""
+    d = T(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (d.select("doc_id", F.md5(norm).alias("fp"))
+             .orderBy("doc_id"))
+
+
+def _sql_vote(ws: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in ws)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+def _langid_oracle() -> str:
+    sel = "SELECT doc_id, lang, {} AS t FROM documents".format(
+        SQL_TOKENS.format(col="text"))
+    expr = "'und'"
+    cnt = "0"
+    for lang in LANG_ORDER:
+        v = _sql_vote(STOPWORDS[lang])
+        expr = f"CASE WHEN {v} > {cnt} THEN '{lang}' ELSE {expr} END"
+        cnt = f"CASE WHEN {v} > {cnt} THEN {v} ELSE {cnt} END"
+    return (f"SELECT doc_id, {expr} AS pred_lang, lang "
+            f"FROM ({sel})")
+
+
+_ALL_STOPS = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+_ORACLES = {
+    "text_tokens": ("SELECT doc_id, CAST(len({t}) AS INT) AS n_tokens, "
+                    "CAST(length(text) AS INT) AS len_chars FROM documents"
+                    .format(t=SQL_TOKENS.format(col="text"))),
+    "text_quality": (
+        "WITH b AS (SELECT doc_id, text, {t} AS t FROM documents) "
+        "SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, "
+        "CAST(len(list_filter(t, x -> x IN ({stops}))) AS INT) AS stop_cnt, "
+        "ROUND(len(list_filter(t, x -> x IN ({stops}))) / CAST(len(t) AS DOUBLE), 4) AS stop_ratio, "
+        "ROUND((length(trim(text)) - (len(t) - 1)) / CAST(len(t) AS DOUBLE), 4) AS mean_tok_len "
+        "FROM b".format(t=SQL_TOKENS.format(col="text"), stops=_ALL_STOPS)),
+    "text_langid": _langid_oracle(),
+    "text_fp": ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
+                "AS fp FROM documents"),
+}
+
+_DOCS = {
+    "text_tokens": "Token counting (whitespace tokenizer)",
+    "text_quality": "Quality scoring (stopword ratio, token stats)",
+    "text_langid": "Language ID (stopword-profile vote)",
+    "text_fp": "Document fingerprint (normalized md5)",
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("text", "llm"))
+            for k, d in _DOCS.items()]

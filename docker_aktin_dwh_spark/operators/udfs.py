@@ -1,0 +1,116 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.9.
+
+The reference's extensibility story is "hand a DB connection to Python
+or R" (import scripts installed at reference
+src/docker/wildfly/Dockerfile:48; R runtime via the dependency filter
+at src/build.sh:273).  The Spark-native equivalents, in preference
+order: Arrow-vectorized pandas_udf → applyInPandas (grouped) →
+mapInPandas (partition stream).  Row-at-a-time Python UDFs are
+deliberately absent from the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import catalog
+from ..registry import QuerySpec
+
+T = catalog.load
+
+
+def udf_01(spark, sf):
+    # UDF-01: vectorized scalar transform (field normalization — the
+    # import-script analogue), Arrow-batched.  Defined lazily: pandas_udf
+    # needs an active session to parse its return type.
+    @pandas_udf("string")
+    def norm_name(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower()
+
+    c = T(spark, sf, "customer")
+    return (c.select("c_custkey", norm_name("c_name").alias("norm_name"))
+             .orderBy("c_custkey"))
+
+
+def udf_02(spark, sf):
+    """UDF-02: grouped custom stat via applyInPandas (R-report analogue).
+
+    Exact min/max/count only — float summation inside pandas would use
+    pairwise order and break decimal-grade hash parity.
+    """
+    l = T(spark, sf, "lineitem")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(pdf)],
+            "min_price": [pdf["l_extendedprice"].min()],
+            "max_price": [pdf["l_extendedprice"].max()],
+        })
+
+    out = l.select("l_returnflag", "l_extendedprice").groupBy("l_returnflag") \
+           .applyInPandas(stats, "l_returnflag string, n long, "
+                                 "min_price double, max_price double")
+    return out.orderBy("l_returnflag")
+
+
+def udf_03(spark, sf):
+    """UDF-03: table function (doc → many rows), the CDA-shred shape:
+    explode of a parse result."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    tok = F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    return (d.select(tok)
+             .filter(F.col("token") != "")
+             .groupBy("token").agg(F.count("*").alias("n"))
+             .orderBy("token"))
+
+
+def udf_04(spark, sf):
+    """UDF-04: whole-partition transform via mapInPandas (streamed Arrow
+    batches — never a driver-side collect)."""
+    c = T(spark, sf, "customer")
+
+    def bucketize(batches):
+        import numpy as np
+        for pdf in batches:
+            yield pd.DataFrame({
+                "c_custkey": pdf["c_custkey"],
+                "bal_bucket": np.floor(pdf["c_acctbal"] / 1000).astype("int32"),
+            })
+
+    return (c.select("c_custkey", "c_acctbal")
+             .mapInPandas(bucketize, "c_custkey long, bal_bucket int")
+             .orderBy("c_custkey"))
+
+
+_ORACLES = {
+    "udf_01": ("SELECT c_custkey, lower(trim(c_name)) AS norm_name "
+               "FROM customer"),
+    "udf_02": ("SELECT l_returnflag, count(*) AS n, "
+               "min(l_extendedprice) AS min_price, "
+               "max(l_extendedprice) AS max_price "
+               "FROM lineitem GROUP BY l_returnflag"),
+    "udf_03": ("SELECT token, count(*) AS n FROM ("
+               "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+               "FROM documents WHERE doc_id < 100) WHERE token <> '' "
+               "GROUP BY token"),
+    "udf_04": ("SELECT c_custkey, CAST(FLOOR(c_acctbal / 1000) AS INT) "
+               "AS bal_bucket FROM customer"),
+}
+
+_DOCS = {
+    "udf_01": "UDF-01 vectorized pandas_udf scalar transform",
+    "udf_02": "UDF-02 grouped applyInPandas aggregate",
+    "udf_03": "UDF-03 table function (explode of parse result)",
+    "udf_04": "UDF-04 mapInPandas partition transform",
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("udf",))
+            for k, d in _DOCS.items()]

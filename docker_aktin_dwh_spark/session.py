@@ -1,0 +1,67 @@
+"""SparkSession factory and configuration policy.
+
+The reference pins session locale/timezone to de_DE.UTF-8 / Europe/Berlin
+(reference: src/docker/wildfly/Dockerfile:24-26).  For oracle parity we
+keep *naive* (NTZ) timestamp semantics everywhere instead: the driver
+fixtures store parquet TIMESTAMP(isAdjustedToUTC=false), which Spark 4
+reads as TIMESTAMP_NTZ and DuckDB reads as naive TIMESTAMP — identical
+wall-clock values in any session zone.  Display timezone is therefore a
+rendering concern only and is deliberately NOT baked into query results.
+
+Scale posture (100 TB design point):
+- AQE on (runtime re-plan, skew-join splitting, auto broadcast).
+- shuffle partitions default 32 for local[32] tests; on a real cluster
+  AQE coalescing makes the initial number a ceiling, not a tuning knob.
+- Arrow enabled for the Pandas-UDF paths (dedup/similarity/multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Read parquet TIMESTAMP(NANOS) columns (the `events` fixture) as raw
+#: int64 nanoseconds; catalog.load() converts them to TIMESTAMP_NTZ.
+#: Spark 4 has no native nanos timestamp type (PARQUET_TYPE_ILLEGAL
+#: otherwise).  Runtime-settable, so it also works on driver-owned sessions.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(app_name: str = "docker-aktin-dwh-spark",
+                  cpus: int | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's config policy."""
+    cpus = cpus or default_parallelism()
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def apply_runtime_policy(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable policy to an externally-created session.
+
+    The correctness driver owns its own SparkSession; everything our
+    queries depend on must be settable post-hoc.  Static configs (memory,
+    master) are left alone.
+    """
+    spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

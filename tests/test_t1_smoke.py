@@ -1,0 +1,40 @@
+"""t1 smoke: every declared query runs on sf0.001 with a stable,
+non-degenerate schema (SURVEY.md §5.2), and the driver entry contract
+holds."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark.registry import build_registry
+
+REGISTRY = build_registry()
+
+#: constructed-empty at tiny scale is fine for these (dup/near-dup sets)
+MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash", "ded_embed",
+                "jn_06", "set_04"}
+
+
+@pytest.mark.parametrize("key", sorted(REGISTRY))
+def test_smoke(spark, key):
+    spec = REGISTRY[key]
+    df = spec.fn(spark, SF_SMOKE)
+    assert len(df.schema.fields) > 0
+    n = df.count()
+    if key not in MAY_BE_EMPTY:
+        assert n > 0, f"{key} returned no rows at smoke scale"
+
+
+def test_entry_contract(spark):
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    assert df.count() > 0
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 75
