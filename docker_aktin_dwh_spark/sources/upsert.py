@@ -1,0 +1,59 @@
+"""Idempotent upsert sink (SNK-01) without a table format.
+
+The reference's semantics: re-import of an encounter replaces its
+facts — delete+insert keyed by encounter (SURVEY.md §3.2 step 4,
+anchored to the aktin import schema provisioned by aktin_init.sql,
+reference src/docker/database/Dockerfile:33).
+
+With plain Parquet (no Delta/Iceberg in this container) the scalable
+MERGE emulation is partition-level: the fact table is partitioned by
+month(start_date); an incoming batch only rewrites the partitions it
+touches (anti-join out the batch's keys, union the new rows, dynamic
+partition overwrite leaves every other partition untouched).  At
+100 TB this rewrites GBs, not the table.  On a real deployment the
+same `merge_upsert` call sites swap to `MERGE INTO` on Delta/Iceberg —
+the batch/key semantics here are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "p_month"
+
+
+def with_partition(df: DataFrame, ts_col: str = "start_date") -> DataFrame:
+    return df.withColumn(
+        PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM"))
+
+
+def write_initial(df: DataFrame, path: str, ts_col: str = "start_date") -> None:
+    (with_partition(df, ts_col).write.mode("overwrite")
+     .partitionBy(PARTITION_COL).parquet(path))
+
+
+def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
+                 key: str = "encounter_num",
+                 ts_col: str = "start_date") -> None:
+    """Replace all rows whose `key` appears in `batch`, insert the batch.
+
+    Reads only the partitions the batch touches, anti-joins the batch
+    keys out, unions the new rows, and dynamically overwrites just
+    those partitions.  The merged frame is localCheckpoint'ed first:
+    overwriting a path that is also a lazy read source would otherwise
+    race the scan (a table format with MERGE does this atomically).
+    """
+    b = with_partition(batch, ts_col)
+    months = [r[0] for r in b.select(PARTITION_COL).distinct().collect()]
+    existing = (spark.read.parquet(path)
+                .filter(F.col(PARTITION_COL).isin(months)))
+    keys = b.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(b.select(kept.columns)).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,147 @@
+"""Pipeline tests (SURVEY.md §5.2 item 4): ingest idempotency, XML
+shred round-trip, P21 zip-string semantics, broker polling."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+from docker_aktin_dwh_spark.sources import p21_csv, upsert, xml_cda
+from docker_aktin_dwh_spark.streaming import broker
+
+
+@pytest.fixture()
+def fact(spark):
+    return catalog.observation_fact(spark, SF_SMOKE)
+
+
+def test_merge_upsert_idempotent(spark, fact, tmp_path):
+    """SNK-01: importing the same batch twice leaves the table unchanged."""
+    table = str(tmp_path / "fact")
+    upsert.write_initial(fact, table)
+    before = spark.read.parquet(table).count()
+    assert before == fact.count()
+
+    batch = fact.filter(F.col("encounter_num") < 100)
+    upsert.merge_upsert(spark, table, batch)
+    after1 = spark.read.parquet(table).count()
+    upsert.merge_upsert(spark, table, batch)
+    after2 = spark.read.parquet(table).count()
+    assert before == after1 == after2
+
+    # and an updated batch actually replaces (not appends)
+    updated = batch.withColumn("tval_char", F.lit("UPDATED"))
+    upsert.merge_upsert(spark, table, updated)
+    got = spark.read.parquet(table)
+    assert got.count() == before
+    assert (got.filter(F.col("encounter_num") < 100)
+               .filter(F.col("tval_char") != "UPDATED")
+               .filter(F.col("tval_char").isNotNull()).count() == 0)
+
+
+def test_merge_upsert_touches_only_batch_partitions(spark, fact, tmp_path):
+    table = str(tmp_path / "fact")
+    upsert.write_initial(fact, table)
+    files_before = {str(p.relative_to(table))
+                    for p in Path(table).glob("p_month=*/*.parquet")}
+    one_enc = fact.filter(F.col("encounter_num") == 1)
+    months = {r[0] for r in upsert.with_partition(one_enc)
+              .select("p_month").distinct().collect()}
+    upsert.merge_upsert(spark, table, one_enc)
+    files_after = {str(p.relative_to(table))
+                   for p in Path(table).glob("p_month=*/*.parquet")}
+    # data files have UUID names: a rewritten partition gets new names,
+    # an untouched one keeps its files verbatim
+    untouched_before = {f for f in files_before
+                        if f.split("=")[1].split("/")[0] not in months}
+    assert untouched_before, "expected untouched partitions to exist"
+    assert untouched_before <= files_after
+    rewritten = {f for f in files_before
+                 if f.split("=")[1].split("/")[0] in months}
+    assert rewritten and not (rewritten & files_after)
+
+
+def test_xml_shred_roundtrip(spark, fact, tmp_path):
+    """SRC-03/UDF-03: encounter XML → fact rows matches the source rows."""
+    sample = (fact.filter(F.col("encounter_num") < 20)
+                  .select("encounter_num", "patient_num", "concept_cd",
+                          "start_date", "valtype_cd", "tval_char",
+                          "nval_num", "units_cd"))
+    rows = sample.collect()
+    by_enc: dict[tuple[int, int], list[dict]] = {}
+    for r in rows:
+        obs = {"code": r.concept_cd,
+               "ts": r.start_date.isoformat(),
+               "valtype": r.valtype_cd,
+               "value": (str(r.nval_num) if r.valtype_cd == "N"
+                         else r.tval_char),
+               "unit": r.units_cd}
+        by_enc.setdefault((r.encounter_num, r.patient_num), []).append(obs)
+    xml_dir = tmp_path / "cda"
+    xml_dir.mkdir()
+    for (enc, pat), obs in by_enc.items():
+        (xml_dir / f"enc{enc}.xml").write_text(
+            xml_cda.render_encounter_xml(enc, pat, obs))
+
+    shredded = xml_cda.read_and_shred(spark, str(xml_dir))
+    assert shredded.count() == len(rows)
+    src = {(r.encounter_num, r.concept_cd, r.start_date,
+            float(r.nval_num) if r.nval_num is not None else None)
+           for r in rows}
+    got = {(r.encounter_num, r.concept_cd, r.start_date, r.nval_num)
+           for r in shredded.collect()}
+    assert src == got
+
+
+def test_p21_csv_zip_leading_zeros(spark, tmp_path):
+    """SRC-04: PLZ round-trips as string (update01 semantics)."""
+    csv = tmp_path / "p21.csv"
+    csv.write_text(
+        "encounter_id;admission_ts;discharge_ts;zip;age\n"
+        "1;2024-01-01T10:00:00;2024-01-01T16:30:00;01067;34\n"
+        "2;2024-01-02T08:15:00;2024-01-03T09:15:00;00123;71\n")
+    df = p21_csv.read_p21(spark, str(csv))
+    rows = {r.encounter_num: r for r in
+            p21_csv.p21_to_visits(df).collect()}
+    assert rows[1].zip_cd == "01067"
+    assert rows[2].zip_cd == "00123"
+    assert rows[1].los_hours == 6.5
+    assert rows[2].los_hours == 25.0
+
+
+def test_p21_zip_archive_extract(spark, tmp_path):
+    import zipfile
+    src = tmp_path / "drop"
+    work = tmp_path / "work"
+    src.mkdir()
+    content = ("encounter_id;admission_ts;discharge_ts;zip;age\n"
+               "7;2024-02-01T00:00:00;2024-02-01T04:00:00;04109;50\n")
+    with zipfile.ZipFile(src / "batch1.zip", "w") as zf:
+        zf.writestr("batch1.csv", content)
+    files = p21_csv.extract_zip_archives(str(src), str(work))
+    assert len(files) == 1
+    df = p21_csv.read_p21(spark, files[0])
+    assert df.collect()[0].zip == "04109"
+
+
+def test_broker_poll_executes_requests(spark, tmp_path):
+    """SRC-05/SNK-03: request pickup → local execution → JSON export +
+    bookkeeping, including a failed request."""
+    inbox = str(tmp_path / "inbox")
+    outbox = str(tmp_path / "outbox")
+    broker.submit_request(inbox, "req1", "agg_01", SF_SMOKE)
+    broker.submit_request(inbox, "req2", "no_such_query", SF_SMOKE)
+    statuses = {s["request_id"]: s
+                for s in broker.poll_once(spark, inbox, outbox)}
+    assert statuses["req1"]["state"] == "completed"
+    assert statuses["req2"]["state"] == "failed"
+    exported = json.loads((Path(outbox) / "req1.json").read_text())
+    assert len(exported) == 3  # o_orderstatus groups
+    # second tick: nothing new → no duplicate execution (replayable offsets)
+    assert broker.poll_once(spark, inbox, outbox) == []

@@ -1,0 +1,81 @@
+"""Plan-level tests (100 TB posture, SURVEY.md §4): these assert the
+physical plan *shape* — broadcast joins stay broadcast, predicates stay
+pushed into the parquet scan, projections prune the read schema — so a
+refactor cannot silently regress scale behavior while still passing the
+sf0.01 value-hash tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog, plans
+from docker_aktin_dwh_spark.operators import relational
+
+
+def test_jn02_dimension_join_broadcasts(spark):
+    df = relational.jn_02(spark, SF_SMOKE)
+    assert plans.has_broadcast_hash_join(df)
+
+
+def test_jn03_star_join_broadcasts_all_dims(spark):
+    plan = plans.formatted_plan(relational.jn_03(spark, SF_SMOKE))
+    # customer/nation/region sides are broadcast; only the fact-side agg
+    # and the lineitem⋈orders join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_flt02_predicate_pushed_to_scan(spark):
+    got = plans.pushed_filters(relational.flt_02(spark, SF_SMOKE))
+    assert any("p_size" in f for f in got), got
+
+
+def test_flt04_prefix_like_pushed(spark):
+    got = plans.pushed_filters(relational.flt_04(spark, SF_SMOKE))
+    assert any("StringStartsWith" in f or "p_type" in f for f in got), got
+
+
+def test_prj01_column_pruning(spark):
+    scans = plans.read_schema_columns(relational.prj_01(spark, SF_SMOKE))
+    assert scans and all(set(s) <= {"l_orderkey", "l_quantity", "l_linenumber"}
+                         for s in scans), scans
+
+
+def test_agg01_whole_stage_codegen(spark):
+    assert plans.whole_stage_codegen_spans(
+        relational.agg_01(spark, SF_SMOKE)) >= 1
+
+
+def test_jn08_range_join_is_not_nested_loop(spark):
+    """The bucketized interval join must plan as an equi-join on the
+    bucket key, not BroadcastNestedLoopJoin over the raw range."""
+    plan = plans.formatted_plan(relational.jn_08(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
+
+
+def test_jn09_asof_is_single_shuffle_window(spark):
+    """As-of join: union + window, no range join, ≤2 hash exchanges."""
+    plan = plans.formatted_plan(relational.jn_09(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan
+
+
+def test_filter_on_catalog_fact_prunes_columns(spark):
+    fact = catalog.observation_fact(spark, SF_SMOKE)
+    two = fact.select("encounter_num", "concept_cd")
+    scans = plans.read_schema_columns(two)
+    flat = {c for s in scans for c in s}
+    # derivation joins may read key columns, but not the value columns
+    assert "tval_char" not in flat and "nval_num" not in flat, flat
+
+
+def test_broadcast_survives_aqe(spark):
+    """AQE enabled (session policy) — broadcast hint must survive
+    adaptive re-planning."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    c = catalog.load(spark, SF_SMOKE, "customer")
+    n = catalog.load(spark, SF_SMOKE, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    j.collect()
+    assert plans.has_broadcast_hash_join(j)

@@ -1,0 +1,106 @@
+"""Property tests (SURVEY.md §5.2 item 3): algebraic identities that
+must hold on arbitrary slices of the data, checked on seeded random
+samples — independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+
+
+@pytest.fixture(scope="module", params=[7, 23, 61])
+def slices(spark, request):
+    seed = request.param
+    c = catalog.load(spark, SF_SMOKE, "customer").sample(0.5, seed=seed)
+    o = catalog.load(spark, SF_SMOKE, "orders").sample(0.5, seed=seed + 1)
+    return c.cache(), o.cache()
+
+
+def test_semijoin_equals_distinct_project_inner(slices):
+    c, o = slices
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+            .select("c_custkey")
+    inner = c.join(o, c.c_custkey == o.o_custkey, "inner") \
+             .select("c_custkey").distinct()
+    assert {r[0] for r in semi.collect()} == {r[0] for r in inner.collect()}
+
+
+def test_semi_plus_anti_partition_left(slices):
+    c, o = slices
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_rollup_equals_union_of_grouping_sets(slices):
+    _, o = slices
+    rollup = o.rollup("o_orderstatus").count()
+    grouped = o.groupBy("o_orderstatus").count()
+    assert rollup.count() == grouped.count() + 1
+    total = rollup.filter(F.col("o_orderstatus").isNull()) \
+                  .select("count").collect()
+    assert total and total[0][0] == o.count()
+
+
+def test_running_sum_final_equals_group_total(slices):
+    _, o = slices
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = (o.withColumn("run", F.sum("o_totalprice").over(w))
+           .groupBy("o_custkey")
+           .agg(F.round(F.max("run"), 2).alias("final")))
+    tot = (o.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("total")))
+    diff = run.join(tot, "o_custkey") \
+              .filter(F.abs(F.col("final") - F.col("total")) > 0.011)
+    assert diff.count() == 0
+
+
+def test_intersect_plus_except_partition_distinct(slices):
+    c, o = slices
+    a = c.select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    both = a.intersect(b).count()
+    only_a = a.exceptAll(b.distinct()).distinct().count()
+    assert both + only_a == a.distinct().count()
+
+
+def test_union_all_counts_add(slices):
+    c, o = slices
+    a = c.select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+def test_conditional_agg_partitions_total(slices):
+    """EAV-pivot identity (AGG-05): per-branch conditional sums add up
+    to the unconditional sum."""
+    _, o = slices
+    parts = o.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+              .otherwise(0)).alias("f"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice"))
+              .otherwise(0)).alias("rest"),
+        F.sum("o_totalprice").alias("all")).collect()[0]
+    assert abs(parts.f + parts.rest - parts["all"]) < 1e-6 * max(parts["all"], 1)
+
+
+def test_count_distinct_equals_distinct_count(slices):
+    _, o = slices
+    a = o.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    b = o.select("o_custkey").distinct().count()
+    assert a == b
+
+
+def test_left_join_preserves_left_rows(slices):
+    c, o = slices
+    n = (c.join(o, c.c_custkey == o.o_custkey, "left")
+         .groupBy("c_custkey").agg(F.count("o_orderkey"))
+         .count())
+    assert n == c.select("c_custkey").distinct().count()

@@ -1,0 +1,155 @@
+"""Streaming tests (SURVEY.md §2.8): replayed micro-batches must equal
+the batch results of the same operators (FIXTURES.md §C.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+from docker_aktin_dwh_spark.operators import relational
+from docker_aktin_dwh_spark.streaming import ingest, stateful, windows
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events split into 5 chronological chunks — the file-arrival replay."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    chunked = ev.withColumn(
+        "chunk", F.ntile(5).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("ts", "event_id")))
+    for i in range(1, 6):
+        (chunked.filter(F.col("chunk") == i).drop("chunk")
+         .coalesce(1).write.mode("overwrite").parquet(str(d / f"chunk{i}")))
+    # flatten: move part files into one watched directory
+    import shutil
+    watch = d / "watch"
+    watch.mkdir()
+    for i in range(1, 6):
+        for j, p in enumerate(sorted((d / f"chunk{i}").glob("*.parquet"))):
+            shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
+    return str(watch)
+
+
+def _run_complete(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _run_append(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _run_update(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_str01_02_tumbling_equals_batch(spark, stream_dir):
+    src = windows.file_source(spark, stream_dir)
+    assert src.isStreaming
+    got = _run_complete(windows.tumbling_counts(src), "tumbling")
+    streamed = {(r.ws, r.n) for r in got.collect()}
+    batch = {(r.ws, r.n) for r in
+             relational.str_02(spark, SF_SMOKE).collect()}
+    assert streamed == batch
+
+
+def test_str03_sliding_equals_batch(spark, stream_dir):
+    src = windows.file_source(spark, stream_dir)
+    got = _run_complete(windows.sliding_counts(src), "sliding")
+    streamed = {(r.ws, r.n) for r in got.collect()}
+    batch = {(r.ws, r.n) for r in
+             relational.str_03(spark, SF_SMOKE).collect()}
+    assert streamed == batch
+
+
+def test_str04_session_equals_batch(spark, stream_dir):
+    src = windows.file_source(spark, stream_dir)
+    got = _run_complete(windows.session_counts(src), "sessions")
+    streamed = {(r.user_id, r.sess_start.replace(microsecond=0), r.n_events)
+                for r in got.collect()}
+    batch = {(r.user_id, r.sess_start, r.n_events)
+             for r in relational.str_04(spark, SF_SMOKE).collect()}
+    assert streamed == batch
+
+
+def test_str05_06_dedup_within_watermark(spark, stream_dir, tmp_path):
+    # duplicate the stream directory content → every event arrives twice
+    import shutil
+    dup = tmp_path / "dup"
+    dup.mkdir()
+    from pathlib import Path
+    for p in Path(stream_dir).glob("*.parquet"):
+        shutil.copy(p, dup / p.name)
+        shutil.copy(p, dup / f"again_{p.name}")
+    src = windows.file_source(spark, str(dup))
+    got = _run_append(windows.dedup_stream(src), "dedup")
+    n_unique = catalog.load(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_unique
+
+
+def test_str08_stream_static_join(spark, stream_dir):
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"),
+         ("purchase", "conversion"), ("signup", "conversion"),
+         ("error", "fault")], ["event_type", "concept_class"])
+    src = windows.file_source(spark, stream_dir)
+    got = _run_append(windows.enrich_with_dim(src, dim), "enriched")
+    assert got.filter(F.col("concept_class").isNull()).count() == 0
+    assert got.count() == catalog.load(spark, SF_SMOKE, "events").count()
+
+
+def test_str07_stateful_state_machine(spark, stream_dir):
+    src = windows.file_source(spark, stream_dir)
+    got = _run_update(stateful.encounter_state_machine(src), "visits")
+    rows = got.collect()
+    assert rows, "state machine emitted nothing"
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    purchasers = {r.user_id for r in
+                  ev.filter(F.col("event_type") == "purchase")
+                    .select("user_id").distinct().collect()}
+    closed_users = {r.user_id for r in rows if r.closed}
+    assert purchasers <= closed_users
+
+
+def test_str09_stream_merge_idempotent(spark, stream_dir, tmp_path):
+    """Same files replayed through a fresh checkpoint → same table state."""
+    fact = catalog.observation_fact(spark, SF_SMOKE) \
+        .filter(F.col("encounter_num") < 50)
+    src_dir = tmp_path / "facts_in"
+    src_dir.mkdir()
+    fact.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    import shutil
+    from pathlib import Path
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for p in Path(src_dir).rglob("*.parquet"):
+        shutil.copy(p, watch / p.name)
+
+    schema = fact.schema.simpleString().replace("struct<", "").rstrip(">") \
+        .replace(":", " ").replace(",", ", ")
+    stream = (spark.readStream.schema(fact.schema).parquet(str(watch)))
+    table = str(tmp_path / "table")
+    q = ingest.stream_merge_to_table(stream, table,
+                                     str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    n1 = spark.read.parquet(table).count()
+    # replay everything again (fresh checkpoint = full re-delivery)
+    stream2 = (spark.readStream.schema(fact.schema).parquet(str(watch)))
+    q2 = ingest.stream_merge_to_table(stream2, table,
+                                      str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    n2 = spark.read.parquet(table).count()
+    assert n1 == n2 == fact.count()
