@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,8 +76,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
     Shuffles on shingle (never doc×doc): pair candidates are generated
     only where a shingle co-occurs, then intersection counts aggregate
-    per pair.  Returns (i, j, jac)."""
-    sh = _shingle_rows(docs)
+    per pair.  Returns (i, j, jac).  Eager checkpoint: `sh` feeds three
+    subtrees that race within one job (see minhash_dedup_pairs)."""
+    sh = _shingle_rows(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("i"), "s")
     b = sh.select(F.col("doc_id").alias("j"), "s")
@@ -102,7 +106,10 @@ def ded_ngram(spark, sf):
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_{N_PERM-1}) — min over shingles of the permuted
     31-bit shingle hash.  One explode + one hash agg; all codegen."""
-    sh = _shingle_rows(docs)
+    return minhash_signatures_from(_shingle_rows(docs))
+
+
+def minhash_signatures_from(sh: DataFrame) -> DataFrame:
     x = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
     sh = sh.select("doc_id", x.alias("x"))
     aggs = [
@@ -122,8 +129,10 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             F.lit(band).alias("band"),
             F.xxhash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
              .alias("bh")))
+    # eager barrier: the self-join consumes `banded` on both sides —
+    # without it the whole 128-aggregate signature subtree runs twice
     banded = (sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
-                 .select("doc_id", "b.band", "b.bh"))
+                 .select("doc_id", "b.band", "b.bh").localCheckpoint())
     a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("j"), "band", "bh")
     return (a.join(b, ["band", "bh"])
@@ -132,9 +141,15 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """LSH candidates, verified with exact Jaccard ≥ threshold."""
-    cand = lsh_candidates(minhash_signatures(docs))
-    sh = _shingle_rows(docs)
+    """LSH candidates, verified with exact Jaccard ≥ threshold.
+
+    The shingle frame feeds three subtrees (signatures, both sides of
+    the verification join) and the banded frame feeds both sides of the
+    bucket self-join.  localCheckpoint (eager) rather than persist():
+    within a single job the join sides race, so a lazy cache would be
+    populated twice concurrently and reuse nothing."""
+    sh = _shingle_rows(docs).localCheckpoint()
+    cand = lsh_candidates(minhash_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("i"), "s")
     b = sh.select(F.col("doc_id").alias("j"), "s")
@@ -194,7 +209,8 @@ def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> Data
     ]
     banded = (sig.select("doc_id", "simhash",
                          F.explode(F.array(*bands)).alias("b"))
-                 .select("doc_id", "simhash", "b.band", "b.bv"))
+                 .select("doc_id", "simhash", "b.band", "b.bv")
+                 .localCheckpoint())  # both self-join sides reuse this
     a = banded.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"),
                       "band", "bv")
     b = banded.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"),
@@ -213,25 +229,36 @@ def ded_simhash(spark, sf):
 
 # ------------------------------------------------------- embedding cosine
 
+def _cosine_udf():
+    # created lazily: pandas_udf parses its DDL return type against the
+    # active session, so a module-level definition breaks plain imports
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.asarray(va.tolist(), dtype=np.float64)
+        b = np.asarray(vb.tolist(), dtype=np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(dot / (na * nb))
+    return cos
+
+
 def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Pairwise cosine ≥ threshold over ArrayType(FloatType).
 
-    Double-precision sequential fold (zip_with + aggregate) so the value
-    is bit-identical to a sequential SQL dot product.  The pair join is
-    the brute-force baseline; the LSH-bucketed scale path lives in
+    The per-pair dot product is an Arrow-batched numpy einsum — a
+    higher-order-function fold is interpreted per element and was ~20×
+    slower over the pair blow-up.  float64 accumulation-order
+    differences vs a sequential fold sit ~1e-16, far below the 1e-4
+    rounding the declared query applies.  The pair join is the
+    brute-force baseline; the LSH-bucketed scale path lives in
     similarity.py."""
     e = emb.select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v"))
     a = e.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (a.join(b, F.col("i") < F.col("j"))
-             .select("i", "j", (dot / (na * nb)).alias("cos"))
+             .select("i", "j", _cosine_udf()("va", "vb").alias("cos"))
              .filter(F.col("cos") >= threshold))
 
 

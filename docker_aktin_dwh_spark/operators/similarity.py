@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,8 +25,12 @@ from ..registry import QuerySpec
 T = catalog.load
 
 DIM = 64
-N_TABLES = 4
-BITS_PER_TABLE = 16
+# 8 tables × 8 bits (64 planes): for random 64-dim embeddings a 16-bit
+# bucket almost never collides (recall ~0), while 8 bits × 8 tables
+# keeps bucket fan-in manageable and recalls most of the true top-k —
+# measured against brute force in tests/test_llmops.py.
+N_TABLES = 8
+BITS_PER_TABLE = 8
 
 
 def _as_double(col: str):
@@ -87,22 +94,27 @@ _PLANES = _hyperplanes()
 
 
 def lsh_signatures(emb: DataFrame) -> DataFrame:
-    """(vec_id, table, sig): sign-of-dot-product bit signatures."""
-    e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    sigs = []
-    for t in range(N_TABLES):
-        bit_cols = []
-        for b in range(BITS_PER_TABLE):
-            plane = F.array(*[F.lit(x) for x in _PLANES[t * BITS_PER_TABLE + b]])
-            dot = F.aggregate(F.zip_with("v", plane, lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bit_cols.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        sig = bit_cols[0]
-        for c in bit_cols[1:]:
-            sig = sig.bitwiseOR(c)
-        sigs.append(F.struct(F.lit(t).alias("table"), sig.alias("sig")))
-    return (e.select("vec_id", "v", F.explode(F.array(*sigs)).alias("s"))
-             .select("vec_id", "v", "s.table", "s.sig"))
+    """(vec_id, table, sig): sign-of-dot-product bit signatures.
+
+    The 64 hyperplane projections are one Arrow-batched numpy matmul
+    per batch (vectors × planesᵀ), not 64 interpreted higher-order
+    aggregates — Spark evaluates HOF lambdas per element, which made
+    the expression form ~50× slower.  Sign semantics identical
+    (dot > 0 sets the bit)."""
+    planes_t = np.array(_PLANES).T                   # DIM × (tables*bits)
+    weights = (1 << (np.arange(BITS_PER_TABLE, dtype=np.int64)))
+
+    @F.pandas_udf("array<int>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)      # n × DIM
+        bits = (m @ planes_t) > 0                             # n × 64
+        per_table = bits.reshape(len(m), N_TABLES, BITS_PER_TABLE)
+        out = (per_table * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    e = emb.select("vec_id", _as_double("embedding").alias("v"),
+                   F.posexplode(sigs("embedding")).alias("table", "sig"))
+    return e.select("vec_id", "v", "table", "sig")
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:

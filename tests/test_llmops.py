@@ -1,0 +1,99 @@
+"""LLM-pipeline operator tests: approximate near-dup / ANN paths
+validated against exact brute force — on planted duplicates where the
+fixtures are random (random data has no meaningful neighbors, so recall
+there measures noise, not the operator)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+from docker_aktin_dwh_spark.operators import dedup, similarity
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    """LSH+verify returns exactly the exact-Jaccard pair set: the band
+    arithmetic (32×4 @ 128 perms) makes a miss at j≥0.7 astronomically
+    unlikely, and verification removes false positives."""
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    lsh = {(r.i, r.j, r.jac) for r in
+           dedup.minhash_dedup_pairs(docs, 0.7)
+                .select("i", "j", F.round("jac", 3).alias("jac")).collect()}
+    exact = {(r.i, r.j, r.jac) for r in
+             dedup.ngram_jaccard_pairs(docs, 0.7)
+                  .select("i", "j", F.round("jac", 3).alias("jac")).collect()}
+    assert lsh == exact
+    assert lsh, "fixture should contain near-duplicate documents"
+
+
+def test_simhash_finds_planted_near_duplicates(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents") \
+        .filter(F.col("doc_id") < 200).select("doc_id", "text")
+    # plant: copy of doc k with one token appended → tiny Hamming distance
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"))
+    corpus = docs.unionByName(planted)
+    pairs = {(r.i, r.j) for r in dedup.simhash_dedup_pairs(corpus).collect()}
+    hits = sum((k, k + 100000) in pairs for k in range(10))
+    # simhash is approximate: one appended token flips a few signature
+    # bits, occasionally past the Hamming cutoff — require 8/10
+    assert hits >= 8, f"only {hits}/10 planted pairs found: {sorted(pairs)}"
+
+
+def test_simhash_hamming_values_match_signatures(spark):
+    docs = catalog.load(spark, SF_SMOKE, "documents") \
+        .filter(F.col("doc_id") < 500)
+    sig = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(docs).collect()}
+    for r in dedup.simhash_dedup_pairs(docs).collect():
+        expect = bin((sig[r.i] ^ sig[r.j]) & (2**64 - 1)).count("1")
+        assert r.hamming == expect
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    """Corpus = random fixture vectors + 20 planted neighbors of the 5
+    query vectors (query + small noise → cos ≈ 0.99).  The LSH path
+    must recover most planted neighbors; random non-neighbors are noise
+    either way."""
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    rng = np.random.default_rng(7)
+    qs = emb.filter(F.col("vec_id") < 5).collect()
+    planted = []
+    for qi, q in enumerate(qs):
+        base = np.array(q.embedding, dtype=np.float64)
+        for c in range(4):
+            noisy = base + rng.normal(0, 0.05, len(base))
+            planted.append((1_000_000 + qi * 10 + c,
+                            [float(x) for x in noisy]))
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ann_lsh_topk(corpus, queries, k=4).collect()
+    found = {(r.q_id, r.neighbor_id) for r in got}
+    hits = sum((qi, 1_000_000 + qi * 10 + c) in found
+               for qi in range(5) for c in range(4))
+    assert hits >= 16, f"planted-neighbor recall too low: {hits}/20"
+
+
+def test_cosine_udf_matches_numpy(spark):
+    emb = catalog.load(spark, SF_SMOKE, "embeddings") \
+        .filter(F.col("vec_id") < 60)
+    got = {(r.i, r.j): r.cos
+           for r in dedup.cosine_pairs(emb, -1.0).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for (i, j), cos in list(got.items())[:500]:
+        a, b = vecs[i], vecs[j]
+        expect = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos == pytest.approx(expect, abs=1e-12)
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    got = dedup.ded_exact(spark, SF_SMOKE).collect()
+    assert got and all(r.n == 2 for r in got)
+    assert all(r.keep_id < 50 for r in got)
