@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from docker_aktin_dwh_spark.registry import build_registry
@@ -33,9 +35,17 @@ def main() -> None:
     spark = build_session(app_name="bench")
     registry = build_registry()
 
-    # warm the JVM/catalog on the smallest fixture so measured time is
-    # query execution, not session bring-up
+    # warm the JVM/catalog and the Python/Arrow UDF workers so measured
+    # time is query execution, not session or worker bring-up
     registry["jn_01"].fn(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

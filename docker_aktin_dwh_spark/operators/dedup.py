@@ -104,33 +104,48 @@ def ded_ngram(spark, sf):
 # ------------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{N_PERM-1}) — min over shingles of the permuted
-    31-bit shingle hash.  One explode + one hash agg; all codegen."""
+    """(doc_id, mh: array<long> of N_PERM) — min over shingles of the
+    permuted 31-bit shingle hash."""
     return minhash_signatures_from(_shingle_rows(docs))
 
 
 def minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """Shingle hashes reduce JVM-side to one array per doc (collect_list
+    in a single hash agg), then all 128 permutations evaluate in one
+    Arrow-batched numpy broadcast per doc batch — 128 separate min()
+    aggregate buffers cost ~3× more in codegen'd evaluation."""
     x = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
-    sh = sh.select("doc_id", x.alias("x"))
-    aggs = [
-        F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("x") + F.lit(_PERM_B[i]),
-                     F.lit(MERSENNE31))).alias(f"mh_{i}")
-        for i in range(N_PERM)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    per_doc = (sh.select("doc_id", x.alias("x"))
+                 .groupBy("doc_id").agg(F.collect_list("x").alias("xs")))
+
+    a = np.array(_PERM_A, dtype=np.int64)
+    b = np.array(_PERM_B, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def mh(xs: pd.Series) -> pd.Series:
+        out = []
+        for v in xs:
+            x = np.asarray(v, dtype=np.int64)[:, None]        # n × 1
+            # int64 overflow-safe: a < 2^31, x < 2^31 → a*x < 2^62
+            out.append((a * x + b) % MERSENNE31)              # n × 128
+        return pd.Series([m.min(axis=0) for m in out])
+
+    return per_doc.select("doc_id", mh("xs").alias("mh"))
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Band the signature and bucket-join: candidate pairs (i, j)."""
+    """Band the (doc_id, mh array) signature and bucket-join: candidate
+    pairs (i, j)."""
     bands = []
     for band in range(N_BANDS):
-        cols = [f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        rows = F.slice("mh", band * ROWS_PER_BAND + 1, ROWS_PER_BAND)
         bands.append(F.struct(
             F.lit(band).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+            F.xxhash64(F.concat_ws(
+                ",", F.transform(rows, lambda x: x.cast("string"))))
              .alias("bh")))
     # eager barrier: the self-join consumes `banded` on both sides —
-    # without it the whole 128-aggregate signature subtree runs twice
+    # without it the whole signature subtree runs twice
     banded = (sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
                  .select("doc_id", "b.band", "b.bh").localCheckpoint())
     a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
