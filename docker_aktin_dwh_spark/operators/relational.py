@@ -492,6 +492,19 @@ def str_06(spark, sf):
              .orderBy("user_id", "event_type"))
 
 
+def str_07(spark, sf):
+    """STR-07 batch equivalent: final per-user state of the encounter
+    state machine (streaming form: streaming/stateful.py) — event
+    count, visit open timestamp, closed-by-discharge flag."""
+    e = T(spark, sf, "events")
+    return (e.groupBy("user_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("opened"),
+                  (F.max(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)) == 1).alias("closed"))
+             .orderBy("user_id"))
+
+
 # ----------------------------------------------------------------- oracles
 
 _ORACLES = {
@@ -633,6 +646,9 @@ _ORACLES = {
                "SELECT user_id, event_type, event_id, row_number() OVER ("
                "PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
                "FROM events) WHERE rn = 1"),
+    "str_07": ("SELECT user_id, count(*) AS n_events, min(ts) AS opened, "
+               "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 "
+               "AS closed FROM events GROUP BY user_id"),
 }
 
 _DOCS = {
@@ -668,6 +684,7 @@ _DOCS = {
     "str_03": "STR-03 sliding window (batch equivalent)",
     "str_04": "STR-04 session window (batch equivalent)",
     "str_06": "STR-06 dedup (batch equivalent)",
+    "str_07": "STR-07 stateful final state (batch equivalent)",
 }
 
 

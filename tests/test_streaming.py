@@ -122,6 +122,18 @@ def test_str07_stateful_state_machine(spark, stream_dir):
                     .select("user_id").distinct().collect()}
     closed_users = {r.user_id for r in rows if r.closed}
     assert purchasers <= closed_users
+    # for never-purchasers the visit never closes and never resets, so
+    # the streamed final state must equal the batch rollup (str_07);
+    # purchasers re-open a fresh visit after each close, so their
+    # streamed counts are per-visit, not lifetime
+    final = {}
+    for r in rows:   # memory sink preserves batch emission order
+        final[r.user_id] = (r.n_events, r.closed)
+    batch = {r.user_id: (r.n_events, r.closed)
+             for r in relational.str_07(spark, SF_SMOKE).collect()}
+    for uid, (n, closed) in batch.items():
+        if not closed:
+            assert final[uid] == (n, False), uid
 
 
 def test_str09_stream_merge_idempotent(spark, stream_dir, tmp_path):
