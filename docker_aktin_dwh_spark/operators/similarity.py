@@ -4,9 +4,12 @@
   baseline, a broadcast join of the (small) query set against the
   corpus followed by a per-query window top-k.  At 100 TB the corpus
   side stays partitioned; only queries broadcast.
-- ``ann_lsh``   random-hyperplane LSH: 4 tables × 16-bit signatures,
-  bucket join, exact re-rank within buckets — the scale path (recall
-  measured against brute force in tests/test_llmops.py).
+- ``ann_lsh``   random-hyperplane LSH: 8 tables × 8-bit signatures,
+  bucket join, exact re-rank within buckets (recall measured on
+  planted neighbors in tests/test_llmops.py).
+- ``ann_ivf``   inverted-file index: k-means-ish cells (distributed
+  Lloyd steps, Arrow matmul assignment), queries probe their nprobe
+  nearest cells, exact re-rank inside cells.
 """
 
 from __future__ import annotations
@@ -144,6 +147,102 @@ def ann_lsh(spark, sf):
             .orderBy("q_id", "rank"))
 
 
+# ------------------------------------------------------------------ IVF path
+
+IVF_CLUSTERS = 32
+IVF_NPROBE = 6
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(…, cluster): nearest centroid by cosine, one numpy matmul per
+    Arrow batch.  `centroids` is a k×DIM float64 array broadcast via
+    closure (control-plane data: kilobytes)."""
+    import numpy as _np
+
+    cn = centroids / _np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = _np.asarray(vecs.tolist(), dtype=_np.float64)
+        m = m / _np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cn.T).argmax(axis=1).astype("int32"))
+
+    return emb.withColumn("cluster", nearest("embedding"))
+
+
+def ivf_train(corpus: DataFrame, n_clusters: int = IVF_CLUSTERS,
+              iters: int = 1):
+    """k-means-ish centroids: deterministic evenly-spaced seeds, then
+    `iters` Lloyd steps.  Assignment is distributed (Arrow matmul);
+    per-cluster means reduce via applyInPandas — one shuffle of the
+    corpus per iteration, centroid matrix collected each step (k×DIM,
+    control-plane)."""
+    n = corpus.count()
+    stride = max(n // n_clusters, 1)
+    # deterministic hash-strided seeds — distributed TakeOrdered, never
+    # a global row_number window (single task at 100 TB)
+    seeds = (corpus.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+                   .orderBy("vec_id").limit(n_clusters)
+                   .select("vec_id", "embedding").collect())
+    centroids = np.asarray([r.embedding for r in seeds], dtype=np.float64)
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
+                             "centroid": [m.mean(axis=0)]})
+
+    for _ in range(iters):
+        assigned = ivf_assign(corpus.select("vec_id", "embedding"), centroids)
+        rows = (assigned.groupBy("cluster")
+                .applyInPandas(mean_vec, "cluster int, centroid array<double>")
+                .collect())
+        for r in rows:   # empty clusters keep their previous centroid
+            centroids[r.cluster] = np.asarray(r.centroid)
+    return centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_clusters: int = IVF_CLUSTERS,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid
+    (the inverted file), each query probes its `nprobe` closest cells,
+    exact cosine re-rank inside the probed cells.  The join shuffles on
+    the cluster id — corpus cells stay partitioned, nothing all-pairs."""
+    centroids = ivf_train(corpus, n_clusters)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    cells = (ivf_assign(corpus.select("vec_id", "embedding"), centroids)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     _as_double("embedding").alias("vc"), "cluster"))
+
+    @F.pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    qs = (queries.select(F.col("vec_id").alias("q_id"),
+                         _as_double("embedding").alias("vq"),
+                         F.explode(probe("embedding")).alias("cluster")))
+    cand = (cells.join(F.broadcast(qs), "cluster")
+                 .filter(F.col("q_id") != F.col("neighbor_id")))
+    sim = cand.select("q_id", "neighbor_id",
+                      (_dot("vq", "vc") / (_norm("vq") * _norm("vc"))).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+
+
+def ann_ivf(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (ivf_topk(emb, queries, k=10)
+            .select("q_id", "neighbor_id", "rank",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("q_id", "rank"))
+
+
 _TOPK_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id < 5),
@@ -161,9 +260,11 @@ FROM ranked WHERE rank <= 10
 _DOCS = {
     "ann_topk": "Exact brute-force cosine top-k (broadcast query join)",
     "ann_lsh": "LSH-bucketed approximate top-k (scale path; recall-tested)",
+    "ann_ivf": "IVF (inverted-file) approximate top-k (k-means cells, nprobe)",
 }
 
-_ORACLES = {"ann_topk": _TOPK_ORACLE}  # ann_lsh approximate → rows-only
+# ann_lsh / ann_ivf approximate → rows-only checks
+_ORACLES = {"ann_topk": _TOPK_ORACLE}
 
 
 def specs() -> list[QuerySpec]:

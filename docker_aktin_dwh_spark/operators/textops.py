@@ -30,12 +30,19 @@ STOPWORDS = {
 LANG_ORDER = ("en", "de", "es", "fr")
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, lone punctuation —
+#: the GPT-2-style split shape, shared verbatim with the DuckDB oracle.
+BPEISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def text_tokens(spark, sf):
-    """Token counting: whitespace tokens + chars (FN surface for BPE-ish
-    budgeting; exact token counts are the unit of 100 TB corpus stats)."""
+    """Token counting: whitespace tokens, BPE-ish subword pieces, chars
+    (the unit of 100 TB corpus budgeting)."""
     d = T(spark, sf, "documents")
     return (d.select("doc_id",
                      F.size(tokens("text")).alias("n_tokens"),
+                     F.size(F.regexp_extract_all("text", F.lit(BPEISH), 0))
+                      .alias("n_subtokens"),
                      F.length("text").alias("len_chars"))
              .orderBy("doc_id"))
 
@@ -106,9 +113,12 @@ _ALL_STOPS = ", ".join(
     f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
 
 _ORACLES = {
-    "text_tokens": ("SELECT doc_id, CAST(len({t}) AS INT) AS n_tokens, "
-                    "CAST(length(text) AS INT) AS len_chars FROM documents"
-                    .format(t=SQL_TOKENS.format(col="text"))),
+    "text_tokens": (
+        "SELECT doc_id, CAST(len({t}) AS INT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, '{b}')) AS INT) AS n_subtokens, "
+        "CAST(length(text) AS INT) AS len_chars FROM documents"
+        .format(t=SQL_TOKENS.format(col="text"),
+                b=r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")),
     "text_quality": (
         "WITH b AS (SELECT doc_id, text, {t} AS t FROM documents) "
         "SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, "

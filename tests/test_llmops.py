@@ -80,6 +80,29 @@ def test_ann_lsh_recall_on_planted_neighbors(spark):
     assert hits >= 16, f"planted-neighbor recall too low: {hits}/20"
 
 
+def test_ann_ivf_recall_on_planted_neighbors(spark):
+    """Same planting protocol as the LSH test: a cos≈0.99 neighbor lands
+    in the query's own IVF cell, so nprobe≥1 must recover it."""
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
+    rng = np.random.default_rng(11)
+    qs = emb.filter(F.col("vec_id") < 5).collect()
+    planted = []
+    for qi, q in enumerate(qs):
+        base = np.array(q.embedding, dtype=np.float64)
+        for c in range(4):
+            noisy = base + rng.normal(0, 0.05, len(base))
+            planted.append((1_000_000 + qi * 10 + c,
+                            [float(x) for x in noisy]))
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ivf_topk(corpus, queries, k=4).collect()
+    found = {(r.q_id, r.neighbor_id) for r in got}
+    hits = sum((qi, 1_000_000 + qi * 10 + c) in found
+               for qi in range(5) for c in range(4))
+    assert hits >= 16, f"planted-neighbor recall too low: {hits}/20"
+
+
 def test_cosine_udf_matches_numpy(spark):
     emb = catalog.load(spark, SF_SMOKE, "embeddings") \
         .filter(F.col("vec_id") < 60)
