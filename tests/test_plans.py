@@ -70,6 +70,24 @@ def test_filter_on_catalog_fact_prunes_columns(spark):
     assert "tval_char" not in flat and "nval_num" not in flat, flat
 
 
+def test_partition_pruning_on_upsert_table(spark, tmp_path):
+    """FLT-03 at scale: a month predicate on the p_month-partitioned
+    fact table must prune at planning time (PartitionFilters on the
+    scan), not read-and-filter."""
+    from docker_aktin_dwh_spark.sources import upsert
+    fact = catalog.observation_fact(spark, SF_SMOKE)
+    table = str(tmp_path / "fact")
+    upsert.write_initial(fact, table)
+    df = (spark.read.parquet(table)
+          .filter(F.col("p_month") == "1996-03")
+          .select("encounter_num", "concept_cd"))
+    plan = plans.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p_month" in m.group(1), plan
+
+
 def test_broadcast_survives_aqe(spark):
     """AQE enabled (session policy) — broadcast hint must survive
     adaptive re-planning."""
