@@ -81,6 +81,44 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("doc_id long, width int, height int, payload binary")
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: mapInPandas with the exact batch shape a real
+    resampler (PIL/opencv) would use; the fake 'resized' payload is a
+    deterministic truncation so tests have stable expectations.  Raise
+    NotImplementedError here when a real codec is required."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": width,
+                "height": height,
+                "payload": [bytes(p)[: width * height // 8] or b"\x00"
+                            for p in pdf["payload"]],
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling as pure JVM expressions (UDTF shape: one payload →
+    many frame rows).  Frame count and per-frame byte slices derive from
+    the payload deterministically — with a real container format only
+    the offset computation changes, the explode plumbing is identical.
+    Partition-parallel; the explode never leaves the executor."""
+    n_frames = (F.octet_length("payload") % 5 + 1).alias("n_frames")
+    m = media.select("doc_id", "payload", n_frames)
+    frame = F.expr("substring(payload, frame_idx * 8 + 1, 8)")
+    return (m.select("doc_id", "payload",
+                     F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+                      .alias("frame_idx"))
+             .filter(F.col("frame_idx") % every_n == 0)
+             .select("doc_id", "frame_idx", frame.alias("frame_bytes")))
+
+
 def mm_01(spark, sf):
     """Binary-column plumbing: payload byte length via JVM expressions
     (oracle-checkable part of the media path)."""
@@ -98,14 +136,46 @@ def mm_02(spark, sf):
     return decode_features(as_media(d)).orderBy("doc_id")
 
 
+def mm_03(spark, sf):
+    """Resize pipeline (stubbed resampler) — rows-only check."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return (resize_stub(as_media(d), 32, 32)
+            .select("doc_id", "width", "height",
+                    F.octet_length("payload").alias("n_bytes"))
+            .orderBy("doc_id"))
+
+
+def mm_04(spark, sf):
+    """Frame sampling: payload → frame rows, JVM-side (hash-checked)."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return (frame_sample(as_media(d), every_n=2)
+            .select("doc_id", "frame_idx",
+                    F.md5(F.col("frame_bytes")).alias("frame_md5"))
+            .orderBy("doc_id", "frame_idx"))
+
+
 _ORACLES = {
     "mm_01": ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
               "AS n_bytes, source AS origin FROM documents"),
+    # DuckDB substring() has no BLOB overload; the fixture text is pure
+    # ASCII (verified: octet_length == length at every SF), so char
+    # slices of the text equal byte slices of the UTF-8 payload and
+    # md5(varchar) hashes the same bytes as Spark's md5(binary).
+    "mm_04": (
+        "WITH m AS (SELECT doc_id, text, "
+        "octet_length(encode(text)) % 5 + 1 AS n_frames FROM documents "
+        "WHERE doc_id < 200) "
+        "SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx, "
+        "md5(substring(text, CAST(f.frame_idx * 8 + 1 AS INT), 8)) AS frame_md5 "
+        "FROM m, LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f "
+        "WHERE f.frame_idx % 2 = 0"),
 }
 
 _DOCS = {
     "mm_01": "Multimodal binary column plumbing (payload + metadata)",
     "mm_02": "Multimodal decode via mapInPandas (stubbed codec)",
+    "mm_03": "Multimodal resize via mapInPandas (stubbed resampler)",
+    "mm_04": "Multimodal frame sampling (payload -> frame rows, JVM-side)",
 }
 
 
