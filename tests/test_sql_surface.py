@@ -1,0 +1,49 @@
+"""SQL-surface parity (SRC-02): the engine is equally usable through
+`spark.sql` — every ANSI-compatible declared query string (the same
+text the DuckDB oracle runs) executes verbatim on registered views and
+returns exactly what the DataFrame builder returns.  The excluded keys
+use DuckDB-dialect functions (list_*, regexp_split_to_array, unnest,
+quantile_cont, ...), which is an oracle-dialect concern, not an engine
+gap — their DataFrame forms are hash-matched in t2."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+from docker_aktin_dwh_spark.registry import build_registry
+
+REGISTRY = build_registry()
+
+#: oracle SQL that is ANSI enough to run on Spark SQL unchanged
+ANSI_KEYS = sorted(
+    "agg_01 agg_02 agg_04 agg_05 agg_06 agg_07 agg_08 ded_exact "
+    "flt_01 flt_02 flt_03 flt_04 flt_05 flt_06 flt_07 "
+    "fn_cast fn_cond fn_dt fn_math fn_str "
+    "jn_01 jn_02 jn_03 jn_04 jn_05 jn_06 jn_07 jn_10 "
+    "prj_01 prj_02 set_01 set_02 set_03 set_04 set_05 "
+    "srt_01 srt_02 str_02 str_04 str_06 str_07 "
+    "udf_01 udf_02 udf_04 win_01 win_03 win_04 win_05".split())
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    catalog.register_views(spark, SF_SMOKE, clinical=True)
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return (pdf.astype(str).sort_values(list(pdf.columns))
+               .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("key", ANSI_KEYS)
+def test_sql_equals_dataframe(spark, key):
+    spec = REGISTRY[key]
+    via_sql = _canon(spark.sql(spec.oracle))
+    via_df = _canon(spec.fn(spark, SF_SMOKE))
+    assert via_sql.shape == via_df.shape
+    assert via_sql.equals(via_df), key
