@@ -37,6 +37,7 @@ class Panel:
     date_to: str | None = None
     min_value: float | None = None            # nval_num >= (valtype N)
     subtree: str | None = None                # ontology path prefix (expands to concepts)
+    min_occurrences: int = 1                  # i2b2 "at least N times" constraint
 
 
 @dataclass(frozen=True)
@@ -74,13 +75,23 @@ def compile_cohort(fact: DataFrame, q: CohortQuery,
     negatives = [p for p in q.panels if p.invert]
     if not positives:
         raise ValueError("cohort needs at least one non-inverted panel")
-    acc = _panel_facts(fact, positives[0], ont).select(key).distinct()
+
+    def keys_of(p: Panel) -> DataFrame:
+        facts = _panel_facts(fact, p, ont)
+        if p.min_occurrences > 1:
+            # AGG-08 shape: one hash agg keyed like the semi joins — the
+            # occurrence filter rides the same shuffle key
+            return (facts.groupBy(key)
+                    .agg(F.count("*").alias("__n"))
+                    .filter(F.col("__n") >= p.min_occurrences)
+                    .select(key))
+        return facts.select(key).distinct()
+
+    acc = keys_of(positives[0])
     for p in positives[1:]:
-        acc = acc.join(_panel_facts(fact, p, ont).select(key).distinct(),
-                       key, "left_semi")
+        acc = acc.join(keys_of(p), key, "left_semi")
     for p in negatives:
-        acc = acc.join(_panel_facts(fact, p, ont).select(key).distinct(),
-                       key, "left_anti")
+        acc = acc.join(keys_of(p), key, "left_anti")
     if q.same_encounter:
         acc = (fact.select("encounter_num", "patient_num").distinct()
                    .join(acc, "encounter_num", "left_semi")
@@ -141,6 +152,14 @@ def coh_05(spark, sf):
     return (pat.join(cohort, "patient_num", "left_semi")
                .groupBy("sex_cd").agg(F.count("*").alias("n"))
                .orderBy("sex_cd"))
+
+
+def coh_06(spark, sf):
+    """Occurrence constraint: patients with >= 3 observations of R:1
+    (i2b2 'at least N times' panel option)."""
+    q = CohortQuery(panels=(
+        Panel(concepts=("AKTIN:R:1",), min_occurrences=3),))
+    return patient_count(_fact(spark, sf), q)
 
 
 def ont_01(spark, sf):
@@ -220,6 +239,11 @@ _ORACLES = {
               AND start_date >= TIMESTAMP '1996-01-01'
               AND start_date < TIMESTAMP '1998-01-01')
         GROUP BY sex_cd""",
+    "coh_06": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT patient_num) AS n_patients FROM (
+            SELECT patient_num FROM observation_fact
+            WHERE concept_cd = 'AKTIN:R:1'
+            GROUP BY patient_num HAVING count(*) >= 3)""",
     "ont_01": _CT(("observation_fact", "ontology")) + """
         SELECT concept_cd, count(*) AS n FROM observation_fact
         WHERE concept_cd IN (
@@ -253,6 +277,7 @@ _DOCS = {
     "coh_03": "Cohort exclusion (anti join)",
     "coh_04": "Cohort same-encounter constraint",
     "coh_05": "Cohort value+date constraints by sex (report feed)",
+    "coh_06": "Cohort occurrence constraint (>= N observations)",
     "ont_01": "Ontology subtree expansion → closed IN-list on fact scan",
     "eav_01": "EAV pivot to wide per-encounter frame",
     "rep_01": "Zero-filled monthly report (scaffold cross join)",

@@ -68,3 +68,51 @@ def encounter_state_machine(events: DataFrame,
             .applyInPandasWithState(
                 make_tracker(idle_timeout_ms), OUTPUT_SCHEMA, STATE_SCHEMA,
                 "update", timeout))
+
+
+def encounter_state_machine_tws(events: DataFrame) -> DataFrame:
+    """Same state machine on the Spark 4 `transformWithStateInPandas`
+    API (successor to applyInPandasWithState): typed ValueState, a
+    StatefulProcessor lifecycle, and per-key Arrow batches.
+
+    Requires `google.protobuf` at runtime (the state-server protocol);
+    the test suite skips when it is absent from the environment."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
+
+    state_schema = StructType([
+        StructField("n_events", LongType()),
+        StructField("opened", StringType()),
+        StructField("closed", BooleanType()),
+    ])
+
+    class EncounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._visit = handle.getValueState("visit", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n, opened, closed = (self._visit.get() if self._visit.exists()
+                                 else (0, None, False))
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                if opened is None and len(pdf):
+                    opened = str(pdf["ts"].iloc[0])
+                n += len(pdf)
+                if (pdf["event_type"] == "purchase").any():
+                    closed = True
+            if closed:
+                self._visit.clear()
+            else:
+                self._visit.update((n, opened, False))
+            yield pd.DataFrame([{"user_id": user_id, "n_events": n,
+                                 "opened": opened, "closed": closed}])
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                EncounterProcessor(), OUTPUT_SCHEMA, "Update", "None"))

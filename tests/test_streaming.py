@@ -136,6 +136,29 @@ def test_str07_stateful_state_machine(spark, stream_dir):
             assert final[uid] == (n, False), uid
 
 
+def test_str07_transform_with_state_matches_legacy(spark, stream_dir):
+    """The Spark 4 transformWithStateInPandas form of the state machine
+    agrees with the applyInPandasWithState form on final states."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs google.protobuf, "
+                    "absent in this container (no pip installs)")
+    src = windows.file_source(spark, stream_dir)
+    got = _run_update(stateful.encounter_state_machine_tws(src), "visits_tws")
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = (r.n_events, r.closed)
+    batch = {r.user_id: (r.n_events, r.closed)
+             for r in relational.str_07(spark, SF_SMOKE).collect()}
+    for uid, (n, closed) in batch.items():
+        if not closed:
+            assert final[uid] == (n, False), uid
+    purchasers = {u for u, (_, closed) in batch.items() if closed}
+    closed_users = {u for u, (_, c) in final.items() if c}
+    assert purchasers <= closed_users
+
+
 def test_str09_stream_merge_idempotent(spark, stream_dir, tmp_path):
     """Same files replayed through a fresh checkpoint → same table state."""
     fact = catalog.observation_fact(spark, SF_SMOKE) \
