@@ -162,6 +162,33 @@ def coh_06(spark, sf):
     return patient_count(_fact(spark, sf), q)
 
 
+def temporal_pair_cohort(fact: DataFrame, first_cd: str, then_cd: str,
+                         within_hours: int) -> DataFrame:
+    """Patients with `then_cd` observed within `within_hours` after
+    `first_cd` in the same encounter — the CRC temporal-panel shape
+    (JN-08 clinical form).  Same-encounter equi-join carries the time
+    predicate as a residual filter: the join key is encounter_num, so
+    the shuffle is keyed and bounded — never a time-range nested loop."""
+    a = (fact.filter(F.col("concept_cd") == first_cd)
+             .select("encounter_num", "patient_num",
+                     F.col("start_date").alias("t_first")))
+    b = (fact.filter(F.col("concept_cd") == then_cd)
+             .select("encounter_num", F.col("start_date").alias("t_then")))
+    hits = (a.join(b, "encounter_num")
+             .filter((F.col("t_then") >= F.col("t_first"))
+                     & (F.col("t_then") <= F.col("t_first")
+                        + F.expr(f"INTERVAL {within_hours} HOURS"))))
+    return hits.select("patient_num").distinct()
+
+
+def coh_07(spark, sf):
+    """Temporal pair: R:22 within 180 days after R:11, same encounter
+    (window sized to the fixture's per-encounter date spread)."""
+    pats = temporal_pair_cohort(_fact(spark, sf), "AKTIN:R:11",
+                                "AKTIN:R:22", within_hours=4320)
+    return pats.agg(F.countDistinct("patient_num").alias("n_patients"))
+
+
 def ont_01(spark, sf):
     """Subtree expansion: facts per concept under \\AKTIN\\R\\."""
     fact = _fact(spark, sf)
@@ -244,6 +271,13 @@ _ORACLES = {
             SELECT patient_num FROM observation_fact
             WHERE concept_cd = 'AKTIN:R:1'
             GROUP BY patient_num HAVING count(*) >= 3)""",
+    "coh_07": _CT(("observation_fact",)) + """
+        SELECT count(DISTINCT a.patient_num) AS n_patients
+        FROM observation_fact a JOIN observation_fact b
+          ON a.encounter_num = b.encounter_num
+        WHERE a.concept_cd = 'AKTIN:R:11' AND b.concept_cd = 'AKTIN:R:22'
+          AND b.start_date >= a.start_date
+          AND b.start_date <= a.start_date + INTERVAL 4320 HOUR""",
     "ont_01": _CT(("observation_fact", "ontology")) + """
         SELECT concept_cd, count(*) AS n FROM observation_fact
         WHERE concept_cd IN (
@@ -278,6 +312,7 @@ _DOCS = {
     "coh_04": "Cohort same-encounter constraint",
     "coh_05": "Cohort value+date constraints by sex (report feed)",
     "coh_06": "Cohort occurrence constraint (>= N observations)",
+    "coh_07": "Cohort temporal pair (B within N hours after A, same encounter)",
     "ont_01": "Ontology subtree expansion → closed IN-list on fact scan",
     "eav_01": "EAV pivot to wide per-encounter frame",
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
