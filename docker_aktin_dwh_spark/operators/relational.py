@@ -370,30 +370,57 @@ def set_05(spark, sf):
 # ------------------------------------------------------------------- §2.7 FN
 
 def fn_str(spark, sf):
+    """FN-STR full surface: substr/upper/lower/trim/length/concat/
+    replace/lpad/regexp_extract (LIKE covered by FLT-04, split by
+    FN-ARR).  lpad: the zero-padded-PLZ semantics of update01
+    (reference src/docker/database/Dockerfile:31)."""
     p = T(spark, sf, "part")
-    return (p.select("p_partkey",
-                     F.upper(F.substring("p_name", 1, 5)).alias("u"),
-                     F.length("p_name").alias("l"))
+    return (p.select(
+                "p_partkey",
+                F.upper(F.substring("p_name", 1, 5)).alias("u"),
+                F.length("p_name").alias("l"),
+                F.lower(F.trim("p_type")).alias("lo"),
+                F.concat("p_brand", F.lit("/"), "p_type").alias("cc"),
+                F.replace("p_name", F.lit(" "), F.lit("_")).alias("rep"),
+                F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("plz"),
+                F.regexp_extract("p_name", "^[a-z]+", 0).alias("w1"))
              .orderBy("p_partkey").limit(50))
 
 
 def fn_dt(spark, sf):
+    """FN-DT surface: year/month/day/date_trunc/date_add/datediff over
+    the order date (age-computation shapes)."""
     o = T(spark, sf, "orders")
-    return (o.groupBy(F.year("o_orderdate").alias("y"),
-                      F.month("o_orderdate").alias("m"))
-             .agg(F.count("*").alias("n"))
-             .orderBy("y", "m"))
+    return (o.select(
+                "o_orderkey",
+                F.year("o_orderdate").alias("y"),
+                F.month("o_orderdate").alias("m"),
+                F.dayofmonth("o_orderdate").alias("d"),
+                F.date_trunc("month", "o_orderdate").alias("m0"),
+                (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+                F.datediff(F.col("o_orderdate"),
+                           F.lit("1995-01-01").cast("date")).alias("dsince"))
+             .orderBy("o_orderkey").limit(100))
 
 
 def fn_math(spark, sf):
-    # exact decimal product (2+2+2 decimal operands → 6-decimal result);
-    # see prj_02 for why the double route would be engine-dependent
+    """FN-MATH surface: round/floor/abs/sign/mod/pow/sqrt/ln + the
+    exact-decimal net-price product (2+2+2 decimal operands → 6-decimal
+    result; see prj_02 for why the double route is engine-dependent)."""
     l = T(spark, sf, "lineitem")
     net = F.round(
         l.l_extendedprice.cast("decimal(18,2)")
         * (1 - l.l_discount.cast("decimal(8,2)"))
         * (1 + l.l_tax.cast("decimal(8,2)")), 2).cast("double")
-    return (l.select("l_orderkey", "l_linenumber", net.alias("net"))
+    return (l.select(
+                "l_orderkey", "l_linenumber", net.alias("net"),
+                F.floor("l_quantity").cast("long").alias("fq"),
+                F.abs(F.col("l_linenumber") - 3).alias("ab"),
+                F.signum(F.col("l_linenumber") - 3).cast("int").alias("sg"),
+                (F.col("l_orderkey") % 7).alias("md"),
+                F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
+                F.round(F.sqrt("l_quantity"), 4).alias("sq"),
+                F.round(F.log("l_extendedprice"), 4).alias("lg"))
              .orderBy("l_orderkey", "l_linenumber").limit(100))
 
 
@@ -604,15 +631,31 @@ _ORACLES = {
                "EXCEPT SELECT o_custkey FROM orders"),
     "set_05": "SELECT DISTINCT o_orderpriority FROM orders",
     "fn_str": ("SELECT p_partkey, upper(substr(p_name, 1, 5)) AS u, "
-               "CAST(length(p_name) AS INT) AS l FROM part "
-               "ORDER BY p_partkey LIMIT 50"),
-    "fn_dt": ("SELECT CAST(year(o_orderdate) AS INT) AS y, "
-              "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n "
-              "FROM orders GROUP BY 1, 2"),
+               "CAST(length(p_name) AS INT) AS l, "
+               "lower(trim(p_type)) AS lo, "
+               "p_brand || '/' || p_type AS cc, "
+               "replace(p_name, ' ', '_') AS rep, "
+               "lpad(CAST(p_partkey AS STRING), 8, '0') AS plz, "
+               "COALESCE(regexp_extract(p_name, '^[a-z]+', 0), '') AS w1 "
+               "FROM part ORDER BY p_partkey LIMIT 50"),
+    "fn_dt": ("SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, "
+              "CAST(month(o_orderdate) AS INT) AS m, "
+              "CAST(day(o_orderdate) AS INT) AS d, "
+              "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m0, "
+              "o_orderdate + INTERVAL 30 DAY AS plus30, "
+              "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) "
+              "AS dsince FROM orders ORDER BY o_orderkey LIMIT 100"),
     "fn_math": ("SELECT l_orderkey, l_linenumber, CAST(ROUND("
                 "CAST(l_extendedprice AS DECIMAL(18,2)) * "
                 "(1 - CAST(l_discount AS DECIMAL(8,2))) * "
-                "(1 + CAST(l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS net "
+                "(1 + CAST(l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS net, "
+                "CAST(floor(l_quantity) AS BIGINT) AS fq, "
+                "abs(l_linenumber - 3) AS ab, "
+                "CAST(sign(l_linenumber - 3) AS INT) AS sg, "
+                "l_orderkey % 7 AS md, "
+                "ROUND(pow(l_quantity, 2), 2) AS p2, "
+                "ROUND(sqrt(l_quantity), 4) AS sq, "
+                "ROUND(ln(l_extendedprice), 4) AS lg "
                 "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"),
     "fn_cond": ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'hi' "
                 "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS b "
