@@ -415,6 +415,7 @@ def fn_math(spark, sf):
     return (l.select(
                 "l_orderkey", "l_linenumber", net.alias("net"),
                 F.floor("l_quantity").cast("long").alias("fq"),
+                F.ceil("l_quantity").cast("long").alias("ce"),
                 F.abs(F.col("l_linenumber") - 3).alias("ab"),
                 F.signum(F.col("l_linenumber") - 3).cast("int").alias("sg"),
                 (F.col("l_orderkey") % 7).alias("md"),
@@ -425,11 +426,43 @@ def fn_math(spark, sf):
 
 
 def fn_cond(spark, sf):
+    """FN-COND surface: CASE WHEN / coalesce / nullif / greatest / least
+    (valtype_cd T/N dispatch shape, SURVEY.md §2.7)."""
     o = T(spark, sf, "orders")
     b = (F.when(o.o_totalprice > 200000, "hi")
           .when(o.o_totalprice > 100000, "mid")
           .otherwise("lo"))
-    return o.select("o_orderkey", b.alias("b")).orderBy("o_orderkey").limit(100)
+    return (o.select(
+                "o_orderkey", b.alias("b"),
+                F.coalesce(F.nullif("o_orderstatus", F.lit("O")),
+                           F.lit("open")).alias("co"),
+                F.round(F.greatest("o_totalprice", F.lit(150000.0)), 2).alias("gx"),
+                F.round(F.least("o_totalprice", F.lit(150000.0)), 2).alias("lx"))
+             .orderBy("o_orderkey").limit(100))
+
+
+def fn_dt2(spark, sf):
+    """FN-DT time-of-day / parse / epoch surface over the event stream:
+    hour/minute/second, seconds-since-midnight via unix-epoch
+    difference (timezone-free on NTZ), minute-resolution format→parse
+    round trip, to_date, and whole-month months_between vs an anchor.
+    Oracle is DuckDB-dialect (strftime/strptime/epoch/datediff)."""
+    e = T(spark, sf, "events")
+    return (e.select(
+                "event_id",
+                F.hour("ts").alias("h"),
+                F.minute("ts").alias("mi"),
+                F.second("ts").alias("s"),
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.date_trunc("day", "ts")
+                                    .cast("timestamp"))).alias("sod"),
+                F.to_timestamp_ntz(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm")).alias("pt"),
+                F.to_date("ts").cast("string").alias("dt"),
+                F.months_between(F.date_trunc("month", "ts"),
+                                 F.lit("2023-06-01").cast("timestamp"))
+                 .cast("int").alias("mb"))
+             .orderBy("event_id").limit(200))
 
 
 def fn_cast(spark, sf):
@@ -650,6 +683,7 @@ _ORACLES = {
                 "(1 - CAST(l_discount AS DECIMAL(8,2))) * "
                 "(1 + CAST(l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS net, "
                 "CAST(floor(l_quantity) AS BIGINT) AS fq, "
+                "CAST(ceil(l_quantity) AS BIGINT) AS ce, "
                 "abs(l_linenumber - 3) AS ab, "
                 "CAST(sign(l_linenumber - 3) AS INT) AS sg, "
                 "l_orderkey % 7 AS md, "
@@ -658,8 +692,20 @@ _ORACLES = {
                 "ROUND(ln(l_extendedprice), 4) AS lg "
                 "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"),
     "fn_cond": ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'hi' "
-                "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS b "
+                "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS b, "
+                "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS co, "
+                "ROUND(GREATEST(o_totalprice, 150000.0), 2) AS gx, "
+                "ROUND(LEAST(o_totalprice, 150000.0), 2) AS lx "
                 "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    "fn_dt2": ("SELECT event_id, CAST(hour(ts) AS INT) AS h, "
+               "CAST(minute(ts) AS INT) AS mi, CAST(second(ts) AS INT) AS s, "
+               "CAST(epoch(date_trunc('second', ts)) "
+               "- epoch(date_trunc('day', ts)) AS BIGINT) AS sod, "
+               "strptime(strftime(ts, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M') AS pt, "
+               "CAST(CAST(ts AS DATE) AS STRING) AS dt, "
+               "CAST(datediff('month', TIMESTAMP '2023-06-01', "
+               "date_trunc('month', ts)) AS INT) AS mb "
+               "FROM events ORDER BY event_id LIMIT 200"),
     "fn_cast": ("SELECT CAST(l_quantity AS INT) AS q, count(*) AS n "
                 "FROM lineitem GROUP BY 1"),
     "fn_arr": ("SELECT CAST(len(string_split(p_type, ' ')) AS INT) AS k, "
@@ -719,6 +765,7 @@ _DOCS = {
     "set_03": "SET-03 intersect", "set_04": "SET-04 except",
     "set_05": "SET-05 distinct",
     "fn_str": "FN-STR string functions", "fn_dt": "FN-DT date functions",
+    "fn_dt2": "FN-DT time-of-day / parse / epoch functions",
     "fn_math": "FN-MATH arithmetic", "fn_cond": "FN-COND case/coalesce",
     "fn_cast": "FN-CAST casts", "fn_arr": "FN-ARR array functions",
     "fn_map": "FN-MAP map functions", "fn_json": "FN-JSON json extraction",
