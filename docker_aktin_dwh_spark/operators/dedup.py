@@ -54,6 +54,19 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     return (docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s")))
 
 
+def _shingle_hash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) rows: 64-bit xxhash of each distinct shingle.
+
+    Every downstream consumer (signature permutation, intersection
+    join, size count) only needs shingle *identity*, so the string is
+    hashed at the scan and never shuffled: at 100 TB the intersection
+    self-join moves 8-byte longs instead of ~20-byte strings, and the
+    checkpoint that feeds three subtrees shrinks the same way.  A
+    cross-doc 64-bit collision perturbs a Jaccard count with
+    probability ~n²/2⁶⁴ — far below the declared query's rounding."""
+    return _shingle_rows(docs).select("doc_id", F.xxhash64("s").alias("h"))
+
+
 # ------------------------------------------------------------------- exact
 
 def ded_exact(spark, sf):
@@ -74,15 +87,16 @@ def ded_exact(spark, sf):
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ threshold via shingle equi-join.
 
-    Shuffles on shingle (never doc×doc): pair candidates are generated
-    only where a shingle co-occurs, then intersection counts aggregate
-    per pair.  Returns (i, j, jac).  Eager checkpoint: `sh` feeds three
-    subtrees that race within one job (see minhash_dedup_pairs)."""
-    sh = _shingle_rows(docs).localCheckpoint()
+    Shuffles on shingle hash (never doc×doc): pair candidates are
+    generated only where a shingle co-occurs, then intersection counts
+    aggregate per pair.  Returns (i, j, jac).  Eager checkpoint: `sh`
+    feeds three subtrees that race within one job (see
+    minhash_dedup_pairs)."""
+    sh = _shingle_hash_rows(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("i"), "s")
-    b = sh.select(F.col("doc_id").alias("j"), "s")
-    inter = (a.join(b, "s")
+    a = sh.select(F.col("doc_id").alias("i"), "h")
+    b = sh.select(F.col("doc_id").alias("j"), "h")
+    inter = (a.join(b, "h")
               .filter(F.col("i") < F.col("j"))
               .groupBy("i", "j").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
@@ -106,15 +120,17 @@ def ded_ngram(spark, sf):
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh: array<long> of N_PERM) — min over shingles of the
     permuted 31-bit shingle hash."""
-    return minhash_signatures_from(_shingle_rows(docs))
+    return minhash_signatures_from(_shingle_hash_rows(docs))
 
 
 def minhash_signatures_from(sh: DataFrame) -> DataFrame:
-    """Shingle hashes reduce JVM-side to one array per doc (collect_list
-    in a single hash agg), then all 128 permutations evaluate in one
+    """Signatures from (doc_id, h) shingle-hash rows.
+
+    Hashes reduce JVM-side to one array per doc (collect_list in a
+    single hash agg), then all 128 permutations evaluate in one
     Arrow-batched numpy broadcast per doc batch — 128 separate min()
     aggregate buffers cost ~3× more in codegen'd evaluation."""
-    x = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
+    x = F.pmod("h", F.lit(MERSENNE31))
     per_doc = (sh.select("doc_id", x.alias("x"))
                  .groupBy("doc_id").agg(F.collect_list("x").alias("xs")))
 
@@ -123,6 +139,9 @@ def minhash_signatures_from(sh: DataFrame) -> DataFrame:
 
     @F.pandas_udf("array<long>")
     def mh(xs: pd.Series) -> pd.Series:
+        # per-doc numpy broadcast; a segmented-min (minimum.reduceat)
+        # formulation measured 15× slower — reduceat is a generic
+        # non-SIMD loop, while this per-doc min(axis=0) is vectorized
         out = []
         for v in xs:
             x = np.asarray(v, dtype=np.int64)[:, None]        # n × 1
@@ -138,16 +157,20 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     pairs (i, j)."""
     bands = []
     for band in range(N_BANDS):
-        rows = F.slice("mh", band * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+        # direct multi-arg hash of the band's longs: stays in codegen,
+        # no interpreted HOF lambda, no string materialization
+        cells = [F.element_at("mh", band * ROWS_PER_BAND + r + 1)
+                 for r in range(ROWS_PER_BAND)]
         bands.append(F.struct(
             F.lit(band).alias("band"),
-            F.xxhash64(F.concat_ws(
-                ",", F.transform(rows, lambda x: x.cast("string"))))
-             .alias("bh")))
-    # eager barrier: the self-join consumes `banded` on both sides —
-    # without it the whole signature subtree runs twice
+            F.xxhash64(*cells).alias("bh")))
+    # eager barrier on the UDF-produced signatures (one compact row per
+    # doc) — both self-join sides re-derive the banding from it, which
+    # is pure codegen; checkpointing the 32×-larger exploded band frame
+    # instead measured slower
+    sig = sig.localCheckpoint()
     banded = (sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
-                 .select("doc_id", "b.band", "b.bh").localCheckpoint())
+                 .select("doc_id", "b.band", "b.bh"))
     a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("j"), "band", "bh")
     return (a.join(b, ["band", "bh"])
@@ -163,12 +186,12 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     bucket self-join.  localCheckpoint (eager) rather than persist():
     within a single job the join sides race, so a lazy cache would be
     populated twice concurrently and reuse nothing."""
-    sh = _shingle_rows(docs).localCheckpoint()
+    sh = _shingle_hash_rows(docs).localCheckpoint()
     cand = lsh_candidates(minhash_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("i"), "s")
-    b = sh.select(F.col("doc_id").alias("j"), "s")
-    inter = (cand.join(a, "i").join(b, ["j", "s"])
+    a = sh.select(F.col("doc_id").alias("i"), "h")
+    b = sh.select(F.col("doc_id").alias("j"), "h")
+    inter = (cand.join(a, "i").join(b, ["j", "h"])
                  .groupBy("i", "j").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("nb"))
@@ -191,8 +214,7 @@ def ded_minhash(spark, sf):
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash BIGINT): per-bit weighted vote over shingle
     hashes.  64 conditional-sum aggregates in one hash agg pass."""
-    sh = _shingle_rows(docs).select(
-        "doc_id", F.xxhash64("s").alias("h"))
+    sh = _shingle_hash_rows(docs)
     votes = [
         F.sum(F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1)
                .otherwise(-1)).alias(f"v{k}")
