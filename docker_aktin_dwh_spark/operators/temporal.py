@@ -37,7 +37,16 @@ def range_join(left: DataFrame, right: DataFrame, *,
     Equi-join on a coarse bucket: r's bucket is either l's bucket or the
     next one, so explode the left side to those two bucket keys and
     apply the exact predicate as a post-join filter.
+
+    If ``right_ts`` collides with a left-side column name (including
+    the self-join case), the right timestamp is auto-renamed to
+    ``{right_ts}_r`` in the output — the rename mints a fresh
+    attribute, so Spark's ambiguous-self-join check never fires.
     """
+    if right_ts in left.columns:
+        renamed = right_ts + "_r"
+        right = right.withColumnRenamed(right_ts, renamed)
+        right_ts = renamed
     w_us = window_seconds * 1_000_000
     lb = (_epoch_us(left_ts) / w_us).cast("long")
     l2 = left.withColumn("__jb", F.explode(F.array(lb, lb + 1)))

@@ -86,6 +86,32 @@ def udf_04(spark, sf):
              .orderBy("c_custkey"))
 
 
+def udf_05(spark, sf):
+    """UDF-05: genuine Python UDTF (Spark ≥3.5) applied laterally —
+    one document row expands to (doc_id, idx, tok) fact rows, the
+    CDA-shred shape (reference installs the import scripts that do this
+    imperatively, src/docker/wildfly/Dockerfile:48).  Unlike udf_03's
+    explode-of-expression, the UDTF owns its row-generation loop, which
+    is the extension point for parsers that aren't expressible as a
+    single split/explode."""
+    from pyspark.sql.functions import udtf
+
+    class Tokenize:
+        def eval(self, doc_id, text):
+            for i, tok in enumerate((text or "").strip().split()):
+                yield doc_id, i + 1, tok
+
+    spark.udtf.register(
+        "tokenize_udtf",
+        udtf(Tokenize, returnType="doc_id bigint, idx bigint, tok string"))
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.idx, t.tok "
+        "FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t "
+        "ORDER BY t.doc_id, t.idx")
+
+
 _ORACLES = {
     "udf_01": ("SELECT c_custkey, lower(trim(c_name)) AS norm_name "
                "FROM customer"),
@@ -99,6 +125,12 @@ _ORACLES = {
                "GROUP BY token"),
     "udf_04": ("SELECT c_custkey, CAST(FLOOR(c_acctbal / 1000) AS INT) "
                "AS bal_bucket FROM customer"),
+    "udf_05": ("SELECT * FROM ("
+               "SELECT doc_id, unnest([{'idx': i, 'tok': t[i]} "
+               "for i in range(1, len(t)+1)], recursive := true) "
+               "FROM (SELECT doc_id, "
+               "regexp_split_to_array(trim(text), '\\s+') AS t "
+               "FROM documents WHERE doc_id < 50))"),
 }
 
 _DOCS = {
@@ -106,6 +138,7 @@ _DOCS = {
     "udf_02": "UDF-02 grouped applyInPandas aggregate",
     "udf_03": "UDF-03 table function (explode of parse result)",
     "udf_04": "UDF-04 mapInPandas partition transform",
+    "udf_05": "UDF-03 Python UDTF (lateral doc shred)",
 }
 
 

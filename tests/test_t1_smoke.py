@@ -38,3 +38,20 @@ def test_entry_contract(spark):
     os_ = mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 75
+
+
+def test_range_join_same_ts_name_autoaliases(spark):
+    """Self-join / colliding ts names: range_join renames the right
+    timestamp to `{ts}_r` instead of tripping Spark's ambiguous
+    self-join check (NOTES.md headroom item)."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators import temporal
+    from pyspark.sql import functions as F
+
+    e = catalog.load(spark, SF_SMOKE, "events")
+    a = e.select("event_id", "ts")
+    b = e.select(F.col("event_id").alias("eid2"), "ts")
+    out = temporal.range_join(a, b, left_ts="ts", right_ts="ts",
+                              window_seconds=3600)
+    assert "ts_r" in out.columns
+    assert out.count() > 0
