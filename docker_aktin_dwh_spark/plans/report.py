@@ -1,0 +1,90 @@
+"""PLANS.md generator — physical-plan evidence for the headline set.
+
+`python -m docker_aktin_dwh_spark.plans.report` re-renders PLANS.md:
+for each bench headline query, the scale-relevant plan properties
+(broadcast joins, pushed filters, read schema, codegen span count,
+shuffle count) plus the full `explain("formatted")` output.  This is
+the artifact form of the rule "after each operator works, explain the
+plan and iterate until it's the plan you'd want" — reviewers can audit
+the actual physical strategy without running anything.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+from .explain import formatted_plan
+
+
+def _props(plan: str) -> dict[str, object]:
+    pushed = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            pushed.append(m.group(1).strip())
+    # formatted mode lists one `(N) Exchange` node header per exchange,
+    # with the partitioning in the Arguments line that follows
+    shuffles = len(re.findall(
+        r"\(\d+\) Exchange\nInput .*\nArguments: (?:hash|range)partitioning",
+        plan))
+    return {
+        "broadcast_joins": len(re.findall(
+            r"\(\d+\) BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "nested_loop_joins": len(re.findall(
+            r"\(\d+\) (?:BroadcastNestedLoopJoin|CartesianProduct)", plan)),
+        "shuffles": shuffles,
+        "pushed_filters": pushed,
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from bench import HEADLINE
+
+    from ..registry import build_registry
+    from ..session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="plans-report")
+    registry = build_registry()
+
+    lines = [
+        "# PLANS — physical-plan evidence (generated)",
+        "",
+        "Regenerate with `python -m docker_aktin_dwh_spark.plans.report`.",
+        f"Scale factor dir: `{sf_dir}`.  One section per bench headline",
+        "query: the scale properties the plan tests assert, then the full",
+        "`explain(\"formatted\")` output.",
+        "",
+    ]
+    for key in HEADLINE:
+        spec = registry[key]
+        df = spec.fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        p = _props(plan)
+        lines += [
+            f"## {key} — {spec.doc}",
+            "",
+            f"- broadcast hash joins: {p['broadcast_joins']}"
+            f"  · sort-merge joins: {p['sortmerge_joins']}"
+            f"  · nested-loop joins: {p['nested_loop_joins']}",
+            f"- shuffles (hash/range exchanges): {p['shuffles']}",
+        ]
+        if p["pushed_filters"]:
+            lines.append("- pushed to scan: " +
+                         "; ".join(f"`[{f}]`" for f in p["pushed_filters"]))
+        lines += ["", "```", plan.rstrip(), "```", ""]
+    spark.stop()
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
