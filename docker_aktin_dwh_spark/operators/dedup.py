@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions.barrier import materialize
 from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, shingles, tokens
 from ..registry import QuerySpec
 
@@ -92,7 +93,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     aggregate per pair.  Returns (i, j, jac).  Eager checkpoint: `sh`
     feeds three subtrees that race within one job (see
     minhash_dedup_pairs)."""
-    sh = _shingle_hash_rows(docs).localCheckpoint()
+    sh = materialize(_shingle_hash_rows(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("i"), "h")
     b = sh.select(F.col("doc_id").alias("j"), "h")
@@ -168,7 +169,7 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     # doc) — both self-join sides re-derive the banding from it, which
     # is pure codegen; checkpointing the 32×-larger exploded band frame
     # instead measured slower
-    sig = sig.localCheckpoint()
+    sig = materialize(sig)
     banded = (sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
                  .select("doc_id", "b.band", "b.bh"))
     a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
@@ -183,10 +184,11 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
     The shingle frame feeds three subtrees (signatures, both sides of
     the verification join) and the banded frame feeds both sides of the
-    bucket self-join.  localCheckpoint (eager) rather than persist():
-    within a single job the join sides race, so a lazy cache would be
-    populated twice concurrently and reuse nothing."""
-    sh = _shingle_hash_rows(docs).localCheckpoint()
+    bucket self-join.  materialize() (eager barrier, see
+    functions/barrier.py) rather than persist(): within a single job
+    the join sides race, so a lazy cache would be populated twice
+    concurrently and reuse nothing."""
+    sh = materialize(_shingle_hash_rows(docs))
     cand = lsh_candidates(minhash_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("i"), "h")
@@ -246,8 +248,8 @@ def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> Data
     ]
     banded = (sig.select("doc_id", "simhash",
                          F.explode(F.array(*bands)).alias("b"))
-                 .select("doc_id", "simhash", "b.band", "b.bv")
-                 .localCheckpoint())  # both self-join sides reuse this
+                 .select("doc_id", "simhash", "b.band", "b.bv"))
+    banded = materialize(banded)  # both self-join sides reuse this
     a = banded.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"),
                       "band", "bv")
     b = banded.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"),

@@ -367,6 +367,32 @@ def set_05(spark, sf):
     return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
 
 
+def smp_01(spark, sf):
+    """Deterministic hash sample (~10%): keep rows whose md5(key) hex
+    prefix falls under a threshold.  This is the sampling pattern a
+    100 TB pipeline actually wants — reproducible across runs, engines
+    and cluster layouts, no RNG state — and it is exactly
+    oracle-matchable (md5 agrees between Spark and DuckDB).  26/256
+    two-hex-char buckets ≈ 10.16%."""
+    o = T(spark, sf, "orders")
+    pick = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    return (o.filter(pick)
+             .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+             .orderBy("o_orderstatus"))
+
+
+def smp_02(spark, sf):
+    """Seeded Bernoulli sample via df.sample (SURVEY.md §2.10 rule 5:
+    engine-specific row pick → rows-only key).  Spark 4 note, measured:
+    an explicit seed makes re-execution of the SAME DataFrame stable,
+    but each new .sample() call draws a fresh stream — cross-run
+    reproducibility needs the hash sample (smp_01)."""
+    o = T(spark, sf, "orders")
+    return (o.sample(fraction=0.1, seed=42)
+             .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+             .orderBy("o_orderstatus"))
+
+
 # ------------------------------------------------------------------- §2.7 FN
 
 def fn_str(spark, sf):
@@ -663,6 +689,9 @@ _ORACLES = {
     "set_04": ("SELECT c_custkey FROM customer "
                "EXCEPT SELECT o_custkey FROM orders"),
     "set_05": "SELECT DISTINCT o_orderpriority FROM orders",
+    "smp_01": ("SELECT o_orderstatus, count(*) AS n FROM orders "
+               "WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '1a' "
+               "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "fn_str": ("SELECT p_partkey, upper(substr(p_name, 1, 5)) AS u, "
                "CAST(length(p_name) AS INT) AS l, "
                "lower(trim(p_type)) AS lo, "
@@ -764,6 +793,8 @@ _DOCS = {
     "set_01": "SET-01 union all", "set_02": "SET-02 union distinct",
     "set_03": "SET-03 intersect", "set_04": "SET-04 except",
     "set_05": "SET-05 distinct",
+    "smp_01": "Deterministic hash sample (reproducible 10%)",
+    "smp_02": "Seeded Bernoulli sample (rows-only per §2.10 rule 5)",
     "fn_str": "FN-STR string functions", "fn_dt": "FN-DT date functions",
     "fn_dt2": "FN-DT time-of-day / parse / epoch functions",
     "fn_math": "FN-MATH arithmetic", "fn_cond": "FN-COND case/coalesce",

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.barrier import materialize
+
 PARTITION_COL = "p_month"
 
 
@@ -40,7 +42,7 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
 
     Reads only the partitions the batch touches, anti-joins the batch
     keys out, unions the new rows, and dynamically overwrites just
-    those partitions.  The merged frame is localCheckpoint'ed first:
+    those partitions.  The merged frame is materialized first:
     overwriting a path that is also a lazy read source would otherwise
     race the scan (a table format with MERGE does this atomically).
     """
@@ -50,7 +52,7 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
                 .filter(F.col(PARTITION_COL).isin(months)))
     keys = b.select(key).distinct()
     kept = existing.join(F.broadcast(keys), key, "left_anti")
-    merged = kept.unionByName(b.select(kept.columns)).localCheckpoint()
+    merged = materialize(kept.unionByName(b.select(kept.columns)))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

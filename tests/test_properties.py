@@ -104,3 +104,33 @@ def test_left_join_preserves_left_rows(slices):
          .groupBy("c_custkey").agg(F.count("o_orderkey"))
          .count())
     assert n == c.select("c_custkey").distinct().count()
+
+
+def test_sampling_semantics(spark):
+    """smp_01/smp_02 support.  Hash sample: exactly reproducible across
+    independent expressions.  Seeded Bernoulli: stable when the same
+    DataFrame re-executes (Spark 4 draws a fresh stream per .sample()
+    call even with a seed — measured, which is why smp_01 exists).
+    Both land within 6-sigma binomial tolerance of the 10% target."""
+    import math
+    from pyspark.sql import functions as F
+    from docker_aktin_dwh_spark import catalog
+
+    o = catalog.load(spark, SF_SMOKE, "orders")
+    total = o.count()
+
+    def hash_pick():
+        return sorted(r[0] for r in o.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+            < "1a").select("o_orderkey").collect())
+
+    h1, h2 = hash_pick(), hash_pick()
+    assert h1 == h2
+    sigma = math.sqrt(0.1 * 0.9 / total)
+    assert abs(len(h1) / total - 26 / 256) < 6 * sigma
+
+    bern = o.sample(fraction=0.1, seed=42).select("o_orderkey")
+    b1 = sorted(r[0] for r in bern.collect())
+    b2 = sorted(r[0] for r in bern.collect())
+    assert b1 == b2
+    assert abs(len(b1) / total - 0.1) < 6 * sigma
