@@ -248,6 +248,19 @@ def agg_07(spark, sf):
              .orderBy("s"))
 
 
+def agg_11(spark, sf):
+    """AGG-07 continued: CUBE over two dims — all four grouping levels
+    (the report subtotal lattice: per-status, per-priority, both,
+    grand total)."""
+    o = T(spark, sf, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("s"),
+                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("p"),
+                     "n")
+             .orderBy("s", "p"))
+
+
 def agg_08(spark, sf):
     o = T(spark, sf, "orders")
     return (o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
@@ -498,9 +511,17 @@ def fn_cast(spark, sf):
 
 
 def fn_arr(spark, sf):
+    """FN-ARR surface: split/size/array_contains/array_sort/array_join/
+    flatten (ontology-path splitting, diagnosis lists)."""
     p = T(spark, sf, "part")
-    return (p.groupBy(F.size(F.split("p_type", " ")).alias("k"))
-             .agg(F.count("*").alias("n")).orderBy("k"))
+    arr = F.split("p_type", " ")
+    return (p.select(
+                "p_partkey",
+                F.size(arr).alias("k"),
+                F.array_contains(arr, "BRUSHED").cast("int").alias("has_b"),
+                F.array_join(F.array_sort(arr), "-").alias("sorted_j"),
+                F.size(F.flatten(F.array(arr, arr))).alias("k2"))
+             .orderBy("p_partkey").limit(100))
 
 
 def fn_map(spark, sf):
@@ -737,8 +758,16 @@ _ORACLES = {
                "FROM events ORDER BY event_id LIMIT 200"),
     "fn_cast": ("SELECT CAST(l_quantity AS INT) AS q, count(*) AS n "
                 "FROM lineitem GROUP BY 1"),
-    "fn_arr": ("SELECT CAST(len(string_split(p_type, ' ')) AS INT) AS k, "
-               "count(*) AS n FROM part GROUP BY 1"),
+    "fn_arr": ("SELECT p_partkey, CAST(len(t) AS INT) AS k, "
+               "CAST(list_contains(t, 'BRUSHED') AS INT) AS has_b, "
+               "array_to_string(list_sort(t), '-') AS sorted_j, "
+               "CAST(len(flatten([t, t])) AS INT) AS k2 "
+               "FROM (SELECT p_partkey, string_split(p_type, ' ') AS t "
+               "FROM part) ORDER BY p_partkey LIMIT 100"),
+    "agg_11": ("SELECT COALESCE(o_orderstatus, 'ALL') AS s, "
+               "COALESCE(o_orderpriority, 'ALL') AS p, count(*) AS n "
+               "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+               "ORDER BY s, p"),
     "fn_map": ("SELECT array_to_string(json_keys(props), ',') AS ks, "
                "count(*) AS n, count(DISTINCT json_extract_string(props, '$.k')) "
                "AS nv FROM events GROUP BY 1"),
@@ -785,6 +814,7 @@ _DOCS = {
     "agg_05": "AGG-05 conditional agg (EAV pivot shape)",
     "agg_06": "AGG-06 histogram bins", "agg_07": "AGG-07 rollup",
     "agg_08": "AGG-08 having", "agg_09": "AGG-09 sorted collect_list",
+    "agg_11": "AGG-07 cube (subtotal lattice)",
     "agg_10": "AGG-10 exact percentile",
     "win_01": "WIN-01 row_number", "win_02": "WIN-02 lag/lead",
     "win_03": "WIN-03 running frame sum", "win_04": "WIN-04 last-per-group (max_by)",
