@@ -47,13 +47,13 @@ def main() -> None:
     spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).count()
 
-    # best of 2: this VM shows ±50% run-to-run noise; min is the
+    # best of 3: this VM shows ±50% run-to-run noise; min is the
     # steady-state number the plan actually achieves
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = registry[key].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
