@@ -1,0 +1,88 @@
+"""End-to-end corpus-prep pipeline — the training-data chain in one
+declared query.
+
+``pipe_01`` composes the LLM-ops building blocks the way a real corpus
+run does: quality gate → near-dup removal → per-language accounting.
+One DataFrame expression, so Catalyst plans the whole chain (the
+quality filter prunes the corpus *before* the shingle explode — at
+100 TB that ordering is the difference between deduping the corpus and
+deduping the keep-set).
+
+Near-dup rule: a document is dropped iff some surviving-quality doc
+with a smaller doc_id has 3-gram Jaccard ≥ 0.8 against it (the
+deterministic keep-first convention; a pair list is what ded_ngram
+yields, the anti-join is the removal step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, tokens
+from ..registry import QuerySpec
+from .dedup import ngram_jaccard_pairs
+
+MIN_TOKENS = 20
+MAX_STOP_RATIO = 0.5
+DUP_THRESHOLD = 0.8
+
+
+def pipe_01(spark, sf):
+    d = catalog.load(spark, sf, "documents")
+    tok = tokens("text")
+    from .textops import STOPWORDS
+    all_stops = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    n_tok = F.size(tok)
+    stop_ratio = (F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
+                  / n_tok.cast("double"))
+    kept = (d.filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
+             .select("doc_id", "lang", "text", n_tok.alias("n_tokens")))
+
+    dup_j = (ngram_jaccard_pairs(kept, DUP_THRESHOLD)
+             .select(F.col("j").alias("doc_id")).distinct())
+    surv = kept.join(dup_j, "doc_id", "left_anti")
+
+    return (surv.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     F.min("doc_id").alias("first_doc"))
+                .orderBy("lang"))
+
+
+def _oracle() -> str:
+    from .textops import STOPWORDS
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {t} AS t FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, t, len(t) AS n_tokens FROM toks
+  WHERE len(t) >= {MIN_TOKENS}
+    AND len(list_filter(t, x -> x IN ({stops}))) / CAST(len(t) AS DOUBLE)
+        <= {MAX_STOP_RATIO}
+),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM kept),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {DUP_THRESHOLD}
+),
+surv AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM surv GROUP BY lang ORDER BY lang
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [QuerySpec(
+        key="pipe_01", fn=pipe_01, oracle=_oracle(),
+        doc="End-to-end corpus prep: quality gate -> near-dup removal "
+            "-> per-language token accounting",
+        tags=("llm", "pipeline"))]

@@ -30,12 +30,12 @@ class QuerySpec:
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from .operators import (cohort, dedup, multimodal, relational,
+    from .operators import (cohort, dedup, multimodal, prep, relational,
                             similarity, textops, udfs)
 
     registry: dict[str, QuerySpec] = {}
     for mod in (relational, cohort, udfs, dedup, similarity, textops,
-                multimodal):
+                multimodal, prep):
         for spec in mod.specs():
             if spec.key in registry:
                 raise ValueError(f"duplicate query key {spec.key}")
