@@ -535,10 +535,18 @@ def fn_map(spark, sf):
 
 
 def fn_json(spark, sf):
+    """FN-JSON surface: string-path extraction (get_json_object), typed
+    struct parse (from_json) with arithmetic on the typed field.
+    NULL-props rows flow through as NULLs (the CDA-attribute-absent
+    case); missing-path extraction is unit-tested in test_t1_smoke."""
     e = T(spark, sf, "events")
-    return (e.groupBy(F.get_json_object(e.props, "$.k").alias("v"))
-             .agg(F.count("*").alias("n"))
-             .orderBy("v"))
+    st = F.from_json("props", "struct<k:int>")
+    return (e.select(
+                "event_id",
+                F.get_json_object("props", "$.k").alias("v"),
+                st.getField("k").alias("kv"),
+                (st.getField("k") * 2).alias("kv2"))
+             .orderBy("event_id").limit(200))
 
 
 def fn_hash(spark, sf):
@@ -771,8 +779,10 @@ _ORACLES = {
     "fn_map": ("SELECT array_to_string(json_keys(props), ',') AS ks, "
                "count(*) AS n, count(DISTINCT json_extract_string(props, '$.k')) "
                "AS nv FROM events GROUP BY 1"),
-    "fn_json": ("SELECT json_extract_string(props, '$.k') AS v, count(*) AS n "
-                "FROM events GROUP BY 1"),
+    "fn_json": ("SELECT event_id, json_extract_string(props, '$.k') AS v, "
+                "CAST(json_extract(props, '$.k') AS INT) AS kv, "
+                "CAST(json_extract(props, '$.k') AS INT) * 2 AS kv2 "
+                "FROM events ORDER BY event_id LIMIT 200"),
     "fn_hash": ("SELECT c_custkey, sha256(c_name) AS h FROM customer "
                 "ORDER BY c_custkey LIMIT 20"),
     "str_02": ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, "

@@ -64,9 +64,11 @@ def compare(spark_df, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
                   | (aa == bb)
                   | ((aa - bb).abs() < 1e-9)).all()
         else:
-            av = a.where(pd.notna(a), None)
-            bv = b.where(pd.notna(b), None)
-            ok = bool((av.map(_norm_obj) == bv.map(_norm_obj)).all())
+            av = a.map(_norm_obj)
+            bv = b.map(_norm_obj)
+            # pandas elementwise == treats None as missing (None != None),
+            # so count both-missing as equal explicitly
+            ok = bool(((av.isna() & bv.isna()) | (av == bv)).all())
         if not ok:
             bad = None
             for i in range(len(sp)):

@@ -55,3 +55,17 @@ def test_range_join_same_ts_name_autoaliases(spark):
                               window_seconds=3600)
     assert "ts_r" in out.columns
     assert out.count() > 0
+
+
+def test_json_missing_path_is_null(spark):
+    """FN-JSON: extraction of an absent path yields NULL (the
+    CDA-attribute-absent case), for both string and typed access."""
+    from docker_aktin_dwh_spark import catalog
+    from pyspark.sql import functions as F
+
+    e = catalog.load(spark, SF_SMOKE, "events").filter(F.col("props").isNotNull())
+    row = e.select(
+        F.get_json_object("props", "$.missing").alias("mv"),
+        F.from_json("props", "struct<missing:int>").getField("missing").alias("tv"),
+    ).first()
+    assert row["mv"] is None and row["tv"] is None
