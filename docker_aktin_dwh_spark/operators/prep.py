@@ -21,14 +21,14 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, tokens
 from ..registry import QuerySpec
-from .dedup import ngram_jaccard_pairs
+from .dedup import minhash_dedup_pairs, ngram_jaccard_pairs
 
 MIN_TOKENS = 20
 MAX_STOP_RATIO = 0.5
 DUP_THRESHOLD = 0.8
 
 
-def pipe_01(spark, sf):
+def _prep(spark, sf, pairs_fn):
     d = catalog.load(spark, sf, "documents")
     tok = tokens("text")
     from .textops import STOPWORDS
@@ -39,7 +39,7 @@ def pipe_01(spark, sf):
     kept = (d.filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
              .select("doc_id", "lang", "text", n_tok.alias("n_tokens")))
 
-    dup_j = (ngram_jaccard_pairs(kept, DUP_THRESHOLD)
+    dup_j = (pairs_fn(kept, DUP_THRESHOLD)
              .select(F.col("j").alias("doc_id")).distinct())
     surv = kept.join(dup_j, "doc_id", "left_anti")
 
@@ -48,6 +48,20 @@ def pipe_01(spark, sf):
                      F.sum("n_tokens").alias("total_tokens"),
                      F.min("doc_id").alias("first_doc"))
                 .orderBy("lang"))
+
+
+def pipe_01(spark, sf):
+    return _prep(spark, sf, ngram_jaccard_pairs)
+
+
+def pipe_02(spark, sf):
+    """pipe_01 with the MinHash+LSH scale path as the near-dup step.
+    Shares pipe_01's exact oracle: with 32 bands × 4 rows a pair at
+    Jaccard 0.8 is missed with probability (1 − 0.8⁴)³² ≈ 5e-8 (and
+    LSH candidates are exact-verified), so the keep-set is identical —
+    but the candidate generation shuffles on band hash instead of
+    joining every co-occurring shingle, which is the 100 TB shape."""
+    return _prep(spark, sf, minhash_dedup_pairs)
 
 
 def _oracle() -> str:
@@ -81,8 +95,15 @@ FROM surv GROUP BY lang ORDER BY lang
 
 
 def specs() -> list[QuerySpec]:
-    return [QuerySpec(
-        key="pipe_01", fn=pipe_01, oracle=_oracle(),
-        doc="End-to-end corpus prep: quality gate -> near-dup removal "
-            "-> per-language token accounting",
-        tags=("llm", "pipeline"))]
+    return [
+        QuerySpec(
+            key="pipe_01", fn=pipe_01, oracle=_oracle(),
+            doc="End-to-end corpus prep: quality gate -> near-dup "
+                "removal -> per-language token accounting",
+            tags=("llm", "pipeline")),
+        QuerySpec(
+            key="pipe_02", fn=pipe_02, oracle=_oracle(),
+            doc="Corpus prep with the MinHash+LSH scale path "
+                "(same oracle; LSH miss probability ~5e-8)",
+            tags=("llm", "pipeline")),
+    ]
