@@ -26,7 +26,7 @@ HEADLINE = (
     "jn_03", "agg_04", "agg_02", "win_01", "jn_08", "jn_09",
     "coh_01", "eav_01", "ont_01",
     "ded_minhash", "ded_ngram", "ann_topk", "text_quality", "text_fp",
-    "str_04", "pipe_01",
+    "str_04", "pipe_01", "pipe_02",
 )
 
 

@@ -97,3 +97,14 @@ def test_broadcast_survives_aqe(spark):
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     j.collect()
     assert plans.has_broadcast_hash_join(j)
+
+
+def test_pipe02_lsh_chain_never_nested_loops(spark):
+    """The end-to-end LSH prep chain (pipe_02) must stay shuffle/
+    broadcast-joined throughout — a BroadcastNestedLoopJoin or
+    CartesianProduct anywhere means a doc×doc blowup at scale."""
+    from docker_aktin_dwh_spark.registry import build_registry
+    df = build_registry()["pipe_02"].fn(spark, SF_SMOKE)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
