@@ -108,3 +108,14 @@ def test_pipe02_lsh_chain_never_nested_loops(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ded_incr_band_probe_broadcasts(spark):
+    """Incremental dedup: the new batch's band hashes must reach the
+    corpus band table as a broadcast — the corpus side never shuffles
+    for candidate generation."""
+    from docker_aktin_dwh_spark.registry import build_registry
+    df = build_registry()["ded_incr"].fn(spark, SF_SMOKE)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

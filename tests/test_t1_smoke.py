@@ -14,7 +14,7 @@ REGISTRY = build_registry()
 
 #: constructed-empty at tiny scale is fine for these (dup/near-dup sets)
 MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash", "ded_embed",
-                "jn_06", "set_04"}
+                "ded_incr", "jn_06", "set_04"}
 
 
 @pytest.mark.parametrize("key", sorted(REGISTRY))
