@@ -236,3 +236,44 @@ def test_str05_within_watermark_disorder_is_exact(spark, tmp_path):
                 .agg(F.count("*").alias("n"))
                 .select(F.col("w.start").alias("ws"), "n").collect()}
     assert got == expect
+
+
+def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
+    """Streaming incremental-dedup ingest: replay the documents table in
+    3 doc_id-ordered chunks; the final store must equal the batch
+    keep-first dedup of the whole corpus (drop any doc with a >=0.7
+    near-dup of smaller doc_id)."""
+    import shutil
+
+    from conftest import SF_ORACLE
+    from docker_aktin_dwh_spark.operators.dedup import minhash_dedup_pairs
+    from docker_aktin_dwh_spark.streaming.dedup_ingest import (DOCS_DDL,
+                                                               dedup_ingest)
+
+    docs = catalog.load(spark, SF_ORACLE, "documents") \
+                  .select("doc_id", "lang", "text")
+    n = docs.count()
+    watch = tmp_path / "docs_watch"
+    watch.mkdir()
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = tmp_path / f"chunk{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(out))
+        for j, p in enumerate(sorted(out.glob("*.parquet"))):
+            shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
+
+    store = str(tmp_path / "kept")
+    src = (spark.readStream.format("parquet").schema(DOCS_DDL)
+           .option("maxFilesPerTrigger", 1).load(str(watch)))
+    q = dedup_ingest(src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    streamed = sorted(r[0] for r in
+                      spark.read.parquet(store).select("doc_id").collect())
+    drop = minhash_dedup_pairs(docs, 0.7).select("j").distinct()
+    expected = sorted(r[0] for r in
+                      docs.join(drop, docs.doc_id == drop.j, "left_anti")
+                          .select("doc_id").collect())
+    assert streamed == expected
+    assert len(streamed) < n  # the corpus really had near-dups to drop
