@@ -257,14 +257,49 @@ SELECT q_id, neighbor_id, rank, ROUND(cos, 4) AS cos
 FROM ranked WHERE rank <= 10
 """
 
+def mean_pool_stats(emb: DataFrame, group_col: str) -> DataFrame:
+    """Element-wise mean embedding per group (the chunk→doc pooling
+    shape), reduced to (dims, L2 norm of the mean vector).
+
+    posexplode → partial+final avg keyed on (group, pos) → norm reduce:
+    pure JVM aggregation pipeline, shuffles on (group, pos) — scales to
+    any dimension/corpus with map-side combine, no per-row Python and
+    no whole-vector collect."""
+    ex = emb.select(group_col, F.posexplode("embedding").alias("pos", "x"))
+    means = (ex.groupBy(group_col, "pos")
+               .agg(F.avg("x").alias("m")))
+    return (means.groupBy(group_col)
+                 .agg(F.count("*").cast("int").alias("dims"),
+                      F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4)
+                       .alias("l2")))
+
+
+def emb_01(spark, sf):
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
+    g = e.select((F.col("vec_id") % 10).alias("g"), "embedding")
+    return mean_pool_stats(g, "g").orderBy("g")
+
+
+_EMB01_ORACLE = """
+WITH e AS (SELECT vec_id % 10 AS g, embedding
+           FROM embeddings WHERE vec_id < 1000),
+x AS (SELECT g, unnest([{'pos': i, 'x': embedding[i]}
+                        for i in range(1, len(embedding)+1)],
+                       recursive := true) FROM e),
+m AS (SELECT g, pos, avg(x) AS m FROM x GROUP BY g, pos)
+SELECT g, CAST(count(*) AS INT) AS dims, ROUND(sqrt(sum(m*m)), 4) AS l2
+FROM m GROUP BY g ORDER BY g
+"""
+
 _DOCS = {
     "ann_topk": "Exact brute-force cosine top-k (broadcast query join)",
     "ann_lsh": "LSH-bucketed approximate top-k (scale path; recall-tested)",
     "ann_ivf": "IVF (inverted-file) approximate top-k (k-means cells, nprobe)",
+    "emb_01": "Mean-pool embeddings per group (chunk→doc pooling)",
 }
 
 # ann_lsh / ann_ivf approximate → rows-only checks
-_ORACLES = {"ann_topk": _TOPK_ORACLE}
+_ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE}
 
 
 def specs() -> list[QuerySpec]:
