@@ -331,6 +331,18 @@ def win_05(spark, sf):
              .orderBy("n"))
 
 
+def win_06(spark, sf):
+    """WIN-05 continued: percent_rank / cume_dist (quantile position of
+    each row — report percentile-band assignment)."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (o.select("o_orderkey", "o_orderpriority",
+                     F.round(F.percent_rank().over(w), 6).alias("pr"),
+                     F.round(F.cume_dist().over(w), 6).alias("cd"))
+             .orderBy("o_orderkey").limit(200))
+
+
 # -------------------------------------------------------------- §2.6 SRT/SET
 
 def srt_01(spark, sf):
@@ -705,6 +717,12 @@ _ORACLES = {
     "win_05": ("SELECT n, count(*) AS c FROM (SELECT CAST(ntile(4) OVER ("
                "ORDER BY o_totalprice, o_orderkey) AS INT) AS n FROM orders) "
                "GROUP BY n"),
+    "win_06": ("SELECT o_orderkey, o_orderpriority, "
+               "ROUND(percent_rank() OVER (PARTITION BY o_orderpriority "
+               "ORDER BY o_totalprice, o_orderkey), 6) AS pr, "
+               "ROUND(cume_dist() OVER (PARTITION BY o_orderpriority "
+               "ORDER BY o_totalprice, o_orderkey), 6) AS cd "
+               "FROM orders ORDER BY o_orderkey LIMIT 200"),
     "srt_01": ("SELECT c_custkey FROM (SELECT c_custkey FROM customer "
                "ORDER BY c_acctbal DESC, c_custkey LIMIT 100)"),
     "srt_02": ("SELECT p_partkey, p_retailprice FROM part "
@@ -829,6 +847,7 @@ _DOCS = {
     "win_01": "WIN-01 row_number", "win_02": "WIN-02 lag/lead",
     "win_03": "WIN-03 running frame sum", "win_04": "WIN-04 last-per-group (max_by)",
     "win_05": "WIN-05 ntile",
+    "win_06": "WIN-05 percent_rank / cume_dist",
     "srt_01": "SRT-01 multi-key sort + limit", "srt_02": "SRT-02 top-k",
     "set_01": "SET-01 union all", "set_02": "SET-02 union distinct",
     "set_03": "SET-03 intersect", "set_04": "SET-04 except",
