@@ -187,7 +187,7 @@ CLINICAL_ORACLE_CTES = {
                DATE '1940-01-01' + CAST(c_custkey % 21915 AS INT) AS birth_date,
                ['F','M','U'][CAST(c_custkey % 3 AS INT) + 1] AS sex_cd,
                'N' AS vital_status_cd,
-               lpad(CAST(c_custkey % 99999 AS VARCHAR), 5, '0') AS zip_cd
+               lpad(CAST(c_custkey % 99999 AS STRING), 5, '0') AS zip_cd
         FROM customer""",
     "visit_dimension": """
         SELECT o_orderkey AS encounter_num, o_custkey AS patient_num,
@@ -198,8 +198,8 @@ CLINICAL_ORACLE_CTES = {
         FROM orders""",
     "observation_fact": """
         SELECT l_orderkey AS encounter_num, o_custkey AS patient_num,
-               'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd,
-               CAST(l_suppkey % 100 AS VARCHAR) AS provider_id,
+               'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS STRING) AS concept_cd,
+               CAST(l_suppkey % 100 AS STRING) AS provider_id,
                l_shipdate AS start_date, '@' AS modifier_cd,
                l_linenumber AS instance_num,
                CASE WHEN l_partkey % 3 = 0 THEN 'N' ELSE 'T' END AS valtype_cd,
@@ -210,16 +210,16 @@ CLINICAL_ORACLE_CTES = {
     "concept_dimension": """
         SELECT concept_path, concept_cd, 'Concept ' || concept_cd AS name_char
         FROM (SELECT DISTINCT
-                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS VARCHAR) || '\\' AS concept_path,
-                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd
+                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS STRING) || '\\' AS concept_path,
+                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS STRING) AS concept_cd
               FROM lineitem)""",
     "ontology": """
         SELECT 2 AS c_hlevel, concept_path AS c_fullname,
                'Concept ' || concept_cd AS c_name, concept_cd AS c_basecode,
                'LA' AS c_visualattributes
         FROM (SELECT DISTINCT
-                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS VARCHAR) || '\\' AS concept_path,
-                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS VARCHAR) AS concept_cd
+                '\\AKTIN\\' || l_returnflag || '\\' || CAST(l_partkey % 50 AS STRING) || '\\' AS concept_path,
+                'AKTIN:' || l_returnflag || ':' || CAST(l_partkey % 50 AS STRING) AS concept_cd
               FROM lineitem)
         UNION ALL
         SELECT 1, '\\AKTIN\\' || flag || '\\', 'Folder ' || flag, NULL, 'FA'

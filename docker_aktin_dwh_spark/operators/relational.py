@@ -705,9 +705,10 @@ _ORACLES = {
                "CAST(row_number() OVER (PARTITION BY o_custkey "
                "ORDER BY o_orderdate, o_orderkey) AS INT) AS rn FROM orders) "
                "WHERE rn = 1"),
-    "win_02": ("SELECT o_custkey, o_orderkey, CAST(date_diff('day', "
-               "lag(o_orderdate) OVER (PARTITION BY o_custkey "
-               "ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS d "
+    "win_02": ("SELECT o_custkey, o_orderkey, "
+               "CAST(CAST(o_orderdate AS DATE) - "
+               "CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey "
+               "ORDER BY o_orderdate, o_orderkey) AS DATE) AS INT) AS d "
                "FROM orders WHERE o_custkey < 100"),
     "win_03": ("SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER ("
                "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
