@@ -185,7 +185,8 @@ CLINICAL_ORACLE_CTES = {
     "patient_dimension": """
         SELECT c_custkey AS patient_num,
                DATE '1940-01-01' + CAST(c_custkey % 21915 AS INT) AS birth_date,
-               ['F','M','U'][CAST(c_custkey % 3 AS INT) + 1] AS sex_cd,
+               CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'F'
+                    WHEN 1 THEN 'M' ELSE 'U' END AS sex_cd,
                'N' AS vital_status_cd,
                lpad(CAST(c_custkey % 99999 AS STRING), 5, '0') AS zip_cd
         FROM customer""",
