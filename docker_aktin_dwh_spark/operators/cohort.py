@@ -292,9 +292,11 @@ _ORACLES = {
                CAST(max(CASE WHEN concept_cd = 'AKTIN:N:6' THEN nval_num END) AS DOUBLE) AS c6
         FROM observation_fact GROUP BY encounter_num
         HAVING COALESCE(c0, c3, c6) IS NOT NULL""",
-    "rep_01": _CT(("visit_dimension",)) + """
+    "rep_01": "WITH RECURSIVE months(m) AS "
+              "(SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12),\n"
+              + _CT(("visit_dimension",)).removeprefix("WITH ") + """
         SELECT m, inout_cd, COALESCE(cnt, 0) AS n
-        FROM (SELECT CAST(unnest(range(1, 13)) AS INT) AS m) months
+        FROM months
         CROSS JOIN (SELECT 'I' AS inout_cd UNION ALL SELECT 'O') classes
         LEFT JOIN (
             SELECT CAST(month(start_date) AS INT) AS vm, inout_cd AS vc,

@@ -699,7 +699,8 @@ _ORACLES = {
                "list(CAST(l_linenumber AS VARCHAR))), ',') AS li "
                "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
                "WHERE o_orderkey < 50 GROUP BY o_orderkey"),
-    "agg_10": ("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 2) "
+    "agg_10": ("SELECT l_returnflag, ROUND(CAST(percentile_cont(0.5) "
+               "WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 2) "
                "AS med FROM lineitem GROUP BY l_returnflag"),
     "win_01": ("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, "
                "CAST(row_number() OVER (PARTITION BY o_custkey "

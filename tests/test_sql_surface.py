@@ -19,8 +19,8 @@ REGISTRY = build_registry()
 
 #: oracle SQL that is ANSI enough to run on Spark SQL unchanged
 ANSI_KEYS = sorted(
-    "agg_01 agg_02 agg_04 agg_05 agg_06 agg_07 agg_08 agg_11 ded_exact "
-    "coh_01 coh_02 coh_03 coh_04 coh_05 coh_06 coh_07 eav_01 "
+    "agg_01 agg_02 agg_04 agg_05 agg_06 agg_07 agg_08 agg_10 agg_11 ded_exact "
+    "coh_01 coh_02 coh_03 coh_04 coh_05 coh_06 coh_07 eav_01 rep_01 "
     "flt_01 flt_02 flt_03 flt_04 flt_05 flt_06 flt_07 "
     "fn_cast fn_cond fn_dt fn_math fn_str "
     "jn_01 jn_02 jn_03 jn_04 jn_05 jn_06 jn_07 jn_10 "
