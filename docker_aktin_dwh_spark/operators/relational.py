@@ -807,9 +807,12 @@ _ORACLES = {
                 "ORDER BY c_custkey LIMIT 20"),
     "str_02": ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, "
                "count(*) AS n FROM events GROUP BY 1"),
-    "str_03": ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) + "
-               "INTERVAL 15 MINUTE * ((minute(ts) // 15) - j) AS ws, count(*) AS n "
-               "FROM events, (SELECT unnest(range(4)) AS j) GROUP BY 1"),
+    "str_03": ("WITH RECURSIVE js(j) AS (SELECT 0 UNION ALL "
+               "SELECT j + 1 FROM js WHERE j < 3) "
+               "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) + "
+               "INTERVAL 15 MINUTE * "
+               "(CAST(FLOOR(minute(ts) / 15.0) AS INT) - j) AS ws, "
+               "count(*) AS n FROM events, js GROUP BY 1"),
     "str_04": ("WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN "
                "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE "
                "THEN 1 ELSE 0 END AS new_sess FROM events "

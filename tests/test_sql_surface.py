@@ -25,7 +25,7 @@ ANSI_KEYS = sorted(
     "fn_cast fn_cond fn_dt fn_math fn_str "
     "jn_01 jn_02 jn_03 jn_04 jn_05 jn_06 jn_07 jn_10 "
     "prj_01 prj_02 set_01 set_02 set_03 set_04 set_05 smp_01 "
-    "srt_01 srt_02 str_02 str_04 str_06 str_07 "
+    "srt_01 srt_02 str_02 str_03 str_04 str_06 str_07 "
     "udf_01 udf_02 udf_04 win_01 win_02 win_03 win_04 win_05 win_06"
     .split())
 
