@@ -44,6 +44,12 @@ def build_session(app_name: str = "docker-aktin-dwh-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory partition size instead of maximizing
+        # parallelism: fewer, right-sized tasks (A/B: ~9% on the
+        # relational headline set; also the documented efficiency
+        # setting for clusters where executors aren't starved)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
@@ -63,5 +69,7 @@ def apply_runtime_policy(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                   "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
