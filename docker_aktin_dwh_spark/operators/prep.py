@@ -1,5 +1,7 @@
 """End-to-end corpus-prep pipeline — the training-data chain in one
-declared query.
+declared query (the LLM-pipeline extension mandated by BASELINE.md's
+scale design point; the reference's closest analogue is the scripted
+multi-stage import, src/docker/wildfly/Dockerfile:48).
 
 ``pipe_01`` composes the LLM-ops building blocks the way a real corpus
 run does: quality gate → near-dup removal → per-language accounting.

@@ -1,6 +1,9 @@
 """Streaming corpus ingest with incremental near-dup rejection.
 
-The 100 TB ingestion loop: documents arrive as micro-batches; each
+The reference's analogue is the import drop-folder loop (documents
+arriving under /var/lib/aktin, reference src/docker/template.yml:51,
+with duplicate submissions handled by delete+re-insert); here upgraded
+to the 100 TB ingestion loop: documents arrive as micro-batches; each
 batch is deduped against the ENTIRE corpus kept so far (plus itself)
 via the incremental MinHash path — the stored corpus is only ever
 probed by a broadcast of the new batch's band hashes, never re-paired
