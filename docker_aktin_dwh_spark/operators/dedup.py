@@ -232,18 +232,27 @@ def incremental_minhash_pairs(corpus_sh: DataFrame, new_docs: DataFrame,
     never shuffles; the exact-Jaccard verification joins candidates
     (all keyed by a new-batch doc) against the shingle frames.
 
-    Returns (i, j, jac) with j always in the new batch and i < j.
+    Returns (i, j, jac) with j always in the new batch.  Candidate
+    membership, not raw id order, decides pairing: a corpus doc pairs
+    with a new doc regardless of their doc_id order (out-of-order
+    ingestion must not silently admit duplicates), while within the
+    batch the usual i < j rule applies.
     """
     new_sh = materialize(_shingle_hash_rows(new_docs))
+    corpus_sh = materialize(corpus_sh)  # feeds the union AND the band probe
     all_sh = materialize(corpus_sh.unionByName(new_sh))
-    all_bands = _band_rows(minhash_signatures_from(all_sh))
-    new_bands = _band_rows(minhash_signatures_from(new_sh))
-    cand = (all_bands.select(F.col("doc_id").alias("i"), "band", "bh")
-            .join(F.broadcast(new_bands.select(F.col("doc_id").alias("j"),
-                                               "band", "bh")),
-                  ["band", "bh"])
-            .filter(F.col("i") < F.col("j"))
-            .select("i", "j").distinct())
+    corpus_bands = _band_rows(minhash_signatures_from(corpus_sh))
+    new_bands = materialize(_band_rows(minhash_signatures_from(new_sh)))
+    new_b = F.broadcast(new_bands.select(F.col("doc_id").alias("j"),
+                                         "band", "bh"))
+    cand_corpus = (corpus_bands.select(F.col("doc_id").alias("i"), "band", "bh")
+                   .join(new_b, ["band", "bh"])
+                   .filter(F.col("i") != F.col("j")))
+    cand_within = (new_bands.select(F.col("doc_id").alias("i"), "band", "bh")
+                   .join(new_b, ["band", "bh"])
+                   .filter(F.col("i") < F.col("j")))
+    cand = (cand_corpus.select("i", "j")
+            .unionByName(cand_within.select("i", "j")).distinct())
     sizes_all = all_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sizes_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = all_sh.select(F.col("doc_id").alias("i"), "h")

@@ -106,14 +106,20 @@ def jn_02(spark, sf):
 
 
 def jn_03(spark, sf):
-    """Star join: revenue per region (minimum end-to-end slice, SURVEY §7.1)."""
+    """Star join: revenue per region (minimum end-to-end slice, SURVEY §7.1).
+
+    Broadcast hints only on the FIXED-cardinality dims (nation: 25 rows,
+    region: 5).  customer is a *growing* dimension (patients, in the
+    clinical mapping) — a forced broadcast OOMs at 100×; the size-gated
+    decision is left to the planner/AQE (autoBroadcastJoinThreshold),
+    which still broadcasts it at fixture scale (tests/test_plans.py)."""
     l = T(spark, sf, "lineitem")
     o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
     c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n = T(spark, sf, "nation").select("n_nationkey", "n_regionkey")
     r = T(spark, sf, "region").select("r_regionkey", "r_name")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
-             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
              .groupBy("r_name").agg(dsum("l_extendedprice").alias("rev"))

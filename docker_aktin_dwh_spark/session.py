@@ -8,6 +8,13 @@ reads as TIMESTAMP_NTZ and DuckDB reads as naive TIMESTAMP — identical
 wall-clock values in any session zone.  Display timezone is therefore a
 rendering concern only and is deliberately NOT baked into query results.
 
+The session timezone is additionally pinned to UTC: the few places that
+cast NTZ → TIMESTAMP to reach epoch functions (unix_timestamp /
+unix_micros in temporal.range_join and fn_dt2) would otherwise apply the
+ambient zone's offset, and around a DST transition the two sides of a
+range join could disagree by an hour.  UTC has no transitions, so the
+NTZ→TS cast is a pure reinterpretation everywhere.
+
 Scale posture (100 TB design point):
 - AQE on (runtime re-plan, skew-join splitting, auto broadcast).
 - shuffle partitions default 32 for local[32] tests; on a real cluster
@@ -42,6 +49,7 @@ def build_session(app_name: str = "docker-aktin-dwh-spark",
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce to the advisory partition size instead of maximizing
@@ -68,6 +76,7 @@ def apply_runtime_policy(spark: SparkSession) -> SparkSession:
     master) are left alone.
     """
     spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                    "false")

@@ -40,17 +40,28 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
                  ts_col: str = "start_date") -> None:
     """Replace all rows whose `key` appears in `batch`, insert the batch.
 
-    Reads only the partitions the batch touches, anti-joins the batch
-    keys out, unions the new rows, and dynamically overwrites just
-    those partitions.  The merged frame is materialized first:
-    overwriting a path that is also a lazy read source would otherwise
-    race the scan (a table format with MERGE does this atomically).
+    Touched partitions = the batch's months UNION the months where a
+    batch key's *existing* rows live (a corrected encounter may move to
+    a different month on re-import; its old rows must be deleted from
+    the partition they currently sit in, not the one the new rows land
+    in).  The key-location probe is a semi-join reading only (key,
+    partition) — column-pruned, and cheap relative to the rewrite.
+    Everything else anti-joins the batch keys out, unions the new rows,
+    and dynamically overwrites just the touched partitions.  The merged
+    frame is materialized first: overwriting a path that is also a lazy
+    read source would otherwise race the scan (a table format with
+    MERGE does this atomically).
     """
     b = with_partition(batch, ts_col)
-    months = [r[0] for r in b.select(PARTITION_COL).distinct().collect()]
-    existing = (spark.read.parquet(path)
-                .filter(F.col(PARTITION_COL).isin(months)))
     keys = b.select(key).distinct()
+    store = spark.read.parquet(path)
+    batch_months = {r[0] for r in b.select(PARTITION_COL).distinct().collect()}
+    moved_months = {r[0] for r in
+                    (store.select(key, PARTITION_COL)
+                          .join(F.broadcast(keys), key, "left_semi")
+                          .select(PARTITION_COL).distinct().collect())}
+    months = sorted(batch_months | moved_months)
+    existing = store.filter(F.col(PARTITION_COL).isin(months))
     kept = existing.join(F.broadcast(keys), key, "left_anti")
     merged = materialize(kept.unionByName(b.select(kept.columns)))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -4,16 +4,23 @@ The reference's analogue is the import drop-folder loop (documents
 arriving under /var/lib/aktin, reference src/docker/template.yml:51,
 with duplicate submissions handled by delete+re-insert); here upgraded
 to the 100 TB ingestion loop: documents arrive as micro-batches; each
-batch is deduped against the ENTIRE corpus kept so far (plus itself)
-via the incremental MinHash path — the stored corpus is only ever
+batch is deduped against everything SEEN so far (plus itself) via the
+incremental MinHash path — the seen-corpus band table is only ever
 probed by a broadcast of the new batch's band hashes, never re-paired
 or shuffled — and only survivors are appended to the store.
 
-Keep-first semantics: within the arriving stream, the earlier doc_id
-wins (batches are assumed to arrive in doc_id order, which is what an
-append-only ingest produces).  The batch-mode equivalent of the final
-store is therefore exactly `minhash_dedup_pairs(all_docs)`'s
-drop-the-larger-id rule — asserted in tests/test_streaming.py.
+Keep-first semantics match batch mode exactly: batch-mode
+``minhash_dedup_pairs`` drops doc j when ANY smaller-id doc i is a
+near-dup, even if i was itself dropped.  To reproduce that, the ingest
+keeps a side store of EVERY seen doc's shingle-hash rows (`store_path +
+"_shingles"`) and pairs each arriving batch against it — dropped docs
+still participate in pairing, they just never reach the survivor
+store.  At 100 TB the shingle/signature side store is exactly the
+persisted index an incremental pipeline maintains anyway.  Streamed
+keep-set == batch keep-set is asserted in tests/test_streaming.py,
+including chains where a dup's only smaller near-dup was itself
+dropped (batches assumed to arrive in doc_id order, which is what an
+append-only ingest produces).
 """
 
 from __future__ import annotations
@@ -33,19 +40,22 @@ def dedup_ingest(stream: DataFrame, store_path: str, checkpoint: str, *,
                  threshold: float = 0.7) -> StreamingQuery:
     """writeStream.foreachBatch: reject near-dups, append survivors."""
     spark = stream.sparkSession
+    shingle_store = store_path + "_shingles"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         import os
         batch = materialize(batch.select("doc_id", "lang", "text"))
-        if os.path.isdir(store_path):
-            corpus = spark.read.parquet(store_path)
-            pairs = incremental_minhash_pairs(
-                _shingle_hash_rows(corpus), batch, threshold)
+        batch_sh = materialize(_shingle_hash_rows(batch))
+        if os.path.isdir(shingle_store):
+            seen_sh = spark.read.parquet(shingle_store)
+            pairs = incremental_minhash_pairs(seen_sh, batch, threshold)
         else:
             pairs = minhash_dedup_pairs(batch, threshold)
         drop = pairs.select(F.col("j").alias("doc_id")).distinct()
         surv = batch.join(drop, "doc_id", "left_anti")
         surv.write.mode("append").parquet(store_path)
+        # ALL batch docs (survivors and dropped) join the pairing index
+        batch_sh.write.mode("append").parquet(shingle_store)
 
     return (stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint)

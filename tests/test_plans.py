@@ -20,9 +20,11 @@ def test_jn02_dimension_join_broadcasts(spark):
 
 
 def test_jn03_star_join_broadcasts_all_dims(spark):
+    """customer carries no explicit hint (growing dim — a forced
+    broadcast OOMs at 100×); the size-gated planner must still choose
+    broadcast for it at fixture scale, alongside the hinted
+    nation/region."""
     plan = plans.formatted_plan(relational.jn_03(spark, SF_SMOKE))
-    # customer/nation/region sides are broadcast; only the fact-side agg
-    # and the lineitem⋈orders join may shuffle
     assert plan.count("BroadcastHashJoin") >= 3
 
 

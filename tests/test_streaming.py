@@ -240,9 +240,10 @@ def test_str05_within_watermark_disorder_is_exact(spark, tmp_path):
 
 def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
     """Streaming incremental-dedup ingest: replay the documents table in
-    3 doc_id-ordered chunks; the final store must equal the batch
+    2 doc_id-ordered chunks; the final store must equal the batch
     keep-first dedup of the whole corpus (drop any doc with a >=0.7
-    near-dup of smaller doc_id)."""
+    near-dup of smaller doc_id).  Cross-batch chain semantics get their
+    own dedicated test below."""
     import shutil
 
     from conftest import SF_ORACLE
@@ -255,8 +256,7 @@ def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
     n = docs.count()
     watch = tmp_path / "docs_watch"
     watch.mkdir()
-    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
-                                  (2 * n // 3, n)]):
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         out = tmp_path / f"chunk{i}"
         part.coalesce(1).write.mode("overwrite").parquet(str(out))
@@ -277,3 +277,42 @@ def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
                           .select("doc_id").collect())
     assert streamed == expected
     assert len(streamed) < n  # the corpus really had near-dups to drop
+
+
+def test_dedup_ingest_chain_drops_via_dropped_doc(spark, tmp_path):
+    """Keep-first chain parity (the case the fixture replay can miss):
+    C's only smaller near-dup is B, and B was itself dropped as a
+    near-dup of A.  Batch mode drops both B and C; the streaming ingest
+    must too — dropped docs stay in the seen-shingle pairing index even
+    though they never reach the survivor store.
+
+    Constructed jaccards (30 tokens, 3-gram shingles): A~B 0.806,
+    B~C 0.806, A~C 0.647 — so C pairs ONLY with B at threshold 0.7."""
+    from docker_aktin_dwh_spark.streaming.dedup_ingest import (DOCS_DDL,
+                                                               dedup_ingest)
+
+    words = [f"w{i}" for i in range(30)]
+
+    def text(subs: dict[int, str]) -> str:
+        return " ".join(subs.get(i, w) for i, w in enumerate(words))
+
+    rows = [(0, "en", text({})),
+            (1, "en", text({5: "x5"})),
+            (2, "en", text({5: "x5", 15: "y15"}))]
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    for i, row in enumerate(rows):   # one doc per micro-batch
+        (spark.createDataFrame([row], DOCS_DDL).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp_path / f"c{i}")))
+        import shutil
+        for j, p in enumerate(sorted((tmp_path / f"c{i}").glob("*.parquet"))):
+            shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
+
+    store = str(tmp_path / "kept")
+    src = (spark.readStream.format("parquet").schema(DOCS_DDL)
+           .option("maxFilesPerTrigger", 1).load(str(watch)))
+    q = dedup_ingest(src, store, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    kept = sorted(r[0] for r in
+                  spark.read.parquet(store).select("doc_id").collect())
+    assert kept == [0]
