@@ -2,10 +2,15 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key.
+               extensions), one callable per key.  The first 50 keys
+               (registry.CORE50) cover every §2 row + the LLM extension
+               inside the driver's verification window (SURVEY.md §2.0);
+               fine-grained per-operator keys follow.
 oracle_sql() — DuckDB-equivalent SQL per key (omitted only for the
                genuinely non-SQL-expressible / approximate operators:
-               agg_03 approx distinct, ded_simhash, ann_lsh, mm_02).
+               agg_03 approx distinct, smp_02 seeded sample,
+               ded_simhash, ann_lsh, ann_ivf, mm_02/mm_03/mm_decode
+               stubbed codecs).
 """
 
 from __future__ import annotations

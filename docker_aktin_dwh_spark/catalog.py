@@ -64,6 +64,36 @@ def register_views(spark: SparkSession, sf_dir: str,
             df.createOrReplaceTempView(name)
 
 
+def run_sql_script(spark: SparkSession, script: str) -> DataFrame | None:
+    """SRC-02: execute a multi-statement SQL script, return the last
+    statement's frame — the Spark form of the reference's concatenated
+    init-SQL ingest (reference src/docker/database/Dockerfile:25-34:
+    *.sql files catted into the database image).  Statements split on
+    ';' outside single-quoted literals."""
+    out: DataFrame | None = None
+    for stmt in _split_sql(script):
+        out = spark.sql(stmt)
+    return out
+
+
+def _split_sql(script: str) -> list[str]:
+    stmts, buf, in_str = [], [], False
+    for ch in script:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
 # ---------------------------------------------------------------------------
 # Clinical star schema (FIXTURES.md §B) — i2b2crcdata analogue.
 #

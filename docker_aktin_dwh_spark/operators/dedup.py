@@ -9,14 +9,17 @@ ops with JVM-side hashing (xxhash64) — no Python in the per-row path:
                join → exact-Jaccard verification (ded_minhash)
 - SimHash      64-bit signature, 8×8-bit band blocking, Hamming ≤ k
                verification (ded_simhash)
-- embedding    cosine ≥ τ pair join over ArrayType(FloatType) (ded_embed)
+- embedding    EXACT cosine ≥ τ via blocked tile matmul, explicitly
+               capped corpus (ded_embed — the bounded baseline; LSH/IVF
+               in similarity.py are the unbounded-scale paths)
 
-Scale notes (100 TB): every strategy is shuffle-on-key (shingle, band
-hash, block byte) — never an all-pairs product.  The exact-verification
-joins touch only candidate pairs.  Band/row counts are chosen so a
-0.9-Jaccard pair is missed with probability < 1e-14 (32 bands of 4:
-(1 - 0.9^4)^32), which is what lets the MinHash path share the exact
-brute-force oracle.
+Scale notes (100 TB): every unbounded strategy is shuffle-on-key
+(shingle, band hash, block byte) — never an all-pairs product.  The
+exact-verification joins touch only candidate docs' rows.  Band/row
+counts are chosen so a 0.9-Jaccard pair is missed with probability
+< 1e-14 (32 bands of 4: (1 - 0.9^4)^32), and the signature-estimate
+prune keeps a ≥5σ margin — which is what lets the MinHash path share
+the exact brute-force oracle.
 """
 
 from __future__ import annotations
@@ -183,20 +186,71 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
              .select("i", "j").distinct())
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """LSH candidates, verified with exact Jaccard ≥ threshold.
+#: Signature-estimate prune margin: P(est < J - 0.2 | true J ≥ 0.7) at
+#: 128 permutations is a ≥5σ binomial tail (~5e-7 per pair) — same
+#: soundness budget as the 32×4 banding bound that lets the LSH path
+#: share the exact oracle.
+EST_MARGIN = 0.2
 
-    The shingle frame feeds three subtrees (signatures, both sides of
-    the verification join) and the banded frame feeds both sides of the
-    bucket self-join.  materialize() (eager barrier, see
-    functions/barrier.py) rather than persist(): within a single job
-    the join sides race, so a lazy cache would be populated twice
-    concurrently and reuse nothing."""
+
+def estimate_jaccard(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """(i, j, est): matching-minhash fraction per candidate pair —
+    an unbiased Jaccard estimate computed from the (already-built)
+    signatures, no shingle join."""
+    si = sig.select(F.col("doc_id").alias("i"), F.col("mh").alias("mh_i"))
+    sj = sig.select(F.col("doc_id").alias("j"), F.col("mh").alias("mh_j"))
+    eq = F.aggregate(
+        F.zip_with("mh_i", "mh_j",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    return (cand.join(si, "i").join(sj, "j")
+                .select("i", "j", (eq / F.lit(N_PERM)).alias("est")))
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float, *,
+                        prefilter: bool = True,
+                        prune_shingles: bool = True) -> DataFrame:
+    """LSH candidates → signature-estimate prune → exact Jaccard ≥
+    threshold on the survivors.
+
+    Two cost levers over the naive candidates→exact-verify chain:
+
+    1. signature-estimated Jaccard first: candidates whose estimate
+       falls below threshold − EST_MARGIN are discarded WITHOUT touching
+       the shingle frames (most LSH bucket collisions are far below the
+       threshold; the estimate is a zip_with over two in-row 128-long
+       arrays — no extra shuffle of anything big);
+    2. the exact-verify joins see only shingles of surviving candidate
+       docs: both shingle sides are semi-join-pruned by the candidate
+       id sets (broadcast — candidate counts are tiny next to the
+       corpus), so the (doc, h) shuffles move candidate docs' shingles,
+       not the corpus's.
+
+    The shingle frame feeds the signature build and the verification
+    join sides; materialize() (eager barrier, functions/barrier.py)
+    rather than persist(): within a single job the join sides race, so
+    a lazy cache would be populated twice concurrently and reuse
+    nothing."""
     sh = materialize(_shingle_hash_rows(docs))
-    cand = lsh_candidates(minhash_signatures_from(sh))
+    sig = materialize(minhash_signatures_from(sh)) if prefilter \
+        else minhash_signatures_from(sh)
+    cand = lsh_candidates(sig)
+    if prefilter:
+        cand = (estimate_jaccard(cand, sig)
+                .filter(F.col("est") >= threshold - EST_MARGIN)
+                .select("i", "j"))
+    if prune_shingles:
+        cand = materialize(cand)  # feeds the pair join AND both prune sides
+        ci = cand.select("i").distinct()
+        cj = cand.select("j").distinct()
+        a = (sh.join(F.broadcast(ci), sh.doc_id == ci.i, "left_semi")
+               .select(F.col("doc_id").alias("i"), "h"))
+        b = (sh.join(F.broadcast(cj), sh.doc_id == cj.j, "left_semi")
+               .select(F.col("doc_id").alias("j"), "h"))
+    else:
+        a = sh.select(F.col("doc_id").alias("i"), "h")
+        b = sh.select(F.col("doc_id").alias("j"), "h")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("i"), "h")
-    b = sh.select(F.col("doc_id").alias("j"), "h")
     inter = (cand.join(a, "i").join(b, ["j", "h"])
                  .groupBy("i", "j").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
@@ -338,37 +392,82 @@ def ded_simhash(spark, sf):
 
 # ------------------------------------------------------- embedding cosine
 
-def _cosine_udf():
-    # created lazily: pandas_udf parses its DDL return type against the
-    # active session, so a module-level definition breaks plain imports
-    @F.pandas_udf("double")
-    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.asarray(va.tolist(), dtype=np.float64)
-        b = np.asarray(vb.tolist(), dtype=np.float64)
-        dot = np.einsum("ij,ij->i", a, b)
-        na = np.sqrt(np.einsum("ij,ij->i", a, a))
-        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-        return pd.Series(dot / (na * nb))
-    return cos
+COSINE_BLOCK = 256          # vectors per tile of the blocked pair matmul
+COSINE_MAX_VECS = 200_000   # explicit cap of the exact baseline
 
 
 def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Pairwise cosine ≥ threshold over ArrayType(FloatType).
+    """EXACT pairwise cosine ≥ threshold as a blocked matrix product —
+    the bounded brute-force baseline, structured for a cluster.
 
-    The per-pair dot product is an Arrow-batched numpy einsum — a
-    higher-order-function fold is interpreted per element and was ~20×
-    slower over the pair blow-up.  float64 accumulation-order
+    Exact all-pairs is inherently O(n²); no LSH family buckets it at a
+    low threshold (τ = 0.4 sits ~3σ above the random-cosine background
+    in 64 dims, so any banding either misses true pairs or admits
+    nearly all pairs).  What CAN be fixed is the shape of the O(n²):
+
+    - vectors are grouped into ~COSINE_BLOCK-sized tiles (sorted
+      collect per block id);
+    - tile pairs (bi ≤ bj) are enumerated by EXPLODE of a sequence and
+      matched with an EQUI-join — the plan contains no row-level
+      cartesian and no BroadcastNestedLoopJoin (tests/test_plans.py);
+    - each tile pair computes all cross-cosines as ONE numpy float64
+      matmul inside mapInPandas (BLAS, ~100× the per-pair-UDF rate the
+      previous theta-join form managed).
+
+    The corpus size is capped at COSINE_MAX_VECS (explicit ValueError):
+    beyond that, exact-at-low-τ is not a sane query on any engine; the
+    declared scale path for genuine near-dup thresholds is the LSH /
+    IVF machinery in similarity.py.  float64 matmul accumulation
     differences vs a sequential fold sit ~1e-16, far below the 1e-4
-    rounding the declared query applies.  The pair join is the
-    brute-force baseline; the LSH-bucketed scale path lives in
-    similarity.py."""
+    rounding the declared query applies.
+    """
     e = emb.select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v"))
-    a = e.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
-    return (a.join(b, F.col("i") < F.col("j"))
-             .select("i", "j", _cosine_udf()("va", "vb").alias("cos"))
-             .filter(F.col("cos") >= threshold))
+    # control-plane bound (1 row, like the IVF centroid collect)
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    if max_id is None:
+        return emb.sparkSession.createDataFrame(
+            [], "i long, j long, cos double")
+    if max_id + 1 > COSINE_MAX_VECS:
+        raise ValueError(
+            f"exact cosine_pairs is capped at {COSINE_MAX_VECS} vectors "
+            "(bounded baseline); use similarity.ann_lsh_topk / ivf_topk "
+            "for large corpora")
+    n_blocks = int(max_id) // COSINE_BLOCK + 1
+    blocks = (e.withColumn("bid", F.floor(F.col("vec_id") / COSINE_BLOCK)
+                                   .cast("int"))
+               .groupBy("bid")
+               .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v")))
+                     .alias("vs")))
+    right = blocks.select(F.col("bid").alias("bj"), F.col("vs").alias("ws"))
+    pairs = (blocks.select(
+                "bid", "vs",
+                F.explode(F.sequence("bid", F.lit(n_blocks - 1))).alias("bj"))
+             .join(right, "bj"))
+
+    def emit(batches):
+        for pdf in batches:
+            out_i, out_j, out_c = [], [], []
+            for vs, ws, same in zip(pdf["vs"], pdf["ws"],
+                                    pdf["bid"] == pdf["bj"]):
+                ia = np.asarray([r["vec_id"] for r in vs], dtype=np.int64)
+                ib = np.asarray([r["vec_id"] for r in ws], dtype=np.int64)
+                ma = np.asarray([r["v"] for r in vs], dtype=np.float64)
+                mb = np.asarray([r["v"] for r in ws], dtype=np.float64)
+                na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+                nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                mask = cos >= threshold
+                if same:
+                    mask &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(mask)
+                out_i.extend(ia[r]); out_j.extend(ib[c])
+                out_c.extend(cos[r, c])
+            yield pd.DataFrame({"i": pd.Series(out_i, dtype="int64"),
+                                "j": pd.Series(out_j, dtype="int64"),
+                                "cos": pd.Series(out_c, dtype="float64")})
+
+    return pairs.mapInPandas(emit, "i long, j long, cos double")
 
 
 def ded_embed(spark, sf):

@@ -1,0 +1,225 @@
+"""Source/sink roundtrip keys — driver-checkable SRC/SNK evidence.
+
+The reference's ingest/export surfaces are file- and process-shaped
+(init SQL scripts concatenated into the database image, CDA XML REST
+imports, §21 CSV/ZIP drops, the broker poll loop — reference anchors in
+each docstring).  These keys drive each surface END TO END inside a
+declared query: generate the wire format from fixture rows, push it
+through the real source/sink code path, and return a frame whose DuckDB
+oracle is the *identity* derivation — so a hash match proves the format
+roundtrip lost nothing.
+
+SRC-01 (parquet scan) needs no key of its own: every registry key reads
+through catalog.load.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.determinism import sql_dsum
+from ..registry import QuerySpec
+from ..sources import p21_csv, upsert, xml_cda
+from ..streaming import broker
+
+T = catalog.load
+
+
+# -------------------------------------------------------- SRC-02: SQL script
+
+def src_02(spark, sf):
+    """SRC-02 SQL-script ingest: a multi-statement script (staging view +
+    aggregate select) executed through catalog.run_sql_script — the
+    Spark form of the reference's concatenated init SQL (reference
+    src/docker/database/Dockerfile:25-34)."""
+    T(spark, sf, "orders").createOrReplaceTempView("_src02_orders")
+    script = f"""
+        CREATE OR REPLACE TEMPORARY VIEW _src02_stage AS
+            SELECT o_orderstatus AS s, o_totalprice FROM _src02_orders;
+        SELECT s, count(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS rev
+        FROM _src02_stage GROUP BY s ORDER BY s
+    """
+    return catalog.run_sql_script(spark, script)
+
+
+_SRC_02_ORACLE = (
+    "SELECT o_orderstatus AS s, count(*) AS n, "
+    f"{sql_dsum('o_totalprice')} AS rev "
+    "FROM orders GROUP BY 1")
+
+
+# ------------------------------------------------------- SRC-03: XML/CDA shred
+
+def src_03(spark, sf):
+    """SRC-03 CDA-XML roundtrip: render fact rows to encounter XML
+    documents (JVM string assembly, one doc per encounter), shred them
+    back through sources/xml_cda.shred_xml (Arrow-batched mapInPandas —
+    the real parse path), return the recovered facts.  Oracle = the
+    identity selection; a hash match proves parse fidelity (reference
+    ingests one CDA per ED encounter, src/build.sh:260)."""
+    fact = (catalog.observation_fact(spark, sf)
+            .filter(F.col("encounter_num") < 300))
+    val = F.when(F.col("valtype_cd") == "N",
+                 F.col("nval_num").cast("string")) \
+           .otherwise(F.col("tval_char"))
+    frag = F.concat(
+        F.lit('<obs code="'), F.col("concept_cd"),
+        F.lit('" ts="'), F.date_format("start_date", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit('" valtype="'), F.col("valtype_cd"),
+        F.lit('" value="'), val, F.lit('" unit="1"/>'))
+    docs = (fact.select("encounter_num", "patient_num", frag.alias("frag"))
+            .groupBy("encounter_num", "patient_num")
+            .agg(F.concat_ws("", F.array_sort(F.collect_list("frag")))
+                  .alias("body"))
+            .select(F.concat(F.lit('<encounter id="E'), "encounter_num",
+                             F.lit('" patient="P'), "patient_num",
+                             F.lit('">'), "body",
+                             F.lit("</encounter>")).alias("value")))
+    return (xml_cda.shred_xml(docs)
+            .select("encounter_num", "patient_num", "concept_cd",
+                    "start_date", "valtype_cd", "tval_char", "nval_num")
+            .orderBy("encounter_num", "concept_cd", "start_date", "nval_num"))
+
+
+def _src_03_oracle() -> str:
+    ct = catalog.clinical_with_clause(("observation_fact",))
+    return ct + """
+SELECT encounter_num, patient_num, concept_cd,
+       CAST(start_date AS TIMESTAMP) AS start_date, valtype_cd, tval_char,
+       CAST(nval_num AS DOUBLE) AS nval_num
+FROM observation_fact WHERE encounter_num < 300
+"""
+
+
+# ---------------------------------------------------- SRC-04: P21 CSV import
+
+def src_04(spark, sf):
+    """SRC-04 §21 CSV roundtrip: render fixture rows to semicolon-CSV
+    lines, parse them with from_csv under the explicit P21 schema (JVM
+    CSV parser — same schema/options as sources/p21_csv.read_p21; the
+    zip column MUST stay a leading-zero string, update01 parity,
+    reference src/docker/database/Dockerfile:31), normalize via
+    p21_to_visits.  Oracle = identity derivation."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    ts = "yyyy-MM-dd'T'HH:mm:ss"
+    line = F.concat_ws(
+        ";",
+        "o_orderkey",
+        F.date_format("o_orderdate", ts),
+        F.date_format(
+            F.col("o_orderdate")
+            + F.expr("make_interval(0,0,0,0, 4 + cast(o_orderkey % 20 as int), 0, 0)"),
+            ts),
+        F.lpad((F.col("o_orderkey") % 99999).cast("string"), 5, "0"),
+        (F.col("o_orderkey") % 90).cast("string"))
+    parsed = (o.select(line.alias("line"))
+              .select(F.from_csv("line", p21_csv.P21_SCHEMA,
+                                 {"sep": ";", "timestampNTZFormat": ts})
+                       .alias("r"))
+              .select("r.*"))
+    return p21_csv.p21_to_visits(parsed).orderBy("encounter_num")
+
+
+_SRC_04_ORACLE = """
+SELECT o_orderkey AS encounter_num,
+       CAST(o_orderdate AS TIMESTAMP) AS start_date,
+       CAST(o_orderdate AS TIMESTAMP)
+           + INTERVAL 1 HOUR * (4 + CAST(o_orderkey % 20 AS INT)) AS end_date,
+       lpad(CAST(o_orderkey % 99999 AS STRING), 5, '0') AS zip_cd,
+       CAST(o_orderkey % 90 AS INT) AS age,
+       CAST(4 + o_orderkey % 20 AS DOUBLE) AS los_hours
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+# ------------------------------------------------------- SNK-01/STR-09 upsert
+
+def ups_01(spark, sf):
+    """SNK-01 + STR-09: delete+insert-by-encounter upsert through the
+    month-partitioned parquet store (sources/upsert.merge_upsert — the
+    same merge foreachBatch ingestion uses, streaming/ingest.py).  The
+    batch moves encounters' start_date by +40 days, deliberately across
+    month partitions (the cross-month correction case).  Oracle = the
+    delete+insert semantics in SQL (reference re-import semantics:
+    aktin_init.sql, src/docker/database/Dockerfile:33)."""
+    base = (catalog.visit_dimension(spark, sf)
+            .filter(F.col("encounter_num") < 400)
+            .select("encounter_num", "patient_num", "start_date", "inout_cd"))
+    path = tempfile.mkdtemp(prefix="spark_ups01_") + "/store"
+    upsert.write_initial(base, path)
+    batch = (base.filter((F.col("encounter_num") >= 100)
+                         & (F.col("encounter_num") < 200))
+             .select("encounter_num", "patient_num",
+                     (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                      .alias("start_date"),
+                     F.lit("U").alias("inout_cd")))
+    upsert.merge_upsert(spark, path, batch)
+    return (spark.read.parquet(path)
+            .select("encounter_num", "patient_num", "start_date", "inout_cd")
+            .orderBy("encounter_num"))
+
+
+def _ups_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+base AS (SELECT encounter_num, patient_num, start_date, inout_cd
+         FROM visit_dimension WHERE encounter_num < 400),
+batch AS (SELECT encounter_num, patient_num,
+                 start_date + INTERVAL 40 DAY AS start_date,
+                 'U' AS inout_cd
+          FROM base WHERE encounter_num >= 100 AND encounter_num < 200)
+SELECT * FROM base
+WHERE encounter_num NOT IN (SELECT encounter_num FROM batch)
+UNION ALL SELECT * FROM batch
+"""
+
+
+# ------------------------------------------------- SRC-05/SNK-03: broker loop
+
+def brk_01(spark, sf):
+    """SRC-05 + SNK-03: one full broker tick — drop a JSON request into
+    the streamed inbox, poll_once executes the requested registry query
+    and exports the result file (streaming/broker.py), then read the
+    export back.  Oracle = the executed query's own oracle (agg_01), so
+    a hash match certifies the request→execute→export path end to end
+    (reference polls the AKTIN broker every PT1M, src/build.sh:255-256)."""
+    base = tempfile.mkdtemp(prefix="spark_brk01_")
+    inbox, outbox = f"{base}/inbox", f"{base}/outbox"
+    broker.submit_request(inbox, "req1", "agg_01", sf)
+    statuses = broker.poll_once(spark, inbox, outbox)
+    assert statuses and statuses[0]["state"] == "completed", statuses
+    out = spark.read.option("multiLine", "true").json(f"{outbox}/req1.json")
+    return (out.select("o_orderstatus", F.col("n").cast("long").alias("n"))
+               .orderBy("o_orderstatus"))
+
+
+_BRK_01_ORACLE = ("SELECT o_orderstatus, count(*) AS n FROM orders "
+                  "GROUP BY o_orderstatus")
+
+
+_DOCS = {
+    "src_02": "SRC-02 SQL-script ingest (multi-statement run_sql_script)",
+    "src_03": "SRC-03 CDA-XML shred roundtrip (mapInPandas parse)",
+    "src_04": "SRC-04 P21 semicolon-CSV parse roundtrip (zip stays string)",
+    "ups_01": "SNK-01/STR-09 cross-month upsert roundtrip (partitioned store)",
+    "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
+}
+
+
+def specs() -> list[QuerySpec]:
+    oracles = {
+        "src_02": _SRC_02_ORACLE,
+        "src_03": _src_03_oracle(),
+        "src_04": _SRC_04_ORACLE,
+        "ups_01": _ups_01_oracle(),
+        "brk_01": _BRK_01_ORACLE,
+    }
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
+                      tags=("roundtrip",))
+            for k, d in _DOCS.items()]

@@ -25,6 +25,8 @@ Scale posture (100 TB design point):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -65,7 +67,9 @@ def build_session(app_name: str = "docker-aktin-dwh-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def apply_runtime_policy(spark: SparkSession) -> SparkSession:
@@ -81,4 +85,36 @@ def apply_runtime_policy(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                    "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Module-level Arrow-UDF functions (xml_cda.shred_xml, the multimodal
+    stubs) are cloudpickled BY REFERENCE, so every worker must be able
+    to import docker_aktin_dwh_spark.  When the engine owns the process
+    that holds via PYTHONPATH/cwd, but the correctness driver may import
+    us from an arbitrary cwd with only driver-side sys.path pointing at
+    the repo — local-mode workers inherit the JVM env, not driver
+    sys.path, and fail with ModuleNotFoundError.  addPyFile is the
+    standard Spark deployment path (workers prepend SparkFiles root to
+    sys.path) and equally covers a real multi-node cluster."""
+    sc = spark.sparkContext
+    if sc is None or getattr(sc, "_aktin_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="aktin_pyfiles_"),
+                         "docker_aktin_dwh_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    rel = os.path.join(
+                        "docker_aktin_dwh_spark",
+                        os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._aktin_pkg_shipped = True
