@@ -121,39 +121,44 @@ def ded_ngram(spark, sf):
 
 # ------------------------------------------------------------- MinHash + LSH
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh: array<long> of N_PERM) — min over shingles of the
-    permuted 31-bit shingle hash."""
-    return minhash_signatures_from(_shingle_hash_rows(docs))
+def doc_minhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<long>, mh: array<long> of N_PERM) — ONE row
+    per doc carrying both the distinct 64-bit shingle hashes and the
+    MinHash signature, built in a single pass (shingle explode →
+    collect_list hash agg → one Arrow numpy batch for all 128
+    permutations; 128 separate min() aggregate buffers cost ~3× more
+    in codegen'd evaluation, and minimum.reduceat measured 15× slower
+    than the per-doc min(axis=0) broadcast).
 
-
-def minhash_signatures_from(sh: DataFrame) -> DataFrame:
-    """Signatures from (doc_id, h) shingle-hash rows.
-
-    Hashes reduce JVM-side to one array per doc (collect_list in a
-    single hash agg), then all 128 permutations evaluate in one
-    Arrow-batched numpy broadcast per doc batch — 128 separate min()
-    aggregate buffers cost ~3× more in codegen'd evaluation."""
-    x = F.pmod("h", F.lit(MERSENNE31))
-    per_doc = (sh.select("doc_id", x.alias("x"))
-                 .groupBy("doc_id").agg(F.collect_list("x").alias("xs")))
+    This frame is the whole dedup working set: banding and the
+    signature-estimate read `mh`, exact-Jaccard verification reads
+    `hs` via array_intersect — so candidate verification never
+    re-shuffles shingle rows, it just probes this frame by doc_id
+    (broadcast-hash when the candidate set is small, which LSH + the
+    estimate prune keep it).  At 100 TB this row layout IS the
+    persisted signature index an incremental pipeline maintains
+    (see streaming/dedup_ingest.py)."""
+    per_doc = (_shingle_hash_rows(docs)
+               .groupBy("doc_id").agg(F.collect_list("h").alias("hs")))
 
     a = np.array(_PERM_A, dtype=np.int64)
     b = np.array(_PERM_B, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
-    def mh(xs: pd.Series) -> pd.Series:
-        # per-doc numpy broadcast; a segmented-min (minimum.reduceat)
-        # formulation measured 15× slower — reduceat is a generic
-        # non-SIMD loop, while this per-doc min(axis=0) is vectorized
+    def mh(hs: pd.Series) -> pd.Series:
         out = []
-        for v in xs:
-            x = np.asarray(v, dtype=np.int64)[:, None]        # n × 1
-            # int64 overflow-safe: a < 2^31, x < 2^31 → a*x < 2^62
-            out.append((a * x + b) % MERSENNE31)              # n × 128
-        return pd.Series([m.min(axis=0) for m in out])
+        for v in hs:
+            # 31-bit fold of the 64-bit hash (numpy % matches pmod:
+            # non-negative for positive modulus), then all 128
+            # permutations in one broadcast.  int64 overflow-safe:
+            # a < 2^31, x < 2^31 → a*x < 2^62.
+            x = (np.asarray(v, dtype=np.int64) % MERSENNE31)[:, None]
+            out.append(((a * x + b) % MERSENNE31).min(axis=0))
+        return pd.Series(out)
 
-    return per_doc.select("doc_id", mh("xs").alias("mh"))
+    return per_doc.select("doc_id", "hs", mh("hs").alias("mh"))
+
+MINHASH_INDEX_DDL = "doc_id bigint, hs array<bigint>, mh array<bigint>"
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
@@ -173,12 +178,17 @@ def _band_rows(sig: DataFrame) -> DataFrame:
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
     """Band the (doc_id, mh array) signature and bucket-join: candidate
-    pairs (i, j)."""
-    # eager barrier AFTER banding: A/B-measured ~15% faster than
-    # checkpointing the compact signature frame and re-deriving the
-    # banding on both self-join sides — the 32-struct build + explode
-    # per row costs more than materializing the 32×-larger band frame
-    banded = materialize(_band_rows(sig))
+    pairs (i, j).
+
+    ``sig`` must already be materialized (minhash_dedup_pairs
+    checkpoints the per-doc frame): the two self-join sides then
+    re-derive the banding lazily from the checkpoint — A/B-measured
+    faster and lower-variance than a second barrier on the 32×-larger
+    band frame (one fewer job, no extra executor storage; the
+    re-derived banding is pure codegen over checkpointed rows).  A
+    bucket-collect formulation (groupBy band → collect ids → explode
+    in-bucket pairs) measured slower (interpreted HOF pair explode)."""
+    banded = _band_rows(sig)
     a = banded.select(F.col("doc_id").alias("i"), "band", "bh")
     b = banded.select(F.col("doc_id").alias("j"), "band", "bh")
     return (a.join(b, ["band", "bh"])
@@ -193,73 +203,52 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 EST_MARGIN = 0.2
 
 
-def estimate_jaccard(cand: DataFrame, sig: DataFrame) -> DataFrame:
-    """(i, j, est): matching-minhash fraction per candidate pair —
-    an unbiased Jaccard estimate computed from the (already-built)
-    signatures, no shingle join."""
-    si = sig.select(F.col("doc_id").alias("i"), F.col("mh").alias("mh_i"))
-    sj = sig.select(F.col("doc_id").alias("j"), F.col("mh").alias("mh_j"))
+def _sig_est() -> "F.Column":
+    """Matching-minhash fraction of (mh_i, mh_j) — an unbiased Jaccard
+    estimate evaluated in-row, no extra join or shuffle."""
     eq = F.aggregate(
         F.zip_with("mh_i", "mh_j",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, x: acc + x)
-    return (cand.join(si, "i").join(sj, "j")
-                .select("i", "j", (eq / F.lit(N_PERM)).alias("est")))
+    return eq / F.lit(N_PERM)
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float, *,
-                        prefilter: bool = True,
-                        prune_shingles: bool = True) -> DataFrame:
+def _exact_jac() -> "F.Column":
+    """Exact Jaccard of the 64-bit shingle-hash sets (hs_i, hs_j) via
+    array_intersect — O(|hs_i| + |hs_j|) hash intersect per pair."""
+    inter = F.size(F.array_intersect("hs_i", "hs_j"))
+    return (inter.cast("double")
+            / (F.size("hs_i") + F.size("hs_j") - inter))
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """LSH candidates → signature-estimate prune → exact Jaccard ≥
-    threshold on the survivors.
+    threshold, all verification data carried on the per-doc frame.
 
-    Two cost levers over the naive candidates→exact-verify chain:
-
-    1. signature-estimated Jaccard first: candidates whose estimate
-       falls below threshold − EST_MARGIN are discarded WITHOUT touching
-       the shingle frames (most LSH bucket collisions are far below the
-       threshold; the estimate is a zip_with over two in-row 128-long
-       arrays — no extra shuffle of anything big);
-    2. the exact-verify joins see only shingles of surviving candidate
-       docs: both shingle sides are semi-join-pruned by the candidate
-       id sets (broadcast — candidate counts are tiny next to the
-       corpus), so the (doc, h) shuffles move candidate docs' shingles,
-       not the corpus's.
-
-    The shingle frame feeds the signature build and the verification
-    join sides; materialize() (eager barrier, functions/barrier.py)
-    rather than persist(): within a single job the join sides race, so
-    a lazy cache would be populated twice concurrently and reuse
-    nothing."""
-    sh = materialize(_shingle_hash_rows(docs))
-    sig = materialize(minhash_signatures_from(sh)) if prefilter \
-        else minhash_signatures_from(sh)
-    cand = lsh_candidates(sig)
-    if prefilter:
-        cand = (estimate_jaccard(cand, sig)
-                .filter(F.col("est") >= threshold - EST_MARGIN)
-                .select("i", "j"))
-    if prune_shingles:
-        cand = materialize(cand)  # feeds the pair join AND both prune sides
-        ci = cand.select("i").distinct()
-        cj = cand.select("j").distinct()
-        a = (sh.join(F.broadcast(ci), sh.doc_id == ci.i, "left_semi")
-               .select(F.col("doc_id").alias("i"), "h"))
-        b = (sh.join(F.broadcast(cj), sh.doc_id == cj.j, "left_semi")
-               .select(F.col("doc_id").alias("j"), "h"))
-    else:
-        a = sh.select(F.col("doc_id").alias("i"), "h")
-        b = sh.select(F.col("doc_id").alias("j"), "h")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (cand.join(a, "i").join(b, ["j", "h"])
-                 .groupBy("i", "j").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("j"), F.col("sz").alias("nb"))
-    jac = (F.col("inter").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("inter")))
-    return (inter.join(sa, "i").join(sb, "j")
-                 .select("i", "j", jac.alias("jac"))
-                 .filter(F.col("jac") >= threshold))
+    Cost shape (both at sf0.1 and at 100 TB):
+    - ONE corpus pass builds (doc_id, hs, mh) — doc_minhash_frame;
+      materialize() (eager barrier, functions/barrier.py) rather than
+      persist() because the banding self-join sides race within one
+      job and a lazy cache would compute the subtree twice;
+    - candidates come from the banded self-join (shuffle on 8-byte
+      band hash, never doc×doc);
+    - verification joins candidates back to the per-doc frame by id
+      (AQE broadcasts the candidate side — it is tiny next to the
+      corpus), applies the in-row signature estimate first (discards
+      the far-below-threshold bucket collisions without touching hs),
+      then exact-verifies survivors with array_intersect.  The corpus
+      frame is probed, never reshuffled.
+    """
+    per_doc = materialize(doc_minhash_frame(docs))
+    cand = lsh_candidates(per_doc)
+    si = per_doc.select(F.col("doc_id").alias("i"),
+                        F.col("hs").alias("hs_i"), F.col("mh").alias("mh_i"))
+    sj = per_doc.select(F.col("doc_id").alias("j"),
+                        F.col("hs").alias("hs_j"), F.col("mh").alias("mh_j"))
+    return (cand.join(si, "i").join(sj, "j")
+                .filter(_sig_est() >= threshold - EST_MARGIN)
+                .select("i", "j", _exact_jac().alias("jac"))
+                .filter(F.col("jac") >= threshold))
 
 
 def ded_minhash(spark, sf):
@@ -271,34 +260,43 @@ def ded_minhash(spark, sf):
 
 # ------------------------------------------------------ incremental MinHash
 
-def incremental_minhash_pairs(corpus_sh: DataFrame, new_docs: DataFrame,
+def incremental_minhash_pairs(corpus_index: DataFrame, new_docs: DataFrame,
                               threshold: float) -> DataFrame:
-    """Near-dup pairs of a NEW batch against a stored corpus (plus
+    """Near-dup pairs of a NEW batch against a stored corpus index (plus
     within-batch pairs) — the ingestion shape: each arriving batch is
-    deduped against everything already kept WITHOUT re-pairing the
-    corpus against itself.
+    deduped against everything already seen WITHOUT re-pairing or
+    re-hashing the corpus.
 
-    ``corpus_sh`` is the stored corpus's (doc_id, h) shingle-hash rows
-    (at 100 TB a persisted table, alongside persisted signatures —
-    derived here because the fixtures have no signature store).  The
-    scale asymmetry: the corpus band table is only ever probed by a
-    *broadcast* of the small new batch's band hashes, so the corpus
-    never shuffles; the exact-Jaccard verification joins candidates
-    (all keyed by a new-batch doc) against the shingle frames.
+    ``corpus_index`` is the persisted per-doc signature index
+    (MINHASH_INDEX_DDL: doc_id, hs, mh — what doc_minhash_frame
+    produces and streaming/dedup_ingest.py maintains).  The scale
+    asymmetry: the corpus index is only ever (a) band-exploded and
+    probed by a *broadcast* of the small new batch's band hashes and
+    (b) probed by id for the candidates' hs/mh — the corpus never
+    shuffles and its signatures are never recomputed.
 
     Returns (i, j, jac) with j always in the new batch.  Candidate
     membership, not raw id order, decides pairing: a corpus doc pairs
     with a new doc regardless of their doc_id order (out-of-order
     ingestion must not silently admit duplicates), while within the
-    batch the usual i < j rule applies.
+    batch the usual i < j rule applies.  Assumes corpus and batch
+    doc_ids are disjoint (the ingest appends each batch's index rows
+    only after pairing).
     """
-    new_sh = materialize(_shingle_hash_rows(new_docs))
-    corpus_sh = materialize(corpus_sh)  # feeds the union AND the band probe
-    all_sh = materialize(corpus_sh.unionByName(new_sh))
-    corpus_bands = _band_rows(minhash_signatures_from(corpus_sh))
-    new_bands = materialize(_band_rows(minhash_signatures_from(new_sh)))
+    return incremental_minhash_pairs_from(
+        corpus_index, materialize(doc_minhash_frame(new_docs)), threshold)
+
+
+def incremental_minhash_pairs_from(corpus_index: DataFrame,
+                                   new_index: DataFrame,
+                                   threshold: float) -> DataFrame:
+    """incremental_minhash_pairs with the new batch's per-doc index
+    already built (dedup_ingest builds it once per micro-batch and
+    reuses it for pairing AND the index-store append)."""
+    new_bands = materialize(_band_rows(new_index))
     new_b = F.broadcast(new_bands.select(F.col("doc_id").alias("j"),
                                          "band", "bh"))
+    corpus_bands = _band_rows(corpus_index)
     cand_corpus = (corpus_bands.select(F.col("doc_id").alias("i"), "band", "bh")
                    .join(new_b, ["band", "bh"])
                    .filter(F.col("i") != F.col("j")))
@@ -307,19 +305,19 @@ def incremental_minhash_pairs(corpus_sh: DataFrame, new_docs: DataFrame,
                    .filter(F.col("i") < F.col("j")))
     cand = (cand_corpus.select("i", "j")
             .unionByName(cand_within.select("i", "j")).distinct())
-    sizes_all = all_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sizes_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = all_sh.select(F.col("doc_id").alias("i"), "h")
-    b = new_sh.select(F.col("doc_id").alias("j"), "h")
-    inter = (cand.join(a, "i").join(b, ["j", "h"])
-                 .groupBy("i", "j").agg(F.count("*").alias("inter")))
-    sa = sizes_all.select(F.col("doc_id").alias("i"), F.col("sz").alias("na"))
-    sb = sizes_new.select(F.col("doc_id").alias("j"), F.col("sz").alias("nb"))
-    jac = (F.col("inter").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("inter")))
-    return (inter.join(sa, "i").join(sb, "j")
-                 .select("i", "j", jac.alias("jac"))
-                 .filter(F.col("jac") >= threshold))
+    all_index = corpus_index.unionByName(new_index)
+    si = all_index.select(F.col("doc_id").alias("i"),
+                          F.col("hs").alias("hs_i"), F.col("mh").alias("mh_i"))
+    sj = new_index.select(F.col("doc_id").alias("j"),
+                          F.col("hs").alias("hs_j"), F.col("mh").alias("mh_j"))
+    return (cand.join(si, "i").join(sj, "j")
+                .filter(_sig_est() >= threshold - EST_MARGIN)
+                .select("i", "j", _exact_jac().alias("jac"))
+                .filter(F.col("jac") >= threshold))
+
+
+def empty_minhash_index(spark) -> DataFrame:
+    return spark.createDataFrame([], MINHASH_INDEX_DDL)
 
 
 NEW_BATCH_START = 400  # declared-query split: doc_id >= 400 is "new"
@@ -329,7 +327,9 @@ def ded_incr(spark, sf):
     d = T(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") < NEW_BATCH_START)
     new = d.filter(F.col("doc_id") >= NEW_BATCH_START)
-    return (incremental_minhash_pairs(_shingle_hash_rows(corpus), new,
+    # the fixtures have no persisted index, so the corpus index is
+    # derived here; in the ingest loop it is read from the store
+    return (incremental_minhash_pairs(doc_minhash_frame(corpus), new,
                                       JACCARD_THRESHOLD)
             .select("i", "j", F.round("jac", 3).alias("jac"))
             .orderBy("i", "j"))

@@ -12,14 +12,18 @@ or shuffled — and only survivors are appended to the store.
 Keep-first semantics match batch mode exactly: batch-mode
 ``minhash_dedup_pairs`` drops doc j when ANY smaller-id doc i is a
 near-dup, even if i was itself dropped.  To reproduce that, the ingest
-keeps a side store of EVERY seen doc's shingle-hash rows (`store_path +
-"_shingles"`) and pairs each arriving batch against it — dropped docs
-still participate in pairing, they just never reach the survivor
-store.  At 100 TB the shingle/signature side store is exactly the
-persisted index an incremental pipeline maintains anyway.  Streamed
-keep-set == batch keep-set is asserted in tests/test_streaming.py,
-including chains where a dup's only smaller near-dup was itself
-dropped (batches assumed to arrive in doc_id order, which is what an
+keeps a side store of EVERY seen doc's per-doc signature index row
+(`store_path + "_minhash_index"`, schema MINHASH_INDEX_DDL: doc_id +
+distinct shingle hashes + MinHash signature) and pairs each arriving
+batch against it — dropped docs still participate in pairing, they
+just never reach the survivor store.  At 100 TB this side store is
+exactly the persisted signature index an incremental pipeline
+maintains anyway, and storing signatures (not raw shingle rows) means
+a batch's arrival costs one banding pass over the stored `mh` column
+— the corpus is never re-shingled or re-hashed.  Streamed keep-set ==
+batch keep-set is asserted in tests/test_streaming.py, including
+chains where a dup's only smaller near-dup was itself dropped
+(batches assumed to arrive in doc_id order, which is what an
 append-only ingest produces).
 """
 
@@ -30,8 +34,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.barrier import materialize
-from ..operators.dedup import (_shingle_hash_rows, incremental_minhash_pairs,
-                               minhash_dedup_pairs)
+from ..operators.dedup import (MINHASH_INDEX_DDL, doc_minhash_frame,
+                               empty_minhash_index,
+                               incremental_minhash_pairs_from)
 
 DOCS_DDL = "doc_id bigint, lang string, text string"
 
@@ -40,22 +45,22 @@ def dedup_ingest(stream: DataFrame, store_path: str, checkpoint: str, *,
                  threshold: float = 0.7) -> StreamingQuery:
     """writeStream.foreachBatch: reject near-dups, append survivors."""
     spark = stream.sparkSession
-    shingle_store = store_path + "_shingles"
+    index_store = store_path + "_minhash_index"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         import os
         batch = materialize(batch.select("doc_id", "lang", "text"))
-        batch_sh = materialize(_shingle_hash_rows(batch))
-        if os.path.isdir(shingle_store):
-            seen_sh = spark.read.parquet(shingle_store)
-            pairs = incremental_minhash_pairs(seen_sh, batch, threshold)
+        batch_index = materialize(doc_minhash_frame(batch))
+        if os.path.isdir(index_store):
+            seen = spark.read.schema(MINHASH_INDEX_DDL).parquet(index_store)
         else:
-            pairs = minhash_dedup_pairs(batch, threshold)
+            seen = empty_minhash_index(spark)
+        pairs = incremental_minhash_pairs_from(seen, batch_index, threshold)
         drop = pairs.select(F.col("j").alias("doc_id")).distinct()
         surv = batch.join(drop, "doc_id", "left_anti")
         surv.write.mode("append").parquet(store_path)
         # ALL batch docs (survivors and dropped) join the pairing index
-        batch_sh.write.mode("append").parquet(shingle_store)
+        batch_index.write.mode("append").parquet(index_store)
 
     return (stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint)
