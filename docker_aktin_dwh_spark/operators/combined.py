@@ -448,6 +448,35 @@ def _str_tw_oracle() -> str:
             f"UNION ALL\nSELECT 'slide' AS kind, ws, n FROM ({O['str_03']})")
 
 
+def str_sd(spark, sf):
+    """STR-04 session windows + STR-06 streaming dedup as one tagged
+    union (batch forms; streaming forms in streaming/windows.py with
+    replay equivalence in tests/test_streaming.py).  Branches reuse
+    str_04/str_06 verbatim — folded to free CORE50 slots for the
+    streaming-native str_01/str_05 keys (operators/streamnative.py)."""
+    R = relational
+    out = _tag(R.str_04(spark, sf), "sess",
+               F.concat_ws("|", "user_id", "sess_seq",
+                           F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss"),
+                           "n_events"))
+    out = out.unionByName(_tag(R.str_06(spark, sf), "dedup",
+                               F.concat_ws("|", "user_id", "event_type",
+                                           "event_id")))
+    return out.orderBy("tag", "v")
+
+
+def _str_sd_oracle() -> str:
+    O = relational._ORACLES
+    sess_v = ("CAST(user_id AS STRING) || '|' || CAST(sess_seq AS STRING) "
+              "|| '|' || strftime(sess_start, '%Y-%m-%d %H:%M:%S') "
+              "|| '|' || CAST(n_events AS STRING)")
+    ded_v = ("CAST(user_id AS STRING) || '|' || event_type || '|' || "
+             "CAST(event_id AS STRING)")
+    return (f"SELECT 'sess' AS tag, {sess_v} AS v FROM ({O['str_04']})\n"
+            f"UNION ALL\nSELECT 'dedup' AS tag, {ded_v} AS v "
+            f"FROM ({O['str_06']})")
+
+
 def str_08(spark, sf):
     """STR-08 batch equivalent: stream–static broadcast enrich (events ⋈
     event-class dimension) then rollup — the streaming form is
@@ -692,6 +721,7 @@ _DOCS = {
     "fn_ord": "FN-COND/DT/HASH + PRJ-02 projection (orders)",
     "fn_ev": "FN-DT2/MAP/JSON projection (events)",
     "str_tw": "STR-02/03 tumbling + sliding window counts (batch form)",
+    "str_sd": "STR-04 session + STR-06 dedup tagged union (batch form)",
     "str_08": "STR-08 stream–static broadcast enrich (batch form)",
     "coh_panel": "Cohort panel AND/OR/NOT (coh_01..03)",
     "coh_enc": "Cohort same-encounter + value/date-by-sex (coh_04/05)",
@@ -714,6 +744,7 @@ def specs() -> list[QuerySpec]:
         "fn_ord": _FN_ORD_ORACLE,
         "fn_ev": _FN_EV_ORACLE,
         "str_tw": _str_tw_oracle(),
+        "str_sd": _str_sd_oracle(),
         "str_08": _STR_08_ORACLE,
         "coh_panel": _coh_panel_oracle(),
         "coh_enc": _coh_enc_oracle(),

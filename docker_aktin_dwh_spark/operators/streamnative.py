@@ -1,0 +1,193 @@
+"""Streaming-native declared keys — STR-01 / STR-05 (+STR-08) with REAL
+Structured Streaming execution inside the driver's correctness window.
+
+The batch-form keys (str_tw/str_sd/str_07/str_08 in combined.py and
+relational.py) certify the *semantics* of each §2.8 row; these two keys
+certify the *streaming machinery itself*: each callable spills the
+events fixture into a watch directory as chronologically-ordered chunk
+files, runs a genuine ``readStream`` query over them with
+``maxFilesPerTrigger=1`` (so the replay is multi-micro-batch, not one
+big batch) under ``trigger(availableNow=True)``, appends to a parquet
+sink through a checkpoint, and returns the sink read back — so the
+DuckDB oracle hash certifies what the streaming runtime actually wrote.
+
+Reference anchors: the reference's continuous surfaces are the
+/var/lib/aktin file-drop import volume (src/docker/template.yml:51) and
+the PT1M broker poll loop (src/build.sh:255-256); STR-01/STR-05 are
+their Structured Streaming upgrades per SURVEY.md §2.8.
+
+Scale notes (100 TB posture):
+- The file source lists incrementally and checkpoints consumed files —
+  the same code runs against a cloud-storage landing zone; chunk count
+  here is a fixture detail, not a design bound.
+- str_05's state is bounded by the watermark: hourly windows × a 10-day
+  late horizon caps the state store regardless of stream length.  The
+  oracle encodes the watermark contract exactly: a window is emitted in
+  append mode iff its end precedes the final watermark (max event time
+  minus the delay), and every row whose disorder stays within the delay
+  is counted — no loss, no duplication, across micro-batch boundaries.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+
+_EV_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _spill_chunks(df: DataFrame, base: str, n_chunks: int,
+                  halves: bool = False) -> str:
+    """Write ``df`` into ``base/watch`` as single-file parquet chunks in
+    chronological ntile order; file mtimes increase in arrival order so
+    the file source replays them in sequence (one per trigger).
+
+    With ``halves=True`` each chunk is split by event_id parity into two
+    files that arrive in *separate* triggers — every hour's rows are
+    torn across micro-batches, which is exactly the within-watermark
+    disorder STR-05 must absorb losslessly.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = df.withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")))
+    if halves:
+        ranked = ranked.withColumn("_half", F.pmod("event_id", F.lit(2)))
+    watch = pathlib.Path(base) / "watch"
+    watch.mkdir(parents=True)
+    drop_cols = ["_chunk"] + (["_half"] if halves else [])
+    for i in range(1, n_chunks + 1):
+        for h in ((0, 1) if halves else (None,)):
+            cond = F.col("_chunk") == i
+            if h is not None:
+                cond = cond & (F.col("_half") == h)
+            out = pathlib.Path(base) / f"c{i}_{h}"
+            (ranked.filter(cond).drop(*drop_cols)
+             .coalesce(1).write.mode("overwrite").parquet(str(out)))
+            for j, p in enumerate(sorted(out.glob("*.parquet"))):
+                shutil.copy(p, watch / f"{i:02d}_{h}_{j}.parquet")
+    return str(watch)
+
+
+def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
+    """Append-mode availableNow execution into a checkpointed parquet
+    sink; returns the sink read back (the committed streaming output).
+
+    Streaming disables AQE, so the state-store partition count is the
+    raw ``spark.sql.shuffle.partitions`` at query start (then frozen
+    into the checkpoint).  On a driver-owned session that defaults to
+    200 — 200 state tasks per micro-batch for a fixture-sized stream —
+    so pin a bounded count for the query and restore the caller's value
+    after.  At real scale the state partition count is a capacity
+    choice made once per pipeline, not inherited from batch defaults.
+    """
+    spark = df.sparkSession
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(min(int(prev), 8)))
+        q = (df.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink)
+
+
+def str_01(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-01 file-arrival source + STR-08 stream–static broadcast
+    enrich, streaming-native: 3 chronological chunk files replayed one
+    per micro-batch through ``readStream``, each row broadcast-joined to
+    the static event-class dimension, appended to a parquet sink.
+
+    Oracle = the identity selection with the same CASE enrich — a hash
+    match proves the streaming replay lost, duplicated, and reordered
+    nothing and the stream–static join matched batch semantics.
+    """
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    cls = (F.when(F.col("event_type").isin("click", "view"), "interaction")
+            .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("fault"))
+    # static side computed batch-side (robust to the fixture's type set)
+    dim = ev.select("event_type").distinct().withColumn("concept_class", cls)
+    base = tempfile.mkdtemp(prefix="spark_str01_")
+    watch = _spill_chunks(ev, base, 3)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    enriched = src.join(F.broadcast(dim), "event_type", "inner")
+    got = _run_to_parquet(enriched, base)
+    return (got.select("event_id", "ts", "user_id", "event_type", "value",
+                       "props", "concept_class")
+               .orderBy("event_id"))
+
+
+_STR_01_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props,
+       CASE WHEN event_type IN ('click', 'view') THEN 'interaction'
+            WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+            ELSE 'fault' END AS concept_class
+FROM events
+"""
+
+
+def str_05(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-05 watermark contract, streaming-native: 5 chronological
+    chunks each torn into two files by event_id parity (10 triggers —
+    every hour's rows split across micro-batches, disorder ≈ one chunk
+    span ≪ the 10-day watermark), hourly tumbling counts in APPEND mode.
+
+    Append mode makes the watermark observable in the committed output:
+    a window reaches the sink iff the final watermark (max event time −
+    10 days) passed its end, and the no-loss guarantee makes each
+    emitted count exact despite the cross-file disorder.  Both halves of
+    the contract are what the oracle's WHERE clause states in SQL.
+    """
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    base = tempfile.mkdtemp(prefix="spark_str05_")
+    watch = _spill_chunks(ev, base, 5, halves=True)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    # withWatermark requires LTZ event time; the session zone is pinned
+    # UTC (session.py) so NTZ→LTZ is a pure reinterpretation, reversed
+    # on the window start for oracle parity.
+    counts = (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+              .withWatermark("ts_ltz", "10 days")
+              .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+              .agg(F.count("*").alias("n"))
+              .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                      "n"))
+    return _run_to_parquet(counts, base).orderBy("ws")
+
+
+_STR_05_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, count(*) AS n
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+GROUP BY 1
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(key="str_01", fn=str_01, oracle=_STR_01_ORACLE,
+                  doc=("STR-01 file streaming source + STR-08 enrich, "
+                       "real availableNow replay (3 micro-batches)"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_05", fn=str_05, oracle=_STR_05_ORACLE,
+                  doc=("STR-05 watermark finalization + no-loss under "
+                       "cross-batch disorder, real availableNow replay "
+                       "(10 micro-batches, append mode)"),
+                  tags=("streaming",)),
+    ]

@@ -42,7 +42,7 @@ CORE50 = (
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
-    "str_tw", "str_04", "str_06", "str_07", "str_08",
+    "str_tw", "str_sd", "str_07", "str_01", "str_05",
     "coh_panel", "coh_enc", "coh_tmp", "ont_01", "eav_01", "rep_01",
     "udf_01", "udf_02", "udf_tf", "udf_04",
     "ded_exact", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
@@ -56,11 +56,12 @@ assert len(CORE50) == 50 and len(set(CORE50)) == 50
 
 def build_registry() -> dict[str, QuerySpec]:
     from .operators import (cohort, combined, dedup, multimodal, prep,
-                            relational, roundtrips, similarity, textops, udfs)
+                            relational, roundtrips, similarity, streamnative,
+                            textops, udfs)
 
     collected: dict[str, QuerySpec] = {}
     for mod in (relational, cohort, udfs, dedup, similarity, textops,
-                multimodal, prep, combined, roundtrips):
+                multimodal, prep, combined, roundtrips, streamnative):
         for spec in mod.specs():
             if spec.key in collected:
                 raise ValueError(f"duplicate query key {spec.key}")
