@@ -88,15 +88,50 @@ def ded_exact(spark, sf):
 
 # ------------------------------------------------------- exact n-gram jaccard
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+#: ngram_jaccard_pairs is the declared EXACT baseline: its candidate
+#: row count is Σ df(shingle)² — a shingle shared by k docs emits k²
+#: join rows, so one hot shingle (boilerplate header, empty-ish doc) is
+#: a quadratic hot key.  Like ded_embed's COSINE_MAX_VECS, the guards
+#: RAISE (never silently drop) and point at the scale path.
+NGRAM_MAX_DOCS = 200_000
+NGRAM_MAX_DF = 20_000
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
+                        max_docs: int = NGRAM_MAX_DOCS,
+                        max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ threshold via shingle equi-join.
 
     Shuffles on shingle hash (never doc×doc): pair candidates are
     generated only where a shingle co-occurs, then intersection counts
     aggregate per pair.  Returns (i, j, jac).  Eager checkpoint: `sh`
     feeds three subtrees that race within one job (see
-    minhash_dedup_pairs)."""
+    minhash_dedup_pairs).
+
+    Guarded baseline: corpora past ``max_docs`` docs or with a shingle
+    document frequency past ``max_df`` raise — at that point the Σ df²
+    candidate blow-up makes minhash_dedup_pairs (banded LSH, linear in
+    corpus size) the correct operator.  The two guard aggregations are
+    one-column jobs over the already-checkpointed 8-byte hash frame —
+    noise next to the df² join they protect against.
+    """
     sh = materialize(_shingle_hash_rows(docs))
+    # both guard stats in ONE action (two shuffle branches over the
+    # checkpointed 8-byte frame joined at 1 row each)
+    stats = (sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+               .crossJoin(sh.groupBy("h").agg(F.count("*").alias("df"))
+                            .agg(F.max("df").alias("top_df")))).head()
+    if stats["n_docs"] > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs: corpus has {stats['n_docs']} docs > "
+            f"cap {max_docs}; use minhash_dedup_pairs (banded LSH) — the "
+            f"exact shingle self-join is quadratic in hot-shingle df")
+    if stats["top_df"] is not None and stats["top_df"] > max_df:
+        raise ValueError(
+            f"ngram_jaccard_pairs: hottest shingle appears in "
+            f"{stats['top_df']} docs > cap {max_df} (≥{stats['top_df']}² "
+            f"candidate rows from one key); use minhash_dedup_pairs "
+            f"(banded LSH)")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("i"), "h")
     b = sh.select(F.col("doc_id").alias("j"), "h")
@@ -197,9 +232,16 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 #: Signature-estimate prune margin: P(est < J - 0.2 | true J ≥ 0.7) at
-#: 128 permutations is a ≥5σ binomial tail (~5e-7 per pair) — same
-#: soundness budget as the 32×4 banding bound that lets the LSH path
-#: share the exact oracle.
+#: 128 permutations is a ≥5σ binomial tail (~5e-7 per pair).  The miss
+#: budget is PER CANDIDATE PAIR, so the AGGREGATE budget is ~5e-7 × C
+#: for C band-collision candidates: ~1e-3 expected misses at C = 10³
+#: (this fixture), but no longer negligible at C ≈ 10⁹ (a 100 TB
+#: corpus with heavy boilerplate).  Pipelines that need exact parity at
+#: that scale pass estimate_prune=False to minhash_dedup_pairs — the
+#: prune is a throughput optimization, never a semantic requirement;
+#: with it off the only approximation left is the banding bound itself
+#: ((1 − J⁴)³² ≈ 1e-15 per true pair at J = 0.9, which scales to ~1e-6
+#: even at a billion true pairs).
 EST_MARGIN = 0.2
 
 
@@ -221,9 +263,15 @@ def _exact_jac() -> "F.Column":
             / (F.size("hs_i") + F.size("hs_j") - inter))
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def minhash_dedup_pairs(docs: DataFrame, threshold: float,
+                        estimate_prune: bool = True) -> DataFrame:
     """LSH candidates → signature-estimate prune → exact Jaccard ≥
     threshold, all verification data carried on the per-doc frame.
+
+    ``estimate_prune=False`` skips the in-row signature prune so every
+    band-collision candidate is exact-verified — the exact-parity mode
+    for corpora where the aggregate prune miss budget (see EST_MARGIN)
+    stops being negligible.
 
     Cost shape (both at sf0.1 and at 100 TB):
     - ONE corpus pass builds (doc_id, hs, mh) — doc_minhash_frame;
@@ -245,10 +293,11 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
                         F.col("hs").alias("hs_i"), F.col("mh").alias("mh_i"))
     sj = per_doc.select(F.col("doc_id").alias("j"),
                         F.col("hs").alias("hs_j"), F.col("mh").alias("mh_j"))
-    return (cand.join(si, "i").join(sj, "j")
-                .filter(_sig_est() >= threshold - EST_MARGIN)
-                .select("i", "j", _exact_jac().alias("jac"))
-                .filter(F.col("jac") >= threshold))
+    joined = cand.join(si, "i").join(sj, "j")
+    if estimate_prune:
+        joined = joined.filter(_sig_est() >= threshold - EST_MARGIN)
+    return (joined.select("i", "j", _exact_jac().alias("jac"))
+                  .filter(F.col("jac") >= threshold))
 
 
 def ded_minhash(spark, sf):
@@ -423,19 +472,23 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """
     e = emb.select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v"))
-    # control-plane bound (1 row, like the IVF centroid collect)
-    max_id = e.agg(F.max("vec_id")).collect()[0][0]
-    if max_id is None:
+    # control-plane bound (1 row, like the IVF centroid collect).  Cap
+    # on the actual vector COUNT, and derive block ids by hashing
+    # vec_id: sparse / offset / negative id spaces neither defeat the
+    # cap nor skew tile sizes (pmod(xxhash64) spreads any id domain
+    # uniformly over [0, n_blocks)).
+    n_vecs = e.agg(F.count("*")).collect()[0][0]
+    if n_vecs == 0:
         return emb.sparkSession.createDataFrame(
             [], "i long, j long, cos double")
-    if max_id + 1 > COSINE_MAX_VECS:
+    if n_vecs > COSINE_MAX_VECS:
         raise ValueError(
             f"exact cosine_pairs is capped at {COSINE_MAX_VECS} vectors "
             "(bounded baseline); use similarity.ann_lsh_topk / ivf_topk "
             "for large corpora")
-    n_blocks = int(max_id) // COSINE_BLOCK + 1
-    blocks = (e.withColumn("bid", F.floor(F.col("vec_id") / COSINE_BLOCK)
-                                   .cast("int"))
+    n_blocks = int(n_vecs) // COSINE_BLOCK + 1
+    blocks = (e.withColumn("bid", F.pmod(F.xxhash64("vec_id"),
+                                         F.lit(n_blocks)).cast("int"))
                .groupBy("bid")
                .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v")))
                      .alias("vs")))
@@ -461,7 +514,13 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
                 if same:
                     mask &= ia[:, None] < ib[None, :]
                 r, c = np.nonzero(mask)
-                out_i.extend(ia[r]); out_j.extend(ib[c])
+                # hash blocking doesn't order ids across tiles, so
+                # normalize each cross-tile pair to (min, max); each
+                # unordered tile pair is enumerated exactly once, so
+                # this cannot double-emit
+                ii, jj = ia[r], ib[c]
+                out_i.extend(np.minimum(ii, jj))
+                out_j.extend(np.maximum(ii, jj))
                 out_c.extend(cos[r, c])
             yield pd.DataFrame({"i": pd.Series(out_i, dtype="int64"),
                                 "j": pd.Series(out_j, dtype="int64"),

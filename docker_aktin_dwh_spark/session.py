@@ -24,6 +24,7 @@ Scale posture (100 TB design point):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -104,17 +105,41 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if sc is None or getattr(sc, "_aktin_pkg_shipped", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.mkdtemp(prefix="aktin_pyfiles_"),
-                         "docker_aktin_dwh_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for dirpath, _dirs, files in os.walk(pkg_dir):
-            for fname in files:
-                if fname.endswith(".py"):
-                    full = os.path.join(dirpath, fname)
-                    rel = os.path.join(
-                        "docker_aktin_dwh_spark",
-                        os.path.relpath(full, pkg_dir))
-                    z.write(full, rel)
-    sc.addPyFile(zpath)
+    sc.addPyFile(_package_zip())
     sc._aktin_pkg_shipped = True
+
+
+def _package_zip() -> str:
+    """Deterministic per-content zip path: the same package bytes always
+    map to the same /tmp path, so repeated sessions (or stop-and-recreate
+    contexts, which re-ship correctly via the per-context flag) REUSE one
+    zip instead of leaking a fresh mkdtemp per context.  Concurrent
+    builders race benignly: each writes a private .tmp and the atomic
+    os.replace makes last-writer-wins with no torn zip visible."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if fname.endswith(".py"):
+                full = os.path.join(dirpath, fname)
+                rel = os.path.join("docker_aktin_dwh_spark",
+                                   os.path.relpath(full, pkg_dir))
+                entries.append((rel, full))
+    entries.sort()
+    h = hashlib.sha256()
+    for rel, full in entries:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zdir = os.path.join(tempfile.gettempdir(),
+                        f"aktin_pyfiles_{h.hexdigest()[:16]}")
+    zpath = os.path.join(zdir, "docker_aktin_dwh_spark.zip")
+    if os.path.exists(zpath):
+        return zpath
+    os.makedirs(zdir, exist_ok=True)
+    tmp = f"{zpath}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for rel, full in entries:
+            z.write(full, rel)
+    os.replace(tmp, zpath)
+    return zpath

@@ -34,11 +34,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.barrier import materialize
-from ..operators.dedup import (MINHASH_INDEX_DDL, doc_minhash_frame,
-                               empty_minhash_index,
+from ..operators.dedup import (doc_minhash_frame, empty_minhash_index,
                                incremental_minhash_pairs_from)
 
 DOCS_DDL = "doc_id bigint, lang string, text string"
+
+
+def _overwrite_batch_partition(df: DataFrame, path: str,
+                               batch_id: int) -> None:
+    """Write df into path/batch_id=<id>/ replacing ONLY that partition
+    (dynamic partition overwrite) — the replay-idempotence primitive.
+    Readers see batch_id as a discovered partition column and project
+    it away."""
+    (df.withColumn("batch_id", F.lit(batch_id))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("batch_id")
+       .parquet(path))
+
+
+def process_batch(spark, batch: DataFrame, batch_id: int, store_path: str,
+                  index_store: str, threshold: float) -> None:
+    """One micro-batch of the ingest, IDEMPOTENT under foreachBatch
+    replay: both outputs are batch_id-partitioned and written with
+    dynamic partition overwrite, so a batch replayed after a failure
+    between either write and the checkpoint commit OVERWRITES its own
+    partition instead of appending duplicates.  The seen-index read
+    excludes this batch_id: a half-committed prior attempt must not
+    feed its own rows back into pairing (a batch-mate row entering via
+    the order-insensitive corpus path would change the keep-set)."""
+    import os
+    batch = materialize(batch.select("doc_id", "lang", "text"))
+    batch_index = materialize(doc_minhash_frame(batch))
+    if os.path.isdir(index_store):
+        seen = (spark.read.parquet(index_store)
+                .filter(F.col("batch_id") != batch_id)
+                .select("doc_id", "hs", "mh"))
+    else:
+        seen = empty_minhash_index(spark)
+    pairs = incremental_minhash_pairs_from(seen, batch_index, threshold)
+    drop = pairs.select(F.col("j").alias("doc_id")).distinct()
+    surv = batch.join(drop, "doc_id", "left_anti")
+    _overwrite_batch_partition(surv, store_path, batch_id)
+    # ALL batch docs (survivors and dropped) join the pairing index
+    _overwrite_batch_partition(batch_index, index_store, batch_id)
 
 
 def dedup_ingest(stream: DataFrame, store_path: str, checkpoint: str, *,
@@ -48,19 +87,8 @@ def dedup_ingest(stream: DataFrame, store_path: str, checkpoint: str, *,
     index_store = store_path + "_minhash_index"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        import os
-        batch = materialize(batch.select("doc_id", "lang", "text"))
-        batch_index = materialize(doc_minhash_frame(batch))
-        if os.path.isdir(index_store):
-            seen = spark.read.schema(MINHASH_INDEX_DDL).parquet(index_store)
-        else:
-            seen = empty_minhash_index(spark)
-        pairs = incremental_minhash_pairs_from(seen, batch_index, threshold)
-        drop = pairs.select(F.col("j").alias("doc_id")).distinct()
-        surv = batch.join(drop, "doc_id", "left_anti")
-        surv.write.mode("append").parquet(store_path)
-        # ALL batch docs (survivors and dropped) join the pairing index
-        batch_index.write.mode("append").parquet(index_store)
+        process_batch(spark, batch, batch_id, store_path, index_store,
+                      threshold)
 
     return (stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint)

@@ -120,3 +120,51 @@ def test_exact_dedup_keeps_min_doc_id(spark):
     got = dedup.ded_exact(spark, SF_SMOKE).collect()
     assert got and all(r.n == 2 for r in got)
     assert all(r.keep_id < 50 for r in got)
+
+
+def test_ngram_corpus_cap_raises(spark):
+    docs = (catalog.load(spark, SF_SMOKE, "documents")
+            .filter(F.col("doc_id") < 20).select("doc_id", "text"))
+    with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_docs=10).count()
+
+
+def test_ngram_hot_shingle_cap_raises(spark):
+    """A shingle shared by every doc (shared boilerplate prefix) trips
+    the document-frequency ceiling — the quadratic hot key the guard
+    exists for."""
+    rows = [(i, "common boilerplate header one two three " + ("x%d " % i) * 5)
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="hottest shingle"):
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=4).count()
+
+
+def test_minhash_exact_parity_mode_matches_pruned(spark):
+    """estimate_prune=False (the exact-parity mode for huge candidate
+    sets) returns the same pair set as the pruned default here — the
+    prune only ever removes below-threshold candidates at this scale."""
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    pruned = {(r.i, r.j) for r in
+              dedup.minhash_dedup_pairs(docs, 0.7).collect()}
+    exact = {(r.i, r.j) for r in
+             dedup.minhash_dedup_pairs(docs, 0.7,
+                                       estimate_prune=False).collect()}
+    assert pruned == exact and pruned
+
+
+def test_cosine_pairs_sparse_offset_ids(spark):
+    """Hash-based blocking: ids offset far above the corpus count (and
+    sparse) must not trip the cap, skew tiles, or change the pair set."""
+    emb = (catalog.load(spark, SF_SMOKE, "embeddings")
+           .filter(F.col("vec_id") < 120))
+    base = {(r.i, r.j, round(r.cos, 4)) for r in
+            dedup.cosine_pairs(emb, 0.4).collect()}
+    off = 10_000_000
+    # order-REVERSING map: catches any assumption that tile membership
+    # or cross-tile pairing follows id order
+    shifted = emb.withColumn("vec_id", F.lit(off) - F.col("vec_id") * 17)
+    back = lambda v: (off - v) // 17
+    got = {(*sorted((back(r.i), back(r.j))), round(r.cos, 4))
+           for r in dedup.cosine_pairs(shifted, 0.4).collect()}
+    assert got == {(*sorted((i, j)), c) for i, j, c in base}

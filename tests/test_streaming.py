@@ -316,3 +316,40 @@ def test_dedup_ingest_chain_drops_via_dropped_doc(spark, tmp_path):
     kept = sorted(r[0] for r in
                   spark.read.parquet(store).select("doc_id").collect())
     assert kept == [0]
+
+
+def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay safety: re-running a batch with the same
+    batch_id (the failure-between-write-and-commit scenario) must leave
+    the survivor store AND the signature index byte-identical — batch
+    outputs overwrite their own batch_id partition, and the replayed
+    batch's half-committed index rows are excluded from pairing."""
+    from docker_aktin_dwh_spark.streaming.dedup_ingest import (DOCS_DDL,
+                                                               process_batch)
+
+    words = [f"w{i}" for i in range(30)]
+
+    def text(subs: dict[int, str]) -> str:
+        return " ".join(subs.get(i, w) for i, w in enumerate(words))
+
+    b0 = spark.createDataFrame([(0, "en", text({}))], DOCS_DDL)
+    b1 = spark.createDataFrame(
+        [(1, "en", text({5: "x5"})), (2, "en", text({1: "q1", 9: "q9"}))],
+        DOCS_DDL)
+    store = str(tmp_path / "kept")
+    index = store + "_minhash_index"
+
+    process_batch(spark, b0, 0, store, index, 0.7)
+    process_batch(spark, b1, 1, store, index, 0.7)   # drops doc 1 (dup of 0)
+    kept1 = sorted(r[0] for r in
+                   spark.read.parquet(store).select("doc_id").collect())
+    idx1 = sorted(r[0] for r in
+                  spark.read.parquet(index).select("doc_id").collect())
+    assert kept1 == [0, 2] and idx1 == [0, 1, 2]
+
+    process_batch(spark, b1, 1, store, index, 0.7)   # REPLAY of batch 1
+    kept2 = sorted(r[0] for r in
+                   spark.read.parquet(store).select("doc_id").collect())
+    idx2 = sorted(r[0] for r in
+                  spark.read.parquet(index).select("doc_id").collect())
+    assert kept2 == kept1 and idx2 == idx1
