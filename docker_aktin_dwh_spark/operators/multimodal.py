@@ -48,13 +48,10 @@ def as_media(docs: DataFrame) -> DataFrame:
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB: deterministic stand-in for an image decoder.
-
-    Real implementation would be e.g. PIL.Image.open(BytesIO(payload));
-    raise NotImplementedError there if the codec is unavailable.  The
-    fake derives (width, height, mean_luma) from a sha256 of the bytes
-    so tests have stable expectations.
-    """
+    """STUB: deterministic stand-in for an image decoder.  The fake
+    derives (width, height, mean_luma) from a sha256 of the bytes so
+    tests have stable expectations.  The REAL path is real_decode; the
+    adapter in decode_features picks between them."""
     h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
@@ -62,14 +59,55 @@ def fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def real_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL codec path: PIL decode → (width, height, mean 8-bit luma in
+    [0,1]).  Imports inside the function so the reference travels to
+    executors by name and each worker resolves PIL locally; raises
+    NotImplementedError where Pillow is not installed (this container —
+    the skip-marked test in tests/test_llmops.py exercises it wherever
+    Pillow exists)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "image codec unavailable: install Pillow for the real "
+            "decode path (fake_decode is the deterministic stub)") from exc
+    from io import BytesIO
+    img = Image.open(BytesIO(bytes(payload))).convert("L")
+    px = list(img.getdata())
+    mean_luma = round((sum(px) / len(px)) / 255.0, 6) if px else 0.0
+    return img.width, img.height, mean_luma
+
+
+def pick_decoder(codec: str = "auto"):
+    """Adapter: 'stub' → fake_decode, 'pil' → real_decode, 'auto' →
+    real when PIL imports on the driver, stub otherwise.  Same
+    DECODE_SCHEMA either way, so swapping codecs never changes the
+    plan, only the per-batch Python work."""
+    if codec == "stub":
+        return fake_decode
+    if codec == "pil":
+        return real_decode
+    if codec != "auto":
+        raise ValueError(f"unknown codec {codec!r}")
+    try:
+        import PIL  # noqa: F401
+        return real_decode
+    except ImportError:
+        return fake_decode
+
+
+def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     """mapInPandas decode: streams Arrow batches, one output row per
     payload — the partition-parallel shape a real decoder needs
-    (no collect, no per-row Python UDF)."""
+    (no collect, no per-row Python UDF).  ``codec`` selects the
+    decoder via pick_decoder; the declared mm_02 key pins 'stub' so its
+    output stays deterministic on the text-bytes fixture."""
+    decode = pick_decoder(codec)
 
     def run(batches):
         for pdf in batches:
-            dims = [fake_decode(p) for p in pdf["payload"]]
+            dims = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [len(p) for p in pdf["payload"]],

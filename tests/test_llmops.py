@@ -168,3 +168,52 @@ def test_cosine_pairs_sparse_offset_ids(spark):
     got = {(*sorted((back(r.i), back(r.j))), round(r.cos, 4))
            for r in dedup.cosine_pairs(shifted, 0.4).collect()}
     assert got == {(*sorted((i, j)), c) for i, j, c in base}
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_decoder_adapter_selection():
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+    assert mm.pick_decoder("stub") is mm.fake_decode
+    assert mm.pick_decoder("pil") is mm.real_decode
+    auto = mm.pick_decoder("auto")
+    assert auto is (mm.real_decode if _have_pil() else mm.fake_decode)
+    with pytest.raises(ValueError):
+        mm.pick_decoder("ffmpeg")
+
+
+@pytest.mark.skipif(_have_pil(), reason="Pillow installed; raise path n/a")
+def test_real_decode_raises_without_pil():
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.real_decode(b"not an image")
+
+
+@pytest.mark.skipif(not _have_pil(), reason="Pillow not installed in "
+                                            "this environment")
+def test_decode_features_real_pil_path(spark):
+    """Real-codec path end-to-end through Spark wherever Pillow exists:
+    tiny generated PNGs of known dims/luma decode to exact values."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+
+    rows = []
+    for i, (w, h, val) in enumerate([(8, 4, 0), (5, 7, 255), (16, 9, 128)]):
+        buf = BytesIO()
+        Image.new("L", (w, h), val).save(buf, "PNG")
+        rows.append((i, bytearray(buf.getvalue())))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           mm.decode_features(media, codec="pil").collect()}
+    assert (got[0].width, got[0].height, got[0].mean_luma) == (8, 4, 0.0)
+    assert (got[1].width, got[1].height, got[1].mean_luma) == (5, 7, 1.0)
+    assert got[2].mean_luma == round(128 / 255.0, 6)
