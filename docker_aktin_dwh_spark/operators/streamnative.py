@@ -76,6 +76,21 @@ def _spill_chunks(df: DataFrame, base: str, n_chunks: int,
     return str(watch)
 
 
+def _materialized(df: DataFrame, base: str) -> DataFrame:
+    """Snapshot ``df`` off the temp tree, then delete the tree.
+
+    ``localCheckpoint(eager=True)`` computes the frame once and pins the
+    partitions in executor block storage, cutting the lineage back to the
+    parquet files under ``base`` — after which the whole mkdtemp tree
+    (watch dir, chunk spills, sink, checkpoint) can be removed without
+    invalidating the returned frame.  Distributed: no driver collect.
+    """
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
     """Append-mode availableNow execution into a checkpointed parquet
     sink; returns the sink read back (the committed streaming output).
@@ -120,15 +135,20 @@ def str_01(spark: SparkSession, sf: str) -> DataFrame:
     # static side computed batch-side (robust to the fixture's type set)
     dim = ev.select("event_type").distinct().withColumn("concept_class", cls)
     base = tempfile.mkdtemp(prefix="spark_str01_")
-    watch = _spill_chunks(ev, base, 3)
-    src = (spark.readStream.format("parquet").schema(ev.schema)
-           .option("maxFilesPerTrigger", "1").load(watch))
-    assert src.isStreaming
-    enriched = src.join(F.broadcast(dim), "event_type", "inner")
-    got = _run_to_parquet(enriched, base)
-    return (got.select("event_id", "ts", "user_id", "event_type", "value",
-                       "props", "concept_class")
-               .orderBy("event_id"))
+    try:
+        watch = _spill_chunks(ev, base, 3)
+        src = (spark.readStream.format("parquet").schema(ev.schema)
+               .option("maxFilesPerTrigger", "1").load(watch))
+        assert src.isStreaming
+        enriched = src.join(F.broadcast(dim), "event_type", "inner")
+        got = _run_to_parquet(enriched, base)
+        snap = _materialized(
+            got.select("event_id", "ts", "user_id", "event_type", "value",
+                       "props", "concept_class"), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("event_id")
 
 
 _STR_01_ORACLE = """
@@ -154,20 +174,25 @@ def str_05(spark: SparkSession, sf: str) -> DataFrame:
     """
     ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
     base = tempfile.mkdtemp(prefix="spark_str05_")
-    watch = _spill_chunks(ev, base, 5, halves=True)
-    src = (spark.readStream.format("parquet").schema(ev.schema)
-           .option("maxFilesPerTrigger", "1").load(watch))
-    assert src.isStreaming
-    # withWatermark requires LTZ event time; the session zone is pinned
-    # UTC (session.py) so NTZ→LTZ is a pure reinterpretation, reversed
-    # on the window start for oracle parity.
-    counts = (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
-              .withWatermark("ts_ltz", "10 days")
-              .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
-              .agg(F.count("*").alias("n"))
-              .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
-                      "n"))
-    return _run_to_parquet(counts, base).orderBy("ws")
+    try:
+        watch = _spill_chunks(ev, base, 5, halves=True)
+        src = (spark.readStream.format("parquet").schema(ev.schema)
+               .option("maxFilesPerTrigger", "1").load(watch))
+        assert src.isStreaming
+        # withWatermark requires LTZ event time; the session zone is pinned
+        # UTC (session.py) so NTZ→LTZ is a pure reinterpretation, reversed
+        # on the window start for oracle parity.
+        counts = (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+                  .withWatermark("ts_ltz", "10 days")
+                  .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+                  .agg(F.count("*").alias("n"))
+                  .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                          "n"))
+        snap = _materialized(_run_to_parquet(counts, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("ws")
 
 
 _STR_05_ORACLE = """

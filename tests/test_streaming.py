@@ -353,3 +353,26 @@ def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     idx2 = sorted(r[0] for r in
                   spark.read.parquet(index).select("doc_id").collect())
     assert kept2 == kept1 and idx2 == idx1
+
+
+def test_streamnative_no_tempdir_leak(spark):
+    """str_01/str_05 must remove their mkdtemp trees once the returned
+    frame is materialized off them (VERDICT r4 item 7): two invocations,
+    zero orphan spark_str* dirs, and the frame stays readable after."""
+    import pathlib
+    import tempfile
+
+    from docker_aktin_dwh_spark.operators import streamnative
+
+    tmp = pathlib.Path(tempfile.gettempdir())
+
+    def orphans():
+        return {p.name for p in tmp.glob("spark_str0[15]_*")}
+
+    before = orphans()
+    out1 = streamnative.str_01(spark, SF_SMOKE)
+    n1 = out1.count()          # frame must survive the rmtree
+    out5 = streamnative.str_05(spark, SF_SMOKE)
+    n5 = out5.count()
+    assert n1 > 0 and n5 >= 0
+    assert orphans() == before, "streamnative leaked temp dirs"
