@@ -183,7 +183,13 @@ def win_all(spark, sf):
     (custkey < 150): row_number, lag-datediff, running decimal sum
     (rows frame), ntile, percent_rank, cume_dist, last-per-group
     (full-frame last_value), finished by a multi-key DESC sort +
-    LIMIT top-k."""
+    LIMIT top-k.
+
+    SRT-01's full nulls contract (SURVEY §2.6) is the leading sort key:
+    ``d`` is NULL on every partition's first row, and ``DESC NULLS
+    LAST`` over it decides which rows survive the LIMIT — so the
+    null-ordering semantics are hash-observable in the driver compare,
+    not just cosmetic row order."""
     o = T(spark, sf, "orders").filter(F.col("o_custkey") < 150)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -199,7 +205,8 @@ def win_all(spark, sf):
                 F.round(F.percent_rank().over(w), 6).alias("pr"),
                 F.round(F.cume_dist().over(w), 6).alias("cd"),
                 F.last("o_orderstatus").over(wall).alias("le"))
-             .orderBy(F.desc("tp"), F.asc("o_orderkey")).limit(500))
+             .orderBy(F.col("d").desc_nulls_last(), F.desc("tp"),
+                      F.asc("o_orderkey")).limit(500))
 
 
 _WIN_ALL_ORACLE = """
@@ -220,7 +227,7 @@ SELECT * FROM (
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS le
   FROM orders WHERE o_custkey < 150
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-ORDER BY tp DESC, o_orderkey LIMIT 500
+ORDER BY d DESC NULLS LAST, tp DESC, o_orderkey LIMIT 500
 """
 
 
