@@ -211,11 +211,29 @@ def agg_02(spark, sf):
              .orderBy("o_orderpriority"))
 
 
+#: approx_count_distinct rsd (its default); the in-query acceptance bound
+#: is 3x this relative error — generous vs the ~1σ rsd, still a real
+#: constraint (a broken sketch off by >15% flips the hashed boolean).
+_AGG_03_RSD = 0.05
+
+
 def agg_03(spark, sf):
-    # HLL++ approximate distinct — tolerance-tested, no hash oracle
+    """AGG-03 HLL++ approximate distinct, oracle-checked as a bounded
+    self-test: the exact count(DISTINCT) and the sketch estimate are
+    computed in the SAME grouped aggregation, and the query returns the
+    exact value plus ``within_bound`` = |approx-exact| <= 3*rsd*exact.
+    HLL++ is hash-deterministic, so the boolean is stable; the DuckDB
+    oracle asserts TRUE, making sketch accuracy hash-verified instead
+    of rows-only (VERDICT r4 item 5)."""
     o = T(spark, sf, "orders")
     return (o.groupBy("o_orderpriority")
-             .agg(F.approx_count_distinct("o_custkey").alias("approx_patients"))
+             .agg(F.approx_count_distinct("o_custkey", _AGG_03_RSD)
+                   .alias("_apx"),
+                  F.countDistinct("o_custkey").alias("exact_patients"))
+             .select("o_orderpriority", "exact_patients",
+                     (F.abs(F.col("_apx") - F.col("exact_patients"))
+                      <= 3 * _AGG_03_RSD * F.col("exact_patients"))
+                     .alias("within_bound"))
              .orderBy("o_orderpriority"))
 
 
@@ -687,6 +705,12 @@ _ORACLES = {
               "(SELECT DISTINCT o_orderpriority FROM orders)"),
     "agg_01": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "agg_02": ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS patients "
+               "FROM orders GROUP BY o_orderpriority"),
+    # exact side reproduced in SQL; the bound boolean must come out TRUE
+    # on the Spark side for the value hash to match
+    "agg_03": ("SELECT o_orderpriority, "
+               "count(DISTINCT o_custkey) AS exact_patients, "
+               "TRUE AS within_bound "
                "FROM orders GROUP BY o_orderpriority"),
     "agg_04": (f"SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS s, "
                f"{sql_davg('l_extendedprice')} AS a, "
