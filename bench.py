@@ -3,7 +3,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "scaling": {"replicas": R, "base_sec": {...}, "scaled_sec": {...},
+               "slope": {name: scaled/base, ...}}}
+
+The "scaling" section measures the heavy queries at BOTH the base sf
+and a generated R×-replica fixture (docker_aktin_dwh_spark/scalegen.py)
+— the measured scaling slope behind the 100 TB design claims.  A slope
+near R is linear scaling; disable with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -61,14 +68,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        out["scaling"] = scaling_section(spark, registry, sf_dir)
+    print(json.dumps(out))
     spark.stop()
+
+
+#: heavy queries whose 100 TB posture the slope measurement backs
+SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02")
+SCALE_REPLICAS = 10
+
+
+def scaling_section(spark, registry, sf_dir: str) -> dict:
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".scale{SCALE_REPLICAS}x")
+    scale_dir = ensure_scale_fixture(spark, sf_dir, cache, SCALE_REPLICAS)
+
+    def best_of(fn, d, n=2):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    base_sec, scaled_sec, slope = {}, {}, {}
+    for key in SCALE_QUERIES:
+        fn = registry[key].fn
+        base_sec[key] = best_of(fn, sf_dir)
+        scaled_sec[key] = best_of(fn, scale_dir)
+        slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
+    return {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
+            "scaled_sec": scaled_sec, "slope": slope}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+"""Scale-fixture generator — replicate a fixture R× for scaling-slope
+benchmarks (VERDICT r4 item 3).
+
+The 100 TB posture of the heavy operators (pipe_02 / ded_minhash /
+ded_incr / jn_03) is argued from plan shape; this module turns it into
+a measured curve by materializing an R×-larger fixture whose *workload
+shape* matches the base:
+
+- **Key-offset replication** (lineitem / orders / customer /
+  documents): replica ``r`` shifts every join/group key by
+  ``r * stride`` where ``stride > max(key)``, so per-replica join
+  fan-outs, group cardinalities, and dup structure are identical to the
+  base and replicas never collide.
+- **Token salting** (documents): replica ``r > 0`` rewrites every
+  whitespace token ``t`` to ``t_r{r}``.  Within a replica the shingle
+  set is isomorphic to the base (same sizes, same exact Jaccard for
+  every pair), so each replica reproduces the base's near-dup
+  structure; across replicas the token sets are disjoint, so no
+  near-dup pair spans replicas and the dedup workload scales linearly
+  in corpus size rather than quadratically in replica count.
+  (Side effect: salted stopwords no longer match the quality gate's
+  stopword list, so replicas pass slightly MORE docs into the dedup
+  stage than the base — which makes measured slopes conservative.)
+- **Fixed dims** (nation / region): copied verbatim — they are
+  constant-cardinality in the reference's model and must stay so.
+
+Everything is one Catalyst plan per table (crossJoin with a
+``spark.range(replicas)`` frame — no driver loops over rows); the only
+collects are the per-table max-key scalars.  Output is cached under a
+marker file so repeated bench runs pay generation once.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import catalog
+
+#: tables replicated with key offsets (everything jn_03 + the document
+#: pipeline needs); fixed-cardinality dims are copied verbatim.
+SCALED_TABLES = ("documents", "lineitem", "orders", "customer")
+COPIED_TABLES = ("nation", "region")
+
+_MARKER = "_SCALE_FIXTURE_OK.json"
+
+
+def _stride(df: DataFrame, key: str) -> int:
+    # control-plane scalar (one row) — not a data-plane collect
+    return int(df.agg(F.max(key)).first()[0]) + 1
+
+
+def _replicate(df: DataFrame, rep: DataFrame,
+               offsets: dict[str, int]) -> DataFrame:
+    out = df.crossJoin(rep)
+    for col, stride in offsets.items():
+        out = out.withColumn(col, F.col(col) + F.col("_r") * stride)
+    return out
+
+
+def _salt_text(df: DataFrame) -> DataFrame:
+    """Replica-0 text verbatim; replica r>0 gets every token suffixed
+    with ``_r{r}`` — shingle-structure-preserving within a replica,
+    shingle-disjoint across replicas."""
+    salted = F.concat_ws(
+        " ", F.transform(F.split(F.trim("text"), r"\s+"),
+                         lambda t: F.concat(t, F.lit("_r"),
+                                            F.col("_r").cast("string"))))
+    return df.withColumn(
+        "text", F.when(F.col("_r") == 0, F.col("text")).otherwise(salted))
+
+
+def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
+                         replicas: int = 10) -> str:
+    """Materialize (or reuse) the ``replicas``× fixture; returns
+    ``out_dir``, which :func:`catalog.load` can read like any sf dir."""
+    out = pathlib.Path(out_dir)
+    marker = out / _MARKER
+    if marker.exists():
+        meta = json.loads(marker.read_text())
+        if meta.get("replicas") == replicas and meta.get("base") == base_dir:
+            return out_dir
+    out.mkdir(parents=True, exist_ok=True)
+
+    rep = spark.range(replicas).withColumnRenamed("id", "_r")
+
+    li = catalog.load(spark, base_dir, "lineitem")
+    od = catalog.load(spark, base_dir, "orders")
+    cu = catalog.load(spark, base_dir, "customer")
+    dc = catalog.load(spark, base_dir, "documents")
+    ok, ck = _stride(od, "o_orderkey"), _stride(cu, "c_custkey")
+    dk = _stride(dc, "doc_id")
+
+    scaled = {
+        "lineitem": _replicate(li, rep, {"l_orderkey": ok}),
+        "orders": _replicate(od, rep, {"o_orderkey": ok, "o_custkey": ck}),
+        "customer": _replicate(cu, rep, {"c_custkey": ck}),
+        "documents": _salt_text(_replicate(dc, rep, {"doc_id": dk})),
+    }
+    for name, df in scaled.items():
+        (df.drop("_r").write.mode("overwrite")
+           .parquet(str(out / f"{name}.parquet")))
+    for name in COPIED_TABLES:
+        (catalog.load(spark, base_dir, name).write.mode("overwrite")
+         .parquet(str(out / f"{name}.parquet")))
+
+    marker.write_text(json.dumps({"replicas": replicas, "base": base_dir}))
+    return out_dir
