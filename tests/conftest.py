@@ -15,6 +15,8 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = build_session(app_name="tests", cpus=8, shuffle_partitions=8)
+    # 16 local cores: the sweep modules submit jobs from 8 threads, so
+    # give the scheduler headroom beyond one job's task demand
+    s = build_session(app_name="tests", cpus=16, shuffle_partitions=8)
     yield s
     s.stop()

@@ -14,12 +14,18 @@ from docker_aktin_dwh_spark import catalog, plans
 from docker_aktin_dwh_spark.sources import bucketed
 
 
+#: plan shape (no exchange) and join parity don't depend on table size —
+#: a patient slice keeps the bucketed write cheap
+def _slice(df):
+    return df.filter(F.col("patient_num") < 500)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
     # warehouse dir is a static config — tables land in the session
     # default (spark-warehouse/, gitignored) and are dropped on teardown
-    fact = catalog.observation_fact(spark, SF_SMOKE)
-    pat = catalog.patient_dimension(spark, SF_SMOKE)
+    fact = _slice(catalog.observation_fact(spark, SF_SMOKE))
+    pat = _slice(catalog.patient_dimension(spark, SF_SMOKE))
     bucketed.write_bucketed(fact, "fact_b", bucket_col="patient_num",
                             n_buckets=8, sort_col="patient_num")
     bucketed.write_bucketed(pat, "pat_b", bucket_col="patient_num",
@@ -40,10 +46,11 @@ def test_bucketed_join_no_shuffle(spark, bucketed_tables):
 def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
     left, right = bucketed_tables
     j = bucketed.bucketed_join(spark, left, right, "patient_num")
-    fact = catalog.observation_fact(spark, SF_SMOKE)
-    pat = catalog.patient_dimension(spark, SF_SMOKE)
+    fact = _slice(catalog.observation_fact(spark, SF_SMOKE))
+    pat = _slice(catalog.patient_dimension(spark, SF_SMOKE))
     expect = fact.join(pat, "patient_num")
-    assert j.count() == expect.count()
+    n = j.count()
+    assert n == expect.count() and n > 0
 
 
 def test_bucketed_agg_no_shuffle(spark, bucketed_tables):

@@ -16,9 +16,11 @@ from docker_aktin_dwh_spark.sources import p21_csv, upsert, xml_cda
 from docker_aktin_dwh_spark.streaming import broker
 
 
-@pytest.fixture()
+@pytest.fixture(scope="module")
 def fact(spark):
-    return catalog.observation_fact(spark, SF_SMOKE)
+    # computed once and pinned in block storage: the upsert tests read
+    # this frame's lineage many times over
+    return catalog.observation_fact(spark, SF_SMOKE).localCheckpoint()
 
 
 def test_merge_upsert_idempotent(spark, fact, tmp_path):

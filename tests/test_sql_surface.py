@@ -42,10 +42,28 @@ def _canon(df):
                .reset_index(drop=True))
 
 
+@pytest.fixture(scope="module")
+def parity_results(spark, views):
+    """Both executions per key run concurrently across keys (thread
+    pool over the shared session); per-key assertions are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(key):
+        spec = REGISTRY[key]
+        try:
+            via_sql = _canon(spark.sql(spec.oracle))
+            via_df = _canon(spec.fn(spark, SF_SMOKE))
+            return via_sql.shape == via_df.shape and via_sql.equals(via_df), None
+        except Exception as e:
+            return False, e
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(zip(ANSI_KEYS, ex.map(run, ANSI_KEYS)))
+
+
 @pytest.mark.parametrize("key", ANSI_KEYS)
-def test_sql_equals_dataframe(spark, key):
-    spec = REGISTRY[key]
-    via_sql = _canon(spark.sql(spec.oracle))
-    via_df = _canon(spec.fn(spark, SF_SMOKE))
-    assert via_sql.shape == via_df.shape
-    assert via_sql.equals(via_df), key
+def test_sql_equals_dataframe(parity_results, key):
+    ok, err = parity_results[key]
+    if err is not None:
+        raise err
+    assert ok, key

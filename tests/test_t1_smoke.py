@@ -17,12 +17,30 @@ MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash", "ded_embed",
                 "ded_incr", "jn_06", "set_04"}
 
 
+@pytest.fixture(scope="module")
+def smoke_results(spark):
+    """All keys executed concurrently (thread pool over the shared
+    session) — per-key assertions below are unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(key):
+        try:
+            df = REGISTRY[key].fn(spark, SF_SMOKE)
+            return len(df.schema.fields), df.count(), None
+        except Exception as e:
+            return 0, -1, e
+
+    keys = sorted(REGISTRY)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(zip(keys, ex.map(run, keys)))
+
+
 @pytest.mark.parametrize("key", sorted(REGISTRY))
-def test_smoke(spark, key):
-    spec = REGISTRY[key]
-    df = spec.fn(spark, SF_SMOKE)
-    assert len(df.schema.fields) > 0
-    n = df.count()
+def test_smoke(smoke_results, key):
+    n_fields, n, err = smoke_results[key]
+    if err is not None:
+        raise err
+    assert n_fields > 0
     if key not in MAY_BE_EMPTY:
         assert n > 0, f"{key} returned no rows at smoke scale"
 
