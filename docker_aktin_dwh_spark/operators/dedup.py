@@ -434,9 +434,58 @@ def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> Data
              .filter(F.col("hamming") <= max_hamming))
 
 
+#: planted-duplicate contract: copies of this id-prefix re-enter the
+#: corpus under offset ids; identical text ⇒ identical shingle multiset
+#: ⇒ identical 64-bit signature ⇒ shares every band ⇒ MUST be paired at
+#: Hamming 0 — an end-to-end invariant of the signature+banding
+#: machinery that a SQL oracle can state exactly (the signature values
+#: themselves are engine-specific; xxhash64 has no DuckDB analogue).
+SIMHASH_PLANT_N = 20
+SIMHASH_PLANT_OFFSET = 1_000_000
+
+
 def ded_simhash(spark, sf):
+    """SimHash certification key (VERDICT r4 pattern: bounded check in
+    place of a rows-only row): every exact-duplicate pair in the
+    planted corpus must be produced by the simhash band pipeline with
+    Hamming distance 0.  The returned frame is the exact-dup pair list
+    (SQL-expressible) plus the hashed boolean; the raw near-dup pair
+    list stays available as ded_simhash_raw."""
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") < SIMHASH_PLANT_N)
+                   .select((F.col("doc_id") + SIMHASH_PLANT_OFFSET)
+                           .alias("doc_id"), "text"))
+    corpus = docs.unionByName(planted)
+    pairs = simhash_dedup_pairs(corpus)
+    a = corpus.select(F.col("doc_id").alias("i"), F.col("text").alias("t_i"))
+    b = corpus.select(F.col("doc_id").alias("j"), F.col("text").alias("t_j"))
+    exact = (a.join(b, F.col("t_i") == F.col("t_j"))
+              .filter(F.col("i") < F.col("j")).select("i", "j"))
+    return (exact.join(pairs, ["i", "j"], "left")
+                 .select("i", "j",
+                         F.coalesce(F.col("hamming") == 0, F.lit(False))
+                          .alias("simhash_found"))
+                 .orderBy("i", "j"))
+
+
+def ded_simhash_raw(spark, sf):
+    """The raw SimHash near-dup pair list over the natural corpus
+    (rows-only: the pair set depends on xxhash64 signatures)."""
     docs = T(spark, sf, "documents")
     return simhash_dedup_pairs(docs).orderBy("i", "j")
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SIMHASH_PLANT_OFFSET}, text FROM documents
+  WHERE doc_id < {SIMHASH_PLANT_N}
+)
+SELECT a.doc_id AS i, b.doc_id AS j, TRUE AS simhash_found
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY i, j
+"""
 
 
 # ------------------------------------------------------- embedding cosine
@@ -600,7 +649,10 @@ _DOCS = {
     "ded_minhash": "MinHash + LSH near-dup (128 perms, 32×4 bands, verified)",
     "ded_incr": "Incremental near-dup: new batch vs stored corpus "
                 "(broadcast band probe, corpus never shuffles)",
-    "ded_simhash": "SimHash near-dup (64-bit, band blocking, Hamming ≤ 6)",
+    "ded_simhash": "SimHash planted-duplicate certification (band "
+                   "pipeline must pair identical texts at Hamming 0)",
+    "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
+                       "blocking, Hamming ≤ 6; signature-dependent set)",
     "ded_embed": "Embedding cosine near-dup pairs (double-fold dot product)",
 }
 
@@ -609,8 +661,10 @@ _ORACLES = {
     "ded_ngram": _NGRAM_ORACLE,
     "ded_minhash": _MINHASH_ORACLE,
     "ded_incr": _INCR_ORACLE,
-    # ded_simhash: signature algebra is engine-specific → rows-only check;
-    # property-tested against brute force in tests/test_llmops.py.
+    # ded_simhash's hashed contract is the planted-duplicate invariant;
+    # the raw signature-dependent pair set (ded_simhash_raw) stays
+    # rows-only and is property-tested in tests/test_llmops.py.
+    "ded_simhash": _SIMHASH_ORACLE,
     "ded_embed": _EMBED_ORACLE,
 }
 

@@ -138,7 +138,42 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
                .filter(F.col("rank") <= k))
 
 
+#: planted-duplicate retrieval contract (the standard ANN end-to-end
+#: sanity invariant): each query vector re-enters the corpus verbatim
+#: under an offset id.  An exact copy has identical LSH signatures in
+#: every table (resp. the identical nearest IVF cell, which the query
+#: always probes first), and its cosine strictly dominates every other
+#: corpus vector (no natural duplicates of the query ids exist in the
+#: fixtures — checked), so the pipeline MUST return it at rank 1.
+#: Deterministic (seeded planes / deterministic seeds) and statable in
+#: SQL, unlike recall-vs-exact, which on these unclustered random
+#: embeddings is both low and query-dependent.
+PLANT_OFFSET = 1_000_000
+
+
+def _planted_rank1(emb: DataFrame, topk_fn, k: int = 10) -> DataFrame:
+    base = emb.select("vec_id", "embedding")
+    queries = base.filter(F.col("vec_id") < 5)
+    planted = queries.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding")
+    res = topk_fn(base.unionByName(planted), queries, k)
+    pr = F.max(F.when(F.col("neighbor_id") == F.col("q_id") + PLANT_OFFSET,
+                      F.col("rank")))
+    return (res.groupBy("q_id").agg(pr.alias("pr"))
+               .select("q_id",
+                       F.coalesce(F.col("pr") == 1, F.lit(False))
+                        .alias("planted_at_rank1"))
+               .orderBy("q_id"))
+
+
 def ann_lsh(spark, sf):
+    """LSH certification key: planted-duplicate retrieval at rank 1
+    through the full signature → bucket-join → re-rank pipeline; the
+    raw approximate top-k stays available as ann_lsh_raw."""
+    return _planted_rank1(T(spark, sf, "embeddings"), ann_lsh_topk)
+
+
+def ann_lsh_raw(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return (ann_lsh_topk(emb, queries, k=10)
@@ -235,6 +270,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
 
 def ann_ivf(spark, sf):
+    """IVF certification key: planted-duplicate retrieval at rank 1
+    through train → assign → probe → re-rank; raw top-k in
+    ann_ivf_raw."""
+    return _planted_rank1(T(spark, sf, "embeddings"), ivf_topk)
+
+
+def ann_ivf_raw(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return (ivf_topk(emb, queries, k=10)
@@ -291,15 +333,28 @@ SELECT g, CAST(count(*) AS INT) AS dims, ROUND(sqrt(sum(m*m)), 4) AS l2
 FROM m GROUP BY g ORDER BY g
 """
 
+_PLANTED_ORACLE = """
+SELECT vec_id AS q_id, TRUE AS planted_at_rank1
+FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+"""
+
 _DOCS = {
     "ann_topk": "Exact brute-force cosine top-k (broadcast query join)",
-    "ann_lsh": "LSH-bucketed approximate top-k (scale path; recall-tested)",
-    "ann_ivf": "IVF (inverted-file) approximate top-k (k-means cells, nprobe)",
+    "ann_lsh": "LSH planted-duplicate certification (signature → "
+               "bucket join → re-rank must return the copy at rank 1)",
+    "ann_lsh_raw": "LSH-bucketed approximate top-k (raw neighbor list; "
+                   "signature-dependent)",
+    "ann_ivf": "IVF planted-duplicate certification (train → assign → "
+               "probe → re-rank must return the copy at rank 1)",
+    "ann_ivf_raw": "IVF approximate top-k (raw neighbor list; "
+                   "cell-assignment-dependent)",
     "emb_01": "Mean-pool embeddings per group (chunk→doc pooling)",
 }
 
-# ann_lsh / ann_ivf approximate → rows-only checks
-_ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE}
+# the *_raw neighbor lists depend on the signature family → rows-only;
+# the certification keys hash-check the planted-duplicate invariant
+_ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE,
+            "ann_lsh": _PLANTED_ORACLE, "ann_ivf": _PLANTED_ORACLE}
 
 
 def specs() -> list[QuerySpec]:
