@@ -704,7 +704,12 @@ FROM b
 def mm_decode(spark, sf):
     """mm_02 decode + mm_03 resize in one key (STUBBED codecs — see
     multimodal.fake_decode/resize_stub; mapInPandas plumbing is real).
-    Rows-only check by design."""
+
+    Hash-checked: the pinned stub is a pure function of sha256(payload),
+    which the DuckDB oracle reproduces byte-for-byte — certifying the
+    Arrow batch plumbing, schemas, and the decode→resize join, NOT real
+    pixel decoding (that stays env-blocked behind multimodal.real_decode
+    until a codec library exists in the image)."""
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
     m = multimodal.as_media(d)
     feat = multimodal.decode_features(m)
@@ -713,6 +718,26 @@ def mm_decode(spark, sf):
                   F.col("height").alias("r_h"),
                   F.octet_length("payload").alias("r_bytes")))
     return feat.join(rs, "doc_id").orderBy("doc_id")
+
+
+# the stub decode derives (width, height, mean_luma) from sha256 of the
+# UTF-8 payload (multimodal.fake_decode); the fixture text is pure ASCII
+# (octet_length == length at every SF), so DuckDB's sha256(varchar)
+# hashes the same bytes and each stat is reproducible in SQL.  resize
+# truncates to 32*32/8 = 128 bytes (floor 1 for empty payloads).
+_MM_DECODE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS hx
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+       CAST(16 + ('0x' || substring(hx, 1, 2))::INT % 64 AS INT) AS width,
+       CAST(16 + ('0x' || substring(hx, 3, 2))::INT % 64 AS INT) AS height,
+       ROUND(('0x' || substring(hx, 5, 2))::INT / 255.0, 6) AS mean_luma,
+       CAST(32 AS INT) AS r_w, CAST(32 AS INT) AS r_h,
+       CAST(GREATEST(LEAST(nb, 128), 1) AS INT) AS r_bytes
+FROM h ORDER BY doc_id
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -735,7 +760,8 @@ _DOCS = {
     "coh_tmp": "Cohort occurrence + temporal pair (coh_06/07)",
     "udf_tf": "UDF-03 Python UDTF lateral shred → token counts",
     "text_all": "All text-analysis metrics in one documents scan",
-    "mm_decode": "Multimodal decode+resize (stubbed codecs, rows-only)",
+    "mm_decode": "Multimodal decode+resize (stubbed codecs; stub output "
+                 "hash-checked via sha256-reproducing oracle)",
 }
 
 
@@ -758,7 +784,9 @@ def specs() -> list[QuerySpec]:
         "coh_tmp": _coh_tmp_oracle(),
         "udf_tf": _UDF_TF_ORACLE,
         "text_all": _text_all_oracle(),
-        # mm_decode: stubbed codec → rows-only by design
+        # mm_decode's pinned stub is sha256-pure → the oracle reproduces
+        # it exactly; real pixel decode stays env-blocked (real_decode)
+        "mm_decode": _MM_DECODE_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
