@@ -118,6 +118,43 @@ def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def str01_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-01 streaming frame (file source over spilled
+    chunks + broadcast enrich) — shared by the declared key and the
+    plans report, which starts it with its own sink to capture the
+    executed micro-batch plan."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    cls = (F.when(F.col("event_type").isin("click", "view"), "interaction")
+            .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("fault"))
+    # static side computed batch-side (robust to the fixture's type set)
+    dim = ev.select("event_type").distinct().withColumn("concept_class", cls)
+    watch = _spill_chunks(ev, base, 3)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    return src.join(F.broadcast(dim), "event_type", "inner")
+
+
+def str05_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-05 streaming frame (10 torn chunks, hourly
+    tumbling counts behind a 10-day watermark)."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, 5, halves=True)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    # withWatermark requires LTZ event time; the session zone is pinned
+    # UTC (session.py) so NTZ→LTZ is a pure reinterpretation, reversed
+    # on the window start for oracle parity.
+    return (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "10 days")
+            .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                    "n"))
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -128,19 +165,9 @@ def str_01(spark: SparkSession, sf: str) -> DataFrame:
     match proves the streaming replay lost, duplicated, and reordered
     nothing and the stream–static join matched batch semantics.
     """
-    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
-    cls = (F.when(F.col("event_type").isin("click", "view"), "interaction")
-            .when(F.col("event_type").isin("purchase", "signup"), "conversion")
-            .otherwise("fault"))
-    # static side computed batch-side (robust to the fixture's type set)
-    dim = ev.select("event_type").distinct().withColumn("concept_class", cls)
     base = tempfile.mkdtemp(prefix="spark_str01_")
     try:
-        watch = _spill_chunks(ev, base, 3)
-        src = (spark.readStream.format("parquet").schema(ev.schema)
-               .option("maxFilesPerTrigger", "1").load(watch))
-        assert src.isStreaming
-        enriched = src.join(F.broadcast(dim), "event_type", "inner")
+        enriched = str01_stream(spark, sf, base)
         got = _run_to_parquet(enriched, base)
         snap = _materialized(
             got.select("event_id", "ts", "user_id", "event_type", "value",
@@ -172,22 +199,9 @@ def str_05(spark: SparkSession, sf: str) -> DataFrame:
     emitted count exact despite the cross-file disorder.  Both halves of
     the contract are what the oracle's WHERE clause states in SQL.
     """
-    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
     base = tempfile.mkdtemp(prefix="spark_str05_")
     try:
-        watch = _spill_chunks(ev, base, 5, halves=True)
-        src = (spark.readStream.format("parquet").schema(ev.schema)
-               .option("maxFilesPerTrigger", "1").load(watch))
-        assert src.isStreaming
-        # withWatermark requires LTZ event time; the session zone is pinned
-        # UTC (session.py) so NTZ→LTZ is a pure reinterpretation, reversed
-        # on the window start for oracle parity.
-        counts = (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
-                  .withWatermark("ts_ltz", "10 days")
-                  .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
-                  .agg(F.count("*").alias("n"))
-                  .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
-                          "n"))
+        counts = str05_stream(spark, sf, base)
         snap = _materialized(_run_to_parquet(counts, base), base)
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)

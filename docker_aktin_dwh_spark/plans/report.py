@@ -39,6 +39,47 @@ def _props(plan: str) -> dict[str, object]:
     }
 
 
+def _streaming_sections(spark) -> list[str]:
+    """Executed micro-batch plans of the streaming-native declared keys:
+    the stream builders from operators/streamnative.py are started
+    against a scratch sink, and the last micro-batch's physical plan
+    (state store nodes, watermark, sink) is captured from the query
+    handle after availableNow termination.  Fixture sf0.001 — chunk
+    layout changes row counts, not plan shape."""
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    from ..operators import streamnative
+
+    sections = []
+    for key, builder in (("str_01", streamnative.str01_stream),
+                         ("str_05", streamnative.str05_stream)):
+        base = tempfile.mkdtemp(prefix=f"plans_{key}_")
+        try:
+            frame = builder(spark, "/root/testdata/sf0.001", base)
+            q = (frame.writeStream.format("parquet")
+                 .option("path", f"{base}/sink")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q.explain(extended=False)
+            sections += [
+                f"## {key} — executed streaming micro-batch plan",
+                "",
+                "Captured from the StreamingQuery handle after an",
+                "`availableNow` replay into a checkpointed parquet sink.",
+                "",
+                "```", buf.getvalue().rstrip(), "```", "",
+            ]
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return sections
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))))
@@ -77,6 +118,7 @@ def main() -> None:
             lines.append("- pushed to scan: " +
                          "; ".join(f"`[{f}]`" for f in p["pushed_filters"]))
         lines += ["", "```", plan.rstrip(), "```", ""]
+    lines += _streaming_sections(spark)
     spark.stop()
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
