@@ -1,0 +1,118 @@
+"""Training-sequence packing and mixture sampling — the two
+batch-assembly steps between a deduplicated corpus and a training run
+(LLM-pipeline extension; the reference's closest analogue is the
+batched multi-stage import, src/docker/wildfly/Dockerfile:48).
+
+- ``pack_01``  concat-and-chop sequence packing: documents are
+  concatenated in (source, doc_id) order and chopped every
+  ``PACK_CONTEXT`` tokens; a document belongs to the training sequence
+  its FIRST token lands in (the standard packed-pretraining layout).
+  Expressed as a windowed running token sum per source — one scan, one
+  shuffle on source.  Each source partition's running sum is a single
+  ordered task; at 100 TB the same query runs per date/shard partition
+  (hierarchical packing), which is how packing is sharded in practice —
+  the semantics stay per-partition-contiguous either way.
+- ``mix_01``   mixture sampling: per-language sampling rates applied
+  with the md5-prefix hash-threshold pattern (reproducible across
+  runs, engines, and cluster layouts — no RNG state; same pattern as
+  smp_01).  One scan, shuffle only on lang for the accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions.textfns import SQL_TOKENS, tokens
+from ..registry import QuerySpec
+
+#: tokens per packed training sequence
+PACK_CONTEXT = 2048
+
+#: md5-hex-prefix keep thresholds per language (256ths): en halved,
+#: zh quartered, everything else kept ("g0" exceeds every hex prefix).
+MIX_THRESHOLDS = (("en", "80"), ("zh", "40"))
+MIX_DEFAULT = "g0"
+
+
+def pack_01(spark, sf):
+    d = catalog.load(spark, sf, "documents")
+    docs = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = (docs
+              .withColumn("cum", F.sum("n_tok").over(w))
+              .withColumn("seq_id",
+                          F.floor((F.col("cum") - F.col("n_tok"))
+                                  / PACK_CONTEXT)))
+    return (packed.groupBy("source", "seq_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tokens"),
+                       F.min("doc_id").alias("first_doc"))
+                  .orderBy("source", "seq_id"))
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tok) / {PACK_CONTEXT}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def mix_01(spark, sf):
+    d = catalog.load(spark, sf, "documents")
+    thr = F.lit(MIX_DEFAULT)
+    for lang, t in MIX_THRESHOLDS:
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    docs = d.select("doc_id", "lang", F.size(tokens("text")).alias("n_tok"),
+                    keep.alias("k"))
+    return (docs.groupBy("lang")
+                .agg(F.count("*").alias("n_total"),
+                     F.sum(F.col("k").cast("long")).alias("n_kept"),
+                     F.sum(F.when(F.col("k"), F.col("n_tok")).otherwise(0))
+                      .alias("kept_tokens"))
+                .orderBy("lang"))
+
+
+_MIX_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in MIX_THRESHOLDS)
+    + f" ELSE '{MIX_DEFAULT}' END")
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT lang, len({SQL_TOKENS.format(col="text")}) AS n_tok,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_MIX_CASE} AS k
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN k THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(key="pack_01", fn=pack_01, oracle=_PACK_ORACLE,
+                  doc=("Concat-and-chop sequence packing: doc -> "
+                       "training-sequence assignment by windowed "
+                       "running token sum per source"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="mix_01", fn=mix_01, oracle=_MIX_ORACLE,
+                  doc=("Mixture sampling: per-language hash-threshold "
+                       "rates, reproducible across engines"),
+                  tags=("llm", "pipeline")),
+    ]

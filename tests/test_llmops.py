@@ -217,3 +217,42 @@ def test_decode_features_real_pil_path(spark):
     assert (got[0].width, got[0].height, got[0].mean_luma) == (8, 4, 0.0)
     assert (got[1].width, got[1].height, got[1].mean_luma) == (5, 7, 1.0)
     assert got[2].mean_luma == round(128 / 255.0, 6)
+
+
+def test_pack_01_conserves_tokens_and_is_contiguous(spark):
+    """Packing invariants: every token lands in exactly one sequence
+    (per-source token totals conserved), and seq ids per source are
+    contiguous from 0."""
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+    from docker_aktin_dwh_spark.operators.packing import pack_01
+
+    packed = pack_01(spark, SF_SMOKE)
+    got = {r["source"]: (r["total"], r["nseq"], r["maxseq"])
+           for r in packed.groupBy("source")
+                          .agg(F.sum("tokens").alias("total"),
+                               F.count("*").alias("nseq"),
+                               F.max("seq_id").alias("maxseq")).collect()}
+    d = catalog.load(spark, SF_SMOKE, "documents")
+    want = {r["source"]: r["total"]
+            for r in d.select("source", F.size(tokens("text")).alias("n"))
+                      .groupBy("source").agg(F.sum("n").alias("total"))
+                      .collect()}
+    assert set(got) == set(want)
+    for s, (total, nseq, maxseq) in got.items():
+        assert total == want[s], s
+        assert nseq == maxseq + 1, f"{s}: seq ids not contiguous"
+
+
+def test_mix_01_rates_within_hash_tolerance(spark):
+    """Mixture sampling keeps ~thr/256 of each language's docs (exact
+    value is a deterministic property of md5 over the fixture ids)."""
+    from docker_aktin_dwh_spark.operators.packing import mix_01
+
+    rows = {r["lang"]: r for r in mix_01(spark, SF_SMOKE).collect()}
+    assert rows["en"]["n_kept"] < rows["en"]["n_total"]
+    assert rows["zh"]["n_kept"] < rows["zh"]["n_total"]
+    for lang in ("de", "es", "fr"):
+        assert rows[lang]["n_kept"] == rows[lang]["n_total"], lang
