@@ -21,13 +21,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, tokens
+from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, shingles, tokens
 from ..registry import QuerySpec
 from .dedup import minhash_dedup_pairs, ngram_jaccard_pairs
 
 MIN_TOKENS = 20
 MAX_STOP_RATIO = 0.5
 DUP_THRESHOLD = 0.8
+
+#: decontamination: the "benchmark" slice of the fixture and the
+#: shared-shingle count that flags a corpus doc as contaminated
+BENCH_MAX_ID = 50
+DECON_MIN_SHARED = 8
 
 
 def _prep(spark, sf, pairs_fn):
@@ -64,6 +69,47 @@ def pipe_02(spark, sf):
     but the candidate generation shuffles on band hash instead of
     joining every co-occurring shingle, which is the 100 TB shape."""
     return _prep(spark, sf, minhash_dedup_pairs)
+
+
+def decon_01(spark, sf):
+    """Benchmark decontamination: corpus docs sharing ≥ DECON_MIN_SHARED
+    3-gram shingles with any benchmark doc, as (corpus doc, benchmark
+    doc, shared-shingle count) pairs.
+
+    The benchmark side (eval sets) is orders of magnitude smaller than
+    the training corpus, so its exploded shingle set is BROADCAST — the
+    corpus streams through one scan + shingle explode and never
+    shuffles; the per-pair count aggregates map-side.  This is the
+    decontamination shape that survives 100 TB: cost is one corpus pass
+    regardless of how many benchmarks are registered."""
+    d = catalog.load(spark, sf, "documents").select("doc_id", "text")
+
+    def sh(df, name):
+        return df.select(F.col("doc_id").alias(name),
+                         F.explode(shingles(tokens("text"))).alias("sg"))
+
+    bench = sh(d.filter(F.col("doc_id") < BENCH_MAX_ID), "j")
+    corpus = sh(d.filter(F.col("doc_id") >= BENCH_MAX_ID), "i")
+    return (corpus.join(F.broadcast(bench), "sg")
+                  .groupBy("i", "j").agg(F.count("*").alias("shared"))
+                  .filter(F.col("shared") >= DECON_MIN_SHARED)
+                  .orderBy("i", "j"))
+
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col="text")} AS t FROM documents
+),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t),
+b AS (SELECT doc_id AS j, unnest(s) AS sg FROM sh
+      WHERE doc_id < {BENCH_MAX_ID}),
+c AS (SELECT doc_id AS i, unnest(s) AS sg FROM sh
+      WHERE doc_id >= {BENCH_MAX_ID})
+SELECT c.i, b.j, count(*) AS shared
+FROM c JOIN b USING (sg)
+GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN_SHARED}
+ORDER BY 1, 2
+"""
 
 
 def _oracle() -> str:
@@ -107,5 +153,10 @@ def specs() -> list[QuerySpec]:
             key="pipe_02", fn=pipe_02, oracle=_oracle(),
             doc="Corpus prep with the MinHash+LSH scale path "
                 "(same oracle; LSH miss probability ~5e-8)",
+            tags=("llm", "pipeline")),
+        QuerySpec(
+            key="decon_01", fn=decon_01, oracle=_DECON_ORACLE,
+            doc="Benchmark decontamination: corpus docs sharing "
+                "shingles with the (broadcast) benchmark set",
             tags=("llm", "pipeline")),
     ]
