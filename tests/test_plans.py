@@ -121,3 +121,29 @@ def test_ded_incr_band_probe_broadcasts(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decon01_benchmark_side_broadcasts(spark):
+    """Decontamination: the benchmark shingle set must reach the corpus
+    as a broadcast — the corpus side streams through one scan without a
+    join shuffle, which is what makes one-pass decontamination hold at
+    100 TB."""
+    from docker_aktin_dwh_spark.operators.prep import decon_01
+    plan = plans.formatted_plan(decon_01(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_pack01_single_shuffle_on_source(spark):
+    """Sequence packing: one scan, and the only exchanges are the
+    source-keyed window shuffle plus the final presentation sort — no
+    join, no extra repartition."""
+    import re
+
+    from docker_aktin_dwh_spark.operators.packing import pack_01
+    plan = plans.formatted_plan(pack_01(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    hash_exchanges = len(re.findall(
+        r"Arguments: hashpartitioning", plan))
+    assert hash_exchanges <= 2, plan
