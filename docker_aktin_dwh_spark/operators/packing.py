@@ -104,6 +104,67 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+#: sliding-window chunking: window size / overlap in tokens (the
+#: doc → chunk step ahead of an embedding pass; emb_01 is the pooling
+#: step on the way back up)
+CHUNK_SIZE = 128
+CHUNK_OVERLAP = 32
+
+
+def chunk_01(spark, sf):
+    """Sliding-window doc chunking: windows of CHUNK_SIZE tokens at
+    stride CHUNK_SIZE − CHUNK_OVERLAP; the last window is the remainder
+    (min one window per doc).  One scan + an explode over computed
+    chunk indices — per-row JVM expressions only, no shuffle except the
+    presentation sort; chunk text is returned as an md5 so the frame
+    stays narrow while the oracle still certifies the exact token
+    content of every chunk."""
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    d = catalog.load(spark, sf, "documents").select("doc_id", "text")
+    tok = tokens("text")
+    n = F.size(tok)
+    n_chunks = (F.ceil(F.greatest(n - CHUNK_SIZE, F.lit(0)) / stride)
+                + 1).cast("int")
+    rows = d.select("doc_id", tok.alias("t"), n.alias("n"),
+                    F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                     .alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(CHUNK_SIZE), F.col("n") - start)
+    return (rows.select(
+                "doc_id", "chunk_idx",
+                clen.cast("int").alias("n_tok"),
+                F.md5(F.concat_ws(" ", F.slice("t", start + 1, clen)))
+                 .alias("chunk_md5"))
+                .orderBy("doc_id", "chunk_idx"))
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col="text")} AS t FROM documents
+),
+n AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(CEIL(GREATEST(len(t) - {CHUNK_SIZE}, 0)
+                   / {CHUNK_SIZE - CHUNK_OVERLAP}.0) AS BIGINT) + 1
+           AS n_chunks
+  FROM t
+),
+x AS (
+  SELECT doc_id, t, n, unnest(range(n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(LEAST({CHUNK_SIZE}, n - chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP})
+            AS INT) AS n_tok,
+       md5(array_to_string(
+           t[chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 :
+             chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP}
+             + LEAST({CHUNK_SIZE},
+                     n - chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP})],
+           ' ')) AS chunk_md5
+FROM x ORDER BY doc_id, chunk_idx
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(key="pack_01", fn=pack_01, oracle=_PACK_ORACLE,
@@ -114,5 +175,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec(key="mix_01", fn=mix_01, oracle=_MIX_ORACLE,
                   doc=("Mixture sampling: per-language hash-threshold "
                        "rates, reproducible across engines"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="chunk_01", fn=chunk_01, oracle=_CHUNK_ORACLE,
+                  doc=("Sliding-window doc chunking (128-token windows, "
+                       "32 overlap) with content-certifying chunk md5"),
                   tags=("llm", "pipeline")),
     ]

@@ -256,3 +256,30 @@ def test_mix_01_rates_within_hash_tolerance(spark):
     assert rows["zh"]["n_kept"] < rows["zh"]["n_total"]
     for lang in ("de", "es", "fr"):
         assert rows[lang]["n_kept"] == rows[lang]["n_total"], lang
+
+
+def test_chunk_01_covers_every_token_with_fixed_overlap(spark):
+    """Chunking invariants: first chunk starts at 0, consecutive starts
+    advance by the stride, and the final chunk ends exactly at the
+    doc's last token (full coverage, no tail loss)."""
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+    from docker_aktin_dwh_spark.operators.packing import (CHUNK_OVERLAP,
+                                                          CHUNK_SIZE,
+                                                          chunk_01)
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    ch = chunk_01(spark, SF_SMOKE)
+    last = (ch.groupBy("doc_id")
+              .agg(F.max("chunk_idx").alias("li"),
+                   F.count("*").alias("nc")))
+    # chunk_idx dense from 0
+    assert last.filter(F.col("nc") != F.col("li") + 1).count() == 0
+    d = catalog.load(spark, SF_SMOKE, "documents") \
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+    end = (ch.join(last, "doc_id").filter(F.col("chunk_idx") == F.col("li"))
+             .join(d, "doc_id")
+             .withColumn("covered", F.col("chunk_idx") * stride + F.col("n_tok")))
+    assert end.filter(F.col("covered") != F.col("n")).count() == 0
