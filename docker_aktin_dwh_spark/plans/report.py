@@ -92,6 +92,9 @@ def main() -> None:
     spark = build_session(app_name="plans-report")
     registry = build_registry()
 
+    # non-headline keys whose scale story deserves plan evidence too
+    extra = ("decon_01", "pack_01", "chunk_01", "mix_01", "ded_incr")
+
     lines = [
         "# PLANS — physical-plan evidence (generated)",
         "",
@@ -101,7 +104,7 @@ def main() -> None:
         "`explain(\"formatted\")` output.",
         "",
     ]
-    for key in HEADLINE:
+    for key in tuple(HEADLINE) + extra:
         spec = registry[key]
         df = spec.fn(spark, sf_dir)
         plan = formatted_plan(df)
