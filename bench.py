@@ -76,7 +76,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        out["scaling"] = scaling_section(spark, registry, sf_dir)
+        out["scaling"] = scaling_section(spark, registry, sf_dir, timings)
     print(json.dumps(out))
     spark.stop()
 
@@ -86,7 +86,8 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02")
 SCALE_REPLICAS = 10
 
 
-def scaling_section(spark, registry, sf_dir: str) -> dict:
+def scaling_section(spark, registry, sf_dir: str,
+                    headline_sec: dict[str, float] | None = None) -> dict:
     from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -104,7 +105,10 @@ def scaling_section(spark, registry, sf_dir: str) -> dict:
     base_sec, scaled_sec, slope = {}, {}, {}
     for key in SCALE_QUERIES:
         fn = registry[key].fn
-        base_sec[key] = best_of(fn, sf_dir)
+        # reuse the headline best-of-3 where the key overlaps instead
+        # of re-running the heaviest queries a 4th and 5th time
+        base_sec[key] = ((headline_sec or {}).get(key)
+                         or best_of(fn, sf_dir))
         scaled_sec[key] = best_of(fn, scale_dir)
         slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
     return {"replicas": SCALE_REPLICAS, "base_sec": base_sec,

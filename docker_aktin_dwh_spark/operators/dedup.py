@@ -369,13 +369,29 @@ def empty_minhash_index(spark) -> DataFrame:
     return spark.createDataFrame([], MINHASH_INDEX_DDL)
 
 
-NEW_BATCH_START = 400  # declared-query split: doc_id >= 400 is "new"
+#: declared-query split: the first 4/5 of the id space is the stored
+#: corpus, the rest the arriving batch.  PROPORTIONAL, not absolute, so
+#: the corpus/new shape (large stored corpus probed by a broadcast of
+#: the small batch) is scale-invariant — an absolute cutoff made the
+#: "new batch" 92% of the corpus at sf0.1 and ~100% on the 10× scaling
+#: fixture, inverting the broadcast asymmetry the operator is designed
+#: around.  At sf0.01 (500 docs) the threshold is 400, identical to the
+#: previous constant.
+CORPUS_SPLIT_NUM, CORPUS_SPLIT_DEN = 4, 5
+
+
+def corpus_split_threshold(d: DataFrame) -> int:
+    # control-plane scalar (single max), mirrored by a subquery in the
+    # oracle; integer arithmetic so both engines agree exactly
+    mx = d.agg(F.max("doc_id")).first()[0]
+    return (int(mx) + 1) * CORPUS_SPLIT_NUM // CORPUS_SPLIT_DEN
 
 
 def ded_incr(spark, sf):
     d = T(spark, sf, "documents")
-    corpus = d.filter(F.col("doc_id") < NEW_BATCH_START)
-    new = d.filter(F.col("doc_id") >= NEW_BATCH_START)
+    thr = corpus_split_threshold(d)
+    corpus = d.filter(F.col("doc_id") < thr)
+    new = d.filter(F.col("doc_id") >= thr)
     # the fixtures have no persisted index, so the corpus index is
     # derived here; in the ingest loop it is read from the store
     return (incremental_minhash_pairs(doc_minhash_frame(corpus), new,
@@ -451,7 +467,15 @@ def ded_simhash(spark, sf):
     Hamming distance 0.  The returned frame is the exact-dup pair list
     (SQL-expressible) plus the hashed boolean; the raw near-dup pair
     list stays available as ded_simhash_raw."""
-    docs = T(spark, sf, "documents").select("doc_id", "text")
+    from ..functions.textfns import tokens
+
+    # the invariant only holds for docs that HAVE a signature — a doc
+    # under 3 tokens yields no shingles and is absent from the band
+    # pipeline, so the certification universe is shingle-bearing docs
+    # (the oracle applies the same len(t) >= 3 restriction; current
+    # fixtures have no short docs, this guards regenerated ones)
+    docs = (T(spark, sf, "documents").select("doc_id", "text")
+            .filter(F.size(tokens("text")) >= 3))
     planted = (docs.filter(F.col("doc_id") < SIMHASH_PLANT_N)
                    .select((F.col("doc_id") + SIMHASH_PLANT_OFFSET)
                            .alias("doc_id"), "text"))
@@ -476,10 +500,14 @@ def ded_simhash_raw(spark, sf):
 
 
 _SIMHASH_ORACLE = f"""
-WITH corpus AS (
+WITH base AS (
   SELECT doc_id, text FROM documents
+  WHERE len({SQL_TOKENS.format(col="text")}) >= 3
+),
+corpus AS (
+  SELECT doc_id, text FROM base
   UNION ALL
-  SELECT doc_id + {SIMHASH_PLANT_OFFSET}, text FROM documents
+  SELECT doc_id + {SIMHASH_PLANT_OFFSET}, text FROM base
   WHERE doc_id < {SIMHASH_PLANT_N}
 )
 SELECT a.doc_id AS i, b.doc_id AS j, TRUE AS simhash_found
@@ -639,7 +667,8 @@ p AS (SELECT a.doc_id AS i, b.doc_id AS j,
              len(list_intersect(a.s, b.s))::DOUBLE
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE b.doc_id >= {NEW_BATCH_START})
+      WHERE b.doc_id >= (SELECT (max(doc_id) + 1) * {CORPUS_SPLIT_NUM}
+                                // {CORPUS_SPLIT_DEN} FROM documents))
 SELECT i, j, ROUND(jac, 3) AS jac FROM p WHERE jac >= {JACCARD_THRESHOLD}
 """.format(t=SQL_TOKENS.format(col="text"), s=SQL_SHINGLES3)
 

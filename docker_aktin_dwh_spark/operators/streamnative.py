@@ -33,6 +33,7 @@ from __future__ import annotations
 import pathlib
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,9 +92,18 @@ def _materialized(df: DataFrame, base: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
-    """Append-mode availableNow execution into a checkpointed parquet
-    sink; returns the sink read back (the committed streaming output).
+#: serializes the shuffle-partition pin below: the session conf is
+#: global, and the test suite runs declared keys from a thread pool —
+#: without the lock two interleaved streaming runs could restore each
+#: other's pinned value into the session.
+_SINK_LOCK = threading.Lock()
+
+
+def start_append_sink(df: DataFrame, base: str):
+    """Start ``df`` as an append-mode availableNow query into a
+    checkpointed parquet sink under ``base`` and await termination;
+    returns the finished StreamingQuery (its handle still explains the
+    last micro-batch plan — the plans report uses that).
 
     Streaming disables AQE, so the state-store partition count is the
     raw ``spark.sql.shuffle.partitions`` at query start (then frozen
@@ -104,18 +114,25 @@ def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
     choice made once per pipeline, not inherited from batch defaults.
     """
     spark = df.sparkSession
-    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(min(int(prev), 8)))
-        q = (df.writeStream.format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(sink)
+    with _SINK_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(min(int(prev), 8)))
+            q = (df.writeStream.format("parquet")
+                 .option("path", f"{base}/sink")
+                 .option("checkpointLocation", f"{base}/ckpt")
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return q
+
+
+def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:
+    """start_append_sink + the committed sink read back."""
+    start_append_sink(df, base)
+    return df.sparkSession.read.parquet(f"{base}/sink")
 
 
 def str01_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:

@@ -39,13 +39,13 @@ def _props(plan: str) -> dict[str, object]:
     }
 
 
-def _streaming_sections(spark) -> list[str]:
+def _streaming_sections(spark, sf_dir: str) -> list[str]:
     """Executed micro-batch plans of the streaming-native declared keys:
     the stream builders from operators/streamnative.py are started
-    against a scratch sink, and the last micro-batch's physical plan
-    (state store nodes, watermark, sink) is captured from the query
-    handle after availableNow termination.  Fixture sf0.001 — chunk
-    layout changes row counts, not plan shape."""
+    through the same start_append_sink helper the declared keys use
+    (shuffle-partition pinning included), and the last micro-batch's
+    physical plan (state store nodes, watermark, sink) is captured from
+    the query handle after availableNow termination."""
     import contextlib
     import io
     import shutil
@@ -58,12 +58,8 @@ def _streaming_sections(spark) -> list[str]:
                          ("str_05", streamnative.str05_stream)):
         base = tempfile.mkdtemp(prefix=f"plans_{key}_")
         try:
-            frame = builder(spark, "/root/testdata/sf0.001", base)
-            q = (frame.writeStream.format("parquet")
-                 .option("path", f"{base}/sink")
-                 .option("checkpointLocation", f"{base}/ckpt")
-                 .outputMode("append").trigger(availableNow=True).start())
-            q.awaitTermination()
+            frame = builder(spark, sf_dir, base)
+            q = streamnative.start_append_sink(frame, base)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 q.explain(extended=False)
@@ -121,7 +117,11 @@ def main() -> None:
             lines.append("- pushed to scan: " +
                          "; ".join(f"`[{f}]`" for f in p["pushed_filters"]))
         lines += ["", "```", plan.rstrip(), "```", ""]
-    lines += _streaming_sections(spark)
+    # sf0.001 regardless of the batch sections' dir: chunk layout
+    # changes row counts, not plan shape, and the spill is cheap there
+    stream_sf = os.environ.get("SPARK_GRAFT_STREAM_SF_DIR",
+                               "/root/testdata/sf0.001")
+    lines += _streaming_sections(spark, stream_sf)
     spark.stop()
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

@@ -24,6 +24,14 @@ shape* matches the base:
 - **Fixed dims** (nation / region): copied verbatim — they are
   constant-cardinality in the reference's model and must stay so.
 
+Caveat for split-based operators (ded_incr): its proportional 80/20
+corpus/new threshold scales with the id space, so corpus and new sides
+both grow R× — but because replicas are token-disjoint, true near-dup
+pairs never cross the split when it falls on a replica boundary.  The
+COST drivers (signature build, band explode, broadcast probe volume)
+still scale R×, which is what the slope measures; only the matched
+pair count is smaller than a naturally-grown corpus would give.
+
 Everything is one Catalyst plan per table (crossJoin with a
 ``spark.range(replicas)`` frame — no driver loops over rows); the only
 collects are the per-table max-key scalars.  Output is cached under a
