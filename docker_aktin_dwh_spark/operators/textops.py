@@ -91,6 +91,44 @@ def text_fp(spark, sf):
              .orderBy("doc_id"))
 
 
+VOCAB_TOP_K = 10
+
+
+def vocab_01(spark, sf):
+    """Corpus vocabulary stats: top-K tokens per language by frequency
+    (ties broken on token text for determinism).
+
+    Scale shape: explode → groupBy(lang, token) aggregates with
+    map-side combine (the corpus-sized stage), then a per-lang window
+    over the aggregated frequency table — whose cardinality is the
+    vocabulary, orders of magnitude below the corpus, so the single
+    ordered task per language holds at 100 TB.  (A two-phase
+    per-partition top-k would drop even that if vocabularies ever
+    rivaled corpus size.)"""
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents")
+    freq = (d.select("lang", F.explode(tokens("text")).alias("t"))
+             .groupBy("lang", "t").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("t"))
+    return (freq.withColumn("rank", F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= VOCAB_TOP_K)
+                .select("lang", "rank", "t", "n")
+                .orderBy("lang", "rank"))
+
+
+_VOCAB_ORACLE = f"""
+WITH x AS (
+  SELECT lang, unnest({SQL_TOKENS.format(col="text")}) AS t FROM documents
+),
+f AS (SELECT lang, t, count(*) AS n FROM x GROUP BY 1, 2),
+r AS (SELECT lang, t, n, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, t) AS INT) AS rank FROM f)
+SELECT lang, rank, t, n FROM r WHERE rank <= {VOCAB_TOP_K}
+ORDER BY lang, rank
+"""
+
+
 def _sql_vote(ws: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in ws)
     return f"len(list_filter(t, x -> x IN ({lst})))"
@@ -129,6 +167,7 @@ _ORACLES = {
     "text_langid": _langid_oracle(),
     "text_fp": ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
                 "AS fp FROM documents"),
+    "vocab_01": _VOCAB_ORACLE,
 }
 
 _DOCS = {
@@ -136,6 +175,8 @@ _DOCS = {
     "text_quality": "Quality scoring (stopword ratio, token stats)",
     "text_langid": "Language ID (stopword-profile vote)",
     "text_fp": "Document fingerprint (normalized md5)",
+    "vocab_01": "Vocabulary stats: top-K tokens per language "
+                "(deterministic tie-break)",
 }
 
 
