@@ -1,0 +1,65 @@
+"""Scale-fixture generator invariants (bench's scaling-slope evidence
+is only as good as these): replica-0 identity, cross-replica token
+disjointness, and exact linear scaling of aggregate results."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
+from docker_aktin_dwh_spark.operators.relational import jn_03
+from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+REPLICAS = 3
+
+
+@pytest.fixture(scope="module")
+def scale_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scalefix") / "r3")
+    return ensure_scale_fixture(spark, SF_SMOKE, out, REPLICAS)
+
+
+def test_replica_counts_and_distinct_keys(spark, scale_dir):
+    base = catalog.load(spark, SF_SMOKE, "documents")
+    scaled = catalog.load(spark, scale_dir, "documents")
+    n = base.count()
+    assert scaled.count() == REPLICAS * n
+    assert scaled.select("doc_id").distinct().count() == REPLICAS * n
+
+
+def test_replica0_text_verbatim(spark, scale_dir):
+    base = catalog.load(spark, SF_SMOKE, "documents").alias("b")
+    scaled = catalog.load(spark, scale_dir, "documents").alias("s")
+    mx = base.agg(F.max("doc_id")).first()[0]
+    j = (scaled.filter(F.col("doc_id") <= mx).join(base, "doc_id"))
+    assert j.filter(F.col("s.text") != F.col("b.text")).count() == 0
+
+
+def test_cross_replica_tokens_disjoint(spark, scale_dir):
+    scaled = catalog.load(spark, scale_dir, "documents")
+    mx = catalog.load(spark, SF_SMOKE, "documents") \
+        .agg(F.max("doc_id")).first()[0]
+    stride = int(mx) + 1
+    toks = scaled.select(
+        (F.col("doc_id") / stride).cast("int").alias("r"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    # a token text appearing in two replicas would break the
+    # no-cross-replica-near-dup guarantee the dedup slopes rely on
+    assert (toks.groupBy("t")
+                .agg(F.countDistinct("r").alias("nr"))
+                .filter(F.col("nr") > 1).count()) == 0
+
+
+def test_jn03_scales_exactly_linearly(spark, scale_dir):
+    base = {r["r_name"]: float(r["rev"])
+            for r in jn_03(spark, SF_SMOKE).collect()}
+    scaled = {r["r_name"]: float(r["rev"])
+              for r in jn_03(spark, scale_dir).collect()}
+    assert set(base) == set(scaled)
+    for k, v in base.items():
+        assert math.isclose(scaled[k], REPLICAS * v, rel_tol=1e-9), k
