@@ -111,7 +111,7 @@ def vocab_01(spark, sf):
     freq = (d.select("lang", F.explode(tokens("text")).alias("t"))
              .groupBy("lang", "t").agg(F.count("*").alias("n")))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("t"))
-    return (freq.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (freq.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= VOCAB_TOP_K)
                 .select("lang", "rank", "t", "n")
                 .orderBy("lang", "rank"))

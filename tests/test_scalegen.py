@@ -37,6 +37,7 @@ def test_replica0_text_verbatim(spark, scale_dir):
     scaled = catalog.load(spark, scale_dir, "documents").alias("s")
     mx = base.agg(F.max("doc_id")).first()[0]
     j = (scaled.filter(F.col("doc_id") <= mx).join(base, "doc_id"))
+    assert j.count() == base.count()      # replica 0 fully present
     assert j.filter(F.col("s.text") != F.col("b.text")).count() == 0
 
 
@@ -45,9 +46,11 @@ def test_cross_replica_tokens_disjoint(spark, scale_dir):
     mx = catalog.load(spark, SF_SMOKE, "documents") \
         .agg(F.max("doc_id")).first()[0]
     stride = int(mx) + 1
+    from docker_aktin_dwh_spark.functions.textfns import tokens
     toks = scaled.select(
         (F.col("doc_id") / stride).cast("int").alias("r"),
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        F.explode(tokens("text")).alias("t"))
+    assert toks.count() > 0
     # a token text appearing in two replicas would break the
     # no-cross-replica-near-dup guarantee the dedup slopes rely on
     assert (toks.groupBy("t")
