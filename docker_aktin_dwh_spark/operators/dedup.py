@@ -400,6 +400,68 @@ def ded_incr(spark, sf):
             .orderBy("i", "j"))
 
 
+# ------------------------------------------------- dup clustering (iterative)
+
+CC_MAX_ITERS = 25
+
+
+def connected_components(pairs: DataFrame,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components of the undirected pair graph by min-label
+    propagation: every node starts labeled with its own id and
+    repeatedly takes the min of its neighbors' labels until a fixpoint
+    — the iterative-algorithm shape (Pregel without GraphX), a driver
+    loop of joins with one convergence action per round.
+
+    Per round the work is one shuffle join keyed on node id; the loop
+    count is bounded by the component diameter, which for near-dup
+    graphs is tiny (dup clusters are cliques-ish).  Labels are
+    materialized each round (lineage would otherwise grow
+    exponentially).  Raises rather than returning partial labels if a
+    pathological chain exceeds ``max_iters``.
+
+    Returns (v, lbl): node → min doc_id of its component.
+    """
+    edges = materialize(
+        pairs.select(F.col("i").alias("v"), F.col("j").alias("u"))
+             .unionByName(pairs.select(F.col("j").alias("v"),
+                                       F.col("i").alias("u")))
+             .distinct())
+    labels = materialize(
+        edges.select("v").distinct().withColumn("lbl", F.col("v")))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
+                      .groupBy("v").agg(F.min("lbl").alias("nl")))
+        merged = (labels.join(neigh, "v", "left")
+                        .select("v", "lbl",
+                                F.least(F.col("lbl"),
+                                        F.coalesce("nl", F.col("lbl")))
+                                 .alias("new_lbl")))
+        changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = materialize(
+            merged.select("v", F.col("new_lbl").alias("lbl")))
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iters} rounds "
+        "(component diameter exceeds the bound)")
+
+
+def dupcc_01(spark, sf):
+    """Near-dup cluster assignment: connected components over the
+    MinHash near-dup pair graph; ``cluster_rep`` = min doc_id of the
+    component (the doc keep-first retention would keep).  Docs with no
+    near-dup are trivial singletons and omitted.  The DuckDB oracle
+    computes the same closure with a recursive CTE over the exact
+    Jaccard pair graph."""
+    pairs = minhash_dedup_pairs(T(spark, sf, "documents"),
+                                JACCARD_THRESHOLD)
+    return (connected_components(pairs)
+            .select(F.col("v").alias("doc_id"),
+                    F.col("lbl").alias("cluster_rep"))
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------------------------------ SimHash
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -640,6 +702,24 @@ p AS (SELECT a.doc_id AS i, b.doc_id AS j,
 SELECT i, j, ROUND(jac, 3) AS jac FROM p WHERE jac >= {JACCARD_THRESHOLD}
 """
 
+_DUPCC_ORACLE = f"""
+WITH RECURSIVE
+t0 AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t0),
+pr AS (SELECT a.doc_id AS i, b.doc_id AS j
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             >= {JACCARD_THRESHOLD}),
+e AS (SELECT i AS v, j AS u FROM pr UNION SELECT j, i FROM pr),
+reach(v, u) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM e)
+  UNION
+  SELECT r.v, e2.u FROM reach r JOIN e e2 ON r.u = e2.v
+)
+SELECT v AS doc_id, min(u) AS cluster_rep FROM reach GROUP BY v ORDER BY v
+"""
+
 _EMBED_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 2000)
@@ -678,6 +758,9 @@ _DOCS = {
     "ded_minhash": "MinHash + LSH near-dup (128 perms, 32×4 bands, verified)",
     "ded_incr": "Incremental near-dup: new batch vs stored corpus "
                 "(broadcast band probe, corpus never shuffles)",
+    "dupcc_01": "Near-dup cluster assignment: iterative connected "
+                "components (min-label propagation) over the MinHash "
+                "pair graph",
     "ded_simhash": "SimHash planted-duplicate certification (band "
                    "pipeline must pair identical texts at Hamming 0)",
     "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
@@ -690,6 +773,7 @@ _ORACLES = {
     "ded_ngram": _NGRAM_ORACLE,
     "ded_minhash": _MINHASH_ORACLE,
     "ded_incr": _INCR_ORACLE,
+    "dupcc_01": _DUPCC_ORACLE,
     # ded_simhash's hashed contract is the planted-duplicate invariant;
     # the raw signature-dependent pair set (ded_simhash_raw) stays
     # rows-only and is property-tested in tests/test_llmops.py.

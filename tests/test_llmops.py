@@ -283,3 +283,27 @@ def test_chunk_01_covers_every_token_with_fixed_overlap(spark):
              .join(d, "doc_id")
              .withColumn("covered", F.col("chunk_idx") * stride + F.col("n_tok")))
     assert end.filter(F.col("covered") != F.col("n")).count() == 0
+
+
+def test_connected_components_propagates_across_chains(spark):
+    """A min-label must travel the full chain 0-1-2-3 (several
+    propagation rounds), separate components stay separate, and
+    symmetric/duplicate edges are tolerated."""
+    from docker_aktin_dwh_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3),      # chain 0-1-2-3 with mixed orientation
+         (10, 11), (10, 11),          # separate component, duplicate edge
+         ], "i long, j long")
+    got = {r["v"]: r["lbl"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_past_iteration_bound(spark):
+    from docker_aktin_dwh_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(6)], "i long, j long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iters=2)

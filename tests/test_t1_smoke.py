@@ -14,7 +14,8 @@ REGISTRY = build_registry()
 
 #: constructed-empty at tiny scale is fine for these (dup/near-dup sets)
 MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
-                "ded_incr", "jn_06", "set_04", "ann_lsh_raw", "ann_ivf_raw"}
+                "ded_incr", "jn_06", "set_04", "ann_lsh_raw", "ann_ivf_raw",
+                "dupcc_01"}
 
 
 @pytest.fixture(scope="module")
