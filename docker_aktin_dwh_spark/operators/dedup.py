@@ -432,14 +432,14 @@ def connected_components(pairs: DataFrame,
     for _ in range(max_iters):
         neigh = (edges.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
                       .groupBy("v").agg(F.min("lbl").alias("nl")))
-        merged = (labels.join(neigh, "v", "left")
-                        .select("v", "lbl",
-                                F.least(F.col("lbl"),
-                                        F.coalesce("nl", F.col("lbl")))
-                                 .alias("new_lbl")))
+        merged = materialize(
+            labels.join(neigh, "v", "left")
+                  .select("v", "lbl",
+                          F.least(F.col("lbl"),
+                                  F.coalesce("nl", F.col("lbl")))
+                           .alias("new_lbl")))
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = materialize(
-            merged.select("v", F.col("new_lbl").alias("lbl")))
+        labels = merged.select("v", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -307,3 +307,34 @@ def test_connected_components_raises_past_iteration_bound(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(chain, max_iters=2)
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Cross-check against a driver-side union-find on seeded random
+    graphs (fixed seeds — deterministic, no flake)."""
+    import random
+
+    from docker_aktin_dwh_spark.operators.dedup import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(25)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v))
+                for v in touched}
+
+        df = spark.createDataFrame(edges, "i long, j long")
+        got = {r["v"]: r["lbl"] for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
