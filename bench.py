@@ -102,7 +102,14 @@ def scaling_section(spark, registry, sf_dir: str,
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # a second, smaller decade (sf0.01 -> sf0.1 is also 10x data) turns
+    # the single ratio into a two-decade curve; consecutive consistent
+    # slopes are much harder to attribute to fixed overheads
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    have_small = os.path.isdir(small_dir)
+
     base_sec, scaled_sec, slope = {}, {}, {}
+    small_sec, slope_small = {}, {}
     for key in SCALE_QUERIES:
         fn = registry[key].fn
         # reuse the headline best-of-3 where the key overlaps instead
@@ -111,8 +118,16 @@ def scaling_section(spark, registry, sf_dir: str,
                          or best_of(fn, sf_dir))
         scaled_sec[key] = best_of(fn, scale_dir)
         slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
-    return {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
-            "scaled_sec": scaled_sec, "slope": slope}
+        if have_small:
+            small_sec[key] = best_of(fn, small_dir)
+            slope_small[key] = round(
+                base_sec[key] / max(small_sec[key], 1e-9), 2)
+    out = {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
+           "scaled_sec": scaled_sec, "slope": slope}
+    if have_small:
+        out["small_sec"] = small_sec
+        out["slope_small_to_base"] = slope_small
+    return out
 
 
 if __name__ == "__main__":
