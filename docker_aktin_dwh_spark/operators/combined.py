@@ -84,11 +84,16 @@ def _flt_all_oracle() -> str:
 # ------------------------------------------------------------------- JN family
 
 def jn_misc(spark, sf):
-    """JN-05 semi + JN-06 anti + JN-07 self + JN-10 cross as a tagged
-    union (the remaining join kinds after jn_03/jn_04/jn_08/jn_09).
-    Branches reuse jn_05/06/07/10 verbatim."""
+    """JN-04 left-outer + JN-05 semi + JN-06 anti + JN-07 self + JN-10
+    cross as a tagged union (the remaining join kinds after
+    jn_03/jn_08/jn_09).  Branches reuse jn_04/05/06/07/10 verbatim.
+    (jn_04 was folded in in round 6 to free a driver-window slot for
+    llm_all; it stays a fine-grained post-50 key.)"""
     R = relational
     out = _tag(R.jn_05(spark, sf), "semi", F.col("c_custkey").cast("string"))
+    out = out.unionByName(_tag(
+        R.jn_04(spark, sf), "louter",
+        F.concat_ws("-", "c_custkey", "n")))
     out = out.unionByName(_tag(R.jn_06(spark, sf), "anti",
                                F.col("c_custkey").cast("string")))
     out = out.unionByName(_tag(
@@ -103,6 +108,8 @@ def _jn_misc_oracle() -> str:
     O = relational._ORACLES
     branches = [
         ("semi", "CAST(c_custkey AS STRING)", O["jn_05"]),
+        ("louter", "CAST(c_custkey AS STRING) || '-' || CAST(n AS STRING)",
+         O["jn_04"]),
         ("anti", "CAST(c_custkey AS STRING)", O["jn_06"]),
         ("self", "CAST(l_orderkey AS STRING) || '-' || "
                  "CAST(l_linenumber AS STRING) || '-' || CAST(other AS STRING)",
@@ -740,11 +747,70 @@ FROM h ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------- LLM-pipeline family
+
+def llm_all(spark, sf):
+    """The six LLM-pipeline batch operators in one tagged union so the
+    driver window hash-certifies all of them: sequence packing
+    (pack_01), mixture sampling (mix_01), sliding-window chunking
+    (chunk_01), per-language vocabulary top-K (vocab_01), benchmark
+    decontamination (decon_01), and near-dup connected-components
+    clustering (dupcc_01).  Branches reuse the fine-grained builders
+    verbatim (operators/packing.py, prep.py, textops.py, dedup.py);
+    every branch column is folded into `v` with '|' separators so the
+    union keeps full value-level verification.  All branch columns are
+    integer/string typed, so Spark's concat_ws and the oracle's VARCHAR
+    casts render identically."""
+    from . import dedup, packing, prep
+    out = _tag(packing.pack_01(spark, sf), "pack",
+               F.concat_ws("|", "source", "seq_id", "n_docs", "tokens",
+                           "first_doc"))
+    out = out.unionByName(_tag(
+        packing.mix_01(spark, sf), "mix",
+        F.concat_ws("|", "lang", "n_total", "n_kept", "kept_tokens")))
+    out = out.unionByName(_tag(
+        packing.chunk_01(spark, sf), "chunk",
+        F.concat_ws("|", "doc_id", "chunk_idx", "n_tok", "chunk_md5")))
+    out = out.unionByName(_tag(
+        textops.vocab_01(spark, sf), "vocab",
+        F.concat_ws("|", "lang", "rank", "t", "n")))
+    out = out.unionByName(_tag(
+        prep.decon_01(spark, sf), "decon",
+        F.concat_ws("|", "i", "j", "shared")))
+    out = out.unionByName(_tag(
+        dedup.dupcc_01(spark, sf), "dupcc",
+        F.concat_ws("|", "doc_id", "cluster_rep")))
+    return out.orderBy("tag", "v")
+
+
+def _llm_all_oracle() -> str:
+    from . import dedup, packing, prep, textops as tx
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("pack", cat("source", "seq_id", "n_docs", "tokens", "first_doc"),
+         packing._PACK_ORACLE),
+        ("mix", cat("lang", "n_total", "n_kept", "kept_tokens"),
+         packing._MIX_ORACLE),
+        ("chunk", cat("doc_id", "chunk_idx", "n_tok", "chunk_md5"),
+         packing._CHUNK_ORACLE),
+        ("vocab", cat("lang", "rank", "t", "n"), tx._VOCAB_ORACLE),
+        ("decon", cat("i", "j", "shared"), prep._DECON_ORACLE),
+        ("dupcc", cat("doc_id", "cluster_rep"), dedup._DUPCC_ORACLE),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 # ------------------------------------------------------------------ registry
 
 _DOCS = {
     "flt_all": "FLT-01..07 + SMP-01 tagged union (all predicate kinds)",
-    "jn_misc": "JN-05/06/07/10 semi/anti/self/cross tagged union",
+    "jn_misc": "JN-04/05/06/07/10 louter/semi/anti/self/cross tagged union",
+    "llm_all": "LLM-pipeline batch ops tagged union (pack/mix/chunk/"
+               "vocab/decon/dupcc)",
     "agg_core": "AGG-01/02/04/05/08/09/10 single-pass grouped aggregate",
     "agg_olap": "AGG-06/07 histogram + CUBE subtotal lattice",
     "win_all": "WIN-01..06 + SRT-01/02 single windowed pass + top-k",
@@ -769,6 +835,7 @@ def specs() -> list[QuerySpec]:
     oracles = {
         "flt_all": _flt_all_oracle(),
         "jn_misc": _jn_misc_oracle(),
+        "llm_all": _llm_all_oracle(),
         "agg_core": _AGG_CORE_ORACLE,
         "agg_olap": _AGG_OLAP_ORACLE,
         "win_all": _WIN_ALL_ORACLE,

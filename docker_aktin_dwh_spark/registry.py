@@ -36,9 +36,12 @@ class QuerySpec:
 #: (operators/combined.py), source/sink roundtrips
 #: (operators/roundtrips.py), and the LLM operators.  Fine-grained
 #: legacy keys follow after position 50 and stay locally oracle-tested
-#: (tests/test_t2_oracle.py runs ALL keys).
+#: (tests/test_t2_oracle.py runs ALL keys).  Round 6: jn_04 folded
+#: into jn_misc as its "louter" branch, freeing the slot for llm_all
+#: (pack/mix/chunk/vocab/decon/dupcc tagged union) so the round-5 LLM
+#: batch operators are driver-certified too.
 CORE50 = (
-    "flt_all", "jn_03", "jn_04", "jn_misc", "jn_08", "jn_09",
+    "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
