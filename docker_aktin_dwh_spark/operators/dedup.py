@@ -408,17 +408,20 @@ CC_MAX_ITERS = 25
 def connected_components(pairs: DataFrame,
                          max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Connected components of the undirected pair graph by min-label
-    propagation: every node starts labeled with its own id and
-    repeatedly takes the min of its neighbors' labels until a fixpoint
-    — the iterative-algorithm shape (Pregel without GraphX), a driver
-    loop of joins with one convergence action per round.
-
-    Per round the work is one shuffle join keyed on node id; the loop
-    count is bounded by the component diameter, which for near-dup
-    graphs is tiny (dup clusters are cliques-ish).  Labels are
-    materialized each round (lineage would otherwise grow
-    exponentially).  Raises rather than returning partial labels if a
-    pathological chain exceeds ``max_iters``.
+    propagation WITH pointer jumping: every node starts labeled with
+    its own id; each round it takes the min of its neighbors' labels,
+    then additionally adopts its (new) label's own label — label
+    values are node ids, so one labels-on-labels self-join follows the
+    min-chain a hop further.  Propagation plus jumping doubles the
+    reach per round, so convergence is O(log diameter) rounds instead
+    of O(diameter) (ADVICE r5: transitive near-dup chains can
+    legitimately exceed a linear round bound at corpus scale; with the
+    default 25 rounds the doubling form covers astronomically long
+    chains).  The iterative-algorithm shape (Pregel without GraphX): a
+    driver loop of keyed shuffle joins with one convergence action per
+    round, per-round frames materialized so lineage stays flat.
+    Raises rather than returning partial labels if ``max_iters`` is
+    still exceeded.
 
     Returns (v, lbl): node → min doc_id of its component.
     """
@@ -432,12 +435,20 @@ def connected_components(pairs: DataFrame,
     for _ in range(max_iters):
         neigh = (edges.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
                       .groupBy("v").agg(F.min("lbl").alias("nl")))
+        prop = (labels.join(neigh, "v", "left")
+                      .select("v", "lbl",
+                              F.least(F.col("lbl"),
+                                      F.coalesce("nl", F.col("lbl")))
+                               .alias("p")))
+        # pointer jump: label values are node ids, so following one hop
+        # through the label table (p -> labels[p]) halves the remaining
+        # chain each round; every p is a node, the left join is safety
+        jump = prop.select(F.col("v").alias("pv"), F.col("p").alias("pl"))
         merged = materialize(
-            labels.join(neigh, "v", "left")
-                  .select("v", "lbl",
-                          F.least(F.col("lbl"),
-                                  F.coalesce("nl", F.col("lbl")))
-                           .alias("new_lbl")))
+            prop.join(jump, prop.p == jump.pv, "left")
+                .select("v", "lbl",
+                        F.least(F.col("p"), F.coalesce("pl", F.col("p")))
+                         .alias("new_lbl")))
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = merged.select("v", F.col("new_lbl").alias("lbl"))
         if changed == 0:
@@ -518,8 +529,10 @@ def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> Data
 #: Hamming 0 — an end-to-end invariant of the signature+banding
 #: machinery that a SQL oracle can state exactly (the signature values
 #: themselves are engine-specific; xxhash64 has no DuckDB analogue).
+#: The plant offset is derived from max(doc_id)+1 (control-plane
+#: scalar) and mirrored by a subquery in the oracle, so planted ids
+#: can never collide with natural ids on any fixture (ADVICE r5).
 SIMHASH_PLANT_N = 20
-SIMHASH_PLANT_OFFSET = 1_000_000
 
 
 def ded_simhash(spark, sf):
@@ -536,10 +549,12 @@ def ded_simhash(spark, sf):
     # pipeline, so the certification universe is shingle-bearing docs
     # (the oracle applies the same len(t) >= 3 restriction; current
     # fixtures have no short docs, this guards regenerated ones)
-    docs = (T(spark, sf, "documents").select("doc_id", "text")
+    docs_all = T(spark, sf, "documents")
+    offset = docs_all.agg(F.max("doc_id")).first()[0] + 1
+    docs = (docs_all.select("doc_id", "text")
             .filter(F.size(tokens("text")) >= 3))
     planted = (docs.filter(F.col("doc_id") < SIMHASH_PLANT_N)
-                   .select((F.col("doc_id") + SIMHASH_PLANT_OFFSET)
+                   .select((F.col("doc_id") + offset)
                            .alias("doc_id"), "text"))
     corpus = docs.unionByName(planted)
     pairs = simhash_dedup_pairs(corpus)
@@ -569,7 +584,7 @@ WITH base AS (
 corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL
-  SELECT doc_id + {SIMHASH_PLANT_OFFSET}, text FROM base
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM base
   WHERE doc_id < {SIMHASH_PLANT_N}
 )
 SELECT a.doc_id AS i, b.doc_id AS j, TRUE AS simhash_found

@@ -211,9 +211,14 @@ def agg_02(spark, sf):
              .orderBy("o_orderpriority"))
 
 
-#: approx_count_distinct rsd (its default); the in-query acceptance bound
-#: is 3x this relative error — generous vs the ~1σ rsd, still a real
-#: constraint (a broken sketch off by >15% flips the hashed boolean).
+#: approx_count_distinct rsd (its default); the in-query acceptance
+#: bound is 5x this relative error (~5σ).  HLL++ is deterministic per
+#: dataset, so the bound is calibrated against the fixtures rather than
+#: probabilistic: 3σ left a single group able to deterministically
+#: exceed it on a regenerated fixture (ADVICE r5); 5σ keeps the check
+#: real (a broken sketch off by >25% still flips the hashed boolean)
+#: while leaving honest-sketch headroom.  tests/test_properties.py
+#: asserts the tighter 3σ form on the current fixtures.
 _AGG_03_RSD = 0.05
 
 
@@ -221,10 +226,11 @@ def agg_03(spark, sf):
     """AGG-03 HLL++ approximate distinct, oracle-checked as a bounded
     self-test: the exact count(DISTINCT) and the sketch estimate are
     computed in the SAME grouped aggregation, and the query returns the
-    exact value plus ``within_bound`` = |approx-exact| <= 3*rsd*exact.
-    HLL++ is hash-deterministic, so the boolean is stable; the DuckDB
-    oracle asserts TRUE, making sketch accuracy hash-verified instead
-    of rows-only (VERDICT r4 item 5)."""
+    exact value plus ``within_bound`` = |approx-exact| <= 5*rsd*exact
+    (fixture-calibrated bound — see _AGG_03_RSD note).  HLL++ is
+    hash-deterministic, so the boolean is stable; the DuckDB oracle
+    asserts TRUE, making sketch accuracy hash-verified instead of
+    rows-only (VERDICT r4 item 5)."""
     o = T(spark, sf, "orders")
     return (o.groupBy("o_orderpriority")
              .agg(F.approx_count_distinct("o_custkey", _AGG_03_RSD)
@@ -232,7 +238,7 @@ def agg_03(spark, sf):
                   F.countDistinct("o_custkey").alias("exact_patients"))
              .select("o_orderpriority", "exact_patients",
                      (F.abs(F.col("_apx") - F.col("exact_patients"))
-                      <= 3 * _AGG_03_RSD * F.col("exact_patients"))
+                      <= 5 * _AGG_03_RSD * F.col("exact_patients"))
                      .alias("within_bound"))
              .orderBy("o_orderpriority"))
 

@@ -147,17 +147,20 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 #: fixtures — checked), so the pipeline MUST return it at rank 1.
 #: Deterministic (seeded planes / deterministic seeds) and statable in
 #: SQL, unlike recall-vs-exact, which on these unclustered random
-#: embeddings is both low and query-dependent.
-PLANT_OFFSET = 1_000_000
+#: embeddings is both low and query-dependent.  The plant offset is
+#: derived from max(vec_id)+1 (control-plane scalar, same pattern as
+#: dedup's corpus_split_threshold) so planted ids can never collide
+#: with natural ids on any fixture (ADVICE r5).
 
 
 def _planted_rank1(emb: DataFrame, topk_fn, k: int = 10) -> DataFrame:
     base = emb.select("vec_id", "embedding")
+    offset = base.agg(F.max("vec_id")).first()[0] + 1
     queries = base.filter(F.col("vec_id") < 5)
     planted = queries.select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding")
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding")
     res = topk_fn(base.unionByName(planted), queries, k)
-    pr = F.max(F.when(F.col("neighbor_id") == F.col("q_id") + PLANT_OFFSET,
+    pr = F.max(F.when(F.col("neighbor_id") == F.col("q_id") + offset,
                       F.col("rank")))
     return (res.groupBy("q_id").agg(pr.alias("pr"))
                .select("q_id",

@@ -11,6 +11,7 @@ the actual physical strategy without running anything.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import sys
@@ -117,10 +118,21 @@ def main() -> None:
             lines.append("- pushed to scan: " +
                          "; ".join(f"`[{f}]`" for f in p["pushed_filters"]))
         lines += ["", "```", plan.rstrip(), "```", ""]
-    # sf0.001 regardless of the batch sections' dir: chunk layout
-    # changes row counts, not plan shape, and the spill is cheap there
+    # prefer the smallest sibling sf dir (chunk layout changes row
+    # counts, not plan shape, and the spill is cheap there) but fall
+    # back to the batch sections' dir so the report generator works on
+    # any fixture layout (ADVICE r5); env var stays the override
+    def _sf_num(d):
+        try:
+            return float(os.path.basename(d)[2:])
+        except ValueError:
+            return float("inf")
+
+    siblings = sorted(
+        (d for d in glob.glob(os.path.join(os.path.dirname(sf_dir), "sf*"))
+         if os.path.isdir(d)), key=_sf_num)
     stream_sf = os.environ.get("SPARK_GRAFT_STREAM_SF_DIR",
-                               "/root/testdata/sf0.001")
+                               siblings[0] if siblings else sf_dir)
     lines += _streaming_sections(spark, stream_sf)
     spark.stop()
 

@@ -20,3 +20,22 @@ def spark():
     s = build_session(app_name="tests", cpus=16, shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def pooled_key_results(request, keys, run, max_workers=8):
+    """Per-key sweep jobs through a thread pool, restricted to the keys
+    whose parametrized tests were actually collected in this session —
+    `-k some_key` computes one key, a full module run still gets pool
+    wall-time (ADVICE r5: targeted debugging runs stay cheap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    selected: set[str] = set()
+    for item in request.session.items:
+        if getattr(item, "module", None) is not request.module:
+            continue
+        cs = getattr(item, "callspec", None)
+        if cs is not None and "key" in cs.params:
+            selected.add(cs.params["key"])
+    todo = [k for k in keys if k in selected] if selected else list(keys)
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return dict(zip(todo, ex.map(run, todo)))

@@ -300,13 +300,29 @@ def test_connected_components_propagates_across_chains(spark):
 
 
 def test_connected_components_raises_past_iteration_bound(spark):
+    # doubling reach covers ~2^r hops in r rounds, so a 40-node chain
+    # cannot finish in 2 rounds — the bound still fails loudly
     from docker_aktin_dwh_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
-        [(k, k + 1) for k in range(6)], "i long, j long")
+        [(k, k + 1) for k in range(40)], "i long, j long")
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(chain, max_iters=2)
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 120-node path (diameter 119) must converge well inside the
+    default 25-round bound — only possible with pointer jumping
+    (linear propagation would need 119 rounds)."""
+    from docker_aktin_dwh_spark.operators.dedup import connected_components
+
+    n = 120
+    chain = spark.createDataFrame(
+        [(k, k + 1) for k in range(n - 1)], "i long, j long")
+    got = {r["v"]: r["lbl"] for r in
+           connected_components(chain, max_iters=12).collect()}
+    assert got == {k: 0 for k in range(n)}
 
 
 def test_connected_components_matches_union_find_on_random_graphs(spark):

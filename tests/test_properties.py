@@ -134,3 +134,24 @@ def test_sampling_semantics(spark):
     b2 = sorted(r[0] for r in bern.collect())
     assert b1 == b2
     assert abs(len(b1) / total - 0.1) < 6 * sigma
+
+
+def test_hll_within_3sigma_on_fixture(spark):
+    """agg_03's shipped acceptance bound is 5*rsd (fixture-calibrated,
+    see relational._AGG_03_RSD note); this test pins the tighter 3*rsd
+    form on the CURRENT fixtures so a sketch regression (or a fixture
+    regeneration that invalidates the calibration) is caught here
+    rather than as a driver hash flip."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators.relational import _AGG_03_RSD
+
+    o = catalog.load(spark, SF_SMOKE, "orders")
+    rows = (o.groupBy("o_orderpriority")
+             .agg(F.approx_count_distinct("o_custkey", _AGG_03_RSD)
+                   .alias("apx"),
+                  F.countDistinct("o_custkey").alias("exact"))
+             .collect())
+    assert rows
+    for r in rows:
+        assert abs(r.apx - r.exact) <= 3 * _AGG_03_RSD * r.exact, \
+            f"{r.o_orderpriority}: apx={r.apx} exact={r.exact}"

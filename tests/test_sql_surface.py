@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMOKE
+from conftest import SF_SMOKE, pooled_key_results
 
 from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.registry import build_registry
@@ -43,10 +43,10 @@ def _canon(df):
 
 
 @pytest.fixture(scope="module")
-def parity_results(spark, views):
-    """Both executions per key run concurrently across keys (thread
-    pool over the shared session); per-key assertions are unchanged."""
-    from concurrent.futures import ThreadPoolExecutor
+def parity_results(spark, views, request):
+    """Both executions per key run concurrently across selected keys
+    (thread pool over the shared session); per-key assertions are
+    unchanged."""
 
     def run(key):
         spec = REGISTRY[key]
@@ -57,13 +57,12 @@ def parity_results(spark, views):
         except Exception as e:
             return False, e
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(zip(ANSI_KEYS, ex.map(run, ANSI_KEYS)))
+    return pooled_key_results(request, ANSI_KEYS, run)
 
 
 @pytest.mark.parametrize("key", ANSI_KEYS)
 def test_sql_equals_dataframe(parity_results, key):
     ok, err = parity_results[key]
     if err is not None:
-        raise err
+        raise AssertionError(f"{key} failed: {err!r}") from err
     assert ok, key

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMOKE
+from conftest import SF_SMOKE, pooled_key_results
 
 from docker_aktin_dwh_spark.registry import build_registry
 
@@ -19,10 +19,9 @@ MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
 
 
 @pytest.fixture(scope="module")
-def smoke_results(spark):
-    """All keys executed concurrently (thread pool over the shared
+def smoke_results(spark, request):
+    """Selected keys executed concurrently (thread pool over the shared
     session) — per-key assertions below are unchanged."""
-    from concurrent.futures import ThreadPoolExecutor
 
     def run(key):
         try:
@@ -31,16 +30,14 @@ def smoke_results(spark):
         except Exception as e:
             return 0, -1, e
 
-    keys = sorted(REGISTRY)
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(zip(keys, ex.map(run, keys)))
+    return pooled_key_results(request, sorted(REGISTRY), run)
 
 
 @pytest.mark.parametrize("key", sorted(REGISTRY))
 def test_smoke(smoke_results, key):
     n_fields, n, err = smoke_results[key]
     if err is not None:
-        raise err
+        raise AssertionError(f"{key} failed: {err!r}") from err
     assert n_fields > 0
     if key not in MAY_BE_EMPTY:
         assert n > 0, f"{key} returned no rows at smoke scale"

@@ -11,13 +11,11 @@ set and failure granularity are unchanged; wall time is pool time.
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
-
 import pytest
 
 from docker_aktin_dwh_spark.registry import build_registry
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, pooled_key_results
 from oracle_harness import compare, duck_connection
 
 REGISTRY = build_registry()
@@ -33,7 +31,7 @@ def duck():
 
 
 @pytest.fixture(scope="module")
-def results(spark, duck):
+def results(spark, duck, request):
     def run(key):
         spec = REGISTRY[key]
         try:
@@ -47,9 +45,7 @@ def results(spark, duck):
         except Exception as e:        # surfaced by the per-key test
             return False, f"exception: {e!r}"
 
-    keys = WITH_ORACLE + ROWS_ONLY
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(zip(keys, ex.map(run, keys)))
+    return pooled_key_results(request, WITH_ORACLE + ROWS_ONLY, run)
 
 
 @pytest.mark.parametrize("key", WITH_ORACLE)
