@@ -709,14 +709,18 @@ FROM b
 # ----------------------------------------------------------- multimodal stubs
 
 def mm_decode(spark, sf):
-    """mm_02 decode + mm_03 resize in one key (STUBBED codecs — see
-    multimodal.fake_decode/resize_stub; mapInPandas plumbing is real).
+    """mm_02 decode + mm_03 resize + mm_png REAL pixel decode in one
+    key (see multimodal.fake_decode/resize_stub and the stdlib PNG
+    codec in functions/png.py; mapInPandas plumbing is real throughout).
 
-    Hash-checked: the pinned stub is a pure function of sha256(payload),
-    which the DuckDB oracle reproduces byte-for-byte — certifying the
-    Arrow batch plumbing, schemas, and the decode→resize join, NOT real
-    pixel decoding (that stays env-blocked behind multimodal.real_decode
-    until a codec library exists in the image)."""
+    Hash-checked on two levels: the pinned stub columns are a pure
+    function of sha256(payload), which the DuckDB oracle reproduces
+    byte-for-byte (Arrow batch plumbing, schemas, decode→resize join);
+    the png_* columns come from ACTUALLY round-tripping real PNG bytes
+    (encode → chunk walk → inflate → unfilter, all five filters) that
+    the oracle recomputes analytically from the synthesis contract —
+    real pixel decoding, no longer env-blocked (round 6; PIL path
+    remains as multimodal.real_decode for real images)."""
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
     m = multimodal.as_media(d)
     feat = multimodal.decode_features(m)
@@ -724,7 +728,9 @@ def mm_decode(spark, sf):
           .select("doc_id", F.col("width").alias("r_w"),
                   F.col("height").alias("r_h"),
                   F.octet_length("payload").alias("r_bytes")))
-    return feat.join(rs, "doc_id").orderBy("doc_id")
+    png = multimodal.png_decode_features(
+        multimodal.synth_png_media(d.select("doc_id")))
+    return feat.join(rs, "doc_id").join(png, "doc_id").orderBy("doc_id")
 
 
 # the stub decode derives (width, height, mean_luma) from sha256 of the
@@ -736,14 +742,28 @@ _MM_DECODE_ORACLE = """
 WITH h AS (
   SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS hx
   FROM documents WHERE doc_id < 200
+),
+pdim AS (
+  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS png_w,
+         CAST(16 + (doc_id * 7) % 16 AS INT) AS png_h
+  FROM documents WHERE doc_id < 200
+),
+pg AS (
+  SELECT doc_id, png_w, png_h, ROUND(AVG(v) / 255.0, 6) AS png_luma
+  FROM (SELECT doc_id, png_w, png_h,
+               (i % png_w + 3 * (i // png_w) + doc_id) % 256 AS v
+        FROM (SELECT doc_id, png_w, png_h,
+                     unnest(range(png_w * png_h)) AS i FROM pdim))
+  GROUP BY 1, 2, 3
 )
-SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+SELECT h.doc_id, CAST(nb AS INT) AS n_bytes,
        CAST(16 + ('0x' || substring(hx, 1, 2))::INT % 64 AS INT) AS width,
        CAST(16 + ('0x' || substring(hx, 3, 2))::INT % 64 AS INT) AS height,
        ROUND(('0x' || substring(hx, 5, 2))::INT / 255.0, 6) AS mean_luma,
        CAST(32 AS INT) AS r_w, CAST(32 AS INT) AS r_h,
-       CAST(GREATEST(LEAST(nb, 128), 1) AS INT) AS r_bytes
-FROM h ORDER BY doc_id
+       CAST(GREATEST(LEAST(nb, 128), 1) AS INT) AS r_bytes,
+       pg.png_w, pg.png_h, pg.png_luma
+FROM h JOIN pg ON h.doc_id = pg.doc_id ORDER BY h.doc_id
 """
 
 
@@ -826,8 +846,9 @@ _DOCS = {
     "coh_tmp": "Cohort occurrence + temporal pair (coh_06/07)",
     "udf_tf": "UDF-03 Python UDTF lateral shred → token counts",
     "text_all": "All text-analysis metrics in one documents scan",
-    "mm_decode": "Multimodal decode+resize (stubbed codecs; stub output "
-                 "hash-checked via sha256-reproducing oracle)",
+    "mm_decode": "Multimodal decode+resize (stub plumbing, sha256-"
+                 "reproducing oracle) + REAL stdlib-PNG pixel decode "
+                 "vs analytic oracle",
 }
 
 

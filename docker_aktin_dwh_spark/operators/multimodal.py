@@ -157,6 +157,97 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
              .select("doc_id", "frame_idx", frame.alias("frame_bytes")))
 
 
+# ------------------------------------------------------- real PNG decode path
+
+#: synthetic-image contract for the real-decode certification: each doc
+#: gets a deterministic grayscale gradient whose dimensions and pixel
+#: values are closed-form functions of doc_id, so an SQL oracle can
+#: compute the decoded stats analytically while Spark must obtain them
+#: by actually round-tripping real PNG bytes (functions/png.py:
+#: encode → chunk walk → inflate → unfilter).
+PNG_SYNTH_DOCS = 200
+
+
+def _synth_dims(did: int) -> tuple[int, int]:
+    return 16 + did % 16, 16 + (did * 7) % 16
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real PNG bytes per doc — deterministic
+    grayscale gradient pixel(y, x) = (x + 3y + doc_id) mod 256, encoded
+    with the stdlib codec (filter varies by doc so every unfilter
+    branch runs in the declared pipeline, not just in unit tests)."""
+    from ..functions import png as pnglib
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w, h = _synth_dims(did)
+            px = bytes((x + 3 * y + did) % 256
+                       for y in range(h) for x in range(w))
+            out.append(pnglib.encode_png(px, w, h, channels=1,
+                                         filter_type=did % 5))
+        return pd.Series(out)
+
+    return docs.select("doc_id", mk("doc_id").alias("payload"),
+                       F.lit("image/png").alias("media_type"))
+
+
+PNG_DECODE_SCHEMA = "doc_id long, png_w int, png_h int, png_luma double"
+
+
+def png_decode_features(media: DataFrame) -> DataFrame:
+    """REAL pixel decode via the stdlib PNG codec inside mapInPandas —
+    same Arrow-batched partition-parallel shape as decode_features, no
+    stub: width/height/mean-luma come from parsing and unfiltering the
+    actual PNG byte stream."""
+    from ..functions import png as pnglib
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, lumas = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = pnglib.decode_png(bytes(payload))
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                lumas.append(pnglib.luma_stats(w, h, ch, px))
+            yield pd.DataFrame({"doc_id": ids, "png_w": ws, "png_h": hs,
+                                "png_luma": lumas})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PNG_DECODE_SCHEMA)
+
+
+def mm_png(spark, sf):
+    """Real-codec certification: synthesize PNG bytes per doc, decode
+    them with the stdlib codec, return decoded stats.  The oracle
+    recomputes width/height/mean-luma analytically from the synthesis
+    contract — a decoder that mis-parses any chunk, mis-inflates, or
+    mis-applies any of the five scanline filters hash-mismatches."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < PNG_SYNTH_DOCS).select("doc_id"))
+    return png_decode_features(synth_png_media(d)).orderBy("doc_id")
+
+
+_MM_PNG_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS png_w,
+         CAST(16 + (doc_id * 7) % 16 AS INT) AS png_h
+  FROM documents WHERE doc_id < {PNG_SYNTH_DOCS}
+),
+g AS (SELECT doc_id, png_w, png_h, unnest(range(png_w * png_h)) AS i
+      FROM p),
+px AS (SELECT doc_id, png_w, png_h,
+              (i % png_w + 3 * (i // png_w) + doc_id) % 256 AS v
+       FROM g)
+SELECT doc_id, png_w, png_h, ROUND(AVG(v) / 255.0, 6) AS png_luma
+FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
+"""
+
+
 def mm_01(spark, sf):
     """Binary-column plumbing: payload byte length via JVM expressions
     (oracle-checkable part of the media path)."""
@@ -207,6 +298,7 @@ _ORACLES = {
         "md5(substring(text, CAST(f.frame_idx * 8 + 1 AS INT), 8)) AS frame_md5 "
         "FROM m, LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f "
         "WHERE f.frame_idx % 2 = 0"),
+    "mm_png": _MM_PNG_ORACLE,
 }
 
 _DOCS = {
@@ -214,6 +306,8 @@ _DOCS = {
     "mm_02": "Multimodal decode via mapInPandas (stubbed codec)",
     "mm_03": "Multimodal resize via mapInPandas (stubbed resampler)",
     "mm_04": "Multimodal frame sampling (payload -> frame rows, JVM-side)",
+    "mm_png": "REAL image decode: stdlib PNG codec (inflate + all five "
+              "unfilters) vs analytic oracle",
 }
 
 
