@@ -43,6 +43,9 @@ from __future__ import annotations
 import json
 import pathlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +82,54 @@ def _salt_text(df: DataFrame) -> DataFrame:
                                             F.col("_r").cast("string"))))
     return df.withColumn(
         "text", F.when(F.col("_r") == 0, F.col("text")).otherwise(salted))
+
+
+def clustered_embeddings(spark: SparkSession, n_vecs: int,
+                         n_clusters: int = 20, dim: int = 64,
+                         noise: float = 0.06) -> DataFrame:
+    """Deterministic Gaussian-cluster embeddings: (vec_id, cluster,
+    embedding array<float>), unit-normalized.
+
+    The fixtures' natural embeddings are i.i.d. random — in 64 dims
+    that means NO meaningful nearest neighbors, so true-top-k recall
+    there measures noise (NOTES r5).  This generator plants real
+    cluster structure so ANN recall can be measured and the
+    N_TABLES / IVF_NPROBE constants tuned against it:
+
+    - cluster centers: unit vectors from a sha256-seeded RNG
+      (control-plane k×dim, closure-broadcast);
+    - member = normalize(center + N(0, noise) per dim), seeded by
+      vec_id — distributed generation via spark.range + one Arrow
+      batch pass, reproducible on any partitioning/cluster layout;
+    - ``noise=0.06`` ⇒ expected in-cluster cosine ≈ 0.8-0.9 (noise
+      vector norm ≈ 0.06·√64 ≈ 0.5), which is the regime real
+      text-embedding neighborhoods live in.
+    """
+    import hashlib
+
+    centers = np.stack([
+        np.frombuffer(
+            b"".join(hashlib.sha256(f"cluster:{c}:{i}".encode()).digest()
+                     for i in range((dim * 8) // 32 + 1)),
+            dtype=np.uint64)[:dim].astype(np.float64) / 2**63 - 1.0
+        for c in range(n_clusters)])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<float>")
+    def member(ids: pd.Series) -> pd.Series:
+        out = []
+        for vid in ids:
+            vid = int(vid)
+            rng = np.random.default_rng(vid)
+            v = centers[vid % n_clusters] + rng.normal(0.0, noise, dim)
+            v /= np.linalg.norm(v)
+            out.append(v.astype(np.float32))
+        return pd.Series(out)
+
+    return (spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).cast("int").alias("cluster"),
+        member("id").alias("embedding")))
 
 
 def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,

@@ -444,3 +444,31 @@ def test_synth_png_pipeline_decodes_to_contract(spark):
                          for y in range(h) for x in range(w))
                      / (w * h) / 255.0, 6)
         assert abs(r.png_luma - want) < 1e-9, r.doc_id
+
+
+# ------------------------------------------------- clustered-fixture recall
+
+def test_ann_recall_on_clustered_fixture(spark):
+    """True top-k recall, finally measurable (NOTES r5: the natural
+    fixture embeddings are i.i.d. random → no meaningful neighbors).
+    On a seeded 20-cluster fixture (in-cluster cos ≈ 0.85):
+    LSH(8×8) recall@10 measured 0.885, IVF(32 cells, nprobe 6) 1.000 —
+    deterministic (seeded generator + seeded planes), asserted with
+    margin.  Measured degradation curve lives in NOTES.md."""
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = (clustered_embeddings(spark, 2000)
+           .select("vec_id", "embedding").cache())
+    try:
+        queries = emb.filter(F.col("vec_id") < 20)
+        truth = {(r.q_id, r.neighbor_id) for r in
+                 similarity.brute_force_topk(emb, queries, 10).collect()}
+        assert len(truth) == 200
+        lsh = {(r.q_id, r.neighbor_id) for r in
+               similarity.ann_lsh_topk(emb, queries, 10).collect()}
+        ivf = {(r.q_id, r.neighbor_id) for r in
+               similarity.ivf_topk(emb, queries, 10).collect()}
+        assert len(lsh & truth) / len(truth) >= 0.8
+        assert len(ivf & truth) / len(truth) >= 0.95
+    finally:
+        emb.unpersist()
