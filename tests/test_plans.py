@@ -147,3 +147,22 @@ def test_pack01_single_shuffle_on_source(spark):
     hash_exchanges = len(re.findall(
         r"Arguments: hashpartitioning", plan))
     assert hash_exchanges <= 2, plan
+
+
+def test_pipe02_keepset_anti_join_broadcasts_under_aqe(spark):
+    """NOTES r5 headroom item, closed r6: the keep-set LeftAnti is
+    size-gated — the static plan carries SortMergeJoin (right side
+    unknown before the dedup stages run), and AQE must convert it to a
+    broadcast anti-join in the executed final plan at fixture scale.
+    At a true 100 TB drop-set AQE keeps SMJ, which is the correct
+    runtime decision; asserting the conversion here pins the gate, not
+    a forced hint."""
+    import re
+
+    from docker_aktin_dwh_spark.operators import prep
+
+    df = prep.pipe_02(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", executed), executed
