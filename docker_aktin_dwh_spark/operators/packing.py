@@ -165,6 +165,48 @@ FROM x ORDER BY doc_id, chunk_idx
 """
 
 
+#: shards of the deterministic corpus shuffle — at 100 TB each shard is
+#: an output file/partition; positions are per-shard so no global
+#: single-task window ever exists.
+SHUF_SHARDS = 16
+
+
+def shuf_01(spark, sf):
+    """Deterministic corpus shuffle (the pre-training randomization
+    step): every doc gets a reproducible pseudo-random position, as
+    (shard, pos-within-shard).  shard = md5-prefix mod SHUF_SHARDS,
+    pos = rank of the md5 key inside the shard — the windows
+    parallelize per shard, and the permutation is a pure function of
+    doc_id (stable across engines, runs, and cluster layouts; same
+    rationale as the hash-threshold sampler, NOTES r5 on
+    .sample's irreproducibility)."""
+    d = catalog.load(spark, sf, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", key.alias("skey"))
+    shard = (F.conv(F.substring("skey", 1, 2), 16, 10)
+             .cast("int") % SHUF_SHARDS)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (base.withColumn("shard", shard)
+                .withColumn("pos", F.row_number().over(w))
+                .select("shard", "pos", "doc_id")
+                .orderBy("shard", "pos"))
+
+
+_SHUF_ORACLE = f"""
+WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+s AS (SELECT doc_id, skey,
+             CAST(('0x' || substr(skey, 1, 2))::INT % {SHUF_SHARDS} AS INT)
+               AS shard
+      FROM k)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS INT) AS pos,
+       doc_id
+FROM s ORDER BY shard, pos
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(key="pack_01", fn=pack_01, oracle=_PACK_ORACLE,
@@ -179,5 +221,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec(key="chunk_01", fn=chunk_01, oracle=_CHUNK_ORACLE,
                   doc=("Sliding-window doc chunking (128-token windows, "
                        "32 overlap) with content-certifying chunk md5"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="shuf_01", fn=shuf_01, oracle=_SHUF_ORACLE,
+                  doc=("Deterministic sharded corpus shuffle: "
+                       "md5-keyed (shard, pos) permutation, "
+                       "reproducible on any layout"),
                   tags=("llm", "pipeline")),
     ]

@@ -129,6 +129,141 @@ ORDER BY lang, rank
 """
 
 
+# ----------------------------------------------------------- PII redaction
+
+#: cross-engine-safe patterns (same semantics under Java regex and
+#: DuckDB's RE2): email, international-format phone, dotted IPv4.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{2} \d{3} \d{5,9}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: deterministic PII injection (planted-content pattern, like the
+#: dedup/ANN certifications): the fixture corpus contains no natural
+#: PII, so matching on it alone would certify nothing.  Docs get
+#: synthetic PII appended as a closed-form function of doc_id on BOTH
+#: engine sides; the redaction counts are then provably nonzero and
+#: the scrubbed-text md5 certifies the replacements byte-for-byte.
+def _pii_augmented_spark():
+    did = F.col("doc_id")
+    parts = [F.col("text")]
+    parts.append(F.when(did % 7 == 0,
+                        F.concat(F.lit(" contact user"), did.cast("string"),
+                                 F.lit("@example.com")))
+                  .otherwise(F.lit("")))
+    parts.append(F.when(did % 11 == 0,
+                        F.concat(F.lit(" call +49 030 55512"),
+                                 F.format_string("%03d", (did % 1000))))
+                  .otherwise(F.lit("")))
+    parts.append(F.when(did % 13 == 0,
+                        F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                                 F.lit("."), ((did * 3) % 256).cast("string")))
+                  .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +49 030 55512'"
+    " || printf('%03d', doc_id % 1000) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END")
+
+
+def pii_01(spark, sf):
+    """PII scrubbing (corpus-cleaning verb): redact emails, phones and
+    IPv4 addresses, returning per-category match counts and the md5 of
+    the scrubbed text.  One scan, pure JVM regex expressions — the
+    shape that runs ahead of every corpus release at 100 TB.  Matches
+    are guaranteed by deterministic injection (see _pii_augmented_spark
+    note); the oracle reproduces injection + redaction exactly."""
+    d = T(spark, sf, "documents")
+    aug = _pii_augmented_spark()
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"),
+            PII_PHONE, "[PHONE]"),
+        PII_IPV4, "[IP]")
+    return (d.select(
+                "doc_id",
+                F.regexp_count(aug, F.lit(PII_EMAIL)).cast("int")
+                 .alias("n_email"),
+                F.regexp_count(aug, F.lit(PII_PHONE)).cast("int")
+                 .alias("n_phone"),
+                F.regexp_count(aug, F.lit(PII_IPV4)).cast("int")
+                 .alias("n_ip"),
+                F.md5(scrub).alias("scrubbed_md5"))
+             .orderBy("doc_id"))
+
+
+_PII_ORACLE = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(aug, '{PII_IPV4}')) AS INT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '{PII_EMAIL}', '[EMAIL]', 'g'),
+           '{PII_PHONE}', '[PHONE]', 'g'),
+           '{PII_IPV4}', '[IP]', 'g')) AS scrubbed_md5
+FROM a ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ repetition metrics
+
+def qrep_01(spark, sf):
+    """Gopher/MassiveText-style repetition metrics per doc: duplicate-
+    token ratio (1 − distinct/total, computed in-row with
+    array_distinct — no shuffle) and top-bigram fraction (most frequent
+    token bigram / total bigrams — explode + two-level agg keyed on
+    doc_id, map-side combine; the per-doc bigram table is tiny next to
+    the corpus).  The standard repetition-quality gate ahead of
+    training-corpus assembly."""
+    d = T(spark, sf, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    base = d.select(
+        "doc_id", t.alias("t"), n.alias("n_tokens"),
+        F.round((n - F.size(F.array_distinct(t))) / n.cast("double"), 4)
+         .alias("dup_tok_ratio"))
+    bg = (base.filter(F.col("n_tokens") >= 2)
+              .select("doc_id",
+                      F.explode(F.zip_with(
+                          F.slice("t", 1, F.col("n_tokens") - 1),
+                          F.slice("t", 2, F.col("n_tokens") - 1),
+                          lambda x, y: F.concat_ws(" ", x, y))).alias("bg")))
+    per_bg = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    per_doc = (per_bg.groupBy("doc_id")
+                     .agg(F.max("c").alias("mx"), F.sum("c").alias("tot")))
+    return (base.join(per_doc, "doc_id", "left")
+                .select("doc_id", "n_tokens", "dup_tok_ratio",
+                        F.coalesce(F.round(F.col("mx") / F.col("tot"), 4),
+                                   F.lit(0.0)).alias("top_bigram_frac"))
+                .orderBy("doc_id"))
+
+
+_QREP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS t
+           FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n,
+                ROUND((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 4) AS dup_tok_ratio
+         FROM t),
+b AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+      WHERE n >= 2),
+c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY 1)
+SELECT base.doc_id, CAST(n AS INT) AS n_tokens, dup_tok_ratio,
+       COALESCE(ROUND(mx / CAST(tot AS DOUBLE), 4), 0.0)
+         AS top_bigram_frac
+FROM base LEFT JOIN m ON base.doc_id = m.doc_id
+ORDER BY base.doc_id
+"""
+
+
 def _sql_vote(ws: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in ws)
     return f"len(list_filter(t, x -> x IN ({lst})))"
@@ -168,6 +303,8 @@ _ORACLES = {
     "text_fp": ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
                 "AS fp FROM documents"),
     "vocab_01": _VOCAB_ORACLE,
+    "pii_01": _PII_ORACLE,
+    "qrep_01": _QREP_ORACLE,
 }
 
 _DOCS = {
@@ -177,6 +314,10 @@ _DOCS = {
     "text_fp": "Document fingerprint (normalized md5)",
     "vocab_01": "Vocabulary stats: top-K tokens per language "
                 "(deterministic tie-break)",
+    "pii_01": "PII scrubbing: email/phone/IPv4 redaction with counts "
+              "(planted-PII certification)",
+    "qrep_01": "Repetition quality metrics: duplicate-token ratio + "
+               "top-bigram fraction",
 }
 
 
