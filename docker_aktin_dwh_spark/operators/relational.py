@@ -909,7 +909,77 @@ _DOCS = {
 }
 
 
+# --------------------------------------------------------- data profiling
+
+#: profiled columns: one of each storage kind (integer, double, string,
+#: timestamp) so every min/max rendering path is certified.
+_PROF_COLS = (("l_orderkey", "int"), ("l_quantity", "num"),
+              ("l_returnflag", "str"), ("l_shipdate", "ts"))
+
+
+def prof_01(spark, sf):
+    """Table profiling (the pre-ingest data-quality verb): per-column
+    row/null/distinct counts and min/max, for a representative column
+    of each storage kind, in ONE aggregation pass (all stats are
+    partial-aggregable, map-side combined; the final single-row reduce
+    is control-plane-sized).  Output is long format (one row per
+    column) via an in-row struct explode — no second pass, no driver
+    loop over columns.  Doubles render through DECIMAL(18,2) and
+    timestamps through an explicit format so both engines print
+    identical strings."""
+    l = T(spark, sf, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in _PROF_COLS:
+        col = F.col(c)
+        if kind == "num":
+            mn = F.min(col).cast("decimal(18,2)").cast("string")
+            mx = F.max(col).cast("decimal(18,2)").cast("string")
+        elif kind == "ts":
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [F.sum(col.isNull().cast("long")).alias(f"{c}__nul"),
+                 F.countDistinct(col).alias(f"{c}__nd"),
+                 mn.alias(f"{c}__mn"), mx.alias(f"{c}__mx")]
+    wide = l.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("col"), F.col("_n").alias("n_rows"),
+                 F.col(f"{c}__nul").alias("n_null"),
+                 F.col(f"{c}__nd").alias("n_distinct"),
+                 F.col(f"{c}__mn").alias("min_v"),
+                 F.col(f"{c}__mx").alias("max_v"))
+        for c, _ in _PROF_COLS])
+    return (wide.select(F.explode(entries).alias("e")).select("e.*")
+                .orderBy("col"))
+
+
+def _prof_01_oracle() -> str:
+    branches = []
+    for c, kind in _PROF_COLS:
+        if kind == "num":
+            mn = f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        branches.append(
+            f"SELECT '{c}' AS col, count(*) AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_v, {mx} AS max_v FROM lineitem")
+    return " UNION ALL ".join(branches) + " ORDER BY col"
+
+
+_DOCS["prof_01"] = ("Table profiling: per-column nulls/distinct/min/max "
+                    "in one aggregation pass (long-format output)")
+
+
 def specs() -> list[QuerySpec]:
+    _ORACLES["prof_01"] = _prof_01_oracle()
     out = []
     g = globals()
     for key, doc in _DOCS.items():

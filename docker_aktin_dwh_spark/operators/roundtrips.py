@@ -179,6 +179,34 @@ UNION ALL SELECT * FROM batch
 """
 
 
+# ------------------------------------------------ SRC-06: JSONL corpus source
+
+def src_jsonl(spark, sf):
+    """SRC-06 JSONL corpus roundtrip: documents rendered to JSON lines
+    (to_json, JVM), written through the real text sink, read back
+    through the real schema'd JSON source — the interchange format
+    every LLM training corpus ships in.  Oracle = identity selection;
+    a hash match proves the serialize→file→parse loop loses nothing
+    (incl. unicode escapes and embedded quotes).  Generalizes the
+    reference's file-drop ingest surfaces (CDA XML REST drop,
+    src/build.sh:260; §21 CSV drop, src/docker/database/Dockerfile:31)
+    to the JSONL shape."""
+    d = (T(spark, sf, "documents").filter(F.col("doc_id") < 500)
+         .select("doc_id", "lang", "source", "text"))
+    path = tempfile.mkdtemp(prefix="spark_jsonl_") + "/corpus"
+    (d.select(F.to_json(F.struct("doc_id", "lang", "source", "text"))
+               .alias("value"))
+      .write.mode("overwrite").text(path))
+    return (spark.read
+            .schema("doc_id bigint, lang string, source string, text string")
+            .json(path)
+            .orderBy("doc_id"))
+
+
+_SRC_JSONL_ORACLE = ("SELECT doc_id, lang, source, text FROM documents "
+                     "WHERE doc_id < 500 ORDER BY doc_id")
+
+
 # ------------------------------------------------- SRC-05/SNK-03: broker loop
 
 def brk_01(spark, sf):
@@ -208,6 +236,7 @@ _DOCS = {
     "src_04": "SRC-04 P21 semicolon-CSV parse roundtrip (zip stays string)",
     "ups_01": "SNK-01/STR-09 cross-month upsert roundtrip (partitioned store)",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
+    "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
 }
 
 
@@ -218,6 +247,7 @@ def specs() -> list[QuerySpec]:
         "src_04": _SRC_04_ORACLE,
         "ups_01": _ups_01_oracle(),
         "brk_01": _BRK_01_ORACLE,
+        "src_jsonl": _SRC_JSONL_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
