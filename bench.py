@@ -34,6 +34,9 @@ HEADLINE = (
     "coh_01", "eav_01", "ont_01",
     "ded_minhash", "ded_ngram", "ann_topk", "text_quality", "text_fp",
     "str_04", "pipe_01", "pipe_02",
+    # round-6 corpus-cleaning verbs: regex-scan, explode+agg, and the
+    # Python-codec (Arrow batch) path
+    "pii_01", "qrep_01", "mm_png",
 )
 
 

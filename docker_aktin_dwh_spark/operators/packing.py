@@ -165,6 +165,60 @@ FROM x ORDER BY doc_id, chunk_idx
 """
 
 
+#: shards of the hierarchical packing form — at 100 TB this is the
+#: date/shard partition count; parallelism of the packing stage equals
+#: sources × shards instead of sources.
+PACK_SHARDS = 8
+
+
+def pack_02(spark, sf):
+    """Hierarchical sequence packing — the explicit 100 TB form of
+    pack_01 (VERDICT r5 watch item): docs are hash-sharded first and
+    the running token sum runs per (source, shard), so no single
+    ordered task ever sees more than 1/PACK_SHARDS of a source.  The
+    shard key is an md5 prefix (cross-engine reproducible, layout-
+    independent); within a shard the packing semantics are identical
+    to pack_01 — this is exactly the per-shard packing discipline
+    pack_01's docstring documents, expressed as a declared query."""
+    d = catalog.load(spark, sf, "documents")
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                    16, 10).cast("int") % PACK_SHARDS)
+    docs = d.select("doc_id", "source", shard.alias("shard"),
+                    F.size(tokens("text")).alias("n_tok"))
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    packed = (docs
+              .withColumn("cum", F.sum("n_tok").over(w))
+              .withColumn("seq_id",
+                          F.floor((F.col("cum") - F.col("n_tok"))
+                                  / PACK_CONTEXT)))
+    return (packed.groupBy("source", "shard", "seq_id")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tok").alias("tokens"),
+                       F.min("doc_id").alias("first_doc"))
+                  .orderBy("source", "shard", "seq_id"))
+
+
+_PACK2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+              % {PACK_SHARDS} AS INT) AS shard,
+         len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT source, shard,
+       CAST(FLOOR((cum - n_tok) / {PACK_CONTEXT}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 #: shards of the deterministic corpus shuffle — at 100 TB each shard is
 #: an output file/partition; positions are per-shard so no global
 #: single-task window ever exists.
@@ -221,6 +275,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec(key="chunk_01", fn=chunk_01, oracle=_CHUNK_ORACLE,
                   doc=("Sliding-window doc chunking (128-token windows, "
                        "32 overlap) with content-certifying chunk md5"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="pack_02", fn=pack_02, oracle=_PACK2_ORACLE,
+                  doc=("Hierarchical sharded sequence packing — the "
+                       "100 TB form: per-(source, shard) running sums, "
+                       "parallelism = sources x shards"),
                   tags=("llm", "pipeline")),
         QuerySpec(key="shuf_01", fn=shuf_01, oracle=_SHUF_ORACLE,
                   doc=("Deterministic sharded corpus shuffle: "

@@ -166,3 +166,16 @@ def test_pipe02_keepset_anti_join_broadcasts_under_aqe(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert re.search(r"BroadcastHashJoin .*LeftAnti", executed), executed
+
+
+def test_pack02_window_is_sharded(spark):
+    """Hierarchical packing: the running-sum window must partition on
+    (source, shard) — the parallelism guarantee that distinguishes
+    pack_02 from pack_01's per-source single task."""
+    from docker_aktin_dwh_spark.operators.packing import pack_02
+    plan = plans.formatted_plan(pack_02(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    import re
+    wins = [ln for ln in plan.splitlines() if "Arguments:" in ln
+            and "windowspecdefinition" in ln]
+    assert wins and all("shard" in ln for ln in wins), plan
