@@ -155,3 +155,76 @@ def test_hll_within_3sigma_on_fixture(spark):
     for r in rows:
         assert abs(r.apx - r.exact) <= 3 * _AGG_03_RSD * r.exact, \
             f"{r.o_orderpriority}: apx={r.apx} exact={r.exact}"
+
+
+def test_shuffle_is_bijection_and_deterministic(spark):
+    """shuf_01: (shard, pos) is a bijection over doc_ids (no collisions,
+    positions contiguous from 1 per shard) and two independent builds
+    produce the identical permutation."""
+    from docker_aktin_dwh_spark.operators.packing import shuf_01
+
+    a = shuf_01(spark, SF_SMOKE).collect()
+    b = shuf_01(spark, SF_SMOKE).collect()
+    assert a == b
+    assert len({(r.shard, r.pos) for r in a}) == len(a)
+    assert len({r.doc_id for r in a}) == len(a)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_packing_conserves_tokens_and_shard_refines_source(spark):
+    """pack_01/pack_02: packing must conserve the corpus token count
+    exactly (every token lands in exactly one sequence), and the
+    sharded form's per-source totals equal the unsharded form's."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+    from docker_aktin_dwh_spark.operators.packing import pack_01, pack_02
+
+    d = catalog.load(spark, SF_SMOKE, "documents")
+    want = d.select(F.sum(F.size(tokens("text")))).first()[0]
+    p1 = pack_01(spark, SF_SMOKE)
+    p2 = pack_02(spark, SF_SMOKE)
+    assert p1.select(F.sum("tokens")).first()[0] == want
+    assert p2.select(F.sum("tokens")).first()[0] == want
+    s1 = {(r.source, r.t) for r in
+          p1.groupBy("source").agg(F.sum("tokens").alias("t")).collect()}
+    s2 = {(r.source, r.t) for r in
+          p2.groupBy("source").agg(F.sum("tokens").alias("t")).collect()}
+    assert s1 == s2
+
+
+def test_pii_scrub_is_idempotent_and_complete(spark):
+    """pii_01 support: scrubbing already-scrubbed text changes nothing,
+    and scrubbed text contains no residual matches of any PII pattern.
+    The planted PII guarantees the property is exercised on real
+    matches (fixture text alone has none)."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators.textops import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, _pii_augmented_spark)
+
+    d = catalog.load(spark, SF_SMOKE, "documents")
+    aug = _pii_augmented_spark()
+    scrub1 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"),
+            PII_PHONE, "[PHONE]"),
+        PII_IPV4, "[IP]")
+    scrub2 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(scrub1, PII_EMAIL, "[EMAIL]"),
+            PII_PHONE, "[PHONE]"),
+        PII_IPV4, "[IP]")
+    row = d.select(
+        F.sum((scrub1 != scrub2).cast("long")).alias("changed"),
+        F.sum((F.regexp_count(scrub1, F.lit(PII_EMAIL))
+               + F.regexp_count(scrub1, F.lit(PII_PHONE))
+               + F.regexp_count(scrub1, F.lit(PII_IPV4))).cast("long"))
+         .alias("residual"),
+        F.sum((F.regexp_count(aug, F.lit(PII_EMAIL)) > 0).cast("long"))
+         .alias("had_pii")).first()
+    assert row.changed == 0
+    assert row.residual == 0
+    assert row.had_pii > 0
