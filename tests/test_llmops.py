@@ -472,3 +472,26 @@ def test_ann_recall_on_clustered_fixture(spark):
         assert len(ivf & truth) / len(truth) >= 0.95
     finally:
         emb.unpersist()
+
+
+def test_cosine_pairs_recover_cluster_structure(spark):
+    """ded_embed's pair engine on the clustered fixture: at τ=0.7 the
+    blocked-matmul pair set must be ≈exactly the in-cluster pair set
+    (measured precision 1.0, recall 0.9988 — deterministic fixture, so
+    asserted with a small margin).  Complements the random-fixture
+    tests, which can only check arithmetic, not retrieval."""
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 400, n_clusters=8).cache()
+    try:
+        cl = {r.vec_id: r.cluster
+              for r in emb.select("vec_id", "cluster").collect()}
+        pairs = dedup.cosine_pairs(emb.select("vec_id", "embedding"),
+                                   0.7).collect()
+        same = sum(cl[r.i] == cl[r.j] for r in pairs)
+        possible = 8 * (50 * 49) // 2
+        assert pairs
+        assert same / len(pairs) >= 0.999      # precision
+        assert same / possible >= 0.99         # recall
+    finally:
+        emb.unpersist()
