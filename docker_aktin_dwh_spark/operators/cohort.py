@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions.determinism import dsum
 from ..registry import QuerySpec
 from . import eav, ontology
 
@@ -230,6 +231,58 @@ def rep_01(spark, sf):
                     .orderBy("m", "inout_cd"))
 
 
+#: small-cell suppression threshold — German clinical-report privacy
+#: practice: aggregate cells below k are suppressed before export
+#: (the AKTIN monthly report is exactly such an export; R runtime
+#: reference src/build.sh:273).
+PRIV_K = 5
+
+
+def priv_01(spark, sf):
+    """Privacy-thresholded report (k-anonymity small-cell suppression):
+    the monthly report with cells n < PRIV_K suppressed to NULL and a
+    `suppressed` marker kept so row counts stay stable (consumers see
+    WHICH cells were censored, never the small value).  Pure
+    post-aggregation projection — composes on rep_01's frame, adds no
+    shuffle."""
+    base = rep_01(spark, sf)
+    small = (F.col("n") > 0) & (F.col("n") < PRIV_K)
+    return (base.select(
+                "m", "inout_cd",
+                F.when(small, F.lit(None).cast("long"))
+                 .otherwise(F.col("n")).alias("n"),
+                small.alias("suppressed"))
+            .orderBy("m", "inout_cd"))
+
+
+#: federated sites of fed_01 — stands in for the AKTIN broker's
+#: hospital nodes (poll loop reference src/build.sh:255-256).
+FED_SITES = 3
+
+
+def fed_01(spark, sf):
+    """Federated aggregate merge — the AKTIN broker's query shape: N
+    sites each compute a PARTIAL aggregate over their own slice, the
+    coordinator merges partials by summation (counts and decimal-routed
+    revenue merge exactly; count-distinct deliberately NOT offered
+    federated — it does not partial-merge, which is why the broker
+    protocol ships aggregate rows, not patient lists).  Site assignment
+    is an md5 shard (layout-independent); `n_sites` certifies every
+    site reported."""
+    o = catalog.load(spark, sf, "orders")
+    site = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 2), 16, 10).cast("int") % FED_SITES)
+    partials = (o.withColumn("site", site)
+                 .groupBy("site", "o_orderstatus")
+                 .agg(F.count("*").alias("n"),
+                      dsum("o_totalprice").alias("rev")))
+    return (partials.groupBy("o_orderstatus")
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum("rev"), 2).cast("double").alias("rev"),
+                 F.countDistinct("site").cast("int").alias("n_sites"))
+            .orderBy("o_orderstatus"))
+
+
 _CT = catalog.clinical_with_clause
 
 _ORACLES = {
@@ -307,6 +360,27 @@ _ORACLES = {
             GROUP BY 1, 2) v ON v.vm = months.m AND v.vc = classes.inout_cd""",
 }
 
+_ORACLES["priv_01"] = f"""
+WITH rep AS ({_ORACLES["rep_01"]})
+SELECT m, inout_cd,
+       CASE WHEN n > 0 AND n < {PRIV_K} THEN NULL ELSE n END AS n,
+       n > 0 AND n < {PRIV_K} AS suppressed
+FROM rep ORDER BY m, inout_cd
+"""
+
+_ORACLES["fed_01"] = """
+WITH p AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
+              % 3 AS INT) AS site,
+         o_orderstatus, count(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
+       CAST(ROUND(sum(rev), 2) AS DOUBLE) AS rev,
+       CAST(count(DISTINCT site) AS INT) AS n_sites
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
 _DOCS = {
     "coh_01": "Cohort panel AND (semi-join chain + countDistinct)",
     "coh_02": "Cohort OR within panel (IN-list)",
@@ -318,6 +392,10 @@ _DOCS = {
     "ont_01": "Ontology subtree expansion → closed IN-list on fact scan",
     "eav_01": "EAV pivot to wide per-encounter frame",
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
+    "priv_01": "Privacy-thresholded report: k-anonymity small-cell "
+               "suppression with explicit markers",
+    "fed_01": "Federated aggregate merge: per-site partial aggregates "
+              "summed by the coordinator (broker query shape)",
 }
 
 
