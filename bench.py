@@ -85,7 +85,10 @@ def main() -> None:
 
 
 #: heavy queries whose 100 TB posture the slope measurement backs
-SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02")
+#: (qrep_01/pack_02 added r6: the explode+agg and sharded-window
+#: shapes of the new corpus verbs)
+SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
+                 "qrep_01", "pack_02")
 SCALE_REPLICAS = 10
 
 
