@@ -376,3 +376,74 @@ def test_streamnative_no_tempdir_leak(spark):
     n5 = out5.count()
     assert n1 > 0 and n5 >= 0
     assert orphans() == before, "streamnative leaked temp dirs"
+
+
+def test_clean_ingest_matches_batch_clean(spark, tmp_path):
+    """Streaming clean ingest (gate -> PII scrub -> exact dedup): replay
+    the corpus (plus planted exact dups, one within a batch and one
+    across batches) in 2 chunks; the store must equal the batch-mode
+    gate+scrub+keep-first-dedup of the same corpus."""
+    import shutil
+
+    from conftest import SF_ORACLE
+    from docker_aktin_dwh_spark.streaming.clean_ingest import (
+        DOCS_DDL, clean_batch, clean_ingest)
+
+    base = catalog.load(spark, SF_ORACLE, "documents") \
+                  .select("doc_id", "lang", "text")
+    n = base.count()
+    # planted exact dups: copy of doc 3 inside chunk 0's id range, and
+    # a copy of doc 5 landing in chunk 1 (cross-batch dup)
+    dup_in = base.filter(F.col("doc_id") == 3) \
+                 .select((F.lit(n) + 10).alias("doc_id"), "lang", "text")
+    dup_cross = base.filter(F.col("doc_id") == 5) \
+                    .select((F.lit(2 * n) + 10).alias("doc_id"), "lang", "text")
+    docs = base.unionByName(dup_in).unionByName(dup_cross)
+
+    watch = tmp_path / "clean_watch"
+    watch.mkdir()
+    bounds = [(0, n + 11), (n + 11, 2 * n + 11)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = tmp_path / f"cchunk{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(out))
+        for j, p in enumerate(sorted(out.glob("*.parquet"))):
+            shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
+
+    store = str(tmp_path / "clean_store")
+    src = (spark.readStream.format("parquet").schema(DOCS_DDL)
+           .option("maxFilesPerTrigger", 1).load(str(watch)))
+    q = clean_ingest(src, store, str(tmp_path / "cckpt"))
+    q.awaitTermination()
+
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(store)
+           .select("doc_id", "text").collect()}
+
+    cleaned = clean_batch(docs).withColumn("h", F.md5("text"))
+    keep = cleaned.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    want = {(r.doc_id, r.text) for r in
+            cleaned.join(keep, ["h", "doc_id"], "left_semi")
+                   .select("doc_id", "text").collect()}
+    assert got == want
+    got_ids = {d for d, _ in got}
+    assert n + 10 not in got_ids and 2 * n + 10 not in got_ids
+    assert len(got) < docs.count()   # the gate really dropped docs too
+
+
+def test_clean_ingest_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (simulated failure between write and
+    checkpoint commit) must not duplicate rows in either store."""
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.streaming.clean_ingest import process_batch
+
+    docs = catalog.load(spark, SF_SMOKE, "documents") \
+                  .select("doc_id", "lang", "text").filter(F.col("doc_id") < 60)
+    store = str(tmp_path / "s")
+    hstore = store + "_content_hashes"
+    process_batch(spark, docs, 0, store, hstore)
+    first = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    process_batch(spark, docs, 0, store, hstore)      # replay same batch
+    again = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    assert first == again
+    hashes = spark.read.parquet(hstore).select("h").collect()
+    assert len(hashes) == len({r.h for r in hashes})
