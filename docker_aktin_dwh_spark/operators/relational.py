@@ -291,6 +291,28 @@ def agg_11(spark, sf):
              .orderBy("s", "p"))
 
 
+def agg_12(spark, sf):
+    """Approximate percentile (the second sketch family after agg_03's
+    HLL): exact median and the KLL-style percentile_approx estimate
+    computed in the SAME grouped pass, returned as the exact value plus
+    a ``within_bound`` = |approx − exact| ≤ 2% · exact boolean.
+    percentile_approx is deterministic per dataset (mergeable sketch,
+    order-insensitive at these accuracies), so the boolean is stable;
+    the oracle asserts TRUE.  At 100 TB the sketch is the only viable
+    percentile: exact percentile needs a full sort per group, the
+    sketch merges map-side."""
+    l = T(spark, sf, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+                   .alias("_apx"),
+                  F.round(F.percentile("l_extendedprice", 0.5), 2)
+                   .alias("exact_median"))
+             .select("l_returnflag", "exact_median",
+                     (F.abs(F.col("_apx") - F.col("exact_median"))
+                      <= 0.02 * F.col("exact_median")).alias("within_bound"))
+             .orderBy("l_returnflag"))
+
+
 def agg_08(spark, sf):
     o = T(spark, sf, "orders")
     return (o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
@@ -828,6 +850,10 @@ _ORACLES = {
                "CAST(len(flatten([t, t])) AS INT) AS k2 "
                "FROM (SELECT p_partkey, string_split(p_type, ' ') AS t "
                "FROM part) ORDER BY p_partkey LIMIT 100"),
+    "agg_12": ("SELECT l_returnflag, "
+               "ROUND(quantile_cont(l_extendedprice, 0.5), 2) "
+               "AS exact_median, TRUE AS within_bound "
+               "FROM lineitem GROUP BY l_returnflag"),
     "agg_11": ("SELECT COALESCE(o_orderstatus, 'ALL') AS s, "
                "COALESCE(o_orderpriority, 'ALL') AS p, count(*) AS n "
                "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
@@ -884,6 +910,8 @@ _DOCS = {
     "agg_06": "AGG-06 histogram bins", "agg_07": "AGG-07 rollup",
     "agg_08": "AGG-08 having", "agg_09": "AGG-09 sorted collect_list",
     "agg_11": "AGG-07 cube (subtotal lattice)",
+    "agg_12": "Approximate percentile sketch (bounded self-check vs "
+              "exact median)",
     "agg_10": "AGG-10 exact percentile",
     "win_01": "WIN-01 row_number", "win_02": "WIN-02 lag/lead",
     "win_03": "WIN-03 running frame sum", "win_04": "WIN-04 last-per-group (max_by)",
