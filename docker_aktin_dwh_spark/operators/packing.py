@@ -111,16 +111,10 @@ CHUNK_SIZE = 128
 CHUNK_OVERLAP = 32
 
 
-def chunk_01(spark, sf):
-    """Sliding-window doc chunking: windows of CHUNK_SIZE tokens at
-    stride CHUNK_SIZE − CHUNK_OVERLAP; the last window is the remainder
-    (min one window per doc).  One scan + an explode over computed
-    chunk indices — per-row JVM expressions only, no shuffle except the
-    presentation sort; chunk text is returned as an md5 so the frame
-    stays narrow while the oracle still certifies the exact token
-    content of every chunk."""
+def doc_chunks(d):
+    """Chunk rows (doc_id, chunk_idx, n_tok, chunk_md5) for any
+    (doc_id, text) frame — chunk_01's exact windowing, reusable."""
     stride = CHUNK_SIZE - CHUNK_OVERLAP
-    d = catalog.load(spark, sf, "documents").select("doc_id", "text")
     tok = tokens("text")
     n = F.size(tok)
     n_chunks = (F.ceil(F.greatest(n - CHUNK_SIZE, F.lit(0)) / stride)
@@ -136,6 +130,18 @@ def chunk_01(spark, sf):
                 F.md5(F.concat_ws(" ", F.slice("t", start + 1, clen)))
                  .alias("chunk_md5"))
                 .orderBy("doc_id", "chunk_idx"))
+
+
+def chunk_01(spark, sf):
+    """Sliding-window doc chunking: windows of CHUNK_SIZE tokens at
+    stride CHUNK_SIZE − CHUNK_OVERLAP; the last window is the remainder
+    (min one window per doc).  One scan + an explode over computed
+    chunk indices — per-row JVM expressions only, no shuffle except the
+    presentation sort; chunk text is returned as an md5 so the frame
+    stays narrow while the oracle still certifies the exact token
+    content of every chunk."""
+    return doc_chunks(
+        catalog.load(spark, sf, "documents").select("doc_id", "text"))
 
 
 _CHUNK_ORACLE = f"""
@@ -219,6 +225,70 @@ FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+#: minimum distinct docs sharing a chunk before it counts as boilerplate
+BPLATE_MIN_DOCS = 2
+
+
+def bplate_01(spark, sf):
+    """Boilerplate passage detection: sliding-window chunks (chunk_01's
+    exact windows) that recur across ≥ BPLATE_MIN_DOCS distinct docs —
+    the shared headers/footers/licenses a corpus prep removes before
+    training.  Shape: chunk explode → groupBy(chunk content hash) with
+    map-side combine; the aggregated frame is the distinct-chunk table,
+    far below corpus size.  Returns (chunk_md5, n_docs, n_occurrences,
+    first_doc) so the removal step can anti-join on chunk_md5.
+
+    The natural fixture has no cross-doc repeated 128-token passages,
+    so docs < 50 re-enter under offset ids (data-derived max(id)+1,
+    planted-content pattern) — the recurrence detection is certified
+    with provably nonzero output."""
+    d = catalog.load(spark, sf, "documents").select("doc_id", "text")
+    offset = d.agg(F.max("doc_id")).first()[0] + 1
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 50)
+         .select((F.col("doc_id") + offset).alias("doc_id"), "text"))
+    return (doc_chunks(corpus)
+            .groupBy("chunk_md5")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= BPLATE_MIN_DOCS)
+            .orderBy("chunk_md5"))
+
+
+_BPLATE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+  FROM documents WHERE doc_id < 50
+),
+t AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS t FROM corpus),
+n AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(CEIL(GREATEST(len(t) - {CHUNK_SIZE}, 0)
+                   / {CHUNK_SIZE - CHUNK_OVERLAP}.0) AS BIGINT) + 1
+           AS n_chunks
+  FROM t
+),
+x AS (SELECT doc_id, t, n, unnest(range(n_chunks)) AS chunk_idx FROM n),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             t[chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 :
+               chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP}
+               + LEAST({CHUNK_SIZE},
+                       n - chunk_idx * {CHUNK_SIZE - CHUNK_OVERLAP})],
+             ' ')) AS chunk_md5
+  FROM x
+)
+SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences, min(doc_id) AS first_doc
+FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= {BPLATE_MIN_DOCS}
+ORDER BY chunk_md5
+"""
+
+
 #: shards of the deterministic corpus shuffle — at 100 TB each shard is
 #: an output file/partition; positions are per-shard so no global
 #: single-task window ever exists.
@@ -275,6 +345,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec(key="chunk_01", fn=chunk_01, oracle=_CHUNK_ORACLE,
                   doc=("Sliding-window doc chunking (128-token windows, "
                        "32 overlap) with content-certifying chunk md5"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="bplate_01", fn=bplate_01, oracle=_BPLATE_ORACLE,
+                  doc=("Boilerplate passage detection: chunk-level "
+                       "cross-doc recurrence (removal anti-joins on "
+                       "chunk_md5)"),
                   tags=("llm", "pipeline")),
         QuerySpec(key="pack_02", fn=pack_02, oracle=_PACK2_ORACLE,
                   doc=("Hierarchical sharded sequence packing — the "
