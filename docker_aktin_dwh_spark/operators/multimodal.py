@@ -79,22 +79,46 @@ def real_decode(payload: bytes) -> tuple[int, int, float]:
     return img.width, img.height, mean_luma
 
 
+def png_stdlib_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL codec path without PIL: the pure-stdlib PNG decoder
+    (functions/png.py — chunk walk, inflate, unfilter) → (width,
+    height, mean 8-bit luma in [0, 1])."""
+    from ..functions import png as pnglib
+    w, h, ch, px = pnglib.decode_png(bytes(payload))
+    return w, h, pnglib.luma_stats(w, h, ch, px)
+
+
+def auto_decode(payload: bytes) -> tuple[int, int, float]:
+    """Per-payload dispatch: PNG bytes (signature-sniffed) decode for
+    real via the stdlib codec even where PIL is absent; other formats
+    use PIL when importable; anything else falls back to the
+    deterministic stub.  Batches may mix formats — the sniff is per
+    payload, not per batch."""
+    from ..functions import png as pnglib
+    data = bytes(payload)
+    if data[:8] == pnglib.SIGNATURE:
+        return png_stdlib_decode(data)
+    try:
+        import PIL  # noqa: F401
+        return real_decode(data)
+    except ImportError:
+        return fake_decode(data)
+
+
 def pick_decoder(codec: str = "auto"):
-    """Adapter: 'stub' → fake_decode, 'pil' → real_decode, 'auto' →
-    real when PIL imports on the driver, stub otherwise.  Same
-    DECODE_SCHEMA either way, so swapping codecs never changes the
-    plan, only the per-batch Python work."""
+    """Adapter: 'stub' → fake_decode, 'pil' → real_decode, 'png' → the
+    stdlib PNG codec, 'auto' → per-payload sniffing dispatch
+    (auto_decode).  Same DECODE_SCHEMA either way, so swapping codecs
+    never changes the plan, only the per-batch Python work."""
     if codec == "stub":
         return fake_decode
     if codec == "pil":
         return real_decode
+    if codec == "png":
+        return png_stdlib_decode
     if codec != "auto":
         raise ValueError(f"unknown codec {codec!r}")
-    try:
-        import PIL  # noqa: F401
-        return real_decode
-    except ImportError:
-        return fake_decode
+    return auto_decode
 
 
 def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:

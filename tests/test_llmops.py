@@ -499,3 +499,23 @@ def test_cosine_pairs_recover_cluster_structure(spark):
         assert same / possible >= 0.99         # recall
     finally:
         emb.unpersist()
+
+
+def test_auto_decoder_really_decodes_png_payloads(spark):
+    """pick_decoder('auto') must decode PNG payloads for real (stdlib
+    codec) even without PIL, while non-PNG payloads fall back to the
+    stub — per-payload sniffing inside one batch."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators.multimodal import (
+        _synth_dims, decode_features, synth_png_media)
+
+    d = (catalog.load(spark, SF_SMOKE, "documents")
+         .filter(F.col("doc_id") < 10).select("doc_id"))
+    media = synth_png_media(d).select(
+        "doc_id", "payload", F.lit("image/png").alias("media_type"),
+        F.struct(F.octet_length("payload").alias("n_bytes"),
+                 F.lit("synth").alias("origin")).alias("meta"))
+    rows = decode_features(media, codec="auto").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.width, r.height) == _synth_dims(r.doc_id)
