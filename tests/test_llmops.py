@@ -179,11 +179,20 @@ def _have_pil() -> bool:
 
 
 def test_decoder_adapter_selection():
+    from docker_aktin_dwh_spark.functions import png as pnglib
     from docker_aktin_dwh_spark.operators import multimodal as mm
     assert mm.pick_decoder("stub") is mm.fake_decode
     assert mm.pick_decoder("pil") is mm.real_decode
+    assert mm.pick_decoder("png") is mm.png_stdlib_decode
+    # 'auto' is per-payload dispatch (r6): PNG bytes decode for real
+    # via the stdlib codec regardless of PIL; non-PNG falls back to
+    # PIL when importable, stub otherwise
     auto = mm.pick_decoder("auto")
-    assert auto is (mm.real_decode if _have_pil() else mm.fake_decode)
+    assert auto is mm.auto_decode
+    payload = pnglib.encode_png(bytes(range(16)), 4, 4, 1)
+    assert auto(payload) == mm.png_stdlib_decode(payload)
+    if not _have_pil():
+        assert auto(b"not an image") == mm.fake_decode(b"not an image")
     with pytest.raises(ValueError):
         mm.pick_decoder("ffmpeg")
 
