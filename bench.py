@@ -86,9 +86,12 @@ def main() -> None:
 
 #: heavy queries whose 100 TB posture the slope measurement backs
 #: (qrep_01/pack_02 added r6: the explode+agg and sharded-window
-#: shapes of the new corpus verbs)
+#: shapes of the new corpus verbs; dupcc_01 is the only ITERATIVE
+#: operator — its cost model is rounds × per-round shuffle, which a
+#: one-shot slope can't proxy, so it gets its own row plus a measured
+#: round count)
 SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
-                 "qrep_01", "pack_02")
+                 "qrep_01", "pack_02", "dupcc_01")
 SCALE_REPLICAS = 10
 
 
@@ -114,22 +117,32 @@ def scaling_section(spark, registry, sf_dir: str,
     small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     have_small = os.path.isdir(small_dir)
 
+    from docker_aktin_dwh_spark.operators.dedup import connected_components
+
     base_sec, scaled_sec, slope = {}, {}, {}
     small_sec, slope_small = {}, {}
+    cc_rounds: dict[str, int] = {}
     for key in SCALE_QUERIES:
         fn = registry[key].fn
         # reuse the headline best-of-3 where the key overlaps instead
         # of re-running the heaviest queries a 4th and 5th time
         base_sec[key] = ((headline_sec or {}).get(key)
                          or best_of(fn, sf_dir))
+        if key == "dupcc_01":
+            cc_rounds["base"] = getattr(connected_components,
+                                        "last_rounds", None)
         scaled_sec[key] = best_of(fn, scale_dir)
+        if key == "dupcc_01":
+            cc_rounds["scaled"] = getattr(connected_components,
+                                          "last_rounds", None)
         slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
         if have_small:
             small_sec[key] = best_of(fn, small_dir)
             slope_small[key] = round(
                 base_sec[key] / max(small_sec[key], 1e-9), 2)
     out = {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
-           "scaled_sec": scaled_sec, "slope": slope}
+           "scaled_sec": scaled_sec, "slope": slope,
+           "dupcc_rounds": cc_rounds}
     if have_small:
         out["small_sec"] = small_sec
         out["slope_small_to_base"] = slope_small

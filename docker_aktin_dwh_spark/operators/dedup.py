@@ -432,7 +432,7 @@ def connected_components(pairs: DataFrame,
              .distinct())
     labels = materialize(
         edges.select("v").distinct().withColumn("lbl", F.col("v")))
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         neigh = (edges.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
                       .groupBy("v").agg(F.min("lbl").alias("nl")))
         prop = (labels.join(neigh, "v", "left")
@@ -452,6 +452,12 @@ def connected_components(pairs: DataFrame,
         changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = merged.select("v", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            # observability for the scaling bench: the iterative cost
+            # model is rounds × per-round shuffle, so the round count
+            # at 10× data is the claim to check (O(log diameter) ⇒
+            # unchanged rounds when replication preserves dup-clique
+            # structure)
+            connected_components.last_rounds = rounds
             return labels
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iters} rounds "

@@ -132,6 +132,31 @@ def clustered_embeddings(spark: SparkSession, n_vecs: int,
         member("id").alias("embedding")))
 
 
+def plant_hot_phrase(docs: DataFrame, phrase: str = "hot hot hot",
+                     every: int = 1) -> DataFrame:
+    """Skew-probe mode (VERDICT r5 item 7): append one fixed phrase to
+    every ``every``-th document, so a single 3-gram shingle reaches
+    document frequency ≈ n_docs/every — the hot-key shape (one
+    boilerplate banner, an empty-string zip) that makes one shuffle
+    partition the straggler at 100 TB.
+
+    The planted phrase adds at most ``len(phrase.split())`` shingles to
+    each doc's set, so near-dup structure is preserved (Jaccard of any
+    pair moves by O(phrase_len / doc_len)); what changes is the df
+    distribution — exactly what the ngram guard (NGRAM_MAX_DF) and the
+    LSH banding path must handle differently: the guard RAISES, the
+    banded path stays linear (a hot *shingle* is not a hot *band* —
+    all 4 perms of a band must pick the planted shingle as their min
+    for it to collide, a (k/|doc|)⁴ event).  Asserted over the
+    replica fixture in tests/test_skew.py.
+    """
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % every == 0,
+               F.concat(F.col("text"), F.lit(" " + phrase)))
+         .otherwise(F.col("text")))
+
+
 def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
                          replicas: int = 10) -> str:
     """Materialize (or reuse) the ``replicas``× fixture; returns

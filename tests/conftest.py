@@ -13,6 +13,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+SCALE_REPLICAS = 3
+
+
+@pytest.fixture(scope="session")
+def scale_dir(spark, tmp_path_factory):
+    """One shared 3×-replica fixture of SF_SMOKE (scalegen) — used by
+    the generator-invariant tests and the at-scale skew probes."""
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    out = str(tmp_path_factory.mktemp("scalefix") / "r3")
+    return ensure_scale_fixture(spark, SF_SMOKE, out, SCALE_REPLICAS)
+
+
 @pytest.fixture(scope="session")
 def spark():
     # 16 local cores: the sweep modules submit jobs from 8 threads, so

@@ -6,22 +6,12 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
-from conftest import SF_SMOKE
+from conftest import SF_SMOKE, SCALE_REPLICAS as REPLICAS
 
 from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.operators.relational import jn_03
-from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
-
-REPLICAS = 3
-
-
-@pytest.fixture(scope="module")
-def scale_dir(spark, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("scalefix") / "r3")
-    return ensure_scale_fixture(spark, SF_SMOKE, out, REPLICAS)
 
 
 def test_replica_counts_and_distinct_keys(spark, scale_dir):

@@ -60,3 +60,80 @@ def test_replicated_broadcast_join_equals_plain(spark):
     p = (plain.groupBy("c_nationkey").count().orderBy("c_nationkey")
          .collect())
     assert s == p
+
+
+# --------------------------------------------------------------------
+# At-scale skew probes (VERDICT r5 item 7): the same generator that
+# feeds bench.py's 10x slopes plants a hot key at the shared 3x test
+# fixture, and the guards / salted paths must behave exactly as
+# documented there — not just at base sf.
+
+import pytest
+
+from docker_aktin_dwh_spark.functions.barrier import materialize
+from docker_aktin_dwh_spark.operators import dedup
+from docker_aktin_dwh_spark.scalegen import plant_hot_phrase
+
+
+def test_hot_shingle_guard_raises_at_scale(spark, scale_dir):
+    """One planted boilerplate phrase pushes a single shingle's df to
+    n_docs; the exact-ngram guard must RAISE (never run the df**2 join)
+    and point at the LSH path.  The cap is scaled proportionally to the
+    fixture (default 20k df is the sf0.1-x10 regime)."""
+    docs = catalog.load(spark, scale_dir, "documents")
+    n = docs.count()
+    cap = int(n * 0.6)
+    with pytest.raises(ValueError, match="minhash"):
+        dedup.ngram_jaccard_pairs(plant_hot_phrase(docs), 0.8,
+                                  max_df=cap).count()
+    # identical cap, no planted key: the guard stays quiet and the
+    # exact baseline still answers
+    dedup.ngram_jaccard_pairs(docs, 0.8, max_df=cap).count()
+
+
+def test_lsh_stays_linear_under_hot_shingle(spark, scale_dir):
+    """A hot *shingle* must not become a hot *band*: all 4 perms of a
+    band would have to pick the planted shingle as their min for a
+    collision, a (k/|doc|)**4 event — so LSH candidate volume stays
+    within one candidate-per-doc of the unplanted corpus, and the
+    full MinHash pipeline completes and recovers the dup structure."""
+    docs = catalog.load(spark, scale_dir, "documents")
+    hot = plant_hot_phrase(docs)
+    n = docs.count()
+
+    c_base = dedup.lsh_candidates(
+        materialize(dedup.doc_minhash_frame(docs))).count()
+    c_hot = dedup.lsh_candidates(
+        materialize(dedup.doc_minhash_frame(hot))).count()
+    assert c_hot <= c_base + n, (
+        f"hot shingle inflated LSH candidates {c_base} -> {c_hot}")
+
+    p_base = dedup.minhash_dedup_pairs(
+        docs, dedup.JACCARD_THRESHOLD).count()
+    p_hot = dedup.minhash_dedup_pairs(
+        hot, dedup.JACCARD_THRESHOLD).count()
+    # the phrase shifts each pair's Jaccard by O(3/|doc|) — structure
+    # preserved within a tolerance band, no quadratic blow-up
+    assert p_hot >= int(0.8 * p_base)
+    assert p_hot <= p_base + n
+
+
+def test_salted_agg_equals_plain_at_scale(spark, scale_dir):
+    """The salted two-phase agg stays result-identical on the replica
+    fixture with the planted hot key (3x the base row count, same hot
+    fraction)."""
+    o = catalog.load(spark, scale_dir, "orders")
+    df = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(-1))
+         .otherwise(F.col("o_custkey")))
+    salted = skew.salted_agg(
+        df, ["o_custkey"],
+        {"n": ("count", "o_orderkey"),
+         "total": ("sum", "o_totalprice")})
+    plain = df.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n"),
+        F.sum("o_totalprice").alias("total"))
+    s = {(r.o_custkey, r.n, round(r.total, 2)) for r in salted.collect()}
+    p = {(r.o_custkey, r.n, round(r.total, 2)) for r in plain.collect()}
+    assert s == p
