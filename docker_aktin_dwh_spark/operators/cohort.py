@@ -283,6 +283,50 @@ def fed_01(spark, sf):
             .orderBy("o_orderstatus"))
 
 
+#: Apache DataSketches HLL at the default lgConfigK=12 has relative
+#: standard error ≈ 1.04/√4096 ≈ 1.6%; the acceptance band is 5× that
+#: (same fixture-calibrated 5σ reasoning as relational._AGG_03_RSD).
+#: At fixture cardinalities the sketch is still in exact sparse mode,
+#: so the bound is slack there by construction — what the hash row
+#: certifies is the merge plumbing (site partials → union → estimate),
+#: and the bound keeps the check real if fixtures ever grow past the
+#: sparse/dense promotion point.
+_FED_HLL_RSD = 0.016
+
+
+def fed_hll(spark, sf):
+    """Federated APPROXIMATE distinct — the aggregate fed_01's contract
+    deliberately refuses: count(DISTINCT patient) does not partial-merge
+    as a scalar, but its HLL SKETCH does.  Each site ships a fixed-size
+    binary sketch (bytes, not patient lists — the privacy shape the
+    broker protocol needs, reference src/build.sh:255-256); the
+    coordinator merges with hll_union_agg and estimates.  Per-site
+    sketch build is one map-side pass; the merge moves
+    sites × groups × 2^lgK bytes — independent of corpus size, which is
+    why this is THE 100 TB federated-distinct shape.  Certified as a
+    bounded self-check (agg_03 pattern): exact countDistinct and the
+    merged-sketch estimate computed side-by-side, the hashed boolean
+    asserts |est − exact| ≤ 5·rsd·exact."""
+    o = catalog.load(spark, sf, "orders")
+    site = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 2), 16, 10).cast("int") % FED_SITES)
+    partials = (o.withColumn("site", site)
+                 .groupBy("site", "o_orderstatus")
+                 .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    merged = (partials.groupBy("o_orderstatus")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("_est"),
+                   F.countDistinct("site").cast("int").alias("n_sites")))
+    exact = (o.groupBy("o_orderstatus")
+              .agg(F.countDistinct("o_custkey").alias("exact_patients")))
+    return (merged.join(exact, "o_orderstatus")
+            .select("o_orderstatus", "exact_patients", "n_sites",
+                    (F.abs(F.col("_est") - F.col("exact_patients"))
+                     <= 5 * _FED_HLL_RSD * F.col("exact_patients"))
+                    .alias("within_bound"))
+            .orderBy("o_orderstatus"))
+
+
 _CT = catalog.clinical_with_clause
 
 _ORACLES = {
@@ -381,6 +425,19 @@ SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
 FROM p GROUP BY 1 ORDER BY 1
 """
 
+_ORACLES["fed_hll"] = """
+WITH p AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
+              % 3 AS INT) AS site,
+         o_orderstatus, o_custkey
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_patients,
+       CAST(count(DISTINCT site) AS INT) AS n_sites,
+       TRUE AS within_bound
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
 _DOCS = {
     "coh_01": "Cohort panel AND (semi-join chain + countDistinct)",
     "coh_02": "Cohort OR within panel (IN-list)",
@@ -396,6 +453,9 @@ _DOCS = {
                "suppression with explicit markers",
     "fed_01": "Federated aggregate merge: per-site partial aggregates "
               "summed by the coordinator (broker query shape)",
+    "fed_hll": "Federated approximate distinct: per-site HLL sketches "
+               "union-merged by the coordinator, bounded self-check "
+               "against exact countDistinct",
 }
 
 

@@ -1,0 +1,185 @@
+"""Table-maintenance operators: snapshot diff (CDC) and partitioned
+data layout.
+
+The reference's table lifecycle is monthly re-import with delete+insert
+correction (§21 re-imports, aktin_init.sql — reference
+src/docker/database/Dockerfile:31,33); SNK-01/ups_01 already drives the
+merge side.  These operators cover the two maintenance verbs around it
+that any 100 TB lakehouse runs constantly:
+
+- ``cdc_01``: given two table snapshots, emit the row-level change set
+  (insert/update/delete) — the diff that FEEDS an upsert merge, and the
+  audit artifact a re-import pipeline wants before applying one.
+- ``lay_01``: rewrite a table into a partitioned, sorted layout and
+  read it back through a partition-pruned scan — the
+  compaction/clustering step that decides whether every later query
+  scans 100 TB or 100 GB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+
+T = catalog.load
+
+
+# ----------------------------------------------------- CDC snapshot diff
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  cols: list[str]) -> DataFrame:
+    """Row-level diff of two snapshots sharing a primary key: one
+    FULL OUTER join co-partitioned on the key (the single shuffle; with
+    both snapshots bucketed by the key on a real lake it is
+    shuffle-free), null-safe column comparison, unchanged rows dropped.
+
+    Returns (keys..., op) with op ∈ insert/update/delete.  Column
+    comparison uses eqNullSafe, never a serialized row hash — hashing
+    formatted values would tie the diff to engine-specific float/date
+    formatting (the cross-engine trap the determinism contract bans).
+    """
+    o, n = old.alias("o"), new.alias("n")
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys])
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = reduce(lambda a, b: a | b,
+                     [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+                      for c in cols])
+    op = (F.when(~in_old, F.lit("insert"))
+           .when(~in_new, F.lit("delete"))
+           .when(changed, F.lit("update")))
+    return (j.select(*[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}"))
+                       .alias(k) for k in keys],
+                     op.alias("op"))
+             .filter(F.col("op").isNotNull()))
+
+
+def _cdc_snapshots(spark, sf):
+    """Deterministic synthetic snapshot pair from the orders fixture:
+    the 'new' snapshot inserts keys ≡3 (mod 10), deletes keys ≡7, and
+    bumps o_totalprice by +1 for keys ≡0 (mod 5) — closed-form on both
+    engine sides, exact in double arithmetic."""
+    o = T(spark, sf, "orders").select("o_orderkey", "o_totalprice",
+                                      "o_orderstatus")
+    old = o.filter(F.col("o_orderkey") % 10 != 3)
+    new = (o.filter(F.col("o_orderkey") % 10 != 7)
+            .withColumn("o_totalprice",
+                        F.when(F.col("o_orderkey") % 5 == 0,
+                               F.col("o_totalprice") + 1)
+                         .otherwise(F.col("o_totalprice"))))
+    return old, new
+
+
+def cdc_01(spark, sf):
+    """Snapshot diff over the synthetic pair — emits the exact
+    insert/update/delete change set, fully ordered on the key."""
+    old, new = _cdc_snapshots(spark, sf)
+    return (snapshot_diff(old, new, ["o_orderkey"],
+                          ["o_totalprice", "o_orderstatus"])
+            .orderBy("o_orderkey"))
+
+
+_CDC_ORACLE = """
+WITH oldsnap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 3),
+newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'update' END AS op
+  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, op FROM d WHERE op IS NOT NULL ORDER BY o_orderkey
+"""
+
+
+# ------------------------------------------------- partitioned layout
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str,
+                      sort_col: str, max_records_per_file: int = 1 << 20
+                      ) -> None:
+    """Cluster-and-compact writer: hive-style directory partitioning on
+    a low-cardinality column plus within-file ordering on a high-
+    selectivity column.  Directory partitioning gives COARSE pruning
+    (whole partitions skipped before any file is opened); the in-file
+    sort tightens every parquet row-group's min/max range on
+    ``sort_col`` so predicate pushdown skips row groups inside the
+    partitions that do match.  maxRecordsPerFile bounds file size —
+    the compaction knob that keeps 100 TB from becoming 100M tiny
+    files (or 100 oversized ones)."""
+    (df.repartition(F.col(partition_col))
+       .sortWithinPartitions(partition_col, sort_col)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .partitionBy(partition_col)
+       .parquet(path))
+
+
+def read_pruned(spark, path: str, partition_col: str, value) -> DataFrame:
+    """Read one partition back; the plan must show PartitionFilters on
+    ``partition_col`` (asserted in tests/test_plans.py) — the filter
+    never touches data files of other partitions."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)
+
+
+def lay_01(spark, sf):
+    """Layout roundtrip: documents re-clustered (partitionBy lang,
+    sorted by doc_id) through the real parquet writer, then one
+    partition read back pruned and aggregated per source.  The oracle
+    derives the same aggregate from the raw table, so a hash match
+    proves re-layout lost nothing — while the plan evidence (PLANS.md,
+    test_plans) shows the scan touched only lang='en' directories."""
+    d = T(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    path = tempfile.mkdtemp(prefix="spark_lay01_") + "/docs"
+    write_partitioned(d, path, "lang", "doc_id")
+    en = read_pruned(spark, path, "lang", "en")
+    return (en.groupBy("source")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum(F.length("text")).alias("chars"),
+                   F.min("doc_id").alias("min_doc"),
+                   F.max("doc_id").alias("max_doc"))
+              .orderBy("source"))
+
+
+_LAY_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents WHERE lang = 'en'
+GROUP BY source ORDER BY source
+"""
+
+
+_ORACLES = {
+    "cdc_01": _CDC_ORACLE,
+    "lay_01": _LAY_ORACLE,
+}
+
+_DOCS = {
+    "cdc_01": "Snapshot diff (CDC): row-level insert/update/delete set "
+              "from one full-outer key join",
+    "lay_01": "Partitioned layout roundtrip: cluster/compact writer + "
+              "partition-pruned read-back",
+}
+
+
+def specs() -> list[QuerySpec]:
+    g = globals()
+    return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,
+                      tags=("maintenance",))
+            for k, d in _DOCS.items()]

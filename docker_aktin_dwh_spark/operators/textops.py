@@ -264,6 +264,74 @@ ORDER BY base.doc_id
 """
 
 
+# ------------------------------------------------------- heavy hitters
+
+#: report tokens with global count ≥ total_tokens / HH_DEN.
+HH_DEN = 500
+
+
+def heavy_hitters(tok: "DataFrame", den: int = HH_DEN) -> "DataFrame":
+    """Exact corpus heavy hitters (tokens with relative frequency
+    ≥ 1/den) via the two-phase candidate/verify pattern — the shape
+    that works when the vocabulary itself no longer fits one node.
+
+    Phase 1 (candidates): per-PHYSICAL-partition relative frequencies —
+    groupBy(spark_partition_id, token) map-side-combines entirely
+    within each input partition, so the shuffle moves per-partition
+    vocabularies, never token instances.  Superset guarantee for ANY
+    partitioning: if count(t)/N ≥ 1/den then some partition p has
+    count_p(t)/N_p ≥ count(t)/N (else summing the strict inequalities
+    count_p < N_p·count/N over p gives count < count — contradiction),
+    so t passes p's local filter.  Candidate volume is bounded by
+    partitions × den rows (den per partition can pass), a frame AQE
+    sizes for broadcast when small and shuffles when not — no driver
+    collect either way.
+
+    Phase 2 (verify): one exact count of the candidate tokens over the
+    corpus.  The final ≥ N/den filter uses exact global counts, so the
+    RESULT is partitioning-independent even though the candidate set
+    is not — which is what makes this oracle-matchable.
+    """
+    pid = tok.withColumn("pid", F.spark_partition_id())
+    local = pid.groupBy("pid", "t").agg(F.count("*").alias("c"))
+    ptot = pid.groupBy("pid").agg(F.count("*").alias("np"))
+    cand = (local.join(ptot, "pid")
+                 .filter(F.col("c") * den >= F.col("np"))
+                 .select("t").distinct())
+    counts = (tok.join(cand, "t", "left_semi")
+                 .groupBy("t").agg(F.count("*").alias("c")))
+    total = tok.agg(F.count("*").alias("n_total"))
+    return (counts.crossJoin(total)
+                  .filter(F.col("c") * den >= F.col("n_total"))
+                  .select("t", "c",
+                          F.round(F.col("c") / F.col("n_total"), 6)
+                           .alias("rel_freq"))
+                  .orderBy(F.desc("c"), "t"))
+
+
+def hh_01(spark, sf):
+    """Corpus token heavy hitters: exact tokens above 1/HH_DEN relative
+    frequency, found without ever shuffling the full token stream by
+    value (see heavy_hitters)."""
+    d = T(spark, sf, "documents")
+    return heavy_hitters(
+        d.select(F.explode(tokens("text")).alias("t")), HH_DEN)
+
+
+_HH_ORACLE = f"""
+WITH x AS (
+  SELECT unnest({SQL_TOKENS.format(col="text")}) AS t FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM x)
+SELECT t, count(*) AS c,
+       ROUND(count(*) / CAST(n_total AS DOUBLE), 6) AS rel_freq
+FROM x, tot
+GROUP BY t, n_total
+HAVING count(*) * {HH_DEN} >= n_total
+ORDER BY c DESC, t
+"""
+
+
 def _sql_vote(ws: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in ws)
     return f"len(list_filter(t, x -> x IN ({lst})))"
@@ -305,6 +373,7 @@ _ORACLES = {
     "vocab_01": _VOCAB_ORACLE,
     "pii_01": _PII_ORACLE,
     "qrep_01": _QREP_ORACLE,
+    "hh_01": _HH_ORACLE,
 }
 
 _DOCS = {
@@ -318,6 +387,8 @@ _DOCS = {
               "(planted-PII certification)",
     "qrep_01": "Repetition quality metrics: duplicate-token ratio + "
                "top-bigram fraction",
+    "hh_01": "Corpus heavy hitters: exact high-frequency tokens via "
+             "per-partition candidates + one exact verify pass",
 }
 
 

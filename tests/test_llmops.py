@@ -528,3 +528,71 @@ def test_auto_decoder_really_decodes_png_payloads(spark):
     assert len(rows) == 10
     for r in rows:
         assert (r.width, r.height) == _synth_dims(r.doc_id)
+
+
+# ------------------------------------------------ heavy hitters / CDC / HLL
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """The candidate set depends on physical partitioning; the RESULT
+    must not — exact verify makes it layout-invariant (the property the
+    oracle hash relies on)."""
+    from docker_aktin_dwh_spark.operators.textops import heavy_hitters
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+
+    tok = (catalog.load(spark, SF_SMOKE, "documents")
+           .select(F.explode(tokens("text")).alias("t")))
+    r1 = {(r.t, r.c) for r in
+          heavy_hitters(tok.repartition(2), den=100).collect()}
+    r2 = {(r.t, r.c) for r in
+          heavy_hitters(tok.repartition(13), den=100).collect()}
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_heavy_hitters_matches_brute_force(spark):
+    from docker_aktin_dwh_spark.operators.textops import heavy_hitters
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+
+    tok = (catalog.load(spark, SF_SMOKE, "documents")
+           .select(F.explode(tokens("text")).alias("t")))
+    n = tok.count()
+    den = 200
+    brute = {(r.t, r.c) for r in
+             tok.groupBy("t").agg(F.count("*").alias("c"))
+                .filter(F.col("c") * den >= n).collect()}
+    got = {(r.t, r.c) for r in heavy_hitters(tok, den=den).collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from docker_aktin_dwh_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k long, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),            # unchanged -> dropped
+         (2, 21.0, "B"),            # update (value change)
+         (3, None, "C"),            # unchanged incl. NULL (eqNullSafe)
+         (5, 50.0, "E")],           # insert; 4 missing -> delete
+        "k long, price double, status string")
+    got = {(r.k, r.op) for r in
+           snapshot_diff(old, new, ["k"], ["price", "status"]).collect()}
+    assert got == {(2, "update"), (4, "delete"), (5, "insert")}
+
+
+def test_fed_hll_estimate_tracks_exact(spark):
+    """The merged per-site sketches must estimate within the documented
+    band — and the merge must equal a single global sketch's estimate
+    (sketch union is lossless w.r.t. the global sketch state)."""
+    o = catalog.load(spark, SF_SMOKE, "orders")
+    site = (F.col("o_orderkey") % 3).cast("int")
+    merged = (o.withColumn("site", site)
+               .groupBy("site").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+               .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+               ).first()["est"]
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first()["est"]
+    exact = o.select("o_custkey").distinct().count()
+    assert merged == direct
+    assert abs(merged - exact) <= max(1, 5 * 0.016 * exact)

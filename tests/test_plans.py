@@ -179,3 +179,20 @@ def test_pack02_window_is_sharded(spark):
     wins = [ln for ln in plan.splitlines() if "Arguments:" in ln
             and "windowspecdefinition" in ln]
     assert wins and all("shard" in ln for ln in wins), plan
+
+
+def test_lay01_readback_prunes_partitions(spark, tmp_path):
+    """The layout roundtrip's read-back must prune at planning time:
+    lang is a hive partition column, so the lang='en' predicate appears
+    in PartitionFilters and no other partition's files are opened."""
+    from docker_aktin_dwh_spark.operators import maintenance
+    d = catalog.load(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "lang", "source", "text")
+    path = str(tmp_path / "docs")
+    maintenance.write_partitioned(d, path, "lang", "doc_id")
+    df = maintenance.read_pruned(spark, path, "lang", "en")
+    plan = plans.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
