@@ -272,6 +272,105 @@ FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
 """
 
 
+WAV_SYNTH_DOCS = 200
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real RIFF/WAVE PCM bytes per doc —
+    deterministic sawtooth-ish signal
+    ``v(i) = (i·(doc_id%5+2) + doc_id) % 201 − 100`` over
+    ``64 + doc_id%64`` frames.  The encoding VARIES by doc so every
+    decoder branch runs inside the declared pipeline: sample width
+    8/16-bit by doc_id parity, mono/stereo by doc_id%3 (stereo
+    duplicates the frame value on both channels, keeping the analytic
+    stats width- and channel-invariant), and every fourth doc carries
+    a LIST metadata chunk the decoder must walk past."""
+    from ..functions import wav as wavlib
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            nf = 64 + did % 64
+            rate = 8000 * (1 + did % 3)
+            ch = 2 if did % 3 == 0 else 1
+            width = 1 if did % 2 == 0 else 2
+            frames = [(i * (did % 5 + 2) + did) % 201 - 100
+                      for i in range(nf)]
+            samples = [v for v in frames for _ in range(ch)]
+            out.append(wavlib.encode_wav(
+                samples, rate, channels=ch, sampwidth=width,
+                extra_chunk=b"INFOsynthetic" if did % 4 == 0 else None))
+        return pd.Series(out)
+
+    return docs.select("doc_id", mk("doc_id").alias("payload"),
+                       F.lit("audio/wav").alias("media_type"))
+
+
+WAV_DECODE_SCHEMA = ("doc_id long, wav_rate int, wav_ch int, "
+                     "wav_frames int, wav_dur double, wav_mean double, "
+                     "wav_rms double")
+
+
+def wav_decode_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode via the stdlib WAV codec inside mapInPandas —
+    rate/channels/duration/mean/RMS come from walking the RIFF chunks
+    and unpacking the PCM stream, not from metadata."""
+    from ..functions import wav as wavlib
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, _w, samples = wavlib.decode_wav(bytes(payload))
+                nf, dur, mean, rms = wavlib.pcm_stats(rate, ch, samples)
+                rows.append((did, rate, ch, nf, dur, mean, rms))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "wav_rate", "wav_ch", "wav_frames",
+                "wav_dur", "wav_mean", "wav_rms"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, WAV_DECODE_SCHEMA)
+
+
+def mm_wav(spark, sf):
+    """Real-codec certification for the audio modality (companion to
+    mm_png): synthesize WAV PCM bytes per doc, decode them with the
+    stdlib codec, return decoded stats rounded for cross-engine float
+    parity.  The oracle recomputes every feature analytically from the
+    synthesis contract — a decoder that mis-walks chunks, mis-centers
+    8-bit samples, or mis-interleaves stereo hash-mismatches."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < WAV_SYNTH_DOCS).select("doc_id"))
+    feats = wav_decode_features(synth_wav_media(d))
+    return (feats.select("doc_id", "wav_rate", "wav_ch", "wav_frames",
+                         F.round("wav_dur", 6).alias("wav_dur"),
+                         F.round("wav_mean", 6).alias("wav_mean"),
+                         F.round("wav_rms", 6).alias("wav_rms"))
+                 .orderBy("doc_id"))
+
+
+_MM_WAV_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 64 + doc_id % 64 AS nf,
+         8000 * (1 + doc_id % 3) AS rate,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
+  FROM documents WHERE doc_id < {WAV_SYNTH_DOCS}
+),
+g AS (SELECT doc_id, nf, rate, ch, unnest(range(nf)) AS i FROM p),
+v AS (SELECT doc_id, nf, rate, ch,
+             (i * (doc_id % 5 + 2) + doc_id) % 201 - 100 AS v
+      FROM g)
+SELECT doc_id, CAST(rate AS INT) AS wav_rate, CAST(ch AS INT) AS wav_ch,
+       CAST(nf AS INT) AS wav_frames,
+       ROUND(nf / CAST(rate AS DOUBLE), 6) AS wav_dur,
+       ROUND(AVG(v), 6) AS wav_mean,
+       ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)), 6) AS wav_rms
+FROM v GROUP BY doc_id, nf, rate, ch ORDER BY doc_id
+"""
+
+
 def mm_01(spark, sf):
     """Binary-column plumbing: payload byte length via JVM expressions
     (oracle-checkable part of the media path)."""
@@ -323,6 +422,7 @@ _ORACLES = {
         "FROM m, LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f "
         "WHERE f.frame_idx % 2 = 0"),
     "mm_png": _MM_PNG_ORACLE,
+    "mm_wav": _MM_WAV_ORACLE,
 }
 
 _DOCS = {
@@ -332,6 +432,8 @@ _DOCS = {
     "mm_04": "Multimodal frame sampling (payload -> frame rows, JVM-side)",
     "mm_png": "REAL image decode: stdlib PNG codec (inflate + all five "
               "unfilters) vs analytic oracle",
+    "mm_wav": "REAL audio decode: stdlib RIFF/WAVE PCM codec (chunk "
+              "walk, 8/16-bit, mono/stereo) vs analytic oracle",
 }
 
 

@@ -45,7 +45,7 @@ _EV_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _spill_chunks(df: DataFrame, base: str, n_chunks: int,
-                  halves: bool = False) -> str:
+                  halves: bool = False, name: str = "watch") -> str:
     """Write ``df`` into ``base/watch`` as single-file parquet chunks in
     chronological ntile order; file mtimes increase in arrival order so
     the file source replays them in sequence (one per trigger).
@@ -61,7 +61,7 @@ def _spill_chunks(df: DataFrame, base: str, n_chunks: int,
         "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")))
     if halves:
         ranked = ranked.withColumn("_half", F.pmod("event_id", F.lit(2)))
-    watch = pathlib.Path(base) / "watch"
+    watch = pathlib.Path(base) / name
     watch.mkdir(parents=True)
     drop_cols = ["_chunk"] + (["_half"] if halves else [])
     for i in range(1, n_chunks + 1):
@@ -69,7 +69,7 @@ def _spill_chunks(df: DataFrame, base: str, n_chunks: int,
             cond = F.col("_chunk") == i
             if h is not None:
                 cond = cond & (F.col("_half") == h)
-            out = pathlib.Path(base) / f"c{i}_{h}"
+            out = pathlib.Path(base) / f"{name}_c{i}_{h}"
             (ranked.filter(cond).drop(*drop_cols)
              .coalesce(1).write.mode("overwrite").parquet(str(out)))
             for j, p in enumerate(sorted(out.glob("*.parquet"))):
@@ -172,6 +172,78 @@ def str05_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
                     "n"))
 
 
+def str11_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-11 stream–stream join frame: interactions and
+    conversions arrive as two INDEPENDENT file streams (separate watch
+    dirs, separate chunk sequences), each watermarked, inner-joined per
+    user under a 2-hour event-time correlation bound.
+
+    This is the attribution shape (request↔response, click↔purchase,
+    order↔result-upload in the broker flow): neither side is static, so
+    the join must buffer both sides in the state store.  The event-time
+    range condition plus BOTH watermarks is what bounds that state at
+    100 TB — each side retires rows once the other side's watermark
+    passes its correlation horizon; without the bound the state grows
+    with the stream.  Matches landing in different micro-batches (the
+    two sources advance one file per trigger independently) certify the
+    cross-batch stateful join, not just per-batch co-occurrence.
+    """
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    inter = ev.filter(F.col("event_type").isin("click", "view"))
+    conv = ev.filter(F.col("event_type").isin("purchase", "signup"))
+    watch_a = _spill_chunks(inter, base, 3, name="watch_a")
+    watch_b = _spill_chunks(conv, base, 3, name="watch_b")
+
+    def side(watch, prefix):
+        src = (spark.readStream.format("parquet").schema(ev.schema)
+               .option("maxFilesPerTrigger", "1").load(watch))
+        assert src.isStreaming
+        return (src.select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{prefix}_ts"))
+                .withWatermark(f"{prefix}_ts", "10 days"))
+
+    a, b = side(watch_a, "a"), side(watch_b, "b")
+    return (a.join(b, F.expr(
+                "a_user = b_user AND "
+                "b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 2 HOURS"))
+             .select(F.col("a_id"), F.col("b_id"),
+                     F.col("a_user").alias("user_id"),
+                     F.col("a_ts").cast("timestamp_ntz").alias("a_ts"),
+                     F.col("b_ts").cast("timestamp_ntz").alias("b_ts")))
+
+
+def str_11(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-11 stream–stream interval join, streaming-native: both sides
+    replayed file-by-file through independent readStream sources, joined
+    statefully across micro-batches, appended to a parquet sink.  Oracle
+    = the same interval join in batch SQL — a hash match proves the
+    stateful buffering matched batch inner-join semantics exactly (no
+    match lost to a premature state eviction, none duplicated across
+    triggers)."""
+    base = tempfile.mkdtemp(prefix="spark_str11_")
+    try:
+        joined = str11_stream(spark, sf, base)
+        snap = _materialized(_run_to_parquet(joined, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("a_id", "b_id")
+
+
+_STR_11_ORACLE = """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       a.user_id, a.ts AS a_ts, b.ts AS b_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+WHERE a.event_type IN ('click', 'view')
+  AND b.event_type IN ('purchase', 'signup')
+ORDER BY a_id, b_id
+"""
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -245,5 +317,10 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-05 watermark finalization + no-loss under "
                        "cross-batch disorder, real availableNow replay "
                        "(10 micro-batches, append mode)"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_11", fn=str_11, oracle=_STR_11_ORACLE,
+                  doc=("STR-11 stream-stream interval join: two "
+                       "independent watermarked file streams, stateful "
+                       "cross-micro-batch matching vs batch SQL"),
                   tags=("streaming",)),
     ]

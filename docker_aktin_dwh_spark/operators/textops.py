@@ -264,6 +264,89 @@ ORDER BY base.doc_id
 """
 
 
+# ----------------------------------------------------- BPE merge training
+
+#: merge rounds for the declared key — enough to take multi-char
+#: subwords off the fixture corpus while keeping the round count a
+#: constant, not a scale factor.
+BPE_MERGES = 24
+
+
+def bpe_train(word_freq: "DataFrame", n_merges: int) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (the tokenizer-training verb
+    of an LLM data pipeline), distributed the only way that survives
+    100 TB: the CORPUS is touched exactly once (the word-frequency
+    aggregation the caller provides); every merge round then runs on
+    the VOCABULARY table — orders of magnitude smaller and shrinking —
+    so the iterative part never rescans or reshuffles corpus data.
+
+    Per round: adjacent-pair frequencies via one vocab-sized groupBy
+    (zip_with over shifted slices, JVM-side), the argmax collected as a
+    one-row control-plane scalar (ties broken on (pair) text for
+    determinism), and the merge applied to every symbol sequence with
+    an ``aggregate`` fold that replicates reference BPE's greedy
+    left-to-right non-overlapping replacement (a freshly merged symbol
+    never re-merges with the next element in the same round, because
+    the accumulator tail is compared as the MERGED string).  Rounds are
+    materialized so lineage stays flat — same driver-loop discipline as
+    connected_components.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    from ..functions.barrier import materialize
+
+    vf = materialize(word_freq.select(
+        F.regexp_extract_all("token", F.lit("(?s)."), 0).alias("syms"),
+        F.col("freq")))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (vf.filter(F.size("syms") >= 2)
+                 .select(F.explode(F.zip_with(
+                     F.slice("syms", 1, F.size("syms") - 1),
+                     F.slice("syms", 2, F.size("syms") - 1),
+                     lambda x, y: F.struct(x.alias("l"), y.alias("r"))))
+                     .alias("p"), "freq")
+                 .groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
+                 .orderBy(F.desc("c"), "l", "r")
+                 .limit(1).collect())
+        if not top or top[0]["c"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        merged = left + right
+        step = (lambda left=left, right=right, merged=merged: (
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+             .otherwise(F.concat(acc, F.array(s)))))()
+        vf = materialize(vf.select(
+            F.aggregate("syms",
+                        F.array().cast("array<string>"), step)
+             .alias("syms"), "freq"))
+    return merges
+
+
+def bpe_01(spark, sf):
+    """Learned BPE merge table over the corpus vocabulary: (rank, left,
+    right, merged).  The merge list is inherently control-plane (it IS
+    the tokenizer artifact, kilobytes by construction — the analogue of
+    IVF's k×64 centroids), so materializing it through
+    spark.createDataFrame is not a data-plane collect.  Iterative
+    argmax training is not SQL-expressible — declared rows-only;
+    tests/test_llmops.py certifies the merges against an independent
+    in-Python reference implementation."""
+    d = T(spark, sf, "documents")
+    wf = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq")))
+    merges = bpe_train(wf, BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string"
+    ).orderBy("rank")
+
+
 # ------------------------------------------------------- heavy hitters
 
 #: report tokens with global count ≥ total_tokens / HH_DEN.
@@ -389,6 +472,10 @@ _DOCS = {
                "top-bigram fraction",
     "hh_01": "Corpus heavy hitters: exact high-frequency tokens via "
              "per-partition candidates + one exact verify pass",
+    "bpe_01": "BPE tokenizer training: iterative merge learning on the "
+              "vocabulary table (one corpus pass; rows-only — argmax "
+              "loop not SQL-expressible, certified vs in-Python "
+              "reference in tests)",
 }
 
 

@@ -596,3 +596,133 @@ def test_fed_hll_estimate_tracks_exact(spark):
     exact = o.select("o_custkey").distinct().count()
     assert merged == direct
     assert abs(merged - exact) <= max(1, 5 * 0.016 * exact)
+
+
+# ------------------------------------------------------- WAV codec
+
+def test_wav_roundtrip_all_widths_and_channels():
+    """Encode→decode identity for every supported encoding shape, and
+    agreement with the stdlib `wave` module as an independent reference
+    parser (it reads our bytes; we read what it describes)."""
+    import io
+    import struct
+    import wave as stdwave
+
+    from docker_aktin_dwh_spark.functions import wav
+
+    cases = [
+        ([(i * 7 + 3) % 201 - 100 for i in range(100)], 16000, 1, 2, None),
+        ([v for i in range(50) for v in ((i % 201) - 100,) * 2],
+         8000, 2, 1, b"INFOsynthetic"),
+        ([1, -2, 3], 44100, 1, 1, None),          # odd data length pad
+        ([v for i in range(33) for v in (i - 16,) * 2],
+         24000, 2, 2, b"X"),                      # odd LIST length pad
+    ]
+    for samples, rate, ch, width, extra in cases:
+        p = wav.encode_wav(samples, rate, ch, width, extra_chunk=extra)
+        assert wav.decode_wav(p) == (rate, ch, width, samples)
+        ref = stdwave.open(io.BytesIO(p))
+        assert (ref.getframerate(), ref.getnchannels(),
+                ref.getsampwidth()) == (rate, ch, width)
+        raw = ref.readframes(len(samples) // ch)
+        if width == 2:
+            got = list(struct.unpack(f"<{len(samples)}h", raw))
+        else:
+            got = [b - 128 for b in raw]
+        assert got == samples
+
+
+def test_wav_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.functions import wav
+
+    ok = wav.encode_wav([0, 1, -1, 2], 8000, 1, 2)
+    for bad in (b"RIFX" + b"\x00" * 30,          # wrong magic
+                ok[:20],                          # truncated chunk
+                ok[:12]):                         # no chunks at all
+        with _pytest.raises(ValueError):
+            wav.decode_wav(bad)
+    # non-PCM format tag must refuse loudly, not mis-decode
+    import struct as _s
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    p = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+         + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+         + b"data" + _s.pack("<I", 0))
+    with _pytest.raises(NotImplementedError):
+        wav.decode_wav(p)
+
+
+def test_wav_features_match_analytic_contract(spark):
+    """The declared mm_wav pipeline decodes what the synthesis contract
+    says it encodes — spot-checked in Python against the closed form
+    (the sf0.01 oracle sweep covers the full hash)."""
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+
+    d = catalog.load(spark, SF_SMOKE, "documents") \
+        .filter(F.col("doc_id") < 24).select("doc_id")
+    rows = {r.doc_id: r for r in
+            mm.wav_decode_features(mm.synth_wav_media(d)).collect()}
+    for did in range(24):
+        nf = 64 + did % 64
+        vals = [(i * (did % 5 + 2) + did) % 201 - 100 for i in range(nf)]
+        r = rows[did]
+        assert r.wav_frames == nf
+        assert r.wav_rate == 8000 * (1 + did % 3)
+        assert r.wav_ch == (2 if did % 3 == 0 else 1)
+        assert abs(r.wav_mean - sum(vals) / nf) < 1e-9
+
+
+# ------------------------------------------------------- BPE training
+
+def test_bpe_train_matches_independent_reference(spark):
+    """The distributed BPE trainer must produce the exact merge list an
+    independent single-machine reference implementation produces from
+    the same word-frequency table (argmax per round, ties broken on
+    (count desc, left, right), greedy left-to-right non-overlapping
+    replacement)."""
+    from collections import Counter
+
+    from docker_aktin_dwh_spark.functions.textfns import tokens
+    from docker_aktin_dwh_spark.operators.textops import bpe_train
+
+    wf = (catalog.load(spark, SF_SMOKE, "documents")
+          .select(F.explode(tokens("text")).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("freq")))
+    got = bpe_train(wf, 12)
+
+    freqs = {r.token: r.freq for r in wf.collect()}
+
+    def ref_bpe(word_freq, n_merges):
+        vocab = {tuple(w): f for w, f in word_freq.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (l, r), c = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if c < 2:
+                break
+            merges.append((l, r))
+            nv = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                k = tuple(out)
+                nv[k] = nv.get(k, 0) + f
+            vocab = nv
+        return merges
+
+    assert got == ref_bpe(freqs, 12)
+    assert len(got) == 12
