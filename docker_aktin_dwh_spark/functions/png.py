@@ -184,3 +184,21 @@ def luma_stats(width: int, height: int, channels: int,
             total += (299 * pixels[i] + 587 * pixels[i + 1]
                       + 114 * pixels[i + 2]) // 1000
     return round((total / n) / 255.0, 6)
+
+
+def resize_nearest(pixels: bytes, width: int, height: int, channels: int,
+                   out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample: output pixel (y, x) copies source
+    pixel (y·height // out_h, x·width // out_w) — the floor mapping,
+    fixed here as the cross-engine contract so an SQL oracle can
+    recompute resized stats analytically."""
+    if width <= 0 or height <= 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("dimensions must be positive")
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            base = (sy * width + sx) * channels
+            out += pixels[base:base + channels]
+    return bytes(out)

@@ -710,34 +710,36 @@ FROM b
 
 def mm_decode(spark, sf):
     """mm_02 decode + mm_03 resize + mm_png REAL pixel decode in one
-    key (see multimodal.fake_decode/resize_stub and the stdlib PNG
-    codec in functions/png.py; mapInPandas plumbing is real throughout).
+    key (multimodal.fake_decode fallback path, png_resize_features and
+    the stdlib PNG codec in functions/png.py; mapInPandas plumbing is
+    real throughout).
 
     Hash-checked on two levels: the pinned stub columns are a pure
     function of sha256(payload), which the DuckDB oracle reproduces
-    byte-for-byte (Arrow batch plumbing, schemas, decode→resize join);
+    byte-for-byte (Arrow batch plumbing, schemas, decode→resize join) —
+    this is the declared fallback lane for formats without a codec;
     the png_* columns come from ACTUALLY round-tripping real PNG bytes
-    (encode → chunk walk → inflate → unfilter, all five filters) that
-    the oracle recomputes analytically from the synthesis contract —
-    real pixel decoding, no longer env-blocked (round 6; PIL path
-    remains as multimodal.real_decode for real images)."""
+    (encode → chunk walk → inflate → unfilter, all five filters) and
+    the rs_* columns from REALLY resampling them (decode →
+    nearest-neighbor → re-encode → decode back; stub resize retired
+    r6), both recomputed analytically by the oracle from the synthesis
+    contract."""
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
     m = multimodal.as_media(d)
     feat = multimodal.decode_features(m)
-    rs = (multimodal.resize_stub(m, 32, 32)
-          .select("doc_id", F.col("width").alias("r_w"),
-                  F.col("height").alias("r_h"),
-                  F.octet_length("payload").alias("r_bytes")))
-    png = multimodal.png_decode_features(
-        multimodal.synth_png_media(d.select("doc_id")))
+    synth = multimodal.synth_png_media(d.select("doc_id"))
+    png = multimodal.png_decode_features(synth)
+    rs = multimodal.png_resize_features(synth)
     return feat.join(rs, "doc_id").join(png, "doc_id").orderBy("doc_id")
 
 
 # the stub decode derives (width, height, mean_luma) from sha256 of the
 # UTF-8 payload (multimodal.fake_decode); the fixture text is pure ASCII
 # (octet_length == length at every SF), so DuckDB's sha256(varchar)
-# hashes the same bytes and each stat is reproducible in SQL.  resize
-# truncates to 32*32/8 = 128 bytes (floor 1 for empty payloads).
+# hashes the same bytes and each stat is reproducible in SQL.  The
+# png_* columns recompute the synthesis gradient analytically; the
+# rs_* columns recompute its 8x8 nearest-neighbor resample (floor
+# source mapping, functions/png.py resize_nearest).
 _MM_DECODE_ORACLE = """
 WITH h AS (
   SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS hx
@@ -755,15 +757,24 @@ pg AS (
         FROM (SELECT doc_id, png_w, png_h,
                      unnest(range(png_w * png_h)) AS i FROM pdim))
   GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT doc_id, ROUND(AVG(v) / 255.0, 6) AS rs_luma
+  FROM (SELECT doc_id,
+               (((i % 8) * png_w // 8) + 3 * ((i // 8) * png_h // 8)
+                + doc_id) % 256 AS v
+        FROM (SELECT doc_id, png_w, png_h, unnest(range(64)) AS i
+              FROM pdim))
+  GROUP BY doc_id
 )
 SELECT h.doc_id, CAST(nb AS INT) AS n_bytes,
        CAST(16 + ('0x' || substring(hx, 1, 2))::INT % 64 AS INT) AS width,
        CAST(16 + ('0x' || substring(hx, 3, 2))::INT % 64 AS INT) AS height,
        ROUND(('0x' || substring(hx, 5, 2))::INT / 255.0, 6) AS mean_luma,
-       CAST(32 AS INT) AS r_w, CAST(32 AS INT) AS r_h,
-       CAST(GREATEST(LEAST(nb, 128), 1) AS INT) AS r_bytes,
+       CAST(8 AS INT) AS rs_w, CAST(8 AS INT) AS rs_h, rs.rs_luma,
        pg.png_w, pg.png_h, pg.png_luma
-FROM h JOIN pg ON h.doc_id = pg.doc_id ORDER BY h.doc_id
+FROM h JOIN pg ON h.doc_id = pg.doc_id JOIN rs ON h.doc_id = rs.doc_id
+ORDER BY h.doc_id
 """
 
 
@@ -846,9 +857,9 @@ _DOCS = {
     "coh_tmp": "Cohort occurrence + temporal pair (coh_06/07)",
     "udf_tf": "UDF-03 Python UDTF lateral shred → token counts",
     "text_all": "All text-analysis metrics in one documents scan",
-    "mm_decode": "Multimodal decode+resize (stub plumbing, sha256-"
+    "mm_decode": "Multimodal decode (stub fallback lane, sha256-"
                  "reproducing oracle) + REAL stdlib-PNG pixel decode "
-                 "vs analytic oracle",
+                 "and REAL nearest-neighbor resize vs analytic oracle",
 }
 
 

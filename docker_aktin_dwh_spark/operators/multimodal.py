@@ -143,26 +143,76 @@ def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
-RESIZE_SCHEMA = ("doc_id long, width int, height int, payload binary")
+#: output side of the real resize pipeline (mm_03 / mm_decode)
+RESIZE_OUT = 8
+RESIZE_SCHEMA = "doc_id long, rs_w int, rs_h int, rs_luma double"
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: mapInPandas with the exact batch shape a real
-    resampler (PIL/opencv) would use; the fake 'resized' payload is a
-    deterministic truncation so tests have stable expectations.  Raise
-    NotImplementedError here when a real codec is required."""
+def png_resize_features(media: DataFrame, out_w: int = RESIZE_OUT,
+                        out_h: int = RESIZE_OUT) -> DataFrame:
+    """REAL resize pipeline (retired the r1-r5 truncation stub, VERDICT
+    r5 item 2 tail): decode the PNG payload, nearest-neighbor resample
+    (functions/png.py resize_nearest — floor source mapping, the
+    cross-engine contract), re-encode to REAL PNG bytes, decode those
+    back, and report the resized stats.  The re-encode→decode leg means
+    the emitted numbers certify the full decode→resample→encode loop,
+    not an in-memory shortcut.  Same Arrow-batched mapInPandas shape as
+    decode_features."""
+    from ..functions import png as pnglib
 
     def run(batches):
         for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": width,
-                "height": height,
-                "payload": [bytes(p)[: width * height // 8] or b"\x00"
-                            for p in pdf["payload"]],
-            })
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = pnglib.decode_png(bytes(payload))
+                rp = pnglib.resize_nearest(px, w, h, ch, out_w, out_h)
+                back = pnglib.encode_png(rp, out_w, out_h, ch)
+                w2, h2, ch2, px2 = pnglib.decode_png(back)
+                rows.append((did, w2, h2,
+                             pnglib.luma_stats(w2, h2, ch2, px2)))
+            yield pd.DataFrame(rows, columns=["doc_id", "rs_w", "rs_h",
+                                              "rs_luma"])
 
-    return media.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+    return media.select("doc_id", "payload").mapInPandas(
+        run, RESIZE_SCHEMA)
+
+
+MEDIA_FEATURES_SCHEMA = "doc_id long, kind string, feat double"
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Per-payload modality dispatch over a HETEROGENEOUS media column
+    (the binaryFile-landing-zone reality: one directory, many formats):
+    PNG payloads decode through the stdlib image codec (feat = mean
+    luma), RIFF/WAVE payloads through the stdlib audio codec (feat =
+    RMS normalized by the 8-bit full scale), and unknown formats fall
+    back to the deterministic sha256 stub — never an error, exactly the
+    triage a 100 TB crawl ingest needs.  The sniff is per payload, so
+    mixed Arrow batches dispatch row by row."""
+    from ..functions import png as pnglib
+    from ..functions import wav as wavlib
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:8] == pnglib.SIGNATURE:
+                    w, h, ch, px = pnglib.decode_png(data)
+                    rows.append((did, "image/png",
+                                 pnglib.luma_stats(w, h, ch, px)))
+                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    rate, ch, _w, samples = wavlib.decode_wav(data)
+                    _nf, _dur, _mean, rms = wavlib.pcm_stats(
+                        rate, ch, samples)
+                    rows.append((did, "audio/wav", round(rms / 128.0, 6)))
+                else:
+                    rows.append((did, "binary/unknown",
+                                 fake_decode(data)[2]))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "feat"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, MEDIA_FEATURES_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -382,19 +432,40 @@ def mm_01(spark, sf):
              .orderBy("doc_id"))
 
 
+def synth_mixed_media(docs: DataFrame) -> DataFrame:
+    """Heterogeneous media frame: PNG payloads for doc_id ≡ 0 (mod 3),
+    WAV for ≡ 1, raw UTF-8 text bytes (no recognizable container —
+    the stub-fallback case) for ≡ 2."""
+    did = F.col("doc_id")
+    png = synth_png_media(docs.filter(did % 3 == 0).select("doc_id"))
+    wav = synth_wav_media(docs.filter(did % 3 == 1).select("doc_id"))
+    txt = (docs.filter(did % 3 == 2)
+               .select("doc_id", F.encode("text", "UTF-8").alias("payload"),
+                       F.lit("application/octet-stream")
+                        .alias("media_type")))
+    return png.unionByName(wav).unionByName(txt)
+
+
 def mm_02(spark, sf):
-    """Full decode pipeline (stubbed codec) — rows-only check."""
-    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return decode_features(as_media(d)).orderBy("doc_id")
+    """UPGRADED r6 (was: stub-codec rows-only): per-payload modality
+    dispatch over a mixed PNG/WAV/unknown media column — image and
+    audio payloads REALLY decode via the stdlib codecs, unknowns fall
+    back to the deterministic stub.  Hash-matched: the oracle derives
+    image luma and audio RMS analytically from the synthesis contracts
+    and the stub branch from sha256."""
+    d = (T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+         .select("doc_id", "text"))
+    return media_features(synth_mixed_media(d)).orderBy("doc_id")
 
 
 def mm_03(spark, sf):
-    """Resize pipeline (stubbed resampler) — rows-only check."""
-    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return (resize_stub(as_media(d), 32, 32)
-            .select("doc_id", "width", "height",
-                    F.octet_length("payload").alias("n_bytes"))
-            .orderBy("doc_id"))
+    """UPGRADED r6 (was: truncation-stub rows-only): REAL resize —
+    decode, nearest-neighbor resample to 8×8, re-encode, decode back
+    (png_resize_features).  Hash-matched against the analytic
+    closed form of resampling the synthesis gradient."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < PNG_SYNTH_DOCS).select("doc_id"))
+    return png_resize_features(synth_png_media(d)).orderBy("doc_id")
 
 
 def mm_04(spark, sf):
@@ -406,9 +477,65 @@ def mm_04(spark, sf):
             .orderBy("doc_id", "frame_idx"))
 
 
+_MM_02_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+png AS (
+  SELECT doc_id, ROUND(AVG(v) / 255.0, 6) AS feat
+  FROM (SELECT doc_id,
+               (i % (16 + doc_id % 16)
+                + 3 * (i // (16 + doc_id % 16)) + doc_id) % 256 AS v
+        FROM (SELECT doc_id,
+                     unnest(range((16 + doc_id % 16)
+                                  * (16 + (doc_id * 7) % 16))) AS i
+              FROM base WHERE doc_id % 3 = 0))
+  GROUP BY doc_id
+),
+wv AS (
+  SELECT doc_id, ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)) / 128.0, 6) AS feat
+  FROM (SELECT doc_id,
+               (i * (doc_id % 5 + 2) + doc_id) % 201 - 100 AS v
+        FROM (SELECT doc_id, unnest(range(64 + doc_id % 64)) AS i
+              FROM base WHERE doc_id % 3 = 1))
+  GROUP BY doc_id
+),
+tx AS (
+  SELECT doc_id,
+         ROUND(('0x' || substring(sha256(text), 5, 2))::INT / 255.0, 6)
+           AS feat
+  FROM base WHERE doc_id % 3 = 2
+)
+SELECT doc_id, 'image/png' AS kind, feat FROM png
+UNION ALL SELECT doc_id, 'audio/wav' AS kind, feat FROM wv
+UNION ALL SELECT doc_id, 'binary/unknown' AS kind, feat FROM tx
+ORDER BY doc_id
+"""
+
+# nearest-neighbor contract: output pixel (y,x) samples source
+# (y*h // 8, x*w // 8) of the gradient, so the resized luma is a
+# closed form of doc_id
+_MM_03_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 16 + (doc_id * 7) % 16 AS h
+  FROM documents WHERE doc_id < {PNG_SYNTH_DOCS}
+),
+g AS (SELECT doc_id, w, h, unnest(range({RESIZE_OUT * RESIZE_OUT})) AS i
+      FROM p),
+v AS (SELECT doc_id,
+             (((i % {RESIZE_OUT}) * w // {RESIZE_OUT})
+              + 3 * ((i // {RESIZE_OUT}) * h // {RESIZE_OUT})
+              + doc_id) % 256 AS v
+      FROM g)
+SELECT doc_id, CAST({RESIZE_OUT} AS INT) AS rs_w,
+       CAST({RESIZE_OUT} AS INT) AS rs_h,
+       ROUND(AVG(v) / 255.0, 6) AS rs_luma
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
 _ORACLES = {
     "mm_01": ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
               "AS n_bytes, source AS origin FROM documents"),
+    "mm_02": _MM_02_ORACLE,
+    "mm_03": _MM_03_ORACLE,
     # DuckDB substring() has no BLOB overload; the fixture text is pure
     # ASCII (verified: octet_length == length at every SF), so char
     # slices of the text equal byte slices of the UTF-8 payload and
@@ -427,8 +554,11 @@ _ORACLES = {
 
 _DOCS = {
     "mm_01": "Multimodal binary column plumbing (payload + metadata)",
-    "mm_02": "Multimodal decode via mapInPandas (stubbed codec)",
-    "mm_03": "Multimodal resize via mapInPandas (stubbed resampler)",
+    "mm_02": "Multimodal per-payload dispatch over mixed PNG/WAV/"
+             "unknown media — REAL stdlib decodes + stub fallback, "
+             "hash-matched",
+    "mm_03": "Multimodal REAL resize: decode → nearest-neighbor "
+             "resample → re-encode → decode back, analytic oracle",
     "mm_04": "Multimodal frame sampling (payload -> frame rows, JVM-side)",
     "mm_png": "REAL image decode: stdlib PNG codec (inflate + all five "
               "unfilters) vs analytic oracle",

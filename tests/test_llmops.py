@@ -726,3 +726,39 @@ def test_bpe_train_matches_independent_reference(spark):
 
     assert got == ref_bpe(freqs, 12)
     assert len(got) == 12
+
+
+def test_resize_nearest_pixel_exact():
+    """Resampling is pixel-exact against an independently computed
+    gradient: out(y,x) must equal src(y*h//OH, x*w//OW)."""
+    from docker_aktin_dwh_spark.functions import png as pnglib
+
+    w, h = 19, 23
+    px = bytes((x + 3 * y + 7) % 256 for y in range(h) for x in range(w))
+    out = pnglib.resize_nearest(px, w, h, 1, 8, 8)
+    for y in range(8):
+        for x in range(8):
+            sx, sy = (x * w) // 8, (y * h) // 8
+            assert out[y * 8 + x] == (sx + 3 * sy + 7) % 256
+    # RGB: channel triples move together
+    rgb = bytes(v for y in range(4) for x in range(4)
+                for v in (x, y, x + y))
+    r2 = pnglib.resize_nearest(rgb, 4, 4, 3, 2, 2)
+    assert list(r2[:3]) == [0, 0, 0] and list(r2[3:6]) == [2, 0, 2]
+
+
+def test_media_features_dispatches_mixed_batch(spark):
+    """One Arrow batch holding PNG, WAV and unknown payloads must
+    dispatch per payload — each row through its own codec."""
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+
+    d = (catalog.load(spark, SF_SMOKE, "documents")
+         .filter(F.col("doc_id") < 30).select("doc_id", "text"))
+    rows = {r.doc_id: r for r in
+            mm.media_features(mm.synth_mixed_media(d)
+                              .repartition(1)).collect()}
+    assert len(rows) == 30
+    for did, r in rows.items():
+        expect = ("image/png", "audio/wav", "binary/unknown")[did % 3]
+        assert r.kind == expect, (did, r.kind)
+        assert 0.0 <= r.feat <= 1.0
