@@ -108,6 +108,105 @@ SELECT o_orderkey, op FROM d WHERE op IS NOT NULL ORDER BY o_orderkey
 """
 
 
+# ------------------------------------------------- SCD2 history build
+
+def scd2_apply(history_current: DataFrame, new_snap: DataFrame,
+               keys: list[str], cols: list[str],
+               batch_ts) -> DataFrame:
+    """Slowly-changing-dimension type 2 step: fold one new snapshot
+    into the OPEN slice of a history table.
+
+    ``history_current`` is the open rows (valid_to IS NULL) with
+    columns (keys..., cols..., valid_from); the result is the new open
+    + newly-closed rows of this batch:
+
+    - unchanged rows keep their valid_from, stay open;
+    - changed rows emit a CLOSED row (valid_to = batch_ts) AND a new
+      open row (valid_from = batch_ts);
+    - inserted keys open at batch_ts; deleted keys close at batch_ts.
+
+    Shape: ONE full-outer join on the key (same co-partitioning story
+    as snapshot_diff — bucketed history makes it shuffle-free), then
+    pure projection.  History grows by the churn, never rewritten in
+    place — the append-only versioning discipline the reference's
+    monthly re-imports need for auditability (delete+insert semantics,
+    reference src/docker/database/Dockerfile:31,33)."""
+    o, n = history_current.alias("o"), new_snap.alias("n")
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys])
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = reduce(lambda a, b: a | b,
+                     [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+                      for c in cols])
+    ts = F.lit(batch_ts)
+    key_sel = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+               for k in keys]
+
+    # closed this batch: old row whose key changed or vanished
+    closes = (j.filter(in_old & (~in_new | changed))
+               .select(*key_sel,
+                       *[F.col(f"o.{c}").alias(c) for c in cols],
+                       F.col("o.valid_from").alias("valid_from"),
+                       ts.alias("valid_to")))
+    # still open: unchanged keep valid_from; changed/inserted open at ts
+    opens = (j.filter(in_new)
+              .select(*key_sel,
+                      *[F.col(f"n.{c}").alias(c) for c in cols],
+                      F.when(in_old & ~changed, F.col("o.valid_from"))
+                       .otherwise(ts).alias("valid_from"),
+                      F.lit(None).cast("string").alias("valid_to")))
+    return closes.unionByName(opens)
+
+
+def scd_01(spark, sf):
+    """Two-batch SCD2 history over the synthetic snapshot pair: batch
+    't0' loads the old snapshot, batch 't1' folds the new one in.  The
+    emitted history is fully ordered and closed-form on both engine
+    sides; every row's (valid_from, valid_to) lineage is part of the
+    hash."""
+    old, new = _cdc_snapshots(spark, sf)
+    h0 = old.withColumn("valid_from", F.lit("t0")) \
+            .withColumn("valid_to", F.lit(None).cast("string"))
+    h1 = scd2_apply(h0.drop("valid_to"), new,
+                    ["o_orderkey"], ["o_totalprice", "o_orderstatus"],
+                    "t1")
+    return h1.orderBy("o_orderkey", "valid_from",
+                      F.col("valid_to").asc_nulls_last())
+
+
+_SCD_ORACLE = """
+WITH oldsnap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 3),
+newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 7),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS chg,
+         o.o_totalprice AS op, o.o_orderstatus AS os,
+         n.o_totalprice AS np, n.o_orderstatus AS ns
+  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+SELECT k AS o_orderkey, op AS o_totalprice, os AS o_orderstatus,
+       't0' AS valid_from, 't1' AS valid_to
+FROM j WHERE in_old AND (NOT in_new OR chg)
+UNION ALL
+SELECT k, np, ns,
+       CASE WHEN in_old AND NOT chg THEN 't0' ELSE 't1' END,
+       CAST(NULL AS VARCHAR)
+FROM j WHERE in_new
+ORDER BY o_orderkey, valid_from, valid_to NULLS LAST
+"""
+
+
 # ------------------------------------------------- partitioned layout
 
 def write_partitioned(df: DataFrame, path: str, partition_col: str,
@@ -167,12 +266,15 @@ GROUP BY source ORDER BY source
 
 _ORACLES = {
     "cdc_01": _CDC_ORACLE,
+    "scd_01": _SCD_ORACLE,
     "lay_01": _LAY_ORACLE,
 }
 
 _DOCS = {
     "cdc_01": "Snapshot diff (CDC): row-level insert/update/delete set "
               "from one full-outer key join",
+    "scd_01": "SCD2 history build: append-only valid_from/valid_to "
+              "versioning folded from snapshot batches",
     "lay_01": "Partitioned layout roundtrip: cluster/compact writer + "
               "partition-pruned read-back",
 }

@@ -1,0 +1,72 @@
+"""Table-maintenance invariants: SCD2 history consistency across
+multiple batches (cdc_01 / lay_01 invariants live in test_llmops /
+test_plans; the oracle sweeps hash-check all declared keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docker_aktin_dwh_spark.operators.maintenance import scd2_apply
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, price double, status string, valid_from string")
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, price double, status string")
+
+
+def test_scd2_two_batches_full_lifecycle(spark):
+    """insert → update → delete across two applied batches: the history
+    carries one closed row per superseded version, open rows equal the
+    latest snapshot, and unchanged rows keep their original
+    valid_from."""
+    h0 = _hist(spark, [(1, 10.0, "A", "t0"), (2, 20.0, "B", "t0"),
+                       (3, 30.0, "C", "t0")])
+    s1 = _snap(spark, [(1, 10.0, "A"),      # unchanged
+                       (2, 21.0, "B"),      # updated
+                       (4, 40.0, "D")])     # inserted; 3 deleted
+    h1 = scd2_apply(h0, s1, ["k"], ["price", "status"], "t1")
+    rows1 = {(r.k, r.price, r.valid_from, r.valid_to)
+             for r in h1.collect()}
+    assert rows1 == {
+        (2, 20.0, "t0", "t1"), (3, 30.0, "t0", "t1"),   # closed
+        (1, 10.0, "t0", None),                          # kept open
+        (2, 21.0, "t1", None), (4, 40.0, "t1", None),   # new open
+    }
+
+    # fold a second batch into the OPEN slice only
+    open1 = h1.filter(F.col("valid_to").isNull()).drop("valid_to")
+    s2 = _snap(spark, [(1, 11.0, "A"),      # now updated
+                       (2, 21.0, "B"),      # unchanged this time
+                       (3, 30.0, "C")])     # re-inserted; 4 deleted
+    h2 = scd2_apply(open1, s2, ["k"], ["price", "status"], "t2")
+    rows2 = {(r.k, r.price, r.valid_from, r.valid_to)
+             for r in h2.collect()}
+    assert rows2 == {
+        (1, 10.0, "t0", "t2"), (4, 40.0, "t1", "t2"),
+        (1, 11.0, "t2", None),
+        (2, 21.0, "t1", None),          # unchanged keeps its valid_from
+        (3, 30.0, "t2", None),          # re-insert opens a NEW interval
+    }
+    # open slice == latest snapshot, always
+    open2 = {(r.k, r.price) for r in
+             h2.filter(F.col("valid_to").isNull()).collect()}
+    assert open2 == {(1, 11.0), (2, 21.0), (3, 30.0)}
+
+
+def test_scd2_null_attribute_transitions(spark):
+    """NULL→value and value→NULL are real changes (eqNullSafe), while
+    NULL→NULL is not."""
+    h0 = _hist(spark, [(1, None, "A", "t0"), (2, None, "B", "t0"),
+                       (3, 30.0, "C", "t0")])
+    s1 = _snap(spark, [(1, 5.0, "A"), (2, None, "B"), (3, None, "C")])
+    h1 = scd2_apply(h0, s1, ["k"], ["price", "status"], "t1")
+    got = {(r.k, r.price, r.valid_from, r.valid_to) for r in h1.collect()}
+    assert got == {
+        (1, None, "t0", "t1"), (1, 5.0, "t1", None),
+        (2, None, "t0", None),
+        (3, 30.0, "t0", "t1"), (3, None, "t1", None),
+    }
