@@ -37,6 +37,8 @@ HEADLINE = (
     # round-6 corpus-cleaning verbs: regex-scan, explode+agg, and the
     # Python-codec (Arrow batch) path
     "pii_01", "qrep_01", "mm_png",
+    # round-6 second half: maintenance join shape + audio codec lane
+    "cdc_01", "mm_wav",
 )
 
 

@@ -56,7 +56,8 @@ def _streaming_sections(spark, sf_dir: str) -> list[str]:
 
     sections = []
     for key, builder in (("str_01", streamnative.str01_stream),
-                         ("str_05", streamnative.str05_stream)):
+                         ("str_05", streamnative.str05_stream),
+                         ("str_11", streamnative.str11_stream)):
         base = tempfile.mkdtemp(prefix=f"plans_{key}_")
         try:
             frame = builder(spark, sf_dir, base)
@@ -90,7 +91,8 @@ def main() -> None:
     registry = build_registry()
 
     # non-headline keys whose scale story deserves plan evidence too
-    extra = ("decon_01", "pack_01", "chunk_01", "mix_01", "ded_incr")
+    extra = ("decon_01", "pack_01", "chunk_01", "mix_01", "ded_incr",
+             "hh_01", "lay_01", "scd_01", "fed_hll")
 
     lines = [
         "# PLANS — physical-plan evidence (generated)",
