@@ -37,8 +37,9 @@ HEADLINE = (
     # round-6 corpus-cleaning verbs: regex-scan, explode+agg, and the
     # Python-codec (Arrow batch) path
     "pii_01", "qrep_01", "mm_png",
-    # round-6 second half: maintenance join shape + audio codec lane
-    "cdc_01", "mm_wav",
+    # round-6 second half: maintenance join shape, audio codec lane,
+    # and the full release chain (the flagship composition)
+    "cdc_01", "mm_wav", "pipe_03",
 )
 
 
@@ -93,7 +94,10 @@ def main() -> None:
 #: one-shot slope can't proxy, so it gets its own row plus a measured
 #: round count)
 SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
-                 "qrep_01", "pack_02", "dupcc_01")
+                 "qrep_01", "pack_02", "dupcc_01",
+                 # r6 second half: the full release chain, the two-pass
+                 # heavy-hitter shape, and the full-outer maintenance join
+                 "pipe_03", "hh_01", "cdc_01")
 SCALE_REPLICAS = 10
 
 

@@ -35,7 +35,10 @@ BENCH_MAX_ID = 50
 DECON_MIN_SHARED = 8
 
 
-def _prep(spark, sf, pairs_fn):
+def _kept(spark, sf):
+    """The quality gate: ≥ MIN_TOKENS tokens, stopword ratio ≤
+    MAX_STOP_RATIO — shared by every pipe_* chain so the gate always
+    prunes before any shingle explode."""
     d = catalog.load(spark, sf, "documents")
     tok = tokens("text")
     from .textops import STOPWORDS
@@ -43,8 +46,12 @@ def _prep(spark, sf, pairs_fn):
     n_tok = F.size(tok)
     stop_ratio = (F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
                   / n_tok.cast("double"))
-    kept = (d.filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
+    return (d.filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
              .select("doc_id", "lang", "text", n_tok.alias("n_tokens")))
+
+
+def _prep(spark, sf, pairs_fn):
+    kept = _kept(spark, sf)
 
     dup_j = (pairs_fn(kept, DUP_THRESHOLD)
              .select(F.col("j").alias("doc_id")).distinct())
@@ -69,6 +76,115 @@ def pipe_02(spark, sf):
     but the candidate generation shuffles on band hash instead of
     joining every co-occurring shingle, which is the 100 TB shape."""
     return _prep(spark, sf, minhash_dedup_pairs)
+
+
+def pipe_03(spark, sf):
+    """The FULL corpus-release chain as one declarative plan — what an
+    actual training-data release runs, end to end:
+
+      quality gate → benchmark exclusion → exact dedup (normalized
+      fingerprint, keep-first) → near-dup removal (MinHash+LSH) →
+      benchmark decontamination (broadcast shingle probe) → chunk
+      accounting (closed-form count — no explode needed for totals).
+
+    Stage ordering is the scale argument: each stage shrinks the frame
+    the next (more expensive) stage sees; the only corpus-sized
+    shuffles left are the fingerprint groupBy and the LSH band
+    exchange, both on 8-byte keys.  Catalyst sees the whole chain, so
+    column pruning drops `text` after the last stage that reads it.
+
+    Output: per-language release manifest (docs, tokens, chunks,
+    first doc id) — hash-matched against a DuckDB oracle that
+    recomputes every stage exactly."""
+    kept = _kept(spark, sf).filter(F.col("doc_id") >= BENCH_MAX_ID)
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    with_fp = kept.withColumn("fp", fp)
+    first_per_fp = (with_fp.groupBy("fp")
+                    .agg(F.min("doc_id").alias("doc_id")))
+    ex = with_fp.join(first_per_fp.select("doc_id"), "doc_id", "left_semi")
+
+    dup_j = (minhash_dedup_pairs(ex, DUP_THRESHOLD)
+             .select(F.col("j").alias("doc_id")).distinct())
+    surv = ex.join(dup_j, "doc_id", "left_anti")
+
+    bench = (catalog.load(spark, sf, "documents")
+             .filter(F.col("doc_id") < BENCH_MAX_ID)
+             .select(F.explode(shingles(tokens("text"))).alias("sg")))
+    contaminated = (surv.select("doc_id",
+                                F.explode(shingles(tokens("text")))
+                                 .alias("sg"))
+                    .join(F.broadcast(bench), "sg")
+                    .groupBy("doc_id").agg(F.count("*").alias("shared"))
+                    .filter(F.col("shared") >= DECON_MIN_SHARED)
+                    .select("doc_id"))
+    clean = surv.join(contaminated, "doc_id", "left_anti")
+
+    from .packing import CHUNK_OVERLAP, CHUNK_SIZE
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    n_chunks = (F.ceil(F.greatest(F.col("n_tokens") - CHUNK_SIZE,
+                                  F.lit(0)) / stride) + 1)
+    return (clean.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(n_chunks).alias("n_chunks"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
+def _pipe_03_oracle() -> str:
+    from .packing import CHUNK_OVERLAP, CHUNK_SIZE
+    from .textops import STOPWORDS
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+    t = SQL_TOKENS.format(col="text")
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {t} AS t FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text, t, len(t) AS n_tokens FROM toks
+  WHERE len(t) >= {MIN_TOKENS}
+    AND len(list_filter(t, x -> x IN ({stops}))) / CAST(len(t) AS DOUBLE)
+        <= {MAX_STOP_RATIO}
+    AND doc_id >= {BENCH_MAX_ID}
+),
+fpd AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM kept
+),
+ex AS (
+  SELECT * FROM fpd
+  WHERE doc_id IN (SELECT min(doc_id) FROM fpd GROUP BY fp)
+),
+sh AS (SELECT doc_id, lang, n_tokens, {SQL_SHINGLES3} AS s FROM ex),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {DUP_THRESHOLD}
+),
+surv AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+bsh AS (
+  SELECT {SQL_SHINGLES3} AS s FROM toks WHERE doc_id < {BENCH_MAX_ID}
+),
+cont AS (
+  SELECT DISTINCT i FROM (
+    SELECT surv.doc_id AS i, count(*) AS shared
+    FROM (SELECT doc_id, unnest(s) AS sg FROM surv) surv
+    JOIN (SELECT unnest(s) AS sg FROM bsh) b USING (sg)
+    GROUP BY 1 HAVING count(*) >= {DECON_MIN_SHARED})
+),
+clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT i FROM cont))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(CEIL(GREATEST(n_tokens - {CHUNK_SIZE}, 0)
+                          / {stride}.0) AS BIGINT) + 1) AS BIGINT)
+         AS n_chunks,
+       min(doc_id) AS first_doc
+FROM clean GROUP BY lang ORDER BY lang
+"""
 
 
 def decon_01(spark, sf):
@@ -158,5 +274,11 @@ def specs() -> list[QuerySpec]:
             key="decon_01", fn=decon_01, oracle=_DECON_ORACLE,
             doc="Benchmark decontamination: corpus docs sharing "
                 "shingles with the (broadcast) benchmark set",
+            tags=("llm", "pipeline")),
+        QuerySpec(
+            key="pipe_03", fn=pipe_03, oracle=_pipe_03_oracle(),
+            doc="FULL release chain: gate -> bench exclusion -> exact "
+                "dedup -> MinHash near-dup -> decontamination -> "
+                "chunk-accounted per-language manifest, one plan",
             tags=("llm", "pipeline")),
     ]

@@ -264,6 +264,60 @@ ORDER BY base.doc_id
 """
 
 
+# ------------------------------------------------ bigram LM quality gate
+
+#: a bigram is "rare" if it occurs fewer than this many times corpus-wide
+LM_RARE_MAX = 3
+
+
+def lm_01(spark, sf):
+    """Language-model-style quality scoring without float-sum hazards:
+    per-doc statistics of CORPUS-WIDE bigram frequencies — n_bigrams,
+    n_rare (bigrams seen < LM_RARE_MAX times in the whole corpus) and
+    min_bg_count (the doc's rarest bigram).  A high rare fraction or a
+    1-count minimum is the gibberish/ocr-noise signal a KenLM-perplexity
+    gate would flag; keeping the features integer-valued makes the
+    cross-engine hash exact by construction (no log-prob accumulation
+    order to reconcile).
+
+    Scale shape: one explode pass builds the corpus bigram table
+    (map-side combine to vocab² cardinality, in practice ≪ corpus);
+    per-doc bigrams then equi-join it on the bigram text — at 100 TB
+    the frequency table is the broadcast/bucketed side, the corpus is
+    probed in place."""
+    d = T(spark, sf, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bg_expr = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    per_doc = (d.filter(n >= 2)
+                .select("doc_id", F.explode(bg_expr).alias("bg")))
+    freq = per_doc.groupBy("bg").agg(F.count("*").alias("c"))
+    return (per_doc.join(freq, "bg")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(F.when(F.col("c") < LM_RARE_MAX, 1).otherwise(0))
+                  .alias("n_rare"),
+                 F.min("c").alias("min_bg_count"))
+            .orderBy("doc_id"))
+
+
+_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS t
+           FROM documents),
+b AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+      WHERE len(t) >= 2),
+f AS (SELECT bg, count(*) AS c FROM b GROUP BY 1)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c < {LM_RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       min(c) AS min_bg_count
+FROM b JOIN f USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------- BPE merge training
 
 #: merge rounds for the declared key — enough to take multi-char
@@ -457,6 +511,7 @@ _ORACLES = {
     "pii_01": _PII_ORACLE,
     "qrep_01": _QREP_ORACLE,
     "hh_01": _HH_ORACLE,
+    "lm_01": _LM_ORACLE,
 }
 
 _DOCS = {
@@ -476,6 +531,9 @@ _DOCS = {
               "vocabulary table (one corpus pass; rows-only — argmax "
               "loop not SQL-expressible, certified vs in-Python "
               "reference in tests)",
+    "lm_01": "Bigram-LM quality gate: per-doc corpus-wide bigram "
+             "frequency stats (rare-bigram gibberish signal), "
+             "integer-exact",
 }
 
 

@@ -196,3 +196,14 @@ def test_lay01_readback_prunes_partitions(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan
+
+
+def test_pipe03_release_chain_never_nested_loops(spark):
+    """The full release chain (gate → exact dedup → LSH near-dup →
+    decon → manifest) must stay equi-joined end to end — every stage a
+    hash/broadcast join on a computed key, never a doc×doc shape."""
+    from docker_aktin_dwh_spark.registry import build_registry
+    df = build_registry()["pipe_03"].fn(spark, SF_SMOKE)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
