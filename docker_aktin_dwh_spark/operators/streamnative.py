@@ -172,7 +172,8 @@ def str05_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
                     "n"))
 
 
-def str11_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+def str11_stream(spark: SparkSession, sf: str, base: str,
+                 how: str = "inner") -> DataFrame:
     """The unstarted STR-11 stream–stream join frame: interactions and
     conversions arrive as two INDEPENDENT file streams (separate watch
     dirs, separate chunk sequences), each watermarked, inner-joined per
@@ -207,7 +208,7 @@ def str11_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
     a, b = side(watch_a, "a"), side(watch_b, "b")
     return (a.join(b, F.expr(
                 "a_user = b_user AND "
-                "b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 2 HOURS"))
+                "b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 2 HOURS"), how)
              .select(F.col("a_id"), F.col("b_id"),
                      F.col("a_user").alias("user_id"),
                      F.col("a_ts").cast("timestamp_ntz").alias("a_ts"),
@@ -241,6 +242,57 @@ FROM events a JOIN events b
 WHERE a.event_type IN ('click', 'view')
   AND b.event_type IN ('purchase', 'signup')
 ORDER BY a_id, b_id
+"""
+
+
+def str_12(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-12 stream–stream LEFT OUTER interval join — the outer-join
+    watermark contract made hash-observable, the way str_05 does it
+    for windowed aggregation.
+
+    Semantics under append-mode replay: matched pairs emit eagerly
+    (inner-join behavior); an UNMATCHED left row emits with nulls only
+    when the join state evicts it — i.e. once the global watermark
+    passes its correlation horizon (a_ts + 2h < final watermark).
+    Left rows the stream ends on while still inside the horizon are
+    NEVER emitted (state dies with the query) — the classic
+    outer-stream-join pitfall, stated here as the contract and encoded
+    in the oracle's WHERE clause rather than papered over.  The global
+    watermark is min(max_a, max_b) − 10 days because Spark advances a
+    multi-source query's watermark by its slowest input.
+    """
+    base = tempfile.mkdtemp(prefix="spark_str12_")
+    try:
+        joined = str11_stream(spark, sf, base, how="left_outer")
+        snap = _materialized(_run_to_parquet(joined, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("a_id", F.col("b_id").asc_nulls_last())
+
+
+_STR_12_ORACLE = """
+WITH a AS (
+  SELECT event_id AS a_id, user_id, ts AS a_ts FROM events
+  WHERE event_type IN ('click', 'view')),
+b AS (
+  SELECT event_id AS b_id, user_id, ts AS b_ts FROM events
+  WHERE event_type IN ('purchase', 'signup')),
+wm AS (
+  SELECT LEAST((SELECT max(a_ts) FROM a), (SELECT max(b_ts) FROM b))
+         - INTERVAL 10 DAY AS w),
+matched AS (
+  SELECT a.a_id, b.b_id, a.user_id, a.a_ts, b.b_ts
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.b_ts >= a.a_ts AND b.b_ts <= a.a_ts + INTERVAL 2 HOUR),
+unmatched AS (
+  SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id, a.user_id, a.a_ts,
+         CAST(NULL AS TIMESTAMP) AS b_ts
+  FROM a, wm
+  WHERE a.a_id NOT IN (SELECT a_id FROM matched)
+    AND a.a_ts + INTERVAL 2 HOUR < wm.w)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+ORDER BY a_id, b_id NULLS LAST
 """
 
 
@@ -322,5 +374,10 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-11 stream-stream interval join: two "
                        "independent watermarked file streams, stateful "
                        "cross-micro-batch matching vs batch SQL"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_12", fn=str_12, oracle=_STR_12_ORACLE,
+                  doc=("STR-12 stream-stream LEFT OUTER interval join: "
+                       "null emission gated by the final watermark "
+                       "(state-eviction contract in the oracle)"),
                   tags=("streaming",)),
     ]

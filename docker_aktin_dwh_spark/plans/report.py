@@ -55,9 +55,13 @@ def _streaming_sections(spark, sf_dir: str) -> list[str]:
     from ..operators import streamnative
 
     sections = []
+    def _str12(spark, sf, base):
+        return streamnative.str11_stream(spark, sf, base, how="left_outer")
+
     for key, builder in (("str_01", streamnative.str01_stream),
                          ("str_05", streamnative.str05_stream),
-                         ("str_11", streamnative.str11_stream)):
+                         ("str_11", streamnative.str11_stream),
+                         ("str_12", _str12)):
         base = tempfile.mkdtemp(prefix=f"plans_{key}_")
         try:
             frame = builder(spark, sf_dir, base)
