@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from .. import catalog
+from ..functions.determinism import dsum
 from ..registry import QuerySpec
 
 T = catalog.load
@@ -264,8 +265,132 @@ GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------- data-quality checks
+
+def dq_01(spark, sf):
+    """Constraint checking (the Deequ-style gate every ingest runs):
+    primary-key uniqueness, foreign-key closure, null rate, and value
+    range, each as ONE aggregate over the audited frame — the FK check
+    is a broadcast anti-join count, everything else folds into a single
+    pass.  Violations are GUARANTEED nonzero by deterministic injection
+    (the planted-defect pattern of pii_01/ded_simhash: an audit whose
+    fixture has no defects certifies nothing), and the oracle
+    reproduces injection + checks exactly.
+
+    Injected defects, closed-form on both engines:
+    - keys ≡ 0 (mod 97): o_custkey → −1       (FK break)
+    - keys ≡ 0 (mod 89): o_orderdate → NULL   (null violation)
+    - keys ≡ 0 (mod 101): row duplicated      (PK break)
+    """
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice")
+    k = F.col("o_orderkey")
+    audited = (o.withColumn("o_custkey",
+                            F.when(k % 97 == 0, F.lit(-1))
+                             .otherwise(F.col("o_custkey")))
+                .withColumn("o_orderdate",
+                            F.when(k % 89 == 0, F.lit(None))
+                             .otherwise(F.col("o_orderdate"))))
+    audited = audited.unionByName(audited.filter(k % 101 == 0))
+
+    cust = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"))
+    fk_viol = (audited.join(F.broadcast(cust), "o_custkey", "left_anti")
+               .agg(F.count("*").alias("violations"))
+               .select(F.lit("fk_customer").alias("check_name"),
+                       "violations"))
+    onepass = audited.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("nulls"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("range"))
+    stacked = onepass.select(F.explode(F.create_map(
+        F.lit("pk_unique"), F.col("pk"),
+        F.lit("null_orderdate"), F.col("nulls"),
+        F.lit("range_totalprice"), F.col("range")))
+        .alias("check_name", "violations"))
+    return (stacked.unionByName(fk_viol)
+            .select("check_name", "violations",
+                    (F.col("violations") == 0).alias("passed"))
+            .orderBy("check_name"))
+
+
+_DQ_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -1 ELSE o_custkey END
+           AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderdate END
+           AS o_orderdate,
+         o_totalprice
+  FROM orders),
+audited AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM base WHERE o_orderkey % 101 = 0),
+checks AS (
+  SELECT 'pk_unique' AS check_name,
+         count(*) - count(DISTINCT o_orderkey) AS violations
+  FROM audited
+  UNION ALL
+  SELECT 'null_orderdate', count(*) FROM audited WHERE o_orderdate IS NULL
+  UNION ALL
+  SELECT 'range_totalprice', count(*) FROM audited WHERE o_totalprice <= 0
+  UNION ALL
+  SELECT 'fk_customer', count(*) FROM audited
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+SELECT check_name, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM checks ORDER BY check_name
+"""
+
+
+# ------------------------------------------------ continuous aggregate
+
+#: rollup cutoff: facts before this are served from the materialized
+#: rollup, the tail is aggregated fresh at query time
+ROLLUP_CUT = "1997-06-01"
+
+
+def rollup_01(spark, sf):
+    """Continuous-aggregate pattern (the hypertable rollup shape):
+    history BEFORE the cutoff is served from a pre-aggregated monthly
+    rollup — partial aggregates, exactly what an incremental refresh
+    job would have materialized — while the tail past the cutoff
+    aggregates fresh from raw facts; the query merges both by summing
+    partials.  Correctness hinges on the aggregate being decomposable
+    (count/sum merge; the decimal routing keeps the merged sum
+    hash-stable), and months straddling the cutoff are the case that
+    proves the merge: their partials come from BOTH branches.  At
+    100 TB the rollup branch reads orders of magnitude fewer rows than
+    the raw history it stands for, and the tail stays bounded by the
+    refresh interval."""
+    o = T(spark, sf, "orders")
+    m = F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    cut = F.col("o_orderdate") < F.lit(ROLLUP_CUT).cast("date")
+    rolled = (o.filter(cut).groupBy(m)
+               .agg(F.count("*").alias("n"),
+                    dsum("o_totalprice").alias("rev")))
+    tail = (o.filter(~cut).groupBy(m)
+             .agg(F.count("*").alias("n"),
+                  dsum("o_totalprice").alias("rev")))
+    return (rolled.unionByName(tail)
+            .groupBy("m")
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum("rev"), 2).cast("double").alias("rev"))
+            .orderBy("m"))
+
+
+_ROLLUP_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS rev
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 _ORACLES = {
     "cdc_01": _CDC_ORACLE,
+    "dq_01": _DQ_ORACLE,
+    "rollup_01": _ROLLUP_ORACLE,
     "scd_01": _SCD_ORACLE,
     "lay_01": _LAY_ORACLE,
 }
@@ -275,6 +400,10 @@ _DOCS = {
               "from one full-outer key join",
     "scd_01": "SCD2 history build: append-only valid_from/valid_to "
               "versioning folded from snapshot batches",
+    "dq_01": "Data-quality constraint checks: PK/FK/null/range audit "
+             "with planted-violation certification",
+    "rollup_01": "Continuous aggregate: materialized monthly rollup "
+                 "merged with the fresh tail by partial-agg summation",
     "lay_01": "Partitioned layout roundtrip: cluster/compact writer + "
               "partition-pruned read-back",
 }

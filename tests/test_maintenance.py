@@ -70,3 +70,41 @@ def test_scd2_null_attribute_transitions(spark):
         (2, None, "t0", None),
         (3, 30.0, "t0", "t1"), (3, None, "t1", None),
     }
+
+
+def test_dq_checks_catch_planted_violations(spark):
+    """Every audit check must report a NONZERO violation count on the
+    planted-defect frame (an audit that can't fail certifies nothing)
+    — except range_totalprice, the intentionally-clean control row."""
+    from conftest import SF_ORACLE
+    from docker_aktin_dwh_spark.operators.maintenance import dq_01
+
+    rows = {r.check_name: (r.violations, r.passed)
+            for r in dq_01(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"pk_unique", "fk_customer", "null_orderdate",
+                         "range_totalprice"}
+    for name in ("pk_unique", "fk_customer", "null_orderdate"):
+        v, passed = rows[name]
+        assert v > 0 and not passed, (name, v)
+    v, passed = rows["range_totalprice"]
+    assert v == 0 and passed
+
+
+def test_rollup_merge_equals_direct_aggregate(spark):
+    """The rollup+tail merge must equal a direct aggregation — incl.
+    the month that straddles the cutoff, whose partials come from both
+    branches."""
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.operators.maintenance import rollup_01
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.functions.determinism import dsum
+
+    got = {(r.m, r.n, r.rev) for r in rollup_01(spark, SF_SMOKE).collect()}
+    o = catalog.load(spark, SF_SMOKE, "orders")
+    direct = {(r.m, r.n, r.rev) for r in
+              o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+               .agg(F.count("*").alias("n"),
+                    F.round(dsum("o_totalprice"), 2).cast("double")
+                     .alias("rev"))
+               .collect()}
+    assert got == direct and got
