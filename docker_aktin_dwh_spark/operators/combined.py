@@ -491,6 +491,123 @@ def _str_sd_oracle() -> str:
             f"FROM ({O['str_06']})")
 
 
+def str_win(spark, sf):
+    """STR-02/03/04/06 in ONE tagged union (tumble + slide + session +
+    dedup, batch forms; streaming forms in streaming/windows.py with
+    replay equivalence tested).  Round-6 consolidation of str_tw +
+    str_sd — the fine-grained keys stay post-50 — freeing a CORE50
+    slot for maint_all so the maintenance/federation family is
+    driver-certified too."""
+    R = relational
+    out = _tag(R.str_02(spark, sf), "tumble",
+               F.concat_ws("|", F.date_format("ws", "yyyy-MM-dd HH:mm:ss"),
+                           "n"))
+    out = out.unionByName(_tag(
+        R.str_03(spark, sf), "slide",
+        F.concat_ws("|", F.date_format("ws", "yyyy-MM-dd HH:mm:ss"), "n")))
+    out = out.unionByName(_tag(
+        R.str_04(spark, sf), "sess",
+        F.concat_ws("|", "user_id", "sess_seq",
+                    F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss"),
+                    "n_events")))
+    out = out.unionByName(_tag(
+        R.str_06(spark, sf), "dedup",
+        F.concat_ws("|", "user_id", "event_type", "event_id")))
+    return out.orderBy("tag", "v")
+
+
+def _str_win_oracle() -> str:
+    O = relational._ORACLES
+    win_v = "strftime(ws, '%Y-%m-%d %H:%M:%S') || '|' || CAST(n AS STRING)"
+    sess_v = ("CAST(user_id AS STRING) || '|' || CAST(sess_seq AS STRING) "
+              "|| '|' || strftime(sess_start, '%Y-%m-%d %H:%M:%S') "
+              "|| '|' || CAST(n_events AS STRING)")
+    ded_v = ("CAST(user_id AS STRING) || '|' || event_type || '|' || "
+             "CAST(event_id AS STRING)")
+    return (f"SELECT 'tumble' AS tag, {win_v} AS v FROM ({O['str_02']})\n"
+            f"UNION ALL\nSELECT 'slide' AS tag, {win_v} AS v "
+            f"FROM ({O['str_03']})\n"
+            f"UNION ALL\nSELECT 'sess' AS tag, {sess_v} AS v "
+            f"FROM ({O['str_04']})\n"
+            f"UNION ALL\nSELECT 'dedup' AS tag, {ded_v} AS v "
+            f"FROM ({O['str_06']})")
+
+
+# ------------------------------------------------- maintenance family
+
+def maint_all(spark, sf):
+    """The round-6 maintenance/federation family in one tagged union so
+    the driver window hash-certifies all of it: CDC snapshot diff,
+    SCD2 history, layout roundtrip, data-quality audit, rollup merge,
+    federated HLL distinct, heavy hitters, and the bigram-LM gate.
+    Branches reuse the fine-grained builders verbatim
+    (operators/maintenance.py, cohort.py, textops.py).  Doubles are
+    folded as ROUND(x·10^k) bigints and NULLs coalesced to literals so
+    the string rendering is engine-independent."""
+    from . import cohort, maintenance, textops as tx
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = _tag(maintenance.cdc_01(spark, sf), "cdc",
+               F.concat_ws("|", "o_orderkey", "op"))
+    out = out.unionByName(_tag(
+        maintenance.scd_01(spark, sf), "scd",
+        F.concat_ws("|", "o_orderkey", cents, "o_orderstatus",
+                    "valid_from", F.coalesce("valid_to", F.lit("open")))))
+    out = out.unionByName(_tag(
+        maintenance.lay_01(spark, sf), "lay",
+        F.concat_ws("|", "source", "n_docs", "chars", "min_doc",
+                    "max_doc")))
+    out = out.unionByName(_tag(
+        maintenance.dq_01(spark, sf), "dq",
+        F.concat_ws("|", "check_name", "violations",
+                    F.col("passed").cast("string"))))
+    out = out.unionByName(_tag(
+        maintenance.rollup_01(spark, sf), "rollup",
+        F.concat_ws("|", "m", "n", F.round(F.col("rev") * 100)
+                    .cast("long"))))
+    out = out.unionByName(_tag(
+        cohort.fed_hll(spark, sf), "fedhll",
+        F.concat_ws("|", "o_orderstatus", "exact_patients", "n_sites",
+                    F.col("within_bound").cast("string"))))
+    out = out.unionByName(_tag(
+        tx.hh_01(spark, sf), "hh",
+        F.concat_ws("|", "t", "c",
+                    F.round(F.col("rel_freq") * 1000000).cast("long"))))
+    out = out.unionByName(_tag(
+        tx.lm_01(spark, sf), "lm",
+        F.concat_ws("|", "doc_id", "n_bigrams", "n_rare",
+                    "min_bg_count")))
+    return out.orderBy("tag", "v")
+
+
+def _maint_all_oracle() -> str:
+    from . import cohort, maintenance, textops as tx
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    MO = maintenance._ORACLES
+    branches = [
+        ("cdc", cat("o_orderkey", "op"), MO["cdc_01"]),
+        ("scd", cat("o_orderkey",
+                    "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+                    "o_orderstatus", "valid_from",
+                    "COALESCE(valid_to, 'open')"), MO["scd_01"]),
+        ("lay", cat("source", "n_docs", "chars", "min_doc", "max_doc"),
+         MO["lay_01"]),
+        ("dq", cat("check_name", "violations", "passed"), MO["dq_01"]),
+        ("rollup", cat("m", "n", "CAST(ROUND(rev * 100) AS BIGINT)"),
+         MO["rollup_01"]),
+        ("fedhll", cat("o_orderstatus", "exact_patients", "n_sites",
+                       "within_bound"), cohort._ORACLES["fed_hll"]),
+        ("hh", cat("t", "c", "CAST(ROUND(rel_freq * 1000000) AS BIGINT)"),
+         tx._ORACLES["hh_01"]),
+        ("lm", cat("doc_id", "n_bigrams", "n_rare", "min_bg_count"),
+         tx._ORACLES["lm_01"]),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def str_08(spark, sf):
     """STR-08 batch equivalent: stream–static broadcast enrich (events ⋈
     event-class dimension) then rollup — the streaming form is
@@ -851,6 +968,12 @@ _DOCS = {
     "fn_ev": "FN-DT2/MAP/JSON projection (events)",
     "str_tw": "STR-02/03 tumbling + sliding window counts (batch form)",
     "str_sd": "STR-04 session + STR-06 dedup tagged union (batch form)",
+    "str_win": "STR-02/03/04/06 consolidated tagged union (batch "
+               "forms; CORE50 slot — fine-grained str_tw/str_sd stay "
+               "post-50)",
+    "maint_all": "Maintenance/federation tagged union (cdc/scd/lay/dq/"
+                 "rollup/fed_hll/hh/lm) — driver-certifies the round-6 "
+                 "family",
     "str_08": "STR-08 stream–static broadcast enrich (batch form)",
     "coh_panel": "Cohort panel AND/OR/NOT (coh_01..03)",
     "coh_enc": "Cohort same-encounter + value/date-by-sex (coh_04/05)",
@@ -877,6 +1000,8 @@ def specs() -> list[QuerySpec]:
         "fn_ev": _FN_EV_ORACLE,
         "str_tw": _str_tw_oracle(),
         "str_sd": _str_sd_oracle(),
+        "str_win": _str_win_oracle(),
+        "maint_all": _maint_all_oracle(),
         "str_08": _STR_08_ORACLE,
         "coh_panel": _coh_panel_oracle(),
         "coh_enc": _coh_enc_oracle(),

@@ -39,13 +39,17 @@ class QuerySpec:
 #: (tests/test_t2_oracle.py runs ALL keys).  Round 6: jn_04 folded
 #: into jn_misc as its "louter" branch, freeing the slot for llm_all
 #: (pack/mix/chunk/vocab/decon/dupcc tagged union) so the round-5 LLM
-#: batch operators are driver-certified too.
+#: batch operators are driver-certified too.  Round-6 second half:
+#: str_tw + str_sd consolidated into str_win (same four branches,
+#: fine-grained keys stay post-50), freeing a slot for maint_all
+#: (cdc/scd/lay/dq/rollup/fed_hll/hh/lm tagged union) so the
+#: maintenance/federation family is driver-certified as well.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
-    "str_tw", "str_sd", "str_07", "str_01", "str_05",
+    "str_win", "maint_all", "str_07", "str_01", "str_05",
     "coh_panel", "coh_enc", "coh_tmp", "ont_01", "eav_01", "rep_01",
     "udf_01", "udf_02", "udf_tf", "udf_04",
     "ded_exact", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
