@@ -1006,6 +1006,118 @@ _DOCS["prof_01"] = ("Table profiling: per-column nulls/distinct/min/max "
                     "in one aggregation pass (long-format output)")
 
 
+# ---------------------------------------------- sequential pattern matching
+
+def seq_01(spark, sf):
+    """Funnel step attribution: per user, the FIRST click and the first
+    purchase at-or-after it, with the conversion gap in seconds — the
+    MATCH_RECOGNIZE-lite every product-analytics stack runs (and the
+    clinical analogue: first diagnosis → first treatment latency).
+
+    Shape: two grouped min(struct(ts, event_id)) aggregations (the
+    deterministic argmin — ties broken on event_id inside the struct
+    comparison) joined per user; both aggregate map-side, the join
+    shuffles on user_id only.  Never a window over the raw event
+    stream, so no per-user single-task sort at 100 TB.  Gap seconds
+    via unix_timestamp differences (TZ-free on NTZ — see the oracle
+    portability trap in NOTES)."""
+    e = T(spark, sf, "events").select("user_id", "event_id", "ts",
+                                      "event_type")
+    first_click = (e.filter(F.col("event_type") == "click")
+                    .groupBy("user_id")
+                    .agg(F.min(F.struct("ts", "event_id")).alias("c")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("user_id", F.col("ts").alias("p_ts"),
+                          F.col("event_id").alias("p_id")))
+    conv = (first_click.join(purchases, "user_id")
+            .filter(F.col("p_ts") >= F.col("c.ts"))
+            .groupBy("user_id", "c")
+            .agg(F.min(F.struct("p_ts", "p_id")).alias("p")))
+    # whole seconds from the MICROSECOND difference (unix_timestamp /
+    # epoch() truncate each operand first — off by one when fractional
+    # seconds straddle; session TZ is UTC so NTZ→LTZ is pure
+    # reinterpretation)
+    gap = F.floor(
+        (F.unix_micros(F.col("p.p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("c.ts").cast("timestamp"))) / 1_000_000
+    ).cast("long")
+    return (conv.select("user_id",
+                        F.col("c.event_id").alias("click_id"),
+                        F.col("p.p_id").alias("purchase_id"),
+                        gap.alias("gap_sec"))
+                .orderBy("user_id"))
+
+
+_ORACLES["seq_01"] = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE event_type = 'click'),
+fc AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM c
+       WHERE rn = 1),
+p AS (
+  SELECT fc.user_id, fc.click_id, fc.c_ts, e.ts AS p_ts,
+         e.event_id AS p_id,
+         row_number() OVER (PARTITION BY fc.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM fc JOIN events e
+    ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+   AND e.ts >= fc.c_ts)
+SELECT user_id, click_id, p_id AS purchase_id,
+       CAST((epoch_us(p_ts) - epoch_us(c_ts)) // 1000000 AS BIGINT)
+         AS gap_sec
+FROM p WHERE rn = 1 ORDER BY user_id
+"""
+
+_DOCS["seq_01"] = ("Funnel attribution: first click -> first purchase "
+                   "per user with conversion gap (argmin-join, no "
+                   "raw-stream window)")
+
+
+def seq_02(spark, sf):
+    """Event-sequence pattern counting: each user's chronologically
+    ordered event-type initials become a path string, and the funnel
+    pattern `c[^p]*p` (a click leading to a purchase without an
+    intervening purchase) is counted per user by non-overlapping regex
+    match — the batch form of CEP/MATCH_RECOGNIZE.
+
+    The path string is built by sort_array(collect_list(struct(...)))
+    INSIDE the aggregate — deterministic order without a window over
+    the raw stream; per-user paths are the frame the regex runs on,
+    which is bounded by per-user activity, not corpus size."""
+    e = T(spark, sf, "events")
+    ini = F.substring("event_type", 1, 1)
+    path = F.concat_ws(
+        "", F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id",
+                                                 ini.alias("i")))),
+            lambda s: s["i"]))
+    return (e.groupBy("user_id")
+             .agg(path.alias("path"))
+             .select("user_id", "path",
+                     F.size(F.regexp_extract_all("path",
+                                                 F.lit("c[^p]*p"), 0))
+                      .cast("int").alias("n_funnels"))
+             .orderBy("user_id"))
+
+
+_ORACLES["seq_02"] = """
+WITH p AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM events GROUP BY user_id)
+SELECT user_id, path,
+       CAST(len(regexp_extract_all(path, 'c[^p]*p')) AS INT) AS n_funnels
+FROM p ORDER BY user_id
+"""
+
+_DOCS["seq_02"] = ("Event-path pattern counting: per-user ordered "
+                   "type-initial path + non-overlapping funnel regex "
+                   "(CEP batch form)")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []
