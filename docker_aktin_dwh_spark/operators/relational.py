@@ -1006,6 +1006,68 @@ _DOCS["prof_01"] = ("Table profiling: per-column nulls/distinct/min/max "
                     "in one aggregation pass (long-format output)")
 
 
+# ------------------------------------------------- time-series gap fill
+
+def ts_01(spark, sf):
+    """Hypertable-style gap fill + LOCF: per-user daily value sums
+    resampled onto a dense per-user day scaffold, missing days
+    forward-filled with the last observation (and flagged).  The
+    continuous-aggregate counterpart to rollup_01 — together they are
+    the downsample/resample pair a metrics store runs on every series.
+
+    Scale shape: the scaffold GENERATES distributedly (per-user
+    sequence + explode — rows ∝ users × days, never a driver loop);
+    the LOCF window partitions by user, so state per task is one
+    series, not the corpus.  First scaffold day per user is that
+    user's first observed day, so the fill never reads before the
+    series starts (v_filled is total-function, no leading nulls)."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf, "events")
+    daily = (e.groupBy("user_id", F.to_date("ts").alias("d"))
+              .agg(F.round(dsum("value"), 2).cast("double").alias("v")))
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"),
+                                        F.max("d").alias("d1"))
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    j = scaffold.join(daily, ["user_id", "d"], "left")
+    w = (Window.partitionBy("user_id").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # DATE→NTZ for the output: the harness canonicalizes Spark DATE as
+    # a string but DuckDB DATE as datetime64 — midnight NTZ matches
+    return (j.select("user_id",
+                     F.col("d").cast("timestamp_ntz").alias("d"),
+                     F.col("v").isNotNull().alias("observed"),
+                     F.last("v", ignorenulls=True).over(w)
+                      .alias("v_filled"))
+             .orderBy("user_id", "d"))
+
+
+_ORACLES["ts_01"] = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         {sql_dsum('value')} AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily
+         GROUP BY 1),
+scaffold AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                       AS DATE) AS d
+  FROM span),
+j AS (SELECT s.user_id, s.d, dy.v
+      FROM scaffold s LEFT JOIN daily dy USING (user_id, d))
+SELECT user_id, d, v IS NOT NULL AS observed,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM j ORDER BY user_id, d
+"""
+
+_DOCS["ts_01"] = ("Time-series gap fill + LOCF: dense per-user day "
+                  "scaffold (distributed generate), forward-filled "
+                  "daily sums with observed flags")
+
+
 # ---------------------------------------------- sequential pattern matching
 
 def seq_01(spark, sf):

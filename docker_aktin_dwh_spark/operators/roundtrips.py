@@ -230,6 +230,29 @@ _BRK_01_ORACLE = ("SELECT o_orderstatus, count(*) AS n FROM orders "
                   "GROUP BY o_orderstatus")
 
 
+# ------------------------------------------------- SRC-07: ORC interchange
+
+def src_orc(spark, sf):
+    """SRC-07 columnar-interchange roundtrip: the full typed row shape
+    (ints, decimals-as-double, dates, strings) through the built-in ORC
+    sink and source — the second columnar wire format a lake must speak
+    besides parquet.  Oracle = identity selection; a hash match proves
+    types survive the format boundary (ORC's own type model, not
+    parquet's)."""
+    o = (T(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+         .select("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"))
+    path = tempfile.mkdtemp(prefix="spark_orc_") + "/orders"
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).orderBy("o_orderkey")
+
+
+_SRC_ORC_ORACLE = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 2000 "
+    "ORDER BY o_orderkey")
+
+
 _DOCS = {
     "src_02": "SRC-02 SQL-script ingest (multi-statement run_sql_script)",
     "src_03": "SRC-03 CDA-XML shred roundtrip (mapInPandas parse)",
@@ -237,6 +260,8 @@ _DOCS = {
     "ups_01": "SNK-01/STR-09 cross-month upsert roundtrip (partitioned store)",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
+    "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
+               "shape through the built-in ORC sink/source)",
 }
 
 
@@ -248,6 +273,7 @@ def specs() -> list[QuerySpec]:
         "ups_01": _ups_01_oracle(),
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,
+        "src_orc": _SRC_ORC_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

@@ -762,3 +762,66 @@ def test_media_features_dispatches_mixed_batch(spark):
         expect = ("image/png", "audio/wav", "binary/unknown")[did % 3]
         assert r.kind == expect, (did, r.kind)
         assert 0.0 <= r.feat <= 1.0
+
+
+# ------------------------------------------- codec property tests
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]), flt=st.integers(0, 4),
+    data=st.data())
+def test_png_roundtrip_property(w, h, ch, flt, data):
+    """decode(encode(px)) == px for arbitrary pixel content, every
+    channel count and scanline filter."""
+    from docker_aktin_dwh_spark.functions import png as pnglib
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                  min_size=w * h * ch,
+                                  max_size=w * h * ch)))
+    out = pnglib.decode_png(pnglib.encode_png(px, w, h, ch,
+                                              filter_type=flt))
+    assert out == (w, h, ch, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 40), ch=st.sampled_from([1, 2]),
+    width=st.sampled_from([1, 2]), rate=st.sampled_from([8000, 44100]),
+    extra=st.one_of(st.none(), st.binary(max_size=9)),
+    data=st.data())
+def test_wav_roundtrip_property(n, ch, width, rate, extra, data):
+    """decode(encode(samples)) is the identity for arbitrary PCM
+    content across widths/channels, with and without metadata chunks
+    (incl. odd-length padding cases)."""
+    from docker_aktin_dwh_spark.functions import wav as wavlib
+
+    lo, hi = (-128, 127) if width == 1 else (-32768, 32767)
+    samples = data.draw(st.lists(st.integers(lo, hi),
+                                 min_size=n * ch, max_size=n * ch))
+    p = wavlib.encode_wav(samples, rate, ch, width, extra_chunk=extra)
+    assert wavlib.decode_wav(p) == (rate, ch, width, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 10), h=st.integers(1, 10),
+       ow=st.integers(1, 10), oh=st.integers(1, 10),
+       ch=st.sampled_from([1, 3]), data=st.data())
+def test_resize_nearest_property(w, h, ow, oh, ch, data):
+    """Every output pixel equals the floor-mapped source pixel, for any
+    input/output geometry."""
+    from docker_aktin_dwh_spark.functions import png as pnglib
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                  min_size=w * h * ch,
+                                  max_size=w * h * ch)))
+    out = pnglib.resize_nearest(px, w, h, ch, ow, oh)
+    assert len(out) == ow * oh * ch
+    for y in range(oh):
+        for x in range(ow):
+            sx, sy = (x * w) // ow, (y * h) // oh
+            src = px[(sy * w + sx) * ch:(sy * w + sx + 1) * ch]
+            assert out[(y * ow + x) * ch:(y * ow + x + 1) * ch] == src
