@@ -112,9 +112,45 @@ def udf_05(spark, sf):
         "ORDER BY t.doc_id, t.idx")
 
 
+def udf_06(spark, sf):
+    """UDF-06: mapInArrow — the Arrow-NATIVE partition transform (no
+    pandas materialization at all; pyarrow RecordBatches in and out).
+    The right lane when the per-batch work is itself Arrow/numpy
+    kernels: here the embedding L2 norm via zero-copy list-array math.
+    Completes the Python ladder: pandas_udf (scalar) → applyInPandas
+    (grouped) → mapInPandas (stream of DataFrames) → mapInArrow
+    (stream of RecordBatches, no conversion overhead)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def l2(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # float64 BEFORE the multiply: the column is float32 and a
+            # single-precision accumulation would drift from the
+            # oracle's CAST(x AS DOUBLE) sum
+            flat = (emb.flatten().to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            sq = np.add.reduceat(flat * flat, offs[:-1]) \
+                if len(offs) > 1 else np.array([])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(np.sqrt(sq), 6),
+                               type=pa.float64())],
+                ["vec_id", "l2_norm"])
+
+    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    return (e.mapInArrow(l2, "vec_id long, l2_norm double")
+             .orderBy("vec_id"))
+
+
 _ORACLES = {
     "udf_01": ("SELECT c_custkey, lower(trim(c_name)) AS norm_name "
                "FROM customer"),
+    "udf_06": ("SELECT vec_id, ROUND(sqrt(list_sum("
+               "list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6)"
+               " AS l2_norm FROM embeddings ORDER BY vec_id"),
     "udf_02": ("SELECT l_returnflag, count(*) AS n, "
                "min(l_extendedprice) AS min_price, "
                "max(l_extendedprice) AS max_price "
@@ -139,6 +175,8 @@ _DOCS = {
     "udf_03": "UDF-03 table function (explode of parse result)",
     "udf_04": "UDF-04 mapInPandas partition transform",
     "udf_05": "UDF-03 Python UDTF (lateral doc shred)",
+    "udf_06": "UDF-06 mapInArrow Arrow-native partition transform "
+              "(zero-copy RecordBatch math)",
 }
 
 

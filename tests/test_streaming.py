@@ -447,3 +447,98 @@ def test_clean_ingest_replay_is_idempotent(spark, tmp_path):
     assert first == again
     hashes = spark.read.parquet(hstore).select("h").collect()
     assert len(hashes) == len({r.h for r in hashes})
+
+
+def _scd_snapshot(spark, v: int):
+    """Deterministic snapshot version v of a small orders dimension:
+    keys ≡ v (mod 10) are absent (rotating deletes), keys ≡ 0 (mod 7)
+    carry a price bumped by v (updates)."""
+    from conftest import SF_SMOKE
+    o = (catalog.load(spark, SF_SMOKE, "orders")
+         .select("o_orderkey", "o_totalprice", "o_orderstatus")
+         .filter(F.col("o_orderkey") < 600))
+    return (o.filter(F.col("o_orderkey") % 10 != v)
+             .withColumn("o_totalprice",
+                         F.when(F.col("o_orderkey") % 7 == 0,
+                                F.col("o_totalprice") + v)
+                          .otherwise(F.col("o_totalprice"))))
+
+
+def _hist_set(df):
+    return {(r.o_orderkey, round(r.o_totalprice, 2), r.o_orderstatus,
+             r.valid_from, r.valid_to) for r in df.collect()}
+
+
+def test_scd_ingest_matches_sequential_batch_fold(spark, tmp_path):
+    """Three snapshot versions streamed one file per trigger must fold
+    into exactly the history that sequential batch scd2_apply calls
+    produce (same stamps, same intervals)."""
+    import shutil
+
+    from docker_aktin_dwh_spark.operators.maintenance import scd2_apply
+    from docker_aktin_dwh_spark.streaming.scd_ingest import (
+        current_history, scd_ingest)
+
+    watch = tmp_path / "scd_watch"
+    watch.mkdir()
+    for v in range(3):
+        out = tmp_path / f"snap{v}"
+        _scd_snapshot(spark, v).coalesce(1) \
+            .write.mode("overwrite").parquet(str(out))
+        for j, p in enumerate(sorted(out.glob("*.parquet"))):
+            shutil.copy(p, watch / f"{v:02d}_{j}.parquet")
+
+    hist_path = str(tmp_path / "scd_hist")
+    src = (spark.readStream.format("parquet")
+           .schema("o_orderkey bigint, o_totalprice double, "
+                   "o_orderstatus string")
+           .option("maxFilesPerTrigger", 1).load(str(watch)))
+    q = scd_ingest(src, hist_path, str(tmp_path / "scd_ckpt"),
+                   ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    q.awaitTermination()
+    got = _hist_set(current_history(spark, hist_path))
+
+    # batch-mode reference fold with the same stamps
+    keys, cols = ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    h = (_scd_snapshot(spark, 0).withColumn("valid_from", F.lit("b0000"))
+         .withColumn("valid_to", F.lit(None).cast("string")))
+    for v in (1, 2):
+        closed = h.filter(F.col("valid_to").isNotNull())
+        opens = h.filter(F.col("valid_to").isNull()).drop("valid_to")
+        h = closed.unionByName(
+            scd2_apply(opens, _scd_snapshot(spark, v), keys, cols,
+                       f"b{v:04d}"))
+    assert got == _hist_set(h) and got
+
+
+def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
+    """Recovery semantics: re-running the LAST snapshot's fold (the
+    failed-commit replay case) must leave the history byte-identical —
+    the previous-version read excludes the replayed batch id."""
+    import shutil
+
+    from docker_aktin_dwh_spark.streaming.scd_ingest import (
+        current_history, process_snapshot, scd_ingest)
+
+    watch = tmp_path / "scd_watch2"
+    watch.mkdir()
+    for v in range(3):
+        out = tmp_path / f"snap2_{v}"
+        _scd_snapshot(spark, v).coalesce(1) \
+            .write.mode("overwrite").parquet(str(out))
+        for j, p in enumerate(sorted(out.glob("*.parquet"))):
+            shutil.copy(p, watch / f"{v:02d}_{j}.parquet")
+    hist_path = str(tmp_path / "scd_hist2")
+    src = (spark.readStream.format("parquet")
+           .schema("o_orderkey bigint, o_totalprice double, "
+                   "o_orderstatus string")
+           .option("maxFilesPerTrigger", 1).load(str(watch)))
+    scd_ingest(src, hist_path, str(tmp_path / "scd_ckpt2"),
+               ["o_orderkey"], ["o_totalprice", "o_orderstatus"]) \
+        .awaitTermination()
+    before = _hist_set(current_history(spark, hist_path))
+
+    process_snapshot(spark, _scd_snapshot(spark, 2), 2, hist_path,
+                     ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    after = _hist_set(current_history(spark, hist_path))
+    assert after == before
