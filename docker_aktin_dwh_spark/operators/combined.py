@@ -725,6 +725,118 @@ WHERE a.concept_cd = 'AKTIN:R:11' AND b.concept_cd = 'AKTIN:R:22'
 """
 
 
+def coh_misc(spark, sf):
+    """coh_enc + coh_tmp consolidated (coh_04..07, four branches) —
+    round-6 second-half slot reshuffle: the fine-grained pair keys stay
+    post-50, and the freed CORE50 slot driver-certifies ext_all."""
+    return (coh_enc(spark, sf)
+            .unionByName(coh_tmp(spark, sf)
+                         .select("tag", F.lit("*").alias("k"), "n"))
+            .orderBy("tag", "k"))
+
+
+def _coh_misc_oracle() -> str:
+    return (f"SELECT tag, k, n FROM ({_coh_enc_oracle()})\n"
+            f"UNION ALL\nSELECT tag, '*' AS k, n "
+            f"FROM ({_coh_tmp_oracle()})")
+
+
+def udf_px(spark, sf):
+    """udf_01 (pandas_udf normalize) + udf_04 (mapInPandas bucketing)
+    consolidated — same slot-reshuffle move as coh_misc; the freed
+    CORE50 slot driver-certifies the streaming-native str_11."""
+    from . import udfs
+    a = _tag(udfs.udf_01(spark, sf), "norm",
+             F.concat_ws("|", "c_custkey", "norm_name"))
+    b = _tag(udfs.udf_04(spark, sf), "bucket",
+             F.concat_ws("|", "c_custkey", "bal_bucket"))
+    return a.unionByName(b).orderBy("tag", "v")
+
+
+def _udf_px_oracle() -> str:
+    from . import udfs
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    O = udfs._ORACLES
+    return (f"SELECT 'norm' AS tag, {cat('c_custkey', 'norm_name')} AS v "
+            f"FROM ({O['udf_01']})\nUNION ALL\n"
+            f"SELECT 'bucket' AS tag, {cat('c_custkey', 'bal_bucket')} "
+            f"AS v FROM ({O['udf_04']})")
+
+
+def ext_all(spark, sf):
+    """The round-6 second-wave extensions in one tagged union so the
+    driver window hash-certifies them: funnel attribution (seq_01),
+    event-path patterns (seq_02), time-series gap fill (ts_01), the
+    bigram-LM gate (lm_01), the ORC interchange roundtrip (src_orc),
+    the mapInArrow lane (udf_06) and the FULL release chain (pipe_03).
+    Same folding rules as maint_all: doubles as ROUND(x·10^k) bigints,
+    dates/timestamps via explicit format strings."""
+    from . import prep, relational as R, roundtrips, textops as tx, udfs
+    out = _tag(R.seq_01(spark, sf), "seq1",
+               F.concat_ws("|", "user_id", "click_id", "purchase_id",
+                           "gap_sec"))
+    out = out.unionByName(_tag(
+        R.seq_02(spark, sf), "seq2",
+        F.concat_ws("|", "user_id", "path", "n_funnels")))
+    out = out.unionByName(_tag(
+        R.ts_01(spark, sf), "ts",
+        F.concat_ws("|", "user_id", F.date_format("d", "yyyy-MM-dd"),
+                    F.col("observed").cast("string"),
+                    F.round(F.col("v_filled") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        tx.lm_01(spark, sf), "lm",
+        F.concat_ws("|", "doc_id", "n_bigrams", "n_rare",
+                    "min_bg_count")))
+    out = out.unionByName(_tag(
+        roundtrips.src_orc(spark, sf), "orc",
+        F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    "o_orderpriority")))
+    out = out.unionByName(_tag(
+        udfs.udf_06(spark, sf), "arrow",
+        F.concat_ws("|", "vec_id",
+                    F.round(F.col("l2_norm") * 1000000).cast("long"))))
+    out = out.unionByName(_tag(
+        prep.pipe_03(spark, sf), "rel",
+        F.concat_ws("|", "lang", "n_docs", "total_tokens", "n_chunks",
+                    "first_doc")))
+    return out.orderBy("tag", "v")
+
+
+def _ext_all_oracle() -> str:
+    from . import prep, relational as R, roundtrips, textops as tx, udfs
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("seq1", cat("user_id", "click_id", "purchase_id", "gap_sec"),
+         R._ORACLES["seq_01"]),
+        ("seq2", cat("user_id", "path", "n_funnels"),
+         R._ORACLES["seq_02"]),
+        ("ts", cat("user_id", "strftime(d, '%Y-%m-%d')", "observed",
+                   "CAST(ROUND(v_filled * 100) AS BIGINT)"),
+         R._ORACLES["ts_01"]),
+        ("lm", cat("doc_id", "n_bigrams", "n_rare", "min_bg_count"),
+         tx._ORACLES["lm_01"]),
+        ("orc", cat("o_orderkey", "o_custkey", "o_orderstatus",
+                    "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+                    "strftime(o_orderdate, '%Y-%m-%d')",
+                    "o_orderpriority"),
+         roundtrips._SRC_ORC_ORACLE),
+        ("arrow", cat("vec_id", "CAST(ROUND(l2_norm * 1000000) AS BIGINT)"),
+         udfs._ORACLES["udf_06"]),
+        ("rel", cat("lang", "n_docs", "total_tokens", "n_chunks",
+                    "first_doc"), prep._pipe_03_oracle()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 # ------------------------------------------------------------------ UDF family
 
 def udf_tf(spark, sf):
@@ -978,6 +1090,12 @@ _DOCS = {
     "coh_panel": "Cohort panel AND/OR/NOT (coh_01..03)",
     "coh_enc": "Cohort same-encounter + value/date-by-sex (coh_04/05)",
     "coh_tmp": "Cohort occurrence + temporal pair (coh_06/07)",
+    "coh_misc": "coh_04..07 consolidated tagged union (CORE50 slot; "
+                "fine-grained pair keys stay post-50)",
+    "udf_px": "udf_01 + udf_04 consolidated (pandas_udf + mapInPandas "
+              "lanes, CORE50 slot)",
+    "ext_all": "Round-6 second-wave extensions tagged union (seq/ts/lm/"
+               "orc/mapInArrow/pipe_03) — driver-certified",
     "udf_tf": "UDF-03 Python UDTF lateral shred → token counts",
     "text_all": "All text-analysis metrics in one documents scan",
     "mm_decode": "Multimodal decode (stub fallback lane, sha256-"
@@ -1002,6 +1120,9 @@ def specs() -> list[QuerySpec]:
         "str_sd": _str_sd_oracle(),
         "str_win": _str_win_oracle(),
         "maint_all": _maint_all_oracle(),
+        "coh_misc": _coh_misc_oracle(),
+        "udf_px": _udf_px_oracle(),
+        "ext_all": _ext_all_oracle(),
         "str_08": _STR_08_ORACLE,
         "coh_panel": _coh_panel_oracle(),
         "coh_enc": _coh_enc_oracle(),

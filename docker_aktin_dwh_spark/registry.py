@@ -43,15 +43,18 @@ class QuerySpec:
 #: str_tw + str_sd consolidated into str_win (same four branches,
 #: fine-grained keys stay post-50), freeing a slot for maint_all
 #: (cdc/scd/lay/dq/rollup/fed_hll/hh/lm tagged union) so the
-#: maintenance/federation family is driver-certified as well.
+#: maintenance/federation family is driver-certified as well; then
+#: coh_enc+coh_tmp → coh_misc and udf_01+udf_04 → udf_px, freeing
+#: slots for ext_all (seq/ts/lm/orc/mapInArrow/pipe_03 union) and the
+#: streaming-native str_11 stream-stream join.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
     "str_win", "maint_all", "str_07", "str_01", "str_05",
-    "coh_panel", "coh_enc", "coh_tmp", "ont_01", "eav_01", "rep_01",
-    "udf_01", "udf_02", "udf_tf", "udf_04",
+    "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
+    "udf_px", "udf_02", "udf_tf", "str_11",
     "ded_exact", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
     "ded_embed",
     "ann_topk", "ann_lsh", "ann_ivf", "emb_01",
