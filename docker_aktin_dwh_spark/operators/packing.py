@@ -331,8 +331,57 @@ FROM s ORDER BY shard, pos
 """
 
 
+# ----------------------------------------------- train/val/test split
+
+#: md5-hex-prefix split bounds (256ths): <'0c' = val (~4.7%),
+#: <'19' = test (~9.8%), rest train — the standard held-out carve.
+SPLIT_VAL_MAX = "0c"
+SPLIT_TEST_MAX = "19"
+
+
+def split_01(spark, sf):
+    """Deterministic train/val/test assignment: the split is a pure
+    function of doc_id (md5-prefix thresholds — the mix_01/shuf_01
+    primitive), so it is reproducible across engines, runs, and
+    partitionings, and any doc's split can be recomputed standalone (no
+    stored assignment table to drift).  Emits the per-(lang, split)
+    manifest; disjointness and coverage are structural (the CASE is
+    total and exclusive)."""
+    d = catalog.load(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(h < SPLIT_VAL_MAX, "val")
+              .when(h < SPLIT_TEST_MAX, "test")
+              .otherwise("train"))
+    return (d.select("lang", split.alias("split"),
+                     F.size(tokens("text")).alias("n_tok"))
+             .groupBy("lang", "split")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tok").alias("tokens"))
+             .orderBy("lang", "split"))
+
+
+_SPLIT_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_VAL_MAX}' THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{SPLIT_TEST_MAX}' THEN 'test'
+              ELSE 'train' END AS split,
+         len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(key="split_01", fn=split_01, oracle=_SPLIT_ORACLE,
+                  doc=("Deterministic train/val/test split: md5-prefix "
+                       "assignment, reproducible on any layout; "
+                       "per-(lang, split) manifest")),
         QuerySpec(key="pack_01", fn=pack_01, oracle=_PACK_ORACLE,
                   doc=("Concat-and-chop sequence packing: doc -> "
                        "training-sequence assignment by windowed "

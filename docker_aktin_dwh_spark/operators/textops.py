@@ -9,6 +9,8 @@ oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -401,6 +403,70 @@ def bpe_01(spark, sf):
     ).orderBy("rank")
 
 
+def bpe_encode_counts(docs: "DataFrame",
+                      merges: list[tuple[str, str]]) -> "DataFrame":
+    """Apply a learned merge list to every document: per doc, each
+    whitespace token is encoded by replaying the merges in rank order
+    (the standard BPE encode — rank-greedy, left-to-right
+    non-overlapping per merge), and the doc's subword count is
+    returned.  The merge list is the broadcast tokenizer artifact
+    (kilobytes); encoding is per-row Python over Arrow batches — the
+    pandas_udf lane, because rank-loop string merging is genuinely
+    imperative.  One corpus pass, embarrassingly parallel."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("int")
+    def n_subwords(texts: pd.Series) -> pd.Series:
+        def encode_word(w: str) -> int:
+            syms = list(w)
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for a, b in zip(syms, syms[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best_rank is None
+                                          or r < best_rank):
+                        best, best_rank = (a, b), r
+                if best is None:
+                    break
+                l, r_ = best
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r_):
+                        out.append(l + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_word(w) for w in (t or "").split()))
+
+    return docs.select("doc_id", n_subwords("text").alias("n_subwords"))
+
+
+def bpe_02(spark, sf):
+    """Tokenizer train→apply loop closed: train BPE_MERGES merges on
+    the corpus vocabulary (bpe_01's trainer), then encode every doc and
+    report subword counts next to whitespace token counts.  Rows-only
+    like bpe_01 (the learned merges are not SQL-derivable); the encode
+    itself is certified against an independent Python reference in
+    tests, and compression is structurally guaranteed
+    (n_subwords ≤ total chars, ≥ n_tokens' lower bound of 1/word)."""
+    d = T(spark, sf, "documents")
+    wf = (d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq")))
+    merges = bpe_train(wf, BPE_MERGES)
+    counts = bpe_encode_counts(d.select("doc_id", "text"), merges)
+    base = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"),
+                    F.length("text").alias("n_chars"))
+    return (base.join(counts, "doc_id")
+                .select("doc_id", "n_tokens", "n_subwords", "n_chars")
+                .orderBy("doc_id"))
+
+
 # ------------------------------------------------------- heavy hitters
 
 #: report tokens with global count ≥ total_tokens / HH_DEN.
@@ -534,6 +600,9 @@ _DOCS = {
     "lm_01": "Bigram-LM quality gate: per-doc corpus-wide bigram "
              "frequency stats (rare-bigram gibberish signal), "
              "integer-exact",
+    "bpe_02": "BPE encode: apply learned merges to every doc, subword "
+              "counts (rows-only; encode certified vs independent "
+              "sequential-replay reference in tests)",
 }
 
 

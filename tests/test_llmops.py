@@ -825,3 +825,51 @@ def test_resize_nearest_property(w, h, ow, oh, ch, data):
             sx, sy = (x * w) // ow, (y * h) // oh
             src = px[(sy * w + sx) * ch:(sy * w + sx + 1) * ch]
             assert out[(y * ow + x) * ch:(y * ow + x + 1) * ch] == src
+
+
+def test_bpe_encode_matches_sequential_replay_reference(spark):
+    """The rank-greedy encoder must equal an independent sequential-
+    replay reference (each merge applied to exhaustion in rank order —
+    equivalent because applying merges in rank order can never create
+    a lower-rank pair: merged symbols only appear as components of
+    LATER merges)."""
+    from docker_aktin_dwh_spark.functions.textfns import tokens as tks
+    from docker_aktin_dwh_spark.operators.textops import (
+        bpe_encode_counts, bpe_train)
+
+    d = (catalog.load(spark, SF_SMOKE, "documents")
+         .filter(F.col("doc_id") < 120).select("doc_id", "text"))
+    wf = (d.select(F.explode(tks("text")).alias("token"))
+           .groupBy("token").agg(F.count("*").alias("freq")))
+    merges = bpe_train(wf, 10)
+    got = {r.doc_id: r.n_subwords
+           for r in bpe_encode_counts(d, merges).collect()}
+
+    def ref_encode(word):
+        syms = list(word)
+        for l, r in merges:               # sequential replay, rank order
+            while True:
+                out, i, hit = [], 0, False
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                        hit = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if not hit:
+                    break
+        return len(syms)
+
+    rows = d.collect()
+    assert got and all(
+        got[r.doc_id] == sum(ref_encode(w) for w in r.text.split())
+        for r in rows)
+    # compression is real: multi-char subwords reduce counts somewhere
+    n_tok = {r.doc_id: len(r.text.split()) for r in rows}
+    n_char = {r.doc_id: sum(len(w) for w in r.text.split()) for r in rows}
+    assert all(n_tok[i] <= got[i] <= n_char[i] for i in got)
+    assert any(got[i] < n_char[i] for i in got)
