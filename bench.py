@@ -96,8 +96,10 @@ def main() -> None:
 SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  "qrep_01", "pack_02", "dupcc_01",
                  # r6 second half: the full release chain, the two-pass
-                 # heavy-hitter shape, and the full-outer maintenance join
-                 "pipe_03", "hh_01", "cdc_01")
+                 # heavy-hitter shape, the full-outer maintenance join,
+                 # and the event-analytics family (events replicate on
+                 # user_id — R× users, identical per-user activity)
+                 "pipe_03", "hh_01", "cdc_01", "seq_01", "ts_01")
 SCALE_REPLICAS = 10
 
 

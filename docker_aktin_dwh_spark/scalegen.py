@@ -52,11 +52,18 @@ from pyspark.sql import functions as F
 from . import catalog
 
 #: tables replicated with key offsets (everything jn_03 + the document
-#: pipeline needs); fixed-cardinality dims are copied verbatim.
-SCALED_TABLES = ("documents", "lineitem", "orders", "customer")
+#: pipeline + the event-analytics family needs); fixed-cardinality
+#: dims are copied verbatim.  events replicate on (event_id, user_id)
+#: with the TIME AXIS unchanged — user count grows R× while per-user
+#: activity, session structure, and funnel shapes stay identical to
+#: the base, which is exactly how event workloads actually scale.
+SCALED_TABLES = ("documents", "lineitem", "orders", "customer", "events")
 COPIED_TABLES = ("nation", "region")
 
 _MARKER = "_SCALE_FIXTURE_OK.json"
+#: bump when the replicated-table set or scheme changes so cached
+#: fixtures regenerate
+_SCHEME = 2
 
 
 def _stride(df: DataFrame, key: str) -> int:
@@ -165,7 +172,9 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
     marker = out / _MARKER
     if marker.exists():
         meta = json.loads(marker.read_text())
-        if meta.get("replicas") == replicas and meta.get("base") == base_dir:
+        if (meta.get("replicas") == replicas
+                and meta.get("base") == base_dir
+                and meta.get("scheme") == _SCHEME):
             return out_dir
     out.mkdir(parents=True, exist_ok=True)
 
@@ -175,14 +184,17 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
     od = catalog.load(spark, base_dir, "orders")
     cu = catalog.load(spark, base_dir, "customer")
     dc = catalog.load(spark, base_dir, "documents")
+    ev = catalog.load(spark, base_dir, "events")
     ok, ck = _stride(od, "o_orderkey"), _stride(cu, "c_custkey")
     dk = _stride(dc, "doc_id")
+    ek, uk = _stride(ev, "event_id"), _stride(ev, "user_id")
 
     scaled = {
         "lineitem": _replicate(li, rep, {"l_orderkey": ok}),
         "orders": _replicate(od, rep, {"o_orderkey": ok, "o_custkey": ck}),
         "customer": _replicate(cu, rep, {"c_custkey": ck}),
         "documents": _salt_text(_replicate(dc, rep, {"doc_id": dk})),
+        "events": _replicate(ev, rep, {"event_id": ek, "user_id": uk}),
     }
     for name, df in scaled.items():
         (df.drop("_r").write.mode("overwrite")
@@ -191,5 +203,6 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
         (catalog.load(spark, base_dir, name).write.mode("overwrite")
          .parquet(str(out / f"{name}.parquet")))
 
-    marker.write_text(json.dumps({"replicas": replicas, "base": base_dir}))
+    marker.write_text(json.dumps({"replicas": replicas, "base": base_dir,
+                                  "scheme": _SCHEME}))
     return out_dir

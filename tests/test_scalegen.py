@@ -56,3 +56,42 @@ def test_jn03_scales_exactly_linearly(spark, scale_dir):
     assert set(base) == set(scaled)
     for k, v in base.items():
         assert math.isclose(scaled[k], REPLICAS * v, rel_tol=1e-9), k
+
+
+def test_events_replicate_preserving_per_user_activity(spark, scale_dir):
+    """Events replicate on (event_id, user_id) with time unchanged:
+    user count ×R, per-user event-type histograms identical — so the
+    event-analytics slopes (seq_01/ts_01) measure more users, not
+    distorted sessions."""
+    base = catalog.load(spark, SF_SMOKE, "events")
+    scaled = catalog.load(spark, scale_dir, "events")
+    assert scaled.count() == REPLICAS * base.count()
+    stride = int(base.agg(F.max("user_id")).first()[0]) + 1
+    per_user = (scaled.groupBy("user_id", "event_type").count()
+                .groupBy((F.col("user_id") % stride).alias("u"),
+                         "event_type")
+                .agg(F.countDistinct("count").alias("variants"),
+                     F.count("*").alias("replicas")))
+    bad = per_user.filter((F.col("variants") != 1)
+                          | (F.col("replicas") != REPLICAS)).count()
+    assert bad == 0
+
+
+def test_seq01_scales_by_user_replication(spark, scale_dir):
+    """Funnel attribution on the replica fixture: every base user's
+    (click, purchase, gap) triple recurs verbatim in each replica at
+    the offset ids — R× rows, identical per-user semantics."""
+    from docker_aktin_dwh_spark.operators.relational import seq_01
+
+    base = seq_01(spark, SF_SMOKE).collect()
+    scaled = seq_01(spark, scale_dir).collect()
+    assert len(scaled) == REPLICAS * len(base)
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    ustride = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    estride = int(ev.agg(F.max("event_id")).first()[0]) + 1
+    want = {(r.user_id + rep * ustride, r.click_id + rep * estride,
+             r.purchase_id + rep * estride, r.gap_sec)
+            for r in base for rep in range(REPLICAS)}
+    got = {(r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+           for r in scaled}
+    assert got == want
