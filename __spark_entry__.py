@@ -7,10 +7,11 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                inside the driver's verification window (SURVEY.md §2.0);
                fine-grained per-operator keys follow.
 oracle_sql() — DuckDB-equivalent SQL per key (omitted only for the
-               genuinely non-SQL-expressible / approximate operators:
-               agg_03 approx distinct, smp_02 seeded sample,
-               ded_simhash, ann_lsh, ann_ivf, mm_02/mm_03/mm_decode
-               stubbed codecs).
+               genuinely non-SQL-expressible operators: smp_02 seeded
+               sample, the raw-pair/raw-top-k ANN and SimHash variants
+               (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw — the
+               declared keys are hash-oracled certifications), and the
+               iterative BPE trainer/encoder bpe_01 / bpe_02).
 """
 
 from __future__ import annotations
