@@ -202,7 +202,7 @@ FROM j WHERE in_old AND (NOT in_new OR chg)
 UNION ALL
 SELECT k, np, ns,
        CASE WHEN in_old AND NOT chg THEN 't0' ELSE 't1' END,
-       CAST(NULL AS VARCHAR)
+       CAST(NULL AS STRING)
 FROM j WHERE in_new
 ORDER BY o_orderkey, valid_from, valid_to NULLS LAST
 """

@@ -26,7 +26,9 @@ ANSI_KEYS = sorted(
     "jn_01 jn_02 jn_03 jn_04 jn_05 jn_06 jn_07 jn_10 "
     "prj_01 prj_02 set_01 set_02 set_03 set_04 set_05 smp_01 "
     "srt_01 srt_02 str_02 str_03 str_04 str_06 str_07 "
-    "udf_01 udf_02 udf_04 win_01 win_02 win_03 win_04 win_05 win_06"
+    "udf_01 udf_02 udf_04 win_01 win_02 win_03 win_04 win_05 win_06 "
+    # r6 maintenance family: these oracles are dialect-portable too
+    "cdc_01 scd_01 dq_01 lay_01 src_orc"
     .split())
 
 
