@@ -43,6 +43,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     comparison uses eqNullSafe, never a serialized row hash — hashing
     formatted values would tie the diff to engine-specific float/date
     formatting (the cross-engine trap the determinism contract bans).
+
+    Input contract (same for scd2_apply): key columns are non-null and
+    unique per snapshot — presence is detected via key nullness after
+    the outer join, and duplicate keys would fan the join out.  dq_01's
+    pk_unique / null checks are the audit that gates this.
     """
     o, n = old.alias("o"), new.alias("n")
     cond = reduce(lambda a, b: a & b,
