@@ -194,6 +194,12 @@ def resize_nearest(pixels: bytes, width: int, height: int, channels: int,
     recompute resized stats analytically."""
     if width <= 0 or height <= 0 or out_w <= 0 or out_h <= 0:
         raise ValueError("dimensions must be positive")
+    if len(pixels) != width * height * channels:
+        # fail fast: out-of-range slices would silently yield empty
+        # bytes and surface later as a confusing encode/stats error
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}")
     out = bytearray()
     for y in range(out_h):
         sy = (y * height) // out_h

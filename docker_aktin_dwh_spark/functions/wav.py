@@ -86,6 +86,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
     tag, channels, rate, _byterate, _align, bits = fmt
     if tag != 1:
         raise NotImplementedError(f"non-PCM format tag {tag}")
+    if rate <= 0 or channels <= 0:
+        # reject at decode time: pcm_stats divides by both, and a
+        # zero here is always a malformed header, never real audio
+        raise ValueError(f"invalid fmt: rate={rate} channels={channels}")
     if bits == 8:
         samples = [b - 128 for b in data]
         width = 1

@@ -425,10 +425,10 @@ SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
 FROM p GROUP BY 1 ORDER BY 1
 """
 
-_ORACLES["fed_hll"] = """
+_ORACLES["fed_hll"] = f"""
 WITH p AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
-              % 3 AS INT) AS site,
+              % {FED_SITES} AS INT) AS site,
          o_orderstatus, o_custkey
   FROM orders)
 SELECT o_orderstatus,

@@ -969,20 +969,20 @@ def mm_decode(spark, sf):
 # png_* columns recompute the synthesis gradient analytically; the
 # rs_* columns recompute its 8x8 nearest-neighbor resample (floor
 # source mapping, functions/png.py resize_nearest).
-_MM_DECODE_ORACLE = """
+_MM_DECODE_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS hx
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < {multimodal.PNG_SYNTH_DOCS}
 ),
 pdim AS (
-  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS png_w,
-         CAST(16 + (doc_id * 7) % 16 AS INT) AS png_h
-  FROM documents WHERE doc_id < 200
+  SELECT doc_id, CAST({multimodal.SQL_PNG_W} AS INT) AS png_w,
+         CAST({multimodal.SQL_PNG_H} AS INT) AS png_h
+  FROM documents WHERE doc_id < {multimodal.PNG_SYNTH_DOCS}
 ),
 pg AS (
   SELECT doc_id, png_w, png_h, ROUND(AVG(v) / 255.0, 6) AS png_luma
   FROM (SELECT doc_id, png_w, png_h,
-               (i % png_w + 3 * (i // png_w) + doc_id) % 256 AS v
+               {multimodal.SQL_PNG_V} AS v
         FROM (SELECT doc_id, png_w, png_h,
                      unnest(range(png_w * png_h)) AS i FROM pdim))
   GROUP BY 1, 2, 3

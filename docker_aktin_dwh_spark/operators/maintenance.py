@@ -49,6 +49,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     the outer join, and duplicate keys would fan the join out.  dq_01's
     pk_unique / null checks are the audit that gates this.
     """
+    j, in_old, in_new, changed = _outer_diff(old, new, keys, cols)
+    op = (F.when(~in_old, F.lit("insert"))
+           .when(~in_new, F.lit("delete"))
+           .when(changed, F.lit("update")))
+    return (j.select(*[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}"))
+                       .alias(k) for k in keys],
+                     op.alias("op"))
+             .filter(F.col("op").isNotNull()))
+
+
+def _outer_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                cols: list[str]):
+    """Shared machinery of snapshot_diff and scd2_apply: the full-outer
+    key join plus the presence/changed predicates (aliases 'o'/'n' on
+    the joined frame)."""
     o, n = old.alias("o"), new.alias("n")
     cond = reduce(lambda a, b: a & b,
                   [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys])
@@ -58,13 +73,7 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     changed = reduce(lambda a, b: a | b,
                      [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
                       for c in cols])
-    op = (F.when(~in_old, F.lit("insert"))
-           .when(~in_new, F.lit("delete"))
-           .when(changed, F.lit("update")))
-    return (j.select(*[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}"))
-                       .alias(k) for k in keys],
-                     op.alias("op"))
-             .filter(F.col("op").isNotNull()))
+    return j, in_old, in_new, changed
 
 
 def _cdc_snapshots(spark, sf):
@@ -137,15 +146,8 @@ def scd2_apply(history_current: DataFrame, new_snap: DataFrame,
     place — the append-only versioning discipline the reference's
     monthly re-imports need for auditability (delete+insert semantics,
     reference src/docker/database/Dockerfile:31,33)."""
-    o, n = history_current.alias("o"), new_snap.alias("n")
-    cond = reduce(lambda a, b: a & b,
-                  [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys])
-    j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
-    changed = reduce(lambda a, b: a | b,
-                     [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-                      for c in cols])
+    j, in_old, in_new, changed = _outer_diff(history_current, new_snap,
+                                             keys, cols)
     ts = F.lit(batch_ts)
     key_sel = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
                for k in keys]
@@ -249,16 +251,27 @@ def lay_01(spark, sf):
     derives the same aggregate from the raw table, so a hash match
     proves re-layout lost nothing — while the plan evidence (PLANS.md,
     test_plans) shows the scan touched only lang='en' directories."""
+    import shutil
+
+    from ..functions.barrier import materialize
+
     d = T(spark, sf, "documents").select("doc_id", "lang", "source", "text")
-    path = tempfile.mkdtemp(prefix="spark_lay01_") + "/docs"
-    write_partitioned(d, path, "lang", "doc_id")
-    en = read_pruned(spark, path, "lang", "en")
-    return (en.groupBy("source")
+    base = tempfile.mkdtemp(prefix="spark_lay01_")
+    try:
+        path = base + "/docs"
+        write_partitioned(d, path, "lang", "doc_id")
+        en = read_pruned(spark, path, "lang", "en")
+        # snapshot the (tiny) manifest off the temp tree so the whole
+        # mkdtemp can be removed (streamnative's _materialized pattern)
+        return materialize(
+            en.groupBy("source")
               .agg(F.count("*").alias("n_docs"),
                    F.sum(F.length("text")).alias("chars"),
                    F.min("doc_id").alias("min_doc"),
                    F.max("doc_id").alias("max_doc"))
               .orderBy("source"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 _LAY_ORACLE = """

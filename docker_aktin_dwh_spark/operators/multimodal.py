@@ -125,8 +125,9 @@ def decode_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     """mapInPandas decode: streams Arrow batches, one output row per
     payload — the partition-parallel shape a real decoder needs
     (no collect, no per-row Python UDF).  ``codec`` selects the
-    decoder via pick_decoder; the declared mm_02 key pins 'stub' so its
-    output stays deterministic on the text-bytes fixture."""
+    decoder via pick_decoder; combined.mm_decode pins 'stub' for its
+    fallback-lane columns so they stay deterministic on the text-bytes
+    fixture (mm_02 itself now runs media_features mixed dispatch)."""
     decode = pick_decoder(codec)
 
     def run(batches):
@@ -197,18 +198,26 @@ def media_features(media: DataFrame) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                if data[:8] == pnglib.SIGNATURE:
-                    w, h, ch, px = pnglib.decode_png(data)
-                    rows.append((did, "image/png",
-                                 pnglib.luma_stats(w, h, ch, px)))
-                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                    rate, ch, _w, samples = wavlib.decode_wav(data)
-                    _nf, _dur, _mean, rms = wavlib.pcm_stats(
-                        rate, ch, samples)
-                    rows.append((did, "audio/wav", round(rms / 128.0, 6)))
-                else:
-                    rows.append((did, "binary/unknown",
-                                 fake_decode(data)[2]))
+                try:
+                    if data[:8] == pnglib.SIGNATURE:
+                        w, h, ch, px = pnglib.decode_png(data)
+                        rows.append((did, "image/png",
+                                     pnglib.luma_stats(w, h, ch, px)))
+                        continue
+                    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        rate, ch, _w, samples = wavlib.decode_wav(data)
+                        _nf, _dur, _mean, rms = wavlib.pcm_stats(
+                            rate, ch, samples)
+                        rows.append((did, "audio/wav",
+                                     round(rms / 128.0, 6)))
+                        continue
+                except (ValueError, NotImplementedError):
+                    # sniffed container, corrupt or unsupported payload:
+                    # triage to the stub lane rather than failing the
+                    # task — one truncated crawl file must never kill
+                    # the batch (the "never an error" contract)
+                    pass
+                rows.append((did, "binary/unknown", fake_decode(data)[2]))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "feat"])
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -244,6 +253,20 @@ PNG_SYNTH_DOCS = 200
 
 def _synth_dims(did: int) -> tuple[int, int]:
     return 16 + did % 16, 16 + (did * 7) % 16
+
+
+#: SQL mirrors of the synthesis contracts — the SINGLE source every
+#: oracle interpolates, so a formula tweak cannot desynchronize one
+#: oracle from the others (SQL_PNG_V expects png_w in scope).
+SQL_PNG_W = "16 + doc_id % 16"
+SQL_PNG_H = "16 + (doc_id * 7) % 16"
+SQL_PNG_V = "(i % png_w + 3 * (i // png_w) + doc_id) % 256"
+SQL_WAV_NF = "64 + doc_id % 64"
+SQL_WAV_RATE = "8000 * (1 + doc_id % 3)"
+SQL_WAV_V = "(i * (doc_id % 5 + 2) + doc_id) % 201 - 100"
+
+#: doc cutoff for the mixed-modality mm_02 frame
+MM_MIXED_DOCS = 200
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
@@ -308,14 +331,14 @@ def mm_png(spark, sf):
 
 _MM_PNG_ORACLE = f"""
 WITH p AS (
-  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS png_w,
-         CAST(16 + (doc_id * 7) % 16 AS INT) AS png_h
+  SELECT doc_id, CAST({SQL_PNG_W} AS INT) AS png_w,
+         CAST({SQL_PNG_H} AS INT) AS png_h
   FROM documents WHERE doc_id < {PNG_SYNTH_DOCS}
 ),
 g AS (SELECT doc_id, png_w, png_h, unnest(range(png_w * png_h)) AS i
       FROM p),
 px AS (SELECT doc_id, png_w, png_h,
-              (i % png_w + 3 * (i // png_w) + doc_id) % 256 AS v
+              {SQL_PNG_V} AS v
        FROM g)
 SELECT doc_id, png_w, png_h, ROUND(AVG(v) / 255.0, 6) AS png_luma
 FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
@@ -403,14 +426,14 @@ def mm_wav(spark, sf):
 
 _MM_WAV_ORACLE = f"""
 WITH p AS (
-  SELECT doc_id, 64 + doc_id % 64 AS nf,
-         8000 * (1 + doc_id % 3) AS rate,
+  SELECT doc_id, {SQL_WAV_NF} AS nf,
+         {SQL_WAV_RATE} AS rate,
          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
   FROM documents WHERE doc_id < {WAV_SYNTH_DOCS}
 ),
 g AS (SELECT doc_id, nf, rate, ch, unnest(range(nf)) AS i FROM p),
 v AS (SELECT doc_id, nf, rate, ch,
-             (i * (doc_id % 5 + 2) + doc_id) % 201 - 100 AS v
+             {SQL_WAV_V} AS v
       FROM g)
 SELECT doc_id, CAST(rate AS INT) AS wav_rate, CAST(ch AS INT) AS wav_ch,
        CAST(nf AS INT) AS wav_frames,
@@ -453,7 +476,8 @@ def mm_02(spark, sf):
     back to the deterministic stub.  Hash-matched: the oracle derives
     image luma and audio RMS analytically from the synthesis contracts
     and the stub branch from sha256."""
-    d = (T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < MM_MIXED_DOCS)
          .select("doc_id", "text"))
     return media_features(synth_mixed_media(d)).orderBy("doc_id")
 
@@ -478,23 +502,22 @@ def mm_04(spark, sf):
 
 
 _MM_02_ORACLE = f"""
-WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < {MM_MIXED_DOCS}),
 png AS (
   SELECT doc_id, ROUND(AVG(v) / 255.0, 6) AS feat
-  FROM (SELECT doc_id,
-               (i % (16 + doc_id % 16)
-                + 3 * (i // (16 + doc_id % 16)) + doc_id) % 256 AS v
-        FROM (SELECT doc_id,
-                     unnest(range((16 + doc_id % 16)
-                                  * (16 + (doc_id * 7) % 16))) AS i
-              FROM base WHERE doc_id % 3 = 0))
+  FROM (SELECT doc_id, {SQL_PNG_V} AS v
+        FROM (SELECT doc_id, png_w,
+                     unnest(range(png_w * png_h)) AS i
+              FROM (SELECT doc_id, {SQL_PNG_W} AS png_w,
+                           {SQL_PNG_H} AS png_h
+                    FROM base WHERE doc_id % 3 = 0)))
   GROUP BY doc_id
 ),
 wv AS (
   SELECT doc_id, ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)) / 128.0, 6) AS feat
-  FROM (SELECT doc_id,
-               (i * (doc_id % 5 + 2) + doc_id) % 201 - 100 AS v
-        FROM (SELECT doc_id, unnest(range(64 + doc_id % 64)) AS i
+  FROM (SELECT doc_id, {SQL_WAV_V} AS v
+        FROM (SELECT doc_id, unnest(range({SQL_WAV_NF})) AS i
               FROM base WHERE doc_id % 3 = 1))
   GROUP BY doc_id
 ),

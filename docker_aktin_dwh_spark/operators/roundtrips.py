@@ -239,12 +239,21 @@ def src_orc(spark, sf):
     besides parquet.  Oracle = identity selection; a hash match proves
     types survive the format boundary (ORC's own type model, not
     parquet's)."""
+    import shutil
+
+    from ..functions.barrier import materialize
+
     o = (T(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
          .select("o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"))
-    path = tempfile.mkdtemp(prefix="spark_orc_") + "/orders"
-    o.write.mode("overwrite").orc(path)
-    return spark.read.orc(path).orderBy("o_orderkey")
+    base = tempfile.mkdtemp(prefix="spark_orc_")
+    try:
+        path = base + "/orders"
+        o.write.mode("overwrite").orc(path)
+        # snapshot off the temp tree so it can be removed immediately
+        return materialize(spark.read.orc(path)).orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 _SRC_ORC_ORACLE = (

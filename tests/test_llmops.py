@@ -873,3 +873,50 @@ def test_bpe_encode_matches_sequential_replay_reference(spark):
     n_char = {r.doc_id: sum(len(w) for w in r.text.split()) for r in rows}
     assert all(n_tok[i] <= got[i] <= n_char[i] for i in got)
     assert any(got[i] < n_char[i] for i in got)
+
+
+def test_media_features_triage_never_fails_the_batch(spark):
+    """Corrupt-but-sniffable payloads (PNG magic + garbage, WAV header
+    with float PCM or zero rate) must triage to the stub lane, not
+    fail the task — the 'never an error' landing-zone contract."""
+    import struct
+
+    from docker_aktin_dwh_spark.functions import png as pnglib
+    from docker_aktin_dwh_spark.operators import multimodal as mm
+
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt3) + 8)
+                 + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+                 + b"data" + struct.pack("<I", 0))
+    fmt0 = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    zero_rate = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt0) + 8)
+                 + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+                 + b"data" + struct.pack("<I", 0))
+    rows = [(1, pnglib.SIGNATURE + b"garbage"),   # truncated PNG
+            (2, float_wav),                        # unsupported PCM
+            (3, zero_rate),                        # malformed header
+            (4, b"plainly not media")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.kind for r in mm.media_features(media).collect()}
+    assert got == {1: "binary/unknown", 2: "binary/unknown",
+                   3: "binary/unknown", 4: "binary/unknown"}
+
+
+def test_codec_guards_reject_malformed_inputs():
+    import struct
+
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.functions import png as pnglib
+    from docker_aktin_dwh_spark.functions import wav as wavlib
+
+    # short pixel buffer fails fast instead of silently truncating
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        pnglib.resize_nearest(b"\x01\x02", 4, 4, 1, 2, 2)
+    # zero sample rate is rejected at decode, not at stats division
+    fmt0 = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    p = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt0) + 8) + b"WAVE"
+         + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+         + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(ValueError, match="invalid fmt"):
+        wavlib.decode_wav(p)
