@@ -953,7 +953,8 @@ def mm_decode(spark, sf):
     nearest-neighbor → re-encode → decode back; stub resize retired
     r6), both recomputed analytically by the oracle from the synthesis
     contract."""
-    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < multimodal.PNG_SYNTH_DOCS))
     m = multimodal.as_media(d)
     feat = multimodal.decode_features(m)
     synth = multimodal.synth_png_media(d.select("doc_id"))

@@ -268,6 +268,9 @@ SQL_WAV_V = "(i * (doc_id % 5 + 2) + doc_id) % 201 - 100"
 #: doc cutoff for the mixed-modality mm_02 frame
 MM_MIXED_DOCS = 200
 
+#: doc cutoff for the mm_04 frame-sampling key
+MM_FRAME_DOCS = 200
+
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): real PNG bytes per doc — deterministic
@@ -494,7 +497,7 @@ def mm_03(spark, sf):
 
 def mm_04(spark, sf):
     """Frame sampling: payload → frame rows, JVM-side (hash-checked)."""
-    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < MM_FRAME_DOCS)
     return (frame_sample(as_media(d), every_n=2)
             .select("doc_id", "frame_idx",
                     F.md5(F.col("frame_bytes")).alias("frame_md5"))
@@ -566,7 +569,7 @@ _ORACLES = {
     "mm_04": (
         "WITH m AS (SELECT doc_id, text, "
         "octet_length(encode(text)) % 5 + 1 AS n_frames FROM documents "
-        "WHERE doc_id < 200) "
+        f"WHERE doc_id < {MM_FRAME_DOCS}) "
         "SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx, "
         "md5(substring(text, CAST(f.frame_idx * 8 + 1 AS INT), 8)) AS frame_md5 "
         "FROM m, LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f "

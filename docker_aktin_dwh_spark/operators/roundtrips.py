@@ -28,6 +28,26 @@ from ..streaming import broker
 T = catalog.load
 
 
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _snap_off_tmp(df, tmp: str):
+    """Snapshot ``df`` (localCheckpoint pins the partitions in executor
+    block storage, cutting lineage back to files under ``tmp``) and
+    remove the mkdtemp tree — the declared roundtrip keys run once per
+    sweep/bench invocation and must not each leak a directory
+    (streamnative's _materialized discipline)."""
+    from ..functions.barrier import materialize
+
+    try:
+        return materialize(df)
+    finally:
+        _rmtree(tmp)
+
+
 # -------------------------------------------------------- SRC-02: SQL script
 
 def src_02(spark, sf):
@@ -150,18 +170,24 @@ def ups_01(spark, sf):
     base = (catalog.visit_dimension(spark, sf)
             .filter(F.col("encounter_num") < 400)
             .select("encounter_num", "patient_num", "start_date", "inout_cd"))
-    path = tempfile.mkdtemp(prefix="spark_ups01_") + "/store"
-    upsert.write_initial(base, path)
-    batch = (base.filter((F.col("encounter_num") >= 100)
-                         & (F.col("encounter_num") < 200))
-             .select("encounter_num", "patient_num",
-                     (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
-                      .alias("start_date"),
-                     F.lit("U").alias("inout_cd")))
-    upsert.merge_upsert(spark, path, batch)
-    return (spark.read.parquet(path)
-            .select("encounter_num", "patient_num", "start_date", "inout_cd")
-            .orderBy("encounter_num"))
+    tmp = tempfile.mkdtemp(prefix="spark_ups01_")
+    try:
+        path = tmp + "/store"
+        upsert.write_initial(base, path)
+        batch = (base.filter((F.col("encounter_num") >= 100)
+                             & (F.col("encounter_num") < 200))
+                 .select("encounter_num", "patient_num",
+                         (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                          .alias("start_date"),
+                         F.lit("U").alias("inout_cd")))
+        upsert.merge_upsert(spark, path, batch)
+        return _snap_off_tmp(
+            spark.read.parquet(path)
+                 .select("encounter_num", "patient_num", "start_date",
+                         "inout_cd"), tmp).orderBy("encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
 
 
 def _ups_01_oracle() -> str:
@@ -193,14 +219,20 @@ def src_jsonl(spark, sf):
     to the JSONL shape."""
     d = (T(spark, sf, "documents").filter(F.col("doc_id") < 500)
          .select("doc_id", "lang", "source", "text"))
-    path = tempfile.mkdtemp(prefix="spark_jsonl_") + "/corpus"
-    (d.select(F.to_json(F.struct("doc_id", "lang", "source", "text"))
-               .alias("value"))
-      .write.mode("overwrite").text(path))
-    return (spark.read
-            .schema("doc_id bigint, lang string, source string, text string")
-            .json(path)
-            .orderBy("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_jsonl_")
+    try:
+        path = tmp + "/corpus"
+        (d.select(F.to_json(F.struct("doc_id", "lang", "source", "text"))
+                   .alias("value"))
+          .write.mode("overwrite").text(path))
+        return _snap_off_tmp(
+            spark.read
+                 .schema("doc_id bigint, lang string, source string, "
+                         "text string")
+                 .json(path), tmp).orderBy("doc_id")
+    except BaseException:
+        _rmtree(tmp)
+        raise
 
 
 _SRC_JSONL_ORACLE = ("SELECT doc_id, lang, source, text FROM documents "
@@ -217,13 +249,20 @@ def brk_01(spark, sf):
     a hash match certifies the request→execute→export path end to end
     (reference polls the AKTIN broker every PT1M, src/build.sh:255-256)."""
     base = tempfile.mkdtemp(prefix="spark_brk01_")
-    inbox, outbox = f"{base}/inbox", f"{base}/outbox"
-    broker.submit_request(inbox, "req1", "agg_01", sf)
-    statuses = broker.poll_once(spark, inbox, outbox)
-    assert statuses and statuses[0]["state"] == "completed", statuses
-    out = spark.read.option("multiLine", "true").json(f"{outbox}/req1.json")
-    return (out.select("o_orderstatus", F.col("n").cast("long").alias("n"))
-               .orderBy("o_orderstatus"))
+    try:
+        inbox, outbox = f"{base}/inbox", f"{base}/outbox"
+        broker.submit_request(inbox, "req1", "agg_01", sf)
+        statuses = broker.poll_once(spark, inbox, outbox)
+        assert statuses and statuses[0]["state"] == "completed", statuses
+        out = spark.read.option("multiLine", "true") \
+                   .json(f"{outbox}/req1.json")
+        return _snap_off_tmp(
+            out.select("o_orderstatus",
+                       F.col("n").cast("long").alias("n")),
+            base).orderBy("o_orderstatus")
+    except BaseException:
+        _rmtree(base)
+        raise
 
 
 _BRK_01_ORACLE = ("SELECT o_orderstatus, count(*) AS n FROM orders "
@@ -239,10 +278,6 @@ def src_orc(spark, sf):
     besides parquet.  Oracle = identity selection; a hash match proves
     types survive the format boundary (ORC's own type model, not
     parquet's)."""
-    import shutil
-
-    from ..functions.barrier import materialize
-
     o = (T(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
          .select("o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"))
@@ -250,10 +285,11 @@ def src_orc(spark, sf):
     try:
         path = base + "/orders"
         o.write.mode("overwrite").orc(path)
-        # snapshot off the temp tree so it can be removed immediately
-        return materialize(spark.read.orc(path)).orderBy("o_orderkey")
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        return _snap_off_tmp(spark.read.orc(path),
+                             base).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(base)
+        raise
 
 
 _SRC_ORC_ORACLE = (

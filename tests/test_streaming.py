@@ -542,3 +542,37 @@ def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
                      ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
     after = _hist_set(current_history(spark, hist_path))
     assert after == before
+
+
+def test_str12_outer_emission_contract(spark):
+    """Pin the outer-join watermark contract str_12's oracle relies on:
+    under availableNow Spark runs the final state-flush, so unmatched
+    left rows with a closed correlation horizon ARE in the sink, and
+    rows still inside the horizon at stream end are NOT (regression
+    canary if a Spark upgrade changes the final-batch behavior)."""
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.operators.streamnative import str_12
+
+    rows = str_12(spark, SF_SMOKE).collect()
+    matched = [r for r in rows if r.b_id is not None]
+    unmatched = [r for r in rows if r.b_id is None]
+    assert matched and unmatched, "fixture should produce both kinds"
+
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    import datetime
+    wm = (min(
+        ev.filter(F.col("event_type").isin("click", "view"))
+          .agg(F.max("ts")).first()[0],
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+          .agg(F.max("ts")).first()[0])
+        - datetime.timedelta(days=10))
+    horizon = datetime.timedelta(hours=2)
+    assert all(r.a_ts + horizon < wm for r in unmatched)
+    # completeness of the emitted-unmatched set: every eligible left
+    # row with no match inside the horizon appears exactly once
+    matched_a = {r.a_id for r in matched}
+    eligible = {r.event_id for r in
+                ev.filter(F.col("event_type").isin("click", "view"))
+                  .collect()
+                if r.ts + horizon < wm}
+    assert {r.a_id for r in unmatched} == eligible - matched_a
