@@ -741,6 +741,63 @@ reach(v, u) AS (
 SELECT v AS doc_id, min(u) AS cluster_rep FROM reach GROUP BY v ORDER BY v
 """
 
+def dupsel_01(spark, sf):
+    """Quality-based retention over near-dup clusters — the policy step
+    AFTER dupcc_01's clustering: instead of keep-first (min doc_id),
+    keep each cluster's LONGEST document (chars, ties on min doc_id) —
+    the usual "keep the most complete copy" rule of corpus dedup.
+
+    Shape: CC labels (iterative, vocab of dup nodes only) joined back
+    to doc lengths, then one argmin-style struct aggregation per
+    cluster — the window-free per-group argmax (min of
+    (-len, doc_id)), so no per-cluster ordered task.  Emits
+    (cluster_rep, keep_id, n_members, kept_chars)."""
+    docs = T(spark, sf, "documents")
+    labels = connected_components(
+        minhash_dedup_pairs(docs, JACCARD_THRESHOLD))
+    sized = (labels.join(docs.select(F.col("doc_id").alias("v"),
+                                     F.length("text").alias("chars")),
+                         "v"))
+    return (sized.groupBy(F.col("lbl").alias("cluster_rep"))
+            .agg(F.count("*").alias("n_members"),
+                 F.min(F.struct((-F.col("chars")).alias("neg"),
+                                F.col("v").alias("id"))).alias("best"))
+            .select("cluster_rep",
+                    F.col("best.id").alias("keep_id"),
+                    "n_members",
+                    (-F.col("best.neg")).alias("kept_chars"))
+            .orderBy("cluster_rep"))
+
+
+_DUPSEL_ORACLE = f"""
+WITH RECURSIVE
+t0 AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t0),
+pr AS (SELECT a.doc_id AS i, b.doc_id AS j
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             >= {JACCARD_THRESHOLD}),
+e AS (SELECT i AS v, j AS u FROM pr UNION SELECT j, i FROM pr),
+reach(v, u) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM e)
+  UNION
+  SELECT r.v, e2.u FROM reach r JOIN e e2 ON r.u = e2.v
+),
+cc AS (SELECT v, min(u) AS lbl FROM reach GROUP BY v),
+sized AS (SELECT cc.v, cc.lbl, length(d.text) AS chars
+          FROM cc JOIN documents d ON d.doc_id = cc.v),
+best AS (SELECT lbl, v, chars,
+                row_number() OVER (PARTITION BY lbl
+                                   ORDER BY chars DESC, v) AS rn,
+                count(*) OVER (PARTITION BY lbl) AS n_members
+         FROM sized)
+SELECT lbl AS cluster_rep, v AS keep_id, n_members,
+       CAST(chars AS INT) AS kept_chars
+FROM best WHERE rn = 1 ORDER BY cluster_rep
+"""
+
+
 _EMBED_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 2000)
@@ -782,6 +839,8 @@ _DOCS = {
     "dupcc_01": "Near-dup cluster assignment: iterative connected "
                 "components (min-label propagation) over the MinHash "
                 "pair graph",
+    "dupsel_01": "Quality-based dup retention: keep each cluster's "
+                 "longest document (window-free per-group argmax)",
     "ded_simhash": "SimHash planted-duplicate certification (band "
                    "pipeline must pair identical texts at Hamming 0)",
     "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
@@ -795,6 +854,7 @@ _ORACLES = {
     "ded_minhash": _MINHASH_ORACLE,
     "ded_incr": _INCR_ORACLE,
     "dupcc_01": _DUPCC_ORACLE,
+    "dupsel_01": _DUPSEL_ORACLE,
     # ded_simhash's hashed contract is the planted-duplicate invariant;
     # the raw signature-dependent pair set (ded_simhash_raw) stays
     # rows-only and is property-tested in tests/test_llmops.py.
