@@ -296,6 +296,83 @@ ORDER BY a_id, b_id NULLS LAST
 """
 
 
+def str13_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-13 frame: gap-based sessionization through
+    applyInPandasWithState with EVENT-TIME timeouts — the stateful
+    operator str_07 demonstrates, now driven by the real timer
+    machinery instead of inline closes only.  A session emits when a
+    later event opens the next one (inline) or when the watermark
+    passes last_event + gap (timer); per-user state is one open
+    session, bounded regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.stateful import (SESS_OUTPUT_SCHEMA,
+                                      SESS_STATE_SCHEMA, session_tracker)
+
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, 5, name="watch13")
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    stream = (src.withColumn("ts", F.col("ts").cast("timestamp"))
+                 .withWatermark("ts", "1 hour")
+                 .select("user_id", "ts", "event_id"))
+    out = (stream.groupBy("user_id")
+           .applyInPandasWithState(session_tracker, SESS_OUTPUT_SCHEMA,
+                                   SESS_STATE_SCHEMA, "append",
+                                   GroupStateTimeout.EventTimeTimeout))
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.timestamp_micros("start_us"))
+         .cast("timestamp_ntz").alias("sess_start"),
+        "n_events")
+
+
+def str_13(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-13 stateful sessionization with event-time timers,
+    streaming-native: 5 chronological chunks, one per trigger; the
+    committed sink holds every session closed inline by a successor
+    plus every tail session whose gap horizon the final watermark
+    passed.  Oracle = str_04's gaps-and-islands sessions filtered by
+    exactly that emission rule."""
+    base = tempfile.mkdtemp(prefix="spark_str13_")
+    try:
+        sessions = str13_stream(spark, sf, base)
+        snap = _materialized(_run_to_parquet(sessions, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("user_id", "sess_start", "n_events")
+
+
+_STR_13_ORACLE = """
+WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+      FROM b),
+g AS (SELECT user_id, seq,
+             CAST(date_trunc('second', min(ts)) AS TIMESTAMP)
+               AS sess_start,
+             max(ts) AS last_ts, count(*) AS n_events
+      FROM s GROUP BY 1, 2),
+m AS (SELECT user_id, max(seq) AS mx FROM g GROUP BY 1)
+SELECT user_id, sess_start, n_events
+FROM g JOIN m USING (user_id), w
+WHERE seq < mx OR last_ts + INTERVAL 30 MINUTE < wm
+ORDER BY user_id, sess_start, n_events
+"""
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -379,5 +456,10 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-12 stream-stream LEFT OUTER interval join: "
                        "null emission gated by the final watermark "
                        "(state-eviction contract in the oracle)"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_13", fn=str_13, oracle=_STR_13_ORACLE,
+                  doc=("STR-13 stateful sessionization with event-time "
+                       "timers (applyInPandasWithState + "
+                       "EventTimeTimeout) vs gaps-and-islands SQL"),
                   tags=("streaming",)),
     ]

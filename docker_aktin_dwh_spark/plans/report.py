@@ -61,7 +61,8 @@ def _streaming_sections(spark, sf_dir: str) -> list[str]:
     for key, builder in (("str_01", streamnative.str01_stream),
                          ("str_05", streamnative.str05_stream),
                          ("str_11", streamnative.str11_stream),
-                         ("str_12", _str12)):
+                         ("str_12", _str12),
+                         ("str_13", streamnative.str13_stream)):
         base = tempfile.mkdtemp(prefix=f"plans_{key}_")
         try:
             frame = builder(spark, sf_dir, base)

@@ -116,3 +116,56 @@ def encounter_state_machine_tws(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id")
             .transformWithStateInPandas(
                 EncounterProcessor(), OUTPUT_SCHEMA, "Update", "None"))
+
+
+# ------------------------------------------- event-time session tracker
+
+#: str_04's session gap, shared with the streaming-native str_13
+SESSION_GAP_MS = 30 * 60 * 1000
+
+SESS_STATE_SCHEMA = "start_us long, last_us long, n long"
+SESS_OUTPUT_SCHEMA = "user_id long, start_us long, n_events long"
+
+
+def session_tracker(key, pdfs, state: GroupState):
+    """Gap-based sessionizer with REAL event-time timeouts (STR-13):
+    a session closes inline when a later event of the same user opens
+    the next one (ts ≥ last + gap — str_04's exact boundary), or by
+    EventTimeTimeout once the watermark passes last + gap.  Sessions
+    still inside the gap horizon at stream end never emit — the same
+    stated-not-papered-over contract as str_12's outer join, encoded
+    in the oracle's WHERE.
+
+    The timeout timestamp is clamped one past the current watermark:
+    semantically free (a timer at ≤ watermark would fire immediately
+    anyway) and required by the state API, which rejects timestamps
+    not beyond the watermark."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        s, l, n = state.get
+        state.remove()
+        yield pd.DataFrame([{"user_id": user_id, "start_us": s,
+                             "n_events": n}])
+        return
+    s, l, n = state.get if state.exists else (None, None, 0)
+    gap_us = SESSION_GAP_MS * 1000
+    closed = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            us = ts.value // 1000          # pandas ns -> epoch us
+            if s is None:
+                s, l, n = us, us, 1
+            elif us >= l + gap_us:
+                closed.append((s, n))
+                s, l, n = us, us, 1
+            else:
+                l, n = us, n + 1
+    if s is not None:
+        state.update((s, l, n))
+        state.setTimeoutTimestamp(
+            max(l // 1000 + SESSION_GAP_MS,
+                state.getCurrentWatermarkMs() + 1))
+    if closed:
+        yield pd.DataFrame([{"user_id": user_id, "start_us": cs,
+                             "n_events": cn} for cs, cn in closed])
