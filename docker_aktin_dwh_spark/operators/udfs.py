@@ -112,6 +112,37 @@ def udf_05(spark, sf):
         "ORDER BY t.doc_id, t.idx")
 
 
+def _l2_arrow_batches(batches):
+    """mapInArrow kernel for udf_06 (module-level so tests can feed it
+    sliced / empty-list RecordBatches directly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        # float64 BEFORE the multiply: the column is float32 and a
+        # single-precision accumulation would drift from the
+        # oracle's CAST(x AS DOUBLE) sum
+        flat = (emb.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+        # flatten() re-bases values to the slice, but offsets stay
+        # raw — on a sliced RecordBatch (offset != 0) they'd
+        # misalign; re-base them too.  reduceat also returns the
+        # NEIGHBOR's element for an empty segment — mask those to 0.
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        if len(offs) > 1:
+            sq = np.add.reduceat(flat * flat, offs[:-1])
+            sq[np.diff(offs) == 0] = 0.0
+        else:
+            sq = np.array([])
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(np.round(np.sqrt(sq), 6),
+                           type=pa.float64())],
+            ["vec_id", "l2_norm"])
+
+
 def udf_06(spark, sf):
     """UDF-06: mapInArrow — the Arrow-NATIVE partition transform (no
     pandas materialization at all; pyarrow RecordBatches in and out).
@@ -120,28 +151,8 @@ def udf_06(spark, sf):
     Completes the Python ladder: pandas_udf (scalar) → applyInPandas
     (grouped) → mapInPandas (stream of DataFrames) → mapInArrow
     (stream of RecordBatches, no conversion overhead)."""
-    import numpy as np
-    import pyarrow as pa
-
-    def l2(batches):
-        for batch in batches:
-            ids = batch.column("vec_id")
-            emb = batch.column("embedding")
-            # float64 BEFORE the multiply: the column is float32 and a
-            # single-precision accumulation would drift from the
-            # oracle's CAST(x AS DOUBLE) sum
-            flat = (emb.flatten().to_numpy(zero_copy_only=False)
-                    .astype(np.float64))
-            offs = emb.offsets.to_numpy(zero_copy_only=False)
-            sq = np.add.reduceat(flat * flat, offs[:-1]) \
-                if len(offs) > 1 else np.array([])
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(np.round(np.sqrt(sq), 6),
-                               type=pa.float64())],
-                ["vec_id", "l2_norm"])
-
     e = T(spark, sf, "embeddings").select("vec_id", "embedding")
-    return (e.mapInArrow(l2, "vec_id long, l2_norm double")
+    return (e.mapInArrow(_l2_arrow_batches, "vec_id long, l2_norm double")
              .orderBy("vec_id"))
 
 

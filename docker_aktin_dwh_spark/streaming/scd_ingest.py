@@ -34,14 +34,20 @@ from ..operators.maintenance import scd2_apply
 
 
 def _prev_version(spark, history_path: str, current: int):
-    """Latest committed version other than ``current`` (replay
-    safety), or None before the first snapshot."""
+    """Latest committed version STRICTLY BEFORE ``current``, or None
+    before the first snapshot.
+
+    Strictly-before (not merely != current) is what makes a MID-history
+    replay safe: re-running batch 3 after batches 0..5 committed must
+    fold snapshot 3 onto version 2's history, not version 5's — reading
+    from the future would overwrite the version=3 partition with a
+    nonsensical fold even though the max-version head stayed correct."""
     if not os.path.isdir(history_path):
         return None
     hist = spark.read.parquet(history_path)
     versions = [r.version for r in
                 hist.select("version").distinct().collect()
-                if r.version != current]
+                if r.version < current]
     if not versions:
         return None
     return hist.filter(F.col("version") == max(versions)).drop("version")

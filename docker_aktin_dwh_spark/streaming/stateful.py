@@ -160,7 +160,12 @@ def session_tracker(key, pdfs, state: GroupState):
                 closed.append((s, n))
                 s, l, n = us, us, 1
             else:
-                l, n = us, n + 1
+                # A late-but-within-watermark event from a later
+                # micro-batch can arrive with us < l; absorbing it must
+                # never move the session's last-event time BACKWARDS
+                # (that would shrink the timeout horizon below events
+                # already absorbed).  Same monotone guard for start.
+                s, l, n = min(s, us), max(l, us), n + 1
     if s is not None:
         state.update((s, l, n))
         state.setTimeoutTimestamp(

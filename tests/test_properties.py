@@ -228,3 +228,122 @@ def test_pii_scrub_is_idempotent_and_complete(spark):
     assert row.changed == 0
     assert row.residual == 0
     assert row.had_pii > 0
+
+
+def test_l2_arrow_kernel_handles_sliced_and_empty_batches():
+    """ADVICE r6: the mapInArrow L2 kernel must survive a SLICED
+    RecordBatch (offset != 0 — flatten() re-bases values but raw
+    offsets would misalign reduceat) and an EMPTY embedding list
+    (reduceat would otherwise return the neighbor's element)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docker_aktin_dwh_spark.operators.udfs import _l2_arrow_batches
+
+    emb = pa.array([[3.0, 4.0], [], [5.0, 12.0], [8.0, 6.0]],
+                   type=pa.list_(pa.float32()))
+    ids = pa.array([10, 11, 12, 13], type=pa.int64())
+    full = pa.RecordBatch.from_arrays([ids, emb], ["vec_id", "embedding"])
+
+    (out_full,) = list(_l2_arrow_batches([full]))
+    assert out_full.column("l2_norm").to_pylist() == [5.0, 0.0, 13.0, 10.0]
+
+    # slice past the first row: offsets no longer start at 0
+    sliced = full.slice(1, 3)
+    (out,) = list(_l2_arrow_batches([sliced]))
+    assert out.column("vec_id").to_pylist() == [11, 12, 13]
+    assert out.column("l2_norm").to_pylist() == [0.0, 13.0, 10.0]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving session_tracker."""
+
+    def __init__(self, watermark_ms=0):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+        self._wm = watermark_ms
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_session_tracker_late_event_never_shrinks_timeout_horizon():
+    """ADVICE r6: a late-but-within-watermark event arriving in a LATER
+    micro-batch with ts < last must not move the session's last-event
+    time (and thus the timeout horizon) backwards."""
+    import pandas as pd
+
+    from docker_aktin_dwh_spark.streaming.stateful import (
+        SESSION_GAP_MS, session_tracker)
+
+    base_us = 1_700_000_000_000_000
+
+    def batch(ts_us_list):
+        return [pd.DataFrame({
+            "ts": pd.to_datetime([u * 1000 for u in ts_us_list]),
+            "event_id": range(len(ts_us_list))})]
+
+    st = _FakeGroupState()
+    # batch 1: events at t0 and t0+10min
+    late_gap = 10 * 60 * 1_000_000
+    list(session_tracker((1,), batch([base_us, base_us + late_gap]), st))
+    s1, l1, n1 = st.get
+    assert (s1, l1, n1) == (base_us, base_us + late_gap, 2)
+    horizon1 = st.timeout_ts
+
+    # batch 2: a LATE event 5 min before the current last
+    list(session_tracker((1,), batch([base_us + late_gap // 2]), st))
+    s2, l2, n2 = st.get
+    assert l2 == l1, "late event must not move last_us backwards"
+    assert n2 == 3 and s2 == s1
+    assert st.timeout_ts >= horizon1
+
+    # timeout fires -> exactly one session, all 3 events
+    st.hasTimedOut = True
+    out = list(session_tracker((1,), iter(()), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.start_us, row.n_events) == (1, base_us, 3)
+    assert not st.exists
+
+
+def test_session_tracker_gap_boundary_still_exact():
+    """The str_04 boundary contract (ts >= last + gap opens a new
+    session) is unchanged by the monotone-absorb fix."""
+    import pandas as pd
+
+    from docker_aktin_dwh_spark.streaming.stateful import (
+        SESSION_GAP_MS, session_tracker)
+
+    base_us = 1_700_000_000_000_000
+    gap_us = SESSION_GAP_MS * 1000
+    st = _FakeGroupState()
+    pdfs = [pd.DataFrame({
+        "ts": pd.to_datetime([base_us * 1000,
+                              (base_us + gap_us - 1) * 1000,
+                              (base_us + 2 * gap_us) * 1000]),
+        "event_id": [0, 1, 2]})]
+    out = list(session_tracker((7,), pdfs, st))
+    # first session closed inline (2 events), second still open in state
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.start_us, row.n_events) == (base_us, 2)
+    assert st.get == (base_us + 2 * gap_us, base_us + 2 * gap_us, 1)

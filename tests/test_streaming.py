@@ -543,6 +543,20 @@ def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
     after = _hist_set(current_history(spark, hist_path))
     assert after == before
 
+    # ADVICE r6: a MID-history replay (re-running batch 1 after
+    # batches 0..2 committed) must fold onto version 0 — not read from
+    # the future and corrupt the version=1 audit partition.
+    hist = spark.read.parquet(hist_path)
+    v1_before = _hist_set(
+        hist.filter(F.col("version") == 1).drop("version"))
+    process_snapshot(spark, _scd_snapshot(spark, 1), 1, hist_path,
+                     ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    hist = spark.read.parquet(hist_path)
+    v1_after = _hist_set(
+        hist.filter(F.col("version") == 1).drop("version"))
+    assert v1_after == v1_before
+    assert _hist_set(current_history(spark, hist_path)) == before
+
 
 def test_str12_outer_emission_contract(spark):
     """Pin the outer-join watermark contract str_12's oracle relies on:
