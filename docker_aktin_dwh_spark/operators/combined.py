@@ -1065,6 +1065,142 @@ def _llm_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+# ------------------------------------------------ round-7 final-wave family
+
+def fin_all(spark, sf):
+    """The round-6 final-wave batch extensions in one tagged union so
+    the driver window hash-certifies the last post-50 keys (VERDICT r6
+    item 1): quality-based dup retention (dupsel_01), hierarchical
+    sharded packing (pack_02), deterministic corpus shuffle (shuf_01),
+    train/val/test split (split_01), boilerplate detection (bplate_01),
+    the JSONL corpus roundtrip (src_jsonl), one-pass table profiling
+    (prof_01), k-anonymity suppression (priv_01), federated
+    partial-aggregate merge (fed_01), and the percentile-sketch
+    self-check (agg_12).  Branches reuse the fine-grained builders
+    verbatim; folding rules as maint_all (doubles as ROUND(x·10^k)
+    bigints, NULLs coalesced to literals — concat_ws silently drops
+    nulls, so every nullable column is wrapped; document text folded
+    through md5 so the union row stays one line)."""
+    from . import cohort, dedup, packing, relational as R, roundtrips
+    out = _tag(dedup.dupsel_01(spark, sf), "dupsel",
+               F.concat_ws("|", "cluster_rep", "keep_id", "n_members",
+                           "kept_chars"))
+    out = out.unionByName(_tag(
+        packing.pack_02(spark, sf), "pack2",
+        F.concat_ws("|", "source", "shard", "seq_id", "n_docs", "tokens",
+                    "first_doc")))
+    out = out.unionByName(_tag(
+        packing.shuf_01(spark, sf), "shuf",
+        F.concat_ws("|", "shard", "pos", "doc_id")))
+    out = out.unionByName(_tag(
+        packing.split_01(spark, sf), "split",
+        F.concat_ws("|", "lang", "split", "n_docs", "tokens")))
+    out = out.unionByName(_tag(
+        packing.bplate_01(spark, sf), "bplate",
+        F.concat_ws("|", "chunk_md5", "n_docs", "n_occurrences",
+                    "first_doc")))
+    out = out.unionByName(_tag(
+        roundtrips.src_jsonl(spark, sf), "jsonl",
+        F.concat_ws("|", "doc_id", "lang", "source", F.md5("text"))))
+    out = out.unionByName(_tag(
+        R.prof_01(spark, sf), "prof",
+        F.concat_ws("|", "col", "n_rows", "n_null", "n_distinct",
+                    "min_v", "max_v")))
+    out = out.unionByName(_tag(
+        cohort.priv_01(spark, sf), "priv",
+        F.concat_ws("|", "m", "inout_cd",
+                    F.coalesce(F.col("n").cast("string"), F.lit("supp")),
+                    F.col("suppressed").cast("string"))))
+    out = out.unionByName(_tag(
+        cohort.fed_01(spark, sf), "fed",
+        F.concat_ws("|", "o_orderstatus", "n",
+                    F.round(F.col("rev") * 100).cast("long"), "n_sites")))
+    out = out.unionByName(_tag(
+        relational.agg_12(spark, sf), "agg12",
+        F.concat_ws("|", "l_returnflag",
+                    F.round(F.col("exact_median") * 100).cast("long"),
+                    F.col("within_bound").cast("string"))))
+    return out.orderBy("tag", "v")
+
+
+def _fin_all_oracle() -> str:
+    from . import cohort, dedup, packing, relational as R, roundtrips
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("dupsel", cat("cluster_rep", "keep_id", "n_members", "kept_chars"),
+         dedup._DUPSEL_ORACLE),
+        ("pack2", cat("source", "shard", "seq_id", "n_docs", "tokens",
+                      "first_doc"), packing._PACK2_ORACLE),
+        ("shuf", cat("shard", "pos", "doc_id"), packing._SHUF_ORACLE),
+        ("split", cat("lang", "split", "n_docs", "tokens"),
+         packing._SPLIT_ORACLE),
+        ("bplate", cat("chunk_md5", "n_docs", "n_occurrences", "first_doc"),
+         packing._BPLATE_ORACLE),
+        ("jsonl", cat("doc_id", "lang", "source", "md5(text)"),
+         roundtrips._SRC_JSONL_ORACLE),
+        ("prof", cat("col", "n_rows", "n_null", "n_distinct", "min_v",
+                     "max_v"), R._prof_01_oracle()),
+        ("priv", cat("m", "inout_cd",
+                     "COALESCE(CAST(n AS VARCHAR), 'supp')", "suppressed"),
+         cohort._ORACLES["priv_01"]),
+        ("fed", cat("o_orderstatus", "n",
+                    "CAST(ROUND(rev * 100) AS BIGINT)", "n_sites"),
+         cohort._ORACLES["fed_01"]),
+        ("agg12", cat("l_returnflag",
+                      "CAST(ROUND(exact_median * 100) AS BIGINT)",
+                      "within_bound"), R._ORACLES["agg_12"]),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
+def str_out(spark, sf):
+    """The two round-6 streaming-native post-50 keys in one tagged
+    union so the driver certifies the LEFT OUTER stream–stream
+    watermark-eviction contract (str_12) and event-time-timer
+    sessionization (str_13) — VERDICT r6 item 1's streaming half.
+    Both branches run REAL readStream replays (chunked files, one per
+    trigger) exactly as the fine-grained keys do; timestamps fold
+    through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
+    on the naive timestamp renders the identical integer — the
+    microsecond-exact fold NOTES prescribes for cross-engine time)."""
+    from . import streamnative as SN
+    a = _tag(SN.str_12(spark, sf), "outer",
+             F.concat_ws(
+                 "|", "a_id",
+                 F.coalesce(F.col("b_id").cast("string"), F.lit("none")),
+                 "user_id",
+                 F.unix_micros(F.col("a_ts").cast("timestamp"))
+                  .cast("string"),
+                 F.coalesce(F.unix_micros(F.col("b_ts").cast("timestamp"))
+                             .cast("string"), F.lit("none"))))
+    b = _tag(SN.str_13(spark, sf), "sess",
+             F.concat_ws(
+                 "|", "user_id",
+                 F.unix_micros(F.col("sess_start").cast("timestamp"))
+                  .cast("string"), "n_events"))
+    return a.unionByName(b).orderBy("tag", "v")
+
+
+def _str_out_oracle() -> str:
+    from . import streamnative as SN
+    outer_v = ("CAST(a_id AS VARCHAR) || '|' || "
+               "COALESCE(CAST(b_id AS VARCHAR), 'none') || '|' || "
+               "CAST(user_id AS VARCHAR) || '|' || "
+               "CAST(epoch_us(a_ts) AS VARCHAR) || '|' || "
+               "COALESCE(CAST(epoch_us(b_ts) AS VARCHAR), 'none')")
+    sess_v = ("CAST(user_id AS VARCHAR) || '|' || "
+              "CAST(epoch_us(sess_start) AS VARCHAR) || '|' || "
+              "CAST(n_events AS VARCHAR)")
+    return (f"SELECT 'outer' AS tag, {outer_v} AS v "
+            f"FROM ({SN._STR_12_ORACLE})\n"
+            f"UNION ALL\nSELECT 'sess' AS tag, {sess_v} AS v "
+            f"FROM ({SN._STR_13_ORACLE})")
+
+
 # ------------------------------------------------------------------ registry
 
 _DOCS = {
@@ -1102,6 +1238,12 @@ _DOCS = {
     "mm_decode": "Multimodal decode (stub fallback lane, sha256-"
                  "reproducing oracle) + REAL stdlib-PNG pixel decode "
                  "and REAL nearest-neighbor resize vs analytic oracle",
+    "fin_all": "Round-6 final-wave batch tagged union (dupsel/pack2/"
+               "shuf/split/bplate/jsonl/prof/priv/fed/agg12) — "
+               "driver-certifies the last post-50 batch keys",
+    "str_out": "Streaming-native str_12 LEFT OUTER stream-stream join "
+               "+ str_13 event-time-timer sessionization tagged union "
+               "(driver-certified)",
 }
 
 
@@ -1133,6 +1275,8 @@ def specs() -> list[QuerySpec]:
         # mm_decode's pinned stub is sha256-pure → the oracle reproduces
         # it exactly; real pixel decode stays env-blocked (real_decode)
         "mm_decode": _MM_DECODE_ORACLE,
+        "fin_all": _fin_all_oracle(),
+        "str_out": _str_out_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

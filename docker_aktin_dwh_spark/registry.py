@@ -46,7 +46,12 @@ class QuerySpec:
 #: maintenance/federation family is driver-certified as well; then
 #: coh_enc+coh_tmp → coh_misc and udf_01+udf_04 → udf_px, freeing
 #: slots for ext_all (seq/ts/lm/orc/mapInArrow/pipe_03 union) and the
-#: streaming-native str_11 stream-stream join.
+#: streaming-native str_11 stream-stream join.  Round 7: ded_exact
+#: (semantics ⊂ pipe_03's exact-dedup stage, certified via ext_all's
+#: rel branch) → fin_all (dupsel/pack2/shuf/split/bplate/jsonl/prof/
+#: priv/fed/agg12 union) and mm_01 (⊂ mm_decode's stub lane) →
+#: str_out (streaming-native str_12 + str_13) — every registry key is
+#: now driver-certified or rows-only by declared design.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -55,10 +60,10 @@ CORE50 = (
     "str_win", "maint_all", "str_07", "str_01", "str_05",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "udf_02", "udf_tf", "str_11",
-    "ded_exact", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
+    "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
     "ded_embed",
     "ann_topk", "ann_lsh", "ann_ivf", "emb_01",
-    "text_all", "mm_01", "mm_04", "mm_decode",
+    "text_all", "str_out", "mm_04", "mm_decode",
     "pipe_01", "pipe_02",
 )
 assert len(CORE50) == 50 and len(set(CORE50)) == 50
