@@ -83,6 +83,7 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         out["scaling"] = scaling_section(spark, registry, sf_dir, timings)
+        out["streaming"] = streaming_section(spark, registry, sf_dir)
     print(json.dumps(out))
     spark.stop()
 
@@ -154,6 +155,63 @@ def scaling_section(spark, registry, sf_dir: str,
     if have_small:
         out["small_sec"] = small_sec
         out["slope_small_to_base"] = slope_small
+    return out
+
+
+#: streaming-native keys whose STATE-STORE posture the bench measures:
+#: the stream–stream join (state ∝ rows inside the watermark horizon)
+#: and timer sessionization (state ∝ open sessions ≤ distinct users).
+STREAM_QUERIES = ("str_11", "str_13")
+
+
+def streaming_section(spark, registry, sf_dir: str) -> dict:
+    """Streaming scale lane (VERDICT r6 item 2): replay str_11/str_13
+    under availableNow at the base sf and the R×-replica fixture, and
+    record wall-clock plus the state-store evidence from the query
+    progress (peak buffered rows/memory, watermark evictions,
+    micro-batch count).  The recorded booleans ARE the bounded-state
+    claim: eviction observed (the watermark really retires state) and,
+    for sessionization, peak state ≤ distinct users (one open session
+    per user).  Replicas multiply users with the time axis unchanged
+    (scalegen v2), so state is expected to scale with in-horizon rows
+    — the slope quantifies that."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".scale{SCALE_REPLICAS}x")
+    scale_dir = ensure_scale_fixture(spark, sf_dir, cache, SCALE_REPLICAS)
+
+    out: dict[str, dict] = {}
+    for key in STREAM_QUERIES:
+        fn = registry[key].fn
+        res: dict[str, object] = {}
+        for label, d in (("base", sf_dir), ("scaled", scale_dir)):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            sec = round(time.perf_counter() - t0, 3)
+            m = SN.state_metrics(SN.start_append_sink.last_progress)
+            ev = catalog.load(spark, d, "events")
+            m["sec"] = sec
+            m["eviction_observed"] = m["state_rows_removed"] > 0
+            if key == "str_13":
+                n_users = ev.select("user_id").distinct().count()
+                m["n_users"] = n_users
+                m["state_le_users"] = m["state_rows_max"] <= n_users
+            else:
+                n_join_rows = ev.filter(
+                    ev.event_type.isin("click", "view", "purchase",
+                                       "signup")).count()
+                m["join_input_rows"] = n_join_rows
+                m["state_lt_input"] = m["state_rows_max"] < n_join_rows
+            res[label] = m
+        res["slope_sec"] = round(
+            res["scaled"]["sec"] / max(res["base"]["sec"], 1e-9), 2)
+        res["slope_state_rows"] = round(
+            res["scaled"]["state_rows_max"]
+            / max(res["base"]["state_rows_max"], 1), 2)
+        out[key] = res
     return out
 
 

@@ -124,9 +124,46 @@ def start_append_sink(df: DataFrame, base: str):
                  .option("checkpointLocation", f"{base}/ckpt")
                  .outputMode("append").trigger(availableNow=True).start())
             q.awaitTermination()
+            # stash the replay's progress (micro-batch count + state-store
+            # rows/memory per stateOperator) for the bench's streaming
+            # scale lane — same module-attribute pattern as
+            # connected_components.last_rounds
+            start_append_sink.last_progress = _progress_dicts(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+def _progress_dicts(q) -> list[dict]:
+    """q.recentProgress normalized to plain dicts (PySpark returns
+    JSON strings on some versions, objects on others)."""
+    import json as _json
+    out = []
+    for p in (q.recentProgress or []):
+        if isinstance(p, str):
+            out.append(_json.loads(p))
+        elif isinstance(p, dict):
+            out.append(p)
+        else:                      # StreamingQueryProgress object
+            out.append(_json.loads(p.json))
+    return out
+
+
+def state_metrics(progress: list[dict]) -> dict:
+    """Aggregate state-store evidence over a replay's micro-batches:
+    the peak buffered row count / memory across state operators, total
+    evictions (rows removed when the watermark passed their horizon),
+    and the micro-batch count.  This is the 100 TB streaming claim made
+    measurable: bounded state ⇔ peak rows track the watermark horizon,
+    not the stream length."""
+    rows_max = mem_max = removed = 0
+    for p in progress:
+        for op in p.get("stateOperators", []) or []:
+            rows_max = max(rows_max, int(op.get("numRowsTotal", 0) or 0))
+            mem_max = max(mem_max, int(op.get("memoryUsedBytes", 0) or 0))
+            removed += int(op.get("numRowsRemoved", 0) or 0)
+    return {"state_rows_max": rows_max, "state_mem_max_bytes": mem_max,
+            "state_rows_removed": removed, "micro_batches": len(progress)}
 
 
 def _run_to_parquet(df: DataFrame, base: str) -> DataFrame:

@@ -590,3 +590,29 @@ def test_str12_outer_emission_contract(spark):
                   .collect()
                 if r.ts + horizon < wm}
     assert {r.a_id for r in unmatched} == eligible - matched_a
+
+
+def test_streaming_state_bounded_by_watermark(spark):
+    """The bench streaming lane's state-vs-watermark claims, pinned at
+    smoke scale: the sessionizer's peak state is one open session per
+    user at most, and both replays actually EVICT state as the
+    watermark advances (bounded state is the whole 100 TB streaming
+    posture — state tracks the horizon, not the stream length)."""
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    SN.str_13(spark, SF_SMOKE).count()
+    m13 = SN.state_metrics(SN.start_append_sink.last_progress)
+    n_users = (catalog.load(spark, SF_SMOKE, "events")
+               .select("user_id").distinct().count())
+    assert m13["state_rows_max"] <= n_users
+    assert m13["state_rows_removed"] > 0, "timer eviction never fired"
+    assert m13["micro_batches"] >= 5
+
+    SN.str_11(spark, SF_SMOKE).count()
+    m11 = SN.state_metrics(SN.start_append_sink.last_progress)
+    n_join = (catalog.load(spark, SF_SMOKE, "events")
+              .filter(F.col("event_type").isin(
+                  "click", "view", "purchase", "signup")).count())
+    assert 0 < m11["state_rows_max"] < n_join
+    assert m11["state_rows_removed"] > 0, "watermark eviction never fired"
