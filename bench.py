@@ -84,6 +84,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         out["scaling"] = scaling_section(spark, registry, sf_dir, timings)
         out["streaming"] = streaming_section(spark, registry, sf_dir)
+        out["skew"] = skew_section(spark, registry, sf_dir,
+                                   out["scaling"], out["streaming"])
     print(json.dumps(out))
     spark.stop()
 
@@ -212,6 +214,86 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
             res["scaled"]["state_rows_max"]
             / max(res["base"]["state_rows_max"], 1), 2)
         out[key] = res
+    return out
+
+
+def skew_section(spark, registry, sf_dir: str, scaling: dict,
+                 streaming: dict) -> dict:
+    """Skew lane (VERDICT r6 item 3): the same 10× fixture with hot
+    keys planted (one user holding 20% of interactions, one customer
+    holding 20% of orders — scalegen._plant_hot_keys) and the join
+    family re-measured there.  `hot_over_uniform` is the skew penalty:
+    hot-fixture seconds over the uniform-replica seconds already
+    measured this run (same data volume, only the key distribution
+    differs).  The salted-vs-unsalted A/B times the per-user event
+    aggregation both ways at the hot fixture — the operators/skew.py
+    mitigation measured where it matters, not argued."""
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.operators import skew as SK
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hot_dir = ensure_scale_fixture(
+        spark, sf_dir, os.path.join(here, f".scale{SCALE_REPLICAS}x_hot"),
+        SCALE_REPLICAS, hot=True)
+
+    def best_of(fn, d, n=2):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out: dict[str, dict] = {}
+    for key in ("jn_03", "cdc_01"):
+        hot_sec = best_of(registry[key].fn, hot_dir)
+        uni_sec = scaling["scaled_sec"][key]
+        out[key] = {"hot_sec": hot_sec, "uniform_sec": uni_sec,
+                    "hot_over_uniform": round(hot_sec / max(uni_sec, 1e-9),
+                                              2)}
+    t0 = time.perf_counter()
+    registry["str_11"].fn(spark, hot_dir).count()
+    hot_sec = round(time.perf_counter() - t0, 3)
+    m = SN.state_metrics(SN.start_append_sink.last_progress)
+    uni = streaming["str_11"]["scaled"]
+    out["str_11"] = {
+        "hot_sec": hot_sec, "uniform_sec": uni["sec"],
+        "hot_over_uniform": round(hot_sec / max(uni["sec"], 1e-9), 2),
+        "hot_state_rows_max": m["state_rows_max"],
+        "uniform_state_rows_max": uni["state_rows_max"],
+        "eviction_observed": m["state_rows_removed"] > 0}
+
+    # mitigation A/B: per-user event rollup (count + sum(value)), the
+    # agg that shuffles on the hot key.  salted_agg = partial agg on
+    # (user, salt) then merge on user — AQE cannot split a hash-agg
+    # partition, so this is the pattern that needs explicit salting.
+    ev = catalog.load(spark, hot_dir, "events")
+
+    def unsalted():
+        from pyspark.sql import functions as F
+        return (ev.groupBy("user_id")
+                  .agg(F.count("event_id").alias("n"),
+                       F.sum("value").alias("sv")))
+
+    def salted():
+        return SK.salted_agg(ev, ["user_id"],
+                             {"n": ("count", "event_id"),
+                              "sv": ("sum", "value")})
+
+    def tmin(mk, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            mk().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    u, s = tmin(unsalted), tmin(salted)
+    out["salted_agg_ab"] = {"unsalted_sec": u, "salted_sec": s,
+                            "salted_over_unsalted":
+                                round(s / max(u, 1e-9), 2)}
     return out
 
 

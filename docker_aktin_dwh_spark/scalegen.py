@@ -164,17 +164,55 @@ def plant_hot_phrase(docs: DataFrame, phrase: str = "hot hot hot",
          .otherwise(F.col("text")))
 
 
+#: hot-key planting fraction for the skew fixture: 1/HOT_DEN of the
+#: relevant rows land on ONE key (~20%) — the "one mega-customer /
+#: one bot user" shape that makes a single shuffle partition the
+#: straggler at 100 TB.
+HOT_DEN = 5
+
+
+def _plant_hot_keys(scaled: dict, ev_base, cu_base) -> dict:
+    """Skew mode (VERDICT r6 item 3): re-point ~1/HOT_DEN of rows at a
+    single hot key AFTER replication.
+
+    - events: one user absorbs 20% of all INTERACTIONS (click/view).
+      Interactions-only is deliberate: the hot user's own conversions
+      stay at base rate, so the stream–stream join's OUTPUT stays
+      bounded (pairs = own conversions × in-window interactions) while
+      its state partition holds 20% of the corpus — the straggler
+      shape without an output-cardinality blowup masking it.
+    - orders: one customer absorbs 20% of all orders (selection hashed
+      on the unique o_orderkey so it is layout-independent).
+
+    The hot ids are base-table minima, so they exist in every dim."""
+    hot_uid = int(ev_base.agg(F.min("user_id")).first()[0])
+    hot_cust = int(cu_base.agg(F.min("c_custkey")).first()[0])
+    ev = scaled["events"].withColumn(
+        "user_id",
+        F.when((F.pmod(F.xxhash64("event_id"), F.lit(HOT_DEN)) == 0)
+               & F.col("event_type").isin("click", "view"),
+               F.lit(hot_uid)).otherwise(F.col("user_id")))
+    od = scaled["orders"].withColumn(
+        "o_custkey",
+        F.when(F.pmod(F.xxhash64("o_orderkey"), F.lit(HOT_DEN)) == 0,
+               F.lit(hot_cust)).otherwise(F.col("o_custkey")))
+    return {**scaled, "events": ev, "orders": od}
+
+
 def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
-                         replicas: int = 10) -> str:
+                         replicas: int = 10, hot: bool = False) -> str:
     """Materialize (or reuse) the ``replicas``× fixture; returns
-    ``out_dir``, which :func:`catalog.load` can read like any sf dir."""
+    ``out_dir``, which :func:`catalog.load` can read like any sf dir.
+    ``hot=True`` additionally plants the hot keys (_plant_hot_keys) —
+    use a separate out_dir per mode; the marker dedupes per mode."""
     out = pathlib.Path(out_dir)
     marker = out / _MARKER
     if marker.exists():
         meta = json.loads(marker.read_text())
         if (meta.get("replicas") == replicas
                 and meta.get("base") == base_dir
-                and meta.get("scheme") == _SCHEME):
+                and meta.get("scheme") == _SCHEME
+                and meta.get("hot", False) == hot):
             return out_dir
     out.mkdir(parents=True, exist_ok=True)
 
@@ -196,6 +234,8 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
         "documents": _salt_text(_replicate(dc, rep, {"doc_id": dk})),
         "events": _replicate(ev, rep, {"event_id": ek, "user_id": uk}),
     }
+    if hot:
+        scaled = _plant_hot_keys(scaled, ev, cu)
     for name, df in scaled.items():
         (df.drop("_r").write.mode("overwrite")
            .parquet(str(out / f"{name}.parquet")))
@@ -204,5 +244,5 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
          .parquet(str(out / f"{name}.parquet")))
 
     marker.write_text(json.dumps({"replicas": replicas, "base": base_dir,
-                                  "scheme": _SCHEME}))
+                                  "scheme": _SCHEME, "hot": hot}))
     return out_dir

@@ -137,3 +137,79 @@ def test_salted_agg_equals_plain_at_scale(spark, scale_dir):
     s = {(r.o_custkey, r.n, round(r.total, 2)) for r in salted.collect()}
     p = {(r.o_custkey, r.n, round(r.total, 2)) for r in plain.collect()}
     assert s == p
+
+
+# --------------------------------------------------------------------
+# Hot-KEY fixture (VERDICT r6 item 3): one user holds ~20% of
+# interactions, one customer ~20% of orders — the bench skew lane's
+# generator, certified for both plant shape and result correctness.
+
+@pytest.fixture(scope="session")
+def hot_dir(spark, tmp_path_factory):
+    from conftest import SCALE_REPLICAS
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    out = str(tmp_path_factory.mktemp("skewfix") / "r3hot")
+    return ensure_scale_fixture(spark, SF_SMOKE, out, SCALE_REPLICAS,
+                                hot=True)
+
+
+def test_hot_fixture_plants_hot_keys(spark, hot_dir):
+    """The planted fractions are what the generator promises: one user
+    carries ~20% of interactions, one customer ~20% of orders; volumes
+    match the uniform fixture (only the key distribution changed)."""
+    ev = catalog.load(spark, hot_dir, "events")
+    inter = ev.filter(F.col("event_type").isin("click", "view"))
+    top = (inter.groupBy("user_id").count()
+           .orderBy(F.desc("count")).first())
+    frac = top["count"] / inter.count()
+    assert 0.15 <= frac <= 0.30, frac
+
+    o = catalog.load(spark, hot_dir, "orders")
+    topc = o.groupBy("o_custkey").count().orderBy(F.desc("count")).first()
+    cfrac = topc["count"] / o.count()
+    assert 0.15 <= cfrac <= 0.30, cfrac
+    base_ev = catalog.load(spark, SF_SMOKE, "events")
+    from conftest import SCALE_REPLICAS
+    assert ev.count() == base_ev.count() * SCALE_REPLICAS
+
+
+def test_str11_correct_under_hot_user(spark, hot_dir):
+    """Correctness under skew: the streaming stream–stream join at the
+    hot fixture must still equal the batch interval join exactly — a
+    hot state partition may be slow, it must never be wrong (premature
+    eviction / dropped matches under memory pressure)."""
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    got = {(r.a_id, r.b_id) for r in
+           SN.str_11(spark, hot_dir).collect()}
+    ev = catalog.load(spark, hot_dir, "events")
+    a = ev.filter(F.col("event_type").isin("click", "view")) \
+          .select(F.col("event_id").alias("a_id"), "user_id",
+                  F.col("ts").alias("a_ts"))
+    b = ev.filter(F.col("event_type").isin("purchase", "signup")) \
+          .select(F.col("event_id").alias("b_id"),
+                  F.col("user_id").alias("b_user"),
+                  F.col("ts").alias("b_ts"))
+    want = {(r.a_id, r.b_id) for r in
+            a.join(b, (F.col("user_id") == F.col("b_user"))
+                   & (F.col("b_ts") >= F.col("a_ts"))
+                   & (F.col("b_ts") <= F.col("a_ts")
+                      + F.expr("INTERVAL 2 HOURS"))).collect()}
+    assert got == want and got
+
+
+def test_salted_agg_plan_is_two_stage(spark, hot_dir):
+    """Plan pin for the mitigated path: salted_agg must execute as two
+    aggregation stages — a partial keyed on (user_id, __salt) that
+    spreads the hot key over salt buckets, then the merge keyed on
+    user_id alone — with the salt column absent from the output."""
+    ev = catalog.load(spark, hot_dir, "events")
+    df = skew.salted_agg(ev, ["user_id"],
+                         {"n": ("count", "event_id"),
+                          "sv": ("sum", "value")})
+    from docker_aktin_dwh_spark import plans
+    plan = plans.formatted_plan(df)
+    assert skew.SALT_COL in plan, "salt never reached the plan"
+    assert plan.count("HashAggregate") >= 4, plan.count("HashAggregate")
+    assert skew.SALT_COL not in df.columns
