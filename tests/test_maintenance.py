@@ -6,6 +6,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import SF_SMOKE
+
+from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.operators.maintenance import scd2_apply
 
 
@@ -108,3 +111,40 @@ def test_rollup_merge_equals_direct_aggregate(spark):
                      .alias("rev"))
                .collect()}
     assert got == direct and got
+
+
+def test_dq_fk_gate_broadcasts_at_fixture_scale(spark):
+    """The FK anti-join's size gate (VERDICT r6 item 4): at fixture
+    scale the dim is far below FK_BROADCAST_MAX_ROWS, so the executed
+    plan must broadcast it."""
+    from docker_aktin_dwh_spark import plans
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    plan = plans.formatted_plan(M.dq_01(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_dq_fk_gate_large_dim_path(spark):
+    """Force the large-dim arm (broadcast_max=0): the join must NOT
+    broadcast — and the violation count must equal the broadcast
+    path's (the gate changes strategy, never results)."""
+    from docker_aktin_dwh_spark import plans
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    o = catalog.load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey")
+    bad = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(-1))
+         .otherwise(F.col("o_custkey")))
+    cust = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"))
+
+    small = M.fk_violations(bad, cust, "o_custkey")
+    large = M.fk_violations(bad, cust, "o_custkey", broadcast_max=0)
+    plan_small = plans.formatted_plan(small)
+    plan_large = plans.formatted_plan(large)
+    assert "BroadcastHashJoin" in plan_small
+    assert "BroadcastHashJoin" not in plan_large, plan_large
+    assert "ShuffledHashJoin" in plan_large, plan_large
+    assert small.count() == large.count() > 0
