@@ -757,7 +757,9 @@ def _udf_px_oracle() -> str:
     from . import udfs
 
     def cat(*cols):
-        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        # STRING (not VARCHAR): both dialects accept it, so this oracle
+        # also runs verbatim on spark.sql (test_sql_surface)
+        return " || '|' || ".join(f"CAST({c} AS STRING)" for c in cols)
 
     O = udfs._ORACLES
     return (f"SELECT 'norm' AS tag, {cat('c_custkey', 'norm_name')} AS v "

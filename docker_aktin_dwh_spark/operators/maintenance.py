@@ -423,7 +423,7 @@ def rollup_01(spark, sf):
 
 
 _ROLLUP_ORACLE = """
-SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n,
+SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS m, count(*) AS n,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
          AS rev
 FROM orders GROUP BY 1 ORDER BY 1

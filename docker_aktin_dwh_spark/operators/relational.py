@@ -851,7 +851,8 @@ _ORACLES = {
                "FROM (SELECT p_partkey, string_split(p_type, ' ') AS t "
                "FROM part) ORDER BY p_partkey LIMIT 100"),
     "agg_12": ("SELECT l_returnflag, "
-               "ROUND(quantile_cont(l_extendedprice, 0.5), 2) "
+               "ROUND(CAST(percentile_cont(0.5) WITHIN GROUP "
+               "(ORDER BY l_extendedprice) AS DOUBLE), 2) "
                "AS exact_median, TRUE AS within_bound "
                "FROM lineitem GROUP BY l_returnflag"),
     "agg_11": ("SELECT COALESCE(o_orderstatus, 'ALL') AS s, "
@@ -987,13 +988,13 @@ def _prof_01_oracle() -> str:
     branches = []
     for c, kind in _PROF_COLS:
         if kind == "num":
-            mn = f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)"
-            mx = f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mn = f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS STRING)"
+            mx = f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS STRING)"
         elif kind == "ts":
-            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
-            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+            mn = f"substr(CAST(min({c}) AS STRING), 1, 19)"
+            mx = f"substr(CAST(max({c}) AS STRING), 1, 19)"
         else:
-            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+            mn, mx = f"CAST(min({c}) AS STRING)", f"CAST(max({c}) AS STRING)"
         branches.append(
             f"SELECT '{c}' AS col, count(*) AS n_rows, "
             f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "

@@ -28,7 +28,18 @@ ANSI_KEYS = sorted(
     "srt_01 srt_02 str_02 str_03 str_04 str_06 str_07 "
     "udf_01 udf_02 udf_04 win_01 win_02 win_03 win_04 win_05 win_06 "
     # r6 maintenance family: these oracles are dialect-portable too
-    "cdc_01 scd_01 dq_01 lay_01 src_orc"
+    "cdc_01 scd_01 dq_01 lay_01 src_orc "
+    # r7 sweep (VERDICT r6 item 5): every one of these already ran
+    # verbatim on spark.sql — including the consolidated CORE50 unions
+    # (flt_all/jn_misc/set_all/win_all/agg_olap/coh_*), the
+    # source/sink roundtrips, the streaming-native keys' batch oracles,
+    # and the ANN certifications
+    "agg_03 agg_olap ann_ivf ann_lsh brk_01 coh_enc coh_misc coh_panel "
+    "coh_tmp flt_all jn_misc set_all src_02 src_04 src_jsonl str_01 "
+    "str_05 str_08 str_tw win_all "
+    # r7 dual-dialect rewrites: STRING casts, substr-of-CAST timestamp
+    # rendering, percentile_cont WITHIN GROUP
+    "prof_01 rollup_01 agg_12 udf_px"
     .split())
 
 
