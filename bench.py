@@ -86,6 +86,8 @@ def main() -> None:
         out["streaming"] = streaming_section(spark, registry, sf_dir)
         out["skew"] = skew_section(spark, registry, sf_dir,
                                    out["scaling"], out["streaming"])
+        out["deep_scaling"] = deep_section(spark, registry, sf_dir,
+                                           out["scaling"])
     print(json.dumps(out))
     spark.stop()
 
@@ -294,6 +296,42 @@ def skew_section(spark, registry, sf_dir: str, scaling: dict,
     out["salted_agg_ab"] = {"unsalted_sec": u, "salted_sec": s,
                             "salted_over_unsalted":
                                 round(s / max(u, 1e-9), 2)}
+    return out
+
+
+#: third measured point for the WORST slopes (VERDICT r6 item 6):
+#: ded_minhash (6.65 at 10×) and pipe_03 (6.05) are the closest to
+#: linear; a 30× run shows whether the band-bucket join bends
+#: super-linear past the first decade.
+DEEP_REPLICAS = 30
+DEEP_QUERIES = ("ded_minhash", "pipe_03")
+
+
+def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
+    """One run each of the worst-slope queries at a 30× replica
+    fixture.  ``slope_10x_to_30x`` is the marginal ratio over the 3×
+    data step from the 10× fixture; ``marginal_linearity`` divides it
+    by 3 — below 1.0 the curve is still sub-linear in its SECOND
+    measured segment, i.e. the 10× slope was not hiding a bend."""
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    deep_dir = ensure_scale_fixture(
+        spark, sf_dir, os.path.join(here, f".scale{DEEP_REPLICAS}x"),
+        DEEP_REPLICAS)
+    out: dict[str, object] = {"replicas": DEEP_REPLICAS}
+    for key in DEEP_QUERIES:
+        t0 = time.perf_counter()
+        registry[key].fn(spark, deep_dir).count()
+        sec = round(time.perf_counter() - t0, 3)
+        base = scaling["base_sec"][key]
+        ten = scaling["scaled_sec"][key]
+        marginal = sec / max(ten, 1e-9)
+        out[key] = {
+            "sec": sec,
+            "slope_vs_base": round(sec / max(base, 1e-9), 2),
+            "slope_10x_to_30x": round(marginal, 2),
+            "marginal_linearity": round(marginal / 3.0, 2)}
     return out
 
 

@@ -114,24 +114,33 @@ def start_append_sink(df: DataFrame, base: str):
     choice made once per pipeline, not inherited from batch defaults.
     """
     spark = df.sparkSession
+
+    def run():
+        q = (df.writeStream.format("parquet")
+             .option("path", f"{base}/sink")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        # stash the replay's progress (micro-batch count + state-store
+        # rows/memory per stateOperator) for the bench's streaming
+        # scale lane — same module-attribute pattern as
+        # connected_components.last_rounds
+        start_append_sink.last_progress = _progress_dicts(q)
+        return q
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if int(prev) <= 8:
+        # already pinned session-wide (the tests session runs at 8):
+        # no conf churn needed, so replays from concurrent sweep
+        # threads can run WITHOUT the lock — serializing latency-bound
+        # availableNow replays was the r7 suite's wall-clock bottleneck
+        return run()
     with _SINK_LOCK:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            spark.conf.set("spark.sql.shuffle.partitions",
-                           str(min(int(prev), 8)))
-            q = (df.writeStream.format("parquet")
-                 .option("path", f"{base}/sink")
-                 .option("checkpointLocation", f"{base}/ckpt")
-                 .outputMode("append").trigger(availableNow=True).start())
-            q.awaitTermination()
-            # stash the replay's progress (micro-batch count + state-store
-            # rows/memory per stateOperator) for the bench's streaming
-            # scale lane — same module-attribute pattern as
-            # connected_components.last_rounds
-            start_append_sink.last_progress = _progress_dicts(q)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            return run()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return q
 
 
 def _progress_dicts(q) -> list[dict]:

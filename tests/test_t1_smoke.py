@@ -17,6 +17,14 @@ MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
                 "ded_incr", "jn_06", "set_04", "ann_lsh_raw", "ann_ivf_raw",
                 "dupcc_01"}
 
+#: heavy consolidated tagged unions whose EVERY branch is itself a
+#: fine-grained key in this sweep — smoking them again at sf0.001
+#: re-runs the same builders a second time for no new signal (they stay
+#: fully hash-checked at sf0.01 in test_t2_oracle); suite-time guard,
+#: VERDICT r6 item 7.
+SKIP_SMOKE = {"llm_all", "maint_all", "ext_all", "fin_all", "str_out"}
+SMOKE_KEYS = sorted(k for k in REGISTRY if k not in SKIP_SMOKE)
+
 
 @pytest.fixture(scope="module")
 def smoke_results(spark, request):
@@ -30,10 +38,10 @@ def smoke_results(spark, request):
         except Exception as e:
             return 0, -1, e
 
-    return pooled_key_results(request, sorted(REGISTRY), run)
+    return pooled_key_results(request, SMOKE_KEYS, run)
 
 
-@pytest.mark.parametrize("key", sorted(REGISTRY))
+@pytest.mark.parametrize("key", SMOKE_KEYS)
 def test_smoke(smoke_results, key):
     n_fields, n, err = smoke_results[key]
     if err is not None:
