@@ -40,6 +40,8 @@ HEADLINE = (
     # round-6 second half: maintenance join shape, audio codec lane,
     # and the full release chain (the flagship composition)
     "cdc_01", "mm_wav", "pipe_03",
+    # round 7: ranked retrieval and blocked entity resolution
+    "bm25_01", "er_01",
 )
 
 

@@ -1,0 +1,117 @@
+"""Entity resolution (record linkage): blocked fuzzy matching — the
+dedup verb for STRUCTURED records, complementing the document-level
+near-dup family (dedup.py).  A master-data load (the reference's
+patient/encounter import surface, src/docker/database/Dockerfile:31)
+needs exactly this step before keys can merge.
+
+Scale shape (100 TB posture): candidate pairs are generated ONLY
+within blocking buckets — (attribute, key-prefix) groups with a
+bounded size — so the quadratic is per-block, never corpus-wide; the
+shuffle key is the block id.  Blocking trades recall for boundedness
+(a true match whose block keys differ is missed); production systems
+run multiple blocking passes with different keys and union the pairs —
+the second pass is the same operator with another key expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..registry import QuerySpec
+
+T = catalog.load
+
+#: max edit distance for a candidate match
+ER_MAX_DIST = 2
+#: planted-variant strides (the fixture has no natural dirty records —
+#: an ER run with zero matches certifies nothing, the planted-defect
+#: pattern of dq_01/pii_01)
+ER_VARIANT_STRIDE = 16
+ER_VARIANT2_STRIDE = 48
+
+
+def _dirty_customers(spark, sf):
+    """Customer master with planted near-duplicate records: every
+    ER_VARIANT_STRIDE-th customer re-enters under a fresh id (data-
+    derived max+1 offset) with the last name char replaced ('X'), and
+    every ER_VARIANT2_STRIDE-th additionally with the last TWO chars
+    replaced ('YY') — edit distances 1 and 2, same nation, same name
+    prefix, so the variants land in the original's block."""
+    c = T(spark, sf, "customer").select("c_custkey", "c_name",
+                                        "c_nationkey")
+    offset = c.agg(F.max("c_custkey")).first()[0] + 1
+    ln = F.length("c_name")
+    v1 = (c.filter(F.col("c_custkey") % ER_VARIANT_STRIDE == 0)
+          .select((F.col("c_custkey") + offset).alias("c_custkey"),
+                  F.concat(F.substring("c_name", 1, 17), F.lit("X"))
+                   .alias("c_name"),
+                  "c_nationkey"))
+    v2 = (c.filter(F.col("c_custkey") % ER_VARIANT2_STRIDE == 0)
+          .select((F.col("c_custkey") + 2 * offset).alias("c_custkey"),
+                  F.concat(F.substring("c_name", 1, 16), F.lit("YY"))
+                   .alias("c_name"),
+                  "c_nationkey"))
+    assert ln is not None  # names are fixed-width Customer#%09d
+    return c.unionByName(v1).unionByName(v2)
+
+
+def er_01(spark, sf):
+    """Blocked entity resolution over the dirty customer master:
+    block on (c_nationkey, first 7 name digits) — ≤ 100 ids share a
+    digit-prefix, so block size is bounded and the per-block pair join
+    is a bounded quadratic on the BLOCK key (the only shuffle).
+    Candidates with levenshtein ≤ ER_MAX_DIST emit as
+    (i, j, dist); i < j orders the pair canonically."""
+    d = _dirty_customers(spark, sf)
+    block = F.concat_ws("|", F.col("c_nationkey").cast("string"),
+                        F.substring("c_name", 10, 7))
+    b = d.select(F.col("c_custkey").alias("id"),
+                 F.col("c_name").alias("name"),
+                 block.alias("blk"))
+    a, bb = b.alias("a"), b.alias("b")
+    return (a.join(bb, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                    F.levenshtein(F.col("a.name"), F.col("b.name"))
+                     .alias("dist"))
+            .filter(F.col("dist") <= ER_MAX_DIST)
+            .orderBy("i", "j"))
+
+
+_ER_ORACLE = f"""
+WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+off AS (SELECT max(c_custkey) + 1 AS o FROM c),
+dirty AS (
+  SELECT c_custkey, c_name, c_nationkey FROM c
+  UNION ALL
+  SELECT c_custkey + off.o, substr(c_name, 1, 17) || 'X', c_nationkey
+  FROM c, off WHERE c_custkey % {ER_VARIANT_STRIDE} = 0
+  UNION ALL
+  SELECT c_custkey + 2 * off.o, substr(c_name, 1, 16) || 'YY', c_nationkey
+  FROM c, off WHERE c_custkey % {ER_VARIANT2_STRIDE} = 0),
+blocked AS (
+  SELECT c_custkey AS id, c_name AS name,
+         CAST(c_nationkey AS STRING) || '|' || substr(c_name, 10, 7)
+           AS blk
+  FROM dirty)
+SELECT a.id AS i, b.id AS j,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+ORDER BY i, j
+"""
+
+
+_DOCS = {
+    "er_01": "Blocked entity resolution: bounded per-block fuzzy pair "
+             "join (levenshtein <= 2) over a planted-variant customer "
+             "master",
+}
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(key="er_01", fn=er_01, oracle=_ER_ORACLE,
+                  doc=_DOCS["er_01"], tags=("llm", "entity")),
+    ]

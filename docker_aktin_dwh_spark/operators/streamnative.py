@@ -482,8 +482,82 @@ GROUP BY 1
 """
 
 
+def str14_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-14 frame: Spark's NATIVE session_window
+    aggregation (dynamic gap-merged windows in the state store) — the
+    built-in counterpart to str_13's hand-rolled
+    applyInPandasWithState timers.  Same 30-minute gap, same
+    5-chunk chronological replay."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, 5, name="watch14")
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    return (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "1 hour")
+            .groupBy("user_id",
+                     F.session_window("ts_ltz", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.date_trunc("second", F.col("w.start"))
+                     .cast("timestamp_ntz").alias("sess_start"),
+                    "n_events"))
+
+
+def str_14(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-14 native session windows, streaming-native: append-mode
+    emission is purely WATERMARK-driven — a session reaches the sink
+    iff the final watermark passed its end (last event + gap); unlike
+    str_13's tracker, a session closed inline by a later event is NOT
+    emitted until the watermark confirms no late event can reopen it
+    (session windows MERGE on late data — that is the semantic
+    difference the two oracles' WHERE clauses state).  Tail sessions
+    inside the horizon at stream end never emit, same contract as
+    str_05/str_12/str_13."""
+    base = tempfile.mkdtemp(prefix="spark_str14_")
+    try:
+        sessions = str14_stream(spark, sf, base)
+        snap = _materialized(_run_to_parquet(sessions, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("user_id", "sess_start", "n_events")
+
+
+_STR_14_ORACLE = """
+WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+b AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR ts >= lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+      FROM b),
+g AS (SELECT user_id, seq,
+             CAST(date_trunc('second', min(ts)) AS TIMESTAMP)
+               AS sess_start,
+             max(ts) AS last_ts, count(*) AS n_events
+      FROM s GROUP BY 1, 2)
+SELECT user_id, sess_start, n_events
+FROM g, w
+WHERE last_ts + INTERVAL 30 MINUTE < wm
+ORDER BY user_id, sess_start, n_events
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(key="str_14", fn=str_14, oracle=_STR_14_ORACLE,
+                  doc=("STR-14 NATIVE session_window sessionization "
+                       "(gap-merged state-store windows), append-mode "
+                       "watermark emission vs gaps-and-islands SQL"),
+                  tags=("streaming",)),
         QuerySpec(key="str_01", fn=str_01, oracle=_STR_01_ORACLE,
                   doc=("STR-01 file streaming source + STR-08 enrich, "
                        "real availableNow replay (3 micro-batches)"),

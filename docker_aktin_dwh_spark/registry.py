@@ -70,15 +70,15 @@ assert len(CORE50) == 50 and len(set(CORE50)) == 50
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from .operators import (cohort, combined, dedup, maintenance,
-                            multimodal, packing, prep, relational,
-                            roundtrips, similarity, streamnative, textops,
-                            udfs)
+    from .operators import (cohort, combined, dedup, entity,
+                            maintenance, multimodal, packing, prep,
+                            relational, retrieval, roundtrips,
+                            similarity, streamnative, textops, udfs)
 
     collected: dict[str, QuerySpec] = {}
     for mod in (relational, cohort, udfs, dedup, similarity, textops,
                 multimodal, prep, combined, roundtrips, streamnative,
-                packing, maintenance):
+                packing, maintenance, retrieval, entity):
         for spec in mod.specs():
             if spec.key in collected:
                 raise ValueError(f"duplicate query key {spec.key}")

@@ -920,3 +920,44 @@ def test_codec_guards_reject_malformed_inputs():
          + b"data" + struct.pack("<I", 0))
     with _pytest.raises(ValueError, match="invalid fmt"):
         wavlib.decode_wav(p)
+
+
+def test_er_finds_every_planted_variant_pair(spark):
+    """Blocked ER recall on the planted defects: every variant record
+    must pair with its original at the planted edit distance (the
+    blocking key is designed to keep variants in the original's
+    block, so a miss means the blocking or distance gate broke)."""
+    from docker_aktin_dwh_spark.operators import entity as E
+
+    sf = SF_SMOKE
+    c = catalog.load(spark, sf, "customer")
+    offset = c.agg(F.max("c_custkey")).first()[0] + 1
+    pairs = {(r.i, r.j): r.dist for r in E.er_01(spark, sf).collect()}
+    planted1 = [k for k in range(0, offset - 1, E.ER_VARIANT_STRIDE)]
+    planted2 = [k for k in range(0, offset - 1, E.ER_VARIANT2_STRIDE)]
+    assert planted1 and planted2
+    for k in planted1:
+        assert pairs.get((k, k + offset)) == 1, f"variant of {k} missed"
+    for k in planted2:
+        assert pairs.get((k, k + 2 * offset)) == 2, \
+            f"2-char variant of {k} missed"
+
+
+def test_bm25_ranking_is_anchored(spark):
+    """BM25 sanity on the word-soup fixture: ranks are contiguous from
+    1, scores weakly decrease within a query, and the top doc for a
+    single term beats any doc without it (score > 0 filter)."""
+    from docker_aktin_dwh_spark.operators import retrieval as R
+
+    rows = R.bm25_01(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query, []).append(r)
+    assert set(by_q) == {q for q, _ in R.BM25_QUERIES}
+    for q, rs in by_q.items():
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(ranks) + 1)), q
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True), q
+        assert all(s > 0 for s in scores), q

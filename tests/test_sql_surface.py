@@ -39,7 +39,12 @@ ANSI_KEYS = sorted(
     "str_05 str_08 str_tw win_all "
     # r7 dual-dialect rewrites: STRING casts, substr-of-CAST timestamp
     # rendering, percentile_cont WITHIN GROUP
-    "prof_01 rollup_01 agg_12 udf_px"
+    "prof_01 rollup_01 agg_12 udf_px "
+    # r7 additions born dual-dialect: blocked entity resolution and the
+    # streaming-native batch oracles (stream-stream joins, timer and
+    # native session windows) — window functions + INTERVAL arithmetic
+    # parse identically on both engines
+    "er_01 str_11 str_12 str_13 str_14"
     .split())
 
 

@@ -616,3 +616,20 @@ def test_streaming_state_bounded_by_watermark(spark):
                   "click", "view", "purchase", "signup")).count())
     assert 0 < m11["state_rows_max"] < n_join
     assert m11["state_rows_removed"] > 0, "watermark eviction never fired"
+
+
+def test_native_session_window_emissions_subset_of_timer_tracker(spark):
+    """Contract pin for the two sessionization forms: str_14 (native
+    session_window) emits ONLY watermark-confirmed sessions, while
+    str_13 (timer tracker) also emits sessions closed inline by a
+    successor — so str_14's committed set must be a subset of
+    str_13's, and the difference must be exactly the inline-closed
+    sessions still inside the watermark horizon."""
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    s13 = {(r.user_id, r.sess_start, r.n_events)
+           for r in SN.str_13(spark, SF_SMOKE).collect()}
+    s14 = {(r.user_id, r.sess_start, r.n_events)
+           for r in SN.str_14(spark, SF_SMOKE).collect()}
+    assert s14 and s14 <= s13
