@@ -207,3 +207,32 @@ def test_pipe03_release_chain_never_nested_loops(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_topk_is_group_limited_not_cartesian(spark):
+    """bm25_01's plan: the only nested-loop is the 1-row stats attach
+    (BroadcastNestedLoopJoin with a single-row build side — the scalar
+    attach pattern), never a data×data cartesian; and both top-k
+    windows carry Spark's WindowGroupLimit pushdown, i.e. each
+    partition pre-limits to k before the final rank filter — the
+    per-shard top-k the two-phase design wants, enforced by the
+    optimizer too."""
+    from docker_aktin_dwh_spark.operators import retrieval
+
+    plan = plans.formatted_plan(retrieval.bm25_01(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 4, "documents scanned too often"
+    assert "WindowGroupLimit" in plan, "top-k not pushed into windows"
+
+
+def test_er_block_join_is_equi_join(spark):
+    """er_01's pair generation must join on the BLOCK key (equi-join —
+    broadcast at fixture scale, sort-merge at 100 TB), never a
+    cartesian over the master: blocking is what bounds the quadratic."""
+    from docker_aktin_dwh_spark.operators import entity
+
+    plan = plans.formatted_plan(entity.er_01(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
