@@ -70,7 +70,7 @@ assert len(CORE50) == 50 and len(set(CORE50)) == 50
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from .operators import (cohort, combined, dedup, entity,
+    from .operators import (cohort, combined, dedup, entity, graph,
                             maintenance, multimodal, packing, prep,
                             relational, retrieval, roundtrips,
                             similarity, streamnative, textops, udfs)
@@ -78,7 +78,7 @@ def build_registry() -> dict[str, QuerySpec]:
     collected: dict[str, QuerySpec] = {}
     for mod in (relational, cohort, udfs, dedup, similarity, textops,
                 multimodal, prep, combined, roundtrips, streamnative,
-                packing, maintenance, retrieval, entity):
+                packing, maintenance, retrieval, entity, graph):
         for spec in mod.specs():
             if spec.key in collected:
                 raise ValueError(f"duplicate query key {spec.key}")

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.operators import dedup, similarity
@@ -961,3 +961,25 @@ def test_bm25_ranking_is_anchored(spark):
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True), q
         assert all(s > 0 for s in scores), q
+
+
+def test_pagerank_conserves_mass_and_rewards_hubs(spark):
+    """PageRank invariants on the near-dup graph: total rank mass is 1
+    (symmetric graph has no dangling leak), every rank is positive,
+    and the max-degree node's rank is at least the component's mean
+    (hubs never rank below average)."""
+    from docker_aktin_dwh_spark.operators import graph as G
+
+    sf = SF_ORACLE
+    edges = G._dup_edges(spark, sf)
+    ranks = G.pagerank(edges)
+    rows = ranks.collect()
+    assert rows, "oracle fixture should yield near-dup pairs"
+    total = sum(r.pr for r in rows)
+    assert abs(total - 1.0) < 1e-4 * len(rows)
+    assert all(r.pr > 0 for r in rows)
+    deg = {r.src: r.n for r in
+           edges.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    hub = max(deg, key=deg.get)
+    pr = {r.v: r.pr for r in rows}
+    assert pr[hub] >= total / len(rows)

@@ -15,7 +15,7 @@ REGISTRY = build_registry()
 #: constructed-empty at tiny scale is fine for these (dup/near-dup sets)
 MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
                 "ded_incr", "jn_06", "set_04", "ann_lsh_raw", "ann_ivf_raw",
-                "dupcc_01"}
+                "dupcc_01", "pr_01"}
 
 #: heavy consolidated tagged unions whose EVERY branch is itself a
 #: fine-grained key in this sweep — smoking them again at sf0.001
