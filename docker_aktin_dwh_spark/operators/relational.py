@@ -395,6 +395,26 @@ def win_06(spark, sf):
              .orderBy("o_orderkey").limit(200))
 
 
+def win_07(spark, sf):
+    """WIN-07 time-RANGE frame: per-user rolling 24-hour event count
+    and value sum — the feature-engineering staple (rate features,
+    velocity checks) the ROWS frames of win_all can't express: the
+    frame is bounded by EVENT TIME distance, not row count.  Ordering
+    key is unix_micros (microsecond-exact on both engines, the NOTES
+    epoch rule), frame = RANGE [-24h, now] in microseconds.  One
+    shuffle on user_id; the frame never materializes more than the
+    horizon per user — bounded like a watermark."""
+    e = T(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_us = 24 * 3600 * 1_000_000
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-day_us, 0))
+    return (e.select("event_id", "user_id",
+                     F.count("*").over(w).cast("int").alias("n_24h"),
+                     F.round(F.sum("value").over(w), 2).alias("v_24h"))
+             .orderBy("event_id").limit(4000))
+
+
 # -------------------------------------------------------------- §2.6 SRT/SET
 
 def srt_01(spark, sf):
@@ -783,6 +803,13 @@ _ORACLES = {
                "ROUND(cume_dist() OVER (PARTITION BY o_orderpriority "
                "ORDER BY o_totalprice, o_orderkey), 6) AS cd "
                "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    "win_07": ("SELECT event_id, user_id, "
+               "CAST(count(*) OVER w AS INT) AS n_24h, "
+               "ROUND(SUM(value) OVER w, 2) AS v_24h "
+               "FROM events WINDOW w AS (PARTITION BY user_id "
+               "ORDER BY epoch_us(ts) "
+               "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) "
+               "ORDER BY event_id LIMIT 4000"),
     "srt_01": ("SELECT c_custkey FROM (SELECT c_custkey FROM customer "
                "ORDER BY c_acctbal DESC, c_custkey LIMIT 100)"),
     "srt_02": ("SELECT p_partkey, p_retailprice FROM part "
@@ -918,6 +945,8 @@ _DOCS = {
     "win_03": "WIN-03 running frame sum", "win_04": "WIN-04 last-per-group (max_by)",
     "win_05": "WIN-05 ntile",
     "win_06": "WIN-05 percent_rank / cume_dist",
+    "win_07": "WIN-07 time-RANGE frame: rolling 24h per-user count/sum "
+              "(event-time-bounded frame, the rate-feature shape)",
     "srt_01": "SRT-01 multi-key sort + limit", "srt_02": "SRT-02 top-k",
     "set_01": "SET-01 union all", "set_02": "SET-02 union distinct",
     "set_03": "SET-03 intersect", "set_04": "SET-04 except",

@@ -298,6 +298,42 @@ _SRC_ORC_ORACLE = (
     "ORDER BY o_orderkey")
 
 
+def src_evo(spark, sf):
+    """SRC-08 schema-evolution read: two landing batches written with
+    DIFFERENT schemas (batch 2 adds o_orderstatus — the column-added
+    migration every long-lived lake table goes through), read back as
+    ONE table via mergeSchema; rows from the old batch surface the new
+    column as NULL.  Oracle = the same union derivation in SQL, so the
+    hash certifies the merged read loses neither rows nor the old
+    batch's values.  At 100 TB this is the contract that lets a
+    pipeline add columns without rewriting history (the reference's
+    monthly re-imports changed the §21 schema across years the same
+    way, src/docker/database/Dockerfile:31)."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    base = tempfile.mkdtemp(prefix="spark_evo_")
+    try:
+        path = base + "/t"
+        (o.filter(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_totalprice")
+         .write.mode("overwrite").parquet(path + "/b=1"))
+        (o.filter(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_totalprice", "o_orderstatus")
+         .write.mode("overwrite").parquet(path + "/b=2"))
+        merged = (spark.read.option("mergeSchema", "true").parquet(path)
+                  .drop("b"))
+        return _snap_off_tmp(merged, base).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(base)
+        raise
+
+
+_SRC_EVO_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
 _DOCS = {
     "src_02": "SRC-02 SQL-script ingest (multi-statement run_sql_script)",
     "src_03": "SRC-03 CDA-XML shred roundtrip (mapInPandas parse)",
@@ -307,6 +343,8 @@ _DOCS = {
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
                "shape through the built-in ORC sink/source)",
+    "src_evo": "SRC-08 schema-evolution read: mergeSchema over batches "
+               "with added columns (old rows surface NULL)",
 }
 
 
@@ -319,6 +357,7 @@ def specs() -> list[QuerySpec]:
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,
         "src_orc": _SRC_ORC_ORACLE,
+        "src_evo": _SRC_EVO_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
