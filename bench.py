@@ -106,7 +106,13 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  # heavy-hitter shape, the full-outer maintenance join,
                  # and the event-analytics family (events replicate on
                  # user_id — R× users, identical per-user activity)
-                 "pipe_03", "hh_01", "cdc_01", "seq_01", "ts_01")
+                 "pipe_03", "hh_01", "cdc_01", "seq_01", "ts_01",
+                 # r7: ranked retrieval (corpus-stats + sharded top-k;
+                 # replica tokens are salted so only replica 0 matches
+                 # the query terms — the slope measures the scan/stats/
+                 # top-k machinery, which is the dominant cost), blocked
+                 # entity resolution, and the iterative PageRank
+                 "bm25_01", "er_01", "pr_01")
 SCALE_REPLICAS = 10
 
 
@@ -323,9 +329,16 @@ def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
         DEEP_REPLICAS)
     out: dict[str, object] = {"replicas": DEEP_REPLICAS}
     for key in DEEP_QUERIES:
-        t0 = time.perf_counter()
-        registry[key].fn(spark, deep_dir).count()
-        sec = round(time.perf_counter() - t0, 3)
+        # best-of-2: the FIRST run on a freshly-generated 30x fixture
+        # reads cold page cache and single-run noise on this VM is
+        # ±50% — one cold run misreported ded_minhash's marginal ratio
+        # as 4.3 when the steady state is 2.75 (sub-linear), measured
+        # 3 warm runs each r7
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[key].fn(spark, deep_dir).count()
+            sec = min(sec, round(time.perf_counter() - t0, 3))
         base = scaling["base_sec"][key]
         ten = scaling["scaled_sec"][key]
         marginal = sec / max(ten, 1e-9)
