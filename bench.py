@@ -171,9 +171,12 @@ def scaling_section(spark, registry, sf_dir: str,
 
 
 #: streaming-native keys whose STATE-STORE posture the bench measures:
-#: the stream–stream join (state ∝ rows inside the watermark horizon)
-#: and timer sessionization (state ∝ open sessions ≤ distinct users).
-STREAM_QUERIES = ("str_11", "str_13")
+#: the stream–stream join (state ∝ rows inside the watermark horizon),
+#: timer sessionization (state ∝ open sessions ≤ distinct users), and
+#: its JVM-native session_window counterpart (str_14 — same sessions,
+#: no Python worker in the loop; the str_13-vs-str_14 gap is the
+#: price of the Python stateful lane at scale).
+STREAM_QUERIES = ("str_11", "str_13", "str_14")
 
 
 def streaming_section(spark, registry, sf_dir: str) -> dict:
@@ -211,6 +214,12 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
                 n_users = ev.select("user_id").distinct().count()
                 m["n_users"] = n_users
                 m["state_le_users"] = m["state_rows_max"] <= n_users
+            elif key == "str_14":
+                # session_window state = sessions not yet past the
+                # watermark (possibly several per user inside the late
+                # horizon) — bounded by total events, the honest bound
+                m["state_lt_input"] = (m["state_rows_max"]
+                                       < ev.count())
             else:
                 n_join_rows = ev.filter(
                     ev.event_type.isin("click", "view", "purchase",
