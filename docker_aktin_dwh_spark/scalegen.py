@@ -62,8 +62,14 @@ COPIED_TABLES = ("nation", "region")
 
 _MARKER = "_SCALE_FIXTURE_OK.json"
 #: bump when the replicated-table set or scheme changes so cached
-#: fixtures regenerate
-_SCHEME = 2
+#: fixtures regenerate.  v3: customer names rewritten to match the
+#: offset keys — replicas had kept names verbatim, so every name
+#: appeared R times and the entity-resolution workload's TRUE pair
+#: count grew quadratically in R (er_01's 10× slope read 30×, which
+#: measured output growth, not engine behavior).  With unique names
+#: the per-replica name structure is identical to the base, which is
+#: how a real customer master scales.
+_SCHEME = 3
 
 
 def _stride(df: DataFrame, key: str) -> int:
@@ -227,10 +233,18 @@ def ensure_scale_fixture(spark: SparkSession, base_dir: str, out_dir: str,
     dk = _stride(dc, "doc_id")
     ek, uk = _stride(ev, "event_id"), _stride(ev, "user_id")
 
+    cust = _replicate(cu, rep, {"c_custkey": ck})
+    if "c_name" in cust.columns:
+        # keep names unique across replicas (scheme v3): the name IS
+        # the fixture's Customer#%09d rendering of the key
+        cust = cust.withColumn(
+            "c_name",
+            F.concat(F.lit("Customer#"),
+                     F.lpad(F.col("c_custkey").cast("string"), 9, "0")))
     scaled = {
         "lineitem": _replicate(li, rep, {"l_orderkey": ok}),
         "orders": _replicate(od, rep, {"o_orderkey": ok, "o_custkey": ck}),
-        "customer": _replicate(cu, rep, {"c_custkey": ck}),
+        "customer": cust,
         "documents": _salt_text(_replicate(dc, rep, {"doc_id": dk})),
         "events": _replicate(ev, rep, {"event_id": ek, "user_id": uk}),
     }
