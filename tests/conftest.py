@@ -15,6 +15,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 SCALE_REPLICAS = 3
 
+#: canonicalized smoke-scale builder results, shared across modules in
+#: one pytest session (suite-time guard): test_sql_surface computes
+#: each ANSI key's builder frame at SF_SMOKE anyway (it runs first in
+#: alphabetical module order), and test_t1_smoke only needs field/row
+#: counts — re-running ~97 builders, several of them full streaming
+#: replays, doubled that cost for no new signal.
+BUILDER_CACHE: dict = {}
+
 
 @pytest.fixture(scope="session")
 def scale_dir(spark, tmp_path_factory):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMOKE, pooled_key_results
+from conftest import BUILDER_CACHE, SF_SMOKE, pooled_key_results
 
 from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.registry import build_registry
@@ -71,6 +71,7 @@ def parity_results(spark, views, request):
         try:
             via_sql = _canon(spark.sql(spec.oracle))
             via_df = _canon(spec.fn(spark, SF_SMOKE))
+            BUILDER_CACHE[key] = via_df     # reused by the t1 smoke sweep
             return via_sql.shape == via_df.shape and via_sql.equals(via_df), None
         except Exception as e:
             return False, e
