@@ -97,7 +97,9 @@ def main() -> None:
 
     # non-headline keys whose scale story deserves plan evidence too
     extra = ("decon_01", "pack_01", "chunk_01", "mix_01", "ded_incr",
-             "hh_01", "lay_01", "scd_01", "fed_hll")
+             "hh_01", "lay_01", "scd_01", "fed_hll",
+             # r7: graph fixpoint, time-range frame, evolution read
+             "pr_01", "win_07", "src_evo")
 
     lines = [
         "# PLANS — physical-plan evidence (generated)",
