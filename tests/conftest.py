@@ -39,12 +39,12 @@ def spark():
     # 24 local cores / 12 sweep threads (was 16/8): the suite grew past
     # the 6-minute guard in r7 (605 tests) and the VM has 32 cores —
     # wall-clock is pool-bound, not core-bound, so widen both
-    s = build_session(app_name="tests", cpus=24, shuffle_partitions=8)
+    s = build_session(app_name="tests", cpus=28, shuffle_partitions=8)
     yield s
     s.stop()
 
 
-def pooled_key_results(request, keys, run, max_workers=12):
+def pooled_key_results(request, keys, run, max_workers=14):
     """Per-key sweep jobs through a thread pool, restricted to the keys
     whose parametrized tests were actually collected in this session —
     `-k some_key` computes one key, a full module run still gets pool

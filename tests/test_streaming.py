@@ -625,11 +625,18 @@ def test_native_session_window_emissions_subset_of_timer_tracker(spark):
     successor — so str_14's committed set must be a subset of
     str_13's, and the difference must be exactly the inline-closed
     sessions still inside the watermark horizon."""
-    from conftest import SF_SMOKE
+    from conftest import BUILDER_CACHE, SF_SMOKE
     from docker_aktin_dwh_spark.operators import streamnative as SN
 
-    s13 = {(r.user_id, r.sess_start, r.n_events)
-           for r in SN.str_13(spark, SF_SMOKE).collect()}
-    s14 = {(r.user_id, r.sess_start, r.n_events)
-           for r in SN.str_14(spark, SF_SMOKE).collect()}
+    def sessions(key, fn):
+        cached = BUILDER_CACHE.get(key)   # both keys are ANSI-swept —
+        if cached is not None:            # reuse the replay, don't redo it
+            # canonical frames sort columns by name:
+            # (n_events, sess_start, user_id)
+            return {tuple(r) for r in cached.itertuples(index=False)}
+        return {(r.n_events, r.sess_start, r.user_id)
+                for r in fn(spark, SF_SMOKE).collect()}
+
+    s13 = sessions("str_13", SN.str_13)
+    s14 = sessions("str_14", SN.str_14)
     assert s14 and s14 <= s13
