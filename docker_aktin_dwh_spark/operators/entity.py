@@ -24,6 +24,14 @@ T = catalog.load
 
 #: max edit distance for a candidate match
 ER_MAX_DIST = 2
+#: largest block the pair join may expand (the guarded-quadratic
+#: discipline of dedup.NGRAM_MAX_DF): a degenerate blocking attribute
+#: (all-identical names, an empty-string default) would make one block
+#: corpus-sized and the "bounded" quadratic corpus-wide.  10k rows →
+#: ≤ 5·10⁷ pairs per block, a bounded task; past that the guard raises
+#: and names the fix (longer prefix / second blocking pass) instead of
+#: silently running the blow-up.
+ER_MAX_BLOCK = 10_000
 #: planted-variant strides (the fixture has no natural dirty records —
 #: an ER run with zero matches certifies nothing, the planted-defect
 #: pattern of dq_01/pii_01)
@@ -56,25 +64,45 @@ def _dirty_customers(spark, sf):
     return c.unionByName(v1).unionByName(v2)
 
 
+def blocked_pairs(records, max_block: int = ER_MAX_BLOCK):
+    """Candidate pairs within blocks of a (id, name, blk) frame, with
+    the guarded-quadratic contract: if any block exceeds ``max_block``
+    rows the guard RAISES and names the refinement, instead of
+    silently running a corpus-sized join (a degenerate blocking
+    attribute — identical defaults, empty strings — is the classic
+    100 TB ER failure).  One aggregate checks the max block size; the
+    scalar is control-plane."""
+    biggest = (records.groupBy("blk").count()
+               .agg(F.max("count")).first()[0]) or 0
+    if biggest > max_block:
+        raise ValueError(
+            f"largest ER block has {biggest} rows (> {max_block}): the "
+            "blocking key is degenerate for this data — lengthen the "
+            "name prefix or add a second blocking pass, don't run the "
+            "quadratic")
+    a, bb = records.alias("a"), records.alias("b")
+    return (a.join(bb, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                    F.levenshtein(F.col("a.name"), F.col("b.name"))
+                     .alias("dist")))
+
+
 def er_01(spark, sf):
     """Blocked entity resolution over the dirty customer master:
     block on (c_nationkey, first 7 name digits) — ≤ 100 ids share a
     digit-prefix, so block size is bounded and the per-block pair join
-    is a bounded quadratic on the BLOCK key (the only shuffle).
-    Candidates with levenshtein ≤ ER_MAX_DIST emit as
-    (i, j, dist); i < j orders the pair canonically."""
+    is a bounded quadratic on the BLOCK key (the only shuffle),
+    enforced by blocked_pairs' raising guard.  Candidates with
+    levenshtein ≤ ER_MAX_DIST emit as (i, j, dist); i < j orders the
+    pair canonically."""
     d = _dirty_customers(spark, sf)
     block = F.concat_ws("|", F.col("c_nationkey").cast("string"),
                         F.substring("c_name", 10, 7))
     b = d.select(F.col("c_custkey").alias("id"),
                  F.col("c_name").alias("name"),
                  block.alias("blk"))
-    a, bb = b.alias("a"), b.alias("b")
-    return (a.join(bb, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
-                    F.levenshtein(F.col("a.name"), F.col("b.name"))
-                     .alias("dist"))
+    return (blocked_pairs(b)
             .filter(F.col("dist") <= ER_MAX_DIST)
             .orderBy("i", "j"))
 

@@ -983,3 +983,21 @@ def test_pagerank_conserves_mass_and_rewards_hubs(spark):
     hub = max(deg, key=deg.get)
     pr = {r.v: r.pr for r in rows}
     assert pr[hub] >= total / len(rows)
+
+
+def test_er_block_guard_raises_on_degenerate_blocking_key(spark):
+    """The blocked-pairs guard (ER_MAX_BLOCK): a degenerate blocking
+    attribute — every record sharing one block — must RAISE with the
+    refinement named, never run the corpus-sized quadratic; the same
+    data under the cap still answers."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.operators import entity as E
+
+    c = catalog.load(spark, SF_SMOKE, "customer").limit(200)
+    rec = c.select(F.col("c_custkey").alias("id"),
+                   F.col("c_name").alias("name"),
+                   F.lit("all-the-same").alias("blk"))
+    with _pytest.raises(ValueError, match="blocking"):
+        E.blocked_pairs(rec, max_block=100).count()
+    assert E.blocked_pairs(rec, max_block=500).count() > 0

@@ -347,3 +347,72 @@ def test_session_tracker_gap_boundary_still_exact():
     row = out[0].iloc[0]
     assert (row.start_us, row.n_events) == (base_us, 2)
     assert st.get == (base_us + 2 * gap_us, base_us + 2 * gap_us, 1)
+
+
+def test_session_tracker_matches_batch_sessions_for_any_batching():
+    """Hypothesis property: for ANY chronological partition of a
+    user's event sequence into micro-batches (arbitrary cut points,
+    arbitrary order WITHIN each batch), the tracker's emitted sessions
+    — inline closes plus the final timeout — equal batch
+    gaps-and-islands sessionization of the full sequence.  This is the
+    replay-equivalence contract str_13 certifies end-to-end, proven
+    here over the randomized batching space instead of one fixture."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docker_aktin_dwh_spark.streaming.stateful import (
+        SESSION_GAP_MS, session_tracker)
+
+    gap_us = SESSION_GAP_MS * 1000
+    base_us = 1_700_000_000_000_000
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=1, max_value=25))
+        # inter-event gaps up to 3× the session gap → plenty of splits
+        deltas = data.draw(st.lists(
+            st.integers(min_value=0, max_value=3 * gap_us),
+            min_size=n - 1, max_size=n - 1))
+        times = [base_us]
+        for d in deltas:
+            times.append(times[-1] + d)
+
+        # reference: batch gaps-and-islands over the sorted sequence
+        want, start, count, last = [], times[0], 1, times[0]
+        for t in times[1:]:
+            if t >= last + gap_us:
+                want.append((start, count))
+                start, count = t, 1
+            else:
+                count += 1
+            last = t
+        want.append((start, count))
+
+        # arbitrary chronological cut points; arbitrary order inside
+        cuts = sorted(data.draw(st.sets(
+            st.integers(min_value=1, max_value=max(n - 1, 1)),
+            max_size=min(n - 1, 6))))
+        bounds = [0] + [c for c in cuts if c < n] + [n]
+        st_state = _FakeGroupState()
+        got = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = times[lo:hi]
+            if not batch:
+                continue
+            perm = data.draw(st.permutations(batch))
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime([u * 1000 for u in perm]),
+                "event_id": range(len(perm))})
+            for out in session_tracker((1,), [pdf], st_state):
+                got += [(r.start_us, r.n_events)
+                        for r in out.itertuples(index=False)]
+        if st_state.exists:
+            st_state.hasTimedOut = True
+            for out in session_tracker((1,), iter(()), st_state):
+                got += [(r.start_us, r.n_events)
+                        for r in out.itertuples(index=False)]
+        assert got == want, (times, bounds)
+
+    run()
