@@ -321,7 +321,10 @@ def skew_section(spark, registry, sf_dir: str, scaling: dict,
 #: linear; a 30× run shows whether the band-bucket join bends
 #: super-linear past the first decade.
 DEEP_REPLICAS = 30
-DEEP_QUERIES = ("ded_minhash", "pipe_03")
+#: dupcc_01 rides along for its ROUND COUNT at 30× — the O(log
+#: diameter) claim's third point (2 rounds at 1×/10×; a diameter
+#: growing with replicas would show here first)
+DEEP_QUERIES = ("ded_minhash", "pipe_03", "dupcc_01")
 
 
 def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
@@ -356,6 +359,11 @@ def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
             "slope_vs_base": round(sec / max(base, 1e-9), 2),
             "slope_10x_to_30x": round(marginal, 2),
             "marginal_linearity": round(marginal / 3.0, 2)}
+        if key == "dupcc_01":
+            from docker_aktin_dwh_spark.operators.dedup import \
+                connected_components
+            out[key]["cc_rounds"] = getattr(connected_components,
+                                            "last_rounds", None)
     return out
 
 
