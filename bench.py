@@ -116,6 +116,18 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
 SCALE_REPLICAS = 10
 
 
+def best_of(thunk, n=2):
+    """min-of-n wall clock of thunk() — this VM has ±50% single-run
+    noise and the first touch of a freshly-written fixture reads cold
+    page cache, so every section times through this helper."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def scaling_section(spark, registry, sf_dir: str,
                     headline_sec: dict[str, float] | None = None) -> dict:
     from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
@@ -123,14 +135,6 @@ def scaling_section(spark, registry, sf_dir: str,
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".scale{SCALE_REPLICAS}x")
     scale_dir = ensure_scale_fixture(spark, sf_dir, cache, SCALE_REPLICAS)
-
-    def best_of(fn, d, n=2):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn(spark, d).count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
 
     # a second, smaller decade (sf0.01 -> sf0.1 is also 10x data) turns
     # the single ratio into a two-decade curve; consecutive consistent
@@ -148,17 +152,17 @@ def scaling_section(spark, registry, sf_dir: str,
         # reuse the headline best-of-3 where the key overlaps instead
         # of re-running the heaviest queries a 4th and 5th time
         base_sec[key] = ((headline_sec or {}).get(key)
-                         or best_of(fn, sf_dir))
+                         or best_of(lambda: fn(spark, sf_dir).count()))
         if key == "dupcc_01":
             cc_rounds["base"] = getattr(connected_components,
                                         "last_rounds", None)
-        scaled_sec[key] = best_of(fn, scale_dir)
+        scaled_sec[key] = best_of(lambda: fn(spark, scale_dir).count())
         if key == "dupcc_01":
             cc_rounds["scaled"] = getattr(connected_components,
                                           "last_rounds", None)
         slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
         if have_small:
-            small_sec[key] = best_of(fn, small_dir)
+            small_sec[key] = best_of(lambda: fn(spark, small_dir).count())
             slope_small[key] = round(
                 base_sec[key] / max(small_sec[key], 1e-9), 2)
     out = {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
@@ -257,17 +261,10 @@ def skew_section(spark, registry, sf_dir: str, scaling: dict,
         spark, sf_dir, os.path.join(here, f".scale{SCALE_REPLICAS}x_hot"),
         SCALE_REPLICAS, hot=True)
 
-    def best_of(fn, d, n=2):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn(spark, d).count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
-
     out: dict[str, dict] = {}
     for key in ("jn_03", "cdc_01"):
-        hot_sec = best_of(registry[key].fn, hot_dir)
+        fn = registry[key].fn
+        hot_sec = best_of(lambda: fn(spark, hot_dir).count())
         uni_sec = scaling["scaled_sec"][key]
         out[key] = {"hot_sec": hot_sec, "uniform_sec": uni_sec,
                     "hot_over_uniform": round(hot_sec / max(uni_sec, 1e-9),
@@ -301,15 +298,8 @@ def skew_section(spark, registry, sf_dir: str, scaling: dict,
                              {"n": ("count", "event_id"),
                               "sv": ("sum", "value")})
 
-    def tmin(mk, n=3):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            mk().count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
-
-    u, s = tmin(unsalted), tmin(salted)
+    u, s = (best_of(lambda: unsalted().count(), n=3),
+            best_of(lambda: salted().count(), n=3))
     out["salted_agg_ab"] = {"unsalted_sec": u, "salted_sec": s,
                             "salted_over_unsalted":
                                 round(s / max(u, 1e-9), 2)}
@@ -341,16 +331,11 @@ def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
         DEEP_REPLICAS)
     out: dict[str, object] = {"replicas": DEEP_REPLICAS}
     for key in DEEP_QUERIES:
-        # best-of-2: the FIRST run on a freshly-generated 30x fixture
-        # reads cold page cache and single-run noise on this VM is
-        # ±50% — one cold run misreported ded_minhash's marginal ratio
-        # as 4.3 when the steady state is 2.75 (sub-linear), measured
-        # 3 warm runs each r7
-        sec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            registry[key].fn(spark, deep_dir).count()
-            sec = min(sec, round(time.perf_counter() - t0, 3))
+        # best-of-2 (see best_of): one cold first run on the fresh 30x
+        # fixture misreported ded_minhash's marginal ratio as 4.3 when
+        # the steady state is 2.75 (sub-linear, 3 warm runs each, r7)
+        fn = registry[key].fn
+        sec = best_of(lambda: fn(spark, deep_dir).count())
         base = scaling["base_sec"][key]
         ten = scaling["scaled_sec"][key]
         marginal = sec / max(ten, 1e-9)

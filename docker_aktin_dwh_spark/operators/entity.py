@@ -49,7 +49,12 @@ def _dirty_customers(spark, sf):
     c = T(spark, sf, "customer").select("c_custkey", "c_name",
                                         "c_nationkey")
     offset = c.agg(F.max("c_custkey")).first()[0] + 1
-    ln = F.length("c_name")
+    # the substring surgery below depends on the fixture's fixed-width
+    # Customer#%09d names (18 chars); verify on the data, not a Column
+    wmin, wmax = c.agg(F.min(F.length("c_name")),
+                       F.max(F.length("c_name"))).first()
+    if not (wmin == wmax == 18):
+        raise ValueError(f"c_name not fixed-width 18: [{wmin}, {wmax}]")
     v1 = (c.filter(F.col("c_custkey") % ER_VARIANT_STRIDE == 0)
           .select((F.col("c_custkey") + offset).alias("c_custkey"),
                   F.concat(F.substring("c_name", 1, 17), F.lit("X"))
@@ -60,7 +65,6 @@ def _dirty_customers(spark, sf):
                   F.concat(F.substring("c_name", 1, 16), F.lit("YY"))
                    .alias("c_name"),
                   "c_nationkey"))
-    assert ln is not None  # names are fixed-width Customer#%09d
     return c.unionByName(v1).unionByName(v2)
 
 

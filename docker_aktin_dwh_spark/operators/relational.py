@@ -409,9 +409,13 @@ def win_07(spark, sf):
     day_us = 24 * 3600 * 1_000_000
     w = (Window.partitionBy("user_id").orderBy(us)
          .rangeBetween(-day_us, 0))
+    # frame sum decimal-routed (the dsum rule): a raw double SUM over
+    # the frame accumulates in engine-specific order and can flip a
+    # ROUND boundary between engines
+    vsum = F.sum(F.col("value").cast("decimal(18,4)")).over(w)
     return (e.select("event_id", "user_id",
                      F.count("*").over(w).cast("int").alias("n_24h"),
-                     F.round(F.sum("value").over(w), 2).alias("v_24h"))
+                     F.round(vsum, 2).cast("double").alias("v_24h"))
              .orderBy("event_id").limit(4000))
 
 
@@ -805,7 +809,8 @@ _ORACLES = {
                "FROM orders ORDER BY o_orderkey LIMIT 200"),
     "win_07": ("SELECT event_id, user_id, "
                "CAST(count(*) OVER w AS INT) AS n_24h, "
-               "ROUND(SUM(value) OVER w, 2) AS v_24h "
+               "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) "
+               "AS DOUBLE) AS v_24h "
                "FROM events WINDOW w AS (PARTITION BY user_id "
                "ORDER BY epoch_us(ts) "
                "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) "

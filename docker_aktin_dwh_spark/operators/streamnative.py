@@ -128,19 +128,25 @@ def start_append_sink(df: DataFrame, base: str):
         start_append_sink.last_progress = _progress_dicts(q)
         return q
 
+    # read the conf UNDER the lock: the slow path below holds the lock
+    # for its whole pin window, so a locked read can never observe a
+    # concurrent thread's temporary '8' and mistake it for the
+    # session-wide setting (the TOCTOU an unlocked read would have)
+    _SINK_LOCK.acquire()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if int(prev) <= 8:
         # already pinned session-wide (the tests session runs at 8):
         # no conf churn needed, so replays from concurrent sweep
         # threads can run WITHOUT the lock — serializing latency-bound
         # availableNow replays was the r7 suite's wall-clock bottleneck
+        _SINK_LOCK.release()
         return run()
-    with _SINK_LOCK:
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            return run()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        return run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _SINK_LOCK.release()
 
 
 def _progress_dicts(q) -> list[dict]:

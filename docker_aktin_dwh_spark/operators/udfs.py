@@ -132,11 +132,16 @@ def _l2_arrow_batches(batches):
         # NEIGHBOR's element for an empty segment — mask those to 0.
         offs = emb.offsets.to_numpy(zero_copy_only=False)
         offs = offs - offs[0]
-        if len(offs) > 1:
-            sq = np.add.reduceat(flat * flat, offs[:-1])
-            sq[np.diff(offs) == 0] = 0.0
-        else:
-            sq = np.array([])
+        # reduceat over the starts of NON-empty segments only: an
+        # empty trailing segment would put len(flat) in the index list
+        # (IndexError), and empty segments elsewhere would inherit the
+        # neighbor's sum — consecutive non-empty starts bound exactly
+        # one segment's elements because empties contribute none.
+        counts = np.diff(offs)
+        sq = np.zeros(counts.shape[0], dtype=np.float64)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            sq[nz] = np.add.reduceat(flat * flat, offs[:-1][nz])
         yield pa.RecordBatch.from_arrays(
             [ids, pa.array(np.round(np.sqrt(sq), 6),
                            type=pa.float64())],

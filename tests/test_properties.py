@@ -240,19 +240,28 @@ def test_l2_arrow_kernel_handles_sliced_and_empty_batches():
 
     from docker_aktin_dwh_spark.operators.udfs import _l2_arrow_batches
 
-    emb = pa.array([[3.0, 4.0], [], [5.0, 12.0], [8.0, 6.0]],
+    emb = pa.array([[3.0, 4.0], [], [5.0, 12.0], [8.0, 6.0], []],
                    type=pa.list_(pa.float32()))
-    ids = pa.array([10, 11, 12, 13], type=pa.int64())
+    ids = pa.array([10, 11, 12, 13, 14], type=pa.int64())
     full = pa.RecordBatch.from_arrays([ids, emb], ["vec_id", "embedding"])
 
     (out_full,) = list(_l2_arrow_batches([full]))
-    assert out_full.column("l2_norm").to_pylist() == [5.0, 0.0, 13.0, 10.0]
+    assert out_full.column("l2_norm").to_pylist() == [5.0, 0.0, 13.0,
+                                                     10.0, 0.0]
 
     # slice past the first row: offsets no longer start at 0
     sliced = full.slice(1, 3)
     (out,) = list(_l2_arrow_batches([sliced]))
     assert out.column("vec_id").to_pylist() == [11, 12, 13]
     assert out.column("l2_norm").to_pylist() == [0.0, 13.0, 10.0]
+
+    # all-empty batch: every norm 0, no crash
+    all_empty = pa.RecordBatch.from_arrays(
+        [pa.array([20, 21], type=pa.int64()),
+         pa.array([[], []], type=pa.list_(pa.float32()))],
+        ["vec_id", "embedding"])
+    (out_e,) = list(_l2_arrow_batches([all_empty]))
+    assert out_e.column("l2_norm").to_pylist() == [0.0, 0.0]
 
 
 class _FakeGroupState:
@@ -416,3 +425,36 @@ def test_session_tracker_matches_batch_sessions_for_any_batching():
         assert got == want, (times, bounds)
 
     run()
+
+
+def test_session_tracker_does_not_bridge_pre_start_silence():
+    """Review r7: a within-watermark late event a FULL gap before the
+    current session's start must become its own session — never merge
+    and silently bridge a >= gap silence; an in-gap pre-start event
+    DOES extend the session backwards (batch semantics)."""
+    import pandas as pd
+
+    from docker_aktin_dwh_spark.streaming.stateful import (
+        SESSION_GAP_MS, session_tracker)
+
+    gap_us = SESSION_GAP_MS * 1000
+    base_us = 1_700_000_000_000_000
+
+    def batch(ts_us_list):
+        return [pd.DataFrame({
+            "ts": pd.to_datetime([u * 1000 for u in ts_us_list]),
+            "event_id": range(len(ts_us_list))})]
+
+    st = _FakeGroupState()
+    list(session_tracker((1,), batch([base_us]), st))
+    # 45 min before start (gap = 30 min): its own closed session
+    out = list(session_tracker((1,), batch([base_us - gap_us * 3 // 2]),
+                               st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.start_us, row.n_events) == (base_us - gap_us * 3 // 2, 1)
+    assert st.get == (base_us, base_us, 1), "current session untouched"
+
+    # 15 min before start: extends the session backwards
+    list(session_tracker((1,), batch([base_us - gap_us // 2]), st))
+    assert st.get == (base_us - gap_us // 2, base_us, 2)

@@ -631,10 +631,12 @@ def test_native_session_window_emissions_subset_of_timer_tracker(spark):
     def sessions(key, fn):
         cached = BUILDER_CACHE.get(key)   # both keys are ANSI-swept —
         if cached is not None:            # reuse the replay, don't redo it
-            # canonical frames sort columns by name:
-            # (n_events, sess_start, user_id)
+            # canonical frames sort columns by name and stringify:
+            # (n_events, sess_start, user_id) as str
             return {tuple(r) for r in cached.itertuples(index=False)}
-        return {(r.n_events, r.sess_start, r.user_id)
+        # fallback mirrors _canon's string rendering so a mixed
+        # cached/uncached run still compares like-for-like
+        return {(str(r.n_events), str(r.sess_start), str(r.user_id))
                 for r in fn(spark, SF_SMOKE).collect()}
 
     s13 = sessions("str_13", SN.str_13)
