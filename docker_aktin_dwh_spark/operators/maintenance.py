@@ -357,6 +357,66 @@ def dq_01(spark, sf):
             .orderBy("check_name"))
 
 
+#: planted-outlier stride and factor for dq_02 (the planted-defect
+#: pattern: an outlier audit on clean data certifies nothing)
+DQ2_STRIDE = 997
+DQ2_FACTOR = 100.0
+
+
+def dq_02(spark, sf):
+    """Numeric outlier audit (the Tukey-fence data-quality check):
+    per-group exact quartiles, rows outside [q1 − 3·IQR, q3 + 3·IQR]
+    flagged, counts per group.  Outliers are GUARANTEED by injection
+    (every DQ2_STRIDE-th key's price × DQ2_FACTOR — far outside any
+    fence, so no boundary-ulp ambiguity enters the count).
+
+    Shape: one grouped percentile pass over the audited frame (exact
+    percentile needs the group sorted — at 100 TB swap for the
+    percentile_approx sketch, agg_12's mergeable path; the FENCE
+    arithmetic is unchanged) + one broadcast join of the tiny
+    per-group bounds frame back onto the scan."""
+    l = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber",
+                                        "l_returnflag", "l_extendedprice")
+    audited = l.withColumn(
+        "l_extendedprice",
+        F.when(l.l_orderkey % DQ2_STRIDE == 0,
+               l.l_extendedprice * DQ2_FACTOR)
+         .otherwise(l.l_extendedprice))
+    bounds = (audited.groupBy("l_returnflag")
+              .agg(F.percentile("l_extendedprice", 0.25).alias("q1"),
+                   F.percentile("l_extendedprice", 0.75).alias("q3")))
+    out = (F.col("l_extendedprice") < F.col("q1") - 3 * (F.col("q3")
+                                                         - F.col("q1"))) \
+        | (F.col("l_extendedprice") > F.col("q3") + 3 * (F.col("q3")
+                                                         - F.col("q1")))
+    return (audited.join(F.broadcast(bounds), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(out.cast("long")).alias("n_outliers"))
+            .orderBy("l_returnflag"))
+
+
+_DQ2_ORACLE = f"""
+WITH audited AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % {DQ2_STRIDE} = 0
+              THEN l_extendedprice * {DQ2_FACTOR}
+              ELSE l_extendedprice END AS price
+  FROM lineitem),
+bounds AS (
+  SELECT l_returnflag,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY price) AS q1,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY price) AS q3
+  FROM audited GROUP BY l_returnflag)
+SELECT a.l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN a.price < b.q1 - 3 * (b.q3 - b.q1)
+                       OR a.price > b.q3 + 3 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM audited a JOIN bounds b ON a.l_returnflag = b.l_returnflag
+GROUP BY a.l_returnflag ORDER BY a.l_returnflag
+"""
+
+
 _DQ_ORACLE = """
 WITH base AS (
   SELECT o_orderkey,
@@ -433,6 +493,7 @@ FROM orders GROUP BY 1 ORDER BY 1
 _ORACLES = {
     "cdc_01": _CDC_ORACLE,
     "dq_01": _DQ_ORACLE,
+    "dq_02": _DQ2_ORACLE,
     "rollup_01": _ROLLUP_ORACLE,
     "scd_01": _SCD_ORACLE,
     "lay_01": _LAY_ORACLE,
@@ -445,6 +506,8 @@ _DOCS = {
               "versioning folded from snapshot batches",
     "dq_01": "Data-quality constraint checks: PK/FK/null/range audit "
              "with planted-violation certification",
+    "dq_02": "Numeric outlier audit: per-group Tukey fences (exact "
+             "quartiles + 3*IQR) with planted-outlier certification",
     "rollup_01": "Continuous aggregate: materialized monthly rollup "
                  "merged with the fresh tail by partial-agg summation",
     "lay_01": "Partitioned layout roundtrip: cluster/compact writer + "

@@ -104,6 +104,72 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+#: temperature-sampling md5 resolution: keep-thresholds are integers
+#: out of 2^20 compared against the name's first 5 hex digits
+MIX2_BITS = 1 << 20
+
+
+def mix_02(spark, sf):
+    """Temperature-scaled mixture sampling (α = 0.5) — the standard
+    multilingual LLM rebalancing: target share ∝ p_l^α flattens the
+    language distribution, implemented as per-language keep rate
+    r_l = (p_min/p_l)^(1-α) = sqrt(min_count / n_l), so the
+    lowest-resource language keeps everything and high-resource
+    languages downsample toward equal footing.
+
+    Cross-engine exactness: α = 0.5 makes the rate a SQRT of an exact
+    integer ratio — IEEE sqrt is correctly rounded, so both engines
+    compute the identical double (no libm pow() ulp risk); the keep
+    decision is then an INTEGER compare of 20 md5 bits against
+    ROUND(r·2^20).  Deterministic on any layout (mix_01's md5
+    discipline), and the whole computation is one scan + one tiny
+    per-language stats frame broadcast back."""
+    d = catalog.load(spark, sf, "documents")
+    docs = d.select("doc_id", "lang",
+                    F.size(tokens("text")).alias("n_tok"))
+    stats = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    thr = stats.select(
+        "lang",
+        F.round(F.sqrt(F.min("n_l").over(Window.partitionBy())
+                       / F.col("n_l")) * MIX2_BITS)
+         .cast("long").alias("thr"))
+    bits = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 5), 16, 10).cast("long")
+    keep = bits < F.col("thr")
+    return (docs.join(F.broadcast(thr), "lang")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(keep.cast("long")).alias("n_kept"),
+                 F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+                  .alias("kept_tokens"),
+                 F.first("thr").alias("keep_thr"))
+            .orderBy("lang"))
+
+
+_MIX2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents),
+s AS (SELECT lang, count(*) AS n_l FROM t GROUP BY lang),
+thr AS (
+  SELECT lang,
+         CAST(ROUND(sqrt((SELECT min(n_l) FROM s) / CAST(n_l AS DOUBLE))
+                    * {MIX2_BITS}) AS BIGINT) AS thr
+  FROM s),
+k AS (
+  SELECT t.lang, t.n_tok, thr.thr,
+         ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 5))::BIGINT
+           < thr.thr AS keep
+  FROM t JOIN thr ON t.lang = thr.lang)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(min(thr) AS BIGINT) AS keep_thr
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 #: sliding-window chunking: window size / overlap in tokens (the
 #: doc → chunk step ahead of an embedding pass; emb_01 is the pooling
 #: step on the way back up)
@@ -390,6 +456,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec(key="mix_01", fn=mix_01, oracle=_MIX_ORACLE,
                   doc=("Mixture sampling: per-language hash-threshold "
                        "rates, reproducible across engines"),
+                  tags=("llm", "pipeline")),
+        QuerySpec(key="mix_02", fn=mix_02, oracle=_MIX2_ORACLE,
+                  doc=("Temperature-scaled mixture sampling (alpha=0.5): "
+                       "keep rate sqrt(min_count/n_l) per language — the "
+                       "multilingual rebalancing scheme; integer-exact "
+                       "md5-bit thresholds"),
                   tags=("llm", "pipeline")),
         QuerySpec(key="chunk_01", fn=chunk_01, oracle=_CHUNK_ORACLE,
                   doc=("Sliding-window doc chunking (128-token windows, "

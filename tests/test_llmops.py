@@ -1001,3 +1001,22 @@ def test_er_block_guard_raises_on_degenerate_blocking_key(spark):
     with _pytest.raises(ValueError, match="blocking"):
         E.blocked_pairs(rec, max_block=100).count()
     assert E.blocked_pairs(rec, max_block=500).count() > 0
+
+
+def test_mix2_temperature_flattens_language_distribution(spark):
+    """mix_02 semantics: keep rates are monotonically DECREASING in
+    language size (sqrt(min/n)), the smallest language keeps
+    everything, and the kept distribution is strictly flatter than the
+    raw one (max/min doc-count ratio shrinks)."""
+    from docker_aktin_dwh_spark.operators.packing import MIX2_BITS, mix_02
+
+    rows = mix_02(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    by_n = sorted(rows, key=lambda r: r.n_total)
+    assert by_n[0].keep_thr == MIX2_BITS          # smallest keeps all
+    assert by_n[0].n_kept == by_n[0].n_total
+    thrs = [r.keep_thr for r in by_n]
+    assert thrs == sorted(thrs, reverse=True), thrs
+    raw_ratio = by_n[-1].n_total / by_n[0].n_total
+    kept_ratio = by_n[-1].n_kept / max(by_n[0].n_kept, 1)
+    assert kept_ratio < raw_ratio

@@ -148,3 +148,15 @@ def test_dq_fk_gate_large_dim_path(spark):
     assert "BroadcastHashJoin" not in plan_large, plan_large
     assert "ShuffledHashJoin" in plan_large, plan_large
     assert small.count() == large.count() > 0
+
+
+def test_dq2_outlier_audit_counts_planted(spark):
+    """dq_02 non-vacuity: every planted 100x price is flagged — the
+    per-group outlier counts sum to at least the planted-row count."""
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    l = catalog.load(spark, SF_SMOKE, "lineitem")
+    planted = l.filter(F.col("l_orderkey") % M.DQ2_STRIDE == 0).count()
+    rows = M.dq_02(spark, SF_SMOKE).collect()
+    assert planted > 0 and rows
+    assert sum(r.n_outliers for r in rows) >= planted
