@@ -2,7 +2,7 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key; 176 keys as of round 7.
+               extensions), one callable per key; 178 keys as of round 7.
                The first 50 keys (registry.CORE50) cover every §2 row +
                the LLM extension inside the driver's verification window
                (SURVEY.md §2.0); fine-grained per-operator keys follow
@@ -10,7 +10,7 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                registry key is either covered by a CORE50 key (directly
                or via a tagged union reusing its builder verbatim) or
                rows-only by declared design.
-oracle_sql() — DuckDB-equivalent SQL per key, 170 keys (omitted only
+oracle_sql() — DuckDB-equivalent SQL per key, 172 keys (omitted only
                for the genuinely non-SQL-expressible operators: smp_02
                seeded sample, the raw-pair/raw-top-k ANN and SimHash
                variants (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw —
