@@ -425,6 +425,69 @@ ORDER BY user_id, sess_start, n_events
 """
 
 
+#: acceptance band for str_15's sketch (agg_03's 5·rsd discipline;
+#: approx_count_distinct default rsd ≈ 0.05, still exact in sparse
+#: mode at fixture cardinalities — the hash certifies the streaming
+#: sketch plumbing, the bound keeps the check real if fixtures grow)
+_STR15_RSD = 0.05
+
+
+def str15_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-15 frame: hourly distinct-user counts with the
+    HLL SKETCH living in the streaming state store — the 100 TB shape
+    for per-window cardinality (an exact distinct would buffer every
+    user id per window; the sketch keeps state at bytes-per-window,
+    and partial sketches merge across micro-batches exactly like
+    fed_hll's site merge)."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, 5, name="watch15")
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    return (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "10 days")
+            .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+            .agg(F.approx_count_distinct("user_id").alias("apx"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                    "apx"))
+
+
+def str_15(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-15 windowed approximate distinct, streaming-native: the
+    committed sink holds one sketch estimate per watermark-finalized
+    hour (str_05's append contract); the declared result joins the
+    batch-side EXACT distinct per emitted window and certifies
+    |apx − exact| ≤ 5·rsd·exact as a hashed boolean (the agg_03 /
+    fed_hll bounded-self-check pattern — the oracle states TRUE, so
+    the hash proves the streamed sketch stayed inside the band)."""
+    base = tempfile.mkdtemp(prefix="spark_str15_")
+    try:
+        est = str15_stream(spark, sf, base)
+        snap = _materialized(_run_to_parquet(est, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    ev = catalog.load(spark, sf, "events")
+    exact = (ev.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (snap.join(exact, "ws")
+            .select("ws", "exact_users",
+                    (F.abs(F.col("apx") - F.col("exact_users"))
+                     <= 5 * _STR15_RSD * F.col("exact_users"))
+                    .alias("within_bound"))
+            .orderBy("ws"))
+
+
+_STR_15_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+       count(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -563,6 +626,11 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-14 NATIVE session_window sessionization "
                        "(gap-merged state-store windows), append-mode "
                        "watermark emission vs gaps-and-islands SQL"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_15", fn=str_15, oracle=_STR_15_ORACLE,
+                  doc=("STR-15 windowed approximate distinct: HLL "
+                       "sketch in the streaming state store, bounded "
+                       "self-check vs batch exact per finalized window"),
                   tags=("streaming",)),
         QuerySpec(key="str_01", fn=str_01, oracle=_STR_01_ORACLE,
                   doc=("STR-01 file streaming source + STR-08 enrich, "
