@@ -179,8 +179,11 @@ def scaling_section(spark, registry, sf_dir: str,
 #: timer sessionization (state ∝ open sessions ≤ distinct users), and
 #: its JVM-native session_window counterpart (str_14 — same sessions,
 #: no Python worker in the loop; the str_13-vs-str_14 gap is the
-#: price of the Python stateful lane at scale).
-STREAM_QUERIES = ("str_11", "str_13", "str_14")
+#: price of the Python stateful lane at scale), and the windowed
+#: approx-distinct (str_15 — sketch state is PER WINDOW, so its state
+#: rows stay CONSTANT across the replica scale-up: the strongest
+#: bounded-state datum in the lane).
+STREAM_QUERIES = ("str_11", "str_13", "str_14", "str_15")
 
 
 def streaming_section(spark, registry, sf_dir: str) -> dict:
@@ -194,6 +197,8 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
     per user).  Replicas multiply users with the time axis unchanged
     (scalegen v2), so state is expected to scale with in-horizon rows
     — the slope quantifies that."""
+    from pyspark.sql import functions as F
+
     from docker_aktin_dwh_spark import catalog
     from docker_aktin_dwh_spark.operators import streamnative as SN
     from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
@@ -224,6 +229,14 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
                 # horizon) — bounded by total events, the honest bound
                 m["state_lt_input"] = (m["state_rows_max"]
                                        < ev.count())
+            elif key == "str_15":
+                # sketch state = one row per open hourly window — the
+                # event-volume-independent bound
+                n_hours = ev.select(
+                    F.date_trunc("hour", "ts")).distinct().count()
+                m["n_windows"] = n_hours
+                m["state_le_windows"] = (m["state_rows_max"]
+                                         <= n_hours)
             else:
                 n_join_rows = ev.filter(
                     ev.event_type.isin("click", "view", "purchase",
