@@ -61,13 +61,21 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING,
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iters):
+        # per-dst contribution sum DECIMAL-routed (the repo float-sum
+        # rule): a raw double SUM accumulates in partition order and
+        # the ROUND(pr, 6) certification could flip on a near-boundary
+        # value between engines; decimal addition is exact and
+        # order-independent, the per-term double→decimal cast is
+        # deterministic on both engines
         contrib = (e.join(ranks, e.src == ranks.v)
-                   .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+                   .select("dst", (F.col("pr") / F.col("deg"))
+                           .cast("decimal(38,18)").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("s")))
         ranks = materialize(
             nodes.join(contrib, nodes.v == contrib.dst, "left")
                  .select("v", (F.lit(base)
-                               + damping * F.coalesce("s", F.lit(0.0)))
+                               + damping * F.coalesce(
+                                   F.col("s").cast("double"), F.lit(0.0)))
                          .alias("pr")))
     return ranks.select("v", F.round("pr", 6).alias("pr"))
 
@@ -102,7 +110,8 @@ r{i} AS (
            + {PR_DAMPING} * COALESCE(c.s, 0.0) AS pr
   FROM nodes CROSS JOIN cnt
   LEFT JOIN (
-    SELECT e.dst, SUM({prev}.pr / deg.deg) AS s
+    SELECT e.dst,
+           SUM(CAST({prev}.pr / deg.deg AS DECIMAL(38,18))) AS s
     FROM e JOIN deg ON deg.src = e.src
            JOIN {prev} ON {prev}.v = e.src
     GROUP BY e.dst) c ON c.dst = nodes.v)""")

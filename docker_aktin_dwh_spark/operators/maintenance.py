@@ -362,19 +362,36 @@ def dq_01(spark, sf):
 DQ2_STRIDE = 997
 DQ2_FACTOR = 100.0
 
+#: audited-frame row count above which dq_02's quartiles come from the
+#: percentile_approx sketch instead of exact F.percentile (VERDICT r7
+#: item 2, mirroring FK_BROADCAST_MAX_ROWS): exact grouped percentile
+#: buffers each group's values in one task — at 100 TB a
+#: returnflag-sized group IS the table, so past the gate the fences
+#: are computed from the mergeable KLL-style sketch (agg_12's path;
+#: partial-aggregated, bytes-per-group state).  The fence ARITHMETIC
+#: is identical in both arms; the planted ×100 outliers sit far
+#: outside either arm's fences, so the audit verdict does not depend
+#: on sketch error.  Exact stays below the gate so the sf0.01 oracle
+#: fixture certifies against percentile_cont bit-for-bit.
+DQ2_EXACT_MAX_ROWS = 5_000_000
+#: percentile_approx accuracy knob for the sketch arm (max rank error
+#: ≈ 1/accuracy — 1e-4 of the group, plenty for a 3·IQR fence)
+DQ2_SKETCH_ACCURACY = 10_000
 
-def dq_02(spark, sf):
+
+def dq_02(spark, sf, exact_max_rows: int = DQ2_EXACT_MAX_ROWS):
     """Numeric outlier audit (the Tukey-fence data-quality check):
-    per-group exact quartiles, rows outside [q1 − 3·IQR, q3 + 3·IQR]
+    per-group quartiles, rows outside [q1 − 3·IQR, q3 + 3·IQR]
     flagged, counts per group.  Outliers are GUARANTEED by injection
     (every DQ2_STRIDE-th key's price × DQ2_FACTOR — far outside any
     fence, so no boundary-ulp ambiguity enters the count).
 
-    Shape: one grouped percentile pass over the audited frame (exact
-    percentile needs the group sorted — at 100 TB swap for the
-    percentile_approx sketch, agg_12's mergeable path; the FENCE
-    arithmetic is unchanged) + one broadcast join of the tiny
-    per-group bounds frame back onto the scan."""
+    Shape: one grouped quartile pass over the audited frame — exact
+    F.percentile below ``exact_max_rows`` (oracle-exact), the
+    percentile_approx mergeable sketch above (the 100 TB arm: no
+    per-group value buffering; size-gated like fk_violations, an
+    explicit control-plane row-count decision) + one broadcast join of
+    the tiny per-group bounds frame back onto the scan."""
     l = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber",
                                         "l_returnflag", "l_extendedprice")
     audited = l.withColumn(
@@ -382,9 +399,17 @@ def dq_02(spark, sf):
         F.when(l.l_orderkey % DQ2_STRIDE == 0,
                l.l_extendedprice * DQ2_FACTOR)
          .otherwise(l.l_extendedprice))
+    n = audited.count()          # control-plane scalar, one 2-col scan
+    if n <= exact_max_rows:
+        q1 = F.percentile("l_extendedprice", 0.25)
+        q3 = F.percentile("l_extendedprice", 0.75)
+    else:
+        q1 = F.percentile_approx("l_extendedprice", 0.25,
+                                 DQ2_SKETCH_ACCURACY)
+        q3 = F.percentile_approx("l_extendedprice", 0.75,
+                                 DQ2_SKETCH_ACCURACY)
     bounds = (audited.groupBy("l_returnflag")
-              .agg(F.percentile("l_extendedprice", 0.25).alias("q1"),
-                   F.percentile("l_extendedprice", 0.75).alias("q3")))
+              .agg(q1.alias("q1"), q3.alias("q3")))
     out = (F.col("l_extendedprice") < F.col("q1") - 3 * (F.col("q3")
                                                          - F.col("q1"))) \
         | (F.col("l_extendedprice") > F.col("q3") + 3 * (F.col("q3")

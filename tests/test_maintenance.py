@@ -160,3 +160,22 @@ def test_dq2_outlier_audit_counts_planted(spark):
     rows = M.dq_02(spark, SF_SMOKE).collect()
     assert planted > 0 and rows
     assert sum(r.n_outliers for r in rows) >= planted
+
+
+def test_dq2_percentile_gate_both_arms(spark):
+    """dq_02's quartile size gate (VERDICT r7 item 2, the
+    fk_violations discipline): below the gate the plan carries the
+    EXACT percentile, above it (forced with exact_max_rows=0) the
+    percentile_approx sketch — and the audit verdict is IDENTICAL in
+    both arms, because the planted ×100 outliers sit far outside
+    either arm's fences (the gate changes strategy, never results)."""
+    from docker_aktin_dwh_spark import plans
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    exact = M.dq_02(spark, SF_SMOKE)
+    sketch = M.dq_02(spark, SF_SMOKE, exact_max_rows=0)
+    p_exact = plans.formatted_plan(exact)
+    p_sketch = plans.formatted_plan(sketch)
+    assert "percentile(" in p_exact and "approx" not in p_exact, p_exact
+    assert "percentile_approx" in p_sketch, p_sketch
+    assert sorted(exact.collect()) == sorted(sketch.collect())
