@@ -37,6 +37,9 @@ ER_MAX_BLOCK = 10_000
 #: pattern of dq_01/pii_01)
 ER_VARIANT_STRIDE = 16
 ER_VARIANT2_STRIDE = 48
+#: er_02's pass-2-only variant: the edit lands INSIDE pass 1's
+#: blocking prefix, so single-pass blocking cannot recover it
+ER_VARIANT3_STRIDE = 80
 
 
 def _dirty_customers(spark, sf):
@@ -111,6 +114,89 @@ def er_01(spark, sf):
             .orderBy("i", "j"))
 
 
+def _dirty_customers_v3(spark, sf):
+    """er_02's master: er_01's dirty frame plus a pass-2-only planted
+    variant — every ER_VARIANT3_STRIDE-th customer re-enters with name
+    char 11 replaced ('Z'), an edit INSIDE pass 1's blocking prefix
+    (chars 10-16), so pass-1 blocking puts original and variant in
+    DIFFERENT blocks and the match is unrecoverable single-pass."""
+    base = _dirty_customers(spark, sf)
+    c = T(spark, sf, "customer").select("c_custkey", "c_name",
+                                        "c_nationkey")
+    offset = c.agg(F.max("c_custkey")).first()[0] + 1
+    v3 = (c.filter(F.col("c_custkey") % ER_VARIANT3_STRIDE == 0)
+          .select((F.col("c_custkey") + 3 * offset).alias("c_custkey"),
+                  F.concat(F.substring("c_name", 1, 10), F.lit("Z"),
+                           F.substring("c_name", 12, 7)).alias("c_name"),
+                  "c_nationkey"))
+    return base.unionByName(v3)
+
+
+#: the two blocking key expressions of er_02: pass 1 = er_01's
+#: (nation, name chars 10-16); pass 2 = (nation, name chars 13-18) —
+#: chosen so any single-char edit breaks at most one of the two keys
+ER_PASS_SUBSTRINGS = ((10, 7), (13, 6))
+
+
+def er_02(spark, sf):
+    """Two-pass blocked entity resolution (VERDICT r7 item 5 — the
+    multi-pass recall lever er_01's docstring names): candidate pairs
+    from TWO independent blocking keys, unioned and deduped on (i, j).
+    A true match whose edit falls inside one key's window still shares
+    the other key's block, so every planted variant (distance 1 at
+    char 18, distance 2 at chars 17-18, distance 1 at char 11) is
+    recovered — pass 1 alone provably misses the char-11 variant
+    (pinned in tests/test_llmops.py).  Each pass is the same bounded
+    per-block quadratic with the raising guard; the extra pass costs
+    one more shuffle on the second block key, never a bigger block."""
+    d = _dirty_customers_v3(spark, sf)
+    out = None
+    for start, length in ER_PASS_SUBSTRINGS:
+        block = F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"),
+            F.substring("c_name", start, length))
+        b = d.select(F.col("c_custkey").alias("id"),
+                     F.col("c_name").alias("name"),
+                     block.alias("blk"))
+        pairs = blocked_pairs(b).filter(F.col("dist") <= ER_MAX_DIST)
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct().orderBy("i", "j")
+
+
+def _er2_oracle() -> str:
+    passes = "\nUNION\n".join(
+        f"SELECT a.id AS i, b.id AS j, "
+        f"CAST(levenshtein(a.name, b.name) AS INT) AS dist "
+        f"FROM (SELECT c_custkey AS id, c_name AS name, "
+        f"      CAST(c_nationkey AS STRING) || '|' "
+        f"      || substr(c_name, {s}, {ln}) AS blk FROM dirty) a "
+        f"JOIN (SELECT c_custkey AS id, c_name AS name, "
+        f"      CAST(c_nationkey AS STRING) || '|' "
+        f"      || substr(c_name, {s}, {ln}) AS blk FROM dirty) b "
+        f"ON a.blk = b.blk AND a.id < b.id "
+        f"WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}"
+        for s, ln in ER_PASS_SUBSTRINGS)
+    return f"""
+WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+off AS (SELECT max(c_custkey) + 1 AS o FROM c),
+dirty AS (
+  SELECT c_custkey, c_name, c_nationkey FROM c
+  UNION ALL
+  SELECT c_custkey + off.o, substr(c_name, 1, 17) || 'X', c_nationkey
+  FROM c, off WHERE c_custkey % {ER_VARIANT_STRIDE} = 0
+  UNION ALL
+  SELECT c_custkey + 2 * off.o, substr(c_name, 1, 16) || 'YY', c_nationkey
+  FROM c, off WHERE c_custkey % {ER_VARIANT2_STRIDE} = 0
+  UNION ALL
+  SELECT c_custkey + 3 * off.o,
+         substr(c_name, 1, 10) || 'Z' || substr(c_name, 12, 7),
+         c_nationkey
+  FROM c, off WHERE c_custkey % {ER_VARIANT3_STRIDE} = 0)
+{passes}
+ORDER BY i, j
+"""
+
+
 _ER_ORACLE = f"""
 WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
 off AS (SELECT max(c_custkey) + 1 AS o FROM c),
@@ -139,6 +225,9 @@ _DOCS = {
     "er_01": "Blocked entity resolution: bounded per-block fuzzy pair "
              "join (levenshtein <= 2) over a planted-variant customer "
              "master",
+    "er_02": "Two-pass blocked entity resolution: pairs unioned from "
+             "two independent blocking keys recover a variant whose "
+             "edit breaks pass 1's block (the multi-pass recall lever)",
 }
 
 
@@ -146,4 +235,6 @@ def specs() -> list[QuerySpec]:
     return [
         QuerySpec(key="er_01", fn=er_01, oracle=_ER_ORACLE,
                   doc=_DOCS["er_01"], tags=("llm", "entity")),
+        QuerySpec(key="er_02", fn=er_02, oracle=_er2_oracle(),
+                  doc=_DOCS["er_02"], tags=("llm", "entity")),
     ]

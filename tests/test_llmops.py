@@ -943,6 +943,39 @@ def test_er_finds_every_planted_variant_pair(spark):
             f"2-char variant of {k} missed"
 
 
+def test_er2_second_pass_recovers_what_pass1_misses(spark):
+    """The multi-pass recall lever (VERDICT r7 item 5): the char-11
+    variant's edit falls INSIDE pass 1's blocking prefix, so
+    single-pass blocking provably misses it (asserted on a pass-1-only
+    run over the same dirty frame), while er_02's second blocking key
+    recovers every one at distance 1 — and er_02 still finds all of
+    er_01's planted pairs."""
+    from docker_aktin_dwh_spark.operators import entity as E
+
+    sf = SF_SMOKE
+    c = catalog.load(spark, sf, "customer")
+    offset = c.agg(F.max("c_custkey")).first()[0] + 1
+    planted3 = [k for k in range(0, offset - 1, E.ER_VARIANT3_STRIDE)]
+    assert planted3
+
+    d = E._dirty_customers_v3(spark, sf)
+    s, ln = E.ER_PASS_SUBSTRINGS[0]
+    block1 = F.concat_ws("|", F.col("c_nationkey").cast("string"),
+                         F.substring("c_name", s, ln))
+    pass1 = {(r.i, r.j) for r in E.blocked_pairs(
+        d.select(F.col("c_custkey").alias("id"),
+                 F.col("c_name").alias("name"), block1.alias("blk")))
+        .filter(F.col("dist") <= E.ER_MAX_DIST).collect()}
+    both = {(r.i, r.j): r.dist for r in E.er_02(spark, sf).collect()}
+    for k in planted3:
+        assert (k, k + 3 * offset) not in pass1, \
+            f"pass 1 unexpectedly blocked the char-11 variant of {k}"
+        assert both.get((k, k + 3 * offset)) == 1, \
+            f"pass 2 missed the char-11 variant of {k}"
+    er1 = {(r.i, r.j) for r in E.er_01(spark, sf).collect()}
+    assert er1 <= set(both)
+
+
 def test_bm25_ranking_is_anchored(spark):
     """BM25 sanity on the word-soup fixture: ranks are contiguous from
     1, scores weakly decrease within a query, and the top doc for a
