@@ -216,12 +216,15 @@ def test_bm25_topk_is_group_limited_not_cartesian(spark):
     windows carry Spark's WindowGroupLimit pushdown, i.e. each
     partition pre-limits to k before the final rank filter — the
     per-shard top-k the two-phase design wants, enforced by the
-    optimizer too."""
+    optimizer too.  Since the r8 materialize A/B, the tokenized tf
+    frame is checkpointed once — the downstream plan reads the
+    materialized partitions and must NOT re-scan the documents parquet
+    at all (the single-tokenization claim, visible in the plan)."""
     from docker_aktin_dwh_spark.operators import retrieval
 
     plan = plans.formatted_plan(retrieval.bm25_01(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    assert plan.count("Scan parquet") <= 4, "documents scanned too often"
+    assert plan.count("Scan parquet") == 0, "tf frame not materialized"
     assert "WindowGroupLimit" in plan, "top-k not pushed into windows"
 
 
