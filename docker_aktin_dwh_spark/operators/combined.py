@@ -1160,11 +1160,13 @@ def _fin_all_oracle() -> str:
 
 
 def str_out(spark, sf):
-    """The two round-6 streaming-native post-50 keys in one tagged
-    union so the driver certifies the LEFT OUTER stream–stream
-    watermark-eviction contract (str_12) and event-time-timer
-    sessionization (str_13) — VERDICT r6 item 1's streaming half.
-    Both branches run REAL readStream replays (chunked files, one per
+    """The streaming-native post-50 keys in one tagged union so the
+    driver certifies the LEFT OUTER stream–stream watermark-eviction
+    contract (str_12), event-time-timer sessionization (str_13) —
+    VERDICT r6 item 1's streaming half — and, since round 8 (VERDICT
+    r7 item 1), NATIVE session_window sessionization (str_14) and the
+    HLL-in-state-store windowed approximate distinct (str_15).
+    Every branch runs a REAL readStream replay (chunked files, one per
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
     on the naive timestamp renders the identical integer — the
@@ -1184,7 +1186,19 @@ def str_out(spark, sf):
                  "|", "user_id",
                  F.unix_micros(F.col("sess_start").cast("timestamp"))
                   .cast("string"), "n_events"))
-    return a.unionByName(b).orderBy("tag", "v")
+    c = _tag(SN.str_14(spark, sf), "sess14",
+             F.concat_ws(
+                 "|", "user_id",
+                 F.unix_micros(F.col("sess_start").cast("timestamp"))
+                  .cast("string"), "n_events"))
+    d = _tag(SN.str_15(spark, sf), "hll",
+             F.concat_ws(
+                 "|",
+                 F.unix_micros(F.col("ws").cast("timestamp"))
+                  .cast("string"), "exact_users",
+                 F.col("within_bound").cast("string")))
+    return a.unionByName(b).unionByName(c).unionByName(d) \
+            .orderBy("tag", "v")
 
 
 def _str_out_oracle() -> str:
@@ -1197,10 +1211,139 @@ def _str_out_oracle() -> str:
     sess_v = ("CAST(user_id AS VARCHAR) || '|' || "
               "CAST(epoch_us(sess_start) AS VARCHAR) || '|' || "
               "CAST(n_events AS VARCHAR)")
+    hll_v = ("CAST(epoch_us(ws) AS VARCHAR) || '|' || "
+             "CAST(exact_users AS VARCHAR) || '|' || "
+             "CAST(within_bound AS VARCHAR)")
     return (f"SELECT 'outer' AS tag, {outer_v} AS v "
             f"FROM ({SN._STR_12_ORACLE})\n"
             f"UNION ALL\nSELECT 'sess' AS tag, {sess_v} AS v "
-            f"FROM ({SN._STR_13_ORACLE})")
+            f"FROM ({SN._STR_13_ORACLE})\n"
+            f"UNION ALL\nSELECT 'sess14' AS tag, {sess_v} AS v "
+            f"FROM ({SN._STR_14_ORACLE})\n"
+            f"UNION ALL\nSELECT 'hll' AS tag, {hll_v} AS v "
+            f"FROM ({SN._STR_15_ORACLE})")
+
+
+def r7_all(spark, sf):
+    """The seven round-7 post-50 BATCH keys in one tagged union so the
+    driver window hash-certifies them (VERDICT r7 item 1, the
+    fin_all/str_out pattern): BM25 top-k retrieval (bm25_01), blocked
+    entity resolution (er_01), PageRank over the near-dup graph
+    (pr_01), the event-time RANGE frame (win_07), schema-evolution
+    read (src_evo), the Tukey-fence outlier audit (dq_02), and
+    temperature mixture sampling (mix_02).  Branches reuse the
+    fine-grained builders verbatim; folding rules as fin_all (doubles
+    as ROUND(x·10^k) bigints, nullables coalesced — concat_ws silently
+    drops nulls)."""
+    from . import entity, graph, maintenance, packing, retrieval, \
+        roundtrips
+    out = _tag(retrieval.bm25_01(spark, sf), "bm25",
+               F.concat_ws("|", "query", "rank", "doc_id",
+                           F.round(F.col("score") * 10000).cast("long")))
+    out = out.unionByName(_tag(
+        entity.er_01(spark, sf), "er",
+        F.concat_ws("|", "i", "j", "dist")))
+    out = out.unionByName(_tag(
+        graph.pr_01(spark, sf), "pr",
+        F.concat_ws("|", "doc_id",
+                    F.round(F.col("pr") * 1_000_000).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.win_07(spark, sf), "win07",
+        F.concat_ws("|", "event_id", "user_id", "n_24h",
+                    F.round(F.col("v_24h") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        roundtrips.src_evo(spark, sf), "srcevo",
+        F.concat_ws("|", "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    F.coalesce("o_orderstatus", F.lit("none")))))
+    out = out.unionByName(_tag(
+        maintenance.dq_02(spark, sf), "dq2",
+        F.concat_ws("|", "l_returnflag", "n", "n_outliers")))
+    out = out.unionByName(_tag(
+        packing.mix_02(spark, sf), "mix2",
+        F.concat_ws("|", "lang", "n_total", "n_kept", "kept_tokens",
+                    "keep_thr")))
+    return out.orderBy("tag", "v")
+
+
+def _r7_all_oracle() -> str:
+    from . import entity, graph, maintenance, packing, retrieval, \
+        roundtrips
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("bm25", cat("query", "rank", "doc_id",
+                     "CAST(ROUND(score * 10000) AS BIGINT)"),
+         retrieval._bm25_oracle()),
+        ("er", cat("i", "j", "dist"), entity._ER_ORACLE),
+        ("pr", cat("doc_id", "CAST(ROUND(pr * 1000000) AS BIGINT)"),
+         graph._pr_oracle()),
+        ("win07", cat("event_id", "user_id", "n_24h",
+                      "CAST(ROUND(v_24h * 100) AS BIGINT)"),
+         relational._ORACLES["win_07"]),
+        ("srcevo", cat("o_orderkey",
+                       "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+                       "COALESCE(o_orderstatus, 'none')"),
+         roundtrips._SRC_EVO_ORACLE),
+        ("dq2", cat("l_returnflag", "n", "n_outliers"),
+         maintenance._DQ2_ORACLE),
+        ("mix2", cat("lang", "n_total", "n_kept", "kept_tokens",
+                     "keep_thr"), packing._MIX2_ORACLE),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
+def r8_all(spark, sf):
+    """Round-8 new operators, driver-certified in the SAME round they
+    land (closing the one-generation certification lag VERDICT r7
+    called out): currently two-pass blocked entity resolution
+    (er_02); new r8 batch operators join as branches as they are
+    built."""
+    from . import entity
+    out = _tag(entity.er_02(spark, sf), "er2",
+               F.concat_ws("|", "i", "j", "dist"))
+    return out.orderBy("tag", "v")
+
+
+def _r8_all_oracle() -> str:
+    from . import entity
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("er2", cat("i", "j", "dist"), entity._er2_oracle()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
+def ann_bx(spark, sf):
+    """The two bucketed-ANN certification keys in one tagged union
+    (CORE50 consolidation, VERDICT r7 item 1's freed-slot list): LSH
+    signature → band-bucket join → re-rank and IVF train → assign →
+    probe → re-rank, each certified by planted-duplicate retrieval at
+    rank 1.  Fine-grained ann_lsh / ann_ivf keys stay post-50."""
+    from . import similarity as S
+    a = _tag(S.ann_lsh(spark, sf), "lsh",
+             F.concat_ws("|", "q_id",
+                         F.col("planted_at_rank1").cast("string")))
+    b = _tag(S.ann_ivf(spark, sf), "ivf",
+             F.concat_ws("|", "q_id",
+                         F.col("planted_at_rank1").cast("string")))
+    return a.unionByName(b).orderBy("tag", "v")
+
+
+def _ann_bx_oracle() -> str:
+    from . import similarity as S
+    v = ("CAST(q_id AS VARCHAR) || '|' || "
+         "CAST(planted_at_rank1 AS VARCHAR)")
+    return (f"SELECT 'lsh' AS tag, {v} AS v FROM ({S._PLANTED_ORACLE})\n"
+            f"UNION ALL\nSELECT 'ivf' AS tag, {v} AS v "
+            f"FROM ({S._PLANTED_ORACLE})")
 
 
 # ------------------------------------------------------------------ registry
@@ -1243,9 +1386,18 @@ _DOCS = {
     "fin_all": "Round-6 final-wave batch tagged union (dupsel/pack2/"
                "shuf/split/bplate/jsonl/prof/priv/fed/agg12) — "
                "driver-certifies the last post-50 batch keys",
-    "str_out": "Streaming-native str_12 LEFT OUTER stream-stream join "
-               "+ str_13 event-time-timer sessionization tagged union "
+    "str_out": "Streaming-native tagged union: str_12 LEFT OUTER "
+               "stream-stream join + str_13 event-time-timer "
+               "sessionization + str_14 native session_window + "
+               "str_15 HLL-in-state-store windowed distinct "
                "(driver-certified)",
+    "r7_all": "Round-7 batch extensions tagged union (bm25/er/pr/"
+              "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
+              "post-50 keys",
+    "r8_all": "Round-8 new-operator tagged union (er2, ...) — "
+              "same-round driver certification",
+    "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
+              "planted-rank1 certifications; CORE50 slot)",
 }
 
 
@@ -1279,6 +1431,9 @@ def specs() -> list[QuerySpec]:
         "mm_decode": _MM_DECODE_ORACLE,
         "fin_all": _fin_all_oracle(),
         "str_out": _str_out_oracle(),
+        "r7_all": _r7_all_oracle(),
+        "r8_all": _r8_all_oracle(),
+        "ann_bx": _ann_bx_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

@@ -50,8 +50,13 @@ class QuerySpec:
 #: (semantics ⊂ pipe_03's exact-dedup stage, certified via ext_all's
 #: rel branch) → fin_all (dupsel/pack2/shuf/split/bplate/jsonl/prof/
 #: priv/fed/agg12 union) and mm_01 (⊂ mm_decode's stub lane) →
-#: str_out (streaming-native str_12 + str_13) — every registry key is
-#: now driver-certified or rows-only by declared design.
+#: str_out (streaming-native str_12 + str_13).  Round 8 (VERDICT r7
+#: item 1): the 9 r7 post-50 keys enter the window — r7_all
+#: (bm25/er/pr/win07/srcevo/dq2/mix2 batch union) and str_out grows
+#: str_14 + str_15 branches; slots freed by ann_lsh+ann_ivf → ann_bx
+#: and pipe_01 (⊂ pipe_02/pipe_03's gated chain, certified via
+#: ext_all's pipe_03 branch; stays post-50); r8_all certifies
+#: NEW round-8 operators in the same round they land.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -62,9 +67,9 @@ CORE50 = (
     "udf_px", "udf_02", "udf_tf", "str_11",
     "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
     "ded_embed",
-    "ann_topk", "ann_lsh", "ann_ivf", "emb_01",
+    "ann_topk", "ann_bx", "r7_all", "emb_01",
     "text_all", "str_out", "mm_04", "mm_decode",
-    "pipe_01", "pipe_02",
+    "r8_all", "pipe_02",
 )
 assert len(CORE50) == 50 and len(set(CORE50)) == 50
 
