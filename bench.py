@@ -212,10 +212,13 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
         fn = registry[key].fn
         res: dict[str, object] = {}
         for label, d in (("base", sf_dir), ("scaled", scale_dir)):
-            t0 = time.perf_counter()
-            fn(spark, d).count()
-            sec = round(time.perf_counter() - t0, 3)
-            m = SN.state_metrics(SN.start_append_sink.last_progress)
+            # best-of-2 like every other section (ADVICE r7: the
+            # str_* slope_sec figures were the least-repeated
+            # measurement in the file on a ±50%-noise VM); the state
+            # metrics come from the last replay — state evidence is
+            # deterministic across replays, wall-clock is not
+            sec = best_of(lambda: fn(spark, d).count())
+            m = SN.state_metrics(SN.last_replay_progress())
             ev = catalog.load(spark, d, "events")
             m["sec"] = sec
             m["eviction_observed"] = m["state_rows_removed"] > 0
@@ -282,10 +285,9 @@ def skew_section(spark, registry, sf_dir: str, scaling: dict,
         out[key] = {"hot_sec": hot_sec, "uniform_sec": uni_sec,
                     "hot_over_uniform": round(hot_sec / max(uni_sec, 1e-9),
                                               2)}
-    t0 = time.perf_counter()
-    registry["str_11"].fn(spark, hot_dir).count()
-    hot_sec = round(time.perf_counter() - t0, 3)
-    m = SN.state_metrics(SN.start_append_sink.last_progress)
+    hot_sec = best_of(
+        lambda: registry["str_11"].fn(spark, hot_dir).count())
+    m = SN.state_metrics(SN.last_replay_progress())
     uni = streaming["str_11"]["scaled"]
     out["str_11"] = {
         "hot_sec": hot_sec, "uniform_sec": uni["sec"],

@@ -98,6 +98,20 @@ def _materialized(df: DataFrame, base: str) -> DataFrame:
 #: other's pinned value into the session.
 _SINK_LOCK = threading.Lock()
 
+#: per-thread stash of the most recent replay's progress (ADVICE r7:
+#: a single shared module attribute was last-writer-wins across the
+#: test pool's concurrent replays; thread-local keys the stash to the
+#: thread that ran the builder, which is also the thread that reads
+#: it — fn(...).count() then last_replay_progress() in bench/tests)
+_REPLAY_PROGRESS = threading.local()
+
+
+def last_replay_progress() -> list[dict]:
+    """Progress dicts of the replay most recently run BY THIS THREAD
+    (raises if none ran here — reading another thread's replay was
+    exactly the race this replaces)."""
+    return _REPLAY_PROGRESS.progress
+
 
 def start_append_sink(df: DataFrame, base: str):
     """Start ``df`` as an append-mode availableNow query into a
@@ -123,9 +137,9 @@ def start_append_sink(df: DataFrame, base: str):
         q.awaitTermination()
         # stash the replay's progress (micro-batch count + state-store
         # rows/memory per stateOperator) for the bench's streaming
-        # scale lane — same module-attribute pattern as
-        # connected_components.last_rounds
-        start_append_sink.last_progress = _progress_dicts(q)
+        # scale lane — thread-local so concurrent pool replays can't
+        # overwrite each other's evidence (last_replay_progress)
+        _REPLAY_PROGRESS.progress = _progress_dicts(q)
         return q
 
     # read the conf UNDER the lock: the slow path below holds the lock

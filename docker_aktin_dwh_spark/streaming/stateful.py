@@ -149,34 +149,34 @@ def session_tracker(key, pdfs, state: GroupState):
         return
     s, l, n = state.get if state.exists else (None, None, 0)
     gap_us = SESSION_GAP_MS * 1000
-    closed = []
+    # Gaps-and-islands over EVERYTHING in hand — the live session (as
+    # the interval [s, l] carrying its count) plus every event of this
+    # micro-batch — so mutually-in-gap late events merge with each
+    # other and with a backwards-extended live session exactly as
+    # batch gaps-and-islands would (ADVICE r7: the old per-event fold
+    # emitted two pre-start events within a gap of each other as two
+    # single-event sessions even though both were in hand).  Merge
+    # boundary is str_04's exact rule: islands fuse iff the next start
+    # is STRICTLY inside last + gap.  The only remaining divergence
+    # from the batch form is cross-batch: a late event whose true
+    # session was already closed and emitted in an EARLIER batch opens
+    # a fresh island here — the bounded-state trade-off, stated not
+    # papered over (the oracle's WHERE encodes emission, and events
+    # beyond the watermark never reach the tracker).
+    items = [(s, l, n)] if s is not None else []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts in pdf["ts"]:
-            us = ts.value // 1000          # pandas ns -> epoch us
-            if s is None:
-                s, l, n = us, us, 1
-            elif us >= l + gap_us:
-                closed.append((s, n))
-                s, l, n = us, us, 1
-            elif us + gap_us <= s:
-                # a late event a FULL gap before the current session's
-                # start can never belong to it (str_04's boundary run
-                # backwards); emit it as its own closed session rather
-                # than silently bridging a silence ≥ gap.  (If it
-                # could merge with even-earlier events, those sessions
-                # were closed in earlier batches — the bounded-state
-                # trade-off, stated not papered over.)
-                closed.append((us, 1))
-            else:
-                # A late-but-within-watermark event from a later
-                # micro-batch can arrive with us < l; absorbing it must
-                # never move the session's last-event time BACKWARDS
-                # (that would shrink the timeout horizon below events
-                # already absorbed).  An in-gap event BEFORE the start
-                # legitimately extends the session backwards (batch
-                # gaps-and-islands would fuse them too).
-                s, l, n = min(s, us), max(l, us), n + 1
+        items.extend((ts.value // 1000, ts.value // 1000, 1)
+                     for ts in pdf["ts"])    # pandas ns -> epoch us
+    items.sort()
+    merged = []
+    for st, la, cnt in items:
+        if merged and st < merged[-1][1] + gap_us:
+            ps, pl, pn = merged[-1]
+            merged[-1] = (ps, max(pl, la), pn + cnt)
+        else:
+            merged.append((st, la, cnt))
+    closed = [(cs, cn) for cs, _, cn in merged[:-1]]
+    s, l, n = merged[-1] if merged else (None, None, 0)
     if s is not None:
         state.update((s, l, n))
         state.setTimeoutTimestamp(

@@ -458,3 +458,47 @@ def test_session_tracker_does_not_bridge_pre_start_silence():
     # 15 min before start: extends the session backwards
     list(session_tracker((1,), batch([base_us - gap_us // 2]), st))
     assert st.get == (base_us - gap_us // 2, base_us, 2)
+
+
+def test_session_tracker_merges_mutually_in_gap_late_events():
+    """ADVICE r7: two late events that are within the gap of EACH
+    OTHER but both a full gap before the current session's start,
+    arriving in the SAME micro-batch, must merge into ONE two-event
+    closed session (batch gaps-and-islands would fuse them; the
+    tracker has both in hand) — and a pre-start in-gap event that
+    pulls the live session backwards must then capture a
+    formerly-out-of-gap mate from the same batch too."""
+    import pandas as pd
+
+    from docker_aktin_dwh_spark.streaming.stateful import (
+        SESSION_GAP_MS, session_tracker)
+
+    gap_us = SESSION_GAP_MS * 1000
+    base_us = 1_700_000_000_000_000
+
+    def batch(ts_us_list):
+        return [pd.DataFrame({
+            "ts": pd.to_datetime([u * 1000 for u in ts_us_list]),
+            "event_id": range(len(ts_us_list))})]
+
+    st = _FakeGroupState()
+    list(session_tracker((1,), batch([base_us]), st))
+    out = list(session_tracker(
+        (1,), batch([base_us - 3 * gap_us, base_us - 5 * gap_us // 2]),
+        st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.start_us, row.n_events) == (base_us - 3 * gap_us, 2)
+    assert st.get == (base_us, base_us, 1)
+
+    # second shape: e1 at start - 1.2*gap (out of gap of the start),
+    # e2 at start - 0.8*gap (in gap, pulls the session back) — after
+    # the pull, e1 is within gap of e2, so ALL THREE fuse into the
+    # live session (batch islands semantics); nothing closes.
+    st2 = _FakeGroupState()
+    list(session_tracker((1,), batch([base_us]), st2))
+    out2 = list(session_tracker(
+        (1,), batch([base_us - 6 * gap_us // 5,
+                     base_us - 4 * gap_us // 5]), st2))
+    assert out2 == []
+    assert st2.get == (base_us - 6 * gap_us // 5, base_us, 3)

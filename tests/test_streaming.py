@@ -602,7 +602,7 @@ def test_streaming_state_bounded_by_watermark(spark):
     from docker_aktin_dwh_spark.operators import streamnative as SN
 
     SN.str_13(spark, SF_SMOKE).count()
-    m13 = SN.state_metrics(SN.start_append_sink.last_progress)
+    m13 = SN.state_metrics(SN.last_replay_progress())
     n_users = (catalog.load(spark, SF_SMOKE, "events")
                .select("user_id").distinct().count())
     assert m13["state_rows_max"] <= n_users
@@ -610,7 +610,7 @@ def test_streaming_state_bounded_by_watermark(spark):
     assert m13["micro_batches"] >= 5
 
     SN.str_11(spark, SF_SMOKE).count()
-    m11 = SN.state_metrics(SN.start_append_sink.last_progress)
+    m11 = SN.state_metrics(SN.last_replay_progress())
     n_join = (catalog.load(spark, SF_SMOKE, "events")
               .filter(F.col("event_type").isin(
                   "click", "view", "purchase", "signup")).count())
