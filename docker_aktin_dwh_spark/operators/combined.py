@@ -1299,23 +1299,31 @@ def _r7_all_oracle() -> str:
 def r8_all(spark, sf):
     """Round-8 new operators, driver-certified in the SAME round they
     land (closing the one-generation certification lag VERDICT r7
-    called out): currently two-pass blocked entity resolution
-    (er_02); new r8 batch operators join as branches as they are
-    built."""
-    from . import entity
+    called out): two-pass blocked entity resolution (er_02) and
+    embedding scalar quantization (vq_01); new r8 batch operators
+    join as branches as they are built."""
+    from . import entity, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
+    out = out.unionByName(_tag(
+        similarity.vq_01(spark, sf), "vq",
+        F.concat_ws("|", "label", "n_vecs",
+                    F.round(F.col("mean_err_ppm") * 10000).cast("long"),
+                    F.col("within_half_step").cast("string"))))
     return out.orderBy("tag", "v")
 
 
 def _r8_all_oracle() -> str:
-    from . import entity
+    from . import entity, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
 
     branches = [
         ("er2", cat("i", "j", "dist"), entity._er2_oracle()),
+        ("vq", cat("label", "n_vecs",
+                   "CAST(ROUND(mean_err_ppm * 10000) AS BIGINT)",
+                   "within_half_step"), similarity._vq_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

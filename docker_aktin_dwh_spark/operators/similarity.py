@@ -307,6 +307,89 @@ def ann_ivf_raw(spark, sf):
             .orderBy("q_id", "rank"))
 
 
+# ------------------------------------------------------- quantization
+
+#: scalar-quantization code width (uint8 codes: 4× smaller than
+#: float32, 8× smaller than the double compute form)
+VQ_LEVELS = 255
+
+
+def vq_01(spark, sf):
+    """Embedding scalar quantization (the vector-compression step of a
+    100 TB embedding store): per-dimension global [min, max] → uint8
+    codes x̂ = round((x−mn)/step·255), dequantize, and certify the
+    round-trip — max |x − deq(q(x))| per vector must be ≤ step/2 by
+    construction (round-to-nearest), emitted as a hashed per-label
+    boolean plus the decimal-routed mean absolute error.
+
+    Scale shape: per-dim bounds are ONE partial aggregate of 2·DIM
+    min/max expressions over fixed columns (no explode, no per-dim
+    shuffle — the r7 bm25 tf-column discipline applied to arrays);
+    bounds attach back via the 1-row broadcast scalar-attach pattern;
+    quantize/dequantize/error are per-row JVM higher-order functions.
+    Codes are 4× smaller than float32 — at 100 TB this is the
+    difference between an in-memory ANN index and a disk-bound one.
+    """
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e"))
+    stats = emb.agg(
+        F.array(*[F.min(F.col("e")[i]) for i in range(DIM)]).alias("mn"),
+        F.array(*[F.max(F.col("e")[i]) for i in range(DIM)]).alias("mx"))
+    z = emb.crossJoin(F.broadcast(stats))   # 1-row scalar attach
+
+    # per-element |x − dequantized| via a 3-way zip (struct transform)
+    trip = F.arrays_zip("e", "mn", "mx")
+    step = lambda s: (s["mx"] - s["mn"]) / VQ_LEVELS          # noqa: E731
+    err = F.transform(
+        trip,
+        lambda s: F.when(
+            s["mx"] == s["mn"], F.lit(0.0)
+        ).otherwise(F.abs(
+            s["e"] - (s["mn"] + F.round((s["e"] - s["mn"]) / step(s))
+                      * step(s)))))
+    half_step = F.transform(trip, lambda s: step(s) / 2)
+    scored = z.select(
+        "vec_id", "label",
+        F.array_max(err).alias("max_err"),
+        (F.array_max(F.zip_with(err, half_step, lambda a, b: a - b))
+         <= F.lit(1e-12)).alias("ok"))
+    return (scored.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.sum(F.col("max_err").cast("decimal(28,18)"))
+                          .cast("double") * 1e6 /
+                         F.count("*"), 4).alias("mean_err_ppm"),
+                 F.min(F.col("ok").cast("int")).cast("boolean")
+                  .alias("within_half_step"))
+            .orderBy("label"))
+
+
+def _vq_oracle() -> str:
+    mins = ", ".join(f"MIN(e[{i + 1}])" for i in range(DIM))
+    maxs = ", ".join(f"MAX(e[{i + 1}])" for i in range(DIM))
+    deq = (f"(mn[i] + ROUND((e[i] - mn[i]) / ((mx[i] - mn[i]) / "
+           f"{VQ_LEVELS})) * ((mx[i] - mn[i]) / {VQ_LEVELS}))")
+    err_i = (f"CASE WHEN mx[i] = mn[i] THEN 0.0 "
+             f"ELSE abs(e[i] - {deq}) END")
+    half_i = f"(mx[i] - mn[i]) / {VQ_LEVELS} / 2"
+    return f"""
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+st AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM emb),
+z AS (SELECT vec_id, label,
+             list_max(list_transform(range(1, {DIM + 1}),
+                                     i -> {err_i})) AS max_err,
+             list_max(list_transform(range(1, {DIM + 1}),
+                                     i -> {err_i} - ({half_i})))
+               <= 1e-12 AS ok
+      FROM emb, st)
+SELECT label, count(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(max_err AS DECIMAL(28,18))) AS DOUBLE)
+             * 1e6 / count(*), 4) AS mean_err_ppm,
+       CAST(min(CAST(ok AS INT)) AS BOOLEAN) AS within_half_step
+FROM z GROUP BY label ORDER BY label
+"""
+
+
 _TOPK_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id < 5),
@@ -371,12 +454,16 @@ _DOCS = {
     "ann_ivf_raw": "IVF approximate top-k (raw neighbor list; "
                    "cell-assignment-dependent)",
     "emb_01": "Mean-pool embeddings per group (chunk→doc pooling)",
+    "vq_01": "Embedding scalar quantization (uint8 codes): per-dim "
+             "bounds as one 2·DIM-column partial agg, 1-row broadcast "
+             "attach, round-trip error certified <= step/2 per vector",
 }
 
 # the *_raw neighbor lists depend on the signature family → rows-only;
 # the certification keys hash-check the planted-duplicate invariant
 _ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE,
-            "ann_lsh": _PLANTED_ORACLE, "ann_ivf": _PLANTED_ORACLE}
+            "ann_lsh": _PLANTED_ORACLE, "ann_ivf": _PLANTED_ORACLE,
+            "vq_01": _vq_oracle()}
 
 
 def specs() -> list[QuerySpec]:
