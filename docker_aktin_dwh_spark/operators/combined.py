@@ -1164,8 +1164,10 @@ def str_out(spark, sf):
     driver certifies the LEFT OUTER stream–stream watermark-eviction
     contract (str_12), event-time-timer sessionization (str_13) —
     VERDICT r6 item 1's streaming half — and, since round 8 (VERDICT
-    r7 item 1), NATIVE session_window sessionization (str_14) and the
-    HLL-in-state-store windowed approximate distinct (str_15).
+    r7 item 1), NATIVE session_window sessionization (str_14), the
+    HLL-in-state-store windowed approximate distinct (str_15), and
+    exactly-once dedup of planted at-least-once re-deliveries
+    (str_16, new in r8 — certified the round it lands).
     Every branch runs a REAL readStream replay (chunked files, one per
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
@@ -1197,8 +1199,13 @@ def str_out(spark, sf):
                  F.unix_micros(F.col("ws").cast("timestamp"))
                   .cast("string"), "exact_users",
                  F.col("within_bound").cast("string")))
-    return a.unionByName(b).unionByName(c).unionByName(d) \
-            .orderBy("tag", "v")
+    e = _tag(SN.str_16(spark, sf), "dedup16",
+             F.concat_ws(
+                 "|", "event_id",
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                  .cast("string"), "user_id", "event_type"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e).orderBy("tag", "v"))
 
 
 def _str_out_oracle() -> str:
@@ -1214,6 +1221,9 @@ def _str_out_oracle() -> str:
     hll_v = ("CAST(epoch_us(ws) AS VARCHAR) || '|' || "
              "CAST(exact_users AS VARCHAR) || '|' || "
              "CAST(within_bound AS VARCHAR)")
+    ded_v = ("CAST(event_id AS VARCHAR) || '|' || "
+             "CAST(epoch_us(ts) AS VARCHAR) || '|' || "
+             "CAST(user_id AS VARCHAR) || '|' || event_type")
     return (f"SELECT 'outer' AS tag, {outer_v} AS v "
             f"FROM ({SN._STR_12_ORACLE})\n"
             f"UNION ALL\nSELECT 'sess' AS tag, {sess_v} AS v "
@@ -1221,7 +1231,9 @@ def _str_out_oracle() -> str:
             f"UNION ALL\nSELECT 'sess14' AS tag, {sess_v} AS v "
             f"FROM ({SN._STR_14_ORACLE})\n"
             f"UNION ALL\nSELECT 'hll' AS tag, {hll_v} AS v "
-            f"FROM ({SN._STR_15_ORACLE})")
+            f"FROM ({SN._STR_15_ORACLE})\n"
+            f"UNION ALL\nSELECT 'dedup16' AS tag, {ded_v} AS v "
+            f"FROM ({SN._STR_16_ORACLE})")
 
 
 def r7_all(spark, sf):
@@ -1397,7 +1409,8 @@ _DOCS = {
     "str_out": "Streaming-native tagged union: str_12 LEFT OUTER "
                "stream-stream join + str_13 event-time-timer "
                "sessionization + str_14 native session_window + "
-               "str_15 HLL-in-state-store windowed distinct "
+               "str_15 HLL-in-state-store windowed distinct + "
+               "str_16 exactly-once re-delivery dedup "
                "(driver-certified)",
     "r7_all": "Round-7 batch extensions tagged union (bm25/er/pr/"
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "

@@ -30,6 +30,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import datetime
 import pathlib
 import shutil
 import tempfile
@@ -502,6 +503,69 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+#: str_16 duplicate plant: every DUP_STRIDE-th event from the last
+#: DUP_RECENT_DAYS of the stream is re-delivered in a final extra file
+#: (at-least-once delivery).  Recency keeps the planted keys' dedup
+#: state provably LIVE when the re-delivery arrives (state for key k
+#: is retired once the watermark passes ts(k) + delay — duplicating
+#: only events with ts ≥ max_ts − 5 d under a 10-day delay guarantees
+#: no planted dup ever races its own eviction), while the 30-day
+#: fixture span still lets the watermark retire OLDER keys during the
+#: replay — bounded state AND guaranteed dedup, both by construction.
+STR16_DUP_STRIDE = 3
+STR16_DUP_RECENT_DAYS = 5
+
+
+def str16_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
+    """The unstarted STR-16 frame: dropDuplicatesWithinWatermark over
+    a replay with planted at-least-once re-deliveries — the exactly-
+    once-ingest verb every landing pipeline needs (the reference's
+    file-drop import volume re-delivers on retry,
+    src/docker/template.yml:51).  State is keyed by event_id and
+    retired by the watermark — bytes per in-horizon key, never
+    stream-length state (the STR-06 batch form's contract, now run on
+    the real state store)."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, 5, name="watch16")
+    cut = (ev.agg(F.max("ts")).first()[0]
+           - datetime.timedelta(days=STR16_DUP_RECENT_DAYS))
+    dups = ev.filter((F.col("ts") >= F.lit(cut))
+                     & (F.col("event_id") % STR16_DUP_STRIDE == 0))
+    out = pathlib.Path(base) / "watch16_dups"
+    dups.coalesce(1).write.mode("overwrite").parquet(str(out))
+    for j, p in enumerate(sorted(out.glob("*.parquet"))):
+        shutil.copy(p, pathlib.Path(watch) / f"99_redeliver_{j}.parquet")
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    return (src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "10 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(*_EV_COLS))
+
+
+def str_16(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-16 streaming exactly-once dedup, streaming-native: the
+    committed sink holds each event exactly once even though every
+    planted key was delivered twice across micro-batches; the oracle
+    is the CLEAN events selection, so the hash certifies both no-loss
+    (every event emitted) and no-duplication (every re-delivery
+    dropped) through the real state store."""
+    base = tempfile.mkdtemp(prefix="spark_str16_")
+    try:
+        deduped = str16_stream(spark, sf, base)
+        snap = _materialized(_run_to_parquet(deduped, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("event_id")
+
+
+_STR_16_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -636,6 +700,12 @@ ORDER BY user_id, sess_start, n_events
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(key="str_16", fn=str_16, oracle=_STR_16_ORACLE,
+                  doc=("STR-16 streaming exactly-once dedup: "
+                       "dropDuplicatesWithinWatermark over planted "
+                       "at-least-once re-deliveries; oracle = the "
+                       "clean selection (no loss, no duplication)"),
+                  tags=("streaming",)),
         QuerySpec(key="str_14", fn=str_14, oracle=_STR_14_ORACLE,
                   doc=("STR-14 NATIVE session_window sessionization "
                        "(gap-merged state-store windows), append-mode "

@@ -618,6 +618,35 @@ def test_streaming_state_bounded_by_watermark(spark):
     assert m11["state_rows_removed"] > 0, "watermark eviction never fired"
 
 
+def test_str16_plants_redeliveries_and_drops_them_all(spark):
+    """str_16 non-vacuity: the planted re-delivery set is NONEMPTY at
+    smoke scale (a dedup whose stream has no duplicates certifies
+    nothing), the committed sink holds exactly the clean event set
+    (every re-delivery dropped, nothing lost), and the state store
+    actually EVICTED old keys during the replay — the recency window
+    of the plant guarantees dedup state was live, the fixture's 30-day
+    span guarantees eviction still fires."""
+    import datetime
+
+    from conftest import SF_SMOKE
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    cut = mx - datetime.timedelta(days=SN.STR16_DUP_RECENT_DAYS)
+    planted = ev.filter(
+        (F.col("ts") >= F.lit(cut))
+        & (F.col("event_id") % SN.STR16_DUP_STRIDE == 0)).count()
+    assert planted > 0, "no re-deliveries planted at this scale"
+
+    got = SN.str_16(spark, SF_SMOKE)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    m = SN.state_metrics(SN.last_replay_progress())
+    assert m["state_rows_removed"] > 0, "watermark eviction never fired"
+    assert m["micro_batches"] >= 5
+
+
 def test_native_session_window_emissions_subset_of_timer_tracker(spark):
     """Contract pin for the two sessionization forms: str_14 (native
     session_window) emits ONLY watermark-confirmed sessions, while
