@@ -1311,10 +1311,11 @@ def _r7_all_oracle() -> str:
 def r8_all(spark, sf):
     """Round-8 new operators, driver-certified in the SAME round they
     land (closing the one-generation certification lag VERDICT r7
-    called out): two-pass blocked entity resolution (er_02) and
-    embedding scalar quantization (vq_01); new r8 batch operators
-    join as branches as they are built."""
-    from . import entity, similarity
+    called out): two-pass blocked entity resolution (er_02),
+    embedding scalar quantization (vq_01), and token-budget data
+    selection (tok_01); new r8 batch operators join as branches as
+    they are built."""
+    from . import entity, packing, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
     out = out.unionByName(_tag(
@@ -1322,11 +1323,16 @@ def r8_all(spark, sf):
         F.concat_ws("|", "label", "n_vecs",
                     F.round(F.col("mean_err_ppm") * 10000).cast("long"),
                     F.col("within_half_step").cast("string"))))
+    out = out.unionByName(_tag(
+        packing.tok_01(spark, sf), "tok",
+        F.concat_ws("|", "lang", "n_docs_sel", "tokens_sel",
+                    "thr_tokens",
+                    F.round(F.col("budget_frac") * 10000).cast("long"))))
     return out.orderBy("tag", "v")
 
 
 def _r8_all_oracle() -> str:
-    from . import entity, similarity
+    from . import entity, packing, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1336,6 +1342,9 @@ def _r8_all_oracle() -> str:
         ("vq", cat("label", "n_vecs",
                    "CAST(ROUND(mean_err_ppm * 10000) AS BIGINT)",
                    "within_half_step"), similarity._vq_oracle()),
+        ("tok", cat("lang", "n_docs_sel", "tokens_sel", "thr_tokens",
+                    "CAST(ROUND(budget_frac * 10000) AS BIGINT)"),
+         packing._TOK_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

@@ -170,6 +170,68 @@ FROM k GROUP BY lang ORDER BY lang
 """
 
 
+#: tok_01's per-language token budget as a fraction of that
+#: language's total tokens (relative → the selection stays nontrivial
+#: at every fixture scale)
+TOK_BUDGET_FRAC = 0.3
+
+
+def tok_01(spark, sf):
+    """Token-budget data selection (the fixed-budget curation verb:
+    "give me the best ~30% of each language's tokens"), in the shape
+    that survives 100 TB: NO global sort of the corpus.  Docs are
+    preferred by length (longer docs first — the proxy score; any
+    per-doc score column drops in unchanged), and the budget threshold
+    is found on the per-(lang, score) AGGREGATE frame — one partial
+    agg of the corpus, then a running sum over the tiny
+    lang × distinct-score frame (thousands of rows, not billions) —
+    instead of the naive per-doc window cumsum, whose per-language
+    ordered running sum is a single straggler task per language at
+    scale.  Whole score-groups are admitted while the running total
+    fits the budget (no partial tie-splits: deterministic, stated);
+    the per-doc selection itself is then just a broadcast-joined
+    filter `n_tok >= thr` — embarrassingly parallel.
+
+    Emits per language: docs/tokens selected, the admission threshold,
+    and the realized budget fraction."""
+    d = catalog.load(spark, sf, "documents")
+    docs = d.select("doc_id", "lang", F.size(tokens("text")).alias("n_tok"))
+    g = (docs.groupBy("lang", "n_tok")
+         .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("toks")))
+    w = (Window.partitionBy("lang").orderBy(F.desc("n_tok"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy("lang")
+    sel = (g.withColumn("cum", F.sum("toks").over(w))
+           .withColumn("total", F.sum("toks").over(tot))
+           .filter(F.col("cum") <= TOK_BUDGET_FRAC * F.col("total")))
+    return (sel.groupBy("lang")
+            .agg(F.sum("docs").alias("n_docs_sel"),
+                 F.sum("toks").alias("tokens_sel"),
+                 F.min("n_tok").alias("thr_tokens"),
+                 F.round(F.sum("toks") / F.min("total"), 4)
+                  .alias("budget_frac"))
+            .orderBy("lang"))
+
+
+_TOK_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents),
+g AS (SELECT lang, n_tok, count(*) AS docs, sum(n_tok) AS toks
+      FROM docs GROUP BY 1, 2),
+s AS (SELECT lang, n_tok, docs, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY n_tok DESC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(toks) OVER (PARTITION BY lang) AS total
+      FROM g)
+SELECT lang, sum(docs) AS n_docs_sel, sum(toks) AS tokens_sel,
+       CAST(min(n_tok) AS INT) AS thr_tokens,
+       ROUND(sum(toks) / CAST(min(total) AS DOUBLE), 4) AS budget_frac
+FROM s WHERE cum <= {TOK_BUDGET_FRAC} * total
+GROUP BY lang ORDER BY lang
+"""
+
+
 #: sliding-window chunking: window size / overlap in tokens (the
 #: doc → chunk step ahead of an embedding pass; emb_01 is the pooling
 #: step on the way back up)
@@ -457,6 +519,12 @@ def specs() -> list[QuerySpec]:
                   doc=("Mixture sampling: per-language hash-threshold "
                        "rates, reproducible across engines"),
                   tags=("llm", "pipeline")),
+        QuerySpec(key="tok_01", fn=tok_01, oracle=_TOK_ORACLE,
+                  doc="Token-budget data selection: threshold found on "
+                      "the per-(lang, score) aggregate frame (no "
+                      "per-doc global sort), whole score-groups "
+                      "admitted while the budget fits",
+                  tags=("llm", "packing")),
         QuerySpec(key="mix_02", fn=mix_02, oracle=_MIX2_ORACLE,
                   doc=("Temperature-scaled mixture sampling (alpha=0.5): "
                        "keep rate sqrt(min_count/n_l) per language — the "

@@ -943,6 +943,37 @@ def test_er_finds_every_planted_variant_pair(spark):
             f"2-char variant of {k} missed"
 
 
+def test_tok01_budget_respected_and_maximal(spark):
+    """tok_01 semantics: the realized fraction never exceeds the
+    budget, the selection is MAXIMAL in whole score-groups (admitting
+    the next-longest excluded group would blow the budget), and the
+    threshold admits by length (selected docs are the longest)."""
+    from docker_aktin_dwh_spark.operators.packing import (TOK_BUDGET_FRAC,
+                                                          tok_01)
+    from docker_aktin_dwh_spark.functions.textfns import tokens as _tok
+
+    rows = {r.lang: r for r in tok_01(spark, SF_SMOKE).collect()}
+    assert rows
+    d = catalog.load(spark, SF_SMOKE, "documents").select(
+        "lang", F.size(_tok("text")).alias("n_tok"))
+    g = {(r.lang, r.n_tok): r.toks for r in
+         d.groupBy("lang", "n_tok").agg(F.sum("n_tok").alias("toks"))
+          .collect()}
+    totals = {}
+    for (lang, n_tok), toks in g.items():
+        totals[lang] = totals.get(lang, 0) + toks
+    for lang, r in rows.items():
+        assert r.budget_frac <= TOK_BUDGET_FRAC
+        assert r.tokens_sel <= TOK_BUDGET_FRAC * totals[lang]
+        # next excluded group (longest n_tok below the threshold)
+        below = [nt for (lg, nt) in g if lg == lang and nt < r.thr_tokens]
+        if below:
+            nxt = max(below)
+            assert (r.tokens_sel + g[(lang, nxt)]
+                    > TOK_BUDGET_FRAC * totals[lang]), \
+                f"{lang}: selection not maximal"
+
+
 def test_vq_quantization_error_bounded_and_nonzero(spark):
     """vq_01 semantics: the uint8 round-trip loses SOMETHING (mean
     error strictly positive — a zero-error quantizer certifies

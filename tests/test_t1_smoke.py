@@ -22,7 +22,8 @@ MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
 #: re-runs the same builders a second time for no new signal (they stay
 #: fully hash-checked at sf0.01 in test_t2_oracle); suite-time guard,
 #: VERDICT r6 item 7.
-SKIP_SMOKE = {"llm_all", "maint_all", "ext_all", "fin_all", "str_out"}
+SKIP_SMOKE = {"llm_all", "maint_all", "ext_all", "fin_all", "str_out",
+              "r7_all", "r8_all", "ann_bx"}
 SMOKE_KEYS = sorted(k for k in REGISTRY if k not in SKIP_SMOKE)
 
 
