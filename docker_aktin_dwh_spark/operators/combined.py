@@ -1328,6 +1328,9 @@ def r8_all(spark, sf):
         F.concat_ws("|", "lang", "n_docs_sel", "tokens_sel",
                     "thr_tokens",
                     F.round(F.col("budget_frac") * 10000).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.smp_03(spark, sf), "smp3",
+        F.concat_ws("|", "o_orderpriority", "pick", "o_orderkey")))
     return out.orderBy("tag", "v")
 
 
@@ -1345,6 +1348,8 @@ def _r8_all_oracle() -> str:
         ("tok", cat("lang", "n_docs_sel", "tokens_sel", "thr_tokens",
                     "CAST(ROUND(budget_frac * 10000) AS BIGINT)"),
          packing._TOK_ORACLE),
+        ("smp3", cat("o_orderpriority", "pick", "o_orderkey"),
+         relational._ORACLES["smp_03"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

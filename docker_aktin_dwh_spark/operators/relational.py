@@ -482,6 +482,31 @@ def smp_01(spark, sf):
              .orderBy("o_orderstatus"))
 
 
+#: smp_03's per-stratum sample size
+SMP3_K = 25
+
+
+def smp_03(spark, sf):
+    """Fixed-SIZE stratified sample (exactly k rows per stratum — the
+    "give me 1000 examples per language for eval" verb; smp_01/mix_01
+    are rate-based, this is count-based): rank rows per stratum by
+    md5(key) and keep the k smallest — a deterministic reservoir that
+    any engine reproduces bit-for-bit (no RNG state, layout-free).
+    The per-stratum ranking is a window ORDER BY over the md5 rank —
+    Spark pushes the k-limit into each partition (WindowGroupLimit,
+    plan-asserted in test_plans), so no stratum's task ever sorts more
+    than it must and nothing global-sorts; at 100 TB this runs as one
+    shuffle on the stratum key with per-group top-k short-circuiting."""
+    o = T(spark, sf, "orders")
+    rk = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderpriority").orderBy(rk, "o_orderkey")
+    return (o.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= SMP3_K)
+             .select("o_orderpriority", F.col("_rn").alias("pick"),
+                     "o_orderkey")
+             .orderBy("o_orderpriority", "pick"))
+
+
 def smp_02(spark, sf):
     """Seeded Bernoulli sample via df.sample (SURVEY.md §2.10 rule 5:
     engine-specific row pick → rows-only key).  Spark 4 note, measured:
@@ -828,6 +853,12 @@ _ORACLES = {
     "set_04": ("SELECT c_custkey FROM customer "
                "EXCEPT SELECT o_custkey FROM orders"),
     "set_05": "SELECT DISTINCT o_orderpriority FROM orders",
+    "smp_03": ("SELECT o_orderpriority, pick, o_orderkey FROM ("
+               "SELECT o_orderpriority, o_orderkey, "
+               "CAST(row_number() OVER (PARTITION BY o_orderpriority "
+               "ORDER BY md5(CAST(o_orderkey AS STRING)), o_orderkey) "
+               "AS INT) AS pick FROM orders) "
+               "WHERE pick <= 25 ORDER BY o_orderpriority, pick"),
     "smp_01": ("SELECT o_orderstatus, count(*) AS n FROM orders "
                "WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '1a' "
                "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
@@ -957,6 +988,9 @@ _DOCS = {
     "set_03": "SET-03 intersect", "set_04": "SET-04 except",
     "set_05": "SET-05 distinct",
     "smp_01": "Deterministic hash sample (reproducible 10%)",
+    "smp_03": "Fixed-size stratified sample: exactly k rows per "
+              "stratum by md5 rank (deterministic reservoir, "
+              "WindowGroupLimit per-group top-k)",
     "smp_02": "Seeded Bernoulli sample (rows-only per §2.10 rule 5)",
     "fn_str": "FN-STR string functions", "fn_dt": "FN-DT date functions",
     "fn_dt2": "FN-DT time-of-day / parse / epoch functions",

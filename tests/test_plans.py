@@ -228,6 +228,16 @@ def test_bm25_topk_is_group_limited_not_cartesian(spark):
     assert "WindowGroupLimit" in plan, "top-k not pushed into windows"
 
 
+def test_smp3_stratified_sample_is_group_limited(spark):
+    """smp_03's per-stratum top-k must carry the WindowGroupLimit
+    pushdown (each partition pre-limits to k before the rank filter)
+    and never a global sort of the input."""
+    from docker_aktin_dwh_spark.operators import relational
+
+    plan = plans.formatted_plan(relational.smp_03(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_er_block_join_is_equi_join(spark):
     """er_01's pair generation must join on the BLOCK key (equi-join —
     broadcast at fixture scale, sort-merge at 100 TB), never a

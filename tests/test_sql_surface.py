@@ -44,7 +44,11 @@ ANSI_KEYS = sorted(
     # streaming-native batch oracles (stream-stream joins, timer and
     # native session windows) — window functions + INTERVAL arithmetic
     # parse identically on both engines
-    "er_01 str_11 str_12 str_13 str_14 str_15 dq_02 ups_01"
+    "er_01 str_11 str_12 str_13 str_14 str_15 dq_02 ups_01 "
+    # r8 additions born dual-dialect: two-pass ER, the fixed-size
+    # stratified sample, and the streaming exactly-once dedup's clean
+    # selection
+    "er_02 smp_03 str_16"
     .split())
 
 
