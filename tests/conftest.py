@@ -44,7 +44,7 @@ def spark():
     s.stop()
 
 
-def pooled_key_results(request, keys, run, max_workers=14):
+def pooled_key_results(request, keys, run, max_workers=20):
     """Per-key sweep jobs through a thread pool, restricted to the keys
     whose parametrized tests were actually collected in this session —
     `-k some_key` computes one key, a full module run still gets pool
