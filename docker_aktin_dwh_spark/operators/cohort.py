@@ -255,6 +255,39 @@ def priv_01(spark, sf):
             .orderBy("m", "inout_cd"))
 
 
+#: priv_02 Laplace scale: ε = 1, count sensitivity 1 → b = 1/ε
+PRIV_EPS = 1.0
+#: md5-derived uniform resolution (12 hex digits = 48 bits, exact in
+#: a double; mix_02's integer-md5-bits discipline)
+PRIV2_BITS = 1 << 48
+
+
+def priv_02(spark, sf):
+    """ε-differential-privacy noisy release of the monthly report —
+    the Laplace mechanism on sensitivity-1 counts, the standard
+    aggregate-release privacy step beyond priv_01's k-anonymity
+    (statistical noise instead of suppression): released =
+    max(n + round(lap), 0) with lap = −(1/ε)·sign(u)·ln(1−2|u|) and
+    u ∈ (−0.5, 0.5) drawn DETERMINISTICALLY from 48 md5 bits of the
+    cell key ((h + 0.5)/2^48 − 0.5 — exact in a double, so both
+    engines compute the identical noise and the release is
+    hash-certifiable, the repo's md5-uniform discipline).  A real
+    release swaps the cell-key seed for a secret per-release salt;
+    the mechanism and its ε-calibration are unchanged.  Pure
+    post-aggregation projection on rep_01's frame — no extra
+    shuffle, noise is per-cell JVM arithmetic."""
+    base = rep_01(spark, sf)
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", "m", "inout_cd")), 1, 12), 16, 10) \
+        .cast("long")
+    u = (h + F.lit(0.5)) / PRIV2_BITS - F.lit(0.5)
+    lap = (-1.0 / PRIV_EPS) * F.signum(u) * F.log(1.0 - 2 * F.abs(u))
+    released = F.greatest(F.col("n") + F.round(lap).cast("long"),
+                          F.lit(0).cast("long"))
+    return (base.select("m", "inout_cd", released.alias("n_noisy"))
+            .orderBy("m", "inout_cd"))
+
+
 #: federated sites of fed_01 — stands in for the AKTIN broker's
 #: hospital nodes (poll loop reference src/build.sh:255-256).
 FED_SITES = 3
@@ -412,6 +445,20 @@ SELECT m, inout_cd,
 FROM rep ORDER BY m, inout_cd
 """
 
+_ORACLES["priv_02"] = f"""
+WITH rep AS ({_ORACLES["rep_01"]}),
+z AS (
+  SELECT m, inout_cd, n,
+         (CAST(('0x' || substr(md5(m || '|' || inout_cd), 1, 12))
+               AS BIGINT) + 0.5) / {PRIV2_BITS} - 0.5 AS u
+  FROM rep)
+SELECT m, inout_cd,
+       GREATEST(n + CAST(ROUND((-1.0 / {PRIV_EPS}) * sign(u)
+                               * ln(1.0 - 2 * abs(u))) AS BIGINT),
+                0) AS n_noisy
+FROM z ORDER BY m, inout_cd
+"""
+
 _ORACLES["fed_01"] = """
 WITH p AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
@@ -451,6 +498,10 @@ _DOCS = {
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
     "priv_01": "Privacy-thresholded report: k-anonymity small-cell "
                "suppression with explicit markers",
+    "priv_02": "Differentially-private report release: Laplace "
+               "mechanism (eps=1, sensitivity-1 counts) with "
+               "deterministic md5-seeded noise (certifiable; swap "
+               "seed for a secret salt in production)",
     "fed_01": "Federated aggregate merge: per-site partial aggregates "
               "summed by the coordinator (broker query shape)",
     "fed_hll": "Federated approximate distinct: per-site HLL sketches "

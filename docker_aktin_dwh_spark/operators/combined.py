@@ -1331,6 +1331,9 @@ def r8_all(spark, sf):
     out = out.unionByName(_tag(
         relational.smp_03(spark, sf), "smp3",
         F.concat_ws("|", "o_orderpriority", "pick", "o_orderkey")))
+    out = out.unionByName(_tag(
+        cohort.priv_02(spark, sf), "priv2",
+        F.concat_ws("|", "m", "inout_cd", "n_noisy")))
     return out.orderBy("tag", "v")
 
 
@@ -1350,6 +1353,8 @@ def _r8_all_oracle() -> str:
          packing._TOK_ORACLE),
         ("smp3", cat("o_orderpriority", "pick", "o_orderkey"),
          relational._ORACLES["smp_03"]),
+        ("priv2", cat("m", "inout_cd", "n_noisy"),
+         cohort._ORACLES["priv_02"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

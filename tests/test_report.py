@@ -3,6 +3,8 @@ re-running overwrites idempotently, exports are pseudonymized."""
 
 from __future__ import annotations
 
+# priv_02's mechanism test lives here beside the report tests
+
 from conftest import SF_SMOKE
 
 from docker_aktin_dwh_spark import catalog, report
@@ -18,6 +20,27 @@ def test_run_report_materializes_all_frames(spark, tmp_path):
     # idempotent re-run (overwrite, not append)
     again = report.run_report(spark, SF_SMOKE, str(tmp_path))
     assert again == counts
+
+
+def test_priv02_noise_is_real_and_release_nonnegative(spark):
+    """priv_02 mechanism sanity: the Laplace noise actually perturbs
+    (some cells differ from the exact report — a zero-noise 'DP'
+    release certifies nothing), releases are never negative, and the
+    empirical noise magnitude is consistent with b = 1/ε (|Δ| ≤ 10/ε
+    for every cell — P(|lap| > 10b) ≈ 5e-5, so a hit means a broken
+    inverse-CDF, not bad luck)."""
+    from docker_aktin_dwh_spark.operators.cohort import (PRIV_EPS, priv_02,
+                                                         rep_01)
+
+    exact = {(r.m, r.inout_cd): r.n
+             for r in rep_01(spark, SF_SMOKE).collect()}
+    noisy = {(r.m, r.inout_cd): r.n_noisy
+             for r in priv_02(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(noisy)
+    deltas = [noisy[k] - exact[k] for k in exact]
+    assert any(d != 0 for d in deltas), "noise never perturbed anything"
+    assert all(v >= 0 for v in noisy.values())
+    assert all(abs(d) <= 10 / PRIV_EPS for d in deltas), deltas
 
 
 def test_pseudonymize_hashes_ids(spark):
