@@ -42,6 +42,9 @@ HEADLINE = (
     "cdc_01", "mm_wav", "pipe_03",
     # round 7: ranked retrieval and blocked entity resolution
     "bm25_01", "er_01",
+    # round 8: two-pass ER, embedding quantization, token-budget
+    # selection, and the GIF/LZW codec lane
+    "er_02", "vq_01", "tok_01", "mm_gif",
 )
 
 
@@ -112,7 +115,12 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  # the query terms — the slope measures the scan/stats/
                  # top-k machinery, which is the dominant cost), blocked
                  # entity resolution, and the iterative PageRank
-                 "bm25_01", "er_01", "pr_01")
+                 "bm25_01", "er_01", "pr_01",
+                 # r8: token-budget selection (groupBy + tiny-frame
+                 # window + broadcast threshold — the no-global-sort
+                 # claim measured; embeddings/vq_01 excluded only
+                 # because the replica fixture has no embeddings table)
+                 "tok_01")
 SCALE_REPLICAS = 10
 
 
