@@ -99,7 +99,9 @@ def main() -> None:
     extra = ("decon_01", "pack_01", "chunk_01", "mix_01", "ded_incr",
              "hh_01", "lay_01", "scd_01", "fed_hll",
              # r7: graph fixpoint, time-range frame, evolution read
-             "pr_01", "win_07", "src_evo")
+             "pr_01", "win_07", "src_evo",
+             # r8: stratified sample (WindowGroupLimit), DP release
+             "smp_03", "priv_02")
 
     lines = [
         "# PLANS — physical-plan evidence (generated)",
