@@ -127,9 +127,21 @@ def encode_gif(indices: bytes, width: int, height: int,
     """Encode 8-bit color-index pixels (row-major) as a single-frame
     GIF87a with a 256-entry global color table (default grayscale
     identity palette: index i → (i, i, i))."""
-    if len(indices) != width * height:
-        raise ValueError(
-            f"{len(indices)} pixels for {width}x{height}")
+    return encode_gif_frames([indices], width, height, palette)
+
+
+def encode_gif_frames(frames: list[bytes], width: int, height: int,
+                      palette: bytes | None = None) -> bytes:
+    """Encode N full-size frames as an ANIMATED GIF87a (one image
+    block per frame, shared global color table) — the classic
+    video-proxy container; every frame is independently
+    LZW-compressed."""
+    if not frames:
+        raise ValueError("no frames")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"{len(f)} pixels for {width}x{height}")
     pal = palette if palette is not None else _grayscale_palette()
     if len(pal) != 256 * 3:
         raise NotImplementedError("only 256-entry palettes supported")
@@ -137,35 +149,49 @@ def encode_gif(indices: bytes, width: int, height: int,
     # logical screen descriptor: GCT present, 8 bits/channel, 256 cells
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += pal
-    # image descriptor, no local table, not interlaced
-    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    out.append(8)                                # LZW min code size
-    stream = _lzw_compress(indices, 8)
-    for i in range(0, len(stream), 255):         # 255-byte sub-blocks
-        block = stream[i:i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3B"                           # terminator, trailer
+    for indices in frames:
+        # image descriptor, no local table, not interlaced
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)                            # LZW min code size
+        stream = _lzw_compress(indices, 8)
+        for i in range(0, len(stream), 255):     # 255-byte sub-blocks
+            block = stream[i:i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)                            # sub-block terminator
+    out += b"\x3B"                               # trailer
     return bytes(out)
 
 
 def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
-    """Decode a single-frame GIF → (width, height, indices, palette).
+    """Decode a GIF's FIRST frame → (width, height, indices, palette).
 
     Walks the container for real: screen descriptor, global color
     table, skipped extensions, image descriptor, optional local color
     table, sub-block reassembly, LZW decompression.  Raises
     NotImplementedError for interlaced images (out of scope — stated,
     not mis-decoded)."""
+    w, h, frames, pal = decode_gif_frames(data, max_frames=1)
+    return w, h, frames[0], pal
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None
+                      ) -> tuple[int, int, list[bytes], bytes]:
+    """Decode ALL frames of an (animated) GIF → (width, height,
+    [indices per frame], palette).  Scope: every frame must be
+    full-canvas at (0, 0) — partial-update / offset sub-frames (the
+    inter-frame delta optimization) raise NotImplementedError rather
+    than compositing incorrectly."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     try:
-        return _decode_gif_inner(data)
+        return _decode_frames_inner(data, max_frames)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated GIF stream: {exc}") from exc
 
 
-def _decode_gif_inner(data: bytes) -> tuple[int, int, bytes, bytes]:
+def _decode_frames_inner(data: bytes, max_frames: int | None
+                         ) -> tuple[int, int, list[bytes], bytes]:
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = b""
@@ -173,6 +199,8 @@ def _decode_gif_inner(data: bytes) -> tuple[int, int, bytes, bytes]:
         n = 2 ** ((flags & 0x07) + 1)
         gct = data[pos:pos + 3 * n]
         pos += 3 * n
+    frames: list[bytes] = []
+    pal_out = b""
     while pos < len(data):
         introducer = data[pos]
         pos += 1
@@ -182,11 +210,16 @@ def _decode_gif_inner(data: bytes) -> tuple[int, int, bytes, bytes]:
                 pos += 1 + data[pos]
             pos += 1
         elif introducer == 0x2C:                 # image descriptor
-            _l, _t, w, h, iflags = struct.unpack("<HHHHB",
-                                                 data[pos:pos + 9])
+            left, top, w, h, iflags = struct.unpack("<HHHHB",
+                                                    data[pos:pos + 9])
             pos += 9
             if iflags & 0x40:
                 raise NotImplementedError("interlaced GIF unsupported")
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                raise NotImplementedError(
+                    "partial-update sub-frames unsupported "
+                    f"(frame {w}x{h}@{left},{top} on canvas "
+                    f"{sw}x{sh})")
             pal = gct
             if iflags & 0x80:
                 n = 2 ** ((iflags & 0x07) + 1)
@@ -206,12 +239,17 @@ def _decode_gif_inner(data: bytes) -> tuple[int, int, bytes, bytes]:
             if len(indices) < w * h:
                 raise ValueError(
                     f"LZW stream yielded {len(indices)} < {w * h}")
-            return w, h, indices[:w * h], pal
+            frames.append(indices[:w * h])
+            pal_out = pal
+            if max_frames is not None and len(frames) >= max_frames:
+                return sw, sh, frames, pal_out
         elif introducer == 0x3B:                 # trailer
             break
         else:
             raise ValueError(f"unknown block 0x{introducer:02x}")
-    raise ValueError("no image frame found")
+    if not frames:
+        raise ValueError("no image frame found")
+    return sw, sh, frames, pal_out
 
 
 def gif_luma(width: int, height: int, indices: bytes,

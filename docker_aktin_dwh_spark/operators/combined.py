@@ -1339,6 +1339,11 @@ def r8_all(spark, sf):
         F.concat_ws("|", "doc_id", "gif_w", "gif_h",
                     F.round(F.col("gif_luma") * 1_000_000)
                      .cast("long"))))
+    out = out.unionByName(_tag(
+        multimodal.mm_vid(spark, sf), "vid",
+        F.concat_ws("|", "doc_id", "frame_idx", "vid_w", "vid_h",
+                    F.round(F.col("fr_luma") * 1_000_000)
+                     .cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1363,6 +1368,9 @@ def _r8_all_oracle() -> str:
         ("gif", cat("doc_id", "gif_w", "gif_h",
                     "CAST(ROUND(gif_luma * 1000000) AS BIGINT)"),
          multimodal._ORACLES["mm_gif"]),
+        ("vid", cat("doc_id", "frame_idx", "vid_w", "vid_h",
+                    "CAST(ROUND(fr_luma * 1000000) AS BIGINT)"),
+         multimodal._ORACLES["mm_vid"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)

@@ -440,6 +440,105 @@ FROM px GROUP BY 1, 2, 3 ORDER BY doc_id
 """
 
 
+VID_SYNTH_DOCS = 200
+#: frame-sampling stride of mm_vid (keep frames 0, 2, 4, ...)
+VID_SAMPLE_EVERY = 2
+
+#: SQL mirrors of the animated-GIF synthesis contract
+SQL_VID_W = "8 + doc_id % 8"
+SQL_VID_H = "8 + (doc_id * 3) % 8"
+SQL_VID_NF = "2 + doc_id % 4"
+SQL_VID_V = "(i % vid_w + 5 * (i // vid_w) + 2 * doc_id + 7 * f) % 256"
+
+
+def synth_vid_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real ANIMATED GIF87a bytes per doc —
+    2 + doc_id%4 full-canvas frames, frame f pixel(y, x) =
+    (x + 5y + 2·doc_id + 7f) mod 256 (the per-frame offset makes a
+    frame-index mixup hash-visible)."""
+    from ..functions import gif as giflib
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w = 8 + did % 8
+            h = 8 + (did * 3) % 8
+            nf = 2 + did % 4
+            frames = [bytes((x + 5 * y + 2 * did + 7 * f) % 256
+                            for y in range(h) for x in range(w))
+                      for f in range(nf)]
+            out.append(giflib.encode_gif_frames(frames, w, h))
+        return pd.Series(out)
+
+    return docs.select("doc_id", mk("doc_id").alias("payload"),
+                       F.lit("image/gif").alias("media_type"))
+
+
+VID_SAMPLE_SCHEMA = ("doc_id long, frame_idx int, vid_w int, "
+                     "vid_h int, fr_luma double")
+
+
+def vid_frame_sample(media: DataFrame,
+                     every_n: int = VID_SAMPLE_EVERY) -> DataFrame:
+    """REAL video-proxy frame sampling: decode the animated-GIF
+    container (all frames through the LZW stream), keep every
+    ``every_n``-th frame, emit per-frame stats — the decode /
+    frame-sample verb of a video training pipeline, run on real bytes
+    instead of mm_04's byte-slice stand-in.  Arrow-batched
+    mapInPandas; one input row fans out to ceil(n_frames/every_n)
+    output rows."""
+    from ..functions import gif as giflib
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames, pal = giflib.decode_gif_frames(
+                    bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    rows.append((did, fi, w, h,
+                                 giflib.gif_luma(w, h, frames[fi],
+                                                 pal)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "vid_w", "vid_h",
+                                              "fr_luma"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, VID_SAMPLE_SCHEMA)
+
+
+def mm_vid(spark, sf):
+    """Real-codec video-proxy lane: synthesize animated GIFs, decode
+    and frame-sample them for real (every frame rides the hand-rolled
+    LZW decoder), certify per-sampled-frame stats against the
+    analytic synthesis contract — a frame-index or compositing error
+    anywhere in the multi-frame walk hash-mismatches."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < VID_SYNTH_DOCS).select("doc_id"))
+    return (vid_frame_sample(synth_vid_media(d))
+            .orderBy("doc_id", "frame_idx"))
+
+
+_MM_VID_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, CAST({SQL_VID_W} AS INT) AS vid_w,
+         CAST({SQL_VID_H} AS INT) AS vid_h,
+         CAST({SQL_VID_NF} AS INT) AS nf
+  FROM documents WHERE doc_id < {VID_SYNTH_DOCS}
+),
+fr AS (SELECT doc_id, vid_w, vid_h, unnest(range(nf)) AS f FROM p),
+g AS (SELECT doc_id, vid_w, vid_h, f,
+             unnest(range(vid_w * vid_h)) AS i
+      FROM fr WHERE f % {VID_SAMPLE_EVERY} = 0),
+px AS (SELECT doc_id, vid_w, vid_h, f, {SQL_VID_V} AS v FROM g)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, vid_w, vid_h,
+       ROUND(AVG(v) / 255.0, 6) AS fr_luma
+FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx
+"""
+
+
 WAV_SYNTH_DOCS = 200
 
 
@@ -668,6 +767,7 @@ _ORACLES = {
         "WHERE f.frame_idx % 2 = 0"),
     "mm_png": _MM_PNG_ORACLE,
     "mm_gif": _MM_GIF_ORACLE,
+    "mm_vid": _MM_VID_ORACLE,
     "mm_wav": _MM_WAV_ORACLE,
 }
 
@@ -683,6 +783,9 @@ _DOCS = {
               "unfilters) vs analytic oracle",
     "mm_gif": "REAL image decode: GIF87a container + hand-rolled "
               "variable-width LZW bit stream vs analytic oracle",
+    "mm_vid": "REAL video-proxy frame sampling: animated-GIF "
+              "multi-frame decode, every-2nd-frame sample, per-frame "
+              "stats vs analytic oracle",
     "mm_wav": "REAL audio decode: stdlib RIFF/WAVE PCM codec (chunk "
               "walk, 8/16-bit, mono/stereo) vs analytic oracle",
 }

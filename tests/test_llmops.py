@@ -889,6 +889,32 @@ def test_gif_decode_rejects_malformed():
     _struct.calcsize("<H")  # keep struct import honest
 
 
+def test_animated_gif_frame_sample_walks_every_frame(spark):
+    """mm_vid's multi-frame walk at smoke scale: the container holds
+    exactly the contract's frame count, the sampler keeps only even
+    frame indices, and a spot pixel of a NON-first frame matches the
+    per-frame formula (so the walk really advances through the LZW
+    streams instead of re-reading frame 0)."""
+    from docker_aktin_dwh_spark.functions import gif as giflib
+    from docker_aktin_dwh_spark.operators import multimodal as MM
+
+    d = (catalog.load(spark, SF_SMOKE, "documents")
+         .filter(F.col("doc_id").isin(2, 3)).select("doc_id"))
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in MM.synth_vid_media(d).collect()}
+    for did, payload in payloads.items():
+        w, h, frames, pal = giflib.decode_gif_frames(payload)
+        assert len(frames) == 2 + did % 4
+        f = len(frames) - 1
+        assert frames[f][0] == (0 + 0 + 2 * did + 7 * f) % 256
+    rows = MM.vid_frame_sample(MM.synth_vid_media(d)).collect()
+    assert rows and all(r.frame_idx % 2 == 0 for r in rows)
+    got = {(r.doc_id, r.frame_idx) for r in rows}
+    want = {(did, fi) for did in (2, 3)
+            for fi in range(0, 2 + did % 4, MM.VID_SAMPLE_EVERY)}
+    assert got == want
+
+
 def test_synth_gif_pipeline_decodes_to_contract(spark):
     """The declared mm_gif lane end to end at smoke scale: synthesized
     GIF bytes decode back to the analytic gradient contract (spot
