@@ -1312,9 +1312,10 @@ def r8_all(spark, sf):
     """Round-8 new operators, driver-certified in the SAME round they
     land (closing the one-generation certification lag VERDICT r7
     called out): two-pass blocked entity resolution (er_02),
-    embedding scalar quantization (vq_01), and token-budget data
-    selection (tok_01); new r8 batch operators join as branches as
-    they are built."""
+    embedding scalar quantization (vq_01), token-budget data
+    selection (tok_01), the fixed-size stratified sample (smp_03),
+    the deterministic-Laplace DP release (priv_02), the GIF/LZW real
+    decode (mm_gif), and animated-GIF frame sampling (mm_vid)."""
     from . import entity, packing, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
@@ -1450,8 +1451,8 @@ _DOCS = {
     "r7_all": "Round-7 batch extensions tagged union (bm25/er/pr/"
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
-    "r8_all": "Round-8 new-operator tagged union (er2, ...) — "
-              "same-round driver certification",
+    "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
+              "priv2/gif/vid) — same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }
