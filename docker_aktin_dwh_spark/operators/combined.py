@@ -1315,8 +1315,9 @@ def r8_all(spark, sf):
     embedding scalar quantization (vq_01), token-budget data
     selection (tok_01), the fixed-size stratified sample (smp_03),
     the deterministic-Laplace DP release (priv_02), the GIF/LZW real
-    decode (mm_gif), and animated-GIF frame sampling (mm_vid)."""
-    from . import entity, packing, similarity
+    decode (mm_gif), animated-GIF frame sampling (mm_vid), and the
+    Z-order clustering audit (lay_02)."""
+    from . import entity, maintenance, packing, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
     out = out.unionByName(_tag(
@@ -1345,11 +1346,16 @@ def r8_all(spark, sf):
         F.concat_ws("|", "doc_id", "frame_idx", "vid_w", "vid_h",
                     F.round(F.col("fr_luma") * 1_000_000)
                      .cast("long"))))
+    out = out.unionByName(_tag(
+        maintenance.lay_02(spark, sf), "lay2",
+        F.concat_ws("|", "zcell", "n", "min_c", "max_c",
+                    F.round(F.col("min_p") * 100).cast("long"),
+                    F.round(F.col("max_p") * 100).cast("long"))))
     return out.orderBy("tag", "v")
 
 
 def _r8_all_oracle() -> str:
-    from . import entity, packing, similarity
+    from . import entity, maintenance, packing, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1372,6 +1378,10 @@ def _r8_all_oracle() -> str:
         ("vid", cat("doc_id", "frame_idx", "vid_w", "vid_h",
                     "CAST(ROUND(fr_luma * 1000000) AS BIGINT)"),
          multimodal._ORACLES["mm_vid"]),
+        ("lay2", cat("zcell", "n", "min_c", "max_c",
+                     "CAST(ROUND(min_p * 100) AS BIGINT)",
+                     "CAST(ROUND(max_p * 100) AS BIGINT)"),
+         maintenance._lay2_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1452,7 +1462,7 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid) — same-round driver certification",
+              "priv2/gif/vid/lay2) — same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }

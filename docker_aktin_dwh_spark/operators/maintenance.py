@@ -283,6 +283,97 @@ GROUP BY source ORDER BY source
 """
 
 
+#: Z-order quantization width: 16 bits per dimension → 32-bit
+#: interleaved key (fits a long with room to spare)
+ZORDER_BITS = 16
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max):
+    """Morton (Z-order) interleave of two numeric columns, as pure JVM
+    bit arithmetic (32 shift/and/or terms — whole-stage-codegen'd, no
+    UDF): each column quantizes to ZORDER_BITS levels over its
+    [min, max] range, then bits interleave a15 b15 a14 b14 … a0 b0.
+    Sorting/range-partitioning on this key clusters BOTH dimensions at
+    once — the lakehouse data-skipping layout (Delta ZORDER BY /
+    Iceberg sort-order) for tables queried by more than one column:
+    per-file min/max envelopes stay tight in every interleaved
+    dimension instead of only the leading sort column, so scans with
+    predicates on EITHER column prune files.  Bounds arrive as plain
+    Python scalars (control-plane: one tiny agg upstream)."""
+    lvl = (1 << ZORDER_BITS) - 1
+    qa = F.floor((a - F.lit(a_min)) / F.lit(max(a_max - a_min, 1e-300))
+                 * lvl).cast("long")
+    qb = F.floor((b - F.lit(b_min)) / F.lit(max(b_max - b_min, 1e-300))
+                 * lvl).cast("long")
+    qa = F.least(qa, F.lit(lvl))        # a == max lands on the top cell
+    qb = F.least(qb, F.lit(lvl))
+    key = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)),
+                        2 * i + 1))
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)),
+                        2 * i))
+    return key
+
+
+def lay_02(spark, sf):
+    """Z-order clustering audit over orders on (o_custkey,
+    o_totalprice): the Morton key per row, bucketed by its top 4 bits
+    (16 coarse Z-cells), per-cell row counts and min/max envelopes of
+    BOTH dimensions.  The hash certifies the full 32-term bit
+    interleave against DuckDB's bit arithmetic; the ENVELOPE columns
+    are the data-skipping claim made visible — every cell is tight in
+    both dimensions simultaneously (a linear sort's trailing-column
+    envelope would span the full range; measured as a file-level
+    pruning A/B in tests/test_maintenance.py)."""
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_totalprice")
+    lo_c, hi_c, lo_p, hi_p = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice")).first()
+    z = o.withColumn("zkey", zorder_key(
+        F.col("o_custkey").cast("double"), F.col("o_totalprice"),
+        float(lo_c), float(hi_c), float(lo_p), float(hi_p)))
+    cell = F.shiftright("zkey", 2 * ZORDER_BITS - 4).cast("int")
+    return (z.groupBy(cell.alias("zcell"))
+            .agg(F.count("*").alias("n"),
+                 F.min("o_custkey").alias("min_c"),
+                 F.max("o_custkey").alias("max_c"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_p"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_p"))
+            .orderBy("zcell"))
+
+
+def _lay2_oracle() -> str:
+    lvl = (1 << ZORDER_BITS) - 1
+    terms = " | ".join(
+        f"(((qa >> {i}) & 1) << {2 * i + 1}) | (((qb >> {i}) & 1) "
+        f"<< {2 * i})" for i in range(ZORDER_BITS))
+    return f"""
+WITH b AS (SELECT min(o_custkey)::DOUBLE AS lo_c,
+                  max(o_custkey)::DOUBLE AS hi_c,
+                  min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p
+           FROM orders),
+q AS (SELECT o_custkey, o_totalprice,
+             LEAST(CAST(floor((o_custkey::DOUBLE - lo_c)
+                              / GREATEST(hi_c - lo_c, 1e-300)
+                              * {lvl}) AS BIGINT), {lvl}) AS qa,
+             LEAST(CAST(floor((o_totalprice - lo_p)
+                              / GREATEST(hi_p - lo_p, 1e-300)
+                              * {lvl}) AS BIGINT), {lvl}) AS qb
+      FROM orders, b),
+z AS (SELECT o_custkey, o_totalprice, {terms} AS zkey FROM q)
+SELECT CAST(zkey >> {2 * ZORDER_BITS - 4} AS INT) AS zcell,
+       count(*) AS n,
+       min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+       ROUND(min(o_totalprice), 2) AS min_p,
+       ROUND(max(o_totalprice), 2) AS max_p
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------- data-quality checks
 
 #: FK-dimension row count above which the closure anti-join must NOT
@@ -522,6 +613,7 @@ _ORACLES = {
     "rollup_01": _ROLLUP_ORACLE,
     "scd_01": _SCD_ORACLE,
     "lay_01": _LAY_ORACLE,
+    "lay_02": _lay2_oracle(),
 }
 
 _DOCS = {
@@ -535,6 +627,10 @@ _DOCS = {
              "quartiles + 3*IQR) with planted-outlier certification",
     "rollup_01": "Continuous aggregate: materialized monthly rollup "
                  "merged with the fresh tail by partial-agg summation",
+    "lay_02": "Z-order (Morton) clustering audit: 32-term JVM bit "
+              "interleave, coarse Z-cells with per-cell min/max "
+              "envelopes tight in BOTH dimensions (the data-skipping "
+              "layout)",
     "lay_01": "Partitioned layout roundtrip: cluster/compact writer + "
               "partition-pruned read-back",
 }

@@ -162,6 +162,56 @@ def test_dq2_outlier_audit_counts_planted(spark):
     assert sum(r.n_outliers for r in rows) >= planted
 
 
+def test_zorder_layout_tightens_both_dimension_envelopes(spark, tmp_path):
+    """The data-skipping claim behind lay_02, measured on real files:
+    write orders twice into 8 range-partitioned sorted files — once
+    linear (sorted by o_custkey), once Z-ordered (sorted by the Morton
+    key) — and compare per-file min/max envelopes.  Linear sort is
+    perfect on the leading column but its price envelope per file
+    spans ~the full range (a price predicate prunes nothing);
+    Z-order keeps BOTH normalized extents partial.  The honest metric
+    is per-dimension (an area product just rewards the leading
+    column): under linear sort a PRICE predicate hits every file
+    (mean price extent ≈ 1 — unprunable), while Z-order holds the
+    mean extent of BOTH dimensions materially below 1, i.e. single-
+    column predicates on either dimension prune files."""
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    o = catalog.load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    lo_c, hi_c, lo_p, hi_p = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice")).first()
+    z = o.withColumn("zkey", M.zorder_key(
+        F.col("o_custkey").cast("double"), F.col("o_totalprice"),
+        float(lo_c), float(hi_c), float(lo_p), float(hi_p)))
+
+    def extents(df, key):
+        path = str(tmp_path / key)
+        (df.repartitionByRange(8, F.col(key))
+           .sortWithinPartitions(key)
+           .write.mode("overwrite").parquet(path))
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.min("o_custkey").alias("lc"),
+                         F.max("o_custkey").alias("hc"),
+                         F.min("o_totalprice").alias("lp"),
+                         F.max("o_totalprice").alias("hp"))
+                    .collect())
+        assert len(per_file) >= 6
+        ec = [(r.hc - r.lc) / (hi_c - lo_c) for r in per_file]
+        ep = [(r.hp - r.lp) / (hi_p - lo_p) for r in per_file]
+        return sum(ec) / len(ec), sum(ep) / len(ep)
+
+    lin_c, lin_p = extents(z, "o_custkey")
+    zo_c, zo_p = extents(z, "zkey")
+    assert lin_c < 0.2, lin_c                 # leading column: perfect
+    assert lin_p > 0.9, lin_p                 # trailing: unprunable
+    # Z-order: both dimensions partial — either predicate prunes
+    assert max(zo_c, zo_p) < 0.75, (zo_c, zo_p)
+    assert zo_p < 0.8 * lin_p, (zo_p, lin_p)
+
+
 def test_dq2_percentile_gate_both_arms(spark):
     """dq_02's quartile size gate (VERDICT r7 item 2, the
     fk_violations discipline): below the gate the plan carries the
