@@ -1315,8 +1315,9 @@ def r8_all(spark, sf):
     embedding scalar quantization (vq_01), token-budget data
     selection (tok_01), the fixed-size stratified sample (smp_03),
     the deterministic-Laplace DP release (priv_02), the GIF/LZW real
-    decode (mm_gif), animated-GIF frame sampling (mm_vid), and the
-    Z-order clustering audit (lay_02)."""
+    decode (mm_gif), animated-GIF frame sampling (mm_vid), the
+    Z-order clustering audit (lay_02), and CDC-fed incremental view
+    maintenance (ivm_01)."""
     from . import entity, maintenance, packing, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
@@ -1351,6 +1352,10 @@ def r8_all(spark, sf):
         F.concat_ws("|", "zcell", "n", "min_c", "max_c",
                     F.round(F.col("min_p") * 100).cast("long"),
                     F.round(F.col("max_p") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        maintenance.ivm_01(spark, sf), "ivm",
+        F.concat_ws("|", "c_nationkey", "n_orders",
+                    F.round(F.col("revenue") * 100).cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1382,6 +1387,9 @@ def _r8_all_oracle() -> str:
                      "CAST(ROUND(min_p * 100) AS BIGINT)",
                      "CAST(ROUND(max_p * 100) AS BIGINT)"),
          maintenance._lay2_oracle()),
+        ("ivm", cat("c_nationkey", "n_orders",
+                    "CAST(ROUND(revenue * 100) AS BIGINT)"),
+         maintenance._IVM_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1462,7 +1470,8 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2) — same-round driver certification",
+              "priv2/gif/vid/lay2/ivm) — same-round driver "
+              "certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }

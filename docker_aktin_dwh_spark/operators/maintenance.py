@@ -283,6 +283,86 @@ GROUP BY source ORDER BY source
 """
 
 
+def ivm_01(spark, sf):
+    """Incremental view maintenance — the 100 TB answer to "the base
+    table changed, refresh the aggregate view": instead of
+    recomputing per-nation order counts/revenue from the full new
+    snapshot, apply only the CHANGE SET (cdc_01's snapshot_diff IS
+    the feed) as signed deltas: insert → +new row, delete → −old row,
+    update → −old +new.  The maintained view merges the old
+    materialized view with the per-nation delta aggregate by
+    summation (decomposable aggregates only — the rollup_01 rule),
+    and the ORACLE is the full recompute over the new snapshot, so
+    the hash certifies maintained ≡ recomputed.
+
+    Scale shape: the change set is churn-sized, so its customer
+    lookup and its aggregation broadcast/shuffle churn rows, not the
+    table; the old view is group-cardinality-sized.  Cost is
+    O(churn + groups) versus the recompute's O(table) — that ratio is
+    the whole point at 100 TB.  Revenue routes through DECIMAL so the
+    merged sums are order-exact (a double view + double delta would
+    drift from the recompute by accumulation order)."""
+    old, new = _cdc_snapshots(spark, sf)
+    cust = T(spark, sf, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey"))
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+
+    def signed(snapshot, ops, sign):
+        rows = (snapshot.join(F.broadcast(ops), "o_orderkey")
+                .join(o, "o_orderkey")           # recover o_custkey
+                .join(cust, F.col("o_custkey") == F.col("c_custkey")))
+        return rows.select(
+            "c_nationkey", F.lit(sign).alias("sgn"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("p"))
+
+    changes = snapshot_diff(old, new, ["o_orderkey"],
+                            ["o_totalprice", "o_orderstatus"])
+    minus = changes.filter(F.col("op").isin("delete", "update")) \
+                   .select("o_orderkey")
+    plus = changes.filter(F.col("op").isin("insert", "update")) \
+                  .select("o_orderkey")
+    delta = (signed(old, minus, -1).unionByName(signed(new, plus, 1))
+             .groupBy("c_nationkey")
+             .agg(F.sum("sgn").alias("dn"),
+                  F.sum(F.col("sgn") * F.col("p")).alias("drev")))
+
+    view_old = (old.join(o, "o_orderkey")
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("c_nationkey")
+                .agg(F.count("*").alias("n0"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                      .alias("rev0")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    merged = (view_old.join(delta, "c_nationkey", "full_outer")
+              .select("c_nationkey",
+                      (F.coalesce("n0", F.lit(0))
+                       + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+                      (F.coalesce("rev0", zero)
+                       + F.coalesce(F.col("drev").cast("decimal(18,4)"),
+                                    zero)).alias("rev")))
+    return (merged.filter(F.col("n_orders") > 0)
+            .select("c_nationkey", "n_orders",
+                    F.round(F.col("rev"), 2).cast("double")
+                     .alias("revenue"))
+            .orderBy("c_nationkey"))
+
+
+_IVM_ORACLE = """
+WITH newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7)
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(n.o_totalprice AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
+FROM newsnap n
+JOIN orders o ON o.o_orderkey = n.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 #: Z-order quantization width: 16 bits per dimension → 32-bit
 #: interleaved key (fits a long with room to spare)
 ZORDER_BITS = 16
@@ -614,6 +694,7 @@ _ORACLES = {
     "scd_01": _SCD_ORACLE,
     "lay_01": _LAY_ORACLE,
     "lay_02": _lay2_oracle(),
+    "ivm_01": _IVM_ORACLE,
 }
 
 _DOCS = {
@@ -627,6 +708,10 @@ _DOCS = {
              "quartiles + 3*IQR) with planted-outlier certification",
     "rollup_01": "Continuous aggregate: materialized monthly rollup "
                  "merged with the fresh tail by partial-agg summation",
+    "ivm_01": "Incremental view maintenance: CDC change set applied "
+              "as signed deltas to the materialized aggregate view; "
+              "oracle = full recompute (maintained == recomputed "
+              "hash-certified)",
     "lay_02": "Z-order (Morton) clustering audit: 32-term JVM bit "
               "interleave, coarse Z-cells with per-cell min/max "
               "envelopes tight in BOTH dimensions (the data-skipping "
