@@ -43,8 +43,9 @@ HEADLINE = (
     # round 7: ranked retrieval and blocked entity resolution
     "bm25_01", "er_01",
     # round 8: two-pass ER, embedding quantization, token-budget
-    # selection, and the GIF/LZW codec lane
-    "er_02", "vq_01", "tok_01", "mm_gif",
+    # selection, the GIF/LZW codec lane, animated-GIF frame sampling,
+    # Z-order clustering, and CDC-fed incremental view maintenance
+    "er_02", "vq_01", "tok_01", "mm_gif", "mm_vid", "lay_02", "ivm_01",
 )
 
 
