@@ -48,7 +48,10 @@ ANSI_KEYS = sorted(
     # r8 additions born dual-dialect: two-pass ER, the fixed-size
     # stratified sample, and the streaming exactly-once dedup's clean
     # selection
-    "er_02 smp_03 str_16"
+    "er_02 smp_03 str_16 "
+    # r8 second wave: the Z-order bit arithmetic and the IVM recompute
+    # oracle both parse on Spark 4 verbatim (<</>>/&/:: now dual-dialect)
+    "lay_02 ivm_01"
     .split())
 
 
