@@ -238,6 +238,30 @@ def test_smp3_stratified_sample_is_group_limited(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_vq01_bounds_are_one_partial_agg_no_explode(spark):
+    """vq_01's scale claim in the plan: per-dim bounds come from ONE
+    partial aggregate over fixed columns — no Generate (explode) node
+    anywhere, and the only joins are the 1-row broadcast scalar
+    attach (BroadcastNestedLoopJoin with a single-row build side is
+    the sanctioned pattern here)."""
+    from docker_aktin_dwh_spark.operators import similarity
+
+    plan = plans.formatted_plan(similarity.vq_01(spark, SF_SMOKE))
+    assert "Generate" not in plan, "vq_01 must not explode embeddings"
+    assert "CartesianProduct" not in plan
+
+
+def test_ivm01_change_set_joins_broadcast(spark):
+    """ivm_01's churn-sized frames must BROADCAST onto the base
+    tables (the O(churn) claim): the executed plan carries broadcast
+    joins and no cartesian."""
+    from docker_aktin_dwh_spark.operators import maintenance
+
+    plan = plans.formatted_plan(maintenance.ivm_01(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_er_block_join_is_equi_join(spark):
     """er_01's pair generation must join on the BLOCK key (equi-join —
     broadcast at fixture scale, sort-merge at 100 TB), never a
