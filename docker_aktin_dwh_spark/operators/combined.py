@@ -1317,7 +1317,9 @@ def r8_all(spark, sf):
     the deterministic-Laplace DP release (priv_02), the GIF/LZW real
     decode (mm_gif), animated-GIF frame sampling (mm_vid), the
     Z-order clustering audit (lay_02), and CDC-fed incremental view
-    maintenance (ivm_01)."""
+    maintenance — batch (ivm_01) and streaming foreachBatch (ivm_02,
+    a REAL replay whose maintained view must converge to the
+    recompute)."""
     from . import entity, maintenance, packing, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
@@ -1356,6 +1358,10 @@ def r8_all(spark, sf):
         maintenance.ivm_01(spark, sf), "ivm",
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        maintenance.ivm_02(spark, sf), "ivm2",
+        F.concat_ws("|", "c_nationkey", "n_orders",
+                    F.round(F.col("revenue") * 100).cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1389,6 +1395,9 @@ def _r8_all_oracle() -> str:
          maintenance._lay2_oracle()),
         ("ivm", cat("c_nationkey", "n_orders",
                     "CAST(ROUND(revenue * 100) AS BIGINT)"),
+         maintenance._IVM_ORACLE),
+        ("ivm2", cat("c_nationkey", "n_orders",
+                     "CAST(ROUND(revenue * 100) AS BIGINT)"),
          maintenance._IVM_ORACLE),
     ]
     return "\nUNION ALL\n".join(
@@ -1470,7 +1479,7 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm) — same-round driver "
+              "priv2/gif/vid/lay2/ivm/ivm2) — same-round driver "
               "certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",

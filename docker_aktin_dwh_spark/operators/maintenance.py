@@ -363,6 +363,118 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def ivm_02(spark, sf):
+    """STREAMING incremental view maintenance — ivm_01's delta
+    algebra applied per micro-batch through ``foreachBatch`` over a
+    replayed CDC change feed (before/after images, the shape a real
+    CDC system ships): the materialized per-nation view starts from
+    the old snapshot and each micro-batch folds its signed deltas in
+    (insert → +after, delete → −before, update → −before +after).
+    After the replay the view must equal the FULL RECOMPUTE over the
+    new snapshot — the same oracle as ivm_01, so the hash certifies
+    that per-batch maintenance converges to batch semantics for ANY
+    split of the change set (addition commutes; decimal routing keeps
+    the folded sums order-exact).  This is rollup_01's continuous-
+    aggregate contract driven by a real stream instead of a cutoff.
+
+    Scale shape: each micro-batch touches churn-sized frames plus the
+    group-cardinality-sized view — never the base table; the view
+    read-merge-overwrite is the single-writer upsert discipline
+    (a table-format MERGE on a real lake)."""
+    import pathlib
+    import shutil as _sh
+
+    from ..functions.barrier import materialize
+
+    old, new = _cdc_snapshots(spark, sf)
+    cust = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    changes = snapshot_diff(old, new, ["o_orderkey"],
+                            ["o_totalprice", "o_orderstatus"])
+    feed = (changes
+            .join(old.select("o_orderkey",
+                             F.col("o_totalprice").alias("p_old")),
+                  "o_orderkey", "left")
+            .join(new.select("o_orderkey",
+                             F.col("o_totalprice").alias("p_new")),
+                  "o_orderkey", "left")
+            .join(o, "o_orderkey")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "op", "c_nationkey", "p_old",
+                    "p_new"))
+
+    base = tempfile.mkdtemp(prefix="spark_ivm02_")
+    try:
+        watch = pathlib.Path(base) / "changes"
+        watch.mkdir()
+        for b in range(3):                  # 3 micro-batches by key mod
+            out = pathlib.Path(base) / f"b{b}"
+            (feed.filter(F.pmod("o_orderkey", F.lit(3)) == b)
+             .coalesce(1).write.mode("overwrite").parquet(str(out)))
+            for j, pq in enumerate(sorted(out.glob("*.parquet"))):
+                _sh.copy(pq, watch / f"{b:02d}_{j}.parquet")
+
+        view_path = f"{base}/view"
+        (old.join(o, "o_orderkey")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("decimal(28,4)").alias("rev"))
+            .write.mode("overwrite").parquet(view_path))
+
+        src = (spark.readStream.format("parquet").schema(feed.schema)
+               .option("maxFilesPerTrigger", "1").load(str(watch)))
+        assert src.isStreaming
+        zero = F.lit(0).cast("decimal(18,4)")
+
+        def apply_delta(batch: DataFrame, batch_id: int) -> None:
+            d = (batch.select(
+                    "c_nationkey",
+                    F.when(F.col("op") == "insert", 1)
+                     .when(F.col("op") == "delete", -1)
+                     .otherwise(0).alias("dn"),
+                    (F.coalesce(
+                        F.when(F.col("op").isin("insert", "update"),
+                               F.col("p_new").cast("decimal(18,4)")),
+                        zero)
+                     - F.coalesce(
+                        F.when(F.col("op").isin("delete", "update"),
+                               F.col("p_old").cast("decimal(18,4)")),
+                        zero)).alias("dr"))
+                 .groupBy("c_nationkey")
+                 .agg(F.sum("dn").alias("dn"), F.sum("dr").alias("dr")))
+            cur = batch.sparkSession.read.parquet(view_path)
+            zero28 = F.lit(0).cast("decimal(28,4)")
+            merged = materialize(
+                cur.join(d, "c_nationkey", "full_outer")
+                   .select("c_nationkey",
+                           (F.coalesce("n", F.lit(0))
+                            + F.coalesce("dn", F.lit(0)))
+                           .cast("long").alias("n"),
+                           (F.coalesce("rev", zero28)
+                            + F.coalesce(F.col("dr")
+                                         .cast("decimal(28,4)"),
+                                         zero28))
+                           .cast("decimal(28,4)").alias("rev")))
+            merged.write.mode("overwrite").parquet(view_path)
+
+        q = (src.writeStream.foreachBatch(apply_delta)
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        final = (spark.read.parquet(view_path)
+                 .filter(F.col("n") > 0)
+                 .select("c_nationkey", F.col("n").alias("n_orders"),
+                         F.round(F.col("rev"), 2).cast("double")
+                          .alias("revenue")))
+        snap = materialize(final)
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    return snap.orderBy("c_nationkey")
+
+
 #: Z-order quantization width: 16 bits per dimension → 32-bit
 #: interleaved key (fits a long with room to spare)
 ZORDER_BITS = 16
@@ -695,6 +807,7 @@ _ORACLES = {
     "lay_01": _LAY_ORACLE,
     "lay_02": _lay2_oracle(),
     "ivm_01": _IVM_ORACLE,
+    "ivm_02": _IVM_ORACLE,
 }
 
 _DOCS = {
@@ -708,6 +821,10 @@ _DOCS = {
              "quartiles + 3*IQR) with planted-outlier certification",
     "rollup_01": "Continuous aggregate: materialized monthly rollup "
                  "merged with the fresh tail by partial-agg summation",
+    "ivm_02": "STREAMING incremental view maintenance: CDC change "
+              "feed (before/after images) folded per micro-batch via "
+              "foreachBatch; converges to the full recompute (same "
+              "oracle as ivm_01)",
     "ivm_01": "Incremental view maintenance: CDC change set applied "
               "as signed deltas to the materialized aggregate view; "
               "oracle = full recompute (maintained == recomputed "
