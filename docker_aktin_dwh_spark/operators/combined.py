@@ -1319,8 +1319,9 @@ def r8_all(spark, sf):
     Z-order clustering audit (lay_02), and CDC-fed incremental view
     maintenance — batch (ivm_01) and streaming foreachBatch (ivm_02,
     a REAL replay whose maintained view must converge to the
-    recompute)."""
-    from . import entity, maintenance, packing, similarity
+    recompute), and the shuffle-free bucketed-join roundtrip
+    (bkt_01)."""
+    from . import entity, maintenance, packing, roundtrips, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
     out = out.unionByName(_tag(
@@ -1359,6 +1360,10 @@ def r8_all(spark, sf):
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
     out = out.unionByName(_tag(
+        roundtrips.bkt_01(spark, sf), "bkt",
+        F.concat_ws("|", "c_nationkey", "n_orders",
+                    F.round(F.col("revenue") * 100).cast("long"))))
+    out = out.unionByName(_tag(
         maintenance.ivm_02(spark, sf), "ivm2",
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
@@ -1366,7 +1371,7 @@ def r8_all(spark, sf):
 
 
 def _r8_all_oracle() -> str:
-    from . import entity, maintenance, packing, similarity
+    from . import entity, maintenance, packing, roundtrips, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1399,6 +1404,9 @@ def _r8_all_oracle() -> str:
         ("ivm2", cat("c_nationkey", "n_orders",
                      "CAST(ROUND(revenue * 100) AS BIGINT)"),
          maintenance._IVM_ORACLE),
+        ("bkt", cat("c_nationkey", "n_orders",
+                    "CAST(ROUND(revenue * 100) AS BIGINT)"),
+         roundtrips._BKT_01_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1479,7 +1487,7 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm/ivm2) — same-round driver "
+              "priv2/gif/vid/lay2/ivm/ivm2/bkt) — same-round driver "
               "certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",

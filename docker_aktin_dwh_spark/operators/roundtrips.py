@@ -298,6 +298,51 @@ _SRC_ORC_ORACLE = (
     "ORDER BY o_orderkey")
 
 
+def bkt_01(spark, sf):
+    """SRC-09 bucketed-storage roundtrip: orders and customer written
+    as SAME-BUCKETED tables on the join key (bucketBy(8, k) — the
+    Spark analogue of the reference's patient_num B-tree index,
+    src/docker/database/Dockerfile:25-34), then joined SHUFFLE-FREE
+    (no Exchange on either side, plan-asserted in test_plans) and
+    aggregated per nation.  The hash certifies the bytes really went
+    table → bucketed files → catalog → join — not just that the plan
+    looks right.  At 100 TB co-located storage is the difference
+    between moving both tables on every join and moving nothing;
+    bucketing pays the layout cost ONCE at write time."""
+    import uuid
+
+    from ..functions.barrier import materialize
+    from ..functions.determinism import dsum
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"bkt01_o_{tag}", f"bkt01_c_{tag}"
+    o = T(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice")
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey")
+    try:
+        write_bucketed(o, t_o, bucket_col="k", n_buckets=8)
+        write_bucketed(c, t_c, bucket_col="k", n_buckets=8)
+        j = bucketed_join(spark, t_o, t_c, "k")
+        return materialize(
+            j.groupBy("c_nationkey")
+             .agg(F.count("*").alias("n_orders"),
+                  dsum("o_totalprice").alias("revenue"))) \
+            .orderBy("c_nationkey")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+_BKT_01_ORACLE = f"""
+SELECT c_nationkey, count(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def src_evo(spark, sf):
     """SRC-08 schema-evolution read: two landing batches written with
     DIFFERENT schemas (batch 2 adds o_orderstatus — the column-added
@@ -345,6 +390,9 @@ _DOCS = {
                "shape through the built-in ORC sink/source)",
     "src_evo": "SRC-08 schema-evolution read: mergeSchema over batches "
                "with added columns (old rows surface NULL)",
+    "bkt_01": "SRC-09 bucketed-storage roundtrip: same-bucketed "
+              "tables joined shuffle-free (no Exchange, "
+              "plan-asserted), aggregate hash-certified",
 }
 
 
@@ -358,6 +406,7 @@ def specs() -> list[QuerySpec]:
         "src_jsonl": _SRC_JSONL_ORACLE,
         "src_orc": _SRC_ORC_ORACLE,
         "src_evo": _SRC_EVO_ORACLE,
+        "bkt_01": _BKT_01_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

@@ -262,6 +262,38 @@ def test_ivm01_change_set_joins_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bkt01_bucketed_join_has_no_exchange(spark):
+    """bkt_01's declared-key claim in the plan: the join of the two
+    same-bucketed tables carries NO SHUFFLE Exchange on the bucket
+    key on either side (co-located storage — the write paid the
+    layout once).  At smoke scale the planner may pick broadcast over
+    the bucketed SMJ (a BroadcastExchange, which moves the small side
+    only, is fine and correct); the claim is the absence of
+    hash-partitioning shuffles."""
+    import re
+    import uuid
+
+    from docker_aktin_dwh_spark import catalog
+    from docker_aktin_dwh_spark.sources.bucketed import (bucketed_join,
+                                                        write_bucketed)
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"bktp_o_{tag}", f"bktp_c_{tag}"
+    o = catalog.load(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice")
+    c = catalog.load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey")
+    try:
+        write_bucketed(o, t_o, bucket_col="k", n_buckets=8)
+        write_bucketed(c, t_c, bucket_col="k", n_buckets=8)
+        plan = plans.formatted_plan(bucketed_join(spark, t_o, t_c, "k"))
+        assert not re.search(r"Exchange hashpartitioning\([^)]*\bk\b",
+                             plan), plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
 def test_er_block_join_is_equi_join(spark):
     """er_01's pair generation must join on the BLOCK key (equi-join —
     broadcast at fixture scale, sort-merge at 100 TB), never a

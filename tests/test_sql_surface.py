@@ -51,7 +51,7 @@ ANSI_KEYS = sorted(
     "er_02 smp_03 str_16 "
     # r8 second wave: the Z-order bit arithmetic and the IVM recompute
     # oracle both parse on Spark 4 verbatim (<</>>/&/:: now dual-dialect)
-    "lay_02 ivm_01"
+    "lay_02 ivm_01 ivm_02 bkt_01"
     .split())
 
 
