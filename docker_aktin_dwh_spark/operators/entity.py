@@ -42,7 +42,21 @@ ER_VARIANT2_STRIDE = 48
 ER_VARIANT3_STRIDE = 80
 
 
-def _dirty_customers(spark, sf):
+def _master_offset(c):
+    """ONE control-plane aggregate for the dirty-master builders:
+    max-key offset + the fixed-width name check (previously three
+    separate scalar jobs across er_01/er_02 — merged r8)."""
+    mx, wmin, wmax = c.agg(F.max("c_custkey"),
+                           F.min(F.length("c_name")),
+                           F.max(F.length("c_name"))).first()
+    # the substring surgery depends on the fixture's fixed-width
+    # Customer#%09d names (18 chars); verify on the data, not a Column
+    if not (wmin == wmax == 18):
+        raise ValueError(f"c_name not fixed-width 18: [{wmin}, {wmax}]")
+    return mx + 1
+
+
+def _dirty_customers(spark, sf, offset: int | None = None):
     """Customer master with planted near-duplicate records: every
     ER_VARIANT_STRIDE-th customer re-enters under a fresh id (data-
     derived max+1 offset) with the last name char replaced ('X'), and
@@ -51,13 +65,8 @@ def _dirty_customers(spark, sf):
     prefix, so the variants land in the original's block."""
     c = T(spark, sf, "customer").select("c_custkey", "c_name",
                                         "c_nationkey")
-    offset = c.agg(F.max("c_custkey")).first()[0] + 1
-    # the substring surgery below depends on the fixture's fixed-width
-    # Customer#%09d names (18 chars); verify on the data, not a Column
-    wmin, wmax = c.agg(F.min(F.length("c_name")),
-                       F.max(F.length("c_name"))).first()
-    if not (wmin == wmax == 18):
-        raise ValueError(f"c_name not fixed-width 18: [{wmin}, {wmax}]")
+    if offset is None:
+        offset = _master_offset(c)
     v1 = (c.filter(F.col("c_custkey") % ER_VARIANT_STRIDE == 0)
           .select((F.col("c_custkey") + offset).alias("c_custkey"),
                   F.concat(F.substring("c_name", 1, 17), F.lit("X"))
@@ -120,10 +129,10 @@ def _dirty_customers_v3(spark, sf):
     char 11 replaced ('Z'), an edit INSIDE pass 1's blocking prefix
     (chars 10-16), so pass-1 blocking puts original and variant in
     DIFFERENT blocks and the match is unrecoverable single-pass."""
-    base = _dirty_customers(spark, sf)
     c = T(spark, sf, "customer").select("c_custkey", "c_name",
                                         "c_nationkey")
-    offset = c.agg(F.max("c_custkey")).first()[0] + 1
+    offset = _master_offset(c)
+    base = _dirty_customers(spark, sf, offset)
     v3 = (c.filter(F.col("c_custkey") % ER_VARIANT3_STRIDE == 0)
           .select((F.col("c_custkey") + 3 * offset).alias("c_custkey"),
                   F.concat(F.substring("c_name", 1, 10), F.lit("Z"),
