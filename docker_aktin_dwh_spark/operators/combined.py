@@ -1319,8 +1319,8 @@ def r8_all(spark, sf):
     Z-order clustering audit (lay_02), and CDC-fed incremental view
     maintenance — batch (ivm_01) and streaming foreachBatch (ivm_02,
     a REAL replay whose maintained view must converge to the
-    recompute), and the shuffle-free bucketed-join roundtrip
-    (bkt_01)."""
+    recompute), the shuffle-free bucketed-join roundtrip (bkt_01),
+    and the Count-Min frequency sketch (cms_01)."""
     from . import entity, maintenance, packing, roundtrips, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
@@ -1364,6 +1364,11 @@ def r8_all(spark, sf):
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
     out = out.unionByName(_tag(
+        textops.cms_01(spark, sf), "cms",
+        F.concat_ws("|", "t", "exact", "est",
+                    F.col("ge_exact").cast("string"),
+                    F.col("within_bound").cast("string"))))
+    out = out.unionByName(_tag(
         maintenance.ivm_02(spark, sf), "ivm2",
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
@@ -1372,6 +1377,7 @@ def r8_all(spark, sf):
 
 def _r8_all_oracle() -> str:
     from . import entity, maintenance, packing, roundtrips, similarity
+    from . import textops
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1407,6 +1413,8 @@ def _r8_all_oracle() -> str:
         ("bkt", cat("c_nationkey", "n_orders",
                     "CAST(ROUND(revenue * 100) AS BIGINT)"),
          roundtrips._BKT_01_ORACLE),
+        ("cms", cat("t", "exact", "est", "ge_exact", "within_bound"),
+         textops._cms_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1487,8 +1495,8 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm/ivm2/bkt) — same-round driver "
-              "certification",
+              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms) — same-round "
+              "driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }

@@ -535,6 +535,122 @@ ORDER BY c DESC, t
 """
 
 
+# --------------------------------------------- Count-Min sketch (cms_01)
+
+#: CMS geometry: D independent hash rows × W counters.  Error bound
+#: est ≤ exact + (e/W)·N with prob 1 − e^−D per query — but on a FIXED
+#: corpus with FIXED hashes the sketch is deterministic, so the bound
+#: either holds or not once; the declared key certifies it holds on
+#: the fixtures (verified at all SFs) with the 4× slack below.
+CMS_D = 4
+CMS_W = 1024
+#: certification slack multiplier on the e/W·N bound
+CMS_SLACK = 4.0
+#: fixed query tokens (the bm25 vocabulary + a high-frequency word) —
+#: constants so both engines probe identical cells
+CMS_QUERIES = ("table", "scan", "hash", "merge", "window", "sort",
+               "data")
+
+
+def cms_frame(spark, sf, w: int = CMS_W, dd: int = CMS_D):
+    """The CMS build + probe + certification frame at geometry
+    (dd × w) — cms_01 uses the declared constants; tests shrink w to
+    force real collisions (est > exact while never undercounting)."""
+    import math
+
+    d = T(spark, sf, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("t"))
+    rows = tok.select(
+        "t", F.explode(F.array(*[F.lit(i) for i in range(dd)]))
+              .alias("d"))
+    cell = F.conv(F.substring(
+        F.md5(F.concat_ws("|", "t", "d")), 1, 6), 16, 10) \
+        .cast("long") % w
+    sketch = (rows.groupBy("d", cell.alias("w"))
+              .agg(F.count("*").alias("c")))
+
+    q = spark.createDataFrame([(t,) for t in CMS_QUERIES], "t string")
+    probes = q.select(
+        "t", F.explode(F.array(*[F.lit(i) for i in range(dd)]))
+              .alias("d"))
+    probes = probes.select(
+        "t", "d",
+        (F.conv(F.substring(F.md5(F.concat_ws("|", "t", "d")), 1, 6),
+                16, 10).cast("long") % w).alias("w"))
+    est = (probes.join(sketch, ["d", "w"], "left")
+           .groupBy("t")
+           .agg(F.min(F.coalesce("c", F.lit(0))).alias("est")))
+    exact = (tok.groupBy("t").agg(F.count("*").alias("exact"))
+             .join(q, "t", "right")
+             .select("t", F.coalesce("exact", F.lit(0)).alias("exact")))
+    n_total = tok.agg(F.count("*").alias("n_total"))
+    eps = CMS_SLACK * math.e / w
+    return (est.join(exact, "t").crossJoin(F.broadcast(n_total))
+            .select("t", "exact", "est",
+                    (F.col("est") >= F.col("exact")).alias("ge_exact"),
+                    (F.col("est") <= F.col("exact")
+                     + F.lit(eps) * F.col("n_total"))
+                    .alias("within_bound"))
+            .orderBy("t"))
+
+
+def cms_01(spark, sf):
+    """Count-Min sketch over the corpus token stream — the MERGEABLE
+    frequency sketch, completing the sketch trio beside fed_hll's HLL
+    (distinct) and agg_12's KLL (percentile): D×W integer counters,
+    each token occurrence incrementing one cell per hash row.  The
+    sketch builds in ONE pass with map-side combine into ≤ D·W groups
+    (bytes of state per partition — the same partial-merge shape a
+    federated site or a streaming window would ship), and point
+    queries read back est = min over rows of the probed cell.
+
+    Certification: for each fixed query token, est ≥ exact (CMS never
+    undercounts — deterministic) and est ≤ exact + slack·(e/W)·N
+    (the ε-bound with 4× slack; deterministic on a fixed corpus —
+    verified TRUE at sf0.001/0.01/0.1 and the 10× replica).  At the
+    declared W=1024 the fixture vocabulary collides with no query
+    cell, so est == exact; the collision (overcount) side of the
+    contract is exercised for real at W=32 in tests/test_llmops.
+    Hashes are md5-derived (the mix_02 integer-bits discipline) so
+    DuckDB probes the identical cells."""
+    return cms_frame(spark, sf)
+
+
+def _cms_oracle() -> str:
+    import math
+
+    eps = CMS_SLACK * math.e / CMS_W
+    qlist = ", ".join(f"('{t}')" for t in CMS_QUERIES)
+    h = ("CAST(('0x' || substr(md5(t || '|' || d), 1, 6)) AS BIGINT) "
+         f"% {CMS_W}")
+    return f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS.format(col="text")}) AS t FROM documents),
+rows_ AS (
+  SELECT t, d FROM tok CROSS JOIN (SELECT unnest(range({CMS_D})) AS d) x),
+sketch AS (
+  SELECT d, {h} AS w, count(*) AS c FROM rows_ GROUP BY 1, 2),
+q(t) AS (VALUES {qlist}),
+probes AS (
+  SELECT q.t, x.d, {h.replace('md5(t', 'md5(q.t')} AS w
+  FROM q CROSS JOIN (SELECT unnest(range({CMS_D})) AS d) x),
+est AS (
+  SELECT p.t, min(COALESCE(s.c, 0)) AS est
+  FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.w = p.w
+  GROUP BY 1),
+exact AS (
+  SELECT q.t, COALESCE(e.c, 0) AS exact
+  FROM q LEFT JOIN (SELECT t, count(*) AS c FROM tok GROUP BY 1) e
+       ON e.t = q.t),
+tot AS (SELECT count(*) AS n_total FROM tok)
+SELECT est.t, exact, est,
+       est >= exact AS ge_exact,
+       est <= exact + {eps} * n_total AS within_bound
+FROM est JOIN exact ON est.t = exact.t CROSS JOIN tot
+ORDER BY est.t
+"""
+
+
 def _sql_vote(ws: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in ws)
     return f"len(list_filter(t, x -> x IN ({lst})))"
@@ -577,6 +693,7 @@ _ORACLES = {
     "pii_01": _PII_ORACLE,
     "qrep_01": _QREP_ORACLE,
     "hh_01": _HH_ORACLE,
+    "cms_01": _cms_oracle(),
     "lm_01": _LM_ORACLE,
 }
 
@@ -591,6 +708,11 @@ _DOCS = {
               "(planted-PII certification)",
     "qrep_01": "Repetition quality metrics: duplicate-token ratio + "
                "top-bigram fraction",
+    "cms_01": "Count-Min sketch frequency estimation: D x W mergeable "
+              "counter sketch built in one partial-agg pass; point "
+              "queries certified est >= exact and within the eps-N "
+              "bound (deterministic md5 hashes, both engines probe "
+              "identical cells)",
     "hh_01": "Corpus heavy hitters: exact high-frequency tokens via "
              "per-partition candidates + one exact verify pass",
     "bpe_01": "BPE tokenizer training: iterative merge learning on the "

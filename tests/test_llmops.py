@@ -1071,6 +1071,22 @@ def test_er_finds_every_planted_variant_pair(spark):
             f"2-char variant of {k} missed"
 
 
+def test_cms_small_width_collides_but_never_undercounts(spark):
+    """The CMS contract's collision side, exercised for real: at W=32
+    the fixture vocabulary MUST collide with some query cell (est >
+    exact somewhere — an overcount that never happens at the declared
+    W=1024), while est ≥ exact holds for every query (CMS can only
+    overcount) and the ε-bound still holds (ε = 4e/32 is generous)."""
+    from docker_aktin_dwh_spark.operators.textops import cms_frame
+
+    rows = cms_frame(spark, SF_SMOKE, w=32).collect()
+    assert rows
+    assert all(r.ge_exact for r in rows)
+    assert all(r.within_bound for r in rows)
+    assert any(r.est > r.exact for r in rows), \
+        "no collision at W=32 — the overcount arm is untested"
+
+
 def test_tok01_budget_respected_and_maximal(spark):
     """tok_01 semantics: the realized fraction never exceeds the
     budget, the selection is MAXIMAL in whole score-groups (admitting
