@@ -46,6 +46,7 @@ HEADLINE = (
     # selection, the GIF/LZW codec lane, animated-GIF frame sampling,
     # Z-order clustering, and CDC-fed incremental view maintenance
     "er_02", "vq_01", "tok_01", "mm_gif", "mm_vid", "lay_02", "ivm_01",
+    "cms_01",
 )
 
 
@@ -121,7 +122,9 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  # window + broadcast threshold — the no-global-sort
                  # claim measured; embeddings/vq_01 excluded only
                  # because the replica fixture has no embeddings table)
-                 "tok_01")
+                 # and the Count-Min sketch (4x-token explode crushed
+                 # into <= D*W groups by map-side combine)
+                 "tok_01", "cms_01")
 SCALE_REPLICAS = 10
 
 
