@@ -199,6 +199,61 @@ def ont_01(spark, sf):
             .orderBy("concept_cd"))
 
 
+def ont_02(spark, sf):
+    """Ontology hierarchy rollup — i2b2's "totalnum" per tree node
+    (the patient/fact counts the ontology browser shows beside every
+    folder, computed by the provisioned system's totalnum batch job
+    over the metadata tree seeded at reference
+    src/docker/database/Dockerfile:30): for EVERY node of the
+    materialized-path tree, the fact count and distinct-patient count
+    over descendant-or-self concepts.
+
+    Distributed shape — NO recursion, NO per-node subtree queries:
+    each fact maps to its concept's path (broadcast concept
+    dimension), the path explodes into its ≤ depth ancestor prefixes
+    as a pure JVM transform (split + slice + array_join — depth is
+    3 here and single digits in any real ontology), and ONE
+    groupBy(node) aggregates everything.  Cost is depth × facts rows
+    through a partial-agg shuffle — the whole tree's totals in one
+    pass, versus the naive per-node LIKE scan that rereads the fact
+    table once per folder.  countDistinct(patient) per node is exact
+    here; at 100 TB the top folders' distinct sets are patient-corpus
+    sized, so the scale path swaps in fed_hll's mergeable HLL sketch
+    (same groupBy, bytes of state per node)."""
+    fact = _fact(spark, sf).select("patient_num", "concept_cd")
+    cd = catalog.concept_dimension(spark, sf).select(
+        "concept_cd", F.col("concept_path").alias("path"))
+    parts = F.split("path", "\\\\")          # regex: one literal \
+    nk = F.size(parts) - 2
+    anc = F.transform(
+        F.sequence(F.lit(1), nk),
+        lambda k: F.concat(F.lit("\\"),
+                           F.array_join(F.slice(parts, 2, k), "\\"),
+                           F.lit("\\")))
+    return (fact.join(F.broadcast(cd), "concept_cd")
+            .select("patient_num", F.explode(anc).alias("c_fullname"))
+            .groupBy("c_fullname")
+            .agg(F.count("*").alias("n_facts"),
+                 F.countDistinct("patient_num").alias("totalnum"))
+            .orderBy("c_fullname"))
+
+
+_ONT2_ORACLE_BODY = """
+SELECT a.c_fullname, count(*) AS n_facts,
+       count(DISTINCT f.patient_num) AS totalnum
+FROM observation_fact f
+JOIN concept_dimension c ON c.concept_cd = f.concept_cd,
+LATERAL (
+  SELECT unnest(['\\' || array_to_string(
+                   (string_split(c.concept_path, '\\'))[2:k+1], '\\')
+                 || '\\'
+                 FOR k IN range(1, len(string_split(c.concept_path,
+                                                    '\\')) - 1)])
+           AS c_fullname) a
+GROUP BY a.c_fullname ORDER BY a.c_fullname
+"""
+
+
 def eav_01(spark, sf):
     """EAV → wide pivot: numeric concepts per encounter (doubles for
     engine-neutral schema)."""
@@ -415,6 +470,8 @@ _ORACLES = {
             WHERE left(c_fullname, 9) = '\\AKTIN\\R\\'
               AND c_basecode IS NOT NULL)
         GROUP BY concept_cd""",
+    "ont_02": _CT(("observation_fact", "concept_dimension"))
+    + _ONT2_ORACLE_BODY,
     "eav_01": _CT(("observation_fact",)) + """
         SELECT encounter_num,
                CAST(max(CASE WHEN concept_cd = 'AKTIN:N:0' THEN nval_num END) AS DOUBLE) AS c0,
@@ -494,6 +551,9 @@ _DOCS = {
     "coh_06": "Cohort occurrence constraint (>= N observations)",
     "coh_07": "Cohort temporal pair (B within N hours after A, same encounter)",
     "ont_01": "Ontology subtree expansion → closed IN-list on fact scan",
+    "ont_02": "Ontology hierarchy rollup (i2b2 totalnum): ancestor-"
+              "path explode + ONE groupBy — whole-tree fact/patient "
+              "counts in one pass, no per-node subtree scans",
     "eav_01": "EAV pivot to wide per-encounter frame",
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
     "priv_01": "Privacy-thresholded report: k-anonymity small-cell "

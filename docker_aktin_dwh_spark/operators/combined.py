@@ -1320,7 +1320,8 @@ def r8_all(spark, sf):
     maintenance — batch (ivm_01) and streaming foreachBatch (ivm_02,
     a REAL replay whose maintained view must converge to the
     recompute), the shuffle-free bucketed-join roundtrip (bkt_01),
-    and the Count-Min frequency sketch (cms_01)."""
+    the Count-Min frequency sketch (cms_01), and the i2b2 totalnum
+    hierarchy rollup (ont_02)."""
     from . import entity, maintenance, packing, roundtrips, similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
@@ -1363,6 +1364,9 @@ def r8_all(spark, sf):
         roundtrips.bkt_01(spark, sf), "bkt",
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        cohort.ont_02(spark, sf), "ont2",
+        F.concat_ws("|", "c_fullname", "n_facts", "totalnum")))
     out = out.unionByName(_tag(
         textops.cms_01(spark, sf), "cms",
         F.concat_ws("|", "t", "exact", "est",
@@ -1415,6 +1419,8 @@ def _r8_all_oracle() -> str:
          roundtrips._BKT_01_ORACLE),
         ("cms", cat("t", "exact", "est", "ge_exact", "within_bound"),
          textops._cms_oracle()),
+        ("ont2", cat("c_fullname", "n_facts", "totalnum"),
+         cohort._ORACLES["ont_02"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1495,8 +1501,8 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms) — same-round "
-              "driver certification",
+              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms/ont2) — "
+              "same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }
