@@ -208,33 +208,65 @@ def ont_02(spark, sf):
     materialized-path tree, the fact count and distinct-patient count
     over descendant-or-self concepts.
 
-    Distributed shape — NO recursion, NO per-node subtree queries:
-    each fact maps to its concept's path (broadcast concept
-    dimension), the path explodes into its ≤ depth ancestor prefixes
-    as a pure JVM transform (split + slice + array_join — depth is
-    3 here and single digits in any real ontology), and ONE
-    groupBy(node) aggregates everything.  Cost is depth × facts rows
-    through a partial-agg shuffle — the whole tree's totals in one
-    pass, versus the naive per-node LIKE scan that rereads the fact
-    table once per folder.  countDistinct(patient) per node is exact
-    here; at 100 TB the top folders' distinct sets are patient-corpus
-    sized, so the scale path swaps in fed_hll's mergeable HLL sketch
-    (same groupBy, bytes of state per node)."""
+    Distributed shape — NO recursion, NO per-node subtree queries,
+    and PRE-AGGREGATION before the ancestor fan-out (the measured-3×
+    rule: never explode what you can aggregate first):
+
+    - n_facts: ONE groupBy(concept) over the fact table (the only
+      corpus-sized stage), then the ancestor explode runs on the
+      concept-cardinality frame (~150 rows) and per-node sums fold
+      the partials — decomposable-aggregate rollup, rollup_01's rule.
+    - totalnum: distinct (concept, patient) pairs first (one shuffle,
+      output bounded by concepts × patients, far below facts), THEN
+      explode each pair's ≤ depth ancestors and countDistinct per
+      node — needed because a patient under several child concepts
+      must count once at the folder.
+
+    The ancestor prefixes come from a pure JVM transform
+    (split + slice + array_join — depth is 3 here, single digits in
+    any real ontology).  countDistinct per node is exact here; at
+    100 TB the top folders' distinct sets are patient-corpus sized,
+    so the scale path swaps in fed_hll's mergeable HLL sketch (same
+    groupBy, bytes of state per node)."""
     fact = _fact(spark, sf).select("patient_num", "concept_cd")
     cd = catalog.concept_dimension(spark, sf).select(
         "concept_cd", F.col("concept_path").alias("path"))
-    parts = F.split("path", "\\\\")          # regex: one literal \
-    nk = F.size(parts) - 2
-    anc = F.transform(
-        F.sequence(F.lit(1), nk),
-        lambda k: F.concat(F.lit("\\"),
-                           F.array_join(F.slice(parts, 2, k), "\\"),
-                           F.lit("\\")))
-    return (fact.join(F.broadcast(cd), "concept_cd")
-            .select("patient_num", F.explode(anc).alias("c_fullname"))
-            .groupBy("c_fullname")
-            .agg(F.count("*").alias("n_facts"),
-                 F.countDistinct("patient_num").alias("totalnum"))
+
+    def anc(path_col: str):
+        parts = F.split(path_col, "\\\\")    # regex: one literal \
+        nk = F.size(parts) - 2
+        return F.transform(
+            F.sequence(F.lit(1), nk),
+            lambda k: F.concat(F.lit("\\"),
+                               F.array_join(F.slice(parts, 2, k), "\\"),
+                               F.lit("\\")))
+
+    # ONE corpus scan feeds both rollups: the (concept, patient)
+    # partial counts ARE the distinct pairs AND sum back to the
+    # per-concept fact counts.  The pair frame is MATERIALIZED (the
+    # bm25 single-scan rule) so the n_facts and totalnum branches
+    # don't each re-derive the fact table.  Fixture-scale honesty
+    # (measured): the synthetic fixture has ~1 fact per (concept,
+    # patient) pair, so pairs ≈ facts and the barrier costs ~0.4 s
+    # more than the double scan (3.9 vs 4.2 s at sf0.1); on real
+    # clinical data patients accrue MANY facts per concept over time,
+    # pairs ≪ facts, and the barrier saves a full corpus re-scan —
+    # the 100 TB decision, taken knowingly against the fixture
+    # micro-benchmark
+    from ..functions.barrier import materialize
+
+    cp = (fact.groupBy("concept_cd", "patient_num")
+          .agg(F.count("*").alias("n")))
+    cp = materialize(cp.join(F.broadcast(cd), "concept_cd"))
+    n_facts = (cp.groupBy("path").agg(F.sum("n").alias("n"))
+               .select(F.explode(anc("path")).alias("c_fullname"), "n")
+               .groupBy("c_fullname")
+               .agg(F.sum("n").alias("n_facts")))
+    totalnum = (cp.select("patient_num",
+                          F.explode(anc("path")).alias("c_fullname"))
+                .groupBy("c_fullname")
+                .agg(F.countDistinct("patient_num").alias("totalnum")))
+    return (n_facts.join(totalnum, "c_fullname")
             .orderBy("c_fullname"))
 
 
