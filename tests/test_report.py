@@ -22,6 +22,34 @@ def test_run_report_materializes_all_frames(spark, tmp_path):
     assert again == counts
 
 
+def test_ont02_rollup_respects_tree_invariants(spark):
+    """ont_02's hierarchy invariants beyond the hash: the root node
+    counts every fact and every distinct patient of the corpus;
+    every folder's n_facts equals the sum of its leaf children's
+    (disjoint concepts partition the facts); and totalnum is monotone
+    — a folder's distinct-patient count is at least any child's and
+    at most the sum of its children's."""
+    from docker_aktin_dwh_spark.operators.cohort import _fact, ont_02
+
+    rows = {r.c_fullname: r for r in ont_02(spark, SF_SMOKE).collect()}
+    fact = _fact(spark, SF_SMOKE)
+    n_facts_total = fact.count()
+    n_pat_total = fact.select("patient_num").distinct().count()
+    root = rows["\\AKTIN\\"]
+    assert root.n_facts == n_facts_total
+    assert root.totalnum == n_pat_total
+
+    folders = {k: v for k, v in rows.items() if k.count("\\") == 3}
+    assert folders
+    for fk, fv in folders.items():
+        kids = [v for k, v in rows.items()
+                if k.startswith(fk) and k != fk]
+        assert kids, fk
+        assert fv.n_facts == sum(k.n_facts for k in kids), fk
+        assert max(k.totalnum for k in kids) <= fv.totalnum \
+            <= sum(k.totalnum for k in kids), fk
+
+
 def test_priv02_noise_is_real_and_release_nonnegative(spark):
     """priv_02 mechanism sanity: the Laplace noise actually perturbs
     (some cells differ from the exact report — a zero-noise 'DP'
