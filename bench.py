@@ -46,7 +46,7 @@ HEADLINE = (
     # selection, the GIF/LZW codec lane, animated-GIF frame sampling,
     # Z-order clustering, and CDC-fed incremental view maintenance
     "er_02", "vq_01", "tok_01", "mm_gif", "mm_vid", "lay_02", "ivm_01",
-    "cms_01", "ont_02",
+    "cms_01", "ont_02", "pipe_04",
 )
 
 

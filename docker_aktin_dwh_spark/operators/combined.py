@@ -1320,9 +1320,12 @@ def r8_all(spark, sf):
     maintenance — batch (ivm_01) and streaming foreachBatch (ivm_02,
     a REAL replay whose maintained view must converge to the
     recompute), the shuffle-free bucketed-join roundtrip (bkt_01),
-    the Count-Min frequency sketch (cms_01), and the i2b2 totalnum
-    hierarchy rollup (ont_02)."""
-    from . import entity, maintenance, packing, roundtrips, similarity
+    the Count-Min frequency sketch (cms_01), the i2b2 totalnum
+    hierarchy rollup (ont_02), and the budgeted multilingual release
+    chain (pipe_04 — the r8 curation verbs composed into ONE
+    Catalyst plan)."""
+    from . import entity, maintenance, packing, prep, roundtrips, \
+        similarity
     out = _tag(entity.er_02(spark, sf), "er2",
                F.concat_ws("|", "i", "j", "dist"))
     out = out.unionByName(_tag(
@@ -1365,6 +1368,11 @@ def r8_all(spark, sf):
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
     out = out.unionByName(_tag(
+        prep.pipe_04(spark, sf), "pipe4",
+        F.concat_ws("|", "lang", "n_docs_sel", "tokens_sel",
+                    "keep_thr", "thr_tokens",
+                    F.round(F.col("budget_frac") * 10000).cast("long"))))
+    out = out.unionByName(_tag(
         cohort.ont_02(spark, sf), "ont2",
         F.concat_ws("|", "c_fullname", "n_facts", "totalnum")))
     out = out.unionByName(_tag(
@@ -1380,8 +1388,8 @@ def r8_all(spark, sf):
 
 
 def _r8_all_oracle() -> str:
-    from . import entity, maintenance, packing, roundtrips, similarity
-    from . import textops
+    from . import entity, maintenance, packing, prep, roundtrips, \
+        similarity, textops
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1421,6 +1429,10 @@ def _r8_all_oracle() -> str:
          textops._cms_oracle()),
         ("ont2", cat("c_fullname", "n_facts", "totalnum"),
          cohort._ORACLES["ont_02"]),
+        ("pipe4", cat("lang", "n_docs_sel", "tokens_sel", "keep_thr",
+                      "thr_tokens",
+                      "CAST(ROUND(budget_frac * 10000) AS BIGINT)"),
+         prep._pipe_04_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1501,7 +1513,7 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms/ont2) — "
+              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms/ont2/pipe4) — "
               "same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",

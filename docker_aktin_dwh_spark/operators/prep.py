@@ -187,6 +187,126 @@ FROM clean GROUP BY lang ORDER BY lang
 """
 
 
+def pipe_04(spark, sf):
+    """The BUDGETED MULTILINGUAL release chain — composing the
+    round-8 curation verbs into one declarative plan, the way
+    pipe_03 composes the dedup family:
+
+      quality gate → exact dedup (normalized fingerprint,
+      keep-first) → temperature rebalancing (mix_02's α = 0.5
+      md5-threshold keep — high-resource languages downsample toward
+      equal footing) → token-budget selection (tok_01's
+      aggregate-frame threshold: the longest docs until ~30% of each
+      language's REBALANCED tokens) → per-language release manifest.
+
+    Stage ordering is again the scale argument: the gate and the
+    fingerprint groupBy are the only corpus-sized stages; the
+    temperature keep is a broadcast-joined integer compare, and the
+    budget threshold is found on the per-(lang, length) aggregate
+    frame (thousands of rows), with the final selection a broadcast
+    filter.  ONE Catalyst plan end to end — column pruning drops
+    `text` after the fingerprint.
+
+    Output per language: docs/tokens selected, the temperature keep
+    threshold, the length-admission threshold, and the realized
+    budget fraction — hash-matched against a DuckDB oracle that
+    recomputes every stage."""
+    from .packing import MIX2_BITS, TOK_BUDGET_FRAC
+
+    kept = _kept(spark, sf)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    with_fp = kept.withColumn("fp", fp)
+    first_per_fp = (with_fp.groupBy("fp")
+                    .agg(F.min("doc_id").alias("doc_id")))
+    ex = (with_fp.join(first_per_fp.select("doc_id"), "doc_id",
+                       "left_semi")
+          .select("doc_id", "lang", "n_tokens"))
+
+    from pyspark.sql import Window
+    stats = ex.groupBy("lang").agg(F.count("*").alias("n_l"))
+    thr = stats.select(
+        "lang",
+        F.round(F.sqrt(F.min("n_l").over(Window.partitionBy())
+                       / F.col("n_l")) * MIX2_BITS)
+         .cast("long").alias("keep_thr"))
+    bits = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 5), 16, 10).cast("long")
+    tkept = (ex.join(F.broadcast(thr), "lang")
+             .filter(bits < F.col("keep_thr")))
+
+    g = (tkept.groupBy("lang", "keep_thr", "n_tokens")
+         .agg(F.count("*").alias("docs"),
+              F.sum("n_tokens").alias("toks")))
+    w = (Window.partitionBy("lang").orderBy(F.desc("n_tokens"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy("lang")
+    sel = (g.withColumn("cum", F.sum("toks").over(w))
+           .withColumn("total", F.sum("toks").over(tot))
+           .filter(F.col("cum") <= TOK_BUDGET_FRAC * F.col("total")))
+    return (sel.groupBy("lang")
+            .agg(F.sum("docs").alias("n_docs_sel"),
+                 F.sum("toks").alias("tokens_sel"),
+                 F.min("keep_thr").alias("keep_thr"),
+                 F.min("n_tokens").alias("thr_tokens"),
+                 F.round(F.sum("toks") / F.min("total"), 4)
+                  .alias("budget_frac"))
+            .orderBy("lang"))
+
+
+def _pipe_04_oracle() -> str:
+    from .packing import MIX2_BITS, TOK_BUDGET_FRAC
+    from .textops import STOPWORDS
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values()
+                                  for w in ws}))
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {t} AS t FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text, len(t) AS n_tokens FROM toks
+  WHERE len(t) >= {MIN_TOKENS}
+    AND len(list_filter(t, x -> x IN ({stops}))) / CAST(len(t) AS DOUBLE)
+        <= {MAX_STOP_RATIO}
+),
+fpd AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM kept
+),
+ex AS (
+  SELECT doc_id, lang, n_tokens FROM fpd
+  WHERE doc_id IN (SELECT min(doc_id) FROM fpd GROUP BY fp)
+),
+s AS (SELECT lang, count(*) AS n_l FROM ex GROUP BY lang),
+thr AS (
+  SELECT lang,
+         CAST(ROUND(sqrt((SELECT min(n_l) FROM s) / CAST(n_l AS DOUBLE))
+                    * {MIX2_BITS}) AS BIGINT) AS keep_thr
+  FROM s),
+tkept AS (
+  SELECT ex.lang, thr.keep_thr, ex.n_tokens
+  FROM ex JOIN thr ON ex.lang = thr.lang
+  WHERE ('0x' || substr(md5(CAST(ex.doc_id AS VARCHAR)), 1, 5))::BIGINT
+        < thr.keep_thr),
+g AS (SELECT lang, keep_thr, n_tokens, count(*) AS docs,
+             sum(n_tokens) AS toks
+      FROM tkept GROUP BY 1, 2, 3),
+selw AS (
+  SELECT lang, keep_thr, n_tokens, docs, toks,
+         sum(toks) OVER (PARTITION BY lang ORDER BY n_tokens DESC
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(toks) OVER (PARTITION BY lang) AS total
+  FROM g)
+SELECT lang, sum(docs) AS n_docs_sel, sum(toks) AS tokens_sel,
+       CAST(min(keep_thr) AS BIGINT) AS keep_thr,
+       CAST(min(n_tokens) AS INT) AS thr_tokens,
+       ROUND(sum(toks) / CAST(min(total) AS DOUBLE), 4) AS budget_frac
+FROM selw WHERE cum <= {TOK_BUDGET_FRAC} * total
+GROUP BY lang ORDER BY lang
+"""
+
+
 def decon_01(spark, sf):
     """Benchmark decontamination: corpus docs sharing ≥ DECON_MIN_SHARED
     3-gram shingles with any benchmark doc, as (corpus doc, benchmark
@@ -274,6 +394,13 @@ def specs() -> list[QuerySpec]:
             key="decon_01", fn=decon_01, oracle=_DECON_ORACLE,
             doc="Benchmark decontamination: corpus docs sharing "
                 "shingles with the (broadcast) benchmark set",
+            tags=("llm", "pipeline")),
+        QuerySpec(
+            key="pipe_04", fn=pipe_04, oracle=_pipe_04_oracle(),
+            doc="BUDGETED MULTILINGUAL release chain: gate -> exact "
+                "dedup -> temperature rebalancing -> token-budget "
+                "selection -> per-language manifest (one Catalyst "
+                "plan)",
             tags=("llm", "pipeline")),
         QuerySpec(
             key="pipe_03", fn=pipe_03, oracle=_pipe_03_oracle(),
