@@ -228,6 +228,17 @@ def test_bm25_topk_is_group_limited_not_cartesian(spark):
     assert "WindowGroupLimit" in plan, "top-k not pushed into windows"
 
 
+def test_pipe04_budgeted_chain_never_nested_loops(spark):
+    """pipe_04's full chain (gate → dedup → temperature → budget)
+    must stay equi-joined/broadcast throughout — no cartesian, no
+    nested loop anywhere in the composed plan."""
+    from docker_aktin_dwh_spark.operators.prep import pipe_04
+
+    plan = plans.formatted_plan(pipe_04(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_smp3_stratified_sample_is_group_limited(spark):
     """smp_03's per-stratum top-k must carry the WindowGroupLimit
     pushdown (each partition pre-limits to k before the rank filter)
