@@ -363,6 +363,76 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def _cdc_feed_and_view(spark, sf):
+    """The CDC before/after-image change feed (o_orderkey, op,
+    c_nationkey, p_old, p_new) plus the old snapshot's materialized
+    per-nation view — shared by ivm_02 and the split-invariance test
+    (tests/test_maintenance.py), so both replay the identical
+    algebra."""
+    old, new = _cdc_snapshots(spark, sf)
+    cust = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    changes = snapshot_diff(old, new, ["o_orderkey"],
+                            ["o_totalprice", "o_orderstatus"])
+    feed = (changes
+            .join(old.select("o_orderkey",
+                             F.col("o_totalprice").alias("p_old")),
+                  "o_orderkey", "left")
+            .join(new.select("o_orderkey",
+                             F.col("o_totalprice").alias("p_new")),
+                  "o_orderkey", "left")
+            .join(o, "o_orderkey")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "op", "c_nationkey", "p_old",
+                    "p_new"))
+    view_old = (old.join(o, "o_orderkey")
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy("c_nationkey")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                      .cast("decimal(28,4)").alias("rev")))
+    return feed, view_old
+
+
+def cdc_signed_delta(batch: DataFrame) -> DataFrame:
+    """Per-nation signed deltas (dn, dr) of one CDC before/after-image
+    batch — the pure delta algebra ivm_02's foreachBatch folds and the
+    split-invariance test replays batch-side: insert → +after,
+    delete → −before, update → −before +after, decimal-routed."""
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (batch.select(
+                "c_nationkey",
+                F.when(F.col("op") == "insert", 1)
+                 .when(F.col("op") == "delete", -1)
+                 .otherwise(0).alias("dn"),
+                (F.coalesce(
+                    F.when(F.col("op").isin("insert", "update"),
+                           F.col("p_new").cast("decimal(18,4)")),
+                    zero)
+                 - F.coalesce(
+                    F.when(F.col("op").isin("delete", "update"),
+                           F.col("p_old").cast("decimal(18,4)")),
+                    zero)).alias("dr"))
+            .groupBy("c_nationkey")
+            .agg(F.sum("dn").alias("dn"), F.sum("dr").alias("dr")))
+
+
+def merge_view_delta(cur: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold one signed-delta frame into the materialized (c_nationkey,
+    n, rev) view — schema pinned so repeated folds (and the parquet
+    view table) never drift."""
+    zero28 = F.lit(0).cast("decimal(28,4)")
+    return (cur.join(delta, "c_nationkey", "full_outer")
+            .select("c_nationkey",
+                    (F.coalesce("n", F.lit(0))
+                     + F.coalesce("dn", F.lit(0)))
+                    .cast("long").alias("n"),
+                    (F.coalesce("rev", zero28)
+                     + F.coalesce(F.col("dr").cast("decimal(28,4)"),
+                                  zero28))
+                    .cast("decimal(28,4)").alias("rev")))
+
+
 def ivm_02(spark, sf):
     """STREAMING incremental view maintenance — ivm_01's delta
     algebra applied per micro-batch through ``foreachBatch`` over a
@@ -386,22 +456,7 @@ def ivm_02(spark, sf):
 
     from ..functions.barrier import materialize
 
-    old, new = _cdc_snapshots(spark, sf)
-    cust = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    changes = snapshot_diff(old, new, ["o_orderkey"],
-                            ["o_totalprice", "o_orderstatus"])
-    feed = (changes
-            .join(old.select("o_orderkey",
-                             F.col("o_totalprice").alias("p_old")),
-                  "o_orderkey", "left")
-            .join(new.select("o_orderkey",
-                             F.col("o_totalprice").alias("p_new")),
-                  "o_orderkey", "left")
-            .join(o, "o_orderkey")
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .select("o_orderkey", "op", "c_nationkey", "p_old",
-                    "p_new"))
+    feed, view_old = _cdc_feed_and_view(spark, sf)
 
     base = tempfile.mkdtemp(prefix="spark_ivm02_")
     try:
@@ -415,48 +470,16 @@ def ivm_02(spark, sf):
                 _sh.copy(pq, watch / f"{b:02d}_{j}.parquet")
 
         view_path = f"{base}/view"
-        (old.join(o, "o_orderkey")
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy("c_nationkey")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                  .cast("decimal(28,4)").alias("rev"))
-            .write.mode("overwrite").parquet(view_path))
+        view_old.write.mode("overwrite").parquet(view_path)
 
         src = (spark.readStream.format("parquet").schema(feed.schema)
                .option("maxFilesPerTrigger", "1").load(str(watch)))
         assert src.isStreaming
-        zero = F.lit(0).cast("decimal(18,4)")
 
         def apply_delta(batch: DataFrame, batch_id: int) -> None:
-            d = (batch.select(
-                    "c_nationkey",
-                    F.when(F.col("op") == "insert", 1)
-                     .when(F.col("op") == "delete", -1)
-                     .otherwise(0).alias("dn"),
-                    (F.coalesce(
-                        F.when(F.col("op").isin("insert", "update"),
-                               F.col("p_new").cast("decimal(18,4)")),
-                        zero)
-                     - F.coalesce(
-                        F.when(F.col("op").isin("delete", "update"),
-                               F.col("p_old").cast("decimal(18,4)")),
-                        zero)).alias("dr"))
-                 .groupBy("c_nationkey")
-                 .agg(F.sum("dn").alias("dn"), F.sum("dr").alias("dr")))
             cur = batch.sparkSession.read.parquet(view_path)
-            zero28 = F.lit(0).cast("decimal(28,4)")
             merged = materialize(
-                cur.join(d, "c_nationkey", "full_outer")
-                   .select("c_nationkey",
-                           (F.coalesce("n", F.lit(0))
-                            + F.coalesce("dn", F.lit(0)))
-                           .cast("long").alias("n"),
-                           (F.coalesce("rev", zero28)
-                            + F.coalesce(F.col("dr")
-                                         .cast("decimal(28,4)"),
-                                         zero28))
-                           .cast("decimal(28,4)").alias("rev")))
+                merge_view_delta(cur, cdc_signed_delta(batch)))
             merged.write.mode("overwrite").parquet(view_path)
 
         q = (src.writeStream.foreachBatch(apply_delta)

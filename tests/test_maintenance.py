@@ -150,6 +150,30 @@ def test_dq_fk_gate_large_dim_path(spark):
     assert small.count() == large.count() > 0
 
 
+def test_ivm_delta_fold_is_split_invariant(spark):
+    """The ivm_02 convergence claim made explicit: folding the CDC
+    change feed's signed deltas into the old view yields the SAME
+    final view whether the feed is applied as ONE batch or as five
+    hash-split batches in sequence (addition commutes, decimal
+    routing makes the sums order-exact) — the batch-side replay of
+    the foreachBatch algebra, so 'converges for any split' is tested,
+    not just the mod-3 split the streaming key happens to use."""
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    feed, view_old = M._cdc_feed_and_view(spark, SF_SMOKE)
+    feed = feed.localCheckpoint()
+    one = M.merge_view_delta(view_old, M.cdc_signed_delta(feed))
+    many = view_old
+    for b in range(5):
+        part = feed.filter(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(5)) == b)
+        many = M.merge_view_delta(many, M.cdc_signed_delta(part))
+        many = many.localCheckpoint()
+    a = {(r.c_nationkey, r.n, str(r.rev)) for r in one.collect()}
+    b = {(r.c_nationkey, r.n, str(r.rev)) for r in many.collect()}
+    assert a == b and a
+
+
 def test_dq2_outlier_audit_counts_planted(spark):
     """dq_02 non-vacuity: every planted 100x price is flagged — the
     per-group outlier counts sum to at least the planted-row count."""
