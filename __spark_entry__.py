@@ -2,7 +2,7 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key; 197 keys as of round 8.
+               extensions), one callable per key; 198 keys as of round 8.
                The first 50 keys (registry.CORE50) cover every §2 row +
                the LLM extension inside the driver's verification window
                (SURVEY.md §2.0); fine-grained per-operator keys follow
@@ -11,7 +11,7 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                union reusing its builder verbatim) or rows-only by
                declared design; new round-8 operators certify
                same-round via the r8_all union.
-oracle_sql() — DuckDB-equivalent SQL per key, 191 keys (omitted only
+oracle_sql() — DuckDB-equivalent SQL per key, 192 keys (omitted only
                for the genuinely non-SQL-expressible operators: smp_02
                seeded sample, the raw-pair/raw-top-k ANN and SimHash
                variants (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw —

@@ -270,6 +270,62 @@ def ont_02(spark, sf):
             .orderBy("c_fullname"))
 
 
+#: ont_03's sketch acceptance band (agg_03's 5-rsd discipline)
+_ONT3_RSD = 0.05
+
+
+def ont_03(spark, sf):
+    """ont_02's totalnum with the declared 100 TB swap actually
+    WIRED: the per-node distinct-patient count comes from the
+    mergeable HLL sketch (approx_count_distinct — the fed_hll path)
+    instead of the exact two-phase distinct, so a top folder's state
+    is bytes of sketch rather than a patient-corpus-sized set.
+    Certified as a bounded self-check (the agg_03 pattern): the exact
+    count rides beside the estimate and the hashed boolean asserts
+    |apx − exact| ≤ 5·rsd·exact per node — the oracle states TRUE, so
+    the hash proves the sketch rollup stayed inside the band."""
+    fact = _fact(spark, sf).select("patient_num", "concept_cd")
+    cd = catalog.concept_dimension(spark, sf).select(
+        "concept_cd", F.col("concept_path").alias("path"))
+
+    def anc(path_col: str):
+        parts = F.split(path_col, "\\\\")    # regex: one literal \
+        nk = F.size(parts) - 2
+        return F.transform(
+            F.sequence(F.lit(1), nk),
+            lambda k: F.concat(F.lit("\\"),
+                               F.array_join(F.slice(parts, 2, k), "\\"),
+                               F.lit("\\")))
+
+    exploded = (fact.join(F.broadcast(cd), "concept_cd")
+                .select("patient_num",
+                        F.explode(anc("path")).alias("c_fullname")))
+    return (exploded.groupBy("c_fullname")
+            .agg(F.countDistinct("patient_num").alias("totalnum"),
+                 F.approx_count_distinct("patient_num").alias("_apx"))
+            .select("c_fullname", "totalnum",
+                    (F.abs(F.col("_apx") - F.col("totalnum"))
+                     <= 5 * _ONT3_RSD * F.col("totalnum"))
+                    .alias("within_bound"))
+            .orderBy("c_fullname"))
+
+
+_ONT3_ORACLE_BODY = """
+SELECT a.c_fullname, count(DISTINCT f.patient_num) AS totalnum,
+       TRUE AS within_bound
+FROM observation_fact f
+JOIN concept_dimension c ON c.concept_cd = f.concept_cd,
+LATERAL (
+  SELECT unnest(['\\' || array_to_string(
+                   (string_split(c.concept_path, '\\'))[2:k+1], '\\')
+                 || '\\'
+                 FOR k IN range(1, len(string_split(c.concept_path,
+                                                    '\\')) - 1)])
+           AS c_fullname) a
+GROUP BY a.c_fullname ORDER BY a.c_fullname
+"""
+
+
 _ONT2_ORACLE_BODY = """
 SELECT a.c_fullname, count(*) AS n_facts,
        count(DISTINCT f.patient_num) AS totalnum
@@ -504,6 +560,8 @@ _ORACLES = {
         GROUP BY concept_cd""",
     "ont_02": _CT(("observation_fact", "concept_dimension"))
     + _ONT2_ORACLE_BODY,
+    "ont_03": _CT(("observation_fact", "concept_dimension"))
+    + _ONT3_ORACLE_BODY,
     "eav_01": _CT(("observation_fact",)) + """
         SELECT encounter_num,
                CAST(max(CASE WHEN concept_cd = 'AKTIN:N:0' THEN nval_num END) AS DOUBLE) AS c0,
@@ -586,6 +644,9 @@ _DOCS = {
     "ont_02": "Ontology hierarchy rollup (i2b2 totalnum): ancestor-"
               "path explode + ONE groupBy — whole-tree fact/patient "
               "counts in one pass, no per-node subtree scans",
+    "ont_03": "Sketch-based totalnum: the HLL swap ont_02 names, "
+              "wired — per-node distinct from approx_count_distinct "
+              "(bytes of state), bounded self-check vs exact",
     "eav_01": "EAV pivot to wide per-encounter frame",
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
     "priv_01": "Privacy-thresholded report: k-anonymity small-cell "

@@ -1321,7 +1321,8 @@ def r8_all(spark, sf):
     a REAL replay whose maintained view must converge to the
     recompute), the shuffle-free bucketed-join roundtrip (bkt_01),
     the Count-Min frequency sketch (cms_01), the i2b2 totalnum
-    hierarchy rollup (ont_02), and the budgeted multilingual release
+    hierarchy rollup (ont_02) with its HLL-sketch form (ont_03), and
+    the budgeted multilingual release
     chain (pipe_04 — the r8 curation verbs composed into ONE
     Catalyst plan)."""
     from . import entity, maintenance, packing, prep, roundtrips, \
@@ -1376,6 +1377,10 @@ def r8_all(spark, sf):
         cohort.ont_02(spark, sf), "ont2",
         F.concat_ws("|", "c_fullname", "n_facts", "totalnum")))
     out = out.unionByName(_tag(
+        cohort.ont_03(spark, sf), "ont3",
+        F.concat_ws("|", "c_fullname", "totalnum",
+                    F.col("within_bound").cast("string"))))
+    out = out.unionByName(_tag(
         textops.cms_01(spark, sf), "cms",
         F.concat_ws("|", "t", "exact", "est",
                     F.col("ge_exact").cast("string"),
@@ -1429,6 +1434,8 @@ def _r8_all_oracle() -> str:
          textops._cms_oracle()),
         ("ont2", cat("c_fullname", "n_facts", "totalnum"),
          cohort._ORACLES["ont_02"]),
+        ("ont3", cat("c_fullname", "totalnum", "within_bound"),
+         cohort._ORACLES["ont_03"]),
         ("pipe4", cat("lang", "n_docs_sel", "tokens_sel", "keep_thr",
                       "thr_tokens",
                       "CAST(ROUND(budget_frac * 10000) AS BIGINT)"),
@@ -1513,8 +1520,8 @@ _DOCS = {
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
     "r8_all": "Round-8 new-operator tagged union (er2/vq/tok/smp3/"
-              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms/ont2/pipe4) — "
-              "same-round driver certification",
+              "priv2/gif/vid/lay2/ivm/ivm2/bkt/cms/ont2/ont3/pipe4) "
+              "— same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
 }
