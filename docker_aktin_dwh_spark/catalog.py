@@ -121,6 +121,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count of a fixture table from parquet FOOTER metadata — no
+    Spark job, no data scan (ADVICE r8: a size-gate's control-plane
+    scalar must not cost an O(table) pass).  Parquet footers carry
+    exact row counts per file; summing them is a metadata read, the
+    same statistic a lakehouse catalog serves.  Returns ``None`` when
+    the source has no footer to read (JDBC specs, missing path) so
+    callers fall back to their exact arm / a real count."""
+    if sf_dir.startswith("jdbc:"):
+        return None
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            return sum(pq.ParquetFile(os.path.join(path, f))
+                       .metadata.num_rows
+                       for f in os.listdir(path) if f.endswith(".parquet"))
+    except OSError:
+        return None
+    return None
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    clinical: bool = False) -> None:
     """Register fixture tables (and optionally the clinical derivations)

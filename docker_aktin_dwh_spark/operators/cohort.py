@@ -405,24 +405,29 @@ PRIV_EPS = 1.0
 PRIV2_BITS = 1 << 48
 
 
-def priv_02(spark, sf):
-    """ε-differential-privacy noisy release of the monthly report —
-    the Laplace mechanism on sensitivity-1 counts, the standard
-    aggregate-release privacy step beyond priv_01's k-anonymity
-    (statistical noise instead of suppression): released =
-    max(n + round(lap), 0) with lap = −(1/ε)·sign(u)·ln(1−2|u|) and
-    u ∈ (−0.5, 0.5) drawn DETERMINISTICALLY from 48 md5 bits of the
-    cell key ((h + 0.5)/2^48 − 0.5 — exact in a double, so both
-    engines compute the identical noise and the release is
-    hash-certifiable, the repo's md5-uniform discipline).  A real
-    release swaps the cell-key seed for a secret per-release salt;
-    the mechanism and its ε-calibration are unchanged.  Pure
-    post-aggregation projection on rep_01's frame — no extra
-    shuffle, noise is per-cell JVM arithmetic."""
+def priv_02(spark, sf, salt: str | None = None):
+    """Laplace-mechanism noisy release of the monthly report —
+    sensitivity-1 counts, released = max(n + round(lap), 0) with
+    lap = −(1/ε)·sign(u)·ln(1−2|u|) and u ∈ (−0.5, 0.5) drawn from
+    48 md5 bits of (salt | cell key), exact in a double so both
+    engines compute identical noise (the repo's md5-uniform
+    discipline).
+
+    PRIVACY CONTRACT (ADVICE r8 — stated where consumers look, not
+    just here): with ``salt=None`` the seed is the PUBLIC cell key,
+    so the noise is publicly recomputable and the release provides
+    **zero actual privacy** — that mode exists solely so the DuckDB
+    oracle can hash-certify the mechanism's arithmetic
+    ("certification mode").  An actual ε-DP release REQUIRES a
+    secret per-release ``salt``; the mechanism and ε-calibration are
+    unchanged by the seed swap.  Pure post-aggregation projection on
+    rep_01's frame — no extra shuffle, noise is per-cell JVM
+    arithmetic."""
     base = rep_01(spark, sf)
-    h = F.conv(F.substring(
-        F.md5(F.concat_ws("|", "m", "inout_cd")), 1, 12), 16, 10) \
-        .cast("long")
+    seed_cols = ["m", "inout_cd"]
+    seed = (F.concat_ws("|", F.lit(salt), *seed_cols) if salt is not None
+            else F.concat_ws("|", *seed_cols))
+    h = F.conv(F.substring(F.md5(seed), 1, 12), 16, 10).cast("long")
     u = (h + F.lit(0.5)) / PRIV2_BITS - F.lit(0.5)
     lap = (-1.0 / PRIV_EPS) * F.signum(u) * F.log(1.0 - 2 * F.abs(u))
     released = F.greatest(F.col("n") + F.round(lap).cast("long"),
@@ -651,10 +656,11 @@ _DOCS = {
     "rep_01": "Zero-filled monthly report (scaffold cross join)",
     "priv_01": "Privacy-thresholded report: k-anonymity small-cell "
                "suppression with explicit markers",
-    "priv_02": "Differentially-private report release: Laplace "
-               "mechanism (eps=1, sensitivity-1 counts) with "
-               "deterministic md5-seeded noise (certifiable; swap "
-               "seed for a secret salt in production)",
+    "priv_02": "Laplace-mechanism release DEMONSTRATION (eps=1, "
+               "sensitivity-1 counts): noise md5-seeded from the "
+               "public cell key, so it is recomputable and NOT "
+               "private as shipped — certification mode only; pass "
+               "salt=<secret> for an actual DP release",
     "fed_01": "Federated aggregate merge: per-site partial aggregates "
               "summed by the coordinator (broker query shape)",
     "fed_hll": "Federated approximate distinct: per-site HLL sketches "

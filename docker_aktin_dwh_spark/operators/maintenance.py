@@ -433,6 +433,43 @@ def merge_view_delta(cur: DataFrame, delta: DataFrame) -> DataFrame:
                     .cast("decimal(28,4)").alias("rev")))
 
 
+def make_idempotent_applier(view_path: str):
+    """foreachBatch applier for the IVM view that honors Spark's
+    AT-LEAST-ONCE foreachBatch contract (ADVICE r8): the last applied
+    ``batch_id`` is persisted beside the view via atomic rename, and a
+    batch with id ≤ the marker is SKIPPED — so a micro-batch retried
+    after a successful view overwrite does not double-apply its
+    signed deltas.  Marker-after-view ordering means a crash between
+    the two re-applies ONE batch's deltas on restart — the residual
+    window plain parquet cannot close (overwrite and marker cannot
+    commit atomically together); a table format's MERGE commits both
+    in one transaction, which is the production seam."""
+    import os as _os
+
+    from ..functions.barrier import materialize
+
+    marker = view_path.rstrip("/") + ".last_batch"
+
+    def apply_delta(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(marker) as f:
+                last = int(f.read())
+        except (OSError, ValueError):
+            last = -1
+        if batch_id <= last:        # retried batch: already applied
+            return
+        cur = batch.sparkSession.read.parquet(view_path)
+        merged = materialize(
+            merge_view_delta(cur, cdc_signed_delta(batch)))
+        merged.write.mode("overwrite").parquet(view_path)
+        tmp = f"{marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        _os.replace(tmp, marker)    # atomic on POSIX
+
+    return apply_delta
+
+
 def ivm_02(spark, sf):
     """STREAMING incremental view maintenance — ivm_01's delta
     algebra applied per micro-batch through ``foreachBatch`` over a
@@ -450,7 +487,9 @@ def ivm_02(spark, sf):
     Scale shape: each micro-batch touches churn-sized frames plus the
     group-cardinality-sized view — never the base table; the view
     read-merge-overwrite is the single-writer upsert discipline
-    (a table-format MERGE on a real lake)."""
+    (a table-format MERGE on a real lake).  The applier is the
+    batch-id-idempotent :func:`make_idempotent_applier`, so
+    foreachBatch retries of an already-applied batch are no-ops."""
     import pathlib
     import shutil as _sh
 
@@ -476,13 +515,7 @@ def ivm_02(spark, sf):
                .option("maxFilesPerTrigger", "1").load(str(watch)))
         assert src.isStreaming
 
-        def apply_delta(batch: DataFrame, batch_id: int) -> None:
-            cur = batch.sparkSession.read.parquet(view_path)
-            merged = materialize(
-                merge_view_delta(cur, cdc_signed_delta(batch)))
-            merged.write.mode("overwrite").parquet(view_path)
-
-        q = (src.writeStream.foreachBatch(apply_delta)
+        q = (src.writeStream.foreachBatch(make_idempotent_applier(view_path))
              .option("checkpointLocation", f"{base}/ckpt")
              .trigger(availableNow=True).start())
         q.awaitTermination()
@@ -705,7 +738,15 @@ def dq_02(spark, sf, exact_max_rows: int = DQ2_EXACT_MAX_ROWS):
         F.when(l.l_orderkey % DQ2_STRIDE == 0,
                l.l_extendedprice * DQ2_FACTOR)
          .otherwise(l.l_extendedprice))
-    n = audited.count()          # control-plane scalar, one 2-col scan
+    # The audited frame is a 1:1 projection of lineitem (withColumn
+    # only — no filter changes cardinality), so its row count is the
+    # TABLE row count, served from parquet footer metadata: a
+    # control-plane metadata read, not a scan (ADVICE r8 — the old
+    # audited.count() was an O(table) extra pass).  JDBC/footerless
+    # sources fall back to one count job.
+    n = catalog.table_row_count(sf, "lineitem")
+    if n is None:
+        n = audited.count()
     if n <= exact_max_rows:
         q1 = F.percentile("l_extendedprice", 0.25)
         q3 = F.percentile("l_extendedprice", 0.75)

@@ -174,6 +174,40 @@ def test_ivm_delta_fold_is_split_invariant(spark):
     assert a == b and a
 
 
+def test_ivm_applier_skips_retried_batch(spark, tmp_path):
+    """Spark's foreachBatch is AT-LEAST-ONCE: a micro-batch may be
+    retried after its effects committed.  The applier must therefore
+    be idempotent per batch_id (ADVICE r8) — applying the SAME batch
+    id twice leaves the view identical to applying it once, and a
+    NEW batch id still applies."""
+    from docker_aktin_dwh_spark.operators import maintenance as M
+
+    feed, view_old = M._cdc_feed_and_view(spark, SF_SMOKE)
+    feed = feed.localCheckpoint()
+    view_path = str(tmp_path / "view")
+    view_old.write.mode("overwrite").parquet(view_path)
+
+    apply_delta = M.make_idempotent_applier(view_path)
+    half = feed.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == 0)
+    rest = feed.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == 1)
+
+    def snap():
+        return {(r.c_nationkey, str(r.n), str(r.rev))
+                for r in spark.read.parquet(view_path).collect()}
+
+    apply_delta(half, 0)
+    once = snap()
+    apply_delta(half, 0)            # retried batch: must be a no-op
+    assert snap() == once
+    apply_delta(rest, 1)            # new batch id still applies
+    final = snap()
+    assert final != once
+    # and the final view equals the one-shot fold of the whole feed
+    expect = M.merge_view_delta(view_old, M.cdc_signed_delta(feed))
+    assert final == {(r.c_nationkey, str(r.n), str(r.rev))
+                     for r in expect.collect()}
+
+
 def test_dq2_outlier_audit_counts_planted(spark):
     """dq_02 non-vacuity: every planted 100x price is flagged — the
     per-group outlier counts sum to at least the planted-row count."""

@@ -71,6 +71,30 @@ def test_priv02_noise_is_real_and_release_nonnegative(spark):
     assert all(abs(d) <= 10 / PRIV_EPS for d in deltas), deltas
 
 
+def test_priv02_secret_salt_changes_noise(spark):
+    """The production arm (ADVICE r8): a secret salt reseeds the
+    noise — the salted release differs from certification mode (and
+    between two different salts), so the 'publicly recomputable'
+    property really is confined to salt=None; calibration (|Δ| bound,
+    nonnegativity) holds in every mode."""
+    from docker_aktin_dwh_spark.operators.cohort import (PRIV_EPS, priv_02,
+                                                         rep_01)
+
+    exact = {(r.m, r.inout_cd): r.n
+             for r in rep_01(spark, SF_SMOKE).collect()}
+    cert = {(r.m, r.inout_cd): r.n_noisy
+            for r in priv_02(spark, SF_SMOKE).collect()}
+    s1 = {(r.m, r.inout_cd): r.n_noisy
+          for r in priv_02(spark, SF_SMOKE, salt="release-2026-08").collect()}
+    s2 = {(r.m, r.inout_cd): r.n_noisy
+          for r in priv_02(spark, SF_SMOKE, salt="other-salt").collect()}
+    assert set(cert) == set(s1) == set(s2)
+    assert s1 != cert and s2 != cert and s1 != s2
+    for rel in (s1, s2):
+        assert all(v >= 0 for v in rel.values())
+        assert all(abs(rel[k] - exact[k]) <= 10 / PRIV_EPS for k in exact)
+
+
 def test_pseudonymize_hashes_ids(spark):
     pat = catalog.patient_dimension(spark, SF_SMOKE).limit(20)
     out = report.pseudonymize(pat, ("patient_num",)).collect()
