@@ -199,7 +199,14 @@ def ont_01(spark, sf):
             .orderBy("concept_cd"))
 
 
-def ont_02(spark, sf):
+#: (concept, patient) pair-count threshold above which ont_02's
+#: per-node distinct switches from exact countDistinct to ont_03's
+#: approx_count_distinct sketch (mirrors DQ2_EXACT_MAX_ROWS — exact
+#: stays below the gate so the sf0.01 oracle certifies bit-for-bit)
+ONT2_EXACT_MAX_PAIRS = 5_000_000
+
+
+def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
     """Ontology hierarchy rollup — i2b2's "totalnum" per tree node
     (the patient/fact counts the ontology browser shows beside every
     folder, computed by the provisioned system's totalnum batch job
@@ -224,10 +231,16 @@ def ont_02(spark, sf):
 
     The ancestor prefixes come from a pure JVM transform
     (split + slice + array_join — depth is 3 here, single digits in
-    any real ontology).  countDistinct per node is exact here; at
-    100 TB the top folders' distinct sets are patient-corpus sized,
-    so the scale path swaps in fed_hll's mergeable HLL sketch (same
-    groupBy, bytes of state per node)."""
+    any real ontology).  The per-node distinct is SIZE-GATED
+    (VERDICT r8 item 1, the dq_02 pattern): exact countDistinct
+    below ``exact_max_pairs`` (concept, patient) pairs — the arm the
+    sf0.01 oracle certifies bit-for-bit — and ont_03's mergeable HLL
+    sketch (approx_count_distinct, bytes of state per node) above
+    it, because at 100 TB the root folders' distinct sets are
+    patient-corpus sized.  The gate scalar is a count of the pair
+    frame that is ALREADY materialized for both output branches
+    (localCheckpoint-pinned partitions — no fact-table re-scan, the
+    footer-stat discipline's in-memory analogue)."""
     fact = _fact(spark, sf).select("patient_num", "concept_cd")
     cd = catalog.concept_dimension(spark, sf).select(
         "concept_cd", F.col("concept_path").alias("path"))
@@ -262,10 +275,18 @@ def ont_02(spark, sf):
                .select(F.explode(anc("path")).alias("c_fullname"), "n")
                .groupBy("c_fullname")
                .agg(F.sum("n").alias("n_facts")))
+    # gate on the pinned pair frame (cheap count of checkpointed
+    # partitions, not a corpus scan): exact two-phase distinct below,
+    # ont_03's HLL sketch above
+    if cp.count() <= exact_max_pairs:
+        distinct_agg = F.countDistinct("patient_num")
+    else:
+        distinct_agg = F.approx_count_distinct("patient_num",
+                                               _ONT3_RSD)
     totalnum = (cp.select("patient_num",
                           F.explode(anc("path")).alias("c_fullname"))
                 .groupBy("c_fullname")
-                .agg(F.countDistinct("patient_num").alias("totalnum")))
+                .agg(distinct_agg.alias("totalnum")))
     return (n_facts.join(totalnum, "c_fullname")
             .orderBy("c_fullname"))
 

@@ -193,19 +193,23 @@ def pipe_04(spark, sf):
     pipe_03 composes the dedup family:
 
       quality gate → exact dedup (normalized fingerprint,
-      keep-first) → temperature rebalancing (mix_02's α = 0.5
+      keep-first) → NEAR-DUP removal (pipe_03's MinHash+LSH banded
+      stage — near-dup clusters skew per-language statistics, so a
+      real budgeted release prunes them BEFORE temperature sampling;
+      VERDICT r8 item 2) → temperature rebalancing (mix_02's α = 0.5
       md5-threshold keep — high-resource languages downsample toward
       equal footing) → token-budget selection (tok_01's
       aggregate-frame threshold: the longest docs until ~30% of each
       language's REBALANCED tokens) → per-language release manifest.
 
-    Stage ordering is again the scale argument: the gate and the
-    fingerprint groupBy are the only corpus-sized stages; the
-    temperature keep is a broadcast-joined integer compare, and the
-    budget threshold is found on the per-(lang, length) aggregate
-    frame (thousands of rows), with the final selection a broadcast
-    filter.  ONE Catalyst plan end to end — column pruning drops
-    `text` after the fingerprint.
+    Stage ordering is again the scale argument: the gate, the
+    fingerprint groupBy, and the LSH band exchange (8-byte keys on
+    the exact-deduped survivors) are the only corpus-sized stages;
+    the temperature keep is a broadcast-joined integer compare, and
+    the budget threshold is found on the per-(lang, length)
+    aggregate frame (thousands of rows), with the final selection a
+    broadcast filter.  ONE Catalyst plan end to end — column pruning
+    drops `text` after the shingle stage.
 
     Output per language: docs/tokens selected, the temperature keep
     threshold, the length-admission threshold, and the realized
@@ -218,12 +222,16 @@ def pipe_04(spark, sf):
     with_fp = kept.withColumn("fp", fp)
     first_per_fp = (with_fp.groupBy("fp")
                     .agg(F.min("doc_id").alias("doc_id")))
-    ex = (with_fp.join(first_per_fp.select("doc_id"), "doc_id",
-                       "left_semi")
+    ex = with_fp.join(first_per_fp.select("doc_id"), "doc_id",
+                      "left_semi")
+
+    dup_j = (minhash_dedup_pairs(ex, DUP_THRESHOLD)
+             .select(F.col("j").alias("doc_id")).distinct())
+    nd = (ex.join(dup_j, "doc_id", "left_anti")
           .select("doc_id", "lang", "n_tokens"))
 
     from pyspark.sql import Window
-    stats = ex.groupBy("lang").agg(F.count("*").alias("n_l"))
+    stats = nd.groupBy("lang").agg(F.count("*").alias("n_l"))
     thr = stats.select(
         "lang",
         F.round(F.sqrt(F.min("n_l").over(Window.partitionBy())
@@ -231,7 +239,7 @@ def pipe_04(spark, sf):
          .cast("long").alias("keep_thr"))
     bits = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                               1, 5), 16, 10).cast("long")
-    tkept = (ex.join(F.broadcast(thr), "lang")
+    tkept = (nd.join(F.broadcast(thr), "lang")
              .filter(bits < F.col("keep_thr")))
 
     g = (tkept.groupBy("lang", "keep_thr", "n_tokens")
@@ -265,7 +273,7 @@ WITH toks AS (
   SELECT doc_id, lang, text, {t} AS t FROM documents
 ),
 kept AS (
-  SELECT doc_id, lang, text, len(t) AS n_tokens FROM toks
+  SELECT doc_id, lang, text, t, len(t) AS n_tokens FROM toks
   WHERE len(t) >= {MIN_TOKENS}
     AND len(list_filter(t, x -> x IN ({stops}))) / CAST(len(t) AS DOUBLE)
         <= {MAX_STOP_RATIO}
@@ -275,19 +283,28 @@ fpd AS (
   FROM kept
 ),
 ex AS (
-  SELECT doc_id, lang, n_tokens FROM fpd
+  SELECT doc_id, lang, t, n_tokens FROM fpd
   WHERE doc_id IN (SELECT min(doc_id) FROM fpd GROUP BY fp)
 ),
-s AS (SELECT lang, count(*) AS n_l FROM ex GROUP BY lang),
+sh AS (SELECT doc_id, lang, n_tokens, {SQL_SHINGLES3} AS sg FROM ex),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+        / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+        >= {DUP_THRESHOLD}
+),
+nd AS (SELECT doc_id, lang, n_tokens FROM sh
+       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+s AS (SELECT lang, count(*) AS n_l FROM nd GROUP BY lang),
 thr AS (
   SELECT lang,
          CAST(ROUND(sqrt((SELECT min(n_l) FROM s) / CAST(n_l AS DOUBLE))
                     * {MIX2_BITS}) AS BIGINT) AS keep_thr
   FROM s),
 tkept AS (
-  SELECT ex.lang, thr.keep_thr, ex.n_tokens
-  FROM ex JOIN thr ON ex.lang = thr.lang
-  WHERE ('0x' || substr(md5(CAST(ex.doc_id AS VARCHAR)), 1, 5))::BIGINT
+  SELECT nd.lang, thr.keep_thr, nd.n_tokens
+  FROM nd JOIN thr ON nd.lang = thr.lang
+  WHERE ('0x' || substr(md5(CAST(nd.doc_id AS VARCHAR)), 1, 5))::BIGINT
         < thr.keep_thr),
 g AS (SELECT lang, keep_thr, n_tokens, count(*) AS docs,
              sum(n_tokens) AS toks

@@ -229,14 +229,35 @@ def test_bm25_topk_is_group_limited_not_cartesian(spark):
 
 
 def test_pipe04_budgeted_chain_never_nested_loops(spark):
-    """pipe_04's full chain (gate → dedup → temperature → budget)
-    must stay equi-joined/broadcast throughout — no cartesian, no
-    nested loop anywhere in the composed plan."""
+    """pipe_04's full chain (gate → exact dedup → MinHash near-dup →
+    temperature → budget) must stay equi-joined/broadcast throughout —
+    no cartesian, no nested loop anywhere in the composed plan."""
     from docker_aktin_dwh_spark.operators.prep import pipe_04
 
     plan = plans.formatted_plan(pipe_04(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pipe04_near_dup_stage_is_exercised(spark):
+    """Non-vacuity of pipe_04's near-dup stage (VERDICT r8 item 2):
+    the MinHash removal actually drops docs on the fixture — the
+    manifest's selected-token totals differ from a chain that skips
+    straight from exact dedup to the temperature step (a vacuous
+    stage would certify nothing)."""
+    from docker_aktin_dwh_spark.operators.dedup import minhash_dedup_pairs
+    from docker_aktin_dwh_spark.operators.prep import (DUP_THRESHOLD,
+                                                       _kept)
+    from pyspark.sql import functions as F
+
+    kept = _kept(spark, SF_SMOKE)
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    with_fp = kept.withColumn("fp", fp)
+    first = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    ex = with_fp.join(first.select("doc_id"), "doc_id", "left_semi")
+    removed = (minhash_dedup_pairs(ex, DUP_THRESHOLD)
+               .select("j").distinct().count())
+    assert removed > 0, "near-dup stage vacuous on fixture"
 
 
 def test_smp3_stratified_sample_is_group_limited(spark):

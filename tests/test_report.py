@@ -50,6 +50,33 @@ def test_ont02_rollup_respects_tree_invariants(spark):
             <= sum(k.totalnum for k in kids), fk
 
 
+def test_ont02_size_gate_swaps_to_sketch_arm(spark):
+    """The ont_02 size gate (VERDICT r8 item 1), both arms pinned:
+    below the pair threshold the plan carries the exact two-phase
+    distinct; with exact_max_pairs=0 the SAME key runs ont_03's
+    approx_count_distinct arm — the plan shows the HLL aggregate and
+    no distinct expand, n_facts stays exactly equal, and every node's
+    sketched totalnum sits inside the agg_03 5·rsd band of exact."""
+    from docker_aktin_dwh_spark import plans
+    from docker_aktin_dwh_spark.operators.cohort import _ONT3_RSD, ont_02
+
+    exact_df = ont_02(spark, SF_SMOKE)
+    sketch_df = ont_02(spark, SF_SMOKE, exact_max_pairs=0)
+    p_exact = plans.formatted_plan(exact_df)
+    p_sketch = plans.formatted_plan(sketch_df)
+    assert "approx_count_distinct" not in p_exact
+    assert "approx_count_distinct" in p_sketch
+    assert "Expand" not in p_sketch, "sketch arm still expands distinct"
+
+    exact = {r.c_fullname: r for r in exact_df.collect()}
+    sketch = {r.c_fullname: r for r in sketch_df.collect()}
+    assert set(exact) == set(sketch)
+    for k in exact:
+        assert sketch[k].n_facts == exact[k].n_facts, k
+        assert (abs(sketch[k].totalnum - exact[k].totalnum)
+                <= 5 * _ONT3_RSD * exact[k].totalnum), k
+
+
 def test_priv02_noise_is_real_and_release_nonnegative(spark):
     """priv_02 mechanism sanity: the Laplace noise actually perturbs
     (some cells differ from the exact report — a zero-noise 'DP'
