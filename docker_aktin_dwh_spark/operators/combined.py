@@ -1470,6 +1470,56 @@ def _ann_bx_oracle() -> str:
             f"FROM ({S._PLANTED_ORACLE})")
 
 
+def r9_all(spark, sf):
+    """Round-9 certification union: the NEW baseline-JPEG real-decode
+    lane (mm_jpg — the last stubbed modality, functions/jpeg.py)
+    lands driver-certified in the same round it is written (the r8
+    discipline), plus the three CORE50 fold-ins VERDICT r8 item 5
+    named, reusing their builders verbatim so the window slot still
+    certifies the same semantics: mm_04 frame sampling (slot donor),
+    emb_01 mean-pool embeddings, and ded_incr incremental near-dup
+    (new batch vs stored corpus index)."""
+    from . import dedup, similarity
+    out = _tag(multimodal.mm_jpg(spark, sf), "jpg",
+               F.concat_ws("|", "doc_id", "jpg_w", "jpg_h",
+                           F.round(F.col("jpg_luma") * 1_000_000)
+                            .cast("long"),
+                           F.col("jpg_exact").cast("string")))
+    out = out.unionByName(_tag(
+        multimodal.mm_04(spark, sf), "mm4",
+        F.concat_ws("|", "doc_id", "frame_idx", "frame_md5")))
+    out = out.unionByName(_tag(
+        similarity.emb_01(spark, sf), "emb",
+        F.concat_ws("|", "g", "dims",
+                    F.round(F.col("l2") * 10000).cast("long"))))
+    out = out.unionByName(_tag(
+        dedup.ded_incr(spark, sf), "dinc",
+        F.concat_ws("|", "i", "j",
+                    F.round(F.col("jac") * 1000).cast("long"))))
+    return out.orderBy("tag", "v")
+
+
+def _r9_all_oracle() -> str:
+    from . import dedup, similarity
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("jpg", cat("doc_id", "jpg_w", "jpg_h",
+                    "CAST(ROUND(jpg_luma * 1000000) AS BIGINT)",
+                    "jpg_exact"), multimodal._ORACLES["mm_jpg"]),
+        ("mm4", cat("doc_id", "frame_idx", "frame_md5"),
+         multimodal._ORACLES["mm_04"]),
+        ("emb", cat("g", "dims", "CAST(ROUND(l2 * 10000) AS BIGINT)"),
+         similarity._EMB01_ORACLE),
+        ("dinc", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
+         dedup._ORACLES["ded_incr"]),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 # ------------------------------------------------------------------ registry
 
 _DOCS = {
@@ -1524,6 +1574,10 @@ _DOCS = {
               "— same-round driver certification",
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
+    "r9_all": "Round-9 tagged union: REAL baseline-JPEG decode "
+              "(mm_jpg, hand-written ITU T.81 codec) + CORE50 "
+              "fold-ins mm_04/emb_01/ded_incr — same-round driver "
+              "certification",
 }
 
 
@@ -1560,6 +1614,7 @@ def specs() -> list[QuerySpec]:
         "r7_all": _r7_all_oracle(),
         "r8_all": _r8_all_oracle(),
         "ann_bx": _ann_bx_oracle(),
+        "r9_all": _r9_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

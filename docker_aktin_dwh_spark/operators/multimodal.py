@@ -638,6 +638,117 @@ FROM v GROUP BY doc_id, nf, rate, ch ORDER BY doc_id
 """
 
 
+JPG_SYNTH_DOCS = 200
+#: RSTn every 3 MCUs — puts the restart-marker + DC-predictor-reset
+#: path inside the HASHED certification, not just local tests
+JPG_RESTART_INTERVAL = 3
+
+#: SQL mirrors of the JPEG synthesis contract (block-constant
+#: grayscale so the quant≡1 round-trip is BIT-EXACT — see
+#: functions/jpeg.py module doc for why constants are the one class
+#: of block the lossy transform preserves exactly)
+SQL_JPG_W = "8 * (1 + doc_id % 3)"
+SQL_JPG_H = "8 * (1 + (doc_id * 2) % 3)"
+SQL_JPG_V = "(bx + 3 * by + 2 * doc_id) % 256"
+
+
+def synth_jpg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real baseline-JPEG bytes per doc —
+    block-constant grayscale, 8·(1+did%3) × 8·(1+2·did%3), block
+    (bx, by) = (bx + 3·by + 2·did) mod 256, quant ≡ 1, restart
+    interval 3.  Block-constant images round-trip bit-exact through
+    the DCT (only the integer DC survives), so the decode lane can be
+    hash-certified against a closed-form oracle while gradients (AC
+    paths) are bounded in tests."""
+    from ..functions import jpeg as jpeglib
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w = 8 * (1 + did % 3)
+            h = 8 * (1 + (did * 2) % 3)
+            px = bytes((x // 8 + 3 * (y // 8) + 2 * did) % 256
+                       for y in range(h) for x in range(w))
+            out.append(jpeglib.encode_baseline_jpeg(
+                px, w, h, restart_interval=JPG_RESTART_INTERVAL))
+        return pd.Series(out)
+
+    return docs.select("doc_id", mk("doc_id").alias("payload"),
+                       F.lit("image/jpeg").alias("media_type"))
+
+
+JPG_DECODE_SCHEMA = ("doc_id long, jpg_w int, jpg_h int, "
+                     "jpg_luma double, jpg_exact boolean")
+
+
+def jpg_decode_features(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode (marker walk, huffman entropy decode, restart
+    handling, dequantize, IDCT) inside mapInPandas.  ``jpg_exact``
+    asserts the decoded pixels equal the synthesis contract's values
+    BYTE-FOR-BYTE — stronger than a rounded mean, so a decoder that
+    is off by one anywhere in any block hash-mismatches."""
+    import numpy as np
+
+    from ..functions import jpeg as jpeglib
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(did)
+                w, h, nc, px = jpeglib.decode_baseline_jpeg(
+                    bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                luma = float(arr.mean() / 255.0)
+                bx = np.arange(w) // 8
+                by = np.arange(h) // 8
+                expect = ((bx[None, :] + 3 * by[:, None] + 2 * did)
+                          % 256).astype(np.uint8)
+                exact = bool(nc == 1
+                             and np.array_equal(arr.reshape(h, w),
+                                                expect))
+                rows.append((did, w, h, round(luma, 6), exact))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "jpg_w", "jpg_h", "jpg_luma", "jpg_exact"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, JPG_DECODE_SCHEMA)
+
+
+def mm_jpg(spark, sf):
+    """Real-codec certification #4 (beside mm_png/mm_gif/mm_wav, the
+    last stubbed modality — VERDICT r8 item 4): synthesize baseline
+    JPEG bytes per doc, decode them with the hand-written ITU T.81
+    baseline codec (huffman entropy coding, restart markers, IDCT —
+    functions/jpeg.py), return decoded stats plus a bit-exactness
+    boolean.  The oracle recomputes width/height/mean-luma in closed
+    form from the synthesis contract and states exact=TRUE — a codec
+    that drops a stuffed byte, forgets the DC predictor reset at a
+    restart, or mis-orders the zigzag hash-mismatches."""
+    d = (T(spark, sf, "documents")
+         .filter(F.col("doc_id") < JPG_SYNTH_DOCS).select("doc_id"))
+    return jpg_decode_features(synth_jpg_media(d)).orderBy("doc_id")
+
+
+_MM_JPG_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, CAST({SQL_JPG_W} AS INT) AS jpg_w,
+         CAST({SQL_JPG_H} AS INT) AS jpg_h
+  FROM documents WHERE doc_id < {JPG_SYNTH_DOCS}
+),
+g AS (SELECT doc_id, jpg_w, jpg_h,
+             unnest(range(jpg_w // 8)) AS bx FROM p),
+gb AS (SELECT doc_id, jpg_w, jpg_h, bx,
+              unnest(range(jpg_h // 8)) AS by FROM g),
+v AS (SELECT doc_id, jpg_w, jpg_h, {SQL_JPG_V} AS v FROM gb)
+SELECT doc_id, jpg_w, jpg_h, ROUND(AVG(v) / 255.0, 6) AS jpg_luma,
+       TRUE AS jpg_exact
+FROM v GROUP BY 1, 2, 3 ORDER BY doc_id
+"""
+
+
 def mm_01(spark, sf):
     """Binary-column plumbing: payload byte length via JVM expressions
     (oracle-checkable part of the media path)."""
@@ -769,6 +880,7 @@ _ORACLES = {
     "mm_gif": _MM_GIF_ORACLE,
     "mm_vid": _MM_VID_ORACLE,
     "mm_wav": _MM_WAV_ORACLE,
+    "mm_jpg": _MM_JPG_ORACLE,
 }
 
 _DOCS = {
@@ -788,6 +900,9 @@ _DOCS = {
               "stats vs analytic oracle",
     "mm_wav": "REAL audio decode: stdlib RIFF/WAVE PCM codec (chunk "
               "walk, 8/16-bit, mono/stereo) vs analytic oracle",
+    "mm_jpg": "REAL image decode: hand-written ITU T.81 baseline "
+              "JPEG (huffman entropy decode, restart markers, IDCT) "
+              "vs analytic oracle with a bit-exactness boolean",
 }
 
 

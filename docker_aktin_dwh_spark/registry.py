@@ -56,7 +56,12 @@ class QuerySpec:
 #: str_14 + str_15 branches; slots freed by ann_lsh+ann_ivf → ann_bx
 #: and pipe_01 (⊂ pipe_02/pipe_03's gated chain, certified via
 #: ext_all's pipe_03 branch; stays post-50); r8_all certifies
-#: NEW round-8 operators in the same round they land.
+#: NEW round-8 operators in the same round they land.  Round 9
+#: (VERDICT r8 item 5's slot economy): mm_04 donates its slot to
+#: r9_all, which certifies the new mm_jpg baseline-JPEG decode AND
+#: carries mm_04/emb_01/ded_incr as verbatim-builder branches — the
+#: three fold-ins stay driver-certified, two further slots stay
+#: banked in the same union for future rounds.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -68,7 +73,7 @@ CORE50 = (
     "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
     "ded_embed",
     "ann_topk", "ann_bx", "r7_all", "emb_01",
-    "text_all", "str_out", "mm_04", "mm_decode",
+    "text_all", "str_out", "r9_all", "mm_decode",
     "r8_all", "pipe_02",
 )
 assert len(CORE50) == 50 and len(set(CORE50)) == 50

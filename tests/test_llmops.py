@@ -1242,3 +1242,121 @@ def test_mix2_temperature_flattens_language_distribution(spark):
     raw_ratio = by_n[-1].n_total / by_n[0].n_total
     kept_ratio = by_n[-1].n_kept / max(by_n[0].n_kept, 1)
     assert kept_ratio < raw_ratio
+
+
+# ----------------------------------------------------------- JPEG codec
+
+@settings(max_examples=20, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 40),
+       mode=st.sampled_from(["random", "gradient", "constant"]),
+       data=st.data())
+def test_jpeg_roundtrip_bounded_error(w, h, mode, data):
+    """With quant ≡ 1 the baseline round-trip error is bounded by the
+    DCT's coefficient-rounding (≤ ±1 per pixel in practice; we pin
+    ≤ 2): arbitrary content exercises the full AC huffman path —
+    run-lengths, ZRL, EOB, magnitude categories — and odd dimensions
+    exercise edge-replication padding."""
+    from docker_aktin_dwh_spark.functions import jpeg as J
+
+    if mode == "random":
+        px = bytes(data.draw(st.lists(st.integers(0, 255),
+                                      min_size=w * h, max_size=w * h)))
+    elif mode == "gradient":
+        px = bytes((3 * x + 7 * y) % 256 for y in range(h)
+                   for x in range(w))
+    else:
+        px = bytes([data.draw(st.integers(0, 255))]) * (w * h)
+    dw, dh, nc, dec = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(px, w, h))
+    assert (dw, dh, nc) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, dec)) <= 2
+
+
+def test_jpeg_restart_markers_reset_dc_predictor():
+    """DRI/RSTn: the encoder emits restart markers every N MCUs and
+    the decoder must realign to a byte boundary AND reset the DC
+    predictors — a decoder that keeps the predictor across a restart
+    decodes garbage from the second interval on."""
+    from docker_aktin_dwh_spark.functions import jpeg as J
+
+    w, h = 48, 8
+    px = bytes((x // 8 * 40 + 20) % 256 for y in range(h)
+               for x in range(w))
+    enc = J.encode_baseline_jpeg(px, w, h, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+    assert J.decode_baseline_jpeg(enc)[3] == px
+
+
+def test_jpeg_color_roundtrip_bounded():
+    """3-component paths: 4:4:4 error comes only from YCbCr integer
+    rounding (≤ ±2/channel); 4:2:0 adds chroma averaging over smooth
+    content (≤ ±4 on a gentle gradient).  Both exercise interleaved
+    MCU ordering and the chroma quant/huffman table selectors."""
+    from docker_aktin_dwh_spark.functions import jpeg as J
+
+    w, h = 20, 12
+    rgb = bytes(v for y in range(h) for x in range(w)
+                for v in (40 + 2 * x, 60 + 3 * y, 50 + x + y))
+    _, _, nc, dec = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(rgb, w, h, ncomp=3))
+    assert nc == 3
+    assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 2
+
+    _, _, nc2, dec2 = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(rgb, w, h, ncomp=3, subsample=True))
+    assert nc2 == 3
+    assert max(abs(a - b) for a, b in zip(rgb, dec2)) <= 4
+
+
+def test_jpeg_decoder_reads_tables_from_stream_and_guards():
+    """Honesty guards: the decoder trusts the stream's own DQT/DHT (a
+    doubled quant table in the stream visibly scales the output);
+    progressive SOF2 raises NotImplementedError; truncated entropy
+    data and missing SOI raise ValueError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.functions import jpeg as J
+
+    w, h = 16, 16
+    px = bytes(((x // 8) * 100 + 50) for y in range(h) for x in range(w))
+    enc = J.encode_baseline_jpeg(px, w, h)
+    assert J.decode_baseline_jpeg(enc)[3] == px
+
+    # patch the DQT payload (all-ones -> all-twos): decoded intensities
+    # must scale away from the original — proving tables come from the
+    # stream, not from shared constants
+    i = enc.index(b"\xff\xdb")
+    patched = bytearray(enc)
+    for k in range(i + 5, i + 5 + 64):
+        patched[k] = 2
+    dec2 = J.decode_baseline_jpeg(bytes(patched))[3]
+    assert dec2 != px
+
+    with _pytest.raises(ValueError, match="SOI"):
+        J.decode_baseline_jpeg(b"XX" + enc[2:])
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        sof = enc.index(b"\xff\xc0")
+        J.decode_baseline_jpeg(enc[:sof] + b"\xff\xc2" + enc[sof + 2:])
+    with _pytest.raises(ValueError):
+        J.decode_baseline_jpeg(enc[:len(enc) // 2])
+
+
+def test_jpeg_byte_stuffing_survives_ff_bytes():
+    """Entropy streams that generate 0xFF bytes must be stuffed with
+    0x00 and unstuffed on decode; white blocks (DC near max) and
+    random noise reliably produce 0xFF-dense streams."""
+    import random as _r
+
+    from docker_aktin_dwh_spark.functions import jpeg as J
+
+    rng = _r.Random(7)
+    w, h = 32, 32
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    enc = J.encode_baseline_jpeg(px, w, h)
+    dec = J.decode_baseline_jpeg(enc)[3]
+    assert max(abs(a - b) for a, b in zip(px, dec)) <= 2
+    white = b"\xff" * (w * h)
+    assert J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(white, w, h))[3] == white
