@@ -47,6 +47,8 @@ HEADLINE = (
     # Z-order clustering, and CDC-fed incremental view maintenance
     "er_02", "vq_01", "tok_01", "mm_gif", "mm_vid", "lay_02", "ivm_01",
     "cms_01", "ont_02", "pipe_04",
+    # round 9: baseline-JPEG real decode and the quantized-index ANN
+    "mm_jpg", "ann_sq",
 )
 
 
@@ -194,8 +196,12 @@ def scaling_section(spark, registry, sf_dir: str,
 #: price of the Python stateful lane at scale), and the windowed
 #: approx-distinct (str_15 — sketch state is PER WINDOW, so its state
 #: rows stay CONSTANT across the replica scale-up: the strongest
-#: bounded-state datum in the lane).
-STREAM_QUERIES = ("str_11", "str_13", "str_14", "str_15")
+#: bounded-state datum in the lane), and the exactly-once re-delivery
+#: dedup (str_16 — state is keyed by in-horizon event_id, so its
+#: honest bound is the DELIVERED row count incl. planted
+#: re-deliveries, with watermark eviction observed; VERDICT r8
+#: item 7).
+STREAM_QUERIES = ("str_11", "str_13", "str_14", "str_15", "str_16")
 
 
 def streaming_section(spark, registry, sf_dir: str) -> dict:
@@ -252,6 +258,27 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
                 m["n_windows"] = n_hours
                 m["state_le_windows"] = (m["state_rows_max"]
                                          <= n_hours)
+            elif key == "str_16":
+                # dedup state = one entry per in-horizon event_id; the
+                # honest ceiling is everything DELIVERED (clean rows +
+                # the planted re-deliveries), and the watermark must
+                # actually retire entries (the exactly-once claim's
+                # bounded-state half)
+                from docker_aktin_dwh_spark.operators import (
+                    streamnative as _SN16)
+                import datetime as _dt
+                cut = (ev.agg(F.max("ts")).first()[0]
+                       - _dt.timedelta(
+                           days=_SN16.STR16_DUP_RECENT_DAYS))
+                n_dups = ev.filter(
+                    (F.col("ts") >= F.lit(cut))
+                    & (F.col("event_id")
+                       % _SN16.STR16_DUP_STRIDE == 0)).count()
+                delivered = ev.count() + n_dups
+                m["delivered_rows"] = delivered
+                m["n_redeliveries"] = n_dups
+                m["state_le_delivered"] = (m["state_rows_max"]
+                                           <= delivered)
             else:
                 n_join_rows = ev.filter(
                     ev.event_type.isin("click", "view", "purchase",

@@ -1496,6 +1496,10 @@ def r9_all(spark, sf):
         dedup.ded_incr(spark, sf), "dinc",
         F.concat_ws("|", "i", "j",
                     F.round(F.col("jac") * 1000).cast("long"))))
+    out = out.unionByName(_tag(
+        similarity.ann_sq(spark, sf), "sq",
+        F.concat_ws("|", "q_id",
+                    F.col("planted_at_rank1").cast("string"))))
     return out.orderBy("tag", "v")
 
 
@@ -1515,6 +1519,8 @@ def _r9_all_oracle() -> str:
          similarity._EMB01_ORACLE),
         ("dinc", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
          dedup._ORACLES["ded_incr"]),
+        ("sq", cat("q_id", "planted_at_rank1"),
+         similarity._PLANTED_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1575,8 +1581,9 @@ _DOCS = {
     "ann_bx": "Bucketed-ANN consolidated union (ann_lsh + ann_ivf "
               "planted-rank1 certifications; CORE50 slot)",
     "r9_all": "Round-9 tagged union: REAL baseline-JPEG decode "
-              "(mm_jpg, hand-written ITU T.81 codec) + CORE50 "
-              "fold-ins mm_04/emb_01/ded_incr — same-round driver "
+              "(mm_jpg, hand-written ITU T.81 codec) + IVF-SQ "
+              "quantized-index ANN (ann_sq) + CORE50 fold-ins "
+              "mm_04/emb_01/ded_incr — same-round driver "
               "certification",
 }
 

@@ -88,12 +88,21 @@ def png_stdlib_decode(payload: bytes) -> tuple[int, int, float]:
     return w, h, pnglib.luma_stats(w, h, ch, px)
 
 
+def jpeg_stdlib_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL codec path without PIL: the hand-written baseline-JPEG
+    decoder (functions/jpeg.py — marker walk, huffman entropy decode,
+    IDCT) → (width, height, mean intensity in [0, 1])."""
+    from ..functions import jpeg as jpeglib
+    w, h, _nc, _px = jpeglib.decode_baseline_jpeg(bytes(payload))
+    return w, h, round(jpeglib.jpeg_luma(bytes(payload)), 6)
+
+
 def auto_decode(payload: bytes) -> tuple[int, int, float]:
-    """Per-payload dispatch: PNG and GIF bytes (signature-sniffed)
-    decode for real via the stdlib codecs even where PIL is absent;
-    other formats use PIL when importable; anything else falls back to
-    the deterministic stub.  Batches may mix formats — the sniff is
-    per payload, not per batch."""
+    """Per-payload dispatch: PNG, GIF, and baseline-JPEG bytes
+    (signature-sniffed) decode for real via the hand-written codecs
+    even where PIL is absent; other formats use PIL when importable;
+    anything else falls back to the deterministic stub.  Batches may
+    mix formats — the sniff is per payload, not per batch."""
     from ..functions import png as pnglib
     data = bytes(payload)
     if data[:8] == pnglib.SIGNATURE:
@@ -102,6 +111,8 @@ def auto_decode(payload: bytes) -> tuple[int, int, float]:
         from ..functions import gif as giflib
         w, h, idx, pal = giflib.decode_gif(data)
         return w, h, giflib.gif_luma(w, h, idx, pal)
+    if data[:2] == b"\xff\xd8":
+        return jpeg_stdlib_decode(data)
     try:
         import PIL  # noqa: F401
         return real_decode(data)
@@ -110,16 +121,19 @@ def auto_decode(payload: bytes) -> tuple[int, int, float]:
 
 
 def pick_decoder(codec: str = "auto"):
-    """Adapter: 'stub' → fake_decode, 'pil' → real_decode, 'png' → the
-    stdlib PNG codec, 'auto' → per-payload sniffing dispatch
-    (auto_decode).  Same DECODE_SCHEMA either way, so swapping codecs
-    never changes the plan, only the per-batch Python work."""
+    """Adapter: 'stub' → fake_decode, 'pil' → real_decode, 'png' /
+    'jpeg' → the hand-written stdlib codecs, 'auto' → per-payload
+    sniffing dispatch (auto_decode).  Same DECODE_SCHEMA either way,
+    so swapping codecs never changes the plan, only the per-batch
+    Python work."""
     if codec == "stub":
         return fake_decode
     if codec == "pil":
         return real_decode
     if codec == "png":
         return png_stdlib_decode
+    if codec == "jpeg":
+        return jpeg_stdlib_decode
     if codec != "auto":
         raise ValueError(f"unknown codec {codec!r}")
     return auto_decode
@@ -214,6 +228,11 @@ def media_features(media: DataFrame) -> DataFrame:
                             rate, ch, samples)
                         rows.append((did, "audio/wav",
                                      round(rms / 128.0, 6)))
+                        continue
+                    if data[:2] == b"\xff\xd8":
+                        from ..functions import jpeg as jpeglib
+                        rows.append((did, "image/jpeg",
+                                     round(jpeglib.jpeg_luma(data), 6)))
                         continue
                 except (ValueError, NotImplementedError):
                     # sniffed container, corrupt or unsupported payload:
@@ -761,26 +780,30 @@ def mm_01(spark, sf):
 
 
 def synth_mixed_media(docs: DataFrame) -> DataFrame:
-    """Heterogeneous media frame: PNG payloads for doc_id ≡ 0 (mod 3),
+    """Heterogeneous media frame: PNG payloads for doc_id ≡ 0 (mod 4),
     WAV for ≡ 1, raw UTF-8 text bytes (no recognizable container —
-    the stub-fallback case) for ≡ 2."""
+    the stub-fallback case) for ≡ 2, baseline JPEG for ≡ 3 (r9: the
+    new codec joins the mixed-landing-zone lane, not just its own
+    key)."""
     did = F.col("doc_id")
-    png = synth_png_media(docs.filter(did % 3 == 0).select("doc_id"))
-    wav = synth_wav_media(docs.filter(did % 3 == 1).select("doc_id"))
-    txt = (docs.filter(did % 3 == 2)
+    png = synth_png_media(docs.filter(did % 4 == 0).select("doc_id"))
+    wav = synth_wav_media(docs.filter(did % 4 == 1).select("doc_id"))
+    txt = (docs.filter(did % 4 == 2)
                .select("doc_id", F.encode("text", "UTF-8").alias("payload"),
                        F.lit("application/octet-stream")
                         .alias("media_type")))
-    return png.unionByName(wav).unionByName(txt)
+    jpg = synth_jpg_media(docs.filter(did % 4 == 3).select("doc_id"))
+    return png.unionByName(wav).unionByName(txt).unionByName(jpg)
 
 
 def mm_02(spark, sf):
-    """UPGRADED r6 (was: stub-codec rows-only): per-payload modality
-    dispatch over a mixed PNG/WAV/unknown media column — image and
-    audio payloads REALLY decode via the stdlib codecs, unknowns fall
-    back to the deterministic stub.  Hash-matched: the oracle derives
-    image luma and audio RMS analytically from the synthesis contracts
-    and the stub branch from sha256."""
+    """UPGRADED r6 (was: stub-codec rows-only), EXTENDED r9 with the
+    JPEG lane: per-payload modality dispatch over a mixed
+    PNG/WAV/unknown/JPEG media column — image and audio payloads
+    REALLY decode via the hand-written codecs, unknowns fall back to
+    the deterministic stub.  Hash-matched: the oracle derives image
+    luma and audio RMS analytically from the synthesis contracts and
+    the stub branch from sha256."""
     d = (T(spark, sf, "documents")
          .filter(F.col("doc_id") < MM_MIXED_DOCS)
          .select("doc_id", "text"))
@@ -816,25 +839,37 @@ png AS (
                      unnest(range(png_w * png_h)) AS i
               FROM (SELECT doc_id, {SQL_PNG_W} AS png_w,
                            {SQL_PNG_H} AS png_h
-                    FROM base WHERE doc_id % 3 = 0)))
+                    FROM base WHERE doc_id % 4 = 0)))
   GROUP BY doc_id
 ),
 wv AS (
   SELECT doc_id, ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)) / 128.0, 6) AS feat
   FROM (SELECT doc_id, {SQL_WAV_V} AS v
         FROM (SELECT doc_id, unnest(range({SQL_WAV_NF})) AS i
-              FROM base WHERE doc_id % 3 = 1))
+              FROM base WHERE doc_id % 4 = 1))
   GROUP BY doc_id
 ),
 tx AS (
   SELECT doc_id,
          ROUND(('0x' || substring(sha256(text), 5, 2))::INT / 255.0, 6)
            AS feat
-  FROM base WHERE doc_id % 3 = 2
+  FROM base WHERE doc_id % 4 = 2
+),
+jp AS (
+  SELECT doc_id, ROUND(AVG(v) / 255.0, 6) AS feat
+  FROM (SELECT doc_id, {SQL_JPG_V} AS v
+        FROM (SELECT doc_id, bx, unnest(range(jpg_h // 8)) AS by
+              FROM (SELECT doc_id, jpg_h,
+                           unnest(range(jpg_w // 8)) AS bx
+                    FROM (SELECT doc_id, {SQL_JPG_W} AS jpg_w,
+                                 {SQL_JPG_H} AS jpg_h
+                          FROM base WHERE doc_id % 4 = 3))))
+  GROUP BY doc_id
 )
 SELECT doc_id, 'image/png' AS kind, feat FROM png
 UNION ALL SELECT doc_id, 'audio/wav' AS kind, feat FROM wv
 UNION ALL SELECT doc_id, 'binary/unknown' AS kind, feat FROM tx
+UNION ALL SELECT doc_id, 'image/jpeg' AS kind, feat FROM jp
 ORDER BY doc_id
 """
 

@@ -44,11 +44,33 @@ def spark():
     s.stop()
 
 
+#: static cost hints for the sweep scheduler: the consolidated unions,
+#: streaming replays and codec/pipeline keys dominate the critical
+#: path — submitted FIRST so a 40-60 s union never starts after 150
+#: cheap relational keys and straggles the whole pool (VERDICT r8
+#: item 6: the suite-time guard; longest-job-first costs nothing in
+#: coverage)
+_SLOW_FIRST = ("r9_all", "r8_all", "r7_all", "ext_all", "fin_all",
+               "maint_all", "llm_all", "str_", "ivm", "pipe_", "ont_",
+               "mm_", "ded_", "ann_", "er_0", "bm25", "ups_", "brk_",
+               "src_0")
+
+
+def _cost_rank(key: str) -> int:
+    for i, p in enumerate(_SLOW_FIRST):
+        if key.startswith(p):
+            return i
+    return len(_SLOW_FIRST)
+
+
 def pooled_key_results(request, keys, run, max_workers=20):
     """Per-key sweep jobs through a thread pool, restricted to the keys
     whose parametrized tests were actually collected in this session —
     `-k some_key` computes one key, a full module run still gets pool
-    wall-time (ADVICE r5: targeted debugging runs stay cheap)."""
+    wall-time (ADVICE r5: targeted debugging runs stay cheap).  Jobs
+    are submitted longest-first (`_SLOW_FIRST` static cost hints) so
+    the expensive unions bound the pool's wall time instead of
+    straggling past it."""
     from concurrent.futures import ThreadPoolExecutor
 
     selected: set[str] = set()
@@ -59,5 +81,6 @@ def pooled_key_results(request, keys, run, max_workers=20):
         if cs is not None and "key" in cs.params:
             selected.add(cs.params["key"])
     todo = [k for k in keys if k in selected] if selected else list(keys)
+    todo.sort(key=_cost_rank)
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return dict(zip(todo, ex.map(run, todo)))

@@ -483,6 +483,13 @@ def test_ann_recall_on_clustered_fixture(spark):
         assert len(lsh & truth) / len(truth) >= 0.8
         assert len(mp & truth) / len(truth) >= 0.95   # measured 1.000
         assert len(ivf & truth) / len(truth) >= 0.95
+        # IVF-SQ: the uint8 quantized first pass + 4k-shortlist exact
+        # re-rank must not cost meaningful recall vs float IVF (the
+        # shortlist is 4x the final k, so approx-scoring jitter only
+        # matters if it pushes a true neighbor below rank 40)
+        sq = {(r.q_id, r.neighbor_id) for r in
+              similarity.sq_ivf_topk(emb, queries, 10).collect()}
+        assert len(sq & truth) / len(truth) >= 0.95
     finally:
         emb.unpersist()
 
@@ -528,6 +535,22 @@ def test_auto_decoder_really_decodes_png_payloads(spark):
     assert len(rows) == 10
     for r in rows:
         assert (r.width, r.height) == _synth_dims(r.doc_id)
+
+
+def test_auto_decoder_sniffs_jpeg_payloads():
+    """auto_decode routes 0xFFD8-signature bytes through the
+    hand-written baseline-JPEG decoder — real dimensions and mean
+    intensity, not the sha256 stub's."""
+    from docker_aktin_dwh_spark.functions import jpeg as J
+    from docker_aktin_dwh_spark.operators.multimodal import (auto_decode,
+                                                             fake_decode)
+
+    w, h = 24, 16
+    px = bytes([77]) * (w * h)
+    payload = J.encode_baseline_jpeg(px, w, h)
+    got = auto_decode(payload)
+    assert got == (w, h, round(77 / 255.0, 6))
+    assert got != fake_decode(payload)
 
 
 # ------------------------------------------------ heavy hitters / CDC / HLL
@@ -748,18 +771,19 @@ def test_resize_nearest_pixel_exact():
 
 
 def test_media_features_dispatches_mixed_batch(spark):
-    """One Arrow batch holding PNG, WAV and unknown payloads must
-    dispatch per payload — each row through its own codec."""
+    """One Arrow batch holding PNG, WAV, unknown AND JPEG payloads
+    must dispatch per payload — each row through its own codec."""
     from docker_aktin_dwh_spark.operators import multimodal as mm
 
     d = (catalog.load(spark, SF_SMOKE, "documents")
-         .filter(F.col("doc_id") < 30).select("doc_id", "text"))
+         .filter(F.col("doc_id") < 40).select("doc_id", "text"))
     rows = {r.doc_id: r for r in
             mm.media_features(mm.synth_mixed_media(d)
                               .repartition(1)).collect()}
-    assert len(rows) == 30
+    assert len(rows) == 40
     for did, r in rows.items():
-        expect = ("image/png", "audio/wav", "binary/unknown")[did % 3]
+        expect = ("image/png", "audio/wav", "binary/unknown",
+                  "image/jpeg")[did % 4]
         assert r.kind == expect, (did, r.kind)
         assert 0.0 <= r.feat <= 1.0
 

@@ -1,5 +1,16 @@
 """Streaming tests (SURVEY.md §2.8): replayed micro-batches must equal
-the batch results of the same operators (FIXTURES.md §C.3)."""
+the batch results of the same operators (FIXTURES.md §C.3).
+
+Pooled execution (VERDICT r8 item 6 — the suite-time guard): each test
+body is an independent availableNow replay, latency-bound on
+micro-batch scheduling rather than CPU, so a module fixture runs all
+bodies through a thread pool against the shared session — the same
+discipline as the t1/t2/sql key sweeps, and safe for the same reasons
+(replay progress is THREAD-LOCAL in streamnative since r8, memory-sink
+query names are unique per body, every body gets its own pre-created
+tmp dir).  Assertion set and per-test failure attribution are
+unchanged: each parametrized test re-raises exactly its body's
+exception (including Skipped)."""
 
 from __future__ import annotations
 
@@ -56,7 +67,11 @@ def _run_update(df, name):
     return df.sparkSession.table(name)
 
 
-def test_str01_02_tumbling_equals_batch(spark, stream_dir):
+# --------------------------------------------------------------- bodies
+# Each body is the former test function verbatim; `tmp` replaces the
+# old `tmp_path` fixture (pre-created per body by the pooled fixture).
+
+def _body_str01_02_tumbling_equals_batch(spark, stream_dir, tmp):
     src = windows.file_source(spark, stream_dir)
     assert src.isStreaming
     got = _run_complete(windows.tumbling_counts(src), "tumbling")
@@ -66,7 +81,7 @@ def test_str01_02_tumbling_equals_batch(spark, stream_dir):
     assert streamed == batch
 
 
-def test_str03_sliding_equals_batch(spark, stream_dir):
+def _body_str03_sliding_equals_batch(spark, stream_dir, tmp):
     src = windows.file_source(spark, stream_dir)
     got = _run_complete(windows.sliding_counts(src), "sliding")
     streamed = {(r.ws, r.n) for r in got.collect()}
@@ -75,7 +90,7 @@ def test_str03_sliding_equals_batch(spark, stream_dir):
     assert streamed == batch
 
 
-def test_str04_session_equals_batch(spark, stream_dir):
+def _body_str04_session_equals_batch(spark, stream_dir, tmp):
     src = windows.file_source(spark, stream_dir)
     got = _run_complete(windows.session_counts(src), "sessions")
     streamed = {(r.user_id, r.sess_start.replace(microsecond=0), r.n_events)
@@ -85,10 +100,10 @@ def test_str04_session_equals_batch(spark, stream_dir):
     assert streamed == batch
 
 
-def test_str05_06_dedup_within_watermark(spark, stream_dir, tmp_path):
+def _body_str05_06_dedup_within_watermark(spark, stream_dir, tmp):
     # duplicate the stream directory content → every event arrives twice
     import shutil
-    dup = tmp_path / "dup"
+    dup = tmp / "dup"
     dup.mkdir()
     from pathlib import Path
     for p in Path(stream_dir).glob("*.parquet"):
@@ -100,7 +115,7 @@ def test_str05_06_dedup_within_watermark(spark, stream_dir, tmp_path):
     assert got.count() == n_unique
 
 
-def test_str08_stream_static_join(spark, stream_dir):
+def _body_str08_stream_static_join(spark, stream_dir, tmp):
     dim = spark.createDataFrame(
         [("click", "interaction"), ("view", "interaction"),
          ("purchase", "conversion"), ("signup", "conversion"),
@@ -111,7 +126,7 @@ def test_str08_stream_static_join(spark, stream_dir):
     assert got.count() == catalog.load(spark, SF_SMOKE, "events").count()
 
 
-def test_str07_stateful_state_machine(spark, stream_dir):
+def _body_str07_stateful_state_machine(spark, stream_dir, tmp):
     src = windows.file_source(spark, stream_dir)
     got = _run_update(stateful.encounter_state_machine(src), "visits")
     rows = got.collect()
@@ -136,7 +151,7 @@ def test_str07_stateful_state_machine(spark, stream_dir):
             assert final[uid] == (n, False), uid
 
 
-def test_str07_transform_with_state_matches_legacy(spark, stream_dir):
+def _body_str07_transform_with_state_matches_legacy(spark, stream_dir, tmp):
     """The Spark 4 transformWithStateInPandas form of the state machine
     agrees with the applyInPandasWithState form on final states."""
     try:
@@ -159,38 +174,34 @@ def test_str07_transform_with_state_matches_legacy(spark, stream_dir):
     assert purchasers <= closed_users
 
 
-def test_str09_stream_merge_idempotent(spark, stream_dir, tmp_path):
+def _body_str09_stream_merge_idempotent(spark, stream_dir, tmp):
     """Same files replayed through a fresh checkpoint → same table state."""
     fact = catalog.observation_fact(spark, SF_SMOKE) \
         .filter(F.col("encounter_num") < 50)
-    src_dir = tmp_path / "facts_in"
+    src_dir = tmp / "facts_in"
     src_dir.mkdir()
     fact.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
     import shutil
     from pathlib import Path
-    watch = tmp_path / "watch"
+    watch = tmp / "watch"
     watch.mkdir()
     for p in Path(src_dir).rglob("*.parquet"):
         shutil.copy(p, watch / p.name)
 
-    schema = fact.schema.simpleString().replace("struct<", "").rstrip(">") \
-        .replace(":", " ").replace(",", ", ")
     stream = (spark.readStream.schema(fact.schema).parquet(str(watch)))
-    table = str(tmp_path / "table")
-    q = ingest.stream_merge_to_table(stream, table,
-                                     str(tmp_path / "ckpt1"))
+    table = str(tmp / "table")
+    q = ingest.stream_merge_to_table(stream, table, str(tmp / "ckpt1"))
     q.awaitTermination()
     n1 = spark.read.parquet(table).count()
     # replay everything again (fresh checkpoint = full re-delivery)
     stream2 = (spark.readStream.schema(fact.schema).parquet(str(watch)))
-    q2 = ingest.stream_merge_to_table(stream2, table,
-                                      str(tmp_path / "ckpt2"))
+    q2 = ingest.stream_merge_to_table(stream2, table, str(tmp / "ckpt2"))
     q2.awaitTermination()
     n2 = spark.read.parquet(table).count()
     assert n1 == n2 == fact.count()
 
 
-def test_str05_within_watermark_disorder_is_exact(spark, tmp_path):
+def _body_str05_within_watermark_disorder_is_exact(spark, stream_dir, tmp):
     """STR-05: out-of-order arrival WITHIN the watermark never loses
     rows — windowed counts stay exact when every hour's rows are split
     across two files that arrive in separate triggers.  (The converse —
@@ -208,12 +219,12 @@ def test_str05_within_watermark_disorder_is_exact(spark, tmp_path):
     ranked = ev.withColumn(
         "chunk", F.ntile(5).over(W.orderBy("ts", "event_id")))         .withColumn("half", F.pmod("event_id", F.lit(2)))
 
-    d = tmp_path / "watch"
+    d = tmp / "watch"
     d.mkdir()
     for i in range(1, 6):
         for h in (0, 1):
             part = ranked.filter((F.col("chunk") == i) & (F.col("half") == h))                          .drop("chunk", "half")
-            out = tmp_path / f"c{i}h{h}"
+            out = tmp / f"c{i}h{h}"
             part.coalesce(1).write.mode("overwrite").parquet(str(out))
             for j, pq in enumerate(sorted(out.glob("*.parquet"))):
                 shutil.copy(pq, d / f"{i:02d}_{h}_{j}.parquet")
@@ -238,7 +249,7 @@ def test_str05_within_watermark_disorder_is_exact(spark, tmp_path):
     assert got == expect
 
 
-def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
+def _body_dedup_ingest_matches_batch_keepset(spark, stream_dir, tmp):
     """Streaming incremental-dedup ingest: replay the documents table in
     2 doc_id-ordered chunks; the final store must equal the batch
     keep-first dedup of the whole corpus (drop any doc with a >=0.7
@@ -254,19 +265,19 @@ def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
     docs = catalog.load(spark, SF_ORACLE, "documents") \
                   .select("doc_id", "lang", "text")
     n = docs.count()
-    watch = tmp_path / "docs_watch"
+    watch = tmp / "docs_watch"
     watch.mkdir()
     for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        out = tmp_path / f"chunk{i}"
+        out = tmp / f"chunk{i}"
         part.coalesce(1).write.mode("overwrite").parquet(str(out))
         for j, p in enumerate(sorted(out.glob("*.parquet"))):
             shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
 
-    store = str(tmp_path / "kept")
+    store = str(tmp / "kept")
     src = (spark.readStream.format("parquet").schema(DOCS_DDL)
            .option("maxFilesPerTrigger", 1).load(str(watch)))
-    q = dedup_ingest(src, store, str(tmp_path / "ckpt"))
+    q = dedup_ingest(src, store, str(tmp / "ckpt"))
     q.awaitTermination()
 
     streamed = sorted(r[0] for r in
@@ -279,7 +290,7 @@ def test_dedup_ingest_matches_batch_keepset(spark, tmp_path):
     assert len(streamed) < n  # the corpus really had near-dups to drop
 
 
-def test_dedup_ingest_chain_drops_via_dropped_doc(spark, tmp_path):
+def _body_dedup_ingest_chain_drops_via_dropped_doc(spark, stream_dir, tmp):
     """Keep-first chain parity (the case the fixture replay can miss):
     C's only smaller near-dup is B, and B was itself dropped as a
     near-dup of A.  Batch mode drops both B and C; the streaming ingest
@@ -299,26 +310,26 @@ def test_dedup_ingest_chain_drops_via_dropped_doc(spark, tmp_path):
     rows = [(0, "en", text({})),
             (1, "en", text({5: "x5"})),
             (2, "en", text({5: "x5", 15: "y15"}))]
-    watch = tmp_path / "watch"
+    watch = tmp / "watch"
     watch.mkdir()
     for i, row in enumerate(rows):   # one doc per micro-batch
         (spark.createDataFrame([row], DOCS_DDL).coalesce(1)
-         .write.mode("overwrite").parquet(str(tmp_path / f"c{i}")))
+         .write.mode("overwrite").parquet(str(tmp / f"c{i}")))
         import shutil
-        for j, p in enumerate(sorted((tmp_path / f"c{i}").glob("*.parquet"))):
+        for j, p in enumerate(sorted((tmp / f"c{i}").glob("*.parquet"))):
             shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
 
-    store = str(tmp_path / "kept")
+    store = str(tmp / "kept")
     src = (spark.readStream.format("parquet").schema(DOCS_DDL)
            .option("maxFilesPerTrigger", 1).load(str(watch)))
-    q = dedup_ingest(src, store, str(tmp_path / "ckpt"))
+    q = dedup_ingest(src, store, str(tmp / "ckpt"))
     q.awaitTermination()
     kept = sorted(r[0] for r in
                   spark.read.parquet(store).select("doc_id").collect())
     assert kept == [0]
 
 
-def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+def _body_dedup_ingest_replay_is_idempotent(spark, stream_dir, tmp):
     """foreachBatch replay safety: re-running a batch with the same
     batch_id (the failure-between-write-and-commit scenario) must leave
     the survivor store AND the signature index byte-identical — batch
@@ -336,7 +347,7 @@ def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     b1 = spark.createDataFrame(
         [(1, "en", text({5: "x5"})), (2, "en", text({1: "q1", 9: "q9"}))],
         DOCS_DDL)
-    store = str(tmp_path / "kept")
+    store = str(tmp / "kept")
     index = store + "_minhash_index"
 
     process_batch(spark, b0, 0, store, index, 0.7)
@@ -355,19 +366,21 @@ def test_dedup_ingest_replay_is_idempotent(spark, tmp_path):
     assert kept2 == kept1 and idx2 == idx1
 
 
-def test_streamnative_no_tempdir_leak(spark):
+def _body_streamnative_no_tempdir_leak(spark, stream_dir, tmp):
     """str_01/str_05 must remove their mkdtemp trees once the returned
     frame is materialized off them (VERDICT r4 item 7): two invocations,
-    zero orphan spark_str* dirs, and the frame stays readable after."""
+    zero NEW orphan spark_str* dirs, and the frame stays readable after.
+    (Set-difference, not equality: other pooled bodies create their own
+    transient dirs concurrently.)"""
     import pathlib
     import tempfile
 
     from docker_aktin_dwh_spark.operators import streamnative
 
-    tmp = pathlib.Path(tempfile.gettempdir())
+    tmpdir = pathlib.Path(tempfile.gettempdir())
 
     def orphans():
-        return {p.name for p in tmp.glob("spark_str0[15]_*")}
+        return {p.name for p in tmpdir.glob("spark_str0[15]_*")}
 
     before = orphans()
     out1 = streamnative.str_01(spark, SF_SMOKE)
@@ -375,10 +388,10 @@ def test_streamnative_no_tempdir_leak(spark):
     out5 = streamnative.str_05(spark, SF_SMOKE)
     n5 = out5.count()
     assert n1 > 0 and n5 >= 0
-    assert orphans() == before, "streamnative leaked temp dirs"
+    assert orphans() <= before, "streamnative leaked temp dirs"
 
 
-def test_clean_ingest_matches_batch_clean(spark, tmp_path):
+def _body_clean_ingest_matches_batch_clean(spark, stream_dir, tmp):
     """Streaming clean ingest (gate -> PII scrub -> exact dedup): replay
     the corpus (plus planted exact dups, one within a batch and one
     across batches) in 2 chunks; the store must equal the batch-mode
@@ -400,20 +413,20 @@ def test_clean_ingest_matches_batch_clean(spark, tmp_path):
                     .select((F.lit(2 * n) + 10).alias("doc_id"), "lang", "text")
     docs = base.unionByName(dup_in).unionByName(dup_cross)
 
-    watch = tmp_path / "clean_watch"
+    watch = tmp / "clean_watch"
     watch.mkdir()
     bounds = [(0, n + 11), (n + 11, 2 * n + 11)]
     for i, (lo, hi) in enumerate(bounds):
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        out = tmp_path / f"cchunk{i}"
+        out = tmp / f"cchunk{i}"
         part.coalesce(1).write.mode("overwrite").parquet(str(out))
         for j, p in enumerate(sorted(out.glob("*.parquet"))):
             shutil.copy(p, watch / f"{i:02d}_{j}.parquet")
 
-    store = str(tmp_path / "clean_store")
+    store = str(tmp / "clean_store")
     src = (spark.readStream.format("parquet").schema(DOCS_DDL)
            .option("maxFilesPerTrigger", 1).load(str(watch)))
-    q = clean_ingest(src, store, str(tmp_path / "cckpt"))
+    q = clean_ingest(src, store, str(tmp / "cckpt"))
     q.awaitTermination()
 
     got = {(r.doc_id, r.text) for r in spark.read.parquet(store)
@@ -430,15 +443,14 @@ def test_clean_ingest_matches_batch_clean(spark, tmp_path):
     assert len(got) < docs.count()   # the gate really dropped docs too
 
 
-def test_clean_ingest_replay_is_idempotent(spark, tmp_path):
+def _body_clean_ingest_replay_is_idempotent(spark, stream_dir, tmp):
     """Replaying a batch (simulated failure between write and
     checkpoint commit) must not duplicate rows in either store."""
-    from conftest import SF_SMOKE
     from docker_aktin_dwh_spark.streaming.clean_ingest import process_batch
 
     docs = catalog.load(spark, SF_SMOKE, "documents") \
                   .select("doc_id", "lang", "text").filter(F.col("doc_id") < 60)
-    store = str(tmp_path / "s")
+    store = str(tmp / "s")
     hstore = store + "_content_hashes"
     process_batch(spark, docs, 0, store, hstore)
     first = sorted(r.doc_id for r in spark.read.parquet(store).collect())
@@ -453,7 +465,6 @@ def _scd_snapshot(spark, v: int):
     """Deterministic snapshot version v of a small orders dimension:
     keys ≡ v (mod 10) are absent (rotating deletes), keys ≡ 0 (mod 7)
     carry a price bumped by v (updates)."""
-    from conftest import SF_SMOKE
     o = (catalog.load(spark, SF_SMOKE, "orders")
          .select("o_orderkey", "o_totalprice", "o_orderstatus")
          .filter(F.col("o_orderkey") < 600))
@@ -469,7 +480,7 @@ def _hist_set(df):
              r.valid_from, r.valid_to) for r in df.collect()}
 
 
-def test_scd_ingest_matches_sequential_batch_fold(spark, tmp_path):
+def _body_scd_ingest_matches_sequential_batch_fold(spark, stream_dir, tmp):
     """Three snapshot versions streamed one file per trigger must fold
     into exactly the history that sequential batch scd2_apply calls
     produce (same stamps, same intervals)."""
@@ -479,21 +490,21 @@ def test_scd_ingest_matches_sequential_batch_fold(spark, tmp_path):
     from docker_aktin_dwh_spark.streaming.scd_ingest import (
         current_history, scd_ingest)
 
-    watch = tmp_path / "scd_watch"
+    watch = tmp / "scd_watch"
     watch.mkdir()
     for v in range(3):
-        out = tmp_path / f"snap{v}"
+        out = tmp / f"snap{v}"
         _scd_snapshot(spark, v).coalesce(1) \
             .write.mode("overwrite").parquet(str(out))
         for j, p in enumerate(sorted(out.glob("*.parquet"))):
             shutil.copy(p, watch / f"{v:02d}_{j}.parquet")
 
-    hist_path = str(tmp_path / "scd_hist")
+    hist_path = str(tmp / "scd_hist")
     src = (spark.readStream.format("parquet")
            .schema("o_orderkey bigint, o_totalprice double, "
                    "o_orderstatus string")
            .option("maxFilesPerTrigger", 1).load(str(watch)))
-    q = scd_ingest(src, hist_path, str(tmp_path / "scd_ckpt"),
+    q = scd_ingest(src, hist_path, str(tmp / "scd_ckpt"),
                    ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
     q.awaitTermination()
     got = _hist_set(current_history(spark, hist_path))
@@ -511,7 +522,8 @@ def test_scd_ingest_matches_sequential_batch_fold(spark, tmp_path):
     assert got == _hist_set(h) and got
 
 
-def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
+def _body_scd_ingest_replay_of_last_batch_is_idempotent(spark, stream_dir,
+                                                        tmp):
     """Recovery semantics: re-running the LAST snapshot's fold (the
     failed-commit replay case) must leave the history byte-identical —
     the previous-version read excludes the replayed batch id."""
@@ -520,20 +532,20 @@ def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
     from docker_aktin_dwh_spark.streaming.scd_ingest import (
         current_history, process_snapshot, scd_ingest)
 
-    watch = tmp_path / "scd_watch2"
+    watch = tmp / "scd_watch2"
     watch.mkdir()
     for v in range(3):
-        out = tmp_path / f"snap2_{v}"
+        out = tmp / f"snap2_{v}"
         _scd_snapshot(spark, v).coalesce(1) \
             .write.mode("overwrite").parquet(str(out))
         for j, p in enumerate(sorted(out.glob("*.parquet"))):
             shutil.copy(p, watch / f"{v:02d}_{j}.parquet")
-    hist_path = str(tmp_path / "scd_hist2")
+    hist_path = str(tmp / "scd_hist2")
     src = (spark.readStream.format("parquet")
            .schema("o_orderkey bigint, o_totalprice double, "
                    "o_orderstatus string")
            .option("maxFilesPerTrigger", 1).load(str(watch)))
-    scd_ingest(src, hist_path, str(tmp_path / "scd_ckpt2"),
+    scd_ingest(src, hist_path, str(tmp / "scd_ckpt2"),
                ["o_orderkey"], ["o_totalprice", "o_orderstatus"]) \
         .awaitTermination()
     before = _hist_set(current_history(spark, hist_path))
@@ -558,13 +570,12 @@ def test_scd_ingest_replay_of_last_batch_is_idempotent(spark, tmp_path):
     assert _hist_set(current_history(spark, hist_path)) == before
 
 
-def test_str12_outer_emission_contract(spark):
+def _body_str12_outer_emission_contract(spark, stream_dir, tmp):
     """Pin the outer-join watermark contract str_12's oracle relies on:
     under availableNow Spark runs the final state-flush, so unmatched
     left rows with a closed correlation horizon ARE in the sink, and
     rows still inside the horizon at stream end are NOT (regression
     canary if a Spark upgrade changes the final-batch behavior)."""
-    from conftest import SF_SMOKE
     from docker_aktin_dwh_spark.operators.streamnative import str_12
 
     rows = str_12(spark, SF_SMOKE).collect()
@@ -592,13 +603,12 @@ def test_str12_outer_emission_contract(spark):
     assert {r.a_id for r in unmatched} == eligible - matched_a
 
 
-def test_streaming_state_bounded_by_watermark(spark):
+def _body_streaming_state_bounded_by_watermark(spark, stream_dir, tmp):
     """The bench streaming lane's state-vs-watermark claims, pinned at
     smoke scale: the sessionizer's peak state is one open session per
     user at most, and both replays actually EVICT state as the
     watermark advances (bounded state is the whole 100 TB streaming
     posture — state tracks the horizon, not the stream length)."""
-    from conftest import SF_SMOKE
     from docker_aktin_dwh_spark.operators import streamnative as SN
 
     SN.str_13(spark, SF_SMOKE).count()
@@ -618,7 +628,8 @@ def test_streaming_state_bounded_by_watermark(spark):
     assert m11["state_rows_removed"] > 0, "watermark eviction never fired"
 
 
-def test_str16_plants_redeliveries_and_drops_them_all(spark):
+def _body_str16_plants_redeliveries_and_drops_them_all(spark, stream_dir,
+                                                       tmp):
     """str_16 non-vacuity: the planted re-delivery set is NONEMPTY at
     smoke scale (a dedup whose stream has no duplicates certifies
     nothing), the committed sink holds exactly the clean event set
@@ -628,7 +639,6 @@ def test_str16_plants_redeliveries_and_drops_them_all(spark):
     span guarantees eviction still fires."""
     import datetime
 
-    from conftest import SF_SMOKE
     from docker_aktin_dwh_spark.operators import streamnative as SN
 
     ev = catalog.load(spark, SF_SMOKE, "events")
@@ -647,14 +657,15 @@ def test_str16_plants_redeliveries_and_drops_them_all(spark):
     assert m["micro_batches"] >= 5
 
 
-def test_native_session_window_emissions_subset_of_timer_tracker(spark):
+def _body_native_session_window_emissions_subset_of_timer_tracker(
+        spark, stream_dir, tmp):
     """Contract pin for the two sessionization forms: str_14 (native
     session_window) emits ONLY watermark-confirmed sessions, while
     str_13 (timer tracker) also emits sessions closed inline by a
     successor — so str_14's committed set must be a subset of
     str_13's, and the difference must be exactly the inline-closed
     sessions still inside the watermark horizon."""
-    from conftest import BUILDER_CACHE, SF_SMOKE
+    from conftest import BUILDER_CACHE
     from docker_aktin_dwh_spark.operators import streamnative as SN
 
     def sessions(key, fn):
@@ -671,3 +682,49 @@ def test_native_session_window_emissions_subset_of_timer_tracker(spark):
     s13 = sessions("str_13", SN.str_13)
     s14 = sessions("str_14", SN.str_14)
     assert s14 and s14 <= s13
+
+
+# ------------------------------------------------------------ pooled run
+
+BODIES = {
+    name[len("_body_"):]: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("_body_")
+}
+
+
+@pytest.fixture(scope="module")
+def outcomes(spark, stream_dir, request, tmp_path_factory):
+    """Run every (collected) body through a thread pool; store its
+    exception — None for pass, Skipped included — keyed by body name.
+    tmp dirs are pre-created serially (tmp_path_factory is not
+    documented thread-safe)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    selected: set[str] = set()
+    for item in request.session.items:
+        if getattr(item, "module", None) is not request.module:
+            continue
+        cs = getattr(item, "callspec", None)
+        if cs is not None and "name" in cs.params:
+            selected.add(cs.params["name"])
+    todo = [n for n in BODIES if n in selected] if selected \
+        else list(BODIES)
+    tmps = {n: tmp_path_factory.mktemp(f"stream_{n}"[:40]) for n in todo}
+
+    def run(name):
+        try:
+            BODIES[name](spark, stream_dir, tmps[name])
+            return None
+        except BaseException as e:      # re-raised by the test
+            return e
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(zip(todo, ex.map(run, todo)))
+
+
+@pytest.mark.parametrize("name", list(BODIES))
+def test_streaming(outcomes, name):
+    err = outcomes[name]
+    if err is not None:
+        raise err
