@@ -287,3 +287,23 @@ def test_dq2_percentile_gate_both_arms(spark):
     assert "percentile(" in p_exact and "approx" not in p_exact, p_exact
     assert "percentile_approx" in p_sketch, p_sketch
     assert sorted(exact.collect()) == sorted(sketch.collect())
+
+
+def test_table_row_count_reads_footers_not_data(spark, tmp_path):
+    """catalog.table_row_count (ADVICE r8): the footer statistic equals
+    the real row count for single-file fixtures AND Spark-written
+    multi-part directories, and footerless sources (JDBC spec, missing
+    table) return None so callers fall back to their exact arm."""
+    from docker_aktin_dwh_spark import catalog as C
+
+    for t in ("lineitem", "orders", "nation"):
+        n = C.load(spark, SF_SMOKE, t).count()
+        assert C.table_row_count(SF_SMOKE, t) == n
+
+    out = tmp_path / "multi.parquet"
+    C.load(spark, SF_SMOKE, "nation").repartition(4) \
+        .write.mode("overwrite").parquet(str(out))
+    assert C.table_row_count(str(tmp_path), "multi") == 25
+
+    assert C.table_row_count("jdbc:postgresql://x/db", "orders") is None
+    assert C.table_row_count(str(tmp_path), "nope") is None

@@ -51,7 +51,10 @@ ANSI_KEYS = sorted(
     "er_02 smp_03 str_16 "
     # r8 second wave: the Z-order bit arithmetic and the IVM recompute
     # oracle both parse on Spark 4 verbatim (<</>>/&/:: now dual-dialect)
-    "lay_02 ivm_01 ivm_02 bkt_01"
+    "lay_02 ivm_01 ivm_02 bkt_01 "
+    # r9: the quantized-index ANN certification shares the planted
+    # oracle ann_lsh/ann_ivf already run verbatim on spark.sql
+    "ann_sq"
     .split())
 
 
