@@ -1165,9 +1165,11 @@ def str_out(spark, sf):
     contract (str_12), event-time-timer sessionization (str_13) —
     VERDICT r6 item 1's streaming half — and, since round 8 (VERDICT
     r7 item 1), NATIVE session_window sessionization (str_14), the
-    HLL-in-state-store windowed approximate distinct (str_15), and
+    HLL-in-state-store windowed approximate distinct (str_15),
     exactly-once dedup of planted at-least-once re-deliveries
-    (str_16, new in r8 — certified the round it lands).
+    (str_16, r8), and the streaming Count-Min sketch with
+    bounded-state per-batch partial merges (str_17, new in r9 —
+    certified the round it lands).
     Every branch runs a REAL readStream replay (chunked files, one per
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
@@ -1204,8 +1206,13 @@ def str_out(spark, sf):
                  "|", "event_id",
                  F.unix_micros(F.col("ts").cast("timestamp"))
                   .cast("string"), "user_id", "event_type"))
+    f = _tag(SN.str_17(spark, sf), "cms17",
+             F.concat_ws(
+                 "|", "user_id", "exact", "est",
+                 F.col("ge_exact").cast("string"),
+                 F.col("within_bound").cast("string")))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).orderBy("tag", "v"))
+            .unionByName(e).unionByName(f).orderBy("tag", "v"))
 
 
 def _str_out_oracle() -> str:
@@ -1224,6 +1231,11 @@ def _str_out_oracle() -> str:
     ded_v = ("CAST(event_id AS VARCHAR) || '|' || "
              "CAST(epoch_us(ts) AS VARCHAR) || '|' || "
              "CAST(user_id AS VARCHAR) || '|' || event_type")
+    cms_v = ("CAST(user_id AS VARCHAR) || '|' || "
+             "CAST(exact AS VARCHAR) || '|' || "
+             "CAST(est AS VARCHAR) || '|' || "
+             "CAST(ge_exact AS VARCHAR) || '|' || "
+             "CAST(within_bound AS VARCHAR)")
     return (f"SELECT 'outer' AS tag, {outer_v} AS v "
             f"FROM ({SN._STR_12_ORACLE})\n"
             f"UNION ALL\nSELECT 'sess' AS tag, {sess_v} AS v "
@@ -1233,7 +1245,9 @@ def _str_out_oracle() -> str:
             f"UNION ALL\nSELECT 'hll' AS tag, {hll_v} AS v "
             f"FROM ({SN._STR_15_ORACLE})\n"
             f"UNION ALL\nSELECT 'dedup16' AS tag, {ded_v} AS v "
-            f"FROM ({SN._STR_16_ORACLE})")
+            f"FROM ({SN._STR_16_ORACLE})\n"
+            f"UNION ALL\nSELECT 'cms17' AS tag, {cms_v} AS v "
+            f"FROM ({SN._STR_17_ORACLE})")
 
 
 def r7_all(spark, sf):
@@ -1500,6 +1514,20 @@ def r9_all(spark, sf):
         similarity.ann_sq(spark, sf), "sq",
         F.concat_ws("|", "q_id",
                     F.col("planted_at_rank1").cast("string"))))
+    out = out.unionByName(_tag(
+        similarity.km_01(spark, sf), "km",
+        F.concat_ws("|", "cid", "n",
+                    F.round(F.col("cnorm") * 1_000_000).cast("long"),
+                    F.round(F.col("inertia") * 1_000_000).cast("long"))))
+    out = out.unionByName(_tag(
+        dedup.ded_substr(spark, sf), "sub",
+        F.concat_ws("|", "doc_id", "n_spans", "n_dup_spans",
+                    F.round(F.col("dup_frac") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        textops.qc_01(spark, sf), "qc",
+        F.concat_ws("|", "lang", "n_docs", "n_pred_en",
+                    F.round(F.col("mean_margin") * 1_000_000)
+                     .cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1521,6 +1549,16 @@ def _r9_all_oracle() -> str:
          dedup._ORACLES["ded_incr"]),
         ("sq", cat("q_id", "planted_at_rank1"),
          similarity._PLANTED_ORACLE),
+        ("km", cat("cid", "n",
+                   "CAST(ROUND(cnorm * 1000000) AS BIGINT)",
+                   "CAST(ROUND(inertia * 1000000) AS BIGINT)"),
+         similarity._km_oracle()),
+        ("sub", cat("doc_id", "n_spans", "n_dup_spans",
+                    "CAST(ROUND(dup_frac * 10000) AS BIGINT)"),
+         dedup._SUBSTR_ORACLE),
+        ("qc", cat("lang", "n_docs", "n_pred_en",
+                   "CAST(ROUND(mean_margin * 1000000) AS BIGINT)"),
+         textops._qc_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1570,8 +1608,9 @@ _DOCS = {
                "stream-stream join + str_13 event-time-timer "
                "sessionization + str_14 native session_window + "
                "str_15 HLL-in-state-store windowed distinct + "
-               "str_16 exactly-once re-delivery dedup "
-               "(driver-certified)",
+               "str_16 exactly-once re-delivery dedup + str_17 "
+               "streaming Count-Min sketch (bounded-state partial "
+               "merges; driver-certified)",
     "r7_all": "Round-7 batch extensions tagged union (bm25/er/pr/"
               "win07/srcevo/dq2/mix2) — driver-certifies the r7 "
               "post-50 keys",
@@ -1582,8 +1621,10 @@ _DOCS = {
               "planted-rank1 certifications; CORE50 slot)",
     "r9_all": "Round-9 tagged union: REAL baseline-JPEG decode "
               "(mm_jpg, hand-written ITU T.81 codec) + IVF-SQ "
-              "quantized-index ANN (ann_sq) + CORE50 fold-ins "
-              "mm_04/emb_01/ded_incr — same-round driver "
+              "quantized-index ANN (ann_sq) + distributed Lloyd "
+              "k-means (km_01) + exact-substring dedup (ded_substr) "
+              "+ Naive-Bayes quality classifier (qc_01) + CORE50 "
+              "fold-ins mm_04/emb_01/ded_incr — same-round driver "
               "certification",
 }
 

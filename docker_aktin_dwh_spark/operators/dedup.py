@@ -810,6 +810,80 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 """
 
+# -------------------------------------------------- substring-level dedup
+
+#: window width (tokens) for exact-substring duplication detection —
+#: the Lee et al. "Deduplicating Training Data Makes Language Models
+#: Better" granularity, re-expressed as sliding-window hashing instead
+#: of a suffix array (the Spark-native form: the suffix array's "find
+#: repeated substrings of length ≥ W" query IS the W-token window
+#: equi-join)
+SUBSTR_W = 8
+
+
+def substr_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Per-doc exact-substring duplication profile: for every W-token
+    sliding window, is the same token span present in ≥2 DISTINCT
+    docs?  Returns (doc_id, n_spans, n_dup_spans, dup_frac) for docs
+    with at least one corpus-duplicated span.
+
+    Scale shape: windows are built per-row in JVM (transform over
+    sequence → md5 of slice — no Python, no per-window string shuffle
+    beyond the hash), exploded once and materialized (three consumers:
+    dup-set, per-doc dup counts, per-doc totals — one explode, not
+    three).  The duplicated-hash set is distinct(doc,h) → groupBy(h)
+    (both map-side combinable); the only corpus-sized shuffles are on
+    the window hash — never doc×doc.  ~L× row amplification is the
+    algorithm's inherent cost (same as suffix-array construction);
+    at 100 TB you shard by hash, which is exactly what the groupBy
+    partitioning already does."""
+    toks = tokens("text")
+    nwin = F.size(toks) - w + 1
+    hashes = F.when(
+        nwin >= 1,
+        F.transform(F.sequence(F.lit(1), nwin),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    spans = materialize(
+        docs.select("doc_id", F.explode(hashes).alias("h")))
+    dup = (spans.select("doc_id", "h").distinct()
+                .groupBy("h").count()
+                .filter(F.col("count") >= 2).select("h"))
+    per_doc = (spans.join(dup, "h")
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("n_dup_spans")))
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (totals.join(per_doc, "doc_id")
+                  .select("doc_id", "n_spans", "n_dup_spans",
+                          F.round(F.col("n_dup_spans").cast("double")
+                                  / F.col("n_spans"), 4).alias("dup_frac"))
+                  .orderBy("doc_id"))
+
+
+def ded_substr(spark, sf):
+    """Exact substring-duplication detection over the documents table
+    (window width SUBSTR_W tokens).  The fixture's near-duplicate docs
+    share long token runs, so the result is non-vacuous at every SF
+    (1115/1015/10533 duplicated window hashes at sf0.001/0.01/0.1)."""
+    return substr_dup_stats(T(spark, sf, "documents"))
+
+
+_SUBSTR_ORACLE = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+           FROM documents),
+w AS (SELECT doc_id, md5(array_to_string(toks[i:i+{SUBSTR_W - 1}], ' ')) AS h
+      FROM t, UNNEST(range(1, len(toks) - {SUBSTR_W} + 2)) AS u(i)
+      WHERE len(toks) >= {SUBSTR_W}),
+dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+        GROUP BY h HAVING COUNT(*) >= 2),
+pd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+       FROM w JOIN dup USING (h) GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM w GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_spans, pd.n_dup_spans,
+       ROUND(CAST(pd.n_dup_spans AS DOUBLE) / tot.n_spans, 4) AS dup_frac
+FROM tot JOIN pd USING (doc_id) ORDER BY tot.doc_id
+"""
+
 _EXACT_ORACLE = """
 WITH corpus AS (
     SELECT doc_id, text FROM documents
@@ -846,6 +920,10 @@ _DOCS = {
     "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
                        "blocking, Hamming ≤ 6; signature-dependent set)",
     "ded_embed": "Embedding cosine near-dup pairs (double-fold dot product)",
+    "ded_substr": "Exact substring-duplication profile (8-token "
+                  "sliding-window hash equi-join — the suffix-array "
+                  "repeated-substring query, Spark-native): per-doc "
+                  "duplicated-span counts and fraction",
 }
 
 _ORACLES = {
@@ -860,6 +938,7 @@ _ORACLES = {
     # rows-only and is property-tested in tests/test_llmops.py.
     "ded_simhash": _SIMHASH_ORACLE,
     "ded_embed": _EMBED_ORACLE,
+    "ded_substr": _SUBSTR_ORACLE,
 }
 
 

@@ -490,6 +490,163 @@ FROM z GROUP BY label ORDER BY label
 """
 
 
+# --------------------------------------------------- k-means (km_01)
+
+#: Lloyd parameters for the certified clustering key.  K and the
+#: iteration count are fixed so the DuckDB oracle can unroll the same
+#: chain; at 100 TB the shape per iteration is ONE shuffle (groupBy
+#: cid with DIM+1 partial-agg columns) plus a K×DIM control-plane
+#: collect — the exact MLlib KMeans execution shape.
+KM_K = 8
+KM_ITERS = 2
+#: integer-scaled arithmetic (FLOOR(x·SCALE) summed as BIGINT): exact
+#: and associative on both engines, so partial-agg order cannot move
+#: the hash — the decimal-routing discipline without any decimal
+#: cast-rounding-mode exposure.
+KM_DIST_SCALE = 1e12
+KM_SUM_SCALE = 1e9
+
+
+def _km_pts(spark, sf):
+    return T(spark, sf, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("x"))
+
+
+def _km_seed_centroids(pts) -> list[tuple[int, list[float]]]:
+    """K deterministic seeds: the K smallest md5(vec_id) rows, cid by
+    md5 order — a distributed TakeOrdered (never a global window)."""
+    rows = (pts.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+               .orderBy("h", "vec_id").limit(KM_K)
+               .select("x").collect())
+    return [(cid, list(r.x)) for cid, r in enumerate(rows)]
+
+
+def _km_assign(pts, cents):
+    """Nearest centroid per row, entirely JVM-side: K struct(dist, cid)
+    terms (dist = Σ FLOOR((xᵢ−cᵢ)²·1e12) folded as BIGINT — exact),
+    array_min picks the lexicographic minimum, so ties break on the
+    lowest cid.  Centroids arrive as literals (control-plane K×DIM)."""
+    structs = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "x", F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: F.floor((a - b) * (a - b)
+                                         * F.lit(KM_DIST_SCALE))
+                                  .cast("long")),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+             .alias("dist"),
+            F.lit(cid).cast("int").alias("cid"))
+        for cid, c in cents])
+    m = F.array_min(structs)
+    return pts.select("vec_id", "x", m["dist"].alias("dist"),
+                      m["cid"].alias("cid"))
+
+
+def _km_update(assigned) -> list[tuple[int, list[float]]]:
+    """Per-cluster elementwise mean as ONE groupBy with DIM sum columns
+    (no explode, map-side combine into K×(DIM+1) partials — the vq_01
+    bounds discipline).  Sums ride the exact FLOOR(x·1e9) BIGINT route;
+    the mean is the same double on both engines.  Empty clusters drop
+    (identical semantics in the SQL oracle)."""
+    aggs = [
+        ((F.sum(F.floor(F.col("x")[i] * F.lit(KM_SUM_SCALE))
+                 .cast("long")).cast("double")
+          / F.count(F.lit(1))) / F.lit(KM_SUM_SCALE)).alias(f"c{i}")
+        for i in range(DIM)]
+    rows = assigned.groupBy("cid").agg(*aggs).collect()
+    return sorted((int(r["cid"]), [r[f"c{i}"] for i in range(DIM)])
+                  for r in rows)
+
+
+def km_01(spark, sf):
+    """Distributed Lloyd k-means over the embedding corpus — the IVF
+    training step as a first-class certified operator (reference
+    analogue: cohort stratification over patient feature vectors; the
+    engine-side clustering a 100 TB embedding store runs to build its
+    inverted file).
+
+    Shape per iteration: one JVM-only assignment pass (K struct terms,
+    no Python), one groupBy(cid) shuffle carrying DIM+1 partial-agg
+    columns, one K×DIM control-plane collect.  Certification: the
+    ENTIRE chain (deterministic md5 seeds → ITERS Lloyd updates →
+    final assignment) is re-derived in unrolled SQL by the DuckDB
+    oracle; integer-scaled exact arithmetic makes every intermediate
+    bit-identical, so the hash certifies cluster sizes, centroid
+    norms, and inertia — not just row counts."""
+    import math
+
+    pts = _km_pts(spark, sf)
+    cents = _km_seed_centroids(pts)
+    for _ in range(KM_ITERS):
+        cents = _km_update(_km_assign(pts, cents))
+    final = _km_assign(pts, cents)
+
+    # centroid L2 norms on the same exact integer route (python floats
+    # are IEEE doubles: identical to the oracle's double arithmetic)
+    norm = {cid: math.sqrt(
+                float(sum(int(math.floor(v * v * KM_DIST_SCALE))
+                          for v in c)) / KM_DIST_SCALE)
+            for cid, c in cents}
+    cmap = F.create_map(*[F.lit(x) for cid in sorted(norm)
+                          for x in (cid, norm[cid])])
+    return (final.groupBy("cid")
+                 .agg(F.count("*").alias("n"),
+                      F.round(F.sum("dist").cast("double")
+                              / F.lit(KM_DIST_SCALE), 6).alias("inertia"))
+                 .select("cid", "n",
+                         F.round(cmap[F.col("cid")], 6).alias("cnorm"),
+                         "inertia")
+                 .orderBy("cid"))
+
+
+def _km_oracle() -> str:
+    """Unrolled-SQL Lloyd: seeds → (assign, update)×ITERS → final
+    assignment, long-form (vec_id, dim, xv) throughout."""
+    parts = [f"""
+WITH pts AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                    CAST(unnest(embedding) AS DOUBLE) AS xv
+             FROM embeddings),
+seeds AS (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS INT) AS cid
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KM_K}),
+cent0 AS (SELECT s.cid, p.dim, p.xv AS cv
+          FROM seeds s JOIN pts p USING (vec_id))"""]
+    for t in range(1, KM_ITERS + 2):
+        parts.append(f"""
+d{t} AS (SELECT p.vec_id, c.cid,
+               SUM(CAST(FLOOR((p.xv - c.cv) * (p.xv - c.cv) * 1e12)
+                        AS BIGINT)) AS dist
+         FROM pts p JOIN cent{t - 1} c ON p.dim = c.dim
+         GROUP BY p.vec_id, c.cid),
+a{t} AS (SELECT vec_id, CAST(MIN(dist * 16 + cid) % 16 AS INT) AS cid,
+                MIN(dist) AS dist
+         FROM d{t} GROUP BY vec_id)""")
+        if t <= KM_ITERS:
+            parts.append(f"""
+cent{t} AS (SELECT a.cid, p.dim,
+                  CAST(SUM(CAST(FLOOR(p.xv * 1e9) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e9 AS cv
+            FROM a{t} a JOIN pts p USING (vec_id)
+            GROUP BY a.cid, p.dim)""")
+    last = KM_ITERS + 1
+    parts.append(f"""
+norms AS (SELECT cid,
+                 SQRT(CAST(SUM(CAST(FLOOR(cv * cv * 1e12) AS BIGINT))
+                           AS DOUBLE) / 1e12) AS cnorm
+          FROM cent{KM_ITERS} GROUP BY cid)""")
+    body = ",".join(parts)
+    return f"""{body}
+SELECT a.cid, COUNT(*) AS n, ROUND(MAX(nm.cnorm), 6) AS cnorm,
+       ROUND(CAST(SUM(a.dist) AS DOUBLE) / 1e12, 6) AS inertia
+FROM a{last} a JOIN norms nm USING (cid)
+GROUP BY a.cid ORDER BY a.cid
+"""
+
+
 _TOPK_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id < 5),
@@ -561,13 +718,18 @@ _DOCS = {
               "of uint8 codes, JVM dequantized approx scoring to a "
               "4k shortlist, exact re-rank (the memory-bound ANN "
               "posture — index is 8x smaller than compute floats)",
+    "km_01": "Distributed Lloyd k-means (the IVF training step as a "
+             "certified operator): md5-seeded, integer-exact "
+             "arithmetic, whole chain re-derived by an unrolled-SQL "
+             "oracle — hash certifies sizes, centroid norms, inertia",
 }
 
 # the *_raw neighbor lists depend on the signature family → rows-only;
 # the certification keys hash-check the planted-duplicate invariant
 _ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE,
             "ann_lsh": _PLANTED_ORACLE, "ann_ivf": _PLANTED_ORACLE,
-            "ann_sq": _PLANTED_ORACLE, "vq_01": _vq_oracle()}
+            "ann_sq": _PLANTED_ORACLE, "vq_01": _vq_oracle(),
+            "km_01": _km_oracle()}
 
 
 def specs() -> list[QuerySpec]:

@@ -566,6 +566,181 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+# ------------------------------------------- str_17 streaming Count-Min
+
+#: streaming CMS geometry: the maintained store is ≤ D·W rows — BYTES
+#: of state no matter how long the stream runs (the whole point of a
+#: mergeable sketch on an unbounded stream)
+STR17_D = 4
+STR17_W = 256
+#: fixed probe user ids — constants so both engines probe identical
+#: cells (present or absent in the fixture, both arms deterministic)
+STR17_QUERY_IDS = (0, 1, 2, 3, 5, 8, 13)
+STR17_SLACK = 4.0
+
+
+def _cms17_cell(uid_col, d_col, w: int = STR17_W):
+    """md5-derived CMS cell for (user_id, hash-row d) — the cms_01
+    integer-bits discipline, so DuckDB probes the identical cell."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws("|", uid_col.cast("string"),
+                          d_col.cast("string"))), 1, 6), 16, 10)
+            .cast("long") % w)
+
+
+def make_sketch_applier(store_path: str, w: int = STR17_W):
+    """foreachBatch applier maintaining the merged Count-Min sketch:
+    each micro-batch reduces to a PARTIAL sketch (groupBy (d, cell)
+    count — map-side combinable, ≤ D·W rows regardless of batch
+    size), which sums into the store.  Addition commutes, so ANY
+    split of the stream converges to the batch sketch — the fed_hll
+    site-merge algebra driven by a stream.  Batch-id idempotent via
+    the ivm_02 marker discipline (retried micro-batches are no-ops
+    under foreachBatch's at-least-once contract)."""
+    import os as _os
+
+    from ..functions.barrier import materialize
+
+    marker = store_path.rstrip("/") + ".last_batch"
+
+    def apply_sketch(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(marker) as f:
+                last = int(f.read())
+        except (OSError, ValueError):
+            last = -1
+        if batch_id <= last:        # retried batch: already applied
+            return
+        rows = batch.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(STR17_D)]))
+             .alias("d"))
+        part = (rows.groupBy(
+                    "d", _cms17_cell(F.col("user_id"), F.col("d"), w)
+                         .alias("w"))
+                    .agg(F.count("*").alias("c")))
+        cur = batch.sparkSession.read.parquet(store_path)
+        merged = materialize(
+            cur.unionByName(part.select("d", "w",
+                                        F.col("c").cast("long")
+                                         .alias("c")))
+               .groupBy("d", "w").agg(F.sum("c").alias("c")))
+        merged.write.mode("overwrite").parquet(store_path)
+        tmp = f"{marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        _os.replace(tmp, marker)    # atomic on POSIX
+
+    return apply_sketch
+
+
+def str17_sketch(spark: SparkSession, sf: str, base: str,
+                 n_chunks: int = 5, w: int = STR17_W) -> DataFrame:
+    """Replay the event stream in ``n_chunks`` micro-batches through
+    the sketch applier; return the maintained (d, w, c) store."""
+    ev = catalog.load(spark, sf, "events").select(*_EV_COLS)
+    watch = _spill_chunks(ev, base, n_chunks, name="watch17")
+    store = f"{base}/sketch17"
+    spark.createDataFrame([], "d int, w bigint, c bigint") \
+         .write.mode("overwrite").parquet(store)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    q = (src.writeStream.foreachBatch(make_sketch_applier(store, w))
+         .option("checkpointLocation", f"{base}/ckpt17")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(store)
+
+
+def str_17(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-17 streaming Count-Min frequency sketch: per-micro-batch
+    partial sketches merged into a D×W counter store by exact integer
+    addition — state stays ≤ D·W rows for ANY stream length, the
+    mergeable-sketch answer to "how often has key k occurred, ever"
+    on an unbounded stream (exact per-key counts would need unbounded
+    state).  After the replay, fixed probe ids are estimated from the
+    maintained store and certified against the batch-exact counts:
+    est ≥ exact (CMS never undercounts) and est ≤ exact + slack·
+    (e/W)·N — and because addition commutes, the streamed counters
+    EQUAL the batch sketch's, so the oracle recomputes the whole
+    thing in SQL and the hash certifies streamed ≡ batch, not just
+    the bounds."""
+    import math
+
+    base = tempfile.mkdtemp(prefix="spark_str17_")
+    try:
+        sketch = _materialized(str17_sketch(spark, sf, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    ev = catalog.load(spark, sf, "events")
+    ids = spark.createDataFrame([(int(i),) for i in STR17_QUERY_IDS],
+                                "user_id bigint")
+    probes = ids.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(STR17_D)]))
+         .alias("d"))
+    probes = probes.select(
+        "user_id", "d",
+        _cms17_cell(F.col("user_id"), F.col("d")).alias("w"))
+    est = (probes.join(sketch, ["d", "w"], "left")
+           .groupBy("user_id")
+           .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                 .alias("est")))
+    exact = (ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+             .join(ids, "user_id", "right")
+             .select("user_id",
+                     F.coalesce("exact", F.lit(0).cast("long"))
+                      .alias("exact")))
+    n_total = ev.agg(F.count("*").alias("n_total"))
+    eps = STR17_SLACK * math.e / STR17_W
+    return (est.join(exact, "user_id").crossJoin(F.broadcast(n_total))
+            .select("user_id", "exact", "est",
+                    (F.col("est") >= F.col("exact")).alias("ge_exact"),
+                    (F.col("est") <= F.col("exact")
+                     + F.lit(eps) * F.col("n_total"))
+                    .alias("within_bound"))
+            .orderBy("user_id"))
+
+
+def _str17_oracle() -> str:
+    import math
+
+    eps = STR17_SLACK * math.e / STR17_W
+    qlist = ", ".join(str(i) for i in STR17_QUERY_IDS)
+    cell = ("CAST(('0x' || substr(md5(CAST({u} AS VARCHAR) || '|' || d),"
+            " 1, 6)) AS BIGINT) % " + str(STR17_W))
+    return f"""
+WITH sketch AS (
+  SELECT d, {cell.format(u='user_id')} AS w, count(*) AS c
+  FROM events CROSS JOIN (SELECT unnest(range({STR17_D})) AS d) x
+  GROUP BY 1, 2),
+q AS (SELECT CAST(unnest([{qlist}]) AS BIGINT) AS user_id),
+probes AS (
+  SELECT q.user_id, x.d, {cell.format(u='q.user_id')} AS w
+  FROM q CROSS JOIN (SELECT unnest(range({STR17_D})) AS d) x),
+est AS (
+  SELECT p.user_id, min(COALESCE(s.c, 0)) AS est
+  FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.w = p.w
+  GROUP BY 1),
+exact AS (
+  SELECT q.user_id, COALESCE(e.c, 0) AS exact
+  FROM q LEFT JOIN (SELECT user_id, count(*) AS c
+                    FROM events GROUP BY 1) e
+       ON e.user_id = q.user_id),
+tot AS (SELECT count(*) AS n_total FROM events)
+SELECT est.user_id, exact, est,
+       est >= exact AS ge_exact,
+       est <= exact + {eps} * n_total AS within_bound
+FROM est JOIN exact ON est.user_id = exact.user_id CROSS JOIN tot
+ORDER BY est.user_id
+"""
+
+
+_STR_17_ORACLE = _str17_oracle()
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -705,6 +880,13 @@ def specs() -> list[QuerySpec]:
                        "dropDuplicatesWithinWatermark over planted "
                        "at-least-once re-deliveries; oracle = the "
                        "clean selection (no loss, no duplication)"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_17", fn=str_17, oracle=_STR_17_ORACLE,
+                  doc=("STR-17 streaming Count-Min sketch: per-batch "
+                       "partial sketches merged by exact addition into "
+                       "a D×W store (bounded state on an unbounded "
+                       "stream); probes certified est ≥ exact and "
+                       "within the ε-bound; streamed ≡ batch sketch"),
                   tags=("streaming",)),
         QuerySpec(key="str_14", fn=str_14, oracle=_STR_14_ORACLE,
                   doc=("STR-14 NATIVE session_window sessionization "

@@ -651,6 +651,159 @@ ORDER BY est.t
 """
 
 
+# --------------------------------- Naive-Bayes quality/source classifier
+
+#: model size cap: top-V tokens by document frequency (deterministic
+#: df-desc, token-asc tie-break) — the model stays a broadcastable
+#: V×2 table no matter the corpus size
+QC_VOCAB = 64
+QC_SCALE = 1e9
+
+
+def nb_margin_frame(base: DataFrame, v_top: int = QC_VOCAB) -> DataFrame:
+    """Multinomial Naive Bayes, train → score as ONE Catalyst plan —
+    the fasttext-style quality-classifier shape of a training-data
+    pipeline (train on a labeled seed split, score the WHOLE corpus,
+    keep by threshold).  ``base`` carries (doc_id, y boolean,
+    is_train boolean, tk array<string>); returns (doc_id, margin_i)
+    where margin_i is the 1e9-scaled integer log-odds margin
+    (positive ⇒ predicted y=true), Laplace-smoothed, priors included.
+
+    Scale shape: ONE explode+groupBy pass builds per-doc token
+    occurrence counts; vocabulary (top-V by df) and the V×2 log-prob
+    model are tiny frames BROADCAST onto the corpus; scoring is one
+    more groupBy(doc_id) — the corpus is touched twice total, the
+    model never shuffles.  Determinism: per-token log-probs are
+    ROUND(ln(p)·1e9) BIGINTs, so per-doc sums are exact integer
+    addition — partial-agg order cannot move the hash (the km_01
+    integer-scale discipline applied to log-space)."""
+    occ = (base.select("doc_id", F.explode("tk").alias("t"))
+               .groupBy("doc_id", "t").agg(F.count("*").alias("k")))
+    vocab = (occ.groupBy("t").agg(F.count("*").alias("df"))
+                .orderBy(F.desc("df"), "t").limit(v_top).select("t"))
+    v_n = vocab.count()                 # control-plane scalar (≤ v_top)
+
+    lbl = base.select("doc_id", "y", "is_train")
+    tr = (occ.join(F.broadcast(vocab), "t")
+             .join(lbl, "doc_id").filter("is_train"))
+    cls = tr.groupBy("y").agg(F.sum("k").alias("tot"))
+    counts = tr.groupBy("t", "y").agg(F.sum("k").alias("cnt"))
+    classes = base.sparkSession.createDataFrame(
+        [(True,), (False,)], "y boolean")
+    model = (vocab.crossJoin(classes)
+             .join(counts, ["t", "y"], "left")
+             .join(cls, "y")
+             .select("t", "y",
+                     F.round(F.log((F.coalesce("cnt", F.lit(0)) + 1)
+                                   / (F.col("tot") + F.lit(v_n))
+                                      .cast("double"))
+                             * F.lit(QC_SCALE)).cast("long").alias("lp")))
+
+    pr = (lbl.filter("is_train").groupBy("y")
+             .agg(F.count("*").alias("n"))
+             .agg(F.sum(F.when(F.col("y"), F.col("n"))).alias("np"),
+                  F.sum("n").alias("nt"))
+             .select(
+                 F.round(F.log(F.col("np").cast("double") / F.col("nt"))
+                         * F.lit(QC_SCALE)).cast("long").alias("lpr_pos"),
+                 F.round(F.log((F.col("nt") - F.col("np")).cast("double")
+                               / F.col("nt"))
+                         * F.lit(QC_SCALE)).cast("long").alias("lpr_neg")))
+
+    sums = (occ.join(F.broadcast(model), "t")
+               .groupBy("doc_id")
+               .agg(F.sum(F.when(F.col("y"), F.col("k") * F.col("lp")))
+                     .alias("sp"),
+                    F.sum(F.when(~F.col("y"), F.col("k") * F.col("lp")))
+                     .alias("sn")))
+    zero = F.lit(0).cast("long")
+    return (base.select("doc_id")
+            .join(sums, "doc_id", "left")
+            .crossJoin(F.broadcast(pr))
+            .select("doc_id",
+                    (F.coalesce("sp", zero) + F.col("lpr_pos")
+                     - F.coalesce("sn", zero) - F.col("lpr_neg"))
+                    .alias("margin_i")))
+
+
+def qc_01(spark, sf):
+    """Model-based quality/domain classifier over the corpus: train a
+    multinomial NB on the md5-free deterministic split (doc_id % 4 ≠ 0)
+    with y = (lang = 'en'), score EVERY doc, report per-true-lang doc
+    counts, predicted-positive counts, and the mean log-odds margin.
+    On the fixture the per-doc signal is weak BY CONSTRUCTION (the
+    generator draws all languages from one shared 31-token vocabulary
+    with mild frequency tilts — same situation as text_langid's
+    profile vote), so the certified claim here is the train→score
+    algebra, bit-exact on both engines; the ACCURACY claim is pinned
+    in tests on a planted two-class corpus with real signal
+    (tests/test_llmops.py)."""
+    base = (T(spark, sf, "documents")
+            .select("doc_id", "lang",
+                    (F.col("lang") == "en").alias("y"),
+                    (F.col("doc_id") % 4 != 0).alias("is_train"),
+                    tokens("text").alias("tk")))
+    m = nb_margin_frame(base)
+    return (base.join(m, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("margin_i") > 0).cast("int"))
+                  .cast("long").alias("n_pred_en"),
+                 F.round(F.sum("margin_i").cast("double")
+                         / F.count(F.lit(1)) / F.lit(QC_SCALE), 6)
+                  .alias("mean_margin"))
+            .orderBy("lang"))
+
+
+def _qc_oracle() -> str:
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH d AS (SELECT doc_id, lang, lang = 'en' AS y,
+                  doc_id % 4 <> 0 AS is_train, {t} AS tk
+           FROM documents),
+tr0 AS (SELECT doc_id, unnest(tk) AS t FROM d),
+occ AS (SELECT doc_id, t, count(*) AS k FROM tr0 GROUP BY 1, 2),
+vocab AS (SELECT t FROM (SELECT t, count(*) AS df FROM occ GROUP BY 1)
+          ORDER BY df DESC, t LIMIT {QC_VOCAB}),
+nv AS (SELECT count(*) AS v FROM vocab),
+cls AS (SELECT dd.y, SUM(o.k) AS tot
+        FROM occ o JOIN vocab USING (t) JOIN d dd USING (doc_id)
+        WHERE dd.is_train GROUP BY 1),
+counts AS (SELECT o.t, dd.y, SUM(o.k) AS cnt
+           FROM occ o JOIN vocab USING (t) JOIN d dd USING (doc_id)
+           WHERE dd.is_train GROUP BY 1, 2),
+classes AS (SELECT unnest([TRUE, FALSE]) AS y),
+model AS (SELECT vb.t, c.y,
+                 CAST(ROUND(LN((COALESCE(cnt, 0) + 1)
+                               / CAST(cls.tot + nv.v AS DOUBLE))
+                            * {QC_SCALE:.0f}) AS BIGINT) AS lp
+          FROM vocab vb CROSS JOIN classes c
+          LEFT JOIN counts ON counts.t = vb.t AND counts.y = c.y
+          JOIN cls ON cls.y = c.y CROSS JOIN nv),
+ntr AS (SELECT SUM(CASE WHEN y THEN n END) AS np, SUM(n) AS nt
+        FROM (SELECT y, count(*) AS n FROM d WHERE is_train GROUP BY 1)),
+prior AS (SELECT CAST(ROUND(LN(CAST(np AS DOUBLE) / nt)
+                            * {QC_SCALE:.0f}) AS BIGINT) AS lpr_pos,
+                 CAST(ROUND(LN(CAST(nt - np AS DOUBLE) / nt)
+                            * {QC_SCALE:.0f}) AS BIGINT) AS lpr_neg
+          FROM ntr),
+sums AS (SELECT o.doc_id,
+                SUM(CASE WHEN m.y THEN o.k * m.lp END) AS sp,
+                SUM(CASE WHEN NOT m.y THEN o.k * m.lp END) AS sn
+         FROM occ o JOIN model m USING (t) GROUP BY 1),
+scored AS (SELECT d.doc_id, d.lang,
+                  COALESCE(sp, 0) + lpr_pos
+                  - COALESCE(sn, 0) - lpr_neg AS margin_i
+           FROM d LEFT JOIN sums USING (doc_id) CROSS JOIN prior)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN margin_i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_en,
+       ROUND(CAST(SUM(margin_i) AS DOUBLE) / count(*) / {QC_SCALE:.0f},
+             6) AS mean_margin
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 def _sql_vote(ws: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in ws)
     return f"len(list_filter(t, x -> x IN ({lst})))"
@@ -695,6 +848,7 @@ _ORACLES = {
     "hh_01": _HH_ORACLE,
     "cms_01": _cms_oracle(),
     "lm_01": _LM_ORACLE,
+    "qc_01": _qc_oracle(),
 }
 
 _DOCS = {
@@ -725,6 +879,10 @@ _DOCS = {
     "bpe_02": "BPE encode: apply learned merges to every doc, subword "
               "counts (rows-only; encode certified vs independent "
               "sequential-replay reference in tests)",
+    "qc_01": "Model-based quality classifier: multinomial Naive Bayes "
+             "train -> whole-corpus score in ONE plan (broadcast V x 2 "
+             "model, integer-exact log-space sums); accuracy pinned on "
+             "a planted-signal corpus in tests",
 }
 
 

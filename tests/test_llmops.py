@@ -140,6 +140,71 @@ def test_ngram_hot_shingle_cap_raises(spark):
         dedup.ngram_jaccard_pairs(docs, 0.8, max_df=4).count()
 
 
+def test_substr_dup_stats_planted_and_short_docs(spark):
+    """substr_dup_stats semantics on a constructed corpus: docs 0 and 1
+    share exactly one 8-token run (planted) and nothing else; doc 2 is
+    unrelated; doc 3 is shorter than the window and must neither error
+    nor appear.  Each sharer reports exactly 1 duplicated span, and a
+    doc repeating the span TWICE internally counts both positions
+    (span positions, not distinct spans)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, "p0 q0 r0 " + shared + " s0 t0 u0"),
+        (1, "p1 q1 " + shared + " s1 t1 u1 v1"),
+        (2, "completely different words that never overlap anything "
+            "at all here"),
+        (3, "too short"),
+        (4, shared + " mid " + shared),   # repeats the span internally
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in dedup.substr_dup_stats(docs).collect()}
+    assert set(got) == {0, 1, 4}
+    assert got[0][1] == 1 and got[1][1] == 1
+    # doc 4: 17 tokens → 10 windows; the shared run occurs at two
+    # positions, both corpus-duplicated
+    assert got[4] == (10, 2)
+    # totals: doc 0 has 14 tokens → 7 windows
+    assert got[0][0] == 7
+
+
+def test_nb_classifier_learns_planted_signal(spark):
+    """nb_margin_frame accuracy on a corpus with REAL class signal
+    (the fixture's languages share one vocabulary, so qc_01's fixture
+    run certifies only the algebra — this pins the semantics): class
+    A docs draw from an a-pool + shared tokens, class B from a b-pool
+    + shared.  Held-out accuracy must be ≥ 0.95, and a doc with NO
+    vocabulary tokens must score exactly the prior margin."""
+    import math
+
+    from docker_aktin_dwh_spark.operators import textops
+
+    def doc(i, pool):
+        own = [f"{pool}{(i * 7 + j) % 6}" for j in range(6)]
+        shared = [f"s{(i + j) % 4}" for j in range(4)]
+        return " ".join(own + shared)
+
+    # i % 5 == 1 held out → 8 even + 8 odd held, 32+32 train (balanced
+    # classes ⇒ the prior margin is EXACTLY zero)
+    rows = [(i, i % 2 == 0, i % 5 != 1, doc(i, "a" if i % 2 == 0 else "b"))
+            for i in range(80)]
+    rows.append((900, False, False, "zzz1 zzz2 zzz3"))   # no vocab overlap
+    base = spark.createDataFrame(
+        rows, "doc_id long, y boolean, is_train boolean, text string"
+    ).withColumn("tk", F.split(F.trim("text"), r"\s+")).drop("text")
+
+    m = {r.doc_id: r.margin_i
+         for r in textops.nb_margin_frame(base, v_top=16).collect()}
+    held = [(i, i % 2 == 0) for i in range(80) if i % 5 == 1]
+    acc = sum((m[i] > 0) == y for i, y in held) / len(held)
+    assert acc >= 0.95, f"held-out accuracy {acc}"
+
+    # the junk doc shares no vocabulary token → margin is the prior
+    # margin, which the balanced split makes exactly 0
+    assert math.isclose(math.log(32 / 64), math.log(0.5))
+    assert m[900] == 0
+
+
 def test_minhash_exact_parity_mode_matches_pruned(spark):
     """estimate_prune=False (the exact-parity mode for huge candidate
     sets) returns the same pair set as the pruned default here — the
@@ -490,6 +555,42 @@ def test_ann_recall_on_clustered_fixture(spark):
         sq = {(r.q_id, r.neighbor_id) for r in
               similarity.sq_ivf_topk(emb, queries, 10).collect()}
         assert len(sq & truth) / len(truth) >= 0.95
+    finally:
+        emb.unpersist()
+
+
+def test_km01_recovers_planted_clusters_and_inertia_monotone(spark):
+    """km_01's Lloyd machinery on the planted 8-cluster fixture:
+    purity vs the generator's true labels measured 0.875 with 7 live
+    centroids after 1 iteration and STABLE through 4 (md5 seeding
+    loses one planted cluster to a merge — classic Lloyd local
+    optimum, deterministic here), asserted with margin; and total
+    inertia must be non-increasing across update steps (the Lloyd
+    convergence invariant), checked over 3 steps."""
+    from collections import defaultdict
+
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 400, n_clusters=8).cache()
+    try:
+        pts = emb.select("vec_id", similarity._as_double("embedding")
+                          .alias("x"))
+        cents = similarity._km_seed_centroids(pts)
+        inertias = []
+        for _ in range(3):
+            assigned = similarity._km_assign(pts, cents)
+            inertias.append(assigned.agg(F.sum("dist")).collect()[0][0])
+            cents = similarity._km_update(assigned)
+        assert inertias[0] >= inertias[1] >= inertias[2]
+        final = (similarity._km_assign(pts, cents)
+                 .join(emb.select("vec_id", "cluster"), "vec_id")
+                 .groupBy("cid", "cluster").count().collect())
+        per_cid, tot = defaultdict(list), 0
+        for r in final:
+            per_cid[r.cid].append(r["count"])
+            tot += r["count"]
+        assert sum(max(v) for v in per_cid.values()) / tot >= 0.85
+        assert len(per_cid) >= 6
     finally:
         emb.unpersist()
 

@@ -657,6 +657,70 @@ def _body_str16_plants_redeliveries_and_drops_them_all(spark, stream_dir,
     assert m["micro_batches"] >= 5
 
 
+def _body_str17_sketch_split_invariant_bounded_and_idempotent(
+        spark, stream_dir, tmp):
+    """str_17's maintained CMS store: (1) BOUNDED — ≤ D·W rows no
+    matter the stream length; (2) SPLIT-INVARIANT — a 1-batch fold
+    equals the 5-batch fold cell-for-cell (addition commutes, the
+    ivm_02 property); (3) IDEMPOTENT — re-invoking the applier with
+    an already-applied batch_id leaves the store untouched (the
+    foreachBatch at-least-once contract); and (4) the COLLISION arm
+    is real at a shrunk W=8: some probe id's estimate strictly
+    exceeds its exact count while never undercounting."""
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    def counters(n_chunks, w=SN.STR17_W):
+        base = str(tmp / f"s17_{n_chunks}_{w}")
+        import os
+        os.makedirs(base, exist_ok=True)
+        try:
+            sk = SN.str17_sketch(spark, SF_SMOKE, base,
+                                 n_chunks=n_chunks, w=w)
+            return {(r.d, r.w): r.c for r in sk.collect()}, base
+        except BaseException:
+            import shutil
+            shutil.rmtree(base, ignore_errors=True)
+            raise
+
+    one, base1 = counters(1)
+    five, base5 = counters(5)
+    assert one == five and one
+    assert len(five) <= SN.STR17_D * SN.STR17_W
+
+    # (3) replaying an already-applied batch_id is a no-op
+    store = f"{base5}/sketch17"
+    applier = SN.make_sketch_applier(store)
+    ev = catalog.load(spark, SF_SMOKE, "events")
+    applier(ev, 0)          # batch 0 was applied during the replay
+    after = {(r.d, r.w): r.c
+             for r in spark.read.parquet(store).collect()}
+    assert after == five
+
+    # (4) collisions at W=8: est computed from the store the same way
+    # str_17 does; overcount present, undercount impossible
+    tiny, _ = counters(5, w=8)
+    exact = {r.user_id: r.n for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n"))
+               .filter(F.col("user_id").isin(*SN.STR17_QUERY_IDS))
+               .collect()}
+    over = 0
+    for uid in SN.STR17_QUERY_IDS:
+        # cell index via the same md5-prefix arithmetic, python-side
+        import hashlib
+        est = min(
+            tiny.get((d, int(hashlib.md5(f"{uid}|{d}".encode())
+                             .hexdigest()[:6], 16) % 8), 0)
+            for d in range(SN.STR17_D))
+        ex = exact.get(uid, 0)
+        assert est >= ex
+        if est > ex:
+            over += 1
+    assert over > 0, "W=8 never collided — collision arm is vacuous"
+    import shutil
+    shutil.rmtree(base1, ignore_errors=True)
+    shutil.rmtree(base5, ignore_errors=True)
+
+
 def _body_native_session_window_emissions_subset_of_timer_tracker(
         spark, stream_dir, tmp):
     """Contract pin for the two sessionization forms: str_14 (native

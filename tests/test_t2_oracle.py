@@ -41,7 +41,10 @@ UNION_COVERED = frozenset({
     "lay_02", "ivm_01", "ivm_02", "bkt_01", "cms_01", "ont_02", "ont_03",
     "pipe_04",
     # r9_all branches
-    "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr",
+    "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr", "km_01",
+    "ded_substr", "qc_01",
+    # str_out branch (r9)
+    "str_17",
     # ann_bx branches
     "ann_lsh", "ann_ivf",
 })
