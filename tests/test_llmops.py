@@ -953,6 +953,44 @@ def test_gif_roundtrip_property(w, h, mode, data):
     assert got[:3] == (w, h, px)
 
 
+@settings(max_examples=20, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       k=st.sampled_from([1, 2, 4, 6, 8]), data=st.data())
+def test_gif_interlace_and_small_palette_roundtrip(w, h, k, data):
+    """r9 scope closures, property-tested together: encode→decode is
+    the identity for every palette size 2^k (k=1..8, LZW min code
+    size floored at 2 per spec) and for INTERLACED frames (stored in
+    4-pass row order, de-interlaced on decode) — interlaced and
+    sequential encodings of the same pixels must decode equal."""
+    from docker_aktin_dwh_spark.functions import gif as giflib
+
+    n_colors = 2 ** k
+    px = bytes(data.draw(st.lists(st.integers(0, n_colors - 1),
+                                  min_size=w * h, max_size=w * h)))
+    pal = bytes(v for i in range(n_colors)
+                for v in ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256))
+    plain = giflib.decode_gif(giflib.encode_gif(px, w, h, palette=pal))
+    inter = giflib.decode_gif(
+        giflib.encode_gif(px, w, h, palette=pal, interlace=True))
+    assert plain[:3] == (w, h, px)
+    assert inter[:3] == (w, h, px)
+    assert plain[3] == inter[3] == pal
+
+
+def test_gif_small_palette_index_guard():
+    """An index outside a small palette raises before any bytes are
+    written (never silently wraps into a wrong color)."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.functions import gif as giflib
+
+    pal4 = bytes(12)
+    with _pytest.raises(ValueError, match="out of range"):
+        giflib.encode_gif(bytes([0, 1, 2, 5]), 2, 2, palette=pal4)
+    with _pytest.raises(ValueError, match="palette"):
+        giflib.encode_gif(bytes(4), 2, 2, palette=bytes(9))
+
+
 def test_gif_lzw_table_full_and_kwkwk():
     """The two classic LZW killers, deterministically: (a) a stream
     long/diverse enough to FILL the 4096-entry table (the encoder
@@ -978,9 +1016,11 @@ def test_gif_lzw_table_full_and_kwkwk():
 
 
 def test_gif_decode_rejects_malformed():
-    """Honesty guards: interlaced frames raise NotImplementedError
-    (never mis-decode), bad signatures and truncated LZW raise
-    ValueError, and extension blocks are skipped correctly."""
+    """Honesty guards: bad signatures and truncated LZW raise
+    ValueError, extension blocks are skipped correctly, and flipping
+    the interlace bit on a sequentially-stored frame yields exactly
+    the de-interlace row permutation (the decoder applies the 4-pass
+    mapping, r9 — previously a NotImplementedError guard)."""
     import struct as _struct
 
     import pytest as _pytest
@@ -998,8 +1038,9 @@ def test_gif_decode_rejects_malformed():
     assert good[idesc] == 0x2C
     tampered = bytearray(good)
     tampered[idesc + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        giflib.decode_gif(bytes(tampered))
+    _, _, deint, _ = giflib.decode_gif(bytes(tampered))
+    for i, r in enumerate(giflib._interlace_rows(4)):
+        assert deint[r * 4:(r + 1) * 4] == px[i * 4:(i + 1) * 4]
     # graphic-control extension before the frame is skipped
     ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
     with_ext = good[:idesc] + ext + good[idesc:]
