@@ -1493,7 +1493,7 @@ def r9_all(spark, sf):
     certifies the same semantics: mm_04 frame sampling (slot donor),
     emb_01 mean-pool embeddings, and ded_incr incremental near-dup
     (new batch vs stored corpus index)."""
-    from . import dedup, similarity
+    from . import dedup, graph, similarity
     out = _tag(multimodal.mm_jpg(spark, sf), "jpg",
                F.concat_ws("|", "doc_id", "jpg_w", "jpg_h",
                            F.round(F.col("jpg_luma") * 1_000_000)
@@ -1528,11 +1528,14 @@ def r9_all(spark, sf):
         F.concat_ws("|", "lang", "n_docs", "n_pred_en",
                     F.round(F.col("mean_margin") * 1_000_000)
                      .cast("long"))))
+    out = out.unionByName(_tag(
+        graph.tri_01(spark, sf), "tri",
+        F.concat_ws("|", "doc_id", "degree", "n_tri")))
     return out.orderBy("tag", "v")
 
 
 def _r9_all_oracle() -> str:
-    from . import dedup, similarity
+    from . import dedup, graph, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1556,6 +1559,8 @@ def _r9_all_oracle() -> str:
         ("sub", cat("doc_id", "n_spans", "n_dup_spans",
                     "CAST(ROUND(dup_frac * 10000) AS BIGINT)"),
          dedup._SUBSTR_ORACLE),
+        ("tri", cat("doc_id", "degree", "n_tri"),
+         graph._tri_oracle()),
         ("qc", cat("lang", "n_docs", "n_pred_en",
                    "CAST(ROUND(mean_margin * 1000000) AS BIGINT)"),
          textops._qc_oracle()),
@@ -1623,7 +1628,8 @@ _DOCS = {
               "(mm_jpg, hand-written ITU T.81 codec) + IVF-SQ "
               "quantized-index ANN (ann_sq) + distributed Lloyd "
               "k-means (km_01) + exact-substring dedup (ded_substr) "
-              "+ Naive-Bayes quality classifier (qc_01) + CORE50 "
+              "+ Naive-Bayes quality classifier (qc_01) + triangle "
+              "census of the near-dup graph (tri_01) + CORE50 "
               "fold-ins mm_04/emb_01/ded_incr — same-round driver "
               "certification",
 }

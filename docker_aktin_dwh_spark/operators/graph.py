@@ -98,6 +98,84 @@ def pr_01(spark, sf):
             .orderBy("doc_id"))
 
 
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Distributed triangle counting over canonical (i < j) undirected
+    edges → (doc_id, degree, n_tri).
+
+    Ordered 2-path enumeration: wedges a<b<c are built by joining the
+    edge list to itself on the middle vertex, then closed against the
+    edge set — two equi-join shuffles on vertex ids, NEVER an
+    adjacency broadcast or all-pairs product; the a<b<c ordering
+    counts each triangle exactly once and bounds wedge fan-out by
+    forward-degree (the classic MapReduce triangle discipline: a hub
+    contributes wedges only for its higher-numbered neighbors).
+    Per-node counts explode each triangle's three corners into one
+    groupBy.
+
+    The edge frame is MATERIALIZED once before fan-out: four consumers
+    (both wedge sides, the closure probe, the degree count) would each
+    recompute the upstream pair pipeline — for the near-dup graph
+    that is the whole MinHash LSH chain, 4× corpus scans (the bm25
+    tf-frame barrier discipline, functions/barrier.py)."""
+    e = materialize(
+        pairs.select(F.col("i").cast("long").alias("i"),
+                     F.col("j").cast("long").alias("j")))
+    x = e.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    y = e.select(F.col("i").alias("b"), F.col("j").alias("c"))
+    wedges = x.join(y, "b")
+    tri = wedges.join(
+        e.select(F.col("i").alias("a"), F.col("j").alias("c")),
+        ["a", "c"])
+    per = (tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+              .groupBy("v").agg(F.count("*").alias("n_tri")))
+    deg = (e.select(F.col("i").alias("v"))
+            .unionByName(e.select(F.col("j").alias("v")))
+            .groupBy("v").agg(F.count("*").alias("degree")))
+    return (deg.join(per, "v", "left")
+               .select(F.col("v").alias("doc_id"), "degree",
+                       F.coalesce("n_tri", F.lit(0).cast("long"))
+                        .alias("n_tri"))
+               .orderBy("doc_id"))
+
+
+def tri_01(spark, sf):
+    """Triangle census of the near-dup graph: per-document degree and
+    triangle participation — the cluster-cohesion signal on top of
+    dupcc_01's components (a component of pairwise near-dups is
+    triangle-dense; a chain of borderline matches has none).  The
+    near-dup fixture graph is triangle-sparse at small SF (1 at
+    sf0.01) — the planted-K4 semantics are pinned in tests."""
+    docs = T(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD).select("i", "j")
+    return triangle_stats(pairs)
+
+
+def _tri_oracle() -> str:
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH t0 AS (SELECT doc_id, {t} AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES3} AS s FROM t0),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {JACCARD_THRESHOLD}),
+w AS (SELECT x.i AS a, x.j AS b, y.j AS c
+      FROM pairs x JOIN pairs y ON x.j = y.i),
+tri AS (SELECT a, b, c
+        FROM w JOIN pairs z ON z.i = w.a AND z.j = w.c),
+corners AS (SELECT unnest([a, b, c]) AS v FROM tri),
+per AS (SELECT v, count(*) AS n_tri FROM corners GROUP BY 1),
+deg AS (SELECT v, count(*) AS degree
+        FROM (SELECT i AS v FROM pairs
+              UNION ALL SELECT j AS v FROM pairs)
+        GROUP BY 1)
+SELECT deg.v AS doc_id, degree, COALESCE(n_tri, 0) AS n_tri
+FROM deg LEFT JOIN per USING (v) ORDER BY doc_id
+"""
+
+
 def _pr_oracle() -> str:
     t = SQL_TOKENS.format(col="text")
     iter_ctes = []
@@ -141,6 +219,10 @@ _DOCS = {
     "pr_01": "PageRank over the near-dup graph (iterative numeric "
              "fixpoint, fixed iterations; oracle = the same "
              "computation unrolled as chained CTEs)",
+    "tri_01": "Triangle census of the near-dup graph: ordered 2-path "
+              "wedge join closed against the edge set (two equi-join "
+              "shuffles, no adjacency broadcast); per-doc degree + "
+              "triangle participation",
 }
 
 
@@ -148,4 +230,6 @@ def specs() -> list[QuerySpec]:
     return [
         QuerySpec(key="pr_01", fn=pr_01, oracle=_pr_oracle(),
                   doc=_DOCS["pr_01"], tags=("llm", "graph")),
+        QuerySpec(key="tri_01", fn=tri_01, oracle=_tri_oracle(),
+                  doc=_DOCS["tri_01"], tags=("llm", "graph")),
     ]

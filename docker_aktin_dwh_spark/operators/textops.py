@@ -670,20 +670,26 @@ def nb_margin_frame(base: DataFrame, v_top: int = QC_VOCAB) -> DataFrame:
     (positive ⇒ predicted y=true), Laplace-smoothed, priors included.
 
     Scale shape: ONE explode+groupBy pass builds per-doc token
-    occurrence counts; vocabulary (top-V by df) and the V×2 log-prob
-    model are tiny frames BROADCAST onto the corpus; scoring is one
-    more groupBy(doc_id) — the corpus is touched twice total, the
-    model never shuffles.  Determinism: per-token log-probs are
-    ROUND(ln(p)·1e9) BIGINTs, so per-doc sums are exact integer
-    addition — partial-agg order cannot move the hash (the km_01
-    integer-scale discipline applied to log-space)."""
-    occ = (base.select("doc_id", F.explode("tk").alias("t"))
-               .groupBy("doc_id", "t").agg(F.count("*").alias("k")))
+    occurrence counts, MATERIALIZED once for its five consumers
+    (vocabulary df, class totals, token counts, scoring — the bm25
+    tf-frame barrier discipline: without it every consumer re-scans
+    and re-explodes the corpus); vocabulary (top-V by df) and the
+    V×2 log-prob model are tiny frames BROADCAST onto the corpus;
+    scoring is one more groupBy(doc_id) — the corpus is touched
+    twice total, the model never shuffles.  Determinism: per-token
+    log-probs are ROUND(ln(p)·1e9) BIGINTs, so per-doc sums are
+    exact integer addition — partial-agg order cannot move the hash
+    (the km_01 integer-scale discipline applied to log-space)."""
+    from ..functions.barrier import materialize
+
+    occ = materialize(
+        base.select("doc_id", F.explode("tk").alias("t"))
+            .groupBy("doc_id", "t").agg(F.count("*").alias("k")))
     vocab = (occ.groupBy("t").agg(F.count("*").alias("df"))
                 .orderBy(F.desc("df"), "t").limit(v_top).select("t"))
     v_n = vocab.count()                 # control-plane scalar (≤ v_top)
 
-    lbl = base.select("doc_id", "y", "is_train")
+    lbl = materialize(base.select("doc_id", "y", "is_train"))
     tr = (occ.join(F.broadcast(vocab), "t")
              .join(lbl, "doc_id").filter("is_train"))
     cls = tr.groupBy("y").agg(F.sum("k").alias("tot"))

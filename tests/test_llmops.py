@@ -1373,6 +1373,50 @@ def test_pagerank_conserves_mass_and_rewards_hubs(spark):
     assert pr[hub] >= total / len(rows)
 
 
+def test_triangle_stats_planted_k4_and_chain(spark):
+    """triangle_stats exact semantics on a hand-built graph: a K4 on
+    {1,2,3,4} (every vertex in C(3,2)=3 triangles, degree 3) glued to
+    a 3-chain 4-5-6-7 (borderline-match chain: degrees but ZERO
+    triangles) plus one isolated edge (8,9).  The a<b<c ordered-wedge
+    enumeration must count each K4 triangle exactly once per corner
+    and give every chain/edge vertex n_tri=0."""
+    from docker_aktin_dwh_spark.operators import graph as G
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    pairs = spark.createDataFrame(k4 + chain + [(8, 9)], ["i", "j"])
+    got = {r.doc_id: (r.degree, r.n_tri)
+           for r in G.triangle_stats(pairs).collect()}
+    assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3),
+                   5: (2, 0), 6: (2, 0), 7: (1, 0),
+                   8: (1, 0), 9: (1, 0)}
+
+
+def test_tri01_fixture_invariants(spark):
+    """tri_01 on the oracle fixture: every doc in a near-dup pair
+    appears, degree equals its pair-incidence count, total triangle
+    corners divide by 3 (each triangle contributes exactly 3), and at
+    least one triangle exists (the fixture's replica clusters of size
+    ≥ 3 are mutually near-dup ⇒ K3+)."""
+    from docker_aktin_dwh_spark.operators import graph as G
+    from docker_aktin_dwh_spark.operators.dedup import (
+        JACCARD_THRESHOLD, minhash_dedup_pairs)
+
+    rows = G.tri_01(spark, SF_ORACLE).collect()
+    assert rows
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD).collect()
+    inc = {}
+    for p in pairs:
+        inc[p.i] = inc.get(p.i, 0) + 1
+        inc[p.j] = inc.get(p.j, 0) + 1
+    assert {r.doc_id for r in rows} == set(inc)
+    assert all(r.degree == inc[r.doc_id] for r in rows)
+    corners = sum(r.n_tri for r in rows)
+    assert corners % 3 == 0
+    assert corners > 0
+
+
 def test_er_block_guard_raises_on_degenerate_blocking_key(spark):
     """The blocked-pairs guard (ER_MAX_BLOCK): a degenerate blocking
     attribute — every record sharing one block — must RAISE with the

@@ -42,7 +42,7 @@ UNION_COVERED = frozenset({
     "pipe_04",
     # r9_all branches
     "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr", "km_01",
-    "ded_substr", "qc_01",
+    "ded_substr", "qc_01", "tri_01",
     # str_out branch (r9)
     "str_17",
     # ann_bx branches
