@@ -52,6 +52,9 @@ HEADLINE = (
     # quality classifier (train -> score, one plan), and the
     # triangle census of the near-dup graph
     "mm_jpg", "ann_sq", "km_01", "ded_substr", "qc_01", "tri_01",
+    # round 9 second wave: Bloom-pruned semi-join, TF-IDF keywords,
+    # sorted-neighborhood ER on the distributed global rank, flat PQ
+    "blm_01", "kw_01", "er_03", "ann_pq",
 )
 
 

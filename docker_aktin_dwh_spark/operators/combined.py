@@ -1534,6 +1534,50 @@ def r9_all(spark, sf):
     return out.orderBy("tag", "v")
 
 
+def r9b_all(spark, sf):
+    """Round-9 second-wave certification union (same-round driver
+    certification for the operators that landed after r9_all froze),
+    reusing each builder verbatim: blm_01 Bloom-pruned semi-join,
+    kw_01 TF-IDF keyword top-k, er_03 sorted-neighborhood entity
+    resolution (the distributed global-rank primitive), and ann_pq
+    flat product quantization with ADC scoring."""
+    from . import bloomjoin, entity, similarity
+    out = _tag(bloomjoin.blm_01(spark, sf), "blm",
+               F.concat_ws("|", "o_orderpriority", "n_orders",
+                           F.round(F.col("revenue") * 100).cast("long")))
+    out = out.unionByName(_tag(
+        textops.kw_01(spark, sf), "kw",
+        F.concat_ws("|", "doc_id", "rnk", "term", "score_s")))
+    out = out.unionByName(_tag(
+        entity.er_03(spark, sf), "er3",
+        F.concat_ws("|", "i", "j", "dist")))
+    out = out.unionByName(_tag(
+        similarity.ann_pq(spark, sf), "pq",
+        F.concat_ws("|", "q_id",
+                    F.col("planted_at_rank1").cast("string"))))
+    return out.orderBy("tag", "v")
+
+
+def _r9b_all_oracle() -> str:
+    from . import bloomjoin, entity, similarity
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("blm", cat("o_orderpriority", "n_orders",
+                    "CAST(ROUND(revenue * 100) AS BIGINT)"),
+         bloomjoin._BLM_ORACLE),
+        ("kw", cat("doc_id", "rnk", "term", "score_s"),
+         textops._kw_oracle()),
+        ("er3", cat("i", "j", "dist"), entity._er3_oracle()),
+        ("pq", cat("q_id", "planted_at_rank1"),
+         similarity._PLANTED_ORACLE),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -1632,6 +1676,12 @@ _DOCS = {
               "census of the near-dup graph (tri_01) + CORE50 "
               "fold-ins mm_04/emb_01/ded_incr — same-round driver "
               "certification",
+    "r9b_all": "Round-9 second-wave tagged union: Bloom-pruned "
+               "semi-join (blm_01), TF-IDF keyword top-k (kw_01), "
+               "sorted-neighborhood entity resolution on the "
+               "distributed global rank (er_03), and flat product "
+               "quantization with ADC scoring (ann_pq) — same-round "
+               "driver certification",
 }
 
 
@@ -1669,6 +1719,7 @@ def specs() -> list[QuerySpec]:
         "r8_all": _r8_all_oracle(),
         "ann_bx": _ann_bx_oracle(),
         "r9_all": _r9_all_oracle(),
+        "r9b_all": _r9b_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

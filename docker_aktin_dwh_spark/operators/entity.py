@@ -177,6 +177,85 @@ def er_02(spark, sf):
             .distinct().orderBy("i", "j"))
 
 
+#: sorted-neighborhood window: each record pairs with its W successors
+#: in the sort order.  10 covers the planted suffix-edit variants: the
+#: largest orig→variant gap is an id ending in 0, whose 'X' variant
+#: sorts after the nine following ids (…080, 081…089, 08X).
+ER_SNM_WINDOW = 10
+
+
+def er_03(spark, sf):
+    """Sorted-neighborhood entity resolution (Hernández–Stolfo SNM)
+    over the same dirty master as er_02: sort every record by
+    (name, id), slide a window of ER_SNM_WINDOW successors, emit
+    candidate pairs with levenshtein ≤ ER_MAX_DIST.
+
+    The THIRD blocking paradigm next to er_01 (prefix blocks) and
+    er_02 (multi-pass blocks): SNM needs no block-size guard — the
+    candidate count is EXACTLY W·n regardless of key skew (a
+    degenerate attribute that blows up a block just slides past), at
+    the price of recall tied to sort-key locality.  On the planted
+    fixture that trade is visible and pinned in tests: suffix edits
+    ('X' at char 18) stay sort-adjacent and ARE recovered; the 'YY'
+    variant diverges in the sort and is recovered only incidentally
+    (when its original ends a hundred-block, 4/31 at sf0.01), the
+    char-11 variant never — production unions SNM passes over
+    several sort keys exactly like er_02 unions blocking passes.
+
+    Scale shape: the global sort rank comes from functions/ranking.py
+    global_rank — a range exchange + parallel per-partition windows +
+    broadcast offsets, NO single-partition window; pairing is an
+    EQUI-join on (rank + offset) after a W-way offset explode (W·n
+    rows, the SNM cost model), never a range join / NLJ."""
+    from ..functions.ranking import global_rank
+
+    d = _dirty_customers_v3(spark, sf)
+    recs = d.select(F.col("c_custkey").alias("id"),
+                    F.col("c_name").alias("name"))
+    ranked = global_rank(recs, ["name", "id"])
+    a = ranked.select(F.col("id").alias("id_a"),
+                      F.col("name").alias("name_a"),
+                      F.explode(F.sequence(
+                          F.col("rnk") + 1,
+                          F.col("rnk") + ER_SNM_WINDOW)).alias("rnk"))
+    cand = a.join(ranked, "rnk")
+    return (cand.select(
+                F.least("id_a", "id").alias("i"),
+                F.greatest("id_a", "id").alias("j"),
+                F.levenshtein("name_a", "name").cast("int").alias("dist"))
+                .filter(F.col("dist") <= ER_MAX_DIST)
+                .orderBy("i", "j"))
+
+
+def _er3_oracle() -> str:
+    return f"""
+WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+off AS (SELECT max(c_custkey) + 1 AS o FROM c),
+dirty AS (
+  SELECT c_custkey, c_name FROM c
+  UNION ALL
+  SELECT c_custkey + off.o, substr(c_name, 1, 17) || 'X'
+  FROM c, off WHERE c_custkey % {ER_VARIANT_STRIDE} = 0
+  UNION ALL
+  SELECT c_custkey + 2 * off.o, substr(c_name, 1, 16) || 'YY'
+  FROM c, off WHERE c_custkey % {ER_VARIANT2_STRIDE} = 0
+  UNION ALL
+  SELECT c_custkey + 3 * off.o,
+         substr(c_name, 1, 10) || 'Z' || substr(c_name, 12, 7)
+  FROM c, off WHERE c_custkey % {ER_VARIANT3_STRIDE} = 0),
+ranked AS (
+  SELECT c_custkey AS id, c_name AS name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM dirty)
+SELECT least(a.id, b.id) AS i, greatest(a.id, b.id) AS j,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM ranked a JOIN ranked b
+  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {ER_SNM_WINDOW}
+WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+ORDER BY i, j
+"""
+
+
 def _er2_oracle() -> str:
     passes = "\nUNION\n".join(
         f"SELECT a.id AS i, b.id AS j, "
@@ -242,6 +321,11 @@ _DOCS = {
     "er_02": "Two-pass blocked entity resolution: pairs unioned from "
              "two independent blocking keys recover a variant whose "
              "edit breaks pass 1's block (the multi-pass recall lever)",
+    "er_03": "Sorted-neighborhood entity resolution: distributed "
+             "global rank (range exchange + parallel windows + "
+             "broadcast offsets, no single-partition stage), W-offset "
+             "equi-join pairing — candidate count exactly W*n "
+             "regardless of key skew",
 }
 
 
@@ -251,4 +335,6 @@ def specs() -> list[QuerySpec]:
                   doc=_DOCS["er_01"], tags=("llm", "entity")),
         QuerySpec(key="er_02", fn=er_02, oracle=_er2_oracle(),
                   doc=_DOCS["er_02"], tags=("llm", "entity")),
+        QuerySpec(key="er_03", fn=er_03, oracle=_er3_oracle(),
+                  doc=_DOCS["er_03"], tags=("llm", "entity")),
     ]

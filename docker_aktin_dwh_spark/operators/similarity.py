@@ -497,6 +497,191 @@ FROM z GROUP BY label ORDER BY label
 #: chain; at 100 TB the shape per iteration is ONE shuffle (groupBy
 #: cid with DIM+1 partial-agg columns) plus a K×DIM control-plane
 #: collect — the exact MLlib KMeans execution shape.
+# ---------------------------------------------------- product quantization
+
+#: PQ geometry: M subspaces of DIM/M dims, KS codebook entries each —
+#: a corpus vector becomes M uint4-sized codes (here ints), 64× smaller
+#: than the float64 compute form and 8× smaller than ann_sq's per-dim
+#: uint8 codes.  The FAISS IndexPQ flat-scan shape: ADC lookup tables
+#: make scoring O(M) per (query, vector) instead of O(DIM).
+PQ_M = 8
+PQ_DS = DIM // PQ_M
+PQ_KS = 16
+PQ_ITERS = 2
+#: codebooks train on a strided sample — at 100 TB training reads a
+#: bounded sample, never the corpus
+PQ_TRAIN_STRIDE = 3
+#: ADC-shortlist factor is the PQ recall lever (measured on the
+#: 20-cluster fixture, noise 0.06: recall@10 0.565 at 4·k, 0.905 at
+#: 8·k with KS=16; widening KS to 32 adds only +0.02) — the exact
+#: re-rank stays candidate-sized either way
+PQ_CAND_FACTOR = 8
+
+
+def _pq_sub(vec_col: str, m: int):
+    return F.slice(vec_col, m * PQ_DS + 1, PQ_DS)
+
+
+def _pq_sqd(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_cb_frame(spark, cb: "np.ndarray") -> DataFrame:
+    """The full codebook + per-entry squared norms as ONE broadcastable
+    row (cmat: M×KS×DS doubles, nmat: M×KS ‖c‖² — the vq_01/km_01
+    scalar-attach discipline; M·KS·DS = 1024 doubles)."""
+    import pyspark.sql.types as ST
+
+    arr3 = ST.ArrayType(ST.ArrayType(ST.ArrayType(ST.DoubleType())))
+    arr2 = ST.ArrayType(ST.ArrayType(ST.DoubleType()))
+    schema = ST.StructType([ST.StructField("cmat", arr3),
+                            ST.StructField("nmat", arr2)])
+    cmat = [[[float(v) for v in c] for c in sub] for sub in cb]
+    nmat = [[float((np.asarray(c) ** 2).sum()) for c in sub]
+            for sub in cb]
+    return spark.createDataFrame([(cmat, nmat)], schema)
+
+
+def _pq_encode_udf(cb: "np.ndarray"):
+    """Arrow-batched PQ encoder: reshape each batch to (n, M, DS),
+    squared distances to the (M, KS, DS) codebook in one einsum-shaped
+    broadcast, argmin per subspace (first occurrence = lowest-cid
+    tie-break).  A JVM higher-order fold here evaluates its lambda per
+    ELEMENT — M·KS·DS interpreted steps per row, measured ~3 s of the
+    7 s ann_pq run; the numpy form is one vectorized matmul per batch
+    (the lsh_signatures lesson applied to PQ)."""
+    cbm = np.asarray(cb, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        sub = m.reshape(len(m), PQ_M, PQ_DS)
+        d = ((sub[:, :, None, :] - cbm[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d.argmin(axis=2).astype("int32")))
+
+    return enc
+
+
+def pq_train(corpus: DataFrame) -> "np.ndarray":
+    """Per-subspace Lloyd codebooks (M × KS × DS): strided training
+    sample materialized once; every iteration is one Arrow-batched
+    argmin assignment (all M subspaces in one pass) + one explode →
+    posexplode groupBy(m, cid, dim) mean (map-side combinable into
+    ≤ M·KS·DS groups).  Codebook entries for empty cells keep their
+    previous value.  Seeds: per subspace the KS smallest-md5 sample
+    rows (deterministic, a distributed TakeOrdered per m)."""
+    from ..functions.barrier import materialize
+
+    e = materialize(
+        corpus.filter(F.col("vec_id") % PQ_TRAIN_STRIDE == 0)
+              .select("vec_id", _as_double("embedding").alias("e")))
+    sub = (e.select("vec_id", F.explode(F.array(*[
+                F.struct(F.lit(m).alias("m"), _pq_sub("e", m).alias("sv"))
+                for m in range(PQ_M)])).alias("s"))
+            .select("vec_id", "s.m", "s.sv"))
+    w = Window.partitionBy("m").orderBy(
+        F.md5(F.concat_ws("|", F.col("m").cast("string"),
+                          F.col("vec_id").cast("string"))), "vec_id")
+    seeds = (sub.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= PQ_KS)
+                .select("m", (F.col("r") - 1).alias("cid"), "sv")
+                .collect())
+    cb = np.zeros((PQ_M, PQ_KS, PQ_DS))
+    for r in seeds:
+        cb[r["m"], r["cid"]] = r["sv"]
+    for _ in range(PQ_ITERS):
+        enc = _pq_encode_udf(cb)
+        coded = e.select("e", enc("e").alias("codes"))
+        asg = (coded.select(F.explode(F.array(*[
+                    F.struct(F.lit(m).alias("m"),
+                             F.element_at("codes", m + 1).alias("cid"),
+                             _pq_sub("e", m).alias("sv"))
+                    for m in range(PQ_M)])).alias("s"))
+                .select("s.m", "s.cid",
+                        F.posexplode("s.sv").alias("dim", "xv")))
+        rows = (asg.groupBy("m", "cid", "dim")
+                   .agg(F.avg("xv").alias("cv")).collect())
+        for r in rows:
+            cb[r["m"], r["cid"], r["dim"]] = r["cv"]
+    return cb
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Flat-PQ approximate top-k with exact re-rank: encode the corpus
+    as M argmin codes (ONE Arrow-batched numpy argmin pass — the float
+    vector is dropped), score candidates by ADC —
+    per query an M×KS inner-product lookup table, so each (query,
+    vector) costs M table lookups instead of a DIM-dot — normalize by
+    the reconstructed norm (codebook-norm LUT), shortlist
+    PQ_CAND_FACTOR·k per query (WindowGroupLimit), exact-cosine
+    re-rank on the float vectors (broadcast candidate join,
+    candidate-sized).  The scan is corpus × queries with O(M) work
+    per cell — the PQ promise; at 100 TB the same codes drop into an
+    IVF cell layout (sq_ivf_topk's probe join) unchanged."""
+    spark = corpus.sparkSession
+    cb = pq_train(corpus)
+    cbf = _pq_cb_frame(spark, cb)
+
+    e = corpus.select("vec_id", _as_double("embedding").alias("e"))
+    codes = e.select(F.col("vec_id").alias("neighbor_id"),
+                     _pq_encode_udf(cb)("e").alias("codes"))
+
+    q = queries.select(F.col("vec_id").alias("q_id"),
+                       _as_double("embedding").alias("vq"))
+    ql = q.crossJoin(F.broadcast(cbf))
+    def _lut_term(m: int):
+        sv = _pq_sub("vq", m)
+        return F.transform(
+            F.element_at("cmat", m + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sv, c, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x))
+
+    lut_terms = [_lut_term(m) for m in range(PQ_M)]
+    qlut = ql.select("q_id", "vq", F.array(*lut_terms).alias("lut"),
+                     F.col("nmat"))
+
+    cand = (codes.join(F.broadcast(qlut),
+                       F.col("q_id") != F.col("neighbor_id")))
+    ip = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    n2 = F.aggregate(
+        F.zip_with("codes", "nmat", lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    apx = ip / (_norm("vq") * F.sqrt(n2))
+    wc = Window.partitionBy("q_id").orderBy(F.desc("apx"),
+                                            F.asc("neighbor_id"))
+    shortlist = (cand.withColumn("apx", apx)
+                 .withColumn("crank", F.row_number().over(wc))
+                 .filter(F.col("crank") <= PQ_CAND_FACTOR * k)
+                 .select("q_id", "vq", "neighbor_id"))
+
+    exact = (e.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("e").alias("vc"))
+             .join(F.broadcast(shortlist), "neighbor_id"))
+    sim = exact.select(
+        "q_id", "neighbor_id",
+        (_dot("vq", "vc") / (_norm("vq") * _norm("vc"))).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"),
+                                           F.asc("neighbor_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+
+
+def ann_pq(spark, sf):
+    """Flat-PQ certification key: planted-duplicate retrieval at
+    rank 1 through train → encode → ADC shortlist → exact re-rank.
+    The planted duplicate encodes to the SAME M codes as its query
+    (identical vectors argmin identically), so its ADC score equals
+    the query's self-reconstruction score — the shortlist cannot
+    drop it — and the exact re-rank pins it at rank 1."""
+    return _planted_rank1(T(spark, sf, "embeddings"), pq_topk)
+
+
 KM_K = 8
 KM_ITERS = 2
 #: integer-scaled arithmetic (FLOOR(x·SCALE) summed as BIGINT): exact
@@ -745,6 +930,10 @@ _DOCS = {
              "certified operator): md5-seeded, integer-exact "
              "arithmetic, whole chain re-derived by an unrolled-SQL "
              "oracle — hash certifies sizes, centroid norms, inertia",
+    "ann_pq": "Flat-PQ planted-duplicate certification: M per-subspace "
+              "Lloyd codebooks, corpus encoded to M codes (64x smaller "
+              "than floats), ADC lookup-table scoring O(M) per pair, "
+              "exact re-rank (the FAISS IndexPQ shape)",
 }
 
 # the *_raw neighbor lists depend on the signature family → rows-only;
@@ -752,7 +941,7 @@ _DOCS = {
 _ORACLES = {"ann_topk": _TOPK_ORACLE, "emb_01": _EMB01_ORACLE,
             "ann_lsh": _PLANTED_ORACLE, "ann_ivf": _PLANTED_ORACLE,
             "ann_sq": _PLANTED_ORACLE, "vq_01": _vq_oracle(),
-            "km_01": _km_oracle()}
+            "km_01": _km_oracle(), "ann_pq": _PLANTED_ORACLE}
 
 
 def specs() -> list[QuerySpec]:

@@ -651,6 +651,68 @@ ORDER BY est.t
 """
 
 
+# --------------------------------------- TF-IDF keyword extraction
+
+KW_TOPK = 3
+#: idf is rounded ONCE per distinct document frequency to a BIGINT
+#: (ROUND((ln((N+1)/(df+1))+1)·1e6)); scores are then tf·idf_s — exact
+#: integer products, so ranking and the hash cannot move with
+#: partial-agg order, and the only cross-engine float exposure is the
+#: single ln() rounding per distinct df value (the qc_01 log-space
+#: discipline, narrowed from per-token to per-df)
+KW_IDF_SCALE = 1_000_000
+
+
+def kw_01(spark, sf):
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf·idf, deterministic (score desc, term asc).
+
+    Scale shape: ONE explode+groupBy builds the (doc, term, tf) frame;
+    document frequency is a groupBy(term) of that frame (map-side
+    combinable, never re-scans the corpus); N attaches as a broadcast
+    1-row scalar; per-doc top-k is a rank-limit window Spark executes
+    as WindowGroupLimit (per-partition heap, no full sort of the
+    scored frame).  Two key shuffles total (term, then doc) — the
+    inherent cost of a corpus statistic joined back to its rows."""
+    d = T(spark, sf, "documents")
+    occ = (d.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    from pyspark.sql import Window
+
+    dfreq = occ.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("nd"))
+    idf_s = F.round((F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0))
+                     + 1.0) * F.lit(float(KW_IDF_SCALE))).cast("long")
+    scored = (occ.join(dfreq, "term").crossJoin(F.broadcast(nd))
+                 .select("doc_id", "term",
+                         (F.col("tf") * idf_s).alias("score_s")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_s"), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= KW_TOPK)
+                  .select("doc_id", "rnk", "term", "score_s")
+                  .orderBy("doc_id", "rnk"))
+
+
+def _kw_oracle() -> str:
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH t0 AS (SELECT doc_id, unnest({t}) AS term FROM documents),
+occ AS (SELECT doc_id, term, count(*) AS tf FROM t0 GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM occ GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM documents),
+sc AS (SELECT doc_id, occ.term,
+              tf * CAST(ROUND((ln((nd + 1.0) / (df + 1.0)) + 1.0)
+                              * {KW_IDF_SCALE}) AS BIGINT) AS score_s
+       FROM occ JOIN dfq USING (term) CROSS JOIN nd),
+rk AS (SELECT doc_id, term, score_s,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_s DESC, term) AS rnk
+       FROM sc)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score_s
+FROM rk WHERE rnk <= {KW_TOPK} ORDER BY doc_id, rnk
+"""
+
+
 # --------------------------------- Naive-Bayes quality/source classifier
 
 #: model size cap: top-V tokens by document frequency (deterministic
@@ -855,6 +917,7 @@ _ORACLES = {
     "cms_01": _cms_oracle(),
     "lm_01": _LM_ORACLE,
     "qc_01": _qc_oracle(),
+    "kw_01": _kw_oracle(),
 }
 
 _DOCS = {
@@ -889,6 +952,9 @@ _DOCS = {
              "train -> whole-corpus score in ONE plan (broadcast V x 2 "
              "model, integer-exact log-space sums); accuracy pinned on "
              "a planted-signal corpus in tests",
+    "kw_01": "TF-IDF keyword extraction: top-3 terms per doc by "
+             "integer-scaled smoothed tf-idf (idf rounded once per "
+             "distinct df), WindowGroupLimit per-doc top-k",
 }
 
 

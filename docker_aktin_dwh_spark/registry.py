@@ -60,8 +60,9 @@ class QuerySpec:
 #: (VERDICT r8 item 5's slot economy): mm_04 donates its slot to
 #: r9_all, which certifies the new mm_jpg baseline-JPEG decode AND
 #: carries mm_04/emb_01/ded_incr as verbatim-builder branches — the
-#: three fold-ins stay driver-certified, two further slots stay
-#: banked in the same union for future rounds.
+#: three fold-ins stay driver-certified; emb_01's own banked slot
+#: then goes to r9b_all (second-wave round-9 union: blm_01 / kw_01 /
+#: er_03 / ann_pq), so every round-9 operator certifies same-round.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -72,7 +73,7 @@ CORE50 = (
     "udf_px", "udf_02", "udf_tf", "str_11",
     "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
     "ded_embed",
-    "ann_topk", "ann_bx", "r7_all", "emb_01",
+    "ann_topk", "ann_bx", "r7_all", "r9b_all",
     "text_all", "str_out", "r9_all", "mm_decode",
     "r8_all", "pipe_02",
 )
@@ -80,15 +81,16 @@ assert len(CORE50) == 50 and len(set(CORE50)) == 50
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from .operators import (cohort, combined, dedup, entity, graph,
-                            maintenance, multimodal, packing, prep,
-                            relational, retrieval, roundtrips,
+    from .operators import (bloomjoin, cohort, combined, dedup, entity,
+                            graph, maintenance, multimodal, packing,
+                            prep, relational, retrieval, roundtrips,
                             similarity, streamnative, textops, udfs)
 
     collected: dict[str, QuerySpec] = {}
     for mod in (relational, cohort, udfs, dedup, similarity, textops,
                 multimodal, prep, combined, roundtrips, streamnative,
-                packing, maintenance, retrieval, entity, graph):
+                packing, maintenance, retrieval, entity, graph,
+                bloomjoin):
         for spec in mod.specs():
             if spec.key in collected:
                 raise ValueError(f"duplicate query key {spec.key}")

@@ -337,3 +337,52 @@ def test_er_block_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_kw01_topk_is_group_limited(spark):
+    """kw_01's per-doc top-3 must carry the WindowGroupLimit pushdown
+    (per-partition heap before the rank filter), and the corpus
+    statistic join must never go nested-loop (the N attach is the
+    1-row scalar pattern; the df join is an equi-join on term)."""
+    from docker_aktin_dwh_spark.operators import textops
+
+    plan = plans.formatted_plan(textops.kw_01(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_er03_pairing_is_equi_join_no_single_partition_window(spark):
+    """er_03's W-offset pairing must be an equi-join on rank (never a
+    range-join nested loop), and the plan must contain NO
+    single-partition window: every Window node keeps a partition key
+    (the global rank comes from range exchange + per-partition
+    windows + broadcast offsets, functions/ranking.py)."""
+    import re
+
+    from docker_aktin_dwh_spark.operators import entity
+
+    plan = plans.formatted_plan(entity.er_03(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # a partitionBy-less window plans as "Window [...], [order...]"
+    # AFTER an Exchange SinglePartition — that exchange is the scale
+    # killer global_rank exists to avoid
+    assert "SinglePartition" not in plan, plan
+
+
+def test_blm01_probe_filter_precedes_exact_join(spark):
+    """blm_01's plan shape: exactly one nested-loop — the 1-row bitset
+    attach (the scalar-attach pattern) — plus an equi semi-join for
+    the exact verify; the Bloom bit test must sit in a Filter BELOW
+    the semi-join (the probe side shrinks before the join exchange)."""
+    import re
+
+    from docker_aktin_dwh_spark.operators import bloomjoin
+
+    plan = plans.formatted_plan(bloomjoin.blm_01(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    # one numbered node entry per operator (the tree header repeats it)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+    assert "shiftleft" in plan and "xxhash64" in plan, plan

@@ -43,6 +43,8 @@ UNION_COVERED = frozenset({
     # r9_all branches
     "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr", "km_01",
     "ded_substr", "qc_01", "tri_01",
+    # r9b_all branches
+    "blm_01", "kw_01", "er_03", "ann_pq",
     # str_out branch (r9)
     "str_17",
     # ann_bx branches
