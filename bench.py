@@ -53,8 +53,9 @@ HEADLINE = (
     # triangle census of the near-dup graph
     "mm_jpg", "ann_sq", "km_01", "ded_substr", "qc_01", "tri_01",
     # round 9 second wave: Bloom-pruned semi-join, TF-IDF keywords,
-    # sorted-neighborhood ER on the distributed global rank, flat PQ
-    "blm_01", "kw_01", "er_03", "ann_pq",
+    # sorted-neighborhood ER on the distributed global rank, flat PQ,
+    # and the LSH-bucketed embedding near-dup scale path
+    "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2",
 )
 
 

@@ -1539,9 +1539,10 @@ def r9b_all(spark, sf):
     certification for the operators that landed after r9_all froze),
     reusing each builder verbatim: blm_01 Bloom-pruned semi-join,
     kw_01 TF-IDF keyword top-k, er_03 sorted-neighborhood entity
-    resolution (the distributed global-rank primitive), and ann_pq
-    flat product quantization with ADC scoring."""
-    from . import bloomjoin, entity, similarity
+    resolution (the distributed global-rank primitive), ann_pq flat
+    product quantization with ADC scoring, and ded_embed2 LSH-bucketed
+    embedding near-dup (ded_embed's declared scale path)."""
+    from . import bloomjoin, dedup, entity, similarity
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
                F.concat_ws("|", "o_orderpriority", "n_orders",
                            F.round(F.col("revenue") * 100).cast("long")))
@@ -1555,11 +1556,15 @@ def r9b_all(spark, sf):
         similarity.ann_pq(spark, sf), "pq",
         F.concat_ws("|", "q_id",
                     F.col("planted_at_rank1").cast("string"))))
+    out = out.unionByName(_tag(
+        dedup.ded_embed2(spark, sf), "de2",
+        F.concat_ws("|", "i", "j",
+                    F.round(F.col("cos") * 10_000).cast("long"))))
     return out.orderBy("tag", "v")
 
 
 def _r9b_all_oracle() -> str:
-    from . import bloomjoin, entity, similarity
+    from . import bloomjoin, dedup, entity, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1573,6 +1578,8 @@ def _r9b_all_oracle() -> str:
         ("er3", cat("i", "j", "dist"), entity._er3_oracle()),
         ("pq", cat("q_id", "planted_at_rank1"),
          similarity._PLANTED_ORACLE),
+        ("de2", cat("i", "j", "CAST(ROUND(cos * 10000) AS BIGINT)"),
+         dedup._EMBED2_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1679,9 +1686,10 @@ _DOCS = {
     "r9b_all": "Round-9 second-wave tagged union: Bloom-pruned "
                "semi-join (blm_01), TF-IDF keyword top-k (kw_01), "
                "sorted-neighborhood entity resolution on the "
-               "distributed global rank (er_03), and flat product "
-               "quantization with ADC scoring (ann_pq) — same-round "
-               "driver certification",
+               "distributed global rank (er_03), flat product "
+               "quantization with ADC scoring (ann_pq), and "
+               "LSH-bucketed embedding near-dup (ded_embed2) — "
+               "same-round driver certification",
 }
 
 

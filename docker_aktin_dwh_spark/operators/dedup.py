@@ -10,8 +10,9 @@ ops with JVM-side hashing (xxhash64) — no Python in the per-row path:
 - SimHash      64-bit signature, 8×8-bit band blocking, Hamming ≤ k
                verification (ded_simhash)
 - embedding    EXACT cosine ≥ τ via blocked tile matmul, explicitly
-               capped corpus (ded_embed — the bounded baseline; LSH/IVF
-               in similarity.py are the unbounded-scale paths)
+               capped corpus (ded_embed — the bounded baseline), plus
+               the certified unbounded path: LSH-bucketed candidates +
+               exact-cosine verify (ded_embed2)
 
 Scale notes (100 TB): every unbounded strategy is shuffle-on-key
 (shingle, band hash, block byte) — never an all-pairs product.  The
@@ -625,8 +626,9 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
     The corpus size is capped at COSINE_MAX_VECS (explicit ValueError):
     beyond that, exact-at-low-τ is not a sane query on any engine; the
-    declared scale path for genuine near-dup thresholds is the LSH /
-    IVF machinery in similarity.py.  float64 matmul accumulation
+    declared scale path for genuine near-dup thresholds is
+    ded_embed2's banded LSH (certified below) and the LSH / IVF
+    machinery in similarity.py.  float64 matmul accumulation
     differences vs a sequential fold sit ~1e-16, far below the 1e-4
     rounding the declared query applies.
     """
@@ -692,6 +694,121 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 def ded_embed(spark, sf):
     emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
     return (cosine_pairs(emb, 0.4)
+            .select("i", "j", F.round("cos", 4).alias("cos"))
+            .orderBy("i", "j"))
+
+
+# ----------------------------- LSH-bucketed embedding near-dup (scale path)
+
+#: true near-dup threshold for the bucketed path: at cos ≥ 0.99 a
+#: random 64-dim pair has effectively zero mass (the all-pairs oracle
+#: verifies no natural pair qualifies), while the planted perturbation
+#: sits at cos ≈ 0.9999 — the regime LSH banding is FOR, unlike
+#: ded_embed's τ = 0.4 where no family buckets (cosine_pairs docstring)
+EMBED2_TAU = 0.99
+EMBED2_STRIDE = 16
+#: first-dimension scale factor of the planted variant — expressible
+#: identically in Spark and SQL (one element product + array slice)
+EMBED2_PERTURB = 1.08
+#: raising bucket guard (the blocked_pairs discipline): a degenerate
+#: signature distribution would make one (table, sig) bucket
+#: corpus-sized and the per-bucket quadratic corpus-wide
+EMBED2_MAX_BUCKET = 10_000
+
+
+def embed_lsh_pairs(emb: DataFrame, tau: float,
+                    max_bucket: int = EMBED2_MAX_BUCKET,
+                    multiprobe: int = 0) -> DataFrame:
+    """Banded near-dup pairs over embeddings: candidates share an LSH
+    bucket in ≥1 of the 8 tables (``multiprobe=1`` additionally
+    probes every Hamming-1 bucket from one side — the recall lever
+    for mid-τ regimes, off by default at τ = 0.99), then the EXACT
+    cosine filter ≥ tau decides.  The shuffle
+    key is (table, sig) — never vector×vector; the per-bucket
+    quadratic is guarded by ONE control-plane aggregate that RAISES
+    past ``max_bucket`` naming the refinement (wider signatures), the
+    blocked_pairs contract.
+
+    At cos ≥ 0.99 the per-table bucket-match probability is ≥ 0.97
+    (θ ≈ 0.57° → bit agreement 0.9968⁸), so the probability a true
+    pair misses all 8 tables AND all Hamming-1 probes is < 1e-13 —
+    and signatures are deterministic (seeded planes), so the result
+    is a fixed set verified pair-for-pair against the exact all-pairs
+    oracle on every fixture (the ded_minhash certification form)."""
+    from .similarity import BITS_PER_TABLE, lsh_signatures
+
+    # materialized once for its three consumers (bucket guard + both
+    # join sides) — else each recomputes the Arrow signature pipeline
+    sigs = materialize(lsh_signatures(emb).select("vec_id", "table",
+                                                  "sig"))
+    biggest = (sigs.groupBy("table", "sig").count()
+               .agg(F.max("count")).first()[0]) or 0
+    if biggest > max_bucket:
+        raise ValueError(
+            f"largest LSH bucket has {biggest} vectors (> {max_bucket}):"
+            " widen BITS_PER_TABLE or add a second banding pass before"
+            " running the per-bucket quadratic")
+    # candidates deduplicate as BARE 16-byte (i, j) pairs — carrying
+    # the two 64-double vectors through the distinct shuffle measured
+    # ~1 GB at 2k vectors (≈7× slower); vectors re-attach by two
+    # equi-joins on vec_id afterwards, candidate-sized
+    a = sigs.select(F.col("vec_id").alias("i"), "table", "sig")
+    b = sigs.select(F.col("vec_id").alias("j"), "table", "sig")
+    if multiprobe:
+        # Hamming-1 probe fan-out, ONE side only — the recall lever
+        # for mid-τ regimes; at the declared τ = 0.99 the exact-match
+        # miss probability is already < 1e-13 per pair AND it would
+        # multiply the random-collision candidate load ~9×, so the
+        # default keeps it off
+        flips = F.array(F.col("sig"),
+                        *[F.col("sig").bitwiseXOR(F.lit(1 << fb))
+                          for fb in range(BITS_PER_TABLE)])
+        b = (sigs.select(F.col("vec_id").alias("j"),
+                         "table", F.explode(flips).alias("sig")))
+    cand = (a.join(b, ["table", "sig"])
+             .filter(F.col("i") < F.col("j"))
+             .select("i", "j").distinct())
+    vec = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("v"))
+    cand = (cand.join(vec.select(F.col("vec_id").alias("i"),
+                                 F.col("v").alias("va")), "i")
+                .join(vec.select(F.col("vec_id").alias("j"),
+                                 F.col("v").alias("vb")), "j"))
+    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                                 F.lit(0.0), lambda acc, x: acc + x))
+              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                                   F.lit(0.0), lambda acc, x: acc + x))))
+    return (cand.select("i", "j", cos.alias("cos"))
+                .filter(F.col("cos") >= tau))
+
+
+def ded_embed2(spark, sf):
+    """Embedding near-dup via banded LSH — the SCALE PATH ded_embed's
+    cap guard names, as a certified operator: every EMBED2_STRIDE-th
+    vector re-enters under a fresh id with its first dimension scaled
+    by EMBED2_PERTURB (cos ≈ 0.9999 to its original — planted the
+    dq_01/pii_01 way, since random fixtures have no natural pairs in
+    the near-dup regime), candidates come from LSH buckets with
+    Hamming-1 multiprobe, the exact cosine ≥ 0.99 filter decides.
+    The DuckDB oracle recomputes the SAME planted union with the
+    EXACT all-pairs join, so the hash certifies the banding lost
+    nothing (and admitted nothing: no natural pair reaches 0.99)."""
+    from .similarity import DIM
+
+    base = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    offset = base.agg(F.max("vec_id")).first()[0] + 1
+    planted = (base.filter(F.col("vec_id") % EMBED2_STRIDE == 0)
+               .select((F.col("vec_id") + offset).alias("vec_id"),
+                       F.concat(
+                           F.array(F.element_at("v", 1)
+                                   * F.lit(EMBED2_PERTURB)),
+                           F.slice("v", 2, DIM - 1)).alias("v")))
+    corpus = base.unionByName(planted).withColumnRenamed("v", "embedding")
+    return (embed_lsh_pairs(corpus, EMBED2_TAU)
             .select("i", "j", F.round("cos", 4).alias("cos"))
             .orderBy("i", "j"))
 
@@ -810,6 +927,23 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 """
 
+_EMBED2_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+off AS (SELECT max(vec_id) + 1 AS o FROM e),
+planted AS (SELECT vec_id + off.o AS vec_id,
+                   list_concat([v[1] * {EMBED2_PERTURB}], v[2:]) AS v
+            FROM e, off WHERE vec_id % {EMBED2_STRIDE} = 0),
+c AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+SELECT i, j, ROUND(cos, 4) AS cos FROM p WHERE cos >= {EMBED2_TAU}
+ORDER BY i, j
+"""
+
 # -------------------------------------------------- substring-level dedup
 
 #: window width (tokens) for exact-substring duplication detection —
@@ -920,6 +1054,11 @@ _DOCS = {
     "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
                        "blocking, Hamming ≤ 6; signature-dependent set)",
     "ded_embed": "Embedding cosine near-dup pairs (double-fold dot product)",
+    "ded_embed2": "Embedding near-dup via banded LSH + Hamming-1 "
+                  "multiprobe + exact-cosine verify (the scale path "
+                  "ded_embed's cap guard names): planted cos-0.9999 "
+                  "variants, hash-certified against the exact "
+                  "all-pairs oracle",
     "ded_substr": "Exact substring-duplication profile (8-token "
                   "sliding-window hash equi-join — the suffix-array "
                   "repeated-substring query, Spark-native): per-doc "
@@ -938,6 +1077,7 @@ _ORACLES = {
     # rows-only and is property-tested in tests/test_llmops.py.
     "ded_simhash": _SIMHASH_ORACLE,
     "ded_embed": _EMBED_ORACLE,
+    "ded_embed2": _EMBED2_ORACLE,
     "ded_substr": _SUBSTR_ORACLE,
 }
 

@@ -1423,6 +1423,31 @@ def test_tri01_fixture_invariants(spark):
     assert corners > 0
 
 
+def test_ded_embed2_recovers_every_planted_pair_and_nothing_else(spark):
+    """The LSH-bucketed embedding near-dup path: EVERY planted
+    (original, perturbed) pair is recovered — deterministic signatures
+    make this a fixed fact, not a probability — and nothing else
+    qualifies (no natural 64-dim random pair reaches cos 0.99); the
+    bucket guard raises on a degenerate all-identical corpus."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.operators import dedup as D
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    offset = mx + 1
+    pairs = {(r.i, r.j) for r in D.ded_embed2(spark, SF_ORACLE).collect()}
+    planted = {(k, k + offset)
+               for k in range(0, mx + 1, D.EMBED2_STRIDE)}
+    assert pairs == planted
+    # guard: 500 identical vectors → one corpus-sized bucket per table
+    one = emb.limit(1).select("embedding")
+    degen = (spark.range(500).select(
+        F.col("id").alias("vec_id")).crossJoin(one))
+    with _pytest.raises(ValueError, match="bucket"):
+        D.embed_lsh_pairs(degen, D.EMBED2_TAU, max_bucket=100).count()
+
+
 def test_bloom_prune_no_false_negatives_and_fp_arm(spark):
     """Bloom semi-join invariants: (a) at production bits the pruned
     candidate set equals the exact semi-join (every match survives);
