@@ -1560,6 +1560,15 @@ def r9b_all(spark, sf):
         dedup.ded_embed2(spark, sf), "de2",
         F.concat_ws("|", "i", "j",
                     F.round(F.col("cos") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.ret_01(spark, sf), "ret",
+        F.concat_ws("|", F.date_format("cohort", "yyyy-MM-dd"),
+                    "day_offset", "n_active", "n_cohort",
+                    F.round(F.col("retention") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.trn_01(spark, sf), "trn",
+        F.concat_ws("|", "src", "dst", "n",
+                    F.round(F.col("p") * 10_000).cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1580,6 +1589,13 @@ def _r9b_all_oracle() -> str:
          similarity._PLANTED_ORACLE),
         ("de2", cat("i", "j", "CAST(ROUND(cos * 10000) AS BIGINT)"),
          dedup._EMBED2_ORACLE),
+        ("ret", "strftime(cohort, '%Y-%m-%d') || '|' || "
+                + cat("day_offset", "n_active", "n_cohort",
+                      "CAST(ROUND(retention * 10000) AS BIGINT)"),
+         relational._ORACLES["ret_01"]),
+        ("trn", cat("src", "dst", "n",
+                    "CAST(ROUND(p * 10000) AS BIGINT)"),
+         relational._ORACLES["trn_01"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1688,8 +1704,10 @@ _DOCS = {
                "sorted-neighborhood entity resolution on the "
                "distributed global rank (er_03), flat product "
                "quantization with ADC scoring (ann_pq), and "
-               "LSH-bucketed embedding near-dup (ded_embed2) — "
-               "same-round driver certification",
+               "LSH-bucketed embedding near-dup (ded_embed2), "
+               "cohort retention matrix (ret_01) and event-type "
+               "transition matrix (trn_01) — same-round driver "
+               "certification",
 }
 
 

@@ -1249,6 +1249,106 @@ _DOCS["seq_02"] = ("Event-path pattern counting: per-user ordered "
                    "(CEP batch form)")
 
 
+# ------------------------------------------------- retention + transitions
+
+def ret_01(spark, sf):
+    """Cohort retention matrix: users grouped by FIRST-activity day,
+    per day-offset the count and fraction still active — the
+    product-analytics retention triangle (and the clinical analogue:
+    follow-up compliance by enrollment week).
+
+    Scale shape: first-day per user is one grouped min (map-side
+    combinable); the activity frame joins it back on user_id (the
+    only corpus-sized shuffle); the matrix aggregates to
+    cohorts × offsets — tiny.  Cohort size joins back broadcast.
+    Retention fraction is exact integer division rounded at 4."""
+    e = T(spark, sf, "events")
+    act = (e.select("user_id", F.to_date("ts").alias("d")).distinct())
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    joined = act.join(first, "user_id")
+    mat = (joined.groupBy("cohort",
+                          F.datediff("d", "cohort").alias("day_offset"))
+                 .agg(F.countDistinct("user_id").alias("n_active")))
+    size = (first.groupBy("cohort")
+                 .agg(F.countDistinct("user_id").alias("n_cohort")))
+    return (mat.join(F.broadcast(size), "cohort")
+               .select(F.col("cohort").cast("timestamp_ntz").alias("cohort"),
+                       F.col("day_offset").cast("int").alias("day_offset"),
+                       "n_active", "n_cohort",
+                       F.round(F.col("n_active")
+                               / F.col("n_cohort"), 4).alias("retention"))
+               .orderBy("cohort", "day_offset"))
+
+
+_ORACLES["ret_01"] = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             FROM events),
+first AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1),
+j AS (SELECT a.user_id, f.cohort, a.d - f.cohort AS day_offset
+      FROM act a JOIN first f USING (user_id)),
+mat AS (SELECT cohort, day_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM j GROUP BY 1, 2),
+sz AS (SELECT cohort, count(DISTINCT user_id) AS n_cohort
+       FROM first GROUP BY 1)
+SELECT cohort, CAST(day_offset AS INT) AS day_offset, n_active,
+       n_cohort,
+       ROUND(n_active / CAST(n_cohort AS DOUBLE), 4) AS retention
+FROM mat JOIN sz USING (cohort)
+ORDER BY cohort, day_offset
+"""
+
+_DOCS["ret_01"] = ("Cohort retention matrix: first-activity cohorts x "
+                   "day offsets with active counts and retention "
+                   "fractions (one corpus shuffle, tiny matrix)")
+
+
+def trn_01(spark, sf):
+    """Event-type transition matrix: per user the chronologically
+    ordered event stream, counting (type → next type) transitions
+    corpus-wide with row-normalized probabilities — the first-order
+    Markov summary behind path/Sankey analytics.
+
+    Scale shape: the lead() window partitions by user_id (state per
+    task = one user's stream, never a global sort); the matrix
+    aggregates to |types|² rows; probabilities divide by broadcast
+    row totals.  Deterministic order: (ts, event_id) unique."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf, "events").select("user_id", "ts", "event_id",
+                                      "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.withColumn("next_type", F.lead("event_type").over(w))
+    mat = (nxt.filter(F.col("next_type").isNotNull())
+              .groupBy(F.col("event_type").alias("src"),
+                       F.col("next_type").alias("dst"))
+              .agg(F.count("*").alias("n")))
+    tot = mat.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (mat.join(F.broadcast(tot), "src")
+               .select("src", "dst", "n",
+                       F.round(F.col("n") / F.col("tot"), 4).alias("p"))
+               .orderBy("src", "dst"))
+
+
+_ORACLES["trn_01"] = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+mat AS (SELECT src, dst, count(*) AS n FROM nxt
+        WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) AS tot FROM mat GROUP BY 1)
+SELECT src, dst, n, ROUND(n / CAST(tot AS DOUBLE), 4) AS p
+FROM mat JOIN tot USING (src)
+ORDER BY src, dst
+"""
+
+_DOCS["trn_01"] = ("Event-type transition matrix (first-order Markov "
+                   "summary): per-user lead() window, |types|^2 "
+                   "matrix, row-normalized probabilities")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []

@@ -44,7 +44,8 @@ UNION_COVERED = frozenset({
     "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr", "km_01",
     "ded_substr", "qc_01", "tri_01",
     # r9b_all branches
-    "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2",
+    "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2", "ret_01",
+    "trn_01",
     # str_out branch (r9)
     "str_17",
     # ann_bx branches
