@@ -56,8 +56,9 @@ HEADLINE = (
     # sorted-neighborhood ER on the distributed global rank, flat PQ,
     # and the LSH-bucketed embedding near-dup scale path
     "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2",
-    # plus the retention/transition event-analytics pair
-    "ret_01", "trn_01",
+    # plus the retention/transition event-analytics pair and the
+    # perceptual-hash image near-dup lane
+    "ret_01", "trn_01", "mm_phash",
 )
 
 

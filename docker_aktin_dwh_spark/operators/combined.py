@@ -1569,6 +1569,10 @@ def r9b_all(spark, sf):
         relational.trn_01(spark, sf), "trn",
         F.concat_ws("|", "src", "dst", "n",
                     F.round(F.col("p") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        multimodal.mm_phash(spark, sf), "ph",
+        F.concat_ws("|", "i", "j", "kind",
+                    F.col("paired").cast("string"))))
     return out.orderBy("tag", "v")
 
 
@@ -1596,6 +1600,8 @@ def _r9b_all_oracle() -> str:
         ("trn", cat("src", "dst", "n",
                     "CAST(ROUND(p * 10000) AS BIGINT)"),
          relational._ORACLES["trn_01"]),
+        ("ph", cat("i", "j", "kind", "paired"),
+         multimodal._MM_PHASH_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1705,8 +1711,9 @@ _DOCS = {
                "distributed global rank (er_03), flat product "
                "quantization with ADC scoring (ann_pq), and "
                "LSH-bucketed embedding near-dup (ded_embed2), "
-               "cohort retention matrix (ret_01) and event-type "
-               "transition matrix (trn_01) — same-round driver "
+               "cohort retention matrix (ret_01), event-type "
+               "transition matrix (trn_01), and image near-dup by "
+               "DCT perceptual hash (mm_phash) — same-round driver "
                "certification",
 }
 

@@ -503,31 +503,45 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return voted.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
-    """Near-dup pairs by SimHash: 8-bit band blocking (a pair within
-    Hamming ≤ 7 shares at least one of 8 bands by pigeonhole), then
-    exact Hamming ≤ max_hamming via bit_count(xor)."""
-    sig = simhash_signatures(docs)
-    width = SIMHASH_BITS // SIMHASH_BANDS
+def hamming_band_pairs(sig: DataFrame, n_bits: int = SIMHASH_BITS,
+                       n_bands: int = SIMHASH_BANDS,
+                       max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Generic banded Hamming pairing over an (id, sig) signature
+    frame: (n_bits/n_bands)-bit band blocking — a pair within
+    Hamming ≤ n_bands−1 shares at least one band by pigeonhole — then
+    exact Hamming ≤ max_hamming via bit_count(xor).  Shuffle key is
+    (band, value), never id×id.  Shared by the text SimHash path and
+    the image perceptual-hash path (mm_phash)."""
+    width = n_bits // n_bands
     bands = [
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("simhash", i * width)
+                 F.shiftrightunsigned("sig", i * width)
                   .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
-        for i in range(SIMHASH_BANDS)
+        for i in range(n_bands)
     ]
-    banded = (sig.select("doc_id", "simhash",
+    banded = (sig.select("id", "sig",
                          F.explode(F.array(*bands)).alias("b"))
-                 .select("doc_id", "simhash", "b.band", "b.bv"))
+                 .select("id", "sig", "b.band", "b.bv"))
     banded = materialize(banded)  # both self-join sides reuse this
-    a = banded.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"),
+    a = banded.select(F.col("id").alias("i"), F.col("sig").alias("sh_i"),
                       "band", "bv")
-    b = banded.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"),
+    b = banded.select(F.col("id").alias("j"), F.col("sig").alias("sh_j"),
                       "band", "bv")
     ham = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
     return (a.join(b, ["band", "bv"])
              .filter(F.col("i") < F.col("j"))
              .select("i", "j", ham.alias("hamming")).distinct()
              .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash: 8-bit band blocking (a pair within
+    Hamming ≤ 7 shares at least one of 8 bands by pigeonhole), then
+    exact Hamming ≤ max_hamming via bit_count(xor)."""
+    sig = simhash_signatures(docs).select(
+        F.col("doc_id").alias("id"), F.col("simhash").alias("sig"))
+    return hamming_band_pairs(sig, SIMHASH_BITS, SIMHASH_BANDS,
+                              max_hamming)
 
 
 #: planted-duplicate contract: copies of this id-prefix re-enter the

@@ -894,6 +894,153 @@ SELECT doc_id, CAST({RESIZE_OUT} AS INT) AS rs_w,
 FROM v GROUP BY doc_id ORDER BY doc_id
 """
 
+# ------------------------------------------------ image near-dup (pHash)
+
+#: mm_phash corpus/plant geometry: every PH_NEAR_STRIDE-th doc gains a
+#: visually-NEAR variant (a 4×4 corner patch brightened — local edit,
+#: few low-frequency DCT coefficients move), every PH_FAR_STRIDE-th a
+#: visually-FAR variant (content replaced by an md5-derived noise
+#: field — ~half the sign bits scatter)
+PH_DOCS = 200
+PH_NEAR_STRIDE = 4
+PH_FAR_STRIDE = 8
+#: exactly the 8-band pigeonhole guarantee bound: recall is CERTAIN for
+#: Hamming ≤ 7 (any such pair shares a band); the planted near edit
+#: measures ≤ 6 across did < 500 (one bit of margin), far ≥ 24
+PH_MAX_HAMMING = 7
+PH_NEAR_DELTA = 12
+
+
+def _phash_pixels(did: int, kind: str) -> tuple[bytes, int, int]:
+    """Deterministic pixel field for the pHash corpus: a BLOCKY
+    md5-keyed 4×4-cell texture (macro structure the DCT hash is
+    stable on — the smooth synthesis gradient left every AC
+    coefficient near the median, so sign bits were pure noise and
+    "near" edits scattered ~30/63 bits; measured before the switch).
+    near = +PH_NEAR_DELTA on the top-left texture CELL (aligned, so
+    the edit is one low-frequency block, not a new edge); far =
+    md5-keyed noise replacing every pixel."""
+    import hashlib as _hl
+
+    w, h = _synth_dims(did)
+    base = bytearray(w * h)
+    cells: dict[tuple[int, int], int] = {}
+    for y in range(h):
+        for x in range(w):
+            c = (x // 4, y // 4)
+            if c not in cells:
+                cells[c] = _hl.md5(
+                    f"phash:{did}:{c[0]}:{c[1]}".encode()).digest()[0]
+            base[y * w + x] = cells[c]
+    if kind == "near":
+        for y in range(4):
+            for x in range(4):
+                base[y * w + x] = min(255, base[y * w + x]
+                                      + PH_NEAR_DELTA)
+    elif kind == "far":
+        noise = _hl.md5(f"phash-far:{did}".encode()).digest()
+        base = bytearray((noise * ((w * h) // len(noise) + 1))[:w * h])
+    return bytes(base), w, h
+
+
+def phash_frame(media: DataFrame) -> DataFrame:
+    """(id, sig): 63-bit perceptual hash per image payload — decode via
+    the stdlib PNG codec, hash via functions/phash.py, Arrow-batched
+    partition-parallel (the decode_features shape)."""
+    from ..functions import png as pnglib
+    from ..functions.phash import phash63
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = pnglib.decode_png(bytes(payload))
+                ids.append(did)
+                sigs.append(phash63(w, h, ch, px))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "sig": pd.Series(sigs, dtype="int64")})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "id long, sig long")
+
+
+def mm_phash(spark, sf):
+    """Image near-duplicate detection by perceptual hash — the image
+    arm of the dedup family: decode (real PNG codec) → 63-bit DCT
+    pHash → banded Hamming pairing (dedup.hamming_band_pairs, the
+    SimHash machinery — shuffle on (band, value), never image×image).
+
+    Certification (the ded_simhash bounded-check pattern — raw pair
+    sets depend on DCT sign noise, but the planted invariant is
+    SQL-statable): every PH_NEAR_STRIDE-th doc re-enters with a 4×4
+    corner patch brightened (visually near ⇒ MUST pair within
+    PH_MAX_HAMMING) and every PH_FAR_STRIDE-th with md5-noise content
+    (visually unrelated ⇒ MUST NOT pair).  The output is that planted
+    truth table with the measured booleans; the oracle states it from
+    id arithmetic alone — hash-certified end to end through decode,
+    DCT, banding, and the Hamming filter."""
+    from ..functions import png as pnglib
+
+    docs = (T(spark, sf, "documents").filter(F.col("doc_id") < PH_DOCS)
+            .select("doc_id"))
+    offset_row = docs.agg(F.max("doc_id")).first()
+    offset = (offset_row[0] or 0) + 1
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            kind = ("near" if did >= 2 * offset else
+                    "far" if did >= offset else "orig")
+            px, w, h = _phash_pixels(did % offset, kind)
+            out.append(pnglib.encode_png(px, w, h, channels=1,
+                                         filter_type=did % 5))
+        return pd.Series(out)
+
+    near = (docs.filter(F.col("doc_id") % PH_NEAR_STRIDE == 0)
+                .select((F.col("doc_id") + 2 * offset).alias("doc_id")))
+    far = (docs.filter(F.col("doc_id") % PH_FAR_STRIDE == 0)
+               .select((F.col("doc_id") + offset).alias("doc_id")))
+    corpus = docs.unionByName(near).unionByName(far)
+    media = corpus.select("doc_id", mk("doc_id").alias("payload"))
+
+    from .dedup import hamming_band_pairs
+    pairs = hamming_band_pairs(phash_frame(media), n_bits=64,
+                               n_bands=8, max_hamming=PH_MAX_HAMMING)
+
+    near_truth = (docs.filter(F.col("doc_id") % PH_NEAR_STRIDE == 0)
+                  .select(F.col("doc_id").alias("i"),
+                          (F.col("doc_id") + 2 * offset).alias("j"),
+                          F.lit("near").alias("kind")))
+    far_truth = (docs.filter(F.col("doc_id") % PH_FAR_STRIDE == 0)
+                 .select(F.col("doc_id").alias("i"),
+                         (F.col("doc_id") + offset).alias("j"),
+                         F.lit("far").alias("kind")))
+    truth = near_truth.unionByName(far_truth)
+    return (truth.join(pairs.select("i", "j",
+                                    F.lit(True).alias("hit")),
+                       ["i", "j"], "left")
+                 .select("i", "j", "kind",
+                         F.coalesce("hit", F.lit(False)).alias("paired"))
+                 .orderBy("i", "j", "kind"))
+
+
+_MM_PHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {PH_DOCS}),
+off AS (SELECT max(doc_id) + 1 AS o FROM d),
+t AS (
+  SELECT doc_id AS i, doc_id + 2 * off.o AS j, 'near' AS kind,
+         TRUE AS paired
+  FROM d, off WHERE doc_id % {PH_NEAR_STRIDE} = 0
+  UNION ALL
+  SELECT doc_id AS i, doc_id + off.o AS j, 'far' AS kind,
+         FALSE AS paired
+  FROM d, off WHERE doc_id % {PH_FAR_STRIDE} = 0)
+SELECT i, j, kind, paired FROM t ORDER BY i, j, kind
+"""
+
+
 _ORACLES = {
     "mm_01": ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
               "AS n_bytes, source AS origin FROM documents"),
@@ -916,6 +1063,7 @@ _ORACLES = {
     "mm_vid": _MM_VID_ORACLE,
     "mm_wav": _MM_WAV_ORACLE,
     "mm_jpg": _MM_JPG_ORACLE,
+    "mm_phash": _MM_PHASH_ORACLE,
 }
 
 _DOCS = {
@@ -938,6 +1086,9 @@ _DOCS = {
     "mm_jpg": "REAL image decode: hand-written ITU T.81 baseline "
               "JPEG (huffman entropy decode, restart markers, IDCT) "
               "vs analytic oracle with a bit-exactness boolean",
+    "mm_phash": "Image near-dup by DCT perceptual hash: real decode "
+                "-> 63-bit pHash -> banded Hamming pairing; planted "
+                "near/far truth table hash-certified",
 }
 
 

@@ -1423,6 +1423,48 @@ def test_tri01_fixture_invariants(spark):
     assert corners > 0
 
 
+def test_phash63_brightness_invariance_and_sensitivity():
+    """pHash contract (no Spark needed): a uniform brightness shift
+    moves ONLY the DC coefficient, so the 63-bit hash is identical;
+    replacing the content scatters ~half the bits; a single-cell
+    local edit stays within the banding budget (≤ PH_MAX_HAMMING)."""
+    from docker_aktin_dwh_spark.functions.phash import phash63
+    from docker_aktin_dwh_spark.operators.multimodal import (
+        PH_MAX_HAMMING, _phash_pixels)
+
+    # clip-free image (values ≤ 205): +50 brightness is a pure DC
+    # shift → hash must be bit-identical
+    import hashlib as _hl
+
+    w0 = h0 = 24
+    tex = bytes(_hl.md5(f"b:{i // 4}".encode()).digest()[0] % 206
+                for i in range(w0 * h0))
+    assert phash63(w0, h0, 1, bytes(b + 50 for b in tex)) == \
+        phash63(w0, h0, 1, tex)
+    px, w, h = _phash_pixels(7, "orig")
+    base = phash63(w, h, 1, px)
+    near, _, _ = _phash_pixels(7, "near")
+    far, _, _ = _phash_pixels(7, "far")
+    d_near = bin(base ^ phash63(w, h, 1, near)).count("1")
+    d_far = bin(base ^ phash63(w, h, 1, far)).count("1")
+    assert d_near <= PH_MAX_HAMMING
+    assert d_far > 2 * PH_MAX_HAMMING
+
+
+def test_mm_phash_planted_truth_table(spark):
+    """mm_phash end to end at smoke scale: every near-variant pair is
+    recovered through decode → DCT → banding → Hamming filter, every
+    far variant stays unpaired."""
+    from docker_aktin_dwh_spark.operators import multimodal as M
+
+    rows = M.mm_phash(spark, SF_SMOKE).collect()
+    near = [r for r in rows if r.kind == "near"]
+    far = [r for r in rows if r.kind == "far"]
+    assert near and far
+    assert all(r.paired for r in near)
+    assert not any(r.paired for r in far)
+
+
 def test_ded_embed2_recovers_every_planted_pair_and_nothing_else(spark):
     """The LSH-bucketed embedding near-dup path: EVERY planted
     (original, perturbed) pair is recovered — deterministic signatures
