@@ -50,7 +50,8 @@ def spark():
 #: cheap relational keys and straggles the whole pool (VERDICT r8
 #: item 6: the suite-time guard; longest-job-first costs nothing in
 #: coverage)
-_SLOW_FIRST = ("r9_all", "r8_all", "r7_all", "ext_all", "fin_all",
+_SLOW_FIRST = ("r9b_all", "r9_all", "r8_all", "r7_all", "ext_all",
+               "fin_all",
                "maint_all", "llm_all", "str_", "ivm", "pipe_", "ont_",
                "mm_", "ded_", "ann_", "er_0", "bm25", "ups_", "brk_",
                "src_0")
