@@ -40,8 +40,10 @@ UNION_COVERED = frozenset({
     "er_02", "vq_01", "tok_01", "smp_03", "priv_02", "mm_gif", "mm_vid",
     "lay_02", "ivm_01", "ivm_02", "bkt_01", "cms_01", "ont_02", "ont_03",
     "pipe_04",
-    # r9_all branches
-    "mm_jpg", "ann_sq", "mm_04", "emb_01", "ded_incr", "km_01",
+    # r9_all branches (ded_incr stays OUT of this skip list: it holds
+    # its own CORE50 slot, so the driver runs it directly — the sweep
+    # must too, or a break in the standalone key goes unseen)
+    "mm_jpg", "ann_sq", "mm_04", "emb_01", "km_01",
     "ded_substr", "qc_01", "tri_01",
     # r9b_all branches
     "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2", "ret_01",
