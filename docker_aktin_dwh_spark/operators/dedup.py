@@ -1068,11 +1068,11 @@ _DOCS = {
     "ded_simhash_raw": "SimHash near-dup raw pairs (64-bit, band "
                        "blocking, Hamming ≤ 6; signature-dependent set)",
     "ded_embed": "Embedding cosine near-dup pairs (double-fold dot product)",
-    "ded_embed2": "Embedding near-dup via banded LSH + Hamming-1 "
-                  "multiprobe + exact-cosine verify (the scale path "
-                  "ded_embed's cap guard names): planted cos-0.9999 "
-                  "variants, hash-certified against the exact "
-                  "all-pairs oracle",
+    "ded_embed2": "Embedding near-dup via banded LSH + exact-cosine "
+                  "verify (the scale path ded_embed's cap guard "
+                  "names; Hamming-1 multiprobe available for mid-tau "
+                  "regimes): planted cos-0.9999 variants, "
+                  "hash-certified against the exact all-pairs oracle",
     "ded_substr": "Exact substring-duplication profile (8-token "
                   "sliding-window hash equi-join — the suffix-array "
                   "repeated-substring query, Spark-native): per-doc "
