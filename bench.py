@@ -360,6 +360,28 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
         s17["scaled"]["store_rows"]
         / max(s17["base"]["store_rows"], 1), 2)
     out["str_17"] = s17
+
+    # str_18 (r9): the Misra–Gries heavy-hitter summary — state ≤ K
+    # rows NO MATTER how many distinct users the stream carries.  The
+    # scaled replay multiplies distinct users 10× (base sf0.1 already
+    # has 1500 ≫ K=32), so rows ≤ K at BOTH scales with slope ≈ 1 is
+    # the strongest bounded-state datum: the sketch prunes, it does
+    # not grow.
+    s18: dict[str, object] = {}
+    for label, d in (("base", sf_dir), ("scaled", scale_dir)):
+        bdir = _tf.mkdtemp(prefix="bench_str18_")
+        try:
+            t0 = time.perf_counter()
+            rows = SN.str18_summary(spark, d, bdir).count()
+            s18[label] = {"sec": round(time.perf_counter() - t0, 3),
+                          "summary_rows": rows,
+                          "rows_le_k": rows <= SN.STR18_K}
+        finally:
+            _sh.rmtree(bdir, ignore_errors=True)
+    s18["slope_summary_rows"] = round(
+        s18["scaled"]["summary_rows"]
+        / max(s18["base"]["summary_rows"], 1), 2)
+    out["str_18"] = s18
     return out
 
 

@@ -1167,9 +1167,10 @@ def str_out(spark, sf):
     r7 item 1), NATIVE session_window sessionization (str_14), the
     HLL-in-state-store windowed approximate distinct (str_15),
     exactly-once dedup of planted at-least-once re-deliveries
-    (str_16, r8), and the streaming Count-Min sketch with
-    bounded-state per-batch partial merges (str_17, new in r9 —
-    certified the round it lands).
+    (str_16, r8), the streaming Count-Min sketch with bounded-state
+    per-batch partial merges (str_17, r9), and the Misra–Gries
+    streaming heavy hitters (str_18, r9 — both certified the round
+    they land).
     Every branch runs a REAL readStream replay (chunked files, one per
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
@@ -1211,8 +1212,13 @@ def str_out(spark, sf):
                  "|", "user_id", "exact", "est",
                  F.col("ge_exact").cast("string"),
                  F.col("within_bound").cast("string")))
+    g = _tag(SN.str_18(spark, sf), "hh18",
+             F.concat_ws(
+                 "|", "user_id", "n",
+                 F.round(F.col("share") * 10_000).cast("long")))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f).orderBy("tag", "v"))
+            .unionByName(e).unionByName(f).unionByName(g)
+            .orderBy("tag", "v"))
 
 
 def _str_out_oracle() -> str:
@@ -1247,7 +1253,12 @@ def _str_out_oracle() -> str:
             f"UNION ALL\nSELECT 'dedup16' AS tag, {ded_v} AS v "
             f"FROM ({SN._STR_16_ORACLE})\n"
             f"UNION ALL\nSELECT 'cms17' AS tag, {cms_v} AS v "
-            f"FROM ({SN._STR_17_ORACLE})")
+            f"FROM ({SN._STR_17_ORACLE})"
+            "\nUNION ALL\nSELECT 'hh18' AS tag, "
+            "CAST(user_id AS VARCHAR) || '|' || CAST(n AS VARCHAR) "
+            "|| '|' || CAST(CAST(ROUND(share * 10000) AS BIGINT) "
+            "AS VARCHAR) AS v "
+            f"FROM ({SN._STR_18_ORACLE})")
 
 
 def r7_all(spark, sf):

@@ -741,6 +741,162 @@ ORDER BY est.user_id
 _STR_17_ORACLE = _str17_oracle()
 
 
+# ---------------------------------- STR-18: streaming heavy hitters (MG)
+
+#: Misra–Gries summary capacity — DELIBERATELY below the fixture's
+#: distinct-user count (50 at sf0.01) so the pruning step really runs;
+#: the MG guarantee (undercount ≤ N/K per item, every item with
+#: frequency > N/K survives ANY batch split) needs θ > 1/K
+STR18_K = 32
+#: heavy-hitter threshold (share of total stream): at sf0.01 the
+#: planted users sit at ~6.3%/5.3%, natural uniform users at ~0.6%,
+#: the MG error floor at 1/(K+1) ≈ 3.0% — θ separates all bands (at
+#: sf0.001 the fixture has only 15 users, so EVERY user clears θ —
+#: the output is still ≡ the batch answer, just not selective)
+STR18_THETA = 0.04
+#: planted heavy users enter the stream STR18_COPIES+1 times (the
+#: fixture is uniform — without a plant no sf0.01 user is heavy and
+#: the operator certifies nothing, the dq_01/pii_01 pattern); ids
+#: chosen < 15 so BOTH exist at every fixture incl. sf0.001's
+#: 15-user universe
+STR18_PLANT = (8, 11)
+STR18_COPIES = 8
+
+
+def _str18_stream(ev: DataFrame) -> DataFrame:
+    plant = (ev.filter(F.col("user_id").isin(*STR18_PLANT))
+               .withColumn("_rep", F.explode(F.array(
+                   *[F.lit(i) for i in range(STR18_COPIES)])))
+               .drop("_rep"))
+    return ev.unionByName(plant)
+
+
+def make_mg_applier(store_path: str, k: int = STR18_K):
+    """foreachBatch applier maintaining a merged Misra–Gries summary:
+    each micro-batch reduces to per-user counts (map-side combinable),
+    sums into the store, then the MG prune subtracts the (k+1)-th
+    largest count from every counter and drops the non-positive —
+    state ≤ k rows for ANY stream length.  The prune threshold is ONE
+    control-plane scalar over the summary-sized merged frame (≤ k +
+    batch-distinct rows).  Merging MG summaries by count addition
+    then pruning preserves the guarantee: total undercount per item
+    ≤ N/(k+1), so every item with share > 1/(k+1) is STILL in the
+    summary after any split of the stream — which is what lets the
+    exact verify pass certify the final answer deterministically.
+    Batch-id idempotent via the ivm_02 marker discipline."""
+    import os as _os
+
+    from ..functions.barrier import materialize
+
+    marker = store_path.rstrip("/") + ".last_batch"
+
+    def apply_mg(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(marker) as f:
+                last = int(f.read())
+        except (OSError, ValueError):
+            last = -1
+        if batch_id <= last:
+            return
+        part = batch.groupBy("user_id").agg(F.count("*").alias("c"))
+        cur = batch.sparkSession.read.parquet(store_path)
+        merged = materialize(
+            cur.unionByName(part.select("user_id",
+                                        F.col("c").cast("long")
+                                         .alias("c")))
+               .groupBy("user_id").agg(F.sum("c").alias("c")))
+        # (k+1)-th largest count — 0 when the summary still fits
+        kth = (merged.orderBy(F.desc("c"), "user_id")
+                     .limit(k + 1).orderBy(F.asc("c")).limit(1)
+                     .collect())
+        t = int(kth[0]["c"]) if merged.count() > k else 0
+        pruned = (merged.select("user_id",
+                                (F.col("c") - F.lit(t)).alias("c"))
+                        .filter(F.col("c") > 0))
+        pruned.write.mode("overwrite").parquet(store_path)
+        tmp = f"{marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        _os.replace(tmp, marker)
+
+    return apply_mg
+
+
+def str18_summary(spark: SparkSession, sf: str, base: str,
+                  n_chunks: int = 5, k: int = STR18_K) -> DataFrame:
+    """Replay the planted event stream in micro-batches through the
+    MG applier; return the maintained (user_id, c) summary (≤ k
+    rows)."""
+    ev = _str18_stream(
+        catalog.load(spark, sf, "events").select(*_EV_COLS))
+    watch = _spill_chunks(ev, base, n_chunks, name="watch18")
+    store = f"{base}/mg18"
+    spark.createDataFrame([], "user_id bigint, c bigint") \
+         .write.mode("overwrite").parquet(store)
+    src = (spark.readStream.format("parquet").schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").load(watch))
+    assert src.isStreaming
+    q = (src.writeStream.foreachBatch(make_mg_applier(store, k))
+         .option("checkpointLocation", f"{base}/ckpt18")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(store)
+
+
+def str_18(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-18 streaming heavy hitters: all-time heavy users on an
+    unbounded stream with O(K) state — a Misra–Gries summary
+    maintained per micro-batch (state ≤ STR18_K rows no matter the
+    stream length), then ONE exact verify pass over the summary's
+    candidates (the hh_01 two-pass discipline driven by a stream).
+
+    The MG guarantee makes the output split-deterministic: every user
+    with share > 1/(K+1) is in the final summary for ANY micro-batch
+    split, so the θ-filtered exact counts equal the plain batch
+    answer and the oracle states it in SQL — the summary is
+    load-bearing in the hash (a lost candidate loses an output row),
+    not just bounded."""
+    base = tempfile.mkdtemp(prefix="spark_str18_")
+    try:
+        summary = _materialized(str18_summary(spark, sf, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    ev = _str18_stream(
+        catalog.load(spark, sf, "events").select(*_EV_COLS))
+    exact = (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+               .join(summary.select("user_id"), "user_id", "semi"))
+    n_total = ev.agg(F.count("*").alias("n_total"))
+    return (exact.crossJoin(F.broadcast(n_total))
+            .filter(F.col("n") >= F.lit(STR18_THETA) * F.col("n_total"))
+            .select("user_id", "n",
+                    F.round(F.col("n") / F.col("n_total"), 4)
+                     .alias("share"))
+            .orderBy("user_id"))
+
+
+def _str18_oracle() -> str:
+    plist = ", ".join(str(u) for u in STR18_PLANT)
+    copies = STR18_COPIES
+    return f"""
+WITH s AS (
+  SELECT user_id FROM events
+  UNION ALL
+  SELECT user_id FROM events
+  CROSS JOIN (SELECT unnest(range({copies})) AS r)
+  WHERE user_id IN ({plist})),
+c AS (SELECT user_id, count(*) AS n FROM s GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM s)
+SELECT user_id, n, ROUND(n / CAST(n_total AS DOUBLE), 4) AS share
+FROM c CROSS JOIN tot
+WHERE n >= {STR18_THETA} * n_total
+ORDER BY user_id
+"""
+
+
+_STR_18_ORACLE = _str18_oracle()
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -887,6 +1043,14 @@ def specs() -> list[QuerySpec]:
                        "a D×W store (bounded state on an unbounded "
                        "stream); probes certified est ≥ exact and "
                        "within the ε-bound; streamed ≡ batch sketch"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_18", fn=str_18, oracle=_STR_18_ORACLE,
+                  doc=("STR-18 streaming heavy hitters: Misra–Gries "
+                       "summary maintained per micro-batch (state ≤ K "
+                       "rows on an unbounded stream), exact verify "
+                       "pass over its candidates — split-deterministic "
+                       "by the MG survival guarantee, planted heavy "
+                       "users certified vs the plain batch answer"),
                   tags=("streaming",)),
         QuerySpec(key="str_14", fn=str_14, oracle=_STR_14_ORACLE,
                   doc=("STR-14 NATIVE session_window sessionization "

@@ -748,6 +748,66 @@ def _body_native_session_window_emissions_subset_of_timer_tracker(
     assert s14 and s14 <= s13
 
 
+def _body_str18_mg_summary_bounded_split_deterministic_and_pruning(
+        spark, stream_dir, tmp):
+    """str_18's maintained Misra–Gries summary: (1) BOUNDED ≤ K rows;
+    (2) the θ-filtered OUTPUT is SPLIT-DETERMINISTIC — a 1-batch fold
+    and the 5-batch fold give identical final answers even though the
+    intermediate summaries may differ (the MG survival guarantee);
+    (3) PRUNING really fires at a shrunk K=8 < the fixture's 15
+    users, and the planted heavy users (share ≫ 1/(K+1)) survive it;
+    (4) re-applying an already-applied batch_id is a no-op."""
+    import os
+    import shutil
+
+    from docker_aktin_dwh_spark.operators import streamnative as SN
+
+    def summary(n_chunks, k=SN.STR18_K):
+        base = str(tmp / f"s18_{n_chunks}_{k}")
+        os.makedirs(base, exist_ok=True)
+        try:
+            sm = SN.str18_summary(spark, SF_SMOKE, base,
+                                  n_chunks=n_chunks, k=k)
+            return {r.user_id: r.c for r in sm.collect()}, base
+        except BaseException:
+            shutil.rmtree(base, ignore_errors=True)
+            raise
+
+    ev = SN._str18_stream(
+        catalog.load(spark, SF_SMOKE, "events").select(*SN._EV_COLS))
+    n_total = ev.count()
+    exact = {r.user_id: r.n for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n"))
+               .collect()}
+    truth = {u: n for u, n in exact.items()
+             if n >= SN.STR18_THETA * n_total}
+    assert truth, "no heavy users at this scale — vacuous"
+
+    one, base1 = summary(1)
+    five, base5 = summary(5)
+    assert len(one) <= SN.STR18_K and len(five) <= SN.STR18_K
+    # final answers (θ-filtered exact counts of summary candidates)
+    ans1 = {u: exact[u] for u in one if exact.get(u, 0)
+            >= SN.STR18_THETA * n_total}
+    ans5 = {u: exact[u] for u in five if exact.get(u, 0)
+            >= SN.STR18_THETA * n_total}
+    assert ans1 == ans5 == truth
+
+    # (3) pruning at K=8 < 15 users: summary shrinks, planted survive
+    tiny, base8 = summary(5, k=8)
+    assert len(tiny) <= 8 < len(exact)
+    assert set(SN.STR18_PLANT) <= set(tiny)
+
+    # (4) retried batch is a no-op
+    store = f"{base5}/mg18"
+    SN.make_mg_applier(store)(ev, 0)
+    after = {r.user_id: r.c
+             for r in spark.read.parquet(store).collect()}
+    assert after == five
+    for b in (base1, base5, base8):
+        shutil.rmtree(b, ignore_errors=True)
+
+
 # ------------------------------------------------------------ pooled run
 
 BODIES = {

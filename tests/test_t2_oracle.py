@@ -48,8 +48,8 @@ UNION_COVERED = frozenset({
     # r9b_all branches
     "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2", "ret_01",
     "trn_01", "mm_phash",
-    # str_out branch (r9)
-    "str_17",
+    # str_out branches (r9)
+    "str_17", "str_18",
     # ann_bx branches
     "ann_lsh", "ann_ivf",
 })
