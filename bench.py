@@ -59,6 +59,9 @@ HEADLINE = (
     # plus the retention/transition event-analytics pair and the
     # perceptual-hash image near-dup lane
     "ret_01", "trn_01", "mm_phash",
+    # round 9 fourth wave: prefix-filtered EXACT Jaccard (the unguarded
+    # exact-semantics scale path beside ded_ngram's brute-force form)
+    "ded_ngram2",
 )
 
 
@@ -222,6 +225,27 @@ def scaling_section(spark, registry, sf_dir: str,
             small_sec[key] = best_of(lambda: fn(spark, small_dir).count())
             slope_small[key] = round(
                 base_sec[key] / max(small_sec[key], 1e-9), 2)
+    # ded_ngram2 (r9): the prefix-filtered EXACT Jaccard join measured
+    # UNCAPPED over the full corpus — the query whose brute-force form
+    # (ngram_jaccard_pairs) raises its guard at exactly this scale.
+    # Token salting keeps cross-replica Jaccard at 0, so true pairs —
+    # and the candidate volume Σ df_prefix² — grow linearly with R.
+    from docker_aktin_dwh_spark import catalog as _cat
+    from docker_aktin_dwh_spark.operators.dedup import prefix_jaccard_pairs
+
+    def _ng2(d):
+        return prefix_jaccard_pairs(
+            _cat.load(spark, d, "documents"), 0.8).count()
+
+    key = "ded_ngram2_uncapped"
+    base_sec[key] = best_of(lambda: _ng2(sf_dir))
+    scaled_sec[key] = best_of(lambda: _ng2(scale_dir))
+    slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
+    if have_small:
+        small_sec[key] = best_of(lambda: _ng2(small_dir))
+        slope_small[key] = round(
+            base_sec[key] / max(small_sec[key], 1e-9), 2)
+
     out = {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
            "scaled_sec": scaled_sec, "slope": slope,
            "dupcc_rounds": cc_rounds}

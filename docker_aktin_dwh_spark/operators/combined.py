@@ -1551,8 +1551,10 @@ def r9b_all(spark, sf):
     reusing each builder verbatim: blm_01 Bloom-pruned semi-join,
     kw_01 TF-IDF keyword top-k, er_03 sorted-neighborhood entity
     resolution (the distributed global-rank primitive), ann_pq flat
-    product quantization with ADC scoring, and ded_embed2 LSH-bucketed
-    embedding near-dup (ded_embed's declared scale path)."""
+    product quantization with ADC scoring, ded_embed2 LSH-bucketed
+    embedding near-dup (ded_embed's declared scale path), and
+    ded_ngram2 prefix-filtered exact Jaccard (ngram's unguarded exact
+    scale path, sharing ded_ngram's brute-force oracle)."""
     from . import bloomjoin, dedup, entity, similarity
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
                F.concat_ws("|", "o_orderpriority", "n_orders",
@@ -1584,6 +1586,10 @@ def r9b_all(spark, sf):
         multimodal.mm_phash(spark, sf), "ph",
         F.concat_ws("|", "i", "j", "kind",
                     F.col("paired").cast("string"))))
+    out = out.unionByName(_tag(
+        dedup.ded_ngram2(spark, sf), "ng2",
+        F.concat_ws("|", "i", "j",
+                    F.round(F.col("jac") * 1000).cast("long"))))
     return out.orderBy("tag", "v")
 
 
@@ -1613,6 +1619,8 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["trn_01"]),
         ("ph", cat("i", "j", "kind", "paired"),
          multimodal._MM_PHASH_ORACLE),
+        ("ng2", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
+         dedup._NGRAM_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1724,7 +1732,8 @@ _DOCS = {
                "LSH-bucketed embedding near-dup (ded_embed2), "
                "cohort retention matrix (ret_01), event-type "
                "transition matrix (trn_01), and image near-dup by "
-               "DCT perceptual hash (mm_phash) — same-round driver "
+               "DCT perceptual hash (mm_phash), and prefix-filtered "
+               "exact Jaccard dedup (ded_ngram2) — same-round driver "
                "certification",
 }
 

@@ -140,6 +140,47 @@ def test_ngram_hot_shingle_cap_raises(spark):
         dedup.ngram_jaccard_pairs(docs, 0.8, max_df=4).count()
 
 
+def test_prefix_jaccard_equals_exact(spark):
+    """prefix_jaccard_pairs is EXACT: on the full smoke corpus at the
+    family threshold it returns the identical pair set (ids AND jaccard
+    values) as the brute-force shingle self-join — the losslessness
+    proof in the docstring, exercised."""
+    docs = catalog.load(spark, SF_SMOKE, "documents")
+    pref = {(r.i, r.j, r.jac) for r in
+            dedup.prefix_jaccard_pairs(docs, 0.7)
+                 .select("i", "j", F.round("jac", 3).alias("jac")).collect()}
+    exact = {(r.i, r.j, r.jac) for r in
+             dedup.ngram_jaccard_pairs(docs, 0.7)
+                  .select("i", "j", F.round("jac", 3).alias("jac")).collect()}
+    assert pref == exact
+    assert pref, "fixture should contain near-duplicate documents"
+
+
+def test_prefix_filter_survives_hot_shingle(spark):
+    """The corpus shape that makes ngram_jaccard_pairs RAISE (a
+    boilerplate shingle in every doc → df² candidate blow-up) is
+    exactly where prefix filtering shines: df-ascending ordering pushes
+    the hot shingle out of every prefix, so the planted true pair is
+    still found while the candidate set stays near the true-pair count
+    instead of ~N²/2."""
+    n = 300
+    rows = [(i, "common boilerplate header one two three "
+                + " ".join(f"u{i}w{k}" for k in range(10)))
+            for i in range(n)]
+    # planted near-dup of doc 0: one appended token, jac = 14/15 ≈ 0.93
+    rows.append((9000, rows[0][1] + " zzz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="hottest shingle"):
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=100).count()
+    got = {(r.i, r.j) for r in dedup.prefix_jaccard_pairs(docs, 0.8).collect()}
+    assert got == {(0, 9000)}
+    pf = dedup.materialize(dedup._prefix_frame(docs, 0.8))
+    n_cand = dedup._prefix_candidates(pf, 0.8).count()
+    assert n_cand <= 10, (
+        f"{n_cand} candidates — the hot boilerplate shingle leaked into "
+        f"prefixes (expected ~1 vs the exact path's ~{n * n // 2})")
+
+
 def test_substr_dup_stats_planted_and_short_docs(spark):
     """substr_dup_stats semantics on a constructed corpus: docs 0 and 1
     share exactly one 8-token run (planted) and nothing else; doc 2 is

@@ -13,7 +13,8 @@ from docker_aktin_dwh_spark.registry import build_registry
 REGISTRY = build_registry()
 
 #: constructed-empty at tiny scale is fine for these (dup/near-dup sets)
-MAY_BE_EMPTY = {"ded_ngram", "ded_minhash", "ded_simhash_raw", "ded_embed",
+MAY_BE_EMPTY = {"ded_ngram", "ded_ngram2", "ded_minhash", "ded_simhash_raw",
+                "ded_embed",
                 "ded_incr", "jn_06", "set_04", "ann_lsh_raw", "ann_ivf_raw",
                 "dupcc_01", "pr_01"}
 
