@@ -1554,8 +1554,9 @@ def r9b_all(spark, sf):
     product quantization with ADC scoring, ded_embed2 LSH-bucketed
     embedding near-dup (ded_embed's declared scale path), and
     ded_ngram2 prefix-filtered exact Jaccard (ngram's unguarded exact
-    scale path, sharing ded_ngram's brute-force oracle)."""
-    from . import bloomjoin, dedup, entity, similarity
+    scale path, sharing ded_ngram's brute-force oracle), and ups_02
+    ACID MERGE through the commit-log table format (sources/txnlog)."""
+    from . import bloomjoin, dedup, entity, roundtrips, similarity
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
                F.concat_ws("|", "o_orderpriority", "n_orders",
                            F.round(F.col("revenue") * 100).cast("long")))
@@ -1590,11 +1591,16 @@ def r9b_all(spark, sf):
         dedup.ded_ngram2(spark, sf), "ng2",
         F.concat_ws("|", "i", "j",
                     F.round(F.col("jac") * 1000).cast("long"))))
+    out = out.unionByName(_tag(
+        roundtrips.ups_02(spark, sf), "ups2",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
+                    "inout_cd")))
     return out.orderBy("tag", "v")
 
 
 def _r9b_all_oracle() -> str:
-    from . import bloomjoin, dedup, entity, similarity
+    from . import bloomjoin, dedup, entity, roundtrips, similarity
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1621,6 +1627,10 @@ def _r9b_all_oracle() -> str:
          multimodal._MM_PHASH_ORACLE),
         ("ng2", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
          dedup._NGRAM_ORACLE),
+        ("ups2", cat("encounter_num", "patient_num") + " || '|' || "
+                 "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
+                 "inout_cd",
+         roundtrips._ups_01_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1732,8 +1742,9 @@ _DOCS = {
                "LSH-bucketed embedding near-dup (ded_embed2), "
                "cohort retention matrix (ret_01), event-type "
                "transition matrix (trn_01), and image near-dup by "
-               "DCT perceptual hash (mm_phash), and prefix-filtered "
-               "exact Jaccard dedup (ded_ngram2) — same-round driver "
+               "DCT perceptual hash (mm_phash), prefix-filtered "
+               "exact Jaccard dedup (ded_ngram2), and the commit-log "
+               "table-format ACID MERGE (ups_02) — same-round driver "
                "certification",
 }
 

@@ -1,0 +1,183 @@
+"""Transactional commit-log table format: every protocol invariant the
+module docstring claims, exercised through real Spark writes/reads —
+atomic commit, optimistic concurrency, snapshot isolation / time
+travel, MERGE delete+insert semantics with footer-stats data skipping,
+crash-orphan tolerance + vacuum, and checkpoint-bounded log replay."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_aktin_dwh_spark.sources import txnlog
+
+
+@pytest.fixture()
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="txnlog_") as d:
+        yield os.path.join(d, "tbl")
+
+
+def _mk(spark, lo, hi, tag="a"):
+    return (spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v")))
+
+
+def test_create_read_roundtrip(spark, tdir):
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 100
+    assert {r.v for r in got.filter("k < 3").collect()} == {"a0", "a1", "a2"}
+
+
+def test_merge_delete_insert_semantics(spark, tdir):
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    batch = _mk(spark, 50, 120, tag="b")       # replaces 50-99, inserts 100-119
+    txnlog.merge(spark, tdir, batch, key="k")
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 120
+    assert got[10] == "a10" and got[50] == "b50" and got[119] == "b119"
+
+
+def test_snapshot_isolation_and_time_travel(spark, tdir):
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    v0 = txnlog.snapshot(tdir).version
+    pinned = txnlog.read_table(spark, tdir, version=v0)
+    txnlog.merge(spark, tdir, _mk(spark, 0, 50, tag="z"), key="k")
+    # the pinned frame AND a fresh v0 read both still see the old rows
+    assert {r.v for r in pinned.filter("k = 7").collect()} == {"a7"}
+    old = txnlog.read_table(spark, tdir, version=v0)
+    assert {r.v for r in old.filter("k = 7").collect()} == {"a7"}
+    assert {r.v for r in txnlog.read_table(spark, tdir)
+            .filter("k = 7").collect()} == {"z7"}
+
+
+def test_merge_data_skipping_rewrites_only_hit_files(spark, tdir):
+    """Files whose footer [kmin, kmax] interval misses every batch key
+    must carry over by log reference — the rewrite set is the hit
+    files only (the 100 TB MERGE economics)."""
+    # 4 disjoint key-range files via repartitionByRange on 4 ranges
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    assert len(before.files) == 4
+    batch = _mk(spark, 10, 20, tag="b")        # hits only the first range
+    txnlog.merge(spark, tdir, batch, key="k")
+    after = txnlog.snapshot(tdir)
+    surviving = set(before.files) & set(after.files)
+    assert len(surviving) == 3, (
+        f"expected 3 untouched files to carry over, got {len(surviving)}")
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 400 and got[15] == "b15" and got[250] == "a250"
+
+
+def test_interval_hits_uses_binary_search_semantics():
+    st = {"kmin": 100, "kmax": 200}
+    assert txnlog._interval_hits(st, [150])
+    assert txnlog._interval_hits(st, [100]) and txnlog._interval_hits(st, [200])
+    assert not txnlog._interval_hits(st, [99, 201])
+    assert txnlog._interval_hits({"kmin": None, "kmax": None}, [1])
+
+
+def test_concurrent_appends_both_commit(spark, tdir):
+    """Two writers racing version claims: the atomic link serializes
+    them — both succeed at distinct versions, no rows lost."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    errs = []
+
+    def add(lo, hi):
+        try:
+            txnlog.append(spark, _mk(spark, lo, hi), tdir, key="k")
+        except Exception as e:                  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=add, args=(100, 150)),
+          threading.Thread(target=add, args=(200, 250))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert txnlog.read_table(spark, tdir).count() == 110
+    assert txnlog.snapshot(tdir).version == 2
+
+
+def test_conflicting_merges_serialize_to_sequential_result(spark, tdir):
+    """Two merges rewriting the SAME file: one loses the version race,
+    drops its staged files, and re-derives against the winner's state —
+    the final table equals some sequential order of the two merges."""
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    errs = []
+
+    def m(lo, hi, tag):
+        try:
+            txnlog.merge(spark, tdir, _mk(spark, lo, hi, tag=tag),
+                         key="k")
+        except Exception as e:                  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=m, args=(0, 50, "x")),
+          threading.Thread(target=m, args=(25, 75, "y"))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 100
+    # zones exclusive to one merge are deterministic; keys ≥ 75 untouched
+    assert got[10][0] == "x" and got[60][0] == "y" and got[90] == "a90"
+    # the overlap zone (25-49) belongs ENTIRELY to whichever merge
+    # committed last — serializability means no interleaving within it
+    overlap_tags = {got[k][0] for k in range(25, 50)}
+    assert len(overlap_tags) == 1 and overlap_tags <= {"x", "y"}
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tdir):
+    """Data files staged by a writer that died before committing are
+    invisible to readers and reclaimed by vacuum; committed files
+    survive vacuum."""
+    txnlog.create_table(spark, _mk(spark, 0, 20), tdir, key="k")
+    # simulate the crash: stage files, never commit
+    orphans = txnlog._stage_data_files(
+        spark, _mk(spark, 900, 950, tag="ghost"), tdir, "k", 99)
+    assert orphans
+    assert txnlog.read_table(spark, tdir).count() == 20
+    removed = txnlog.vacuum(tdir)
+    assert {a["file"] for a in orphans} <= set(removed)
+    assert txnlog.read_table(spark, tdir).count() == 20
+
+
+def test_checkpoint_bounds_log_replay(spark, tdir):
+    """After CHECKPOINT_EVERY commits a checkpoint exists, and a
+    snapshot built from it equals full-log replay."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    for i in range(txnlog.CHECKPOINT_EVERY + 2):
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 100 + 10 * i + 5),
+                      tdir, key="k")
+    log = os.listdir(txnlog._log_dir(tdir))
+    assert any(n.endswith(".ckpt.json") for n in log)
+    snap = txnlog.snapshot(tdir)
+    # re-derive WITHOUT the checkpoint by replaying every commit
+    files: dict[str, dict] = {}
+    for v in txnlog._list_versions(tdir):
+        with open(os.path.join(txnlog._log_dir(tdir),
+                               txnlog._commit_name(v))) as f:
+            c = json.load(f)
+        for name in c.get("remove", []):
+            files.pop(name, None)
+        for a in c.get("add", []):
+            files[a["file"]] = {k: a[k] for k in ("rows", "kmin", "kmax")}
+    assert snap.files == files
+    n = txnlog.read_table(spark, tdir).count()
+    assert n == 10 + 5 * (txnlog.CHECKPOINT_EVERY + 2)
+
+
+def test_empty_table_read_uses_logged_schema(spark, tdir):
+    empty = _mk(spark, 0, 0)
+    txnlog.create_table(spark, empty, tdir, key="k")
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
