@@ -1554,9 +1554,12 @@ def r9b_all(spark, sf):
     product quantization with ADC scoring, ded_embed2 LSH-bucketed
     embedding near-dup (ded_embed's declared scale path), and
     ded_ngram2 prefix-filtered exact Jaccard (ngram's unguarded exact
-    scale path, sharing ded_ngram's brute-force oracle), and ups_02
-    ACID MERGE through the commit-log table format (sources/txnlog)."""
-    from . import bloomjoin, dedup, entity, roundtrips, similarity
+    scale path, sharing ded_ngram's brute-force oracle), ups_02 ACID
+    MERGE through the commit-log table format (sources/txnlog), and
+    ivm_03 exactly-once streaming IVM (view + batch id in one atomic
+    commit)."""
+    from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
+                   similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
                F.concat_ws("|", "o_orderpriority", "n_orders",
                            F.round(F.col("revenue") * 100).cast("long")))
@@ -1596,11 +1599,16 @@ def r9b_all(spark, sf):
         F.concat_ws("|", "encounter_num", "patient_num",
                     F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
                     "inout_cd")))
+    out = out.unionByName(_tag(
+        maintenance.ivm_03(spark, sf), "ivm3",
+        F.concat_ws("|", "c_nationkey", "n_orders",
+                    F.round(F.col("revenue") * 100).cast("long"))))
     return out.orderBy("tag", "v")
 
 
 def _r9b_all_oracle() -> str:
-    from . import bloomjoin, dedup, entity, roundtrips, similarity
+    from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
+                   similarity)
 
     def cat(*cols):
         return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
@@ -1631,6 +1639,9 @@ def _r9b_all_oracle() -> str:
                  "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
                  "inout_cd",
          roundtrips._ups_01_oracle()),
+        ("ivm3", cat("c_nationkey", "n_orders",
+                     "CAST(ROUND(revenue * 100) AS BIGINT)"),
+         maintenance._IVM_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1743,9 +1754,10 @@ _DOCS = {
                "cohort retention matrix (ret_01), event-type "
                "transition matrix (trn_01), and image near-dup by "
                "DCT perceptual hash (mm_phash), prefix-filtered "
-               "exact Jaccard dedup (ded_ngram2), and the commit-log "
-               "table-format ACID MERGE (ups_02) — same-round driver "
-               "certification",
+               "exact Jaccard dedup (ded_ngram2), the commit-log "
+               "table-format ACID MERGE (ups_02), and exactly-once "
+               "streaming IVM on the txn log (ivm_03) — same-round "
+               "driver certification",
 }
 
 

@@ -442,8 +442,8 @@ def make_idempotent_applier(view_path: str):
     signed deltas.  Marker-after-view ordering means a crash between
     the two re-applies ONE batch's deltas on restart — the residual
     window plain parquet cannot close (overwrite and marker cannot
-    commit atomically together); a table format's MERGE commits both
-    in one transaction, which is the production seam."""
+    commit atomically together); :func:`make_txn_applier` (ivm_03)
+    closes it by committing both in ONE txnlog entry."""
     import os as _os
 
     from ..functions.barrier import materialize
@@ -521,6 +521,91 @@ def ivm_02(spark, sf):
         q.awaitTermination()
 
         final = (spark.read.parquet(view_path)
+                 .filter(F.col("n") > 0)
+                 .select("c_nationkey", F.col("n").alias("n_orders"),
+                         F.round(F.col("rev"), 2).cast("double")
+                          .alias("revenue")))
+        snap = materialize(final)
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    return snap.orderBy("c_nationkey")
+
+
+def make_txn_applier(view_table: str, app: str = "ivm"):
+    """foreachBatch applier with the crash window CLOSED: the
+    maintained view lives in a txnlog table and each micro-batch
+    commits its new view content AND its batch id as ONE atomic log
+    entry (sources/txnlog.replace_contents with a Delta-style txn
+    action).  Under foreachBatch's at-least-once contract that makes
+    the apply EXACTLY-ONCE in every failure mode:
+
+    - retry after a successful commit → the snapshot's recorded app
+      version is ≥ batch_id, replace_contents no-ops;
+    - crash BETWEEN view write and marker — the state
+      make_idempotent_applier documents as unavoidable on plain
+      parquet — cannot exist: there is no instant where the table
+      reflects a batch the log does not record, because they are the
+      same commit.
+
+    Reading the current view from the snapshot and writing new
+    immutable files also removes the read-while-overwrite hazard the
+    plain-parquet applier materializes around."""
+    from ..sources import txnlog
+
+    def apply_delta(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if txnlog.snapshot(view_table).txns.get(app, -1) >= batch_id:
+            return                      # retried batch: already applied
+        cur = txnlog.read_table(spark, view_table)
+        merged = merge_view_delta(cur, cdc_signed_delta(batch))
+        txnlog.replace_contents(spark, view_table, merged,
+                                key="c_nationkey",
+                                txn=(app, batch_id))
+
+    return apply_delta
+
+
+def ivm_03(spark, sf):
+    """ivm_02's streaming IVM with the view maintained in the
+    TRANSACTIONAL commit-log table (sources/txnlog.py) through
+    :func:`make_txn_applier` — the exactly-once upgrade: view content
+    and batch id commit atomically, so the replay is idempotent with
+    no marker-after-view residual window.  Shares ivm_01/ivm_02's
+    full-recompute oracle; the hash certifies the txn-log fold
+    converges to batch semantics exactly like the plain applier."""
+    import pathlib
+    import shutil as _sh
+
+    from ..functions.barrier import materialize
+    from ..sources import txnlog
+
+    feed, view_old = _cdc_feed_and_view(spark, sf)
+
+    base = tempfile.mkdtemp(prefix="spark_ivm03_")
+    try:
+        watch = pathlib.Path(base) / "changes"
+        watch.mkdir()
+        for b in range(3):                  # 3 micro-batches by key mod
+            out = pathlib.Path(base) / f"b{b}"
+            (feed.filter(F.pmod("o_orderkey", F.lit(3)) == b)
+             .coalesce(1).write.mode("overwrite").parquet(str(out)))
+            for j, pq in enumerate(sorted(out.glob("*.parquet"))):
+                _sh.copy(pq, watch / f"{b:02d}_{j}.parquet")
+
+        view_table = f"{base}/view_tbl"
+        txnlog.create_table(spark, view_old, view_table,
+                            key="c_nationkey")
+
+        src = (spark.readStream.format("parquet").schema(feed.schema)
+               .option("maxFilesPerTrigger", "1").load(str(watch)))
+        assert src.isStreaming
+
+        q = (src.writeStream.foreachBatch(make_txn_applier(view_table))
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        final = (txnlog.read_table(spark, view_table)
                  .filter(F.col("n") > 0)
                  .select("c_nationkey", F.col("n").alias("n_orders"),
                          F.round(F.col("rev"), 2).cast("double")
@@ -872,6 +957,7 @@ _ORACLES = {
     "lay_02": _lay2_oracle(),
     "ivm_01": _IVM_ORACLE,
     "ivm_02": _IVM_ORACLE,
+    "ivm_03": _IVM_ORACLE,
 }
 
 _DOCS = {
@@ -889,6 +975,11 @@ _DOCS = {
               "feed (before/after images) folded per micro-batch via "
               "foreachBatch; converges to the full recompute (same "
               "oracle as ivm_01)",
+    "ivm_03": "Streaming IVM with the view in the transactional "
+              "commit-log table: view content + batch id commit as "
+              "ONE atomic log entry (exactly-once apply, no "
+              "marker-after-view crash window); same oracle as "
+              "ivm_01/ivm_02",
     "ivm_01": "Incremental view maintenance: CDC change set applied "
               "as signed deltas to the materialized aggregate view; "
               "oracle = full recompute (maintained == recomputed "

@@ -71,13 +71,19 @@ class CommitConflictError(RuntimeError):
 
 class Snapshot:
     """Immutable view of the table at one committed version:
-    ``files`` maps data-file name → its stats dict ({rows, kmin, kmax})."""
+    ``files`` maps data-file name → its stats dict ({rows, kmin, kmax});
+    ``txns`` maps application id → the highest writer-supplied version
+    committed for it (Delta's ``txn`` action — the mechanism that makes
+    streaming writes idempotent: content and application version commit
+    in ONE atomic log entry, so there is no crash window between
+    "view updated" and "batch marked applied")."""
 
     def __init__(self, version: int, files: dict[str, dict],
-                 schema_json: str | None):
+                 schema_json: str | None, txns: dict[str, int]):
         self.version = version
         self.files = files
         self.schema_json = schema_json
+        self.txns = txns
 
 
 def _log_dir(path: str) -> str:
@@ -114,6 +120,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                          f"{versions[0]}..{versions[-1]})")
     files: dict[str, dict] = {}
     schema_json: str | None = None
+    txns: dict[str, int] = {}
     start = 0
     # newest checkpoint at or below the target bounds the replay
     for v in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
@@ -123,6 +130,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
                 ck = json.load(f)
             files = dict(ck["files"])
             schema_json = ck.get("schema")
+            txns = dict(ck.get("txns", {}))
             start = v + 1
             break
     for v in versions:
@@ -135,7 +143,11 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
         for a in c.get("add", []):
             files[a["file"]] = {k: a[k] for k in ("rows", "kmin", "kmax")}
         schema_json = c.get("schema", schema_json)
-    return Snapshot(target, files, schema_json)
+        t = c.get("txn")
+        if t:
+            txns[t["app"]] = max(t["version"],
+                                 txns.get(t["app"], t["version"]))
+    return Snapshot(target, files, schema_json, txns)
 
 
 def _try_commit(path: str, version: int, payload: dict) -> bool:
@@ -171,7 +183,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     tmp = os.path.join(_log_dir(path), f".ckpt-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump({"version": version, "files": snap.files,
-                   "schema": snap.schema_json}, f)
+                   "schema": snap.schema_json, "txns": snap.txns}, f)
     os.replace(tmp, os.path.join(_log_dir(path), _ckpt_name(version)))
 
 
@@ -312,6 +324,38 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
             f"merge lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
     finally:
         batch.unpersist()
+
+
+def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
+                     key: str, txn: tuple[str, int] | None = None
+                     ) -> Snapshot | None:
+    """Atomically replace the WHOLE table content with ``df`` — the
+    materialized-view update shape (the view is group-cardinality
+    sized, so full replacement is the cheap and correct move).
+
+    ``txn=(app_id, app_version)`` makes the write IDEMPOTENT the way
+    Delta's txn action does: the application version commits in the
+    same atomic log entry as the content, and a replace whose
+    app_version is ≤ the snapshot's recorded version for that app is
+    a no-op (returns None).  This is what closes the
+    marker-after-view crash window of the plain-parquet applier
+    (operators/maintenance.make_idempotent_applier): there is no
+    instant where the view is updated but the marker is not — they
+    are one commit."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return None                       # already applied
+        adds = _stage_data_files(spark, df, path, key, snap.version + 1)
+        payload = {"op": "replace", "add": adds,
+                   "remove": sorted(snap.files)}
+        if txn is not None:
+            payload["txn"] = {"app": txn[0], "version": txn[1]}
+        if _try_commit(path, snap.version + 1, payload):
+            return snapshot(path, snap.version + 1)
+        _drop_files(path, adds)   # lost the race: re-check idempotency
+    raise CommitConflictError(
+        f"replace lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
 
 
 def _interval_hits(stats: dict, keys: list) -> bool:

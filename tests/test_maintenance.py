@@ -208,6 +208,49 @@ def test_ivm_applier_skips_retried_batch(spark, tmp_path):
                      for r in expect.collect()}
 
 
+def test_txn_applier_exactly_once_and_atomic(spark, tmp_path):
+    """make_txn_applier's exactly-once contract: a retried batch id is
+    a NO-OP (the txn action records it atomically with the view), a
+    new id applies, the final view equals the one-shot fold, AND — the
+    property the plain applier cannot have — a writer that dies after
+    staging but before commit leaves the view exactly at its last
+    committed state (no half-applied batch to re-fold on restart)."""
+    from docker_aktin_dwh_spark.operators import maintenance as M
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    feed, view_old = M._cdc_feed_and_view(spark, SF_SMOKE)
+    feed = feed.localCheckpoint()
+    tbl = str(tmp_path / "view_tbl")
+    txnlog.create_table(spark, view_old, tbl, key="c_nationkey")
+
+    apply_delta = M.make_txn_applier(tbl)
+    half = feed.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == 0)
+    rest = feed.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == 1)
+
+    def snap():
+        return {(r.c_nationkey, str(r.n), str(r.rev))
+                for r in txnlog.read_table(spark, tbl).collect()}
+
+    apply_delta(half, 0)
+    once = snap()
+    v_once = txnlog.snapshot(tbl).version
+    apply_delta(half, 0)            # retried batch: no-op, NO new commit
+    assert snap() == once and txnlog.snapshot(tbl).version == v_once
+    # simulated crash between staging and commit: orphan files appear,
+    # the committed state does not move
+    M.cdc_signed_delta(rest)        # (the work a dying writer did)
+    txnlog._stage_data_files(
+        spark, M.merge_view_delta(txnlog.read_table(spark, tbl),
+                                  M.cdc_signed_delta(rest)),
+        tbl, "c_nationkey", 99)
+    assert snap() == once
+    apply_delta(rest, 1)            # restart applies batch 1 cleanly
+    final = snap()
+    expect = M.merge_view_delta(view_old, M.cdc_signed_delta(feed))
+    assert final == {(r.c_nationkey, str(r.n), str(r.rev))
+                     for r in expect.collect()}
+
+
 def test_dq2_outlier_audit_counts_planted(spark):
     """dq_02 non-vacuity: every planted 100x price is flagged — the
     per-group outlier counts sum to at least the planted-row count."""

@@ -175,6 +175,45 @@ def test_checkpoint_bounds_log_replay(spark, tdir):
     assert n == 10 + 5 * (txnlog.CHECKPOINT_EVERY + 2)
 
 
+def test_replace_contents_txn_idempotency(spark, tdir):
+    """replace_contents with a txn action applies once per app version:
+    a replay at the same (or lower) version is a NO-OP — content and
+    app version are one atomic commit, so there is no partial state a
+    crash could expose between them."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    s1 = txnlog.replace_contents(spark, tdir, _mk(spark, 0, 5, tag="b"),
+                                 key="k", txn=("app", 1))
+    assert s1 is not None and s1.txns == {"app": 1}
+    # replay of version 1 and a stale version 0: both no-ops
+    assert txnlog.replace_contents(spark, tdir, _mk(spark, 0, 99, "c"),
+                                   key="k", txn=("app", 1)) is None
+    assert txnlog.replace_contents(spark, tdir, _mk(spark, 0, 99, "c"),
+                                   key="k", txn=("app", 0)) is None
+    got = {r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert got == {"b0", "b1", "b2", "b3", "b4"}
+    # a HIGHER app version applies
+    s2 = txnlog.replace_contents(spark, tdir, _mk(spark, 0, 2, tag="d"),
+                                 key="k", txn=("app", 2))
+    assert s2 is not None and s2.txns == {"app": 2}
+    assert txnlog.read_table(spark, tdir).count() == 2
+
+
+def test_txn_versions_survive_checkpoint(spark, tdir):
+    """The txn app-version map is part of checkpoint state: a snapshot
+    rebuilt from the checkpoint (not full log replay) still refuses a
+    replayed application version."""
+    txnlog.create_table(spark, _mk(spark, 0, 5), tdir, key="k")
+    txnlog.replace_contents(spark, tdir, _mk(spark, 0, 5, tag="b"),
+                            key="k", txn=("app", 7))
+    for i in range(txnlog.CHECKPOINT_EVERY + 1):
+        txnlog.append(spark, _mk(spark, 100 + i, 101 + i), tdir, key="k")
+    assert any(n.endswith(".ckpt.json")
+               for n in os.listdir(txnlog._log_dir(tdir)))
+    assert txnlog.snapshot(tdir).txns == {"app": 7}
+    assert txnlog.replace_contents(spark, tdir, _mk(spark, 0, 99, "z"),
+                                   key="k", txn=("app", 7)) is None
+
+
 def test_empty_table_read_uses_logged_schema(spark, tdir):
     empty = _mk(spark, 0, 0)
     txnlog.create_table(spark, empty, tdir, key="k")
