@@ -60,8 +60,10 @@ HEADLINE = (
     # perceptual-hash image near-dup lane
     "ret_01", "trn_01", "mm_phash",
     # round 9 fourth wave: prefix-filtered EXACT Jaccard (the unguarded
-    # exact-semantics scale path beside ded_ngram's brute-force form)
-    "ded_ngram2",
+    # exact-semantics scale path beside ded_ngram's brute-force form),
+    # the ACID-MERGE upsert through the commit-log table format, the
+    # funnel ordered-chain fold, and PMI collocation extraction
+    "ded_ngram2", "ups_02", "fun_01", "col_01",
 )
 
 

@@ -1555,9 +1555,10 @@ def r9b_all(spark, sf):
     embedding near-dup (ded_embed's declared scale path), and
     ded_ngram2 prefix-filtered exact Jaccard (ngram's unguarded exact
     scale path, sharing ded_ngram's brute-force oracle), ups_02 ACID
-    MERGE through the commit-log table format (sources/txnlog), and
+    MERGE through the commit-log table format (sources/txnlog),
     ivm_03 exactly-once streaming IVM (view + batch id in one atomic
-    commit)."""
+    commit), fun_01 funnel conversion (JVM ordered-chain fold), and
+    col_01 PMI collocations (integer-division lift ranking)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1603,6 +1604,13 @@ def r9b_all(spark, sf):
         maintenance.ivm_03(spark, sf), "ivm3",
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.fun_01(spark, sf), "fun",
+        F.concat_ws("|", "step_idx", "step", "n_users",
+                    F.round(F.col("conversion") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        textops.col_01(spark, sf), "col",
+        F.concat_ws("|", "w1", "w2", "n", "lift_s")))
     return out.orderBy("tag", "v")
 
 
@@ -1642,6 +1650,11 @@ def _r9b_all_oracle() -> str:
         ("ivm3", cat("c_nationkey", "n_orders",
                      "CAST(ROUND(revenue * 100) AS BIGINT)"),
          maintenance._IVM_ORACLE),
+        ("fun", cat("step_idx", "step", "n_users",
+                    "CAST(ROUND(conversion * 10000) AS BIGINT)"),
+         relational._ORACLES["fun_01"]),
+        ("col", cat("w1", "w2", "n", "lift_s"),
+         textops._col_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1755,9 +1768,10 @@ _DOCS = {
                "transition matrix (trn_01), and image near-dup by "
                "DCT perceptual hash (mm_phash), prefix-filtered "
                "exact Jaccard dedup (ded_ngram2), the commit-log "
-               "table-format ACID MERGE (ups_02), and exactly-once "
-               "streaming IVM on the txn log (ivm_03) — same-round "
-               "driver certification",
+               "table-format ACID MERGE (ups_02), exactly-once "
+               "streaming IVM on the txn log (ivm_03), funnel "
+               "conversion (fun_01), and PMI collocations (col_01) "
+               "— same-round driver certification",
 }
 
 

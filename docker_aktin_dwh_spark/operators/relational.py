@@ -1349,6 +1349,115 @@ _DOCS["trn_01"] = ("Event-type transition matrix (first-order Markov "
                    "matrix, row-normalized probabilities")
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_stage_per_user(events: DataFrame,
+                          steps: tuple[str, ...] = FUNNEL_STEPS
+                          ) -> DataFrame:
+    """(user_id, stage) — the furthest funnel step each user reached
+    with STRICTLY increasing timestamps (first signup, then the first
+    view after it, then the first click after that, ...).
+
+    One corpus shuffle (groupBy user), then the whole sequential scan
+    runs as a pure-JVM higher-order ``aggregate`` over the per-user
+    time-sorted event array — no Python, no window over a global sort.
+    Greedy earliest-valid-event is optimal for chain matching (its
+    i-th timestamp is ≤ any other valid assignment's, by induction),
+    which is what lets the oracle express the same semantics as
+    stepwise ``min(t) WHERE t > prev`` CTEs."""
+    per_user = (events.filter(F.col("event_type").isin(*steps))
+                .groupBy("user_id")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("t"),
+                    F.col("event_type").alias("y")))).alias("evs")))
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(-1).cast("long").alias("last"))
+
+    def step(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            hit = ((acc["stage"] == i) & (e["y"] == s)
+                   & (e["t"] > acc["last"]))
+            out = F.when(hit, F.struct(
+                F.lit(i + 1).alias("stage"),
+                e["t"].alias("last"))).otherwise(out)
+        return out
+
+    return per_user.select(
+        "user_id", F.aggregate("evs", init, step)["stage"].alias("stage"))
+
+
+def fun_01(spark, sf):
+    """Funnel conversion analysis over the event stream: per funnel
+    step the number of users whose events contain the ordered chain up
+    to it, plus the step-over-step conversion rate — the product-
+    analytics funnel (clinical analogue: admission → triage →
+    treatment → discharge compliance).
+
+    Scale shape: one groupBy(user) shuffle; the ordered-chain scan is
+    a JVM fold over each user's sorted array (state per row = one
+    struct); the final funnel is a single 1-row aggregate unpivoted to
+    |steps| rows — nothing downstream of the groupBy is corpus-sized.
+
+    The fixture's dense random streams would complete every funnel
+    (conversion ≡ 1.0 — a vacuous certification), so the declared
+    query runs on a deterministic 30% event slice (event_id mod 10 <
+    3): drop-off becomes real and the ordered-chain semantics are
+    load-bearing in the hash."""
+    e = T(spark, sf, "events").filter(F.pmod("event_id", F.lit(10)) < 3)
+    stages = funnel_stage_per_user(e)
+    counts = stages.agg(
+        F.count("*").alias("n0"),
+        *[F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"n{i + 1}")
+          for i in range(len(FUNNEL_STEPS))])
+    rows = ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}, round(n{i + 1} / cast(n{i} as double), 4)"
+        for i, s in enumerate(FUNNEL_STEPS))
+    return (counts.select(F.expr(
+        f"stack({len(FUNNEL_STEPS)}, {rows}) "
+        "as (step_idx, step, n_users, conversion)"))
+        .orderBy("step_idx"))
+
+
+_FUNNEL_ORACLE_STEPS = """
+e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        AND event_id % 10 < 3),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND t > t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t3 GROUP BY 1),
+n AS (SELECT (SELECT count(DISTINCT user_id) FROM e) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3,
+             (SELECT count(*) FROM s4) AS n4)
+"""
+
+_ORACLES["fun_01"] = f"""
+WITH {_FUNNEL_ORACLE_STEPS}
+SELECT step_idx, step, n_users, conversion FROM (
+  SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users,
+         ROUND(n1 / CAST(n0 AS DOUBLE), 4) AS conversion FROM n
+  UNION ALL SELECT 2, 'view', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 4) FROM n
+  UNION ALL SELECT 3, 'click', n3, ROUND(n3 / CAST(n2 AS DOUBLE), 4) FROM n
+  UNION ALL SELECT 4, 'purchase', n4,
+         ROUND(n4 / CAST(n3 AS DOUBLE), 4) FROM n
+) ORDER BY step_idx
+"""
+
+_DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
+                   "signup->view->click->purchase chain matched by a "
+                   "pure-JVM fold over per-user sorted events; "
+                   "step counts + step-over-step conversion rates")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []

@@ -890,6 +890,70 @@ def _langid_oracle() -> str:
             f"FROM ({sel})")
 
 
+# ------------------------------------ PMI collocation extraction
+
+COL_MIN_COUNT = 5
+COL_TOPK = 20
+COL_SCALE = 1_000_000
+
+
+def col_01(spark, sf):
+    """Collocation extraction: the corpus's top bigrams by pointwise
+    lift — observed bigram count over the count expected if first and
+    second positions were independent.  Lift is monotone in PMI
+    (PMI = log lift), so ranking by it IS ranking by PMI, and the
+    log disappears: ``lift_s = (c_xy · N · 10⁶) DIV (c_x⁺ · c⁺_y)``
+    is computed by INTEGER division — bit-identical on both engines,
+    no libm, no rounding-mode exposure (the km_01/kw_01 discipline).
+
+    Margins c_x⁺ / c⁺_y (bigrams starting/ending with the word) come
+    from the already-aggregated bigram-count frame, so after the one
+    explode+groupBy the whole query operates on vocabulary-sized
+    frames; the global top-K is a TakeOrdered over the min-count
+    survivors, never a full sort.  At extreme corpus sizes the
+    c·N·10⁶ product wants DECIMAL(38,0) routing — noted, fixture
+    magnitudes keep it in BIGINT with ~10³ headroom."""
+    d = T(spark, sf, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                           F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    m1 = cnt.groupBy("w1").agg(F.sum("n").alias("cx"))
+    m2 = cnt.groupBy("w2").agg(F.sum("n").alias("cy"))
+    nb = cnt.agg(F.sum("n").alias("nb"))
+    return (cnt.filter(F.col("n") >= COL_MIN_COUNT)
+               .join(m1, "w1").join(m2, "w2").crossJoin(F.broadcast(nb))
+               .select("w1", "w2", "n",
+                       F.expr(f"(n * nb * {COL_SCALE}) DIV (cx * cy)")
+                        .alias("lift_s"))
+               .orderBy(F.desc("lift_s"), "w1", "w2")
+               .limit(COL_TOPK))
+
+
+def _col_oracle() -> str:
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS tk FROM documents),
+bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+       FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+       WHERE len(tk) >= 2),
+c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, sum(n) AS cx FROM c GROUP BY 1),
+m2 AS (SELECT w2, sum(n) AS cy FROM c GROUP BY 1),
+nb AS (SELECT sum(n) AS nb FROM c)
+SELECT w1, w2, n,
+       CAST((n * nb * {COL_SCALE}) // (cx * cy) AS BIGINT) AS lift_s
+FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nb
+WHERE n >= {COL_MIN_COUNT}
+ORDER BY lift_s DESC, w1, w2 LIMIT {COL_TOPK}
+"""
+
+
 _ALL_STOPS = ", ".join(
     f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
 
@@ -918,6 +982,7 @@ _ORACLES = {
     "lm_01": _LM_ORACLE,
     "qc_01": _qc_oracle(),
     "kw_01": _kw_oracle(),
+    "col_01": _col_oracle(),
 }
 
 _DOCS = {
@@ -955,6 +1020,10 @@ _DOCS = {
     "kw_01": "TF-IDF keyword extraction: top-3 terms per doc by "
              "integer-scaled smoothed tf-idf (idf rounded once per "
              "distinct df), WindowGroupLimit per-doc top-k",
+    "col_01": "PMI collocation extraction: top bigrams by pointwise "
+              "lift (monotone in PMI, so the log disappears), "
+              "INTEGER-division scoring — one explode+groupBy, then "
+              "vocabulary-sized margin frames and a TakeOrdered top-K",
 }
 
 

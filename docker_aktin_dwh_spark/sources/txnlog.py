@@ -358,6 +358,39 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
         f"replace lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
 
 
+def compact(spark: SparkSession, path: str, *, key: str,
+            target_files: int = 1, min_files: int = 2) -> Snapshot | None:
+    """Small-file compaction (the lakehouse OPTIMIZE verb): rewrite the
+    current snapshot's data files into ``target_files`` range-sorted
+    files and commit the swap atomically.  Content is unchanged — only
+    the file layout.  Compaction is what keeps a txn table healthy
+    after many small MERGE/append commits (every streaming micro-batch
+    adds a file; scan cost and footer-stat precision both degrade
+    until someone rewrites).  Range-repartitioning by the merge key
+    restores TIGHT per-file [kmin, kmax] intervals, so post-compaction
+    MERGEs skip better than pre-compaction ones.
+
+    No-op (returns None) when the table already has fewer than
+    ``min_files`` files.  Concurrency: loses its version race politely
+    and retries against the fresh snapshot like merge()."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        if len(snap.files) < min_files:
+            return None
+        cur = spark.read.parquet(
+            *[os.path.join(path, n) for n in sorted(snap.files)])
+        packed = cur.repartitionByRange(target_files, key)
+        adds = _stage_data_files(spark, packed, path, key,
+                                 snap.version + 1)
+        if _try_commit(path, snap.version + 1,
+                       {"op": "compact", "add": adds,
+                        "remove": sorted(snap.files)}):
+            return snapshot(path, snap.version + 1)
+        _drop_files(path, adds)
+    raise CommitConflictError(
+        f"compact lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
+
+
 def _interval_hits(stats: dict, keys: list) -> bool:
     """Does any batch key fall inside the file's [kmin, kmax]?  Missing
     stats → conservatively true.  Binary search over the sorted batch

@@ -502,3 +502,63 @@ def test_session_tracker_merges_mutually_in_gap_late_events():
                      base_us - 4 * gap_us // 5]), st2))
     assert out2 == []
     assert st2.get == (base_us - 6 * gap_us // 5, base_us, 3)
+
+
+def test_funnel_fold_requires_strict_order(spark):
+    """funnel_stage_per_user's ordered-chain contract on a constructed
+    stream: steps count only when STRICTLY after the previous step —
+    an out-of-order purchase, a pre-signup view, and a simultaneous
+    (same-timestamp) next step must all be ignored."""
+    import datetime as dt
+
+    from docker_aktin_dwh_spark.operators.relational import \
+        funnel_stage_per_user
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, kind, minutes):
+        return (u, kind, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # user 1: clean in-order chain -> stage 4
+        ev(1, "signup", 0), ev(1, "view", 1), ev(1, "click", 2),
+        ev(1, "purchase", 3),
+        # user 2: purchase BEFORE its click -> stops at stage 3
+        ev(2, "signup", 0), ev(2, "view", 1), ev(2, "purchase", 2),
+        ev(2, "click", 3),
+        # user 3: only a pre-signup view -> stage 1 (view not after signup)
+        ev(3, "view", 0), ev(3, "signup", 1),
+        # user 4: view at the SAME timestamp as signup -> strict >, stage 1
+        ev(4, "signup", 0), ev(4, "view", 0),
+        # user 5: retries don't help — duplicate signups, no later view
+        ev(5, "signup", 0), ev(5, "signup", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz")
+    got = {r.user_id: r.stage
+           for r in funnel_stage_per_user(df).collect()}
+    assert got == {1: 4, 2: 3, 3: 1, 4: 1, 5: 1}
+
+
+def test_collocation_lift_ranks_planted_bigram_first(spark):
+    """col_01's lift scoring on a constructed corpus: a bigram whose
+    words ONLY occur together must outrank one whose words are
+    common everywhere, and sub-threshold bigrams are dropped."""
+    from docker_aktin_dwh_spark.operators import textops as TX
+
+    rows = ([(i, "zqx wvu filler%d common common" % i)
+             for i in range(8)]              # planted 'zqx wvu' x8
+            + [(100 + i, "common common pad%d" % i) for i in range(40)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import unittest.mock as mock
+    with mock.patch.object(TX, "T", lambda s, sf, t: docs):
+        out = TX.col_01(spark, "unused").collect()
+    top = out[0]
+    assert (top.w1, top.w2) == ("zqx", "wvu")
+    # 'common common' occurs >= 5 times but its margins are huge ->
+    # low lift, ranked below the planted pair
+    cc = [r for r in out if (r.w1, r.w2) == ("common", "common")]
+    assert cc and cc[0].lift_s < top.lift_s
+    # bigrams appearing < COL_MIN_COUNT times are absent
+    assert all(r.n >= TX.COL_MIN_COUNT for r in out)

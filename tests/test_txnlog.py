@@ -214,6 +214,35 @@ def test_txn_versions_survive_checkpoint(spark, tdir):
                                    key="k", txn=("app", 7)) is None
 
 
+def test_compact_preserves_content_and_tightens_stats(spark, tdir):
+    """OPTIMIZE semantics: after many small appends, compaction swaps
+    the file set atomically — identical content, fewer files, and the
+    range-sorted rewrite restores tight per-file key intervals (better
+    data skipping for the NEXT merge).  Readers pinned to the
+    pre-compaction version still see the old layout (time travel)."""
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    for i in range(5):
+        txnlog.append(spark, _mk(spark, 100 * (i + 1), 100 * (i + 1) + 20),
+                      tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    assert len(before.files) >= 6
+    content_before = {(r.k, r.v) for r in
+                      txnlog.read_table(spark, tdir).collect()}
+    snap = txnlog.compact(spark, tdir, key="k", target_files=2)
+    assert snap is not None and len(snap.files) == 2
+    assert {(r.k, r.v) for r in txnlog.read_table(spark, tdir).collect()} \
+        == content_before
+    # range-sorted rewrite → disjoint per-file key intervals
+    ivals = sorted((s["kmin"], s["kmax"]) for s in snap.files.values())
+    assert ivals[0][1] < ivals[1][0]
+    # time travel to the pre-compaction version still works
+    old = txnlog.read_table(spark, tdir, version=before.version)
+    assert {(r.k, r.v) for r in old.collect()} == content_before
+    # second compact on an already-compacted table is a cheap no-op
+    assert txnlog.compact(spark, tdir, key="k", target_files=2,
+                          min_files=3) is None
+
+
 def test_empty_table_read_uses_logged_schema(spark, tdir):
     empty = _mk(spark, 0, 0)
     txnlog.create_table(spark, empty, tdir, key="k")
