@@ -1557,8 +1557,11 @@ def r9b_all(spark, sf):
     scale path, sharing ded_ngram's brute-force oracle), ups_02 ACID
     MERGE through the commit-log table format (sources/txnlog),
     ivm_03 exactly-once streaming IVM (view + batch id in one atomic
-    commit), fun_01 funnel conversion (JVM ordered-chain fold), and
-    col_01 PMI collocations (integer-division lift ranking)."""
+    commit), cdc_02 change-data feed (Delta-CDF diff of the
+    version-asymmetric file sets), fun_01 funnel conversion (JVM
+    ordered-chain fold), col_01 PMI collocations (integer-division
+    lift ranking), and sky_01 Pareto skyline (monotone frontier, no
+    self-join)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1605,12 +1608,21 @@ def r9b_all(spark, sf):
         F.concat_ws("|", "c_nationkey", "n_orders",
                     F.round(F.col("revenue") * 100).cast("long"))))
     out = out.unionByName(_tag(
+        roundtrips.cdc_02(spark, sf), "cdc",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
+                    "inout_cd", "change_type")))
+    out = out.unionByName(_tag(
         relational.fun_01(spark, sf), "fun",
         F.concat_ws("|", "step_idx", "step", "n_users",
                     F.round(F.col("conversion") * 10_000).cast("long"))))
     out = out.unionByName(_tag(
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
+    out = out.unionByName(_tag(
+        relational.sky_01(spark, sf), "sky",
+        F.concat_ws("|", "p_brand", "p_partkey",
+                    F.round(F.col("price") * 100).cast("long"), "size")))
     return out.orderBy("tag", "v")
 
 
@@ -1650,11 +1662,18 @@ def _r9b_all_oracle() -> str:
         ("ivm3", cat("c_nationkey", "n_orders",
                      "CAST(ROUND(revenue * 100) AS BIGINT)"),
          maintenance._IVM_ORACLE),
+        ("cdc", cat("encounter_num", "patient_num") + " || '|' || "
+                "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
+                "inout_cd || '|' || change_type",
+         roundtrips._cdc_02_oracle()),
         ("fun", cat("step_idx", "step", "n_users",
                     "CAST(ROUND(conversion * 10000) AS BIGINT)"),
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("sky", cat("p_brand", "p_partkey",
+                    "CAST(ROUND(price * 100) AS BIGINT)", "size"),
+         relational._ORACLES["sky_01"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -1769,9 +1788,12 @@ _DOCS = {
                "DCT perceptual hash (mm_phash), prefix-filtered "
                "exact Jaccard dedup (ded_ngram2), the commit-log "
                "table-format ACID MERGE (ups_02), exactly-once "
-               "streaming IVM on the txn log (ivm_03), funnel "
-               "conversion (fun_01), and PMI collocations (col_01) "
-               "— same-round driver certification",
+               "streaming IVM on the txn log (ivm_03), change-data "
+               "feed from the version-asymmetric file sets (cdc_02), "
+               "funnel conversion (fun_01), PMI collocations "
+               "(col_01), and the per-brand Pareto skyline as a "
+               "monotone frontier (sky_01) — same-round driver "
+               "certification",
 }
 
 

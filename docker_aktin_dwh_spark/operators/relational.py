@@ -1458,6 +1458,59 @@ _DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
                    "step counts + step-over-step conversion rates")
 
 
+def sky_01(spark, sf):
+    """Per-brand Pareto skyline (minimize retail price, maximize size):
+    the rows no other same-brand part dominates — the multi-criteria
+    shortlist query (clinical analogue: treatments not dominated on
+    cost vs coverage).
+
+    Scale shape — NO self-join, ever: a 2-D skyline is a monotone
+    frontier, so membership reduces to (a) being the max-size row at
+    your (brand, price) point and (b) beating the running max size
+    over all STRICTLY cheaper prices.  Both are computed on the
+    per-(brand, price) AGGREGATE frame (one groupBy shuffle, then a
+    window over distinct-price cardinality — vocab-sized, not
+    corpus-sized); the qualifying (brand, price, size) frontier set is
+    tiny and broadcast back against the scan.  The NOT EXISTS oracle
+    is the O(n²) semantic definition — a hash match certifies the
+    frontier algebra replaces it exactly, ties included (equal
+    (price, size) points never dominate each other, so duplicate
+    frontier parts all survive on both engines)."""
+    p = T(spark, sf, "part").select(
+        "p_brand", "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"))
+    m = p.groupBy("p_brand", "price").agg(F.max("size").alias("m"))
+    w = (Window.partitionBy("p_brand").orderBy("price")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (m.withColumn("cm", F.max("m").over(w))
+                 .filter(F.col("cm").isNull() | (F.col("cm") < F.col("m")))
+                 .select("p_brand", "price", F.col("m").alias("size")))
+    sky = p.join(F.broadcast(frontier), ["p_brand", "price", "size"])
+    return (sky.select("p_brand", "p_partkey",
+                       F.col("price").cast("double").alias("price"),
+                       "size")
+            .orderBy("p_brand", "price", "p_partkey"))
+
+
+_ORACLES["sky_01"] = """
+SELECT y.p_brand, y.p_partkey,
+       CAST(y.p_retailprice AS DOUBLE) AS price, y.p_size AS size
+FROM part y
+WHERE NOT EXISTS (
+    SELECT 1 FROM part x
+    WHERE x.p_brand = y.p_brand
+      AND x.p_retailprice <= y.p_retailprice
+      AND x.p_size >= y.p_size
+      AND (x.p_retailprice < y.p_retailprice OR x.p_size > y.p_size))
+"""
+_DOCS["sky_01"] = ("Per-brand Pareto skyline (min price, max size) as "
+                   "a monotone frontier: groupBy to the (brand, price) "
+                   "aggregate, running-max window, broadcast frontier "
+                   "join back — no self-join; oracle is the NOT EXISTS "
+                   "dominance definition")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []

@@ -227,6 +227,94 @@ def ups_02(spark, sf):
         raise
 
 
+def cdc_02(spark, sf):
+    """Change-data-feed over the commit-log table format
+    (sources/txnlog.table_changes — Delta-CDF shape computed from the
+    version-asymmetric file sets, no stored change column): v0 =
+    range-filed base (encounters < 400, 4 files), v1 = MERGE of
+    updates (100-199 moved +40 days, 'U') plus inserts (encounters
+    400-449), v2 = stats-skipped DELETE of the [0, 50) key range; the
+    feed diffs v0 → v2.  Every CDC arm is non-vacuous BY CONSTRUCTION:
+    0-49 delete, 100-199 update pre+post, 400-449 insert, and 50-99 —
+    rewritten byte-identical by the delete's file rewrite — must be
+    SUPPRESSED (physical rewrite is not logical change), while the
+    untouched 200-399 files are pruned before any I/O.  Oracle
+    recomputes both versions and the classified diff in SQL; a hash
+    match certifies the file-set-pruned feed equals the semantic
+    snapshot diff.  Reference analogue: audit trail of re-imported
+    encounters (delete+insert re-import, aktin_init.sql,
+    src/docker/database/Dockerfile:33)."""
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_cdc02_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        ups = (base.filter((F.col("encounter_num") >= 100)
+                           & (F.col("encounter_num") < 200))
+               .select("encounter_num", "patient_num",
+                       (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                        .alias("start_date"),
+                       F.lit("U").alias("inout_cd")))
+        ins = vis.filter((F.col("encounter_num") >= 400)
+                         & (F.col("encounter_num") < 450))
+        txnlog.merge(spark, path, ups.unionByName(ins),
+                     key="encounter_num")
+        txnlog.delete_range(spark, path, key="encounter_num",
+                            lo=0, hi=50)
+        out = txnlog.table_changes(spark, path, 0, key="encounter_num")
+        return _snap_off_tmp(out, tmp).orderBy("encounter_num",
+                                               "change_type")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _cdc_02_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+base AS (SELECT * FROM vis WHERE encounter_num < 400),
+ups AS (SELECT encounter_num, patient_num,
+               start_date + INTERVAL 40 DAY AS start_date,
+               'U' AS inout_cd
+        FROM base WHERE encounter_num >= 100 AND encounter_num < 200),
+ins AS (SELECT * FROM vis
+        WHERE encounter_num >= 400 AND encounter_num < 450),
+batch AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+v1 AS (SELECT * FROM base
+       WHERE encounter_num NOT IN (SELECT encounter_num FROM batch)
+       UNION ALL SELECT * FROM batch),
+v2 AS (SELECT * FROM v1
+       WHERE NOT (encounter_num >= 0 AND encounter_num < 50)),
+upd_keys AS (
+    SELECT o.encounter_num AS k FROM base o
+    JOIN v2 n ON o.encounter_num = n.encounter_num
+    WHERE o.patient_num IS DISTINCT FROM n.patient_num
+       OR o.start_date IS DISTINCT FROM n.start_date
+       OR o.inout_cd IS DISTINCT FROM n.inout_cd)
+SELECT n.*, 'insert' AS change_type FROM v2 n
+LEFT JOIN base o ON n.encounter_num = o.encounter_num
+WHERE o.encounter_num IS NULL
+UNION ALL
+SELECT o.*, 'delete' AS change_type FROM base o
+LEFT JOIN v2 n ON o.encounter_num = n.encounter_num
+WHERE n.encounter_num IS NULL
+UNION ALL
+SELECT o.*, 'update_preimage' AS change_type
+FROM base o JOIN upd_keys u ON o.encounter_num = u.k
+UNION ALL
+SELECT n.*, 'update_postimage' AS change_type
+FROM v2 n JOIN upd_keys u ON n.encounter_num = u.k
+"""
+
+
 def _ups_01_oracle() -> str:
     ct = catalog.clinical_with_clause(("visit_dimension",))
     return ct.rstrip("\n") + """,
@@ -424,6 +512,10 @@ _DOCS = {
     "ups_02": "SNK-01 upsert through the transactional commit-log "
               "table format (txnlog ACID MERGE, footer-stats data "
               "skipping) — result ≡ ups_01's lock-based merge",
+    "cdc_02": "Change-data feed over the commit-log table format "
+              "(Delta-CDF shape from the version-asymmetric file "
+              "sets; stats-skipped DELETE + MERGE between versions; "
+              "unchanged-but-rewritten rows suppressed)",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
@@ -443,6 +535,7 @@ def specs() -> list[QuerySpec]:
         "src_04": _SRC_04_ORACLE,
         "ups_01": _ups_01_oracle(),
         "ups_02": _ups_01_oracle(),
+        "cdc_02": _cdc_02_oracle(),
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,
         "src_orc": _SRC_ORC_ORACLE,

@@ -403,6 +403,113 @@ def _interval_hits(stats: dict, keys: list) -> bool:
     return i < len(keys) and keys[i] <= kmax
 
 
+def delete_range(spark: SparkSession, path: str, *, key,
+                 lo, hi) -> Snapshot:
+    """DELETE WHERE ``lo <= key < hi`` — the DELETE verb of the format,
+    with the same footer-stats data skipping as :func:`merge`: only
+    files whose [kmin, kmax] interval intersects [lo, hi) are rewritten
+    (their surviving rows re-staged); disjoint files carry over by log
+    reference alone.  At 100 TB a range delete (GDPR erasure of an id
+    range, retention drop of an old key band) touches the handful of
+    files holding the range, never the table.  Optimistic concurrency
+    as in merge: a lost version race re-derives from the fresh
+    snapshot."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        touched = sorted(n for n, s in snap.files.items()
+                         if _range_hits(s, lo, hi))
+        if not touched:
+            return snap                       # statically nothing to do
+        old = spark.read.parquet(
+            *[os.path.join(path, n) for n in touched])
+        kept = old.filter(~((F.col(key) >= F.lit(lo))
+                            & (F.col(key) < F.lit(hi))))
+        adds = _stage_data_files(spark, kept, path, key,
+                                 snap.version + 1)
+        if _try_commit(path, snap.version + 1,
+                       {"op": "delete", "add": adds,
+                        "remove": touched}):
+            return snapshot(path, snap.version + 1)
+        _drop_files(path, adds)
+    raise CommitConflictError(
+        f"delete lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
+
+
+def _range_hits(stats: dict, lo, hi) -> bool:
+    """Does the file's [kmin, kmax] interval intersect [lo, hi)?
+    Missing stats → conservatively true."""
+    kmin, kmax = stats.get("kmin"), stats.get("kmax")
+    if kmin is None or kmax is None:
+        return True
+    return kmin < hi and kmax >= lo
+
+
+def changed_file_sets(s_from: Snapshot,
+                      s_to: Snapshot) -> tuple[list[str], list[str]]:
+    """The version-asymmetric file sets between two snapshots.  Data
+    files are immutable and referenced by name, so a file present in
+    BOTH snapshots is byte-identical in both — it cannot contribute a
+    change and the CDC diff never opens it.  Control-plane only."""
+    old_only = sorted(n for n in s_from.files if n not in s_to.files)
+    new_only = sorted(n for n in s_to.files if n not in s_from.files)
+    return old_only, new_only
+
+
+def table_changes(spark: SparkSession, path: str, v_from: int,
+                  v_to: int | None = None, *, key: str) -> DataFrame:
+    """Change-data feed between two committed versions, Delta-CDF
+    style, computed WITHOUT any stored change column: only the
+    version-asymmetric files (:func:`changed_file_sets`) are read and
+    full-outer-joined on the merge key — files common to both
+    snapshots are pruned before any data I/O, so cost scales with the
+    CHURNED fraction of the table, not its size (the only viable CDC
+    shape at 100 TB; a full two-snapshot diff would read the table
+    twice).  Emits Delta's change shape: the data columns plus
+    ``change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage}.  Rows rewritten with IDENTICAL values (file
+    churn from compaction, or neighbors of a point update inside a
+    rewritten file) are suppressed by a null-safe struct equality —
+    physical rewrite is not logical change.  Assumes the merge
+    contract's key-uniqueness per version.  ONE pass over the changed
+    files: the classification explodes a per-row event array instead
+    of re-reading the join once per change type."""
+    s0 = snapshot(path, v_from)
+    s1 = snapshot(path, v_to)
+    old_only, new_only = changed_file_sets(s0, s1)
+    schema = StructType.fromJson(
+        json.loads(s1.schema_json or s0.schema_json))
+
+    def side(names: list[str]) -> DataFrame:
+        if not names:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(path, n) for n in names])
+
+    cols = [f.name for f in schema.fields]
+    o = side(old_only).select(F.col(key).alias("_k"),
+                              F.struct(*cols).alias("_o"))
+    n = side(new_only).select(F.col(key).alias("_k"),
+                              F.struct(*cols).alias("_n"))
+    j = o.join(n, "_k", "full_outer")
+
+    def rec(tag: str, image):
+        return F.struct(F.lit(tag).alias("change_type"),
+                        image.alias("r"))
+
+    events = (
+        F.when(F.col("_o").isNull(),
+               F.array(rec("insert", F.col("_n"))))
+         .when(F.col("_n").isNull(),
+               F.array(rec("delete", F.col("_o"))))
+         .when(~F.col("_o").eqNullSafe(F.col("_n")),
+               F.array(rec("update_preimage", F.col("_o")),
+                       rec("update_postimage", F.col("_n"))))
+         # unchanged-but-rewritten: empty event array (same type)
+         .otherwise(F.slice(F.array(rec("insert", F.col("_n"))), 1, 0)))
+    return (j.select(F.explode(events).alias("e"))
+             .select("e.r.*", "e.change_type"))
+
+
 def vacuum(path: str) -> list[str]:
     """Delete ORPHAN data files — present in the directory but
     referenced by no commit (crashed writers' staged output).  Files

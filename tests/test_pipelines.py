@@ -244,3 +244,29 @@ def test_broker_poll_executes_requests(spark, tmp_path):
     assert len(exported) == 3  # o_orderstatus groups
     # second tick: nothing new → no duplicate execution (replayable offsets)
     assert broker.poll_once(spark, inbox, outbox) == []
+
+
+def test_sky01_tie_and_dominance_semantics(spark):
+    """Equal (price, size) points never dominate each other — BOTH
+    survive; a point strictly worse on one axis and equal on the
+    other is dominated; the frontier is strictly monotone."""
+    from docker_aktin_dwh_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    rows = [  # (partkey, price, size)
+        (1, 10.0, 5), (2, 10.0, 5),     # tied frontier pair: both kept
+        (3, 10.0, 4),                   # same price, smaller size: out
+        (4, 12.0, 5),                   # pricier, same size: out
+        (5, 12.0, 7),                   # pricier but bigger: kept
+        (6, 9.0, 2),                    # cheapest: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey int, p_retailprice double, p_size int"
+    ).withColumn("p_brand", F.lit("B"))
+    orig_load = R.T
+    try:
+        R.T = lambda spark_, sf_, name: df     # only 'part' is read
+        got = {r.p_partkey for r in R.sky_01(spark, "ignored").collect()}
+    finally:
+        R.T = orig_load
+    assert got == {1, 2, 5, 6}

@@ -386,3 +386,16 @@ def test_blm01_probe_filter_precedes_exact_join(spark):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
     assert "shiftleft" in plan and "xxhash64" in plan, plan
+
+
+def test_sky01_frontier_broadcasts_no_self_join(spark):
+    """sky_01's scale claim in the plan: skyline membership is the
+    monotone-frontier algebra — the tiny (brand, price, size) frontier
+    BROADCASTS back onto the scan, and there is no cartesian/NLJ
+    dominance self-join anywhere."""
+    from docker_aktin_dwh_spark.operators import relational
+
+    plan = plans.formatted_plan(relational.sky_01(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -249,3 +249,83 @@ def test_empty_table_read_uses_logged_schema(spark, tdir):
     got = txnlog.read_table(spark, tdir)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_delete_range_skips_disjoint_files(spark, tdir):
+    """DELETE WHERE lo<=k<hi rewrites only interval-hit files; the
+    others carry over by log reference (the GDPR-erasure economics)."""
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    txnlog.delete_range(spark, tdir, key="k", lo=10, hi=20)
+    after = txnlog.snapshot(tdir)
+    surviving = set(before.files) & set(after.files)
+    assert len(surviving) == 3
+    got = {r.k for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 390 and 10 not in got and 9 in got and 20 in got
+    # statically-missing range: no rewrite, not even a commit
+    v = after.version
+    txnlog.delete_range(spark, tdir, key="k", lo=5000, hi=6000)
+    assert txnlog.snapshot(tdir).version == v
+
+
+def test_changed_file_sets_prune_common_files(spark, tdir):
+    """Files present in both snapshots are excluded from the CDC read
+    set before any data I/O — the feed's cost scales with churn."""
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    s0 = txnlog.snapshot(tdir)
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="b"), key="k")
+    s1 = txnlog.snapshot(tdir)
+    old_only, new_only = txnlog.changed_file_sets(s0, s1)
+    assert len(old_only) == 1                 # only the hit file left
+    assert set(old_only).isdisjoint(s1.files)
+    assert set(new_only).isdisjoint(s0.files)
+    common = set(s0.files) & set(s1.files)
+    assert len(common) == 3
+    assert common.isdisjoint(old_only) and common.isdisjoint(new_only)
+
+
+def test_table_changes_matches_bruteforce_snapshot_diff(spark, tdir):
+    """The file-set-pruned feed must equal the semantic diff of the two
+    full snapshots (insert/delete/update classification), with
+    unchanged-but-rewritten rows suppressed."""
+    df = _mk(spark, 0, 200).repartitionByRange(2, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    v0 = txnlog.snapshot(tdir).version
+    # update 20-29, insert 200-209 (one merge), delete 0-9
+    batch = _mk(spark, 20, 30, tag="u").unionByName(
+        _mk(spark, 200, 210, tag="n"))
+    txnlog.merge(spark, tdir, batch, key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=0, hi=10)
+    feed = txnlog.table_changes(spark, tdir, v0, key="k")
+    got = {(r.k, r.v, r.change_type) for r in feed.collect()}
+    old = {r.k: r.v for r in
+           txnlog.read_table(spark, tdir, version=v0).collect()}
+    new = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    want = set()
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want.add((k, new[k], "insert"))
+        elif k not in new:
+            want.add((k, old[k], "delete"))
+        elif old[k] != new[k]:
+            want.add((k, old[k], "update_preimage"))
+            want.add((k, new[k], "update_postimage"))
+    assert got == want
+    assert len(got) == 10 + 10 + 2 * 10
+    # rows 10-19 were rewritten by the delete with identical values:
+    # physical churn, no CDC event
+    assert all(not (10 <= k < 20) for k, _, _ in got)
+
+
+def test_table_changes_compaction_is_silent(spark, tdir):
+    """Compaction rewrites every file but changes no row — the feed
+    across a compact-only version range must be empty."""
+    txnlog.create_table(
+        spark, _mk(spark, 0, 100).repartitionByRange(3, "k"),
+        tdir, key="k")
+    v0 = txnlog.snapshot(tdir).version
+    txnlog.compact(spark, tdir, key="k", target_files=1)
+    feed = txnlog.table_changes(spark, tdir, v0, key="k")
+    assert feed.count() == 0
