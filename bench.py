@@ -112,6 +112,7 @@ def main() -> None:
                                    out["scaling"], out["streaming"])
         out["deep_scaling"] = deep_section(spark, registry, sf_dir,
                                            out["scaling"])
+        out["cms_error_curve"] = cms_width_sweep(spark, sf_dir)
 
     # The driver captures only the last ~2 KB of stdout and parses the
     # final line as JSON: the full multi-section object outgrew that in
@@ -137,6 +138,11 @@ def main() -> None:
             s.get("base", {}).get("eviction_observed", True)
             and s.get("scaled", {}).get("eviction_observed", True)
             for s in out["streaming"].values() if isinstance(s, dict))
+    if "cms_error_curve" in out:
+        cc = out["cms_error_curve"]
+        compact["cms_sound_all_w"] = all(
+            v["never_undercounts"] and v["within_eps_bound"]
+            for v in cc.values() if isinstance(v, dict))
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -519,6 +525,31 @@ def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
                 connected_components
             out[key]["cc_rounds"] = getattr(connected_components,
                                             "last_rounds", None)
+    return out
+
+
+def cms_width_sweep(spark, sf_dir: str) -> dict:
+    """CMS estimate error vs width W at the 10× fixture (VERDICT r8
+    headroom): turns the ε·N analytic bound into a MEASURED curve.
+    The never-undercount side must hold at every W (hard property of
+    the sketch); the overcount side should shrink ~1/W — the datum
+    that sizes W for a target error at 100 TB."""
+    from docker_aktin_dwh_spark.operators.textops import cms_frame
+    from docker_aktin_dwh_spark.scalegen import ensure_scale_fixture
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ten_dir = ensure_scale_fixture(
+        spark, sf_dir, os.path.join(here, f".scale{SCALE_REPLICAS}x"),
+        SCALE_REPLICAS)
+    out: dict[str, object] = {"replicas": SCALE_REPLICAS}
+    for w in (64, 256, 1024):
+        rows = cms_frame(spark, ten_dir, w=w).collect()
+        over = [r.est - r.exact for r in rows]
+        out[f"w{w}"] = {
+            "max_overcount": int(max(over)),
+            "mean_overcount": round(sum(over) / len(over), 1),
+            "never_undercounts": all(o >= 0 for o in over),
+            "within_eps_bound": all(r.within_bound for r in rows)}
     return out
 
 
