@@ -1560,7 +1560,8 @@ def r9b_all(spark, sf):
     commit), cdc_02 change-data feed (Delta-CDF diff of the
     version-asymmetric file sets), fun_01 funnel conversion (JVM
     ordered-chain fold), col_01 PMI collocations (integer-division
-    lift ranking), and sky_01 Pareto skyline (monotone frontier, no
+    lift ranking), mba_01 market-basket association (bounded basket
+    pair explosion), and sky_01 Pareto skyline (monotone frontier, no
     self-join)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
@@ -1620,6 +1621,9 @@ def r9b_all(spark, sf):
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
     out = out.unionByName(_tag(
+        relational.mba_01(spark, sf), "mba",
+        F.concat_ws("|", "p1", "p2", "sup", "m1", "m2", "lift_s")))
+    out = out.unionByName(_tag(
         relational.sky_01(spark, sf), "sky",
         F.concat_ws("|", "p_brand", "p_partkey",
                     F.round(F.col("price") * 100).cast("long"), "size")))
@@ -1671,6 +1675,8 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("mba", cat("p1", "p2", "sup", "m1", "m2", "lift_s"),
+         relational._ORACLES["mba_01"]),
         ("sky", cat("p_brand", "p_partkey",
                     "CAST(ROUND(price * 100) AS BIGINT)", "size"),
          relational._ORACLES["sky_01"]),
@@ -1791,7 +1797,8 @@ _DOCS = {
                "streaming IVM on the txn log (ivm_03), change-data "
                "feed from the version-asymmetric file sets (cdc_02), "
                "funnel conversion (fun_01), PMI collocations "
-               "(col_01), and the per-brand Pareto skyline as a "
+               "(col_01), market-basket association by lift "
+               "(mba_01), and the per-brand Pareto skyline as a "
                "monotone frontier (sky_01) — same-round driver "
                "certification",
 }

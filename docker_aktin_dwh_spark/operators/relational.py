@@ -1458,6 +1458,75 @@ _DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
                    "step counts + step-over-step conversion rates")
 
 
+MBA_MIN_SUP = 3
+MBA_TOPK = 20
+
+
+def mba_01(spark, sf):
+    """Market-basket association mining: top part pairs co-ordered in
+    the same order, ranked by lift = sup·N / (m₁·m₂) with a minimum
+    support — the classic association-rule query (clinical analogue:
+    diagnoses coded together beyond chance).
+
+    Scale shape: per-order baskets are SMALL (TPC-H ≤ 7 distinct
+    parts/order, fixture max 13), so the pair explosion is a bounded
+    per-row JVM transform (≤ C(k,2) pairs per basket, done with
+    slice/transform/flatten — no self-join over the corpus and no
+    skew: one groupBy(order) shuffle builds baskets, one
+    groupBy(pair) shuffle counts support with map-side combine).
+    Margins and the scalar order count attach to the AGGREGATED
+    support frame.  Lift is scored as INTEGER division
+    (sup·N·10⁶ div m₁·m₂ — monotone in lift, col_01's discipline, no
+    float cross-engine exposure); the top-k order is total
+    (lift desc, sup desc, p1, p2), so LIMIT is deterministic."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    baskets = (op.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs = (baskets.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS p1, y AS p2))))")).alias("pr"))
+        .select("pr.p1", "pr.p2"))
+    sup = (pairs.groupBy("p1", "p2").agg(F.count("*").alias("sup"))
+           .filter(F.col("sup") >= MBA_MIN_SUP))
+    marg = op.groupBy("l_partkey").agg(F.count("*").alias("m"))
+    n = op.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    scored = (sup
+              .join(marg.select(F.col("l_partkey").alias("p1"),
+                                F.col("m").alias("m1")), "p1")
+              .join(marg.select(F.col("l_partkey").alias("p2"),
+                                F.col("m").alias("m2")), "p2")
+              .crossJoin(F.broadcast(n))
+              .withColumn("lift_s", F.expr(
+                  "sup * n_orders * 1000000L div (m1 * m2)")))
+    return (scored.orderBy(F.desc("lift_s"), F.desc("sup"), "p1", "p2")
+            .limit(MBA_TOPK)
+            .select("p1", "p2", "sup", "m1", "m2", "lift_s"))
+
+
+_ORACLES["mba_01"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+m AS (SELECT l_partkey, count(*) AS m FROM op GROUP BY 1),
+sup AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS sup
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MBA_MIN_SUP})
+SELECT p1, p2, sup, m1.m AS m1, m2.m AS m2,
+       sup * n_orders * 1000000 // (m1.m * m2.m) AS lift_s
+FROM sup JOIN m m1 ON m1.l_partkey = p1
+         JOIN m m2 ON m2.l_partkey = p2
+CROSS JOIN n
+ORDER BY lift_s DESC, sup DESC, p1, p2 LIMIT {MBA_TOPK}
+"""
+_DOCS["mba_01"] = ("Market-basket association: top co-ordered part "
+                   "pairs by integer-scored lift with min support; "
+                   "bounded per-basket JVM pair explosion (no corpus "
+                   "self-join), margins joined on the aggregated "
+                   "support frame")
+
+
 def sky_01(spark, sf):
     """Per-brand Pareto skyline (minimize retail price, maximize size):
     the rows no other same-brand part dominates — the multi-criteria

@@ -270,3 +270,40 @@ def test_sky01_tie_and_dominance_semantics(spark):
     finally:
         R.T = orig_load
     assert got == {1, 2, 5, 6}
+
+
+def test_mba01_lift_ranks_exclusive_pair_over_common_pair(spark):
+    """A pair that ONLY ever co-occurs (3 baskets, each part in 3
+    orders total) must outrank a pair of corpus-wide common parts
+    that co-occur just as often — lift is the ranking, support only
+    the floor.  Also pins the basket pair explosion: a 3-part basket
+    yields all 3 ordered pairs, and p1 < p2 always."""
+    from docker_aktin_dwh_spark.operators import relational as R
+
+    rows = []
+    # exclusive pair (101, 102): 3 shared orders, nothing else
+    for o in (1, 2, 3):
+        rows += [(o, 101), (o, 102)]
+    # common parts 201/202: in 12 orders each, co-occur in 3
+    for o in range(10, 22):
+        rows += [(o, 201)]
+    for o in range(19, 31):
+        rows += [(o, 202)]
+    # one 3-part basket to pin the pair explosion
+    rows += [(40, 301), (40, 302), (40, 303)]
+    # filler orders so N is meaningful
+    rows += [(o, 400 + o) for o in range(50, 60)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = R.T
+    try:
+        R.T = lambda spark_, sf_, name: df
+        got = R.mba_01(spark, "ignored").collect()
+    finally:
+        R.T = orig
+    assert all(r.p1 < r.p2 for r in got)
+    by_pair = {(r.p1, r.p2): r for r in got}
+    assert (101, 102) in by_pair and (201, 202) in by_pair
+    assert by_pair[(101, 102)].lift_s > by_pair[(201, 202)].lift_s
+    assert by_pair[(101, 102)].sup == by_pair[(201, 202)].sup == 3
+    # the 3-part basket contributed C(3,2) pairs but sup=1 < floor
+    assert (301, 302) not in by_pair
