@@ -180,7 +180,12 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  # classifier (one explode+groupBy + broadcast model;
                  # km_01 excluded only because the replica fixture has
                  # no embeddings table)
-                 "ded_substr", "qc_01")
+                 "ded_substr", "qc_01",
+                 # r9 late wave: pipe_01 after its move onto the
+                 # prefix-filtered AllPairs path (the slope is the
+                 # direct evidence the exact chain lost its df-squared
+                 # bend) and the bounded-basket association miner
+                 "pipe_01", "mba_01")
 SCALE_REPLICAS = 10
 
 

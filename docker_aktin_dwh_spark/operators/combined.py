@@ -1168,9 +1168,10 @@ def str_out(spark, sf):
     HLL-in-state-store windowed approximate distinct (str_15),
     exactly-once dedup of planted at-least-once re-deliveries
     (str_16, r8), the streaming Count-Min sketch with bounded-state
-    per-batch partial merges (str_17, r9), and the Misra–Gries
-    streaming heavy hitters (str_18, r9 — both certified the round
-    they land).
+    per-batch partial merges (str_17, r9), the Misra–Gries streaming
+    heavy hitters (str_18, r9), and the commit-log streaming SOURCE
+    over the txnlog table (str_19, r9 — version-offset tailing via a
+    Python DataSource; all certified the round they land).
     Every branch runs a REAL readStream replay (chunked files, one per
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
@@ -1216,8 +1217,12 @@ def str_out(spark, sf):
              F.concat_ws(
                  "|", "user_id", "n",
                  F.round(F.col("share") * 10_000).cast("long")))
+    h = _tag(SN.str_19(spark, sf), "txs19",
+             F.concat_ws("|", "encounter_num", "patient_num",
+                         "inout_cd", "commit_version"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
+            .unionByName(h)
             .orderBy("tag", "v"))
 
 
@@ -1258,7 +1263,12 @@ def _str_out_oracle() -> str:
             "CAST(user_id AS VARCHAR) || '|' || CAST(n AS VARCHAR) "
             "|| '|' || CAST(CAST(ROUND(share * 10000) AS BIGINT) "
             "AS VARCHAR) AS v "
-            f"FROM ({SN._STR_18_ORACLE})")
+            f"FROM ({SN._STR_18_ORACLE})"
+            "\nUNION ALL\nSELECT 'txs19' AS tag, "
+            "CAST(encounter_num AS VARCHAR) || '|' || "
+            "CAST(patient_num AS VARCHAR) || '|' || inout_cd "
+            "|| '|' || CAST(commit_version AS VARCHAR) AS v "
+            f"FROM ({SN._STR_19_ORACLE})")
 
 
 def r7_all(spark, sf):

@@ -897,6 +897,68 @@ ORDER BY user_id
 _STR_18_ORACLE = _str18_oracle()
 
 
+def str_19(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-19 streaming ingest FROM the transactional table
+    (sources/txnstream — a Spark 4 Python DataSource): the commit log
+    IS the stream.  Offsets are commit versions; each micro-batch
+    reads exactly the data files the tailed commits added (Delta's
+    streaming-source design on the same txnlog protocol ups_02/ivm_03
+    write through), executor-parallel per file via Arrow batches, and
+    every row carries the commit version that added it.
+
+    The table is built as three appended slices (v0 create, v1/v2
+    appends); the oracle recomputes the slice → version assignment in
+    SQL, so the hash certifies no loss, no duplication, and
+    log-faithful version tagging.  Only COMMITTED files are visible —
+    a crashed writer's staged orphan never reaches the stream, and a
+    rewriting commit raises (append-only source; both pinned in
+    tests/test_txnlog.py)."""
+    from ..sources import txnlog
+    from ..sources.txnstream import TxnlogStreamDataSource
+
+    base = tempfile.mkdtemp(prefix="spark_str19_")
+    try:
+        path = base + "/tbl"
+        vis = catalog.visit_dimension(spark, sf).select(
+            "encounter_num", "patient_num", "inout_cd")
+        txnlog.create_table(
+            spark, vis.filter(F.col("encounter_num") < 200), path,
+            key="encounter_num")
+        txnlog.append(
+            spark, vis.filter((F.col("encounter_num") >= 200)
+                              & (F.col("encounter_num") < 350)),
+            path, key="encounter_num")
+        txnlog.append(
+            spark, vis.filter((F.col("encounter_num") >= 350)
+                              & (F.col("encounter_num") < 450)),
+            path, key="encounter_num")
+        spark.dataSource.register(TxnlogStreamDataSource)
+        stream = (spark.readStream.format("txnlog_stream")
+                  .option("path", path).load()
+                  .withColumnRenamed("_commit_version", "commit_version"))
+        snap = _materialized(_run_to_parquet(stream, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("encounter_num")
+
+
+def _str19_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, inout_cd
+        FROM visit_dimension)
+SELECT encounter_num, patient_num, inout_cd,
+       CAST(CASE WHEN encounter_num < 200 THEN 0
+                 WHEN encounter_num < 350 THEN 1
+                 ELSE 2 END AS BIGINT) AS commit_version
+FROM vis WHERE encounter_num < 450
+"""
+
+
+_STR_19_ORACLE = _str19_oracle()
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -1051,6 +1113,13 @@ def specs() -> list[QuerySpec]:
                        "pass over its candidates — split-deterministic "
                        "by the MG survival guarantee, planted heavy "
                        "users certified vs the plain batch answer"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_19", fn=str_19, oracle=_STR_19_ORACLE,
+                  doc=("STR-19 streaming source OVER the txnlog table "
+                       "(Python DataSource, version offsets = commit "
+                       "tailing): three appended slices replayed with "
+                       "per-row commit-version tags; committed files "
+                       "only, append-only guard"),
                   tags=("streaming",)),
         QuerySpec(key="str_14", fn=str_14, oracle=_STR_14_ORACLE,
                   doc=("STR-14 NATIVE session_window sessionization "

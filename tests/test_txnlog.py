@@ -329,3 +329,55 @@ def test_table_changes_compaction_is_silent(spark, tdir):
     txnlog.compact(spark, tdir, key="k", target_files=1)
     feed = txnlog.table_changes(spark, tdir, v0, key="k")
     assert feed.count() == 0
+
+
+def test_stream_reader_sees_only_committed_files(spark, tdir):
+    """The streaming source derives its read set from COMMITS, not the
+    directory: a crashed writer's staged orphan parquet sits beside
+    the data files but never becomes an input partition; offsets
+    resume per version (start exclusive, end inclusive)."""
+    from docker_aktin_dwh_spark.sources.txnstream import TxnlogStreamReader
+
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 50, 80, tag="b"), tdir, key="k")
+    # plant an orphan (staged-but-never-committed writer output)
+    _mk(spark, 900, 950, tag="x").write.parquet(tdir + "/_stage-orphan")
+    import shutil as _sh
+    import os as _os
+    src = next(p for p in _os.listdir(tdir + "/_stage-orphan")
+               if p.endswith(".parquet"))
+    _sh.move(_os.path.join(tdir, "_stage-orphan", src),
+             _os.path.join(tdir, "p-orphan-0-deadbeef.parquet"))
+
+    r = TxnlogStreamReader(tdir)
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}
+    all_parts = r.partitions({"version": -1}, {"version": 1})
+    assert all_parts and all(
+        "orphan" not in p.path for p in all_parts)
+    committed = {n for v in (0, 1)
+                 for n in txnlog.snapshot(tdir, v).files}
+    assert {_os.path.basename(p.path) for p in all_parts} == committed
+    # resume from version 0: only the v1 files remain
+    tail = r.partitions({"version": 0}, {"version": 1})
+    assert {_os.path.basename(p.path) for p in tail} \
+        == set(txnlog.snapshot(tdir, 1).files) \
+        - set(txnlog.snapshot(tdir, 0).files)
+    assert all(p.version == 1 for p in tail)
+
+
+def test_stream_reader_append_only_guard(spark, tdir):
+    """A commit that removes files (merge/compact/delete) must RAISE
+    when the tail crosses it — silent emission would be wrong
+    streaming semantics for a rewrite."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.sources.txnstream import TxnlogStreamReader
+
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="b"), key="k")
+    r = TxnlogStreamReader(tdir)
+    with _pytest.raises(ValueError, match="APPEND-ONLY"):
+        r.partitions({"version": -1}, {"version": 1})
+    # tailing only the append history still works
+    assert r.partitions({"version": -1}, {"version": 0})
