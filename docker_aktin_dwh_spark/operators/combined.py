@@ -1571,8 +1571,9 @@ def r9b_all(spark, sf):
     version-asymmetric file sets), fun_01 funnel conversion (JVM
     ordered-chain fold), col_01 PMI collocations (integer-division
     lift ranking), mba_01 market-basket association (bounded basket
-    pair explosion), and sky_01 Pareto skyline (monotone frontier, no
-    self-join)."""
+    pair explosion), sky_01 Pareto skyline (monotone frontier, no
+    self-join), and rfm_01 RFM segmentation (closed-form NTILE on the
+    distributed global rank)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1631,6 +1632,10 @@ def r9b_all(spark, sf):
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
     out = out.unionByName(_tag(
+        relational.rfm_01(spark, sf), "rfm",
+        F.concat_ws("|", "r_score", "f_score", "m_score", "n_customers",
+                    F.round(F.col("segment_revenue") * 100).cast("long"))))
+    out = out.unionByName(_tag(
         relational.mba_01(spark, sf), "mba",
         F.concat_ws("|", "p1", "p2", "sup", "m1", "m2", "lift_s")))
     out = out.unionByName(_tag(
@@ -1685,6 +1690,9 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("rfm", cat("r_score", "f_score", "m_score", "n_customers",
+                    "CAST(ROUND(segment_revenue * 100) AS BIGINT)"),
+         relational._ORACLES["rfm_01"]),
         ("mba", cat("p1", "p2", "sup", "m1", "m2", "lift_s"),
          relational._ORACLES["mba_01"]),
         ("sky", cat("p_brand", "p_partkey",
@@ -1808,9 +1816,10 @@ _DOCS = {
                "feed from the version-asymmetric file sets (cdc_02), "
                "funnel conversion (fun_01), PMI collocations "
                "(col_01), market-basket association by lift "
-               "(mba_01), and the per-brand Pareto skyline as a "
-               "monotone frontier (sky_01) — same-round driver "
-               "certification",
+               "(mba_01), the per-brand Pareto skyline as a "
+               "monotone frontier (sky_01), and RFM quartile "
+               "segmentation on the distributed global rank (rfm_01) "
+               "— same-round driver certification",
 }
 
 

@@ -1458,6 +1458,97 @@ _DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
                    "step counts + step-over-step conversion rates")
 
 
+def _ntile_from_rank(rank_col, n_col, k: int):
+    """SQL-standard NTILE(k) from a 1-based total-order rank and the
+    row count, in closed form (integer arithmetic only): with
+    sz = n div k and ex = n mod k, the first ``ex`` buckets hold
+    sz+1 rows — exactly Spark's and DuckDB's ntile assignment, but
+    computable from a DISTRIBUTED rank (functions/ranking.global_rank)
+    instead of a single-partition window.  Assumes n ≥ k (quartiles of
+    a customer base)."""
+    r, n = F.col(rank_col), F.col(n_col)
+    sz = (n / k).cast("long")
+    ex = n % k
+    head = (sz + 1) * ex
+    return (F.when(r <= head, ((r + sz) / (sz + 1)).cast("long"))
+            .otherwise(ex + ((r - head + sz - 1) / sz).cast("long"))
+            .cast("int"))
+
+
+def rfm_01(spark, sf):
+    """RFM customer segmentation: quartile scores on Recency (days
+    since last order), Frequency (order count), Monetary (total
+    spend), rolled up to segment counts + per-segment revenue — the
+    classic CRM/cohort value matrix (clinical analogue: patients
+    scored by visit recency/frequency/cost burden).
+
+    Scale shape: the per-customer frame is ONE groupBy; each quartile
+    score is the closed-form NTILE over functions/ranking.global_rank
+    (range exchange + parallel per-partition windows + broadcast
+    offsets) — NO single-partition ntile window anywhere, which is
+    the only way quartile scoring survives 100 TB.  Ties are broken
+    by custkey, so every rank is a unique total order and the scores
+    are deterministic on both engines (the oracle uses native
+    NTILE(4) over the identical order — a hash match certifies the
+    closed form ≡ the SQL-standard assignment)."""
+    from ..functions.ranking import global_rank
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max(F.to_date("o_orderdate")).alias("last_o"),
+                F.count("*").alias("freq"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("decimal(28,4)").alias("mon")))
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    per = (per.crossJoin(F.broadcast(gmax))
+           .withColumn("rec_days", F.datediff("gmax", "last_o"))
+           .withColumn("neg_f", -F.col("freq"))
+           .withColumn("neg_m", -F.col("mon")))
+    n1 = per.agg(F.count("*").alias("n_cust"))
+    ranked = global_rank(per, ["rec_days", "o_custkey"], "r_rnk")
+    ranked = global_rank(ranked, ["neg_f", "o_custkey"], "f_rnk")
+    ranked = global_rank(ranked, ["neg_m", "o_custkey"], "m_rnk")
+    scored = (ranked.crossJoin(F.broadcast(n1))
+              .select("mon",
+                      _ntile_from_rank("r_rnk", "n_cust", 4)
+                      .alias("r_score"),
+                      _ntile_from_rank("f_rnk", "n_cust", 4)
+                      .alias("f_score"),
+                      _ntile_from_rank("m_rnk", "n_cust", 4)
+                      .alias("m_score")))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("mon"), 2).cast("double")
+                  .alias("segment_revenue"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+_ORACLES["rfm_01"] = """
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_o,
+         count(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+  FROM orders GROUP BY 1),
+g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+scored AS (
+  SELECT mon,
+         NTILE(4) OVER (ORDER BY date_diff('day', last_o, gmax),
+                        o_custkey) AS r_score,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+         NTILE(4) OVER (ORDER BY mon DESC, o_custkey) AS m_score
+  FROM per CROSS JOIN g)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(ROUND(SUM(mon), 2) AS DOUBLE) AS segment_revenue
+FROM scored GROUP BY 1, 2, 3
+"""
+_DOCS["rfm_01"] = ("RFM quartile segmentation (recency/frequency/"
+                   "monetary) via closed-form NTILE over the "
+                   "DISTRIBUTED global rank — no single-partition "
+                   "window; segment counts + decimal-routed revenue")
+
+
 MBA_MIN_SUP = 3
 MBA_TOPK = 20
 

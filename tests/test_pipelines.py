@@ -307,3 +307,25 @@ def test_mba01_lift_ranks_exclusive_pair_over_common_pair(spark):
     assert by_pair[(101, 102)].sup == by_pair[(201, 202)].sup == 3
     # the 3-part basket contributed C(3,2) pairs but sup=1 < floor
     assert (301, 302) not in by_pair
+
+
+def test_ntile_closed_form_matches_native_ntile(spark):
+    """rfm_01's closed-form NTILE over a distributed rank must equal
+    Spark's native ntile window for every n mod k residue (bucket
+    sizes differ by one, extras go to the FIRST buckets)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.operators.relational import \
+        _ntile_from_rank
+
+    for n in (8, 9, 10, 11, 4, 5):
+        df = (spark.range(1, n + 1)
+              .select(F.col("id").alias("rnk"), F.lit(n).alias("n")))
+        got = df.select(
+            "rnk", _ntile_from_rank("rnk", "n", 4).alias("b"))
+        nat = df.select(
+            "rnk",
+            F.ntile(4).over(Window.orderBy("rnk")).alias("b"))
+        assert ({(r.rnk, r.b) for r in got.collect()}
+                == {(r.rnk, r.b) for r in nat.collect()}), f"n={n}"
