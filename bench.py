@@ -64,6 +64,11 @@ HEADLINE = (
     # the ACID-MERGE upsert through the commit-log table format, the
     # funnel ordered-chain fold, and PMI collocation extraction
     "ded_ngram2", "ups_02", "fun_01", "col_01",
+    # round 9 fifth wave: the change-data feed over the txn format
+    # (file-set-pruned Delta-CDF diff), the monotone-frontier Pareto
+    # skyline, market-basket lift mining, and RFM segmentation on the
+    # distributed global rank
+    "cdc_02", "sky_01", "mba_01", "rfm_01",
 )
 
 

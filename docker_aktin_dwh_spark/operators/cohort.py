@@ -529,6 +529,62 @@ def fed_hll(spark, sf):
             .orderBy("o_orderstatus"))
 
 
+def fed_02(spark, sf):
+    """Federated patient-OVERLAP estimate — the cross-site query
+    neither site can answer without sharing id lists: |A ∩ B| from the
+    two sites' HLL sketches via inclusion–exclusion
+    (est_a + est_b − est_union; the union sketch is the coordinator's
+    hll_union merge).  Only fixed-size sketch BYTES move between
+    sites — never a patient id — the privacy shape of the reference's
+    broker federation (src/build.sh:255-256), extended from fed_hll's
+    per-site distinct to a cross-site set operation.
+
+    Site membership = custkey mod 3 (A: {0,1}, B: {1,2}), so A∖B,
+    A∩B, and B∖A are ALL non-empty by construction — a PROPER overlap
+    (a windowed split left A ⊆ B, which exercises only half the
+    inclusion–exclusion).  Certified as a bounded self-check (fed_hll
+    pattern): exact |A|, |B|, |A∪B|, |A∩B| computed beside the
+    estimate; the hashed boolean asserts
+    |est∩ − exact∩| ≤ 5·rsd·(|A| + |B| + |A∪B|) — three estimates
+    compound, so the bound sums their scales.  Sketches are
+    deterministic for a fixed dataset (hash-based, order-independent
+    merge), so the boolean is hash-stable."""
+    o = catalog.load(spark, sf, "orders").select(
+        "o_custkey", (F.col("o_custkey") % 3).alias("m"))
+    per = (o.filter(F.col("m") <= 1)
+           .select(F.lit("A").alias("site"), "o_custkey")
+           .unionByName(o.filter(F.col("m") >= 1)
+                        .select(F.lit("B").alias("site"), "o_custkey")))
+    sk = (per.groupBy("site")
+          .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+               F.countDistinct("o_custkey").alias("exact")))
+    a_row = (sk.filter(F.col("site") == "A")
+             .select(F.col("exact").alias("exact_a"),
+                     F.hll_sketch_estimate("sk").alias("_ea")))
+    b_row = (sk.filter(F.col("site") == "B")
+             .select(F.col("exact").alias("exact_b"),
+                     F.hll_sketch_estimate("sk").alias("_eb")))
+    u_row = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("_eu"))
+    exact_u = (per.agg(F.countDistinct("o_custkey").alias("exact_union")))
+    exact_i = (per.groupBy("o_custkey")
+               .agg(F.countDistinct("site").alias("ns"))
+               .filter(F.col("ns") == 2)
+               .agg(F.count("*").alias("exact_overlap")))
+    row = (a_row.crossJoin(F.broadcast(b_row))
+           .crossJoin(F.broadcast(u_row))
+           .crossJoin(F.broadcast(exact_u))
+           .crossJoin(F.broadcast(exact_i)))
+    est_i = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    bound = (5 * _FED_HLL_RSD
+             * (F.col("exact_a") + F.col("exact_b")
+                + F.col("exact_union")))
+    return row.select(
+        "exact_a", "exact_b", "exact_union", "exact_overlap",
+        (F.abs(est_i - F.col("exact_overlap")) <= bound)
+        .alias("within_bound"))
+
+
 _CT = catalog.clinical_with_clause
 
 _ORACLES = {
@@ -645,6 +701,25 @@ SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
 FROM p GROUP BY 1 ORDER BY 1
 """
 
+_ORACLES["fed_02"] = """
+WITH per AS (
+  SELECT 'A' AS site, o_custkey FROM orders
+  WHERE o_custkey % 3 <= 1
+  UNION ALL
+  SELECT 'B' AS site, o_custkey FROM orders
+  WHERE o_custkey % 3 >= 1)
+SELECT
+  (SELECT count(DISTINCT o_custkey) FROM per WHERE site = 'A')
+      AS exact_a,
+  (SELECT count(DISTINCT o_custkey) FROM per WHERE site = 'B')
+      AS exact_b,
+  (SELECT count(DISTINCT o_custkey) FROM per) AS exact_union,
+  (SELECT count(*) FROM (
+      SELECT o_custkey FROM per GROUP BY 1
+      HAVING count(DISTINCT site) = 2)) AS exact_overlap,
+  TRUE AS within_bound
+"""
+
 _ORACLES["fed_hll"] = f"""
 WITH p AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
@@ -687,6 +762,9 @@ _DOCS = {
     "fed_hll": "Federated approximate distinct: per-site HLL sketches "
                "union-merged by the coordinator, bounded self-check "
                "against exact countDistinct",
+    "fed_02": "Federated patient overlap |A∩B| via HLL "
+              "inclusion-exclusion (sketch bytes move, never ids); "
+              "bounded self-check against the exact intersection",
 }
 
 

@@ -1572,8 +1572,9 @@ def r9b_all(spark, sf):
     ordered-chain fold), col_01 PMI collocations (integer-division
     lift ranking), mba_01 market-basket association (bounded basket
     pair explosion), sky_01 Pareto skyline (monotone frontier, no
-    self-join), and rfm_01 RFM segmentation (closed-form NTILE on the
-    distributed global rank)."""
+    self-join), rfm_01 RFM segmentation (closed-form NTILE on the
+    distributed global rank), and fed_02 federated overlap (HLL
+    inclusion-exclusion, bounded self-check)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1631,6 +1632,11 @@ def r9b_all(spark, sf):
     out = out.unionByName(_tag(
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
+    out = out.unionByName(_tag(
+        cohort.fed_02(spark, sf), "fed2",
+        F.concat_ws("|", "exact_a", "exact_b", "exact_union",
+                    "exact_overlap",
+                    F.col("within_bound").cast("string"))))
     out = out.unionByName(_tag(
         relational.rfm_01(spark, sf), "rfm",
         F.concat_ws("|", "r_score", "f_score", "m_score", "n_customers",
@@ -1690,6 +1696,9 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("fed2", cat("exact_a", "exact_b", "exact_union",
+                     "exact_overlap", "within_bound"),
+         cohort._ORACLES["fed_02"]),
         ("rfm", cat("r_score", "f_score", "m_score", "n_customers",
                     "CAST(ROUND(segment_revenue * 100) AS BIGINT)"),
          relational._ORACLES["rfm_01"]),
@@ -1817,9 +1826,11 @@ _DOCS = {
                "funnel conversion (fun_01), PMI collocations "
                "(col_01), market-basket association by lift "
                "(mba_01), the per-brand Pareto skyline as a "
-               "monotone frontier (sky_01), and RFM quartile "
-               "segmentation on the distributed global rank (rfm_01) "
-               "— same-round driver certification",
+               "monotone frontier (sky_01), RFM quartile "
+               "segmentation on the distributed global rank (rfm_01), "
+               "and federated patient overlap via HLL "
+               "inclusion-exclusion (fed_02) — same-round driver "
+               "certification",
 }
 
 
