@@ -1573,8 +1573,9 @@ def r9b_all(spark, sf):
     lift ranking), mba_01 market-basket association (bounded basket
     pair explosion), sky_01 Pareto skyline (monotone frontier, no
     self-join), rfm_01 RFM segmentation (closed-form NTILE on the
-    distributed global rank), and fed_02 federated overlap (HLL
-    inclusion-exclusion, bounded self-check)."""
+    distributed global rank), fed_02 federated overlap (HLL
+    inclusion-exclusion, bounded self-check), and cor_01 grouped
+    Pearson correlation (exact decimal moment sums)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1632,6 +1633,9 @@ def r9b_all(spark, sf):
     out = out.unionByName(_tag(
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
+    out = out.unionByName(_tag(
+        relational.cor_01(spark, sf), "cor",
+        F.concat_ws("|", "l_returnflag", "n", "corr_s")))
     out = out.unionByName(_tag(
         cohort.fed_02(spark, sf), "fed2",
         F.concat_ws("|", "exact_a", "exact_b", "exact_union",
@@ -1696,6 +1700,8 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("cor", cat("l_returnflag", "n", "corr_s"),
+         relational._ORACLES["cor_01"]),
         ("fed2", cat("exact_a", "exact_b", "exact_union",
                      "exact_overlap", "within_bound"),
          cohort._ORACLES["fed_02"]),
@@ -1828,9 +1834,10 @@ _DOCS = {
                "(mba_01), the per-brand Pareto skyline as a "
                "monotone frontier (sky_01), RFM quartile "
                "segmentation on the distributed global rank (rfm_01), "
-               "and federated patient overlap via HLL "
-               "inclusion-exclusion (fed_02) — same-round driver "
-               "certification",
+               "federated patient overlap via HLL "
+               "inclusion-exclusion (fed_02), and grouped Pearson "
+               "correlation with exact decimal moment sums (cor_01) "
+               "— same-round driver certification",
 }
 
 

@@ -1458,6 +1458,77 @@ _DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
                    "step counts + step-over-step conversion rates")
 
 
+def cor_01(spark, sf):
+    """Pearson correlation of quantity vs extended price per return
+    flag — the grouped-statistics verb, made CROSS-ENGINE EXACT: the
+    built-in ``corr()`` accumulates FLOATING-POINT partial sums whose
+    order the shuffle picks (the PageRank/ivm hash-drift class), so
+    this operator instead aggregates the five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) as DECIMALS — exact and associative, any
+    partial-agg order yields the same digits — and evaluates the
+    closed form once per group row.  The final doubles come from
+    identical exact inputs through an identical expression tree on
+    both engines, so even the unrounded value matches bit-for-bit;
+    the output still ships the 1e6-scaled integer (col_01's
+    discipline).  One map-side-combined groupBy over the scan; the
+    formula is a per-row projection of the group frame."""
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,4)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("y"))
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").cast("decimal(38,4)").alias("sx"),
+              F.sum("y").cast("decimal(38,4)").alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+               .cast("decimal(38,8)").alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+               .cast("decimal(38,8)").alias("sxx"),
+              F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)"))
+               .cast("decimal(38,8)").alias("syy")))
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double")
+                     for c in ("sxy", "sxx", "syy")]
+    r = ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (m.select("l_returnflag", "n",
+                     F.round(r * 1_000_000).cast("long").alias("corr_s"))
+            .orderBy("l_returnflag"))
+
+
+_ORACLES["cor_01"] = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+              AS DECIMAL(38,4)) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_quantity AS DECIMAL(19,4))
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS syy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n,
+       CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS corr_s
+FROM m ORDER BY 1
+"""
+_DOCS["cor_01"] = ("Grouped Pearson correlation with EXACT decimal "
+                   "moment sums (order-independent partial aggs; the "
+                   "float-sum corr() is shuffle-order nondeterministic) "
+                   "— closed form evaluated once per group")
+
+
 def _ntile_from_rank(rank_col, n_col, k: int):
     """SQL-standard NTILE(k) from a 1-based total-order rank and the
     row count, in closed form (integer arithmetic only): with
