@@ -54,7 +54,14 @@ ANSI_KEYS = sorted(
     "lay_02 ivm_01 ivm_02 bkt_01 "
     # r9: the quantized-index ANN certification shares the planted
     # oracle ann_lsh/ann_ivf already run verbatim on spark.sql
-    "ann_sq"
+    "ann_sq "
+    # r9 late waves born dual-dialect: the commit-log MERGE shares
+    # ups_01's oracle; the CDC feed's classified diff (IS DISTINCT
+    # FROM), the skyline's NOT EXISTS dominance definition, the
+    # decimal-moment Pearson closed form, the federated-overlap
+    # exact counts, and the commit-version assignment all parse on
+    # Spark 4 verbatim
+    "ups_02 cdc_02 sky_01 cor_01 fed_02 str_19"
     .split())
 
 

@@ -24,7 +24,7 @@ MAY_BE_EMPTY = {"ded_ngram", "ded_ngram2", "ded_minhash", "ded_simhash_raw",
 #: fully hash-checked at sf0.01 in test_t2_oracle); suite-time guard,
 #: VERDICT r6 item 7.
 SKIP_SMOKE = {"llm_all", "maint_all", "ext_all", "fin_all", "str_out",
-              "r7_all", "r8_all", "ann_bx"}
+              "r7_all", "r8_all", "r9_all", "r9b_all", "ann_bx"}
 SMOKE_KEYS = sorted(k for k in REGISTRY if k not in SKIP_SMOKE)
 
 
