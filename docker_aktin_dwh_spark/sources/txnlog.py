@@ -475,6 +475,11 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
     of re-reading the join once per change type."""
     s0 = snapshot(path, v_from)
     s1 = snapshot(path, v_to)
+    if s1.version < s0.version:
+        raise ValueError(
+            f"table_changes: v_to {s1.version} precedes v_from "
+            f"{s0.version} — a reversed range would silently emit the "
+            f"INVERTED feed (inserts as deletes)")
     old_only, new_only = changed_file_sets(s0, s1)
     schema = StructType.fromJson(
         json.loads(s1.schema_json or s0.schema_json))

@@ -381,3 +381,14 @@ def test_stream_reader_append_only_guard(spark, tdir):
         r.partitions({"version": -1}, {"version": 1})
     # tailing only the append history still works
     assert r.partitions({"version": -1}, {"version": 0})
+
+
+def test_table_changes_rejects_reversed_range(spark, tdir):
+    """A reversed version range would silently emit the INVERTED feed
+    (inserts read as deletes) — it must raise instead."""
+    import pytest as _pytest
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 10, 20, tag="b"), tdir, key="k")
+    with _pytest.raises(ValueError, match="precedes"):
+        txnlog.table_changes(spark, tdir, 1, 0, key="k")
