@@ -1574,8 +1574,9 @@ def r9b_all(spark, sf):
     pair explosion), sky_01 Pareto skyline (monotone frontier, no
     self-join), rfm_01 RFM segmentation (closed-form NTILE on the
     distributed global rank), fed_02 federated overlap (HLL
-    inclusion-exclusion, bounded self-check), and cor_01 grouped
-    Pearson correlation (exact decimal moment sums)."""
+    inclusion-exclusion, bounded self-check), cor_01 grouped Pearson
+    correlation (exact decimal moment sums), and surv_01 Kaplan-Meier
+    survival curves (bit-identical ordered product folds)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1633,6 +1634,9 @@ def r9b_all(spark, sf):
     out = out.unionByName(_tag(
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
+    out = out.unionByName(_tag(
+        relational.surv_01(spark, sf), "srv",
+        F.concat_ws("|", "arm", "t_days", "n_risk", "d", "surv_s")))
     out = out.unionByName(_tag(
         relational.cor_01(spark, sf), "cor",
         F.concat_ws("|", "l_returnflag", "n", "corr_s")))
@@ -1700,6 +1704,8 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("srv", cat("arm", "t_days", "n_risk", "d", "surv_s"),
+         relational._ORACLES["surv_01"]),
         ("cor", cat("l_returnflag", "n", "corr_s"),
          relational._ORACLES["cor_01"]),
         ("fed2", cat("exact_a", "exact_b", "exact_union",
@@ -1835,9 +1841,11 @@ _DOCS = {
                "monotone frontier (sky_01), RFM quartile "
                "segmentation on the distributed global rank (rfm_01), "
                "federated patient overlap via HLL "
-               "inclusion-exclusion (fed_02), and grouped Pearson "
-               "correlation with exact decimal moment sums (cor_01) "
-               "— same-round driver certification",
+               "inclusion-exclusion (fed_02), grouped Pearson "
+               "correlation with exact decimal moment sums (cor_01), "
+               "and Kaplan-Meier survival curves with bit-identical "
+               "ordered product folds (surv_01) — same-round driver "
+               "certification",
 }
 
 

@@ -1458,6 +1458,109 @@ _DOCS["fun_01"] = ("Funnel conversion over the event stream: ordered "
                    "step counts + step-over-step conversion rates")
 
 
+def surv_01(spark, sf):
+    """Kaplan–Meier survival curves — THE clinical time-to-event verb
+    (reference domain: ED encounter outcomes): per arm (user_id mod
+    2), time from signup to first purchase in whole days, censored at
+    last observed activity; S(t) = Π_{u ≤ t} (1 − d_u / n_u) over
+    event times, with censored users leaving the risk set between
+    event times.
+
+    Determinism design (the reason this is certifiable at all): the
+    product is folded over the ORDERED factor sequence on BOTH
+    engines — Spark via a window-ordered collect_list + JVM
+    ``aggregate`` fold, DuckDB via a windowed cumulative ``list()`` +
+    ``list_reduce`` — so both multiply the identical doubles in the
+    identical order and the result matches bit-for-bit (no exp/ln
+    trick, whose libm rounding differs across engines).  Factors are
+    1 − d/n from exact integers: one division each, deterministic.
+
+    Scale shape: one groupBy(user) pass builds durations; everything
+    after lives on the per-(arm, day) AGGREGATE frame (window over
+    arm-partitioned event days — bounded by the time horizon, not the
+    corpus)."""
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("us").alias("s_us")))
+    p = (ev.join(s, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("us") > F.col("s_us")))
+         .groupBy("user_id").agg(F.min("us").alias("e_us")))
+    last = ev.groupBy("user_id").agg(F.max("us").alias("l_us"))
+    day = 86_400_000_000
+    per = (s.join(p, "user_id", "left").join(last, "user_id")
+           .select((F.col("user_id") % 2).alias("arm"),
+                   F.expr(f"coalesce(e_us, l_us) - s_us").alias("dus"),
+                   F.col("e_us").isNotNull().cast("long").alias("ev"))
+           .select("arm", F.expr(f"dus div {day}").alias("t"), "ev"))
+    agg = (per.groupBy("arm", "t")
+           .agg(F.count("*").alias("leave"), F.sum("ev").alias("d")))
+    w_tot = Window.partitionBy("arm")
+    w_prev = (Window.partitionBy("arm").orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (agg.withColumn(
+        "n_risk",
+        F.sum("leave").over(w_tot)
+        - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))))
+    km = (risk.filter(F.col("d") > 0)
+          .withColumn("factor",
+                      F.lit(1.0) - F.col("d").cast("double")
+                      / F.col("n_risk").cast("double")))
+    w_cum = (Window.partitionBy("arm").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    surv = F.aggregate(F.collect_list("factor").over(w_cum),
+                       F.lit(1.0), lambda acc, x: acc * x)
+    return (km.select("arm", F.col("t").alias("t_days"), "n_risk", "d",
+                      F.round(surv * 1_000_000).cast("long")
+                       .alias("surv_s"))
+            .orderBy("arm", "t_days"))
+
+
+_ORACLES["surv_01"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s AS (SELECT user_id, min(us) AS s_us FROM ev
+      WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT ev.user_id, min(us) AS e_us FROM ev JOIN s USING (user_id)
+      WHERE event_type = 'purchase' AND us > s_us GROUP BY 1),
+lst AS (SELECT user_id, max(us) AS l_us FROM ev GROUP BY 1),
+per AS (
+  SELECT s.user_id % 2 AS arm,
+         (COALESCE(e_us, l_us) - s_us) // 86400000000 AS t,
+         CASE WHEN e_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+  JOIN lst ON s.user_id = lst.user_id),
+agg AS (SELECT arm, t, count(*) AS leave_n, SUM(ev) AS d
+        FROM per GROUP BY 1, 2),
+risk AS (
+  SELECT arm, t, d,
+         SUM(leave_n) OVER (PARTITION BY arm)
+         - COALESCE(SUM(leave_n) OVER (PARTITION BY arm ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+  FROM agg),
+km AS (
+  SELECT arm, t, n_risk, d,
+         1.0::DOUBLE - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             AS factor
+  FROM risk WHERE d > 0)
+SELECT arm, t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d,
+       CAST(ROUND(list_reduce(
+           list(factor) OVER (PARTITION BY arm ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (a, b) -> a * b) * 1000000) AS BIGINT) AS surv_s
+FROM km ORDER BY arm, t
+"""
+_DOCS["surv_01"] = ("Kaplan-Meier survival curves per arm (signup -> "
+                    "first purchase, censored at last activity): "
+                    "bit-identical ordered product fold on both "
+                    "engines (windowed collect_list + fold vs "
+                    "cumulative list + list_reduce) — no exp/ln libm "
+                    "exposure")
+
+
 def cor_01(spark, sf):
     """Pearson correlation of quantity vs extended price per return
     flag — the grouped-statistics verb, made CROSS-ENGINE EXACT: the
