@@ -1575,8 +1575,9 @@ def r9b_all(spark, sf):
     self-join), rfm_01 RFM segmentation (closed-form NTILE on the
     distributed global rank), fed_02 federated overlap (HLL
     inclusion-exclusion, bounded self-check), cor_01 grouped Pearson
-    correlation (exact decimal moment sums), and surv_01 Kaplan-Meier
-    survival curves (bit-identical ordered product folds)."""
+    correlation (exact decimal moment sums), surv_01 Kaplan-Meier
+    survival curves (bit-identical ordered product folds), and ab_01
+    two-proportion z-test (IEEE-exact closed form)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1634,6 +1635,10 @@ def r9b_all(spark, sf):
     out = out.unionByName(_tag(
         textops.col_01(spark, sf), "col",
         F.concat_ws("|", "w1", "w2", "n", "lift_s")))
+    out = out.unionByName(_tag(
+        relational.ab_01(spark, sf), "ab",
+        F.concat_ws("|", "n0", "x0", "n1", "x1", "rate0_s", "rate1_s",
+                    "z_s")))
     out = out.unionByName(_tag(
         relational.surv_01(spark, sf), "srv",
         F.concat_ws("|", "arm", "t_days", "n_risk", "d", "surv_s")))
@@ -1704,6 +1709,9 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["fun_01"]),
         ("col", cat("w1", "w2", "n", "lift_s"),
          textops._col_oracle()),
+        ("ab", cat("n0", "x0", "n1", "x1", "rate0_s", "rate1_s",
+                   "z_s"),
+         relational._ORACLES["ab_01"]),
         ("srv", cat("arm", "t_days", "n_risk", "d", "surv_s"),
          relational._ORACLES["surv_01"]),
         ("cor", cat("l_returnflag", "n", "corr_s"),
@@ -1843,9 +1851,10 @@ _DOCS = {
                "federated patient overlap via HLL "
                "inclusion-exclusion (fed_02), grouped Pearson "
                "correlation with exact decimal moment sums (cor_01), "
-               "and Kaplan-Meier survival curves with bit-identical "
-               "ordered product folds (surv_01) — same-round driver "
-               "certification",
+               "Kaplan-Meier survival curves with bit-identical "
+               "ordered product folds (surv_01), and the "
+               "two-proportion conversion z-test (ab_01) — "
+               "same-round driver certification",
 }
 
 

@@ -1561,6 +1561,94 @@ _DOCS["surv_01"] = ("Kaplan-Meier survival curves per arm (signup -> "
                     "exposure")
 
 
+def ab_01(spark, sf):
+    """Two-proportion z-test on 1-day conversion (did a user purchase
+    within 24 h of signup?) between arms (user_id mod 2) — the
+    experimentation verb.  The 24 h window keeps both proportions
+    strictly inside (0, 1) on the dense fixture streams (ever-convert
+    saturates to 1.0, where z is undefined — division by zero under
+    ANSI mode, caught at sf0.001).  The statistic is CROSS-ENGINE EXACT without any decimal
+    scaling trick: every input is an exact integer count, and the
+    closed form uses only +, −, ×, ÷ and sqrt — all IEEE
+    correctly-rounded operations — through an identical expression
+    tree, so the unrounded double matches bit-for-bit (contrast
+    exp/ln/pow, whose libm rounding differs across engines; cor_01's
+    NOTES discipline).  Emits per-arm counts, rates, the pooled rate,
+    and the 1e6-scaled z.  One groupBy(user) pass then a 2-row
+    aggregate frame — nothing downstream is corpus-sized."""
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("us").alias("s_us")))
+    conv = (ev.join(s, "user_id")
+            .filter((F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("s_us"))
+                    & (F.col("us") <= F.col("s_us") + 86_400_000_000))
+            .select("user_id").distinct()
+            .withColumn("c", F.lit(1)))
+    per = (s.join(conv, "user_id", "left")
+           .select((F.col("user_id") % 2).alias("arm"),
+                   F.coalesce("c", F.lit(0)).alias("c")))
+    g = (per.groupBy("arm")
+         .agg(F.count("*").alias("n"), F.sum("c").alias("x"))
+         .orderBy("arm"))
+    w = (g.agg(F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+               F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+               F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+               F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1")))
+    n0, x0, n1, x1 = [F.col(c).cast("double")
+                      for c in ("n0", "x0", "n1", "x1")]
+    p0, p1 = x0 / n0, x1 / n1
+    pp = (x0 + x1) / (n0 + n1)
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    return w.select(
+        F.col("n0"), F.col("x0"), F.col("n1"), F.col("x1"),
+        F.round(p0 * 1_000_000).cast("long").alias("rate0_s"),
+        F.round(p1 * 1_000_000).cast("long").alias("rate1_s"),
+        F.round(z * 1_000_000).cast("long").alias("z_s"))
+
+
+_ORACLES["ab_01"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s AS (SELECT user_id, min(us) AS s_us FROM ev
+      WHERE event_type = 'signup' GROUP BY 1),
+conv AS (SELECT DISTINCT ev.user_id FROM ev JOIN s USING (user_id)
+         WHERE event_type = 'purchase' AND us > s_us
+           AND us <= s_us + 86400000000),
+per AS (SELECT s.user_id % 2 AS arm,
+               CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS c
+        FROM s LEFT JOIN conv ON s.user_id = conv.user_id),
+g AS (SELECT arm, count(*) AS n, SUM(c) AS x FROM per GROUP BY 1),
+w AS (SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN x END) AS x0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN x END) AS x1
+      FROM g)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+       CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       CAST(ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000)
+            AS BIGINT) AS rate0_s,
+       CAST(ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000)
+            AS BIGINT) AS rate1_s,
+       CAST(ROUND(
+         (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE)))
+         * 1000000) AS BIGINT) AS z_s
+FROM w
+"""
+_DOCS["ab_01"] = ("Two-proportion z-test on conversion between arms: "
+                  "exact integer counts through an identical "
+                  "+,-,x,/,sqrt expression tree (all IEEE "
+                  "correctly-rounded) — bit-identical z on both "
+                  "engines; 2-row aggregate frame after one "
+                  "groupBy(user) pass")
+
+
 def cor_01(spark, sf):
     """Pearson correlation of quantity vs extended price per return
     flag — the grouped-statistics verb, made CROSS-ENGINE EXACT: the
