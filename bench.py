@@ -69,6 +69,10 @@ HEADLINE = (
     # skyline, market-basket lift mining, and RFM segmentation on the
     # distributed global rank
     "cdc_02", "sky_01", "mba_01", "rfm_01",
+    # round 9 stats wave: deterministic grouped statistics — exact
+    # decimal moments (Pearson), IEEE-exact z-test, bit-identical
+    # Kaplan-Meier product folds, and the HLL overlap estimate
+    "cor_01", "ab_01", "surv_01", "fed_02",
 )
 
 

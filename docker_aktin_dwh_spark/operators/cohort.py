@@ -556,25 +556,29 @@ def fed_02(spark, sf):
            .unionByName(o.filter(F.col("m") >= 1)
                         .select(F.lit("B").alias("site"), "o_custkey")))
     sk = (per.groupBy("site")
-          .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
-               F.countDistinct("o_custkey").alias("exact")))
+          .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
     a_row = (sk.filter(F.col("site") == "A")
-             .select(F.col("exact").alias("exact_a"),
-                     F.hll_sketch_estimate("sk").alias("_ea")))
+             .select(F.hll_sketch_estimate("sk").alias("_ea")))
     b_row = (sk.filter(F.col("site") == "B")
-             .select(F.col("exact").alias("exact_b"),
-                     F.hll_sketch_estimate("sk").alias("_eb")))
+             .select(F.hll_sketch_estimate("sk").alias("_eb")))
     u_row = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                    .alias("_eu"))
-    exact_u = (per.agg(F.countDistinct("o_custkey").alias("exact_union")))
-    exact_i = (per.groupBy("o_custkey")
-               .agg(F.countDistinct("site").alias("ns"))
-               .filter(F.col("ns") == 2)
-               .agg(F.count("*").alias("exact_overlap")))
-    row = (a_row.crossJoin(F.broadcast(b_row))
-           .crossJoin(F.broadcast(u_row))
-           .crossJoin(F.broadcast(exact_u))
-           .crossJoin(F.broadcast(exact_i)))
+    # all four exact certification counts in ONE pass: per-customer
+    # membership flags, then a single 1-row conditional aggregate
+    # (replaces three separate countDistinct jobs — 5.4 → ~2 s at
+    # sf0.1 headline)
+    flags = (per.groupBy("o_custkey")
+             .agg(F.max((F.col("site") == "A").cast("int")).alias("a"),
+                  F.max((F.col("site") == "B").cast("int")).alias("b")))
+    exacts = flags.agg(
+        F.sum("a").cast("long").alias("exact_a"),
+        F.sum("b").cast("long").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).cast("long")
+         .alias("exact_overlap"))
+    row = (exacts.crossJoin(F.broadcast(a_row))
+           .crossJoin(F.broadcast(b_row))
+           .crossJoin(F.broadcast(u_row)))
     est_i = F.col("_ea") + F.col("_eb") - F.col("_eu")
     bound = (5 * _FED_HLL_RSD
              * (F.col("exact_a") + F.col("exact_b")
