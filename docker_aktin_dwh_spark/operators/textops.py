@@ -922,6 +922,11 @@ def col_01(spark, sf):
                            F.element_at(toks, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    # cnt feeds four consumers, but they share one subplan and Spark
+    # serves them through a ReusedExchange — measured: a materialize
+    # barrier here does NOT change the 5.2 s sf0.1 cost (unlike
+    # bm25_01's tf frame, whose consumers had divergent subplans).
+    # The cost IS the one corpus bigram explode+groupBy.
     cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     m1 = cnt.groupBy("w1").agg(F.sum("n").alias("cx"))
     m2 = cnt.groupBy("w2").agg(F.sum("n").alias("cy"))
