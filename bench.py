@@ -122,6 +122,7 @@ def main() -> None:
         out["deep_scaling"] = deep_section(spark, registry, sf_dir,
                                            out["scaling"])
         out["cms_error_curve"] = cms_width_sweep(spark, sf_dir)
+        out["txn_churn"] = txn_churn_lane(spark, sf_dir)
 
     # The driver captures only the last ~2 KB of stdout and parses the
     # final line as JSON: the full multi-section object outgrew that in
@@ -152,6 +153,8 @@ def main() -> None:
         compact["cms_sound_all_w"] = all(
             v["never_undercounts"] and v["within_eps_bound"]
             for v in cc.values() if isinstance(v, dict))
+    if "txn_churn" in out:
+        compact["txn_churn_flat_ratio"] = out["txn_churn"]["flat_ratio"]
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -539,6 +542,59 @@ def deep_section(spark, registry, sf_dir: str, scaling: dict) -> dict:
                 connected_components
             out[key]["cc_rounds"] = getattr(connected_components,
                                             "last_rounds", None)
+    return out
+
+
+def txn_churn_lane(spark, sf_dir: str) -> dict:
+    """Churn economics of the commit-log table format: the SAME fixed
+    churn (a 10k-key MERGE, a 5k-key range DELETE, and the version
+    diff reading the feed) applied to a 1× and a 10× table.  The
+    format's claim is that all three cost ∝ churn, not table size
+    (footer-stats skipping rewrites only interval-hit files; the CDC
+    feed opens only version-asymmetric files) — ``flat_ratio`` near
+    1.0 is that claim measured.  Table build time is excluded (a
+    one-time cost that IS table-sized)."""
+    import tempfile
+
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    orders = (spark.read.parquet(sf_dir + "/orders.parquet")
+              .select("o_orderkey", "o_totalprice"))
+    out: dict[str, object] = {}
+    for tag, copies, files in (("base", 1, 16), ("scaled", 10, 160)):
+        full = orders
+        for i in range(1, copies):
+            full = full.unionByName(orders.select(
+                (orders.o_orderkey + i * 100_000_000).alias("o_orderkey"),
+                "o_totalprice"))
+        batch = (orders.filter(orders.o_orderkey < 10_000)
+                 .select("o_orderkey",
+                         (orders.o_totalprice + 1).alias("o_totalprice")))
+        best, feed_rows, files_live = float("inf"), 0, 0
+        for _ in range(2):          # best-of-2 on FRESH tables (the
+            # first churn per JVM pays JIT/shuffle warm-up — measured
+            # 2.5x on the first iteration regardless of scale)
+            import shutil
+            tmp = tempfile.mkdtemp(prefix=f"bench_txn_{tag}_")
+            path = tmp + "/tbl"
+            txnlog.create_table(
+                spark, full.repartitionByRange(files, "o_orderkey"),
+                path, key="o_orderkey")
+            v0 = txnlog.snapshot(path).version
+            t0 = time.perf_counter()
+            txnlog.merge(spark, path, batch, key="o_orderkey")
+            txnlog.delete_range(spark, path, key="o_orderkey",
+                                lo=0, hi=5_000)
+            feed_rows = txnlog.table_changes(
+                spark, path, v0, key="o_orderkey").count()
+            best = min(best, round(time.perf_counter() - t0, 3))
+            files_live = len(txnlog.snapshot(path).files)
+            shutil.rmtree(tmp, ignore_errors=True)
+        out[tag] = {"churn_sec": best, "feed_rows": feed_rows,
+                    "files_live": files_live}
+    out["flat_ratio"] = round(
+        out["scaled"]["churn_sec"] / max(out["base"]["churn_sec"], 1e-9),
+        2)
     return out
 
 
