@@ -515,17 +515,62 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
              .select("e.r.*", "e.change_type"))
 
 
+def truncate_history(path: str, *, keep_last: int = 10) -> dict:
+    """Retention policy (the lifecycle verb vacuum alone lacks): keep
+    only the newest ``keep_last`` versions.  A full checkpoint is
+    written AT the cutoff version first (so every retained version
+    still replays), then older commit/checkpoint files are dropped and
+    :func:`vacuum` reclaims data files referenced only by the dropped
+    history.  Time travel below the cutoff raises afterwards — the
+    Delta VACUUM retention contract: a reader pinned on a dropped
+    version loses it (callers pick ``keep_last`` ≥ their longest
+    reader).  Concurrent WRITERS are safe: they only claim versions
+    above the current latest, which truncation never touches."""
+    versions = _list_versions(path)
+    if len(versions) <= keep_last:
+        return {"dropped_versions": 0, "removed_files": []}
+    cut = versions[-keep_last]
+    snap = snapshot(path, cut)
+    log = _log_dir(path)
+    tmp = os.path.join(log, f".ckpt-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"version": cut, "files": snap.files,
+                   "schema": snap.schema_json, "txns": snap.txns}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(log, _ckpt_name(cut)))
+    dropped = 0
+    for n in os.listdir(log):
+        if not n.endswith(".json") or n.startswith("."):
+            continue
+        v = int(n[:_W])
+        if v < cut:
+            os.remove(os.path.join(log, n))
+            if not n.endswith(".ckpt.json"):
+                dropped += 1
+    return {"dropped_versions": dropped, "cut": cut,
+            "removed_files": vacuum(path)}
+
+
 def vacuum(path: str) -> list[str]:
     """Delete ORPHAN data files — present in the directory but
-    referenced by no commit (crashed writers' staged output).  Files
-    referenced by historical versions are kept (time travel intact);
-    log truncation would be a separate retention policy."""
+    referenced by no RETAINED commit or checkpoint (crashed writers'
+    staged output; after :func:`truncate_history`, files only the
+    dropped history referenced).  Files referenced by any retained
+    version are kept (time travel above the retention cutoff
+    intact)."""
     referenced: set[str] = set()
-    for v in _list_versions(path):
-        with open(os.path.join(_log_dir(path), _commit_name(v))) as f:
+    log = _log_dir(path)
+    for n in os.listdir(log):
+        if n.startswith(".") or not n.endswith(".json"):
+            continue
+        with open(os.path.join(log, n)) as f:
             c = json.load(f)
-        referenced |= {a["file"] for a in c.get("add", [])}
-        referenced |= set(c.get("remove", []))
+        if n.endswith(".ckpt.json"):
+            referenced |= set(c.get("files", {}))
+        else:
+            referenced |= {a["file"] for a in c.get("add", [])}
+            referenced |= set(c.get("remove", []))
     removed = []
     for n in os.listdir(path):
         if (n.endswith(".parquet") and n not in referenced

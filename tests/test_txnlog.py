@@ -392,3 +392,45 @@ def test_table_changes_rejects_reversed_range(spark, tdir):
     txnlog.append(spark, _mk(spark, 10, 20, tag="b"), tdir, key="k")
     with _pytest.raises(ValueError, match="precedes"):
         txnlog.table_changes(spark, tdir, 1, 0, key="k")
+
+
+def test_truncate_history_retention(spark, tdir):
+    """Retention: keep_last versions still replay (content identical),
+    older versions raise, and data files referenced ONLY by dropped
+    history are physically reclaimed while retained-version files
+    survive — including files carried solely by the cutoff
+    checkpoint."""
+    import os as _os
+
+    import pytest as _pytest
+
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    for i in range(4):                      # v1..v4: four full rewrites
+        txnlog.replace_contents(spark, tdir,
+                                _mk(spark, 0, 100, tag=f"t{i}"), key="k")
+    latest_before = {(r.k, r.v) for r in
+                     txnlog.read_table(spark, tdir).collect()}
+    n_files_before = len([n for n in _os.listdir(tdir)
+                          if n.endswith(".parquet")])
+    res = txnlog.truncate_history(tdir, keep_last=2)
+    assert res["dropped_versions"] == 3 and res["cut"] == 3
+    assert res["removed_files"], "dropped-history files must reclaim"
+    # retained versions replay; content identical
+    assert {(r.k, r.v) for r in txnlog.read_table(spark, tdir)
+            .collect()} == latest_before
+    assert txnlog.read_table(spark, tdir, version=3).count() == 100
+    # history below the cutoff is gone
+    with _pytest.raises(ValueError, match="not in log"):
+        txnlog.snapshot(tdir, 1)
+    n_files_after = len([n for n in _os.listdir(tdir)
+                         if n.endswith(".parquet")])
+    assert n_files_after < n_files_before
+    # vacuum after truncation never touches checkpoint-referenced files
+    assert txnlog.vacuum(tdir) == []
+    assert txnlog.read_table(spark, tdir, version=3).count() == 100
+    # the table stays writable after truncation
+    txnlog.append(spark, _mk(spark, 100, 110), tdir, key="k")
+    assert txnlog.read_table(spark, tdir).count() == 110
+    # under-threshold truncation is a no-op
+    assert txnlog.truncate_history(tdir, keep_last=50) \
+        == {"dropped_versions": 0, "removed_files": []}
