@@ -72,7 +72,7 @@ HEADLINE = (
     # round 9 stats wave: deterministic grouped statistics — exact
     # decimal moments (Pearson), IEEE-exact z-test, bit-identical
     # Kaplan-Meier product folds, and the HLL overlap estimate
-    "cor_01", "ab_01", "surv_01", "fed_02",
+    "cor_01", "ab_01", "surv_01", "fed_02", "fed_03",
 )
 
 

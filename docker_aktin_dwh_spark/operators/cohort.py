@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -589,6 +589,76 @@ def fed_02(spark, sf):
         .alias("within_bound"))
 
 
+FED3_K = 512
+_FED3_M = float(1 << 52)
+
+
+def fed_03(spark, sf):
+    """Federated overlap via KMV / theta sketches — the estimator that
+    fixes fed_02's weakness (HLL inclusion–exclusion compounds three
+    absolute errors, so SMALL overlaps drown): each site ships its K
+    MINIMUM hash VALUES (md5-derived 52-bit integers — k·8 bytes, no
+    ids, same privacy shape as fed_hll's sketch bytes); the
+    coordinator takes θ = min of the sites' k-th values and estimates
+    |A∩B| = |{h < θ present in BOTH sketches}| · M / θ — a direct
+    sample of the intersection, error ∝ √overlap/√K rather than
+    ∝ union.
+
+    Certification is STRONGER than the HLL keys: KMV is pure integer
+    order statistics + one double division, so the DuckDB oracle
+    recomputes the ENTIRE estimator (same hashes, same k-th values,
+    same θ-filtered sample) and the 1e6-scaled ESTIMATE ITSELF is
+    hash-certified — not just a bounded boolean.  A site with fewer
+    than K distinct ids keeps everything (θ_s = M, the sketch is
+    exact) — the sf0.001 fixture exercises that arm, sf0.01+ the
+    estimating arm.
+
+    Scale shape: per-site K-minimum = one WindowGroupLimit top-k per
+    site (never a global sort); the coordinator works on ≤ 2K rows."""
+    o = catalog.load(spark, sf, "orders").select(
+        "o_custkey", (F.col("o_custkey") % 3).alias("m"))
+    per = (o.filter(F.col("m") <= 1)
+           .select(F.lit("A").alias("site"), "o_custkey")
+           .unionByName(o.filter(F.col("m") >= 1)
+                        .select(F.lit("B").alias("site"), "o_custkey")))
+    h = (F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
+                            1, 13), 16, 10).cast("long"))
+    hashes = per.select("site", h.alias("h")).distinct()
+    w = Window.partitionBy("site").orderBy("h")
+    sk = (hashes.withColumn("r", F.row_number().over(w))
+          .filter(F.col("r") <= FED3_K))
+    stats = (sk.groupBy("site")
+             .agg(F.count("*").alias("cnt"), F.max("h").alias("kth")))
+    theta_s = F.when(F.col("cnt") < FED3_K,
+                     F.lit(_FED3_M)).otherwise(
+        F.col("kth").cast("double"))
+    theta = stats.agg(F.min(theta_s).alias("theta"))
+    a_sk = sk.filter(F.col("site") == "A").select("h")
+    b_sk = sk.filter(F.col("site") == "B").select("h")
+    sample = (a_sk.join(b_sk, "h")
+              .crossJoin(F.broadcast(theta))
+              .filter(F.col("h").cast("double") < F.col("theta"))
+              .agg(F.count("*").alias("sample_n")))
+    flags = (per.groupBy("o_custkey")
+             .agg(F.max((F.col("site") == "A").cast("int")).alias("a"),
+                  F.max((F.col("site") == "B").cast("int")).alias("b")))
+    exacts = flags.agg(
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).cast("long")
+         .alias("exact_overlap"))
+    row = (exacts.crossJoin(F.broadcast(sample))
+           .crossJoin(F.broadcast(theta)))
+    est = (F.col("sample_n").cast("double") * F.lit(_FED3_M)
+           / F.col("theta"))
+    return row.select(
+        "exact_union", "exact_overlap", "sample_n",
+        F.round(est).cast("long").alias("est"),
+        (F.abs(est - F.col("exact_overlap"))
+         <= 5.0 / (FED3_K ** 0.5)
+         * F.col("exact_overlap").cast("double") + 2)
+        .alias("within_bound"))
+
+
 _CT = catalog.clinical_with_clause
 
 _ORACLES = {
@@ -724,6 +794,52 @@ SELECT
   TRUE AS within_bound
 """
 
+_ORACLES["fed_03"] = f"""
+WITH per AS (
+  SELECT 'A' AS site, o_custkey FROM orders WHERE o_custkey % 3 <= 1
+  UNION ALL
+  SELECT 'B' AS site, o_custkey FROM orders WHERE o_custkey % 3 >= 1),
+hashes AS (
+  SELECT DISTINCT site,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM per),
+sk AS (
+  SELECT site, h FROM (
+    SELECT site, h,
+           row_number() OVER (PARTITION BY site ORDER BY h) AS r
+    FROM hashes) WHERE r <= {FED3_K}),
+stats AS (
+  SELECT site, count(*) AS cnt, max(h) AS kth FROM sk GROUP BY 1),
+theta AS (
+  SELECT min(CASE WHEN cnt < {FED3_K} THEN {_FED3_M!r}::DOUBLE
+             ELSE CAST(kth AS DOUBLE) END) AS theta
+  FROM stats),
+smp AS (
+  SELECT count(*) AS sample_n
+  FROM (SELECT h FROM sk WHERE site = 'A') a
+  JOIN (SELECT h FROM sk WHERE site = 'B') b USING (h)
+  CROSS JOIN theta
+  WHERE CAST(h AS DOUBLE) < theta),
+flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN site = 'A' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN site = 'B' THEN 1 ELSE 0 END) AS b
+  FROM per GROUP BY 1),
+ex AS (
+  SELECT count(*) AS exact_union,
+         CAST(SUM(a * b) AS BIGINT) AS exact_overlap
+  FROM flags)
+SELECT exact_union, exact_overlap, sample_n,
+       CAST(ROUND(CAST(sample_n AS DOUBLE) * {_FED3_M!r} / theta)
+            AS BIGINT) AS est,
+       abs(CAST(sample_n AS DOUBLE) * {_FED3_M!r} / theta
+           - CAST(exact_overlap AS DOUBLE))
+         <= 5.0 / sqrt({FED3_K}) * CAST(exact_overlap AS DOUBLE) + 2
+           AS within_bound
+FROM ex CROSS JOIN smp CROSS JOIN theta
+"""
+
 _ORACLES["fed_hll"] = f"""
 WITH p AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
@@ -769,6 +885,11 @@ _DOCS = {
     "fed_02": "Federated patient overlap |A∩B| via HLL "
               "inclusion-exclusion (sketch bytes move, never ids); "
               "bounded self-check against the exact intersection",
+    "fed_03": "Federated overlap via KMV/theta sketches: k-minimum "
+              "hash values per site, theta-filtered intersection "
+              "sample — estimate error scales with the OVERLAP, not "
+              "the union; fully recomputable integer order "
+              "statistics, so the estimate itself is hash-certified",
 }
 
 

@@ -1574,10 +1574,12 @@ def r9b_all(spark, sf):
     pair explosion), sky_01 Pareto skyline (monotone frontier, no
     self-join), rfm_01 RFM segmentation (closed-form NTILE on the
     distributed global rank), fed_02 federated overlap (HLL
-    inclusion-exclusion, bounded self-check), cor_01 grouped Pearson
-    correlation (exact decimal moment sums), surv_01 Kaplan-Meier
-    survival curves (bit-identical ordered product folds), and ab_01
-    two-proportion z-test (IEEE-exact closed form)."""
+    inclusion-exclusion, bounded self-check), fed_03 KMV/theta
+    overlap (the estimate itself hash-certified), cor_01 grouped
+    Pearson correlation (exact decimal moment sums), surv_01
+    Kaplan-Meier survival curves (bit-identical ordered product
+    folds), and ab_01 two-proportion z-test (IEEE-exact closed
+    form)."""
     from . import (bloomjoin, dedup, entity, maintenance, roundtrips,
                    similarity)
     out = _tag(bloomjoin.blm_01(spark, sf), "blm",
@@ -1645,6 +1647,10 @@ def r9b_all(spark, sf):
     out = out.unionByName(_tag(
         relational.cor_01(spark, sf), "cor",
         F.concat_ws("|", "l_returnflag", "n", "corr_s")))
+    out = out.unionByName(_tag(
+        cohort.fed_03(spark, sf), "fed3",
+        F.concat_ws("|", "exact_union", "exact_overlap", "sample_n",
+                    "est", F.col("within_bound").cast("string"))))
     out = out.unionByName(_tag(
         cohort.fed_02(spark, sf), "fed2",
         F.concat_ws("|", "exact_a", "exact_b", "exact_union",
@@ -1716,6 +1722,9 @@ def _r9b_all_oracle() -> str:
          relational._ORACLES["surv_01"]),
         ("cor", cat("l_returnflag", "n", "corr_s"),
          relational._ORACLES["cor_01"]),
+        ("fed3", cat("exact_union", "exact_overlap", "sample_n",
+                     "est", "within_bound"),
+         cohort._ORACLES["fed_03"]),
         ("fed2", cat("exact_a", "exact_b", "exact_union",
                      "exact_overlap", "within_bound"),
          cohort._ORACLES["fed_02"]),
@@ -1852,9 +1861,10 @@ _DOCS = {
                "inclusion-exclusion (fed_02), grouped Pearson "
                "correlation with exact decimal moment sums (cor_01), "
                "Kaplan-Meier survival curves with bit-identical "
-               "ordered product folds (surv_01), and the "
-               "two-proportion conversion z-test (ab_01) — "
-               "same-round driver certification",
+               "ordered product folds (surv_01), the two-proportion "
+               "conversion z-test (ab_01), and KMV/theta-sketch "
+               "overlap with the estimate itself hash-certified "
+               "(fed_03) — same-round driver certification",
 }
 
 
