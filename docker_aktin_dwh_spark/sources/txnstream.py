@@ -3,7 +3,7 @@ DataSource API): stream offsets are commit VERSIONS, and each
 micro-batch reads exactly the data files the commits in
 ``(start, end]`` added — the table's append history replayed with
 commit-boundary fidelity.  This is the design Delta Lake's streaming
-source uses (public protocol docs): version-based offsets over an
+source uses (public protocol spec): version-based offsets over an
 ACID log, so the stream sees only COMMITTED files (a crashed writer's
 staged orphans are invisible — same isolation read_table enjoys), and
 restart resumes from the checkpointed version with no loss and no
@@ -24,6 +24,21 @@ files (merge/delete/compact/replace) raises — streaming semantics for
 rewrites would need change-data capture (txnlog.table_changes is the
 batch form; Delta's ``skipChangeCommits`` analogue is future scope).
 
+DEPLOYMENT CONSTRAINT (the reason this module is self-contained and
+registered for pickle-BY-VALUE below): Spark plans a Python data
+source in a dedicated ``python_streaming_source_runner`` process that
+unpickles the DataSource/reader WITHOUT applying ``addPyFile``
+includes — unlike regular UDF workers, it cannot import
+``docker_aktin_dwh_spark`` when the driver found the repo only via
+its own sys.path (the correctness driver's situation; reproduced:
+ModuleNotFoundError from ``worker_util.read_command``).  So (a) this
+module duplicates the ~20 lines of commit-log reading it needs
+instead of importing ``txnlog`` (kept byte-compatible by
+tests/test_txnlog.py, which drives both against the same tables), and
+(b) ``cloudpickle.register_pickle_by_value`` makes the classes travel
+as definitions, not references.  read() on executors needs only
+stdlib + pyarrow.
+
 Reference analogue: the broker's incremental poll loop
 (/root/reference/src/docker/template.yml:51) generalized to
 transactional commit tailing.
@@ -37,6 +52,25 @@ import os
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import LongType, StructField, StructType
+
+#: mirrors txnlog's layout constants — self-contained on purpose (see
+#: module docstring); byte-compatibility pinned in tests.
+_LOG = "_txnlog"
+_W = 20
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG, f"{version:0{_W}d}.json")
+
+
+def _versions(table: str) -> list[int]:
+    try:
+        names = os.listdir(os.path.join(table, _LOG))
+    except FileNotFoundError:
+        return []
+    return sorted(int(n[:_W]) for n in names
+                  if n.endswith(".json") and not n.endswith(".ckpt.json")
+                  and not n.startswith("."))
 
 
 class _FilePartition(InputPartition):
@@ -53,15 +87,15 @@ class TxnlogStreamReader(DataSourceStreamReader):
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        from . import txnlog
-        return {"version": txnlog.snapshot(self._path).version}
+        vs = _versions(self._path)
+        if not vs:
+            raise FileNotFoundError(f"no txnlog table at {self._path}")
+        return {"version": vs[-1]}
 
     def partitions(self, start: dict, end: dict):
-        from . import txnlog
         parts: list[_FilePartition] = []
-        log = txnlog._log_dir(self._path)
         for v in range(start["version"] + 1, end["version"] + 1):
-            with open(os.path.join(log, txnlog._commit_name(v))) as f:
+            with open(_commit_path(self._path, v)) as f:
                 c = json.load(f)
             if c.get("remove"):
                 raise ValueError(
@@ -96,12 +130,41 @@ class TxnlogStreamDataSource(DataSource):
         return "txnlog_stream"
 
     def schema(self) -> StructType:
-        from . import txnlog
-        snap = txnlog.snapshot(self.options["path"])
-        logged = StructType.fromJson(json.loads(snap.schema_json))
+        # replay the schema from the newest commit that recorded one
+        # (create/replace record it; the planner process cannot import
+        # txnlog.snapshot — see module docstring)
+        schema_json = None
+        table = self.options["path"]
+        for v in _versions(table):
+            with open(_commit_path(table, v)) as f:
+                schema_json = json.load(f).get("schema", schema_json)
+        if schema_json is None:
+            # fall back to any checkpoint (history may be truncated)
+            log = os.path.join(table, _LOG)
+            for n in sorted(os.listdir(log)):
+                if n.endswith(".ckpt.json"):
+                    with open(os.path.join(log, n)) as f:
+                        schema_json = json.load(f).get("schema")
+        logged = StructType.fromJson(json.loads(schema_json))
         return StructType(list(logged.fields)
                           + [StructField("_commit_version", LongType(),
                                          False)])
 
     def streamReader(self, schema: StructType) -> TxnlogStreamReader:
         return TxnlogStreamReader(self.options["path"])
+
+
+def _register_by_value() -> None:
+    """Make this module's classes cloudpickle BY VALUE so the data
+    source survives processes that never see our package on sys.path
+    (the streaming-source runner; any executor without the pyFiles
+    zip applied)."""
+    import sys
+    try:
+        from pyspark import cloudpickle
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:                       # pragma: no cover - old API
+        pass
+
+
+_register_by_value()

@@ -434,3 +434,24 @@ def test_truncate_history_retention(spark, tdir):
     # under-threshold truncation is a no-op
     assert txnlog.truncate_history(tdir, keep_last=50) \
         == {"dropped_versions": 0, "removed_files": []}
+
+
+def test_txnstream_layout_constants_match_txnlog():
+    """txnstream is deliberately self-contained (the data-source
+    runner process can't import the package — module docstring); its
+    duplicated layout constants and commit listing must stay
+    byte-compatible with txnlog's."""
+    from docker_aktin_dwh_spark.sources import txnstream
+
+    assert txnstream._LOG == txnlog._LOG
+    assert txnstream._W == txnlog._W
+
+
+def test_txnstream_versions_match_txnlog_listing(spark, tdir):
+    from docker_aktin_dwh_spark.sources import txnstream
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 10, 20, tag="b"), tdir, key="k")
+    assert txnstream._versions(tdir) == txnlog._list_versions(tdir)
+    assert txnstream._commit_path(tdir, 1).endswith(
+        txnlog._commit_name(1))
