@@ -256,25 +256,48 @@ def create_table(spark: SparkSession, df: DataFrame, path: str, *,
 def read_table(spark: SparkSession, path: str,
                version: int | None = None) -> DataFrame:
     """DataFrame over exactly the files live at ``version`` (default
-    latest) — snapshot-isolated, lock-free."""
+    latest) — snapshot-isolated, lock-free.  Reads under the LOGGED
+    schema of that version (the log, not the files, is the source of
+    truth — Delta's rule): after a schema-evolving append, files
+    written before the evolution lack the new columns and Spark's
+    parquet reader surfaces them as NULL; time travel to an
+    pre-evolution version reads under THAT version's narrower
+    schema."""
     snap = snapshot(path, version)
+    schema = StructType.fromJson(json.loads(snap.schema_json))
     if not snap.files:
-        schema = StructType.fromJson(json.loads(snap.schema_json))
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, n) for n in sorted(snap.files)]
-    return spark.read.parquet(*paths)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def append(spark: SparkSession, df: DataFrame, path: str, *,
-           key: str) -> Snapshot:
+           key: str, evolve_schema: bool = False) -> Snapshot:
     """Blind append: stages files once, then claims the next version
-    (retrying the claim only — appends never conflict logically)."""
+    (retrying the claim only — appends never conflict logically).
+
+    Schema evolution (the SRC-08 contract on the ACID format):
+    ``evolve_schema=True`` lets ``df`` carry ADDED columns — the
+    commit records the widened schema, readers of this and later
+    versions surface the new columns (NULL on pre-evolution files),
+    and time travel below the evolving commit keeps the old shape.
+    Without the flag, a widened frame raises instead of silently
+    forking the table's schema."""
     snap = snapshot(path)
+    logged = {f.name for f in
+              StructType.fromJson(json.loads(snap.schema_json)).fields}
+    new_cols = [c for c in df.columns if c not in logged]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"append: frame adds columns {new_cols} not in the table "
+            f"schema; pass evolve_schema=True to widen the table")
     adds = _stage_data_files(spark, df, path, key, snap.version + 1)
+    payload: dict = {"op": "append", "add": adds, "remove": []}
+    if new_cols:
+        payload["schema"] = df.schema.json()
     v = snap.version + 1
     for _ in range(MERGE_MAX_ATTEMPTS * 4):
-        if _try_commit(path, v, {"op": "append", "add": adds,
-                                 "remove": []}):
+        if _try_commit(path, v, payload):
             return snapshot(path, v)
         v += 1
     _drop_files(path, adds)
@@ -305,7 +328,10 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
             touched = [n for n, s in snap.files.items()
                        if _interval_hits(s, keys)]
             if touched:
-                old = spark.read.parquet(
+                # logged schema, not file inference: post-evolution,
+                # pre-evolution files lack the new columns (NULL-fill)
+                old = spark.read.schema(StructType.fromJson(
+                    json.loads(snap.schema_json))).parquet(
                     *[os.path.join(path, n) for n in touched])
                 kept = old.join(
                     F.broadcast(batch.select(key).distinct()),
@@ -377,7 +403,8 @@ def compact(spark: SparkSession, path: str, *, key: str,
         snap = snapshot(path)
         if len(snap.files) < min_files:
             return None
-        cur = spark.read.parquet(
+        cur = spark.read.schema(StructType.fromJson(
+            json.loads(snap.schema_json))).parquet(
             *[os.path.join(path, n) for n in sorted(snap.files)])
         packed = cur.repartitionByRange(target_files, key)
         adds = _stage_data_files(spark, packed, path, key,
@@ -420,7 +447,8 @@ def delete_range(spark: SparkSession, path: str, *, key,
                          if _range_hits(s, lo, hi))
         if not touched:
             return snap                       # statically nothing to do
-        old = spark.read.parquet(
+        old = spark.read.schema(StructType.fromJson(
+            json.loads(snap.schema_json))).parquet(
             *[os.path.join(path, n) for n in touched])
         kept = old.filter(~((F.col(key) >= F.lit(lo))
                             & (F.col(key) < F.lit(hi))))

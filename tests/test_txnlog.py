@@ -455,3 +455,41 @@ def test_txnstream_versions_match_txnlog_listing(spark, tdir):
     assert txnstream._versions(tdir) == txnlog._list_versions(tdir)
     assert txnstream._commit_path(tdir, 1).endswith(
         txnlog._commit_name(1))
+
+
+def test_schema_evolution_append(spark, tdir):
+    """SRC-08 on the ACID format: an evolving append widens the LOGGED
+    schema in the same atomic commit; readers of later versions see
+    the new column (NULL on pre-evolution files), time travel keeps
+    the old shape, and post-evolution MERGE/compact preserve the new
+    column on rewritten old files.  Un-flagged widening raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    wide = _mk(spark, 100, 120, tag="n").withColumn("score", F.lit(7))
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        txnlog.append(spark, wide, tdir, key="k")
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)
+    got = txnlog.read_table(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "score"]
+    rows = {r.k: r.score for r in got.collect()}
+    assert len(rows) == 120
+    assert rows[5] is None and rows[110] == 7
+    # time travel below the evolution keeps the narrow shape
+    old = txnlog.read_table(spark, tdir, version=0)
+    assert [f.name for f in old.schema.fields] == ["k", "v"]
+    # a post-evolution MERGE rewriting a PRE-evolution file keeps the
+    # widened schema (internal reads honor the log, not the files)
+    batch = (_mk(spark, 10, 15, tag="m")
+             .withColumn("score", F.lit(9)))
+    txnlog.merge(spark, tdir, batch, key="k")
+    rows = {r.k: (r.v, r.score) for r in
+            txnlog.read_table(spark, tdir).collect()}
+    assert rows[12] == ("m12", 9)
+    assert rows[5] == ("a5", None) and rows[110] == ("n110", 7)
+    # compact preserves content incl. the NULL-filled column
+    txnlog.compact(spark, tdir, key="k", target_files=1)
+    rows2 = {r.k: (r.v, r.score) for r in
+             txnlog.read_table(spark, tdir).collect()}
+    assert rows2 == rows
