@@ -1568,7 +1568,9 @@ def r9b_all(spark, sf):
     MERGE through the commit-log table format (sources/txnlog),
     ivm_03 exactly-once streaming IVM (view + batch id in one atomic
     commit), cdc_02 change-data feed (Delta-CDF diff of the
-    version-asymmetric file sets), fun_01 funnel conversion (JVM
+    version-asymmetric file sets), cdc_03 per-version change feed
+    (readChangeFeed shape, intermediate states visible), fun_01
+    funnel conversion (JVM
     ordered-chain fold), col_01 PMI collocations (integer-division
     lift ranking), mba_01 market-basket association (bounded basket
     pair explosion), sky_01 Pareto skyline (monotone frontier, no
@@ -1630,6 +1632,11 @@ def r9b_all(spark, sf):
         F.concat_ws("|", "encounter_num", "patient_num",
                     F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
                     "inout_cd", "change_type")))
+    out = out.unionByName(_tag(
+        roundtrips.cdc_03(spark, sf), "cdc3",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
+                    "inout_cd", "change_type", "commit_version")))
     out = out.unionByName(_tag(
         relational.fun_01(spark, sf), "fun",
         F.concat_ws("|", "step_idx", "step", "n_users",
@@ -1710,6 +1717,11 @@ def _r9b_all_oracle() -> str:
                 "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
                 "inout_cd || '|' || change_type",
          roundtrips._cdc_02_oracle()),
+        ("cdc3", cat("encounter_num", "patient_num") + " || '|' || "
+                 "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
+                 "inout_cd || '|' || change_type || '|' || "
+                 "CAST(commit_version AS VARCHAR)",
+         roundtrips._cdc_03_oracle()),
         ("fun", cat("step_idx", "step", "n_users",
                     "CAST(ROUND(conversion * 10000) AS BIGINT)"),
          relational._ORACLES["fun_01"]),

@@ -315,6 +315,105 @@ FROM v2 n JOIN upd_keys u ON n.encounter_num = u.k
 """
 
 
+def cdc_03(spark, sf):
+    """Per-version change feed (sources/txnlog.table_changes_range —
+    Delta's readChangeFeed shape): cdc_02's table history plus a v3
+    MERGE that re-inserts encounters 0-4 with their ORIGINAL values.
+    The endpoint diff correctly suppresses those (net no change); the
+    per-version feed must show delete@2 THEN insert@3 — the
+    intermediate-visibility contract a downstream consumer replaying
+    effects in order depends on, stated exactly by the oracle's three
+    pairwise-diff blocks."""
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_cdc03_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        ups = (base.filter((F.col("encounter_num") >= 100)
+                           & (F.col("encounter_num") < 200))
+               .select("encounter_num", "patient_num",
+                       (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                        .alias("start_date"),
+                       F.lit("U").alias("inout_cd")))
+        ins = vis.filter((F.col("encounter_num") >= 400)
+                         & (F.col("encounter_num") < 450))
+        txnlog.merge(spark, path, ups.unionByName(ins),
+                     key="encounter_num")                        # v1
+        txnlog.delete_range(spark, path, key="encounter_num",
+                            lo=0, hi=50)                         # v2
+        txnlog.merge(spark, path,
+                     base.filter(F.col("encounter_num") < 5),
+                     key="encounter_num")                        # v3
+        out = txnlog.table_changes_range(spark, path, 0,
+                                         key="encounter_num")
+        return _snap_off_tmp(out, tmp).orderBy(
+            "commit_version", "encounter_num", "change_type")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _cdc_03_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+
+    def diff(old: str, new: str, v: int) -> str:
+        return f"""
+SELECT n.*, 'insert' AS change_type, CAST({v} AS BIGINT)
+           AS commit_version
+FROM {new} n LEFT JOIN {old} o ON n.encounter_num = o.encounter_num
+WHERE o.encounter_num IS NULL
+UNION ALL
+SELECT o.*, 'delete' AS change_type, CAST({v} AS BIGINT)
+FROM {old} o LEFT JOIN {new} n ON o.encounter_num = n.encounter_num
+WHERE n.encounter_num IS NULL
+UNION ALL
+SELECT o.*, 'update_preimage' AS change_type, CAST({v} AS BIGINT)
+FROM {old} o JOIN {new} n ON o.encounter_num = n.encounter_num
+WHERE o.patient_num IS DISTINCT FROM n.patient_num
+   OR o.start_date IS DISTINCT FROM n.start_date
+   OR o.inout_cd IS DISTINCT FROM n.inout_cd
+UNION ALL
+SELECT n.*, 'update_postimage' AS change_type, CAST({v} AS BIGINT)
+FROM {old} o JOIN {new} n ON o.encounter_num = n.encounter_num
+WHERE o.patient_num IS DISTINCT FROM n.patient_num
+   OR o.start_date IS DISTINCT FROM n.start_date
+   OR o.inout_cd IS DISTINCT FROM n.inout_cd
+"""
+
+    return ct.rstrip("\n") + f""",
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+v0 AS (SELECT * FROM vis WHERE encounter_num < 400),
+ups AS (SELECT encounter_num, patient_num,
+               start_date + INTERVAL 40 DAY AS start_date,
+               'U' AS inout_cd
+        FROM v0 WHERE encounter_num >= 100 AND encounter_num < 200),
+ins AS (SELECT * FROM vis
+        WHERE encounter_num >= 400 AND encounter_num < 450),
+batch AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+v1 AS (SELECT * FROM v0
+       WHERE encounter_num NOT IN (SELECT encounter_num FROM batch)
+       UNION ALL SELECT * FROM batch),
+v2 AS (SELECT * FROM v1
+       WHERE NOT (encounter_num >= 0 AND encounter_num < 50)),
+reins AS (SELECT * FROM v0 WHERE encounter_num < 5),
+v3 AS (SELECT * FROM v2
+       WHERE encounter_num NOT IN (SELECT encounter_num FROM reins)
+       UNION ALL SELECT * FROM reins)
+{diff("v0", "v1", 1)}
+UNION ALL
+{diff("v1", "v2", 2)}
+UNION ALL
+{diff("v2", "v3", 3)}
+"""
+
+
 def _ups_01_oracle() -> str:
     ct = catalog.clinical_with_clause(("visit_dimension",))
     return ct.rstrip("\n") + """,
@@ -516,6 +615,11 @@ _DOCS = {
               "(Delta-CDF shape from the version-asymmetric file "
               "sets; stats-skipped DELETE + MERGE between versions; "
               "unchanged-but-rewritten rows suppressed)",
+    "cdc_03": "Per-version change feed over the commit-log format "
+              "(Delta readChangeFeed shape): one classified diff per "
+              "commit, version-tagged; intermediate states visible "
+              "(delete@2 + identical re-insert@3, which the endpoint "
+              "diff suppresses)",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
@@ -536,6 +640,7 @@ def specs() -> list[QuerySpec]:
         "ups_01": _ups_01_oracle(),
         "ups_02": _ups_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
+        "cdc_03": _cdc_03_oracle(),
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,
         "src_orc": _SRC_ORC_ORACLE,

@@ -580,6 +580,33 @@ def truncate_history(path: str, *, keep_last: int = 10) -> dict:
             "removed_files": vacuum(path)}
 
 
+def table_changes_range(spark: SparkSession, path: str, v_from: int,
+                        v_to: int | None = None, *,
+                        key: str) -> DataFrame:
+    """Per-version CDC feed (Delta's ``readChangeFeed`` shape): one
+    classified diff PER COMMIT in ``(v_from, v_to]``, each row tagged
+    with the commit version that produced it.  Unlike
+    :func:`table_changes` (an endpoint diff), INTERMEDIATE states are
+    visible: a row deleted at v2 and re-inserted identically at v3
+    appears as delete@2 + insert@3 here but is (correctly) suppressed
+    by the endpoint diff — the distinction that matters to a consumer
+    replaying effects in order.  Cost: each per-version diff reads
+    only that commit's asymmetric file sets, so the whole feed is
+    ∝ total churn across the range; the version loop is control-plane
+    (bounded by retained versions) and builds ONE union plan."""
+    s_to = snapshot(path, v_to)
+    out = None
+    for v in range(v_from + 1, s_to.version + 1):
+        d = (table_changes(spark, path, v - 1, v, key=key)
+             .withColumn("commit_version", F.lit(v).cast("long")))
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise ValueError(
+            f"table_changes_range: empty range ({v_from}, "
+            f"{s_to.version}]")
+    return out
+
+
 def vacuum(path: str) -> list[str]:
     """Delete ORPHAN data files — present in the directory but
     referenced by no RETAINED commit or checkpoint (crashed writers'
