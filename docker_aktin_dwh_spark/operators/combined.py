@@ -1633,6 +1633,15 @@ def r9b_all(spark, sf):
                     F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
                     "inout_cd", "change_type")))
     out = out.unionByName(_tag(
+        roundtrips.stats_01(spark, sf), "st1",
+        F.concat_ws("|", "col", "n_rows", "n_nulls",
+                    F.coalesce(F.round(F.col("min_v") * 10_000)
+                               .cast("long").cast("string"),
+                               F.lit("none")),
+                    F.coalesce(F.round(F.col("max_v") * 10_000)
+                               .cast("long").cast("string"),
+                               F.lit("none")))))
+    out = out.unionByName(_tag(
         roundtrips.cdc_03(spark, sf), "cdc3",
         F.concat_ws("|", "encounter_num", "patient_num",
                     F.date_format("start_date", "yyyy-MM-dd HH:mm:ss"),
@@ -1717,6 +1726,13 @@ def _r9b_all_oracle() -> str:
                 "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
                 "inout_cd || '|' || change_type",
          roundtrips._cdc_02_oracle()),
+        ("st1", "col || '|' || CAST(n_rows AS VARCHAR) || '|' || "
+                "CAST(n_nulls AS VARCHAR) || '|' || "
+                "COALESCE(CAST(CAST(ROUND(min_v * 10000) AS BIGINT) "
+                "AS VARCHAR), 'none') || '|' || "
+                "COALESCE(CAST(CAST(ROUND(max_v * 10000) AS BIGINT) "
+                "AS VARCHAR), 'none')",
+         roundtrips._STATS_01_ORACLE),
         ("cdc3", cat("encounter_num", "patient_num") + " || '|' || "
                  "strftime(start_date, '%Y-%m-%d %H:%M:%S') || '|' || "
                  "inout_cd || '|' || change_type || '|' || "

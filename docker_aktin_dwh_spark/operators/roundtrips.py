@@ -315,6 +315,108 @@ FROM v2 n JOIN upd_keys u ON n.encounter_num = u.k
 """
 
 
+def stats_01(spark, sf):
+    """Metadata-only ANALYZE: per-column rows / null-count / min / max
+    assembled from parquet ROW-GROUP FOOTERS alone — no data scan.
+    This is how table statistics work at 100 TB (Iceberg manifests,
+    Delta stats, the planner inputs that drive join reordering and
+    data skipping): footers are KB-sized per file, so the profile
+    reads metadata ∝ files while the data stays cold.
+
+    Distributed shape: the FILE is the parallelism unit — the file
+    list maps through Arrow-batched mapInPandas where each task opens
+    only footers (pyarrow.ParquetFile.metadata), then a vocabulary-
+    sized groupBy merges per-row-group stats (min/max/sum are exactly
+    the mergeable shape footer stats exist for).  The profiled table
+    is first written through the real parquet sink with PLANTED nulls
+    (props nulled where event_id % 7 == 0) so the null-count arm is
+    load-bearing — the raw fixtures have zero footer nulls.  The
+    oracle recomputes identical statistics FROM THE DATA, so a hash
+    match certifies footer statistics are trustworthy planner
+    inputs."""
+    ev = T(spark, sf, "events").select(
+        "event_id", "user_id", "value",
+        F.when(F.pmod("event_id", F.lit(7)) != 0,
+               F.col("props")).alias("props"))
+    tmp = tempfile.mkdtemp(prefix="spark_stats01_")
+    try:
+        import os as _os
+
+        path = tmp + "/t"
+        ev.repartitionByRange(4, "event_id").write.parquet(path)
+        files = sorted(_os.path.join(path, n)
+                       for n in _os.listdir(path)
+                       if n.endswith(".parquet"))
+        fl = spark.createDataFrame([(f,) for f in files], "f string")
+
+        def read_footers(it):
+            import pandas as pd
+            import pyarrow.parquet as pq
+            numeric = {"event_id", "user_id", "value"}
+            for pdf in it:
+                rows = []
+                for fp in pdf["f"]:
+                    md = pq.ParquetFile(fp).metadata
+                    for rgi in range(md.num_row_groups):
+                        rg = md.row_group(rgi)
+                        for ci in range(rg.num_columns):
+                            cm = rg.column(ci)
+                            st = cm.statistics
+                            name = cm.path_in_schema
+                            if name in numeric:
+                                rows.append((name, rg.num_rows,
+                                             st.null_count,
+                                             float(st.min),
+                                             float(st.max)))
+                            elif name == "props":
+                                rows.append((name, rg.num_rows,
+                                             st.null_count, None, None))
+                yield pd.DataFrame(
+                    rows, columns=["col", "n", "nulls", "mn", "mx"])
+
+        per = fl.mapInPandas(
+            read_footers,
+            "col string, n long, nulls long, mn double, mx double")
+        agg = (per.groupBy("col")
+               .agg(F.sum("n").alias("n_rows"),
+                    F.sum("nulls").alias("n_nulls"),
+                    F.round(F.min("mn"), 4).alias("min_v"),
+                    F.round(F.max("mx"), 4).alias("max_v"))
+               .orderBy("col"))
+        return _snap_off_tmp(agg, tmp)
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+_STATS_01_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN event_id % 7 <> 0 THEN props END AS props
+  FROM events)
+SELECT 'event_id' AS col, count(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_nulls,
+       CAST(ROUND(min(event_id), 4) AS DOUBLE) AS min_v,
+       CAST(ROUND(max(event_id), 4) AS DOUBLE) AS max_v
+FROM ev
+UNION ALL
+SELECT 'props', count(*),
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       NULL, NULL
+FROM ev
+UNION ALL
+SELECT 'user_id', count(*), CAST(0 AS BIGINT),
+       CAST(ROUND(min(user_id), 4) AS DOUBLE),
+       CAST(ROUND(max(user_id), 4) AS DOUBLE)
+FROM ev
+UNION ALL
+SELECT 'value', count(*), CAST(0 AS BIGINT),
+       CAST(ROUND(min(value), 4) AS DOUBLE),
+       CAST(ROUND(max(value), 4) AS DOUBLE)
+FROM ev
+"""
+
+
 def cdc_03(spark, sf):
     """Per-version change feed (sources/txnlog.table_changes_range —
     Delta's readChangeFeed shape): cdc_02's table history plus a v3
@@ -615,6 +717,11 @@ _DOCS = {
               "(Delta-CDF shape from the version-asymmetric file "
               "sets; stats-skipped DELETE + MERGE between versions; "
               "unchanged-but-rewritten rows suppressed)",
+    "stats_01": "Metadata-only ANALYZE: per-column rows/nulls/min/max "
+                "from parquet row-group footers (no data scan; files "
+                "as the parallelism unit via mapInPandas), certified "
+                "against a from-the-data recomputation; planted-null "
+                "column makes the null-count arm load-bearing",
     "cdc_03": "Per-version change feed over the commit-log format "
               "(Delta readChangeFeed shape): one classified diff per "
               "commit, version-tagged; intermediate states visible "
@@ -641,6 +748,7 @@ def specs() -> list[QuerySpec]:
         "ups_02": _ups_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),
+        "stats_01": _STATS_01_ORACLE,
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,
         "src_orc": _SRC_ORC_ORACLE,

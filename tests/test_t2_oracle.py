@@ -47,8 +47,8 @@ UNION_COVERED = frozenset({
     "ded_substr", "qc_01", "tri_01",
     # r9b_all branches
     "blm_01", "kw_01", "er_03", "ann_pq", "ded_embed2", "ret_01",
-    "trn_01", "mm_phash", "cdc_02", "cdc_03", "sky_01", "mba_01",
-    "rfm_01",
+    "trn_01", "mm_phash", "cdc_02", "cdc_03", "stats_01", "sky_01",
+    "mba_01", "rfm_01",
     "fed_02", "fed_03", "cor_01", "surv_01", "ab_01", "ded_ngram2",
     "ups_02",
     "ivm_03", "fun_01", "col_01",
