@@ -562,3 +562,41 @@ def test_collocation_lift_ranks_planted_bigram_first(spark):
     assert cc and cc[0].lift_s < top.lift_s
     # bigrams appearing < COL_MIN_COUNT times are absent
     assert all(r.n >= TX.COL_MIN_COUNT for r in out)
+
+
+def test_skyline_frontier_equals_bruteforce_dominance(spark):
+    """sky_01's monotone-frontier algebra must equal the O(n²)
+    dominance definition for ANY point set — hypothesis draws random
+    (price, size) multisets incl. duplicates and ties on either
+    axis (the boundary cases a fixture can miss)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.operators import relational as R
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                    min_size=1, max_size=18))
+    def prop(pts):
+        rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+        df = (spark.createDataFrame(
+                rows, "p_partkey int, p_retailprice double, p_size int")
+              .withColumn("p_brand", F.lit("B")))
+        orig = R.T
+        try:
+            R.T = lambda *_: df
+            got = {r.p_partkey for r in
+                   R.sky_01(spark, "ignored").collect()}
+        finally:
+            R.T = orig
+        want = set()
+        for i, (p, s) in enumerate(pts):
+            dominated = any(
+                (q <= p and t >= s and (q < p or t > s))
+                for j, (q, t) in enumerate(pts) if j != i)
+            if not dominated:
+                want.add(i)
+        assert got == want, (pts, got, want)
+
+    prop()

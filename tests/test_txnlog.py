@@ -493,3 +493,30 @@ def test_schema_evolution_append(spark, tdir):
     rows2 = {r.k: (r.v, r.score) for r in
              txnlog.read_table(spark, tdir).collect()}
     assert rows2 == rows
+
+
+def test_per_version_feed_replays_to_final_state(spark, tdir):
+    """The CDC consumer contract: folding table_changes_range's
+    per-version events IN ORDER over the v0 state must reconstruct
+    the latest table exactly — the feed is sufficient to maintain a
+    replica (deletes drop keys, inserts/postimages set them)."""
+    txnlog.create_table(spark, _mk(spark, 0, 60), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 20, 40, tag="u"), key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=0, hi=10)
+    txnlog.merge(spark, tdir, _mk(spark, 0, 3), key="k")  # re-insert
+    state = {r.k: r.v for r in
+             txnlog.read_table(spark, tdir, version=0).collect()}
+    feed = txnlog.table_changes_range(spark, tdir, 0, key="k").collect()
+    versions = sorted({r.commit_version for r in feed})
+    for v in versions:                    # removals before additions
+        for r in feed:
+            if r.commit_version == v and r.change_type in (
+                    "delete", "update_preimage"):
+                state.pop(r.k, None)
+        for r in feed:
+            if r.commit_version == v and r.change_type in (
+                    "insert", "update_postimage"):
+                state[r.k] = r.v
+    final = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert state == final
+    assert final[25] == "u25" and 5 not in final and final[1] == "a1"
