@@ -73,6 +73,9 @@ HEADLINE = (
     # decimal moments (Pearson), IEEE-exact z-test, bit-identical
     # Kaplan-Meier product folds, and the HLL overlap estimate
     "cor_01", "ab_01", "surv_01", "fed_02", "fed_03",
+    # round 9 close-out: the per-version change feed and the
+    # metadata-only ANALYZE
+    "cdc_03", "stats_01",
 )
 
 

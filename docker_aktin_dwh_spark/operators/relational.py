@@ -1831,7 +1831,10 @@ def mba_01(spark, sf):
     support frame.  Lift is scored as INTEGER division
     (sup·N·10⁶ div m₁·m₂ — monotone in lift, col_01's discipline, no
     float cross-engine exposure); the top-k order is total
-    (lift desc, sup desc, p1, p2), so LIMIT is deterministic."""
+    (lift desc, sup desc, p1, p2), so LIMIT is deterministic.  At
+    extreme corpus sizes sup·N·10⁶ wants DECIMAL(38,0) routing
+    (col_01's note) — fixture magnitudes keep it in BIGINT with ~10³
+    headroom."""
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     baskets = (op.groupBy("l_orderkey")
