@@ -145,6 +145,14 @@ class TxnlogStreamDataSource(DataSource):
                 if n.endswith(".ckpt.json"):
                     with open(os.path.join(log, n)) as f:
                         schema_json = json.load(f).get("schema")
+        if schema_json is None:
+            # no retained commit or checkpoint records a schema —
+            # name the table instead of json.loads(None)'s opaque
+            # TypeError (ADVICE r9)
+            raise FileNotFoundError(
+                f"txnlog_stream: no schema recorded in any retained "
+                f"commit or checkpoint of {table} — is this a txnlog "
+                f"table (created via txnlog.create_table)?")
         logged = StructType.fromJson(json.loads(schema_json))
         return StructType(list(logged.fields)
                           + [StructField("_commit_version", LongType(),

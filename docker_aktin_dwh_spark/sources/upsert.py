@@ -1,18 +1,26 @@
-"""Idempotent upsert sink (SNK-01) without a table format.
+"""Idempotent upsert sink (SNK-01).
 
 The reference's semantics: re-import of an encounter replaces its
 facts — delete+insert keyed by encounter (SURVEY.md §3.2 step 4,
 anchored to the aktin import schema provisioned by aktin_init.sql,
 reference src/docker/database/Dockerfile:33).
 
-With plain Parquet (no Delta/Iceberg in this container) the scalable
-MERGE emulation is partition-level: the fact table is partitioned by
-month(start_date); an incoming batch only rewrites the partitions it
+DEFAULT STORAGE (r10): the transactional commit-log table format
+(sources/txnlog.py) — ``write_initial`` creates a txnlog table and
+``merge_upsert`` routes to ``txnlog.merge`` (atomic log commit,
+snapshot-isolated readers, footer-stats data skipping, optimistic
+concurrency instead of a writer lock).  This mirrors the reference,
+where Postgres MVCC is the only path, not an opt-in.
+
+FALLBACK (``format="parquet"``, auto-detected on existing stores):
+the plain-parquet emulation — fact table partitioned by
+month(start_date); an incoming batch rewrites only the partitions it
 touches (anti-join out the batch's keys, union the new rows, dynamic
-partition overwrite leaves every other partition untouched).  At
-100 TB this rewrites GBs, not the table.  On a real deployment the
-same `merge_upsert` call sites swap to `MERGE INTO` on Delta/Iceberg —
-the batch/key semantics here are identical.
+partition overwrite), guarded by an enforced single-writer lease
+lock.  At 100 TB both paths rewrite GBs, not the table; the txnlog
+path additionally removes the lock and the up-front partitioning
+choice.  ``merge_upsert`` dispatches on the store's own layout, so
+pre-existing plain stores keep working unchanged.
 """
 
 from __future__ import annotations
@@ -90,6 +98,30 @@ def _lease_expired(lock: str, lease: float) -> bool:
     return False            # lock vanished — claim loop will retry
 
 
+class UsurpedLockError(RuntimeError):
+    """This writer's lease was broken while its merge body ran (a
+    contender found the heartbeat stale — GC pause, NFS stall, a
+    stop-the-world longer than the lease — and claimed the lock).
+    The merge body HAS run to completion, but it may have interleaved
+    with the usurper's rewrite: inspect the store before trusting it.
+    Raised instead of silently cleaning up, because deleting the NEW
+    holder's lock dir would invite a third writer (ADVICE r9)."""
+
+
+def _owns(lock: str, token: str) -> bool:
+    """Fencing check: does owner.json still carry OUR acquisition
+    token?  A usurper rewrites owner.json (or the dir was rmtree'd),
+    so a stale holder sees False and must not heartbeat, mark, or
+    clean up — the per-acquisition token is what prevents a resumed
+    stalled writer from faking liveness for (or deleting the lock of)
+    the writer that legitimately broke its lease."""
+    try:
+        with open(os.path.join(lock, "owner.json")) as f:
+            return json.load(f).get("token") == token
+    except (OSError, ValueError):
+        return False
+
+
 @contextlib.contextmanager
 def _writer_lock(path: str, lease: float = LEASE_SECONDS):
     """Single-writer guard for the store at ``path``: an atomic mkdir
@@ -102,13 +134,19 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
     lock dir every ``lease``/3 s from a daemon thread; a contender
     that finds the heartbeat older than ``lease`` breaks the lock and
     claims it (a crashed JVM stops beating; a live long merge keeps
-    beating, so it is never usurped).  A lock whose holder RAISED is
-    different from a crash: the body writes a ``failed`` marker and
-    leaves the lock in place, and contenders get
-    :class:`FailedMergeError` until the operator inspects the store —
-    a half-applied partition overwrite must not be silently merged
-    over."""
+    beating, so it is never usurped).  Fencing (ADVICE r9): each
+    acquisition writes a fresh uuid token into owner.json, and the
+    holder re-verifies ownership before every heartbeat, the failed
+    marker, and the final cleanup — a holder stalled past its lease
+    and usurped can neither fake liveness for the new holder nor
+    delete the new holder's lock; it raises :class:`UsurpedLockError`
+    instead.  A lock whose holder RAISED is different from a crash:
+    the body writes a ``failed`` marker and leaves the lock in place,
+    and contenders get :class:`FailedMergeError` until the operator
+    inspects the store — a half-applied partition overwrite must not
+    be silently merged over."""
     import threading
+    import uuid as _uuid
 
     lock = os.path.join(path, _LOCK_DIR)
     for _attempt in (0, 1):
@@ -137,11 +175,14 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
                 "or use a transactional table format for concurrent "
                 "MERGE")
     hb = os.path.join(lock, _HEARTBEAT)
+    token = _uuid.uuid4().hex
     stop = threading.Event()
 
     def _beat():
         while not stop.wait(lease / 3):
-            try:
+            if not _owns(lock, token):
+                return          # usurped — never fake the new
+            try:                # holder's liveness (fencing)
                 with open(hb, "w") as f:
                     f.write(str(time.time()))
             except OSError:
@@ -150,6 +191,7 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
     try:
         with open(os.path.join(lock, "owner.json"), "w") as f:
             json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                       "token": token,
                        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())}, f)
         with open(hb, "w") as f:
@@ -160,15 +202,25 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
             yield
         except BaseException:
             # leave the lock IN PLACE with a failed marker: the merge
-            # body may have half-overwritten partitions
+            # body may have half-overwritten partitions.  Skip the
+            # marker if we were usurped — it's the NEW holder's lock.
             stop.set()
-            with contextlib.suppress(OSError):
-                with open(os.path.join(lock, _FAILED), "w") as f:
-                    f.write(time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                          time.gmtime()))
+            if _owns(lock, token):
+                with contextlib.suppress(OSError):
+                    with open(os.path.join(lock, _FAILED), "w") as f:
+                        f.write(time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()))
             raise
         stop.set()
         beater.join(timeout=5)
+        if not _owns(lock, token):
+            raise UsurpedLockError(
+                f"writer lease on {path} was broken mid-merge (this "
+                f"process stalled past {lease:.0f}s without a "
+                "heartbeat and a contender claimed the store): the "
+                "merge completed but may have interleaved with the "
+                "new holder's rewrite — inspect the store; the new "
+                "holder's lock is left untouched")
         shutil.rmtree(lock, ignore_errors=True)
     finally:
         stop.set()
@@ -179,9 +231,45 @@ def with_partition(df: DataFrame, ts_col: str = "start_date") -> DataFrame:
         PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM"))
 
 
-def write_initial(df: DataFrame, path: str, ts_col: str = "start_date") -> None:
+def is_txnlog_store(path: str) -> bool:
+    """Layout dispatch: a store with a ``_txnlog`` commit log is the
+    transactional format; anything else is the legacy month-partitioned
+    plain-parquet store."""
+    from . import txnlog as _t
+    return os.path.isdir(os.path.join(path, _t._LOG))
+
+
+#: data files an initial txnlog store is range-packed into — tight
+#: per-file [kmin, kmax] footer intervals are what make MERGE's data
+#: skipping precise; at real scale callers size this to their cluster
+INITIAL_FILES = 8
+
+
+def write_initial(df: DataFrame, path: str, ts_col: str = "start_date",
+                  *, key: str = "encounter_num",
+                  format: str = "txnlog") -> None:
+    """Create the upsert store.  Default is the transactional commit-log
+    format (range-packed by ``key`` so MERGE skipping starts tight);
+    ``format="parquet"`` keeps the legacy month-partitioned layout."""
+    if format == "txnlog":
+        from . import txnlog as _t
+        _t.create_table(df.sparkSession,
+                        df.repartitionByRange(INITIAL_FILES, key),
+                        path, key=key)
+        return
     (with_partition(df, ts_col).write.mode("overwrite")
      .partitionBy(PARTITION_COL).parquet(path))
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read the upsert store under its own layout: txnlog stores go
+    through the snapshot (a plain ``spark.read.parquet`` over the table
+    dir would also scan superseded files); legacy stores read as the
+    partitioned parquet they are."""
+    if is_txnlog_store(path):
+        from . import txnlog as _t
+        return _t.read_table(spark, path)
+    return spark.read.parquet(path)
 
 
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
@@ -189,18 +277,27 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame, *,
                  ts_col: str = "start_date") -> None:
     """Replace all rows whose `key` appears in `batch`, insert the batch.
 
-    Touched partitions = the batch's months UNION the months where a
-    batch key's *existing* rows live (a corrected encounter may move to
-    a different month on re-import; its old rows must be deleted from
-    the partition they currently sit in, not the one the new rows land
-    in).  The key-location probe is a semi-join reading only (key,
-    partition) — column-pruned, and cheap relative to the rewrite.
-    Everything else anti-joins the batch keys out, unions the new rows,
-    and dynamically overwrites just the touched partitions.  The merged
-    frame is materialized first: overwriting a path that is also a lazy
-    read source would otherwise race the scan (a table format with
-    MERGE does this atomically).
+    Dispatches on the store layout: a txnlog store (the default since
+    r10) gets the format's ACID MERGE — atomic commit, data skipping
+    by footer stats, optimistic concurrency, no lock.  The legacy
+    plain-parquet path below stays bit-compatible for existing stores.
+
+    Legacy path: touched partitions = the batch's months UNION the
+    months where a batch key's *existing* rows live (a corrected
+    encounter may move to a different month on re-import; its old rows
+    must be deleted from the partition they currently sit in, not the
+    one the new rows land in).  The key-location probe is a semi-join
+    reading only (key, partition) — column-pruned, and cheap relative
+    to the rewrite.  Everything else anti-joins the batch keys out,
+    unions the new rows, and dynamically overwrites just the touched
+    partitions.  The merged frame is materialized first: overwriting a
+    path that is also a lazy read source would otherwise race the scan
+    (the txnlog path does this atomically by construction).
     """
+    if is_txnlog_store(path):
+        from . import txnlog as _t
+        _t.merge(spark, path, batch, key=key)
+        return
     with _writer_lock(path):
         b = with_partition(batch, ts_col)
         keys = b.select(key).distinct()

@@ -145,6 +145,16 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tdir):
         spark, _mk(spark, 900, 950, tag="ghost"), tdir, "k", 99)
     assert orphans
     assert txnlog.read_table(spark, tdir).count() == 20
+    # retention guard first (ADVICE r9): the fresh orphans look exactly
+    # like a LIVE writer's staged-but-uncommitted files, so a
+    # default-retention vacuum must leave them alone...
+    assert txnlog.vacuum(tdir) == []
+    assert all(os.path.isfile(os.path.join(tdir, a["file"]))
+               for a in orphans)
+    # ...and reclaim them once they age past the window (backdate)
+    for a in orphans:
+        p = os.path.join(tdir, a["file"])
+        os.utime(p, (os.path.getmtime(p) - 7200, )*2)
     removed = txnlog.vacuum(tdir)
     assert {a["file"] for a in orphans} <= set(removed)
     assert txnlog.read_table(spark, tdir).count() == 20
@@ -412,7 +422,11 @@ def test_truncate_history_retention(spark, tdir):
                      txnlog.read_table(spark, tdir).collect()}
     n_files_before = len([n for n in _os.listdir(tdir)
                           if n.endswith(".parquet")])
-    res = txnlog.truncate_history(tdir, keep_last=2)
+    # retention_seconds=0: no writer is live in this test, and the
+    # dropped-history files were written seconds ago (in production
+    # they'd be older than any sane retention window)
+    res = txnlog.truncate_history(tdir, keep_last=2,
+                                  retention_seconds=0.0)
     assert res["dropped_versions"] == 3 and res["cut"] == 3
     assert res["removed_files"], "dropped-history files must reclaim"
     # retained versions replay; content identical
@@ -426,7 +440,7 @@ def test_truncate_history_retention(spark, tdir):
                          if n.endswith(".parquet")])
     assert n_files_after < n_files_before
     # vacuum after truncation never touches checkpoint-referenced files
-    assert txnlog.vacuum(tdir) == []
+    assert txnlog.vacuum(tdir, retention_seconds=0.0) == []
     assert txnlog.read_table(spark, tdir, version=3).count() == 100
     # the table stays writable after truncation
     txnlog.append(spark, _mk(spark, 100, 110), tdir, key="k")
@@ -520,3 +534,120 @@ def test_per_version_feed_replays_to_final_state(spark, tdir):
     final = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
     assert state == final
     assert final[25] == "u25" and 5 not in final and final[1] == "a1"
+
+
+def test_table_changes_across_schema_evolution(spark, tdir):
+    """ADVICE r9: CDC spanning a schema-evolving commit must read BOTH
+    sides under the endpoint's logged (wider) schema — pre-evolution
+    files NULL-fill the new column consistently instead of raising
+    from F.struct over a missing column, and no side lets Spark infer
+    a schema from one file of a mixed pre/post set."""
+    from pyspark.sql import functions as F
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    wide = _mk(spark, 10, 20, tag="n").withColumn("score", F.lit(7))
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)
+    upd = _mk(spark, 0, 3, tag="u").withColumn("score", F.lit(9))
+    txnlog.merge(spark, tdir, upd, key="k")
+    feed = txnlog.table_changes(spark, tdir, 0, key="k").collect()
+    by = {(r.change_type, r.k): r for r in feed}
+    # inserts from the evolving append carry the new column
+    assert by[("insert", 15)].score == 7
+    # updated pre-evolution rows: preimage NULL-fills, postimage set
+    assert by[("update_preimage", 1)].score is None
+    assert by[("update_postimage", 1)].score == 9
+    # untouched pre-evolution rows (k 3..9) are silent: same logical
+    # content, merely co-resident in a rewritten file or not at all
+    assert not any(k in range(3, 10) for (_, k) in by)
+
+
+def test_append_schema_race_remerges_schemas(spark, tdir, monkeypatch):
+    """ADVICE r9: two concurrent evolving appends adding DIFFERENT
+    columns must both survive in the logged schema — the loser of the
+    version race re-reads the snapshot and re-derives the widened
+    schema (logged ∪ its own) instead of committing a stale payload
+    that silently drops the winner's column."""
+    from pyspark.sql import functions as F
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    real = txnlog._try_commit
+    state = {"injected": False}
+
+    def racing(path, version, payload):
+        if not state["injected"] and payload.get("op") == "append":
+            state["injected"] = True
+            # a concurrent writer wins THIS version with its own
+            # evolved schema (column x) before our claim lands
+            other = _mk(spark, 100, 110, tag="o").withColumn(
+                "x", F.lit(1))
+            txnlog.append(spark, other, tdir, key="k",
+                          evolve_schema=True)
+        return real(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", racing)
+    mine = _mk(spark, 200, 210, tag="m").withColumn("y", F.lit(2.5))
+    txnlog.append(spark, mine, tdir, key="k", evolve_schema=True)
+    got = txnlog.read_table(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "x", "y"]
+    rows = {r.k: (r.x, r.y) for r in got.collect()}
+    assert len(rows) == 30
+    assert rows[105] == (1, None)      # winner's column intact
+    assert rows[205] == (None, 2.5)    # loser's column intact
+    assert rows[5] == (None, None)     # pre-evolution NULL-fills both
+
+
+def test_merge_wide_batch_envelope_pruning(spark, tdir, monkeypatch):
+    """VERDICT r9 item 4: above MERGE_KEYS_COLLECT_MAX distinct keys
+    the merge must NOT collect the key set — it prunes files by the
+    batch's [min, max] envelope (one aggregate row).  Skipping still
+    works (files disjoint from the envelope carry over by reference)
+    and the result is identical to the per-key path."""
+    monkeypatch.setattr(txnlog, "MERGE_KEYS_COLLECT_MAX", 5)
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    assert len(before.files) == 4
+    batch = _mk(spark, 10, 40, tag="b")        # 30 distinct keys > 5
+    txnlog.merge(spark, tdir, batch, key="k")
+    after = txnlog.snapshot(tdir)
+    carried = set(before.files) & set(after.files)
+    assert len(carried) >= 2, "envelope-disjoint files must carry over"
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 400
+    assert got[5] == "a5" and got[25] == "b25" and got[350] == "a350"
+
+
+def test_append_txn_idempotency(spark, tdir):
+    """append with a txn action: content and application version
+    commit atomically; a replayed (same app, same or lower version)
+    append is a no-op — the foreachBatch at-least-once primitive on
+    the append path (clean_ingest's store discipline)."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    assert txnlog.append(spark, _mk(spark, 10, 20), tdir, key="k",
+                         txn=("ing", 0)) is not None
+    # replay of batch 0 (possibly with nondeterministically different
+    # content): skipped, no duplicate rows
+    assert txnlog.append(spark, _mk(spark, 10, 20, tag="dup"), tdir,
+                         key="k", txn=("ing", 0)) is None
+    assert txnlog.read_table(spark, tdir).count() == 20
+    assert txnlog.append(spark, _mk(spark, 20, 30), tdir, key="k",
+                         txn=("ing", 1)) is not None
+    assert txnlog.read_table(spark, tdir).count() == 30
+    assert txnlog.snapshot(tdir).txns["ing"] == 1
+
+
+def test_txnstream_schema_error_names_table(tmp_path):
+    """ADVICE r9: a txnlog dir whose retained history records no
+    schema must raise a descriptive error naming the table, not
+    json.loads(None)'s opaque TypeError."""
+    from docker_aktin_dwh_spark.sources.txnstream import (
+        TxnlogStreamDataSource)
+
+    table = str(tmp_path / "tbl")
+    log = os.path.join(table, "_txnlog")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        json.dump({"version": 1, "op": "append", "add": []}, f)
+    src = TxnlogStreamDataSource(options={"path": table})
+    with pytest.raises(FileNotFoundError, match="no schema recorded"):
+        src.schema()
