@@ -565,6 +565,23 @@ def make_txn_applier(view_table: str, app: str = "ivm"):
     return apply_delta
 
 
+def make_applier(view_path: str, app: str = "ivm"):
+    """The DEFAULT applier seam (r10): dispatch on the view's own
+    layout — a txnlog table gets :func:`make_txn_applier` (exactly-once
+    by atomic content+batch-id commit); only a pre-existing plain
+    parquet view falls back to :func:`make_idempotent_applier` and its
+    documented marker-after-view residual window.  New views should be
+    created with ``txnlog.create_table`` so maintenance runs on the
+    ACID path by default."""
+    import os as _os
+
+    from ..sources import txnlog as _t
+
+    if _os.path.isdir(_os.path.join(view_path, _t._LOG)):
+        return make_txn_applier(view_path, app)
+    return make_idempotent_applier(view_path)
+
+
 def ivm_03(spark, sf):
     """ivm_02's streaming IVM with the view maintained in the
     TRANSACTIONAL commit-log table (sources/txnlog.py) through

@@ -161,12 +161,17 @@ FROM orders WHERE o_orderkey < 500
 
 def ups_01(spark, sf):
     """SNK-01 + STR-09: delete+insert-by-encounter upsert through the
-    month-partitioned parquet store (sources/upsert.merge_upsert — the
-    same merge foreachBatch ingestion uses, streaming/ingest.py).  The
-    batch moves encounters' start_date by +40 days, deliberately across
-    month partitions (the cross-month correction case).  Oracle = the
+    DEFAULT store (sources/upsert — since r10 that is the txnlog ACID
+    format underneath: write_initial creates a commit-log table and
+    merge_upsert routes to txnlog.merge; the same seam foreachBatch
+    ingestion uses, streaming/ingest.py).  The batch moves encounters'
+    start_date by +40 days — under the legacy month-partitioned
+    fallback that was the cross-month correction case; under txnlog
+    it exercises MERGE data skipping instead.  Oracle = the
     delete+insert semantics in SQL (reference re-import semantics:
-    aktin_init.sql, src/docker/database/Dockerfile:33)."""
+    aktin_init.sql, src/docker/database/Dockerfile:33) — UNCHANGED
+    from the lock-based rounds, so the hash certifies the txnlog
+    route computes the identical result."""
     base = (catalog.visit_dimension(spark, sf)
             .filter(F.col("encounter_num") < 400)
             .select("encounter_num", "patient_num", "start_date", "inout_cd"))
@@ -182,9 +187,9 @@ def ups_01(spark, sf):
                          F.lit("U").alias("inout_cd")))
         upsert.merge_upsert(spark, path, batch)
         return _snap_off_tmp(
-            spark.read.parquet(path)
-                 .select("encounter_num", "patient_num", "start_date",
-                         "inout_cd"), tmp).orderBy("encounter_num")
+            upsert.read_store(spark, path)
+                  .select("encounter_num", "patient_num", "start_date",
+                          "inout_cd"), tmp).orderBy("encounter_num")
     except BaseException:
         _rmtree(tmp)
         raise

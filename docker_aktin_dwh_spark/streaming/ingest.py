@@ -22,14 +22,17 @@ def stream_merge_to_table(stream: DataFrame, table_path: str,
                           ts_col: str = "start_date") -> StreamingQuery:
     """writeStream.foreachBatch(MERGE) — upsert semantics of SNK-01 in
     streaming.  Exactly-once per batch via the checkpoint + the merge
-    being idempotent by key."""
+    being idempotent by key.  The table is the txnlog ACID format by
+    default (write_initial's r10 default): every micro-batch MERGE is
+    an atomic log commit, so a batch retried after a crash re-merges
+    idempotently and readers never observe a half-applied rewrite."""
     spark = stream.sparkSession
     state = {"initialized": False}
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         import os
         if not state["initialized"] and not os.path.isdir(table_path):
-            write_initial(batch, table_path, ts_col)
+            write_initial(batch, table_path, ts_col, key=key)
         else:
             merge_upsert(spark, table_path, batch, key=key, ts_col=ts_col)
         state["initialized"] = True

@@ -23,24 +23,29 @@ def fact(spark):
     return catalog.observation_fact(spark, SF_SMOKE).localCheckpoint()
 
 
-def test_merge_upsert_idempotent(spark, fact, tmp_path):
-    """SNK-01: importing the same batch twice leaves the table unchanged."""
+@pytest.mark.parametrize("fmt", ["txnlog", "parquet"])
+def test_merge_upsert_idempotent(spark, fact, tmp_path, fmt):
+    """SNK-01: importing the same batch twice leaves the table
+    unchanged — on BOTH storage layouts: the txnlog default (r10) and
+    the legacy month-partitioned fallback.  merge_upsert dispatches on
+    the store's own layout."""
     table = str(tmp_path / "fact")
-    upsert.write_initial(fact, table)
-    before = spark.read.parquet(table).count()
+    upsert.write_initial(fact, table, format=fmt)
+    assert upsert.is_txnlog_store(table) == (fmt == "txnlog")
+    before = upsert.read_store(spark, table).count()
     assert before == fact.count()
 
     batch = fact.filter(F.col("encounter_num") < 100)
     upsert.merge_upsert(spark, table, batch)
-    after1 = spark.read.parquet(table).count()
+    after1 = upsert.read_store(spark, table).count()
     upsert.merge_upsert(spark, table, batch)
-    after2 = spark.read.parquet(table).count()
+    after2 = upsert.read_store(spark, table).count()
     assert before == after1 == after2
 
     # and an updated batch actually replaces (not appends)
     updated = batch.withColumn("tval_char", F.lit("UPDATED"))
     upsert.merge_upsert(spark, table, updated)
-    got = spark.read.parquet(table)
+    got = upsert.read_store(spark, table)
     assert got.count() == before
     assert (got.filter(F.col("encounter_num") < 100)
                .filter(F.col("tval_char") != "UPDATED")
@@ -58,7 +63,7 @@ def test_merge_upsert_single_writer_lock(spark, fact, tmp_path):
     import pytest as _pytest
 
     table = str(tmp_path / "fact")
-    upsert.write_initial(fact, table)
+    upsert.write_initial(fact, table, format="parquet")  # lock = legacy path
     batch = fact.filter(F.col("encounter_num") < 100)
 
     # simulate a concurrent writer holding the lock
@@ -144,9 +149,48 @@ def test_writer_lock_failed_merge_leaves_marked_lock(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_writer_lock_fencing_token_blocks_usurped_holder(tmp_path):
+    """ADVICE r9: a holder stalled past its lease and USURPED (a
+    contender rewrote owner.json with its own acquisition token) must
+    not clean up on exit — rmtree would delete the NEW holder's lock
+    and invite a third writer — nor write a failed marker into it.
+    The stalled holder raises UsurpedLockError; the usurper's lock
+    survives byte-intact."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    table = str(tmp_path / "store")
+    os.makedirs(table)
+    lock = os.path.join(table, upsert._LOCK_DIR)
+
+    with _pytest.raises(upsert.UsurpedLockError, match="broken mid-merge"):
+        with upsert._writer_lock(table, lease=60):
+            # simulate the usurpation mid-body: the contender broke
+            # the lease and wrote ITS owner.json (fresh token)
+            with open(os.path.join(lock, "owner.json"), "w") as f:
+                f.write('{"pid": 999, "token": "usurper-token"}')
+    assert os.path.isdir(lock), "usurper's lock must survive"
+    assert not os.path.exists(os.path.join(lock, upsert._FAILED))
+    with open(os.path.join(lock, "owner.json")) as f:
+        assert _json.load(f)["token"] == "usurper-token"
+
+    # a RAISING body under usurpation also leaves the new lock clean
+    import shutil as _sh
+    _sh.rmtree(lock)
+    with _pytest.raises(RuntimeError, match="boom"):
+        with upsert._writer_lock(table, lease=60):
+            with open(os.path.join(lock, "owner.json"), "w") as f:
+                f.write('{"pid": 999, "token": "usurper-token"}')
+            raise RuntimeError("boom")
+    assert not os.path.exists(os.path.join(lock, upsert._FAILED)), (
+        "failed marker belongs to the holder, never the usurper's lock")
+
+
 def test_merge_upsert_touches_only_batch_partitions(spark, fact, tmp_path):
     table = str(tmp_path / "fact")
-    upsert.write_initial(fact, table)
+    upsert.write_initial(fact, table, format="parquet")  # layout-specific
     files_before = {str(p.relative_to(table))
                     for p in Path(table).glob("p_month=*/*.parquet")}
     one_enc = fact.filter(F.col("encounter_num") == 1)

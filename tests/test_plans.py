@@ -79,7 +79,7 @@ def test_partition_pruning_on_upsert_table(spark, tmp_path):
     from docker_aktin_dwh_spark.sources import upsert
     fact = catalog.observation_fact(spark, SF_SMOKE)
     table = str(tmp_path / "fact")
-    upsert.write_initial(fact, table)
+    upsert.write_initial(fact, table, format="parquet")  # p_month layout
     df = (spark.read.parquet(table)
           .filter(F.col("p_month") == "1996-03")
           .select("encounter_num", "concept_cd"))

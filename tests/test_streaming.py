@@ -192,12 +192,14 @@ def _body_str09_stream_merge_idempotent(spark, stream_dir, tmp):
     table = str(tmp / "table")
     q = ingest.stream_merge_to_table(stream, table, str(tmp / "ckpt1"))
     q.awaitTermination()
-    n1 = spark.read.parquet(table).count()
+    from docker_aktin_dwh_spark.sources import upsert as _ups
+    assert _ups.is_txnlog_store(table), "ingest must default to txnlog"
+    n1 = _ups.read_store(spark, table).count()
     # replay everything again (fresh checkpoint = full re-delivery)
     stream2 = (spark.readStream.schema(fact.schema).parquet(str(watch)))
     q2 = ingest.stream_merge_to_table(stream2, table, str(tmp / "ckpt2"))
     q2.awaitTermination()
-    n2 = spark.read.parquet(table).count()
+    n2 = _ups.read_store(spark, table).count()
     assert n1 == n2 == fact.count()
 
 
@@ -429,7 +431,11 @@ def _body_clean_ingest_matches_batch_clean(spark, stream_dir, tmp):
     q = clean_ingest(src, store, str(tmp / "cckpt"))
     q.awaitTermination()
 
-    got = {(r.doc_id, r.text) for r in spark.read.parquet(store)
+    from docker_aktin_dwh_spark.streaming.clean_ingest import (
+        read_clean_store)
+    from docker_aktin_dwh_spark.sources.upsert import is_txnlog_store
+    assert is_txnlog_store(store), "clean ingest must default to txnlog"
+    got = {(r.doc_id, r.text) for r in read_clean_store(spark, store)
            .select("doc_id", "text").collect()}
 
     cleaned = clean_batch(docs).withColumn("h", F.md5("text"))
@@ -446,19 +452,31 @@ def _body_clean_ingest_matches_batch_clean(spark, stream_dir, tmp):
 def _body_clean_ingest_replay_is_idempotent(spark, stream_dir, tmp):
     """Replaying a batch (simulated failure between write and
     checkpoint commit) must not duplicate rows in either store."""
-    from docker_aktin_dwh_spark.streaming.clean_ingest import process_batch
+    from docker_aktin_dwh_spark.streaming.clean_ingest import (
+        process_batch, read_clean_store)
 
     docs = catalog.load(spark, SF_SMOKE, "documents") \
                   .select("doc_id", "lang", "text").filter(F.col("doc_id") < 60)
     store = str(tmp / "s")
     hstore = store + "_content_hashes"
     process_batch(spark, docs, 0, store, hstore)
-    first = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    first = sorted(r.doc_id for r in read_clean_store(spark, store).collect())
     process_batch(spark, docs, 0, store, hstore)      # replay same batch
-    again = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    again = sorted(r.doc_id for r in read_clean_store(spark, store).collect())
     assert first == again
-    hashes = spark.read.parquet(hstore).select("h").collect()
+    hashes = read_clean_store(spark, hstore).select("h").collect()
     assert len(hashes) == len({r.h for r in hashes})
+
+    # legacy plain store keeps the partition-overwrite idempotence
+    lstore = str(tmp / "ls")
+    lh = lstore + "_content_hashes"
+    import os as _os
+    _os.makedirs(lstore)                 # pre-existing PLAIN dir
+    process_batch(spark, docs, 0, lstore, lh)
+    l1 = sorted(r.doc_id for r in read_clean_store(spark, lstore).collect())
+    process_batch(spark, docs, 0, lstore, lh)
+    l2 = sorted(r.doc_id for r in read_clean_store(spark, lstore).collect())
+    assert l1 == l2 == first
 
 
 def _scd_snapshot(spark, v: int):
