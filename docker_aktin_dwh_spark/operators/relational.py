@@ -1831,10 +1831,11 @@ def mba_01(spark, sf):
     support frame.  Lift is scored as INTEGER division
     (sup·N·10⁶ div m₁·m₂ — monotone in lift, col_01's discipline, no
     float cross-engine exposure); the top-k order is total
-    (lift desc, sup desc, p1, p2), so LIMIT is deterministic.  At
-    extreme corpus sizes sup·N·10⁶ wants DECIMAL(38,0) routing
-    (col_01's note) — fixture magnitudes keep it in BIGINT with ~10³
-    headroom."""
+    (lift desc, sup desc, p1, p2), so LIMIT is deterministic.  The
+    sup·N·10⁶ product routes through DECIMAL(38,0) (VERDICT r9
+    item 2, closed alongside col_01): exact to 10³⁸, DuckDB oracle
+    widened through HUGEINT, DIV's BIGINT quotient unchanged at
+    fixture magnitudes (hash-certified)."""
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     baskets = (op.groupBy("l_orderkey")
@@ -1855,7 +1856,8 @@ def mba_01(spark, sf):
                                 F.col("m").alias("m2")), "p2")
               .crossJoin(F.broadcast(n))
               .withColumn("lift_s", F.expr(
-                  "sup * n_orders * 1000000L div (m1 * m2)")))
+                  "CAST(sup AS DECIMAL(38,0)) * n_orders * 1000000 "
+                  "div (CAST(m1 AS DECIMAL(38,0)) * m2)")))
     return (scored.orderBy(F.desc("lift_s"), F.desc("sup"), "p1", "p2")
             .limit(MBA_TOPK)
             .select("p1", "p2", "sup", "m1", "m2", "lift_s"))
@@ -1870,7 +1872,8 @@ sup AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS sup
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 HAVING count(*) >= {MBA_MIN_SUP})
 SELECT p1, p2, sup, m1.m AS m1, m2.m AS m2,
-       sup * n_orders * 1000000 // (m1.m * m2.m) AS lift_s
+       CAST(CAST(sup AS HUGEINT) * n_orders * 1000000
+            // (CAST(m1.m AS HUGEINT) * m2.m) AS BIGINT) AS lift_s
 FROM sup JOIN m m1 ON m1.l_partkey = p1
          JOIN m m2 ON m2.l_partkey = p2
 CROSS JOIN n

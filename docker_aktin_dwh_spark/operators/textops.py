@@ -327,6 +327,14 @@ GROUP BY doc_id ORDER BY doc_id
 #: constant, not a scale factor.
 BPE_MERGES = 24
 
+#: materialization window for the merge fold (VERDICT r9 item 5): up
+#: to this many per-round ``aggregate`` folds stack lazily before a
+#: localCheckpoint flattens the lineage.  Bounds expression/codegen
+#: depth at a CONSTANT regardless of merge count (a 50k-merge
+#: vocabulary-scale run stays ≤ 8 folds deep) while paying the
+#: checkpoint job once per window instead of once per round.
+BPE_MATERIALIZE_EVERY = 8
+
 
 def bpe_train(word_freq: "DataFrame", n_merges: int) -> list[tuple[str, str]]:
     """Byte-pair-encoding merge training (the tokenizer-training verb
@@ -343,9 +351,11 @@ def bpe_train(word_freq: "DataFrame", n_merges: int) -> list[tuple[str, str]]:
     an ``aggregate`` fold that replicates reference BPE's greedy
     left-to-right non-overlapping replacement (a freshly merged symbol
     never re-merges with the next element in the same round, because
-    the accumulator tail is compared as the MERGED string).  Rounds are
-    materialized so lineage stays flat — same driver-loop discipline as
-    connected_components.
+    the accumulator tail is compared as the MERGED string).  Lineage
+    is flattened every BPE_MATERIALIZE_EVERY rounds — expression depth
+    stays bounded by the window (constant, merge-count-independent)
+    and the checkpoint job amortizes over the window; same driver-loop
+    discipline as connected_components.
 
     Returns the ordered merge list [(left, right), ...].
     """
@@ -355,6 +365,7 @@ def bpe_train(word_freq: "DataFrame", n_merges: int) -> list[tuple[str, str]]:
         F.regexp_extract_all("token", F.lit("(?s)."), 0).alias("syms"),
         F.col("freq")))
     merges: list[tuple[str, str]] = []
+    pending = 0
     for _ in range(n_merges):
         top = (vf.filter(F.size("syms") >= 2)
                  .select(F.explode(F.zip_with(
@@ -377,10 +388,14 @@ def bpe_train(word_freq: "DataFrame", n_merges: int) -> list[tuple[str, str]]:
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.lit(merged))))
              .otherwise(F.concat(acc, F.array(s)))))()
-        vf = materialize(vf.select(
+        vf = vf.select(
             F.aggregate("syms",
                         F.array().cast("array<string>"), step)
-             .alias("syms"), "freq"))
+             .alias("syms"), "freq")
+        pending += 1
+        if pending >= BPE_MATERIALIZE_EVERY:
+            vf = materialize(vf)
+            pending = 0
     return merges
 
 
@@ -910,9 +925,14 @@ def col_01(spark, sf):
     from the already-aggregated bigram-count frame, so after the one
     explode+groupBy the whole query operates on vocabulary-sized
     frames; the global top-K is a TakeOrdered over the min-count
-    survivors, never a full sort.  At extreme corpus sizes the
-    c·N·10⁶ product wants DECIMAL(38,0) routing — noted, fixture
-    magnitudes keep it in BIGINT with ~10³ headroom."""
+    survivors, never a full sort.  The c·N·10⁶ product routes
+    through DECIMAL(38,0) (VERDICT r9 item 2): in BIGINT it would
+    overflow once corpus bigram count times max pair count nears
+    ~9·10¹⁸/10⁶ — at 100 TB nb alone exceeds 10¹²; DECIMAL(38,0)
+    keeps the product exact to 10³⁸ (DuckDB oracle widens through
+    HUGEINT — 128-bit, same range), Spark's DIV on decimals returns
+    the exact BIGINT quotient, all values positive so trunc ≡
+    floor ≡ DuckDB's ``//``."""
     d = T(spark, sf, "documents")
     toks = tokens("text")
     n = F.size(toks)
@@ -934,7 +954,9 @@ def col_01(spark, sf):
     return (cnt.filter(F.col("n") >= COL_MIN_COUNT)
                .join(m1, "w1").join(m2, "w2").crossJoin(F.broadcast(nb))
                .select("w1", "w2", "n",
-                       F.expr(f"(n * nb * {COL_SCALE}) DIV (cx * cy)")
+                       F.expr(f"(CAST(n AS DECIMAL(38,0)) * nb * "
+                              f"{COL_SCALE}) DIV "
+                              f"(CAST(cx AS DECIMAL(38,0)) * cy)")
                         .alias("lift_s"))
                .orderBy(F.desc("lift_s"), "w1", "w2")
                .limit(COL_TOPK))
@@ -952,7 +974,8 @@ m1 AS (SELECT w1, sum(n) AS cx FROM c GROUP BY 1),
 m2 AS (SELECT w2, sum(n) AS cy FROM c GROUP BY 1),
 nb AS (SELECT sum(n) AS nb FROM c)
 SELECT w1, w2, n,
-       CAST((n * nb * {COL_SCALE}) // (cx * cy) AS BIGINT) AS lift_s
+       CAST((CAST(n AS HUGEINT) * nb * {COL_SCALE})
+            // (CAST(cx AS HUGEINT) * cy) AS BIGINT) AS lift_s
 FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nb
 WHERE n >= {COL_MIN_COUNT}
 ORDER BY lift_s DESC, w1, w2 LIMIT {COL_TOPK}
