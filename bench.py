@@ -76,6 +76,11 @@ HEADLINE = (
     # round 9 close-out: the per-version change feed and the
     # metadata-only ANALYZE
     "cdc_03", "stats_01",
+    # round 10: PIVOT/UNPIVOT roundtrip, GROUPING SETS lattice,
+    # deterministic bottom-k hash sample (KMV), curriculum difficulty
+    # deciles on the distributed global rank, and the atomic CDC
+    # apply (MERGE-with-DELETE) on the commit-log table format
+    "pvt_01", "gsets_01", "smp_04", "curr_01", "cdc_04",
 )
 
 
@@ -471,6 +476,29 @@ def streaming_section(spark, registry, sf_dir: str) -> dict:
         s18["scaled"]["summary_rows"]
         / max(s18["base"]["summary_rows"], 1), 2)
     out["str_18"] = s18
+
+    # str_20 (r10): the streaming deterministic bottom-k sample —
+    # state ≤ K rows PER LANG no matter the corpus size (the KMV
+    # sample saturates at k·L; the 10× replay multiplies docs 10×
+    # while the store row count stays flat).
+    s20: dict[str, object] = {}
+    for label, d in (("base", sf_dir), ("scaled", scale_dir)):
+        bdir = _tf.mkdtemp(prefix="bench_str20_")
+        try:
+            t0 = time.perf_counter()
+            sample = SN.str20_sample(spark, d, bdir)
+            rows = sample.count()
+            n_langs = sample.select("lang").distinct().count()
+            s20[label] = {"sec": round(time.perf_counter() - t0, 3),
+                          "store_rows": rows,
+                          "rows_le_k_per_lang":
+                              rows <= SN.STR20_K * max(n_langs, 1)}
+        finally:
+            _sh.rmtree(bdir, ignore_errors=True)
+    s20["slope_store_rows"] = round(
+        s20["scaled"]["store_rows"]
+        / max(s20["base"]["store_rows"], 1), 2)
+    out["str_20"] = s20
     return out
 
 

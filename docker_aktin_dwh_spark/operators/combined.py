@@ -1220,9 +1220,18 @@ def str_out(spark, sf):
     h = _tag(SN.str_19(spark, sf), "txs19",
              F.concat_ws("|", "encounter_num", "patient_num",
                          "inout_cd", "commit_version"))
+    # r10 fold-in (VERDICT r9 item 7): str_07's batch-equivalent
+    # per-user state machine, builder verbatim — the CORE50 slot it
+    # donated went to str_20, whose streaming replay joins here too
+    i = _tag(relational.str_07(spark, sf), "st7",
+             F.concat_ws(
+                 "|", "user_id", "n_events",
+                 F.unix_micros(F.col("opened").cast("timestamp"))
+                  .cast("string"),
+                 F.col("closed").cast("string")))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h)
+            .unionByName(h).unionByName(i)
             .orderBy("tag", "v"))
 
 
@@ -1268,7 +1277,13 @@ def _str_out_oracle() -> str:
             "CAST(encounter_num AS VARCHAR) || '|' || "
             "CAST(patient_num AS VARCHAR) || '|' || inout_cd "
             "|| '|' || CAST(commit_version AS VARCHAR) AS v "
-            f"FROM ({SN._STR_19_ORACLE})")
+            f"FROM ({SN._STR_19_ORACLE})"
+            "\nUNION ALL\nSELECT 'st7' AS tag, "
+            "CAST(user_id AS VARCHAR) || '|' || "
+            "CAST(n_events AS VARCHAR) || '|' || "
+            "CAST(epoch_us(opened) AS VARCHAR) || '|' || "
+            "CAST(closed AS VARCHAR) AS v "
+            f"FROM ({relational._ORACLES['str_07']})")
 
 
 def r7_all(spark, sf):
@@ -1769,6 +1784,72 @@ def _r9b_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r10_all(spark, sf):
+    """Round-10 certification union (same-round driver certification,
+    the r8/r9 discipline): the NEW r10 operators — pvt_01 explicit
+    PIVOT/UNPIVOT roundtrip, gsets_01 GROUPING SETS subtotal lattice
+    with grouping_id, smp_04 deterministic mergeable bottom-k hash
+    sample (KMV), curr_01 curriculum difficulty deciles on the
+    distributed global rank — plus the two CORE50 fold-ins VERDICT r9
+    item 7 named, reusing their builders verbatim so the window slot
+    still certifies the same semantics: ann_topk exact brute-force
+    cosine top-k (slot donor) and ded_simhash planted-duplicate
+    certification (slot donor; its banding generics stay exercised by
+    mm_phash in r9b_all too)."""
+    from . import dedup, similarity
+    out = _tag(relational.pvt_01(spark, sf), "pvt",
+               F.concat_ws("|", "m", "o_orderstatus",
+                           F.round(F.col("rev") * 100).cast("long")))
+    out = out.unionByName(_tag(
+        relational.gsets_01(spark, sf), "gs",
+        F.concat_ws("|", "s", "m", "gid", "n",
+                    F.round(F.col("rev") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.smp_04(spark, sf), "smp4",
+        F.concat_ws("|", "o_orderkey", "pr")))
+    out = out.unionByName(_tag(
+        textops.curr_01(spark, sf), "curr",
+        F.concat_ws("|", "doc_id", "n_tokens", "n_rare", "diff_s",
+                    "bucket")))
+    out = out.unionByName(_tag(
+        similarity.ann_topk(spark, sf), "topk",
+        F.concat_ws("|", "q_id", "neighbor_id", "rank",
+                    F.round(F.col("cos") * 10_000).cast("long"))))
+    out = out.unionByName(_tag(
+        dedup.ded_simhash(spark, sf), "sim",
+        F.concat_ws("|", "i", "j",
+                    F.col("simhash_found").cast("string"))))
+    return out.orderBy("tag", "v")
+
+
+def _r10_all_oracle() -> str:
+    from . import dedup, similarity
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("pvt", cat("m", "o_orderstatus",
+                    "CAST(ROUND(rev * 100) AS BIGINT)"),
+         relational._ORACLES["pvt_01"]),
+        ("gs", cat("s", "m", "gid", "n",
+                   "CAST(ROUND(rev * 100) AS BIGINT)"),
+         relational._ORACLES["gsets_01"]),
+        ("smp4", cat("o_orderkey", "pr"),
+         relational._ORACLES["smp_04"]),
+        ("curr", cat("doc_id", "n_tokens", "n_rare", "diff_s",
+                     "bucket"),
+         textops._ORACLES["curr_01"]),
+        ("topk", cat("q_id", "neighbor_id", "rank",
+                     "CAST(ROUND(cos * 10000) AS BIGINT)"),
+         similarity._TOPK_ORACLE),
+        ("sim", cat("i", "j", "simhash_found"),
+         dedup._SIMHASH_ORACLE),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -1893,6 +1974,13 @@ _DOCS = {
                "conversion z-test (ab_01), and KMV/theta-sketch "
                "overlap with the estimate itself hash-certified "
                "(fed_03) — same-round driver certification",
+    "r10_all": "Round-10 tagged union: PIVOT/UNPIVOT roundtrip "
+               "(pvt_01), GROUPING SETS subtotal lattice with "
+               "grouping_id (gsets_01), deterministic mergeable "
+               "bottom-k hash sample (smp_04, KMV), curriculum "
+               "difficulty deciles on the distributed global rank "
+               "(curr_01) + CORE50 fold-ins ann_topk/ded_simhash — "
+               "same-round driver certification",
 }
 
 
@@ -1931,6 +2019,7 @@ def specs() -> list[QuerySpec]:
         "ann_bx": _ann_bx_oracle(),
         "r9_all": _r9_all_oracle(),
         "r9b_all": _r9b_all_oracle(),
+        "r10_all": _r10_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

@@ -1939,6 +1939,124 @@ _DOCS["sky_01"] = ("Per-brand Pareto skyline (min price, max size) as "
                    "dominance definition")
 
 
+def pvt_01(spark, sf):
+    """PIVOT → UNPIVOT roundtrip (the report-matrix verb): monthly
+    revenue pivoted to one column per order status, then unpivoted
+    back to long form with ``stack`` — the oracle is the direct
+    GROUP BY, so the hash certifies pivot∘unpivot ≡ identity on the
+    aggregate.  The pivot VALUES are declared explicitly ('F','O','P')
+    rather than discovered: Spark's value-less ``pivot`` runs a
+    driver-side distinct collect to find the columns — an anti-pattern
+    at 100 TB and a nondeterministic column order besides.  The pivot
+    itself is one groupBy(m) with conditional aggregates (map-side
+    combinable); unpivot is a per-row ``stack`` projection, no
+    shuffle."""
+    o = T(spark, sf, "orders")
+    m = F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    wide = (o.select(m, "o_orderstatus",
+                     F.col("o_totalprice").cast("decimal(18,4)")
+                      .alias("p"))
+             .groupBy("m").pivot("o_orderstatus", ["F", "O", "P"])
+             .agg(F.sum("p")))
+    lng = wide.select(
+        "m", F.expr("stack(3, 'F', F, 'O', O, 'P', P) "
+                    "AS (o_orderstatus, rev)"))
+    return (lng.filter(F.col("rev").isNotNull())
+               .select("m", "o_orderstatus",
+                       F.round(F.col("rev"), 2).cast("double")
+                        .alias("rev"))
+               .orderBy("m", "o_orderstatus"))
+
+
+_ORACLES["pvt_01"] = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m, o_orderstatus,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS rev
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+_DOCS["pvt_01"] = ("PIVOT/UNPIVOT roundtrip: explicit-values pivot "
+                   "(no driver-side distinct collect) to a status "
+                   "matrix, stack back to long form; oracle = direct "
+                   "GROUP BY, certifying the roundtrip is identity")
+
+
+def gsets_01(spark, sf):
+    """GROUPING SETS with grouping_id — the explicit subtotal-lattice
+    verb (agg_olap's CUBE is the full lattice; real reports want
+    chosen sets): revenue by (status), (month), (status, month) and
+    the grand total in ONE pass over the scan (Spark expands the sets
+    with a single Expand node feeding one hash aggregate — not four
+    scans), each row tagged with the SQL-standard grouping_id bit
+    vector.  Subtotal NULLs are projected to 'ALL' labels so the
+    result carries no NULL-vs-NaN cross-engine ambiguity into the
+    hash."""
+    o = T(spark, sf, "orders")
+    base = o.select(F.col("o_orderstatus").alias("s"),
+                    F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+                    F.col("o_totalprice").cast("decimal(18,4)").alias("p"))
+    g = (base.groupingSets([["s"], ["m"], ["s", "m"], []], "s", "m")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("p"), 2).cast("double").alias("rev"),
+                  F.grouping_id().alias("gid")))
+    return (g.select(F.coalesce("s", F.lit("ALL")).alias("s"),
+                     F.coalesce("m", F.lit("ALL")).alias("m"),
+                     F.col("gid").cast("int").alias("gid"), "n", "rev")
+             .orderBy("gid", "s", "m"))
+
+
+_ORACLES["gsets_01"] = """
+SELECT COALESCE(s, 'ALL') AS s, COALESCE(m, 'ALL') AS m,
+       CAST(GROUPING(s, m) AS INT) AS gid, count(*) AS n,
+       CAST(ROUND(SUM(p), 2) AS DOUBLE) AS rev
+FROM (SELECT o_orderstatus AS s,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS p
+      FROM orders)
+GROUP BY GROUPING SETS ((s), (m), (s, m), ())
+ORDER BY gid, s, m
+"""
+_DOCS["gsets_01"] = ("GROUPING SETS subtotal lattice with grouping_id "
+                     "bit vector: four chosen sets in one Expand+agg "
+                     "pass, NULL subtotals projected to 'ALL' labels")
+
+
+#: sample size for the deterministic bottom-k hash sample
+SMP4_K = 64
+
+
+def smp_04(spark, sf):
+    """Deterministic MERGEABLE bottom-k hash sample — the distributed
+    sampling primitive a 100 TB pipeline actually wants: every row
+    gets the priority ``md5(key)`` (a cross-engine-stable uniform
+    hash) and the sample is the K smallest priorities.  Properties the
+    other smp_* keys lack: (a) mergeable — bottom-k of a union is the
+    bottom-k of the per-shard bottom-k's, so shards/streams/partitions
+    sample independently and merge exactly (the KMV construction; the
+    property test replays it); (b) deterministic — same corpus, same
+    sample, any partitioning, no seed plumbing; (c) uniform without a
+    global sort — Spark executes ORDER BY+LIMIT as TakeOrdered:
+    per-partition top-K heaps then a K·P driver merge, never a full
+    sort (plan-asserted in test_plans)."""
+    o = T(spark, sf, "orders").select("o_orderkey")
+    return (o.select("o_orderkey",
+                     F.md5(F.col("o_orderkey").cast("string"))
+                      .alias("pr"))
+             .orderBy("pr").limit(SMP4_K)
+             .orderBy("o_orderkey"))
+
+
+_ORACLES["smp_04"] = f"""
+SELECT o_orderkey, pr FROM (
+  SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS pr
+  FROM orders ORDER BY pr LIMIT {SMP4_K})
+ORDER BY o_orderkey
+"""
+_DOCS["smp_04"] = ("Deterministic mergeable bottom-k hash sample "
+                   "(KMV construction): md5 priority, TakeOrdered "
+                   "per-partition heaps, no seed and no global sort; "
+                   "merge-exactness property-tested")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []

@@ -320,6 +320,83 @@ FROM v2 n JOIN upd_keys u ON n.encounter_num = u.k
 """
 
 
+def cdc_04(spark, sf):
+    """Atomic CDC APPLY (r10): a MIXED endpoint-diff batch — updates
+    (encounters 100-199 moved +40 days, 'U'), inserts (400-449) and
+    deletes (0-49) — applied to the commit-log table in ONE commit
+    (sources/txnlog.apply_changes, the ``MERGE ... WHEN MATCHED THEN
+    DELETE`` shape).  The two-call merge+delete_range emulation has a
+    crash window between the commits where deletes are applied but
+    upserts are not; apply_changes removes it structurally — the
+    builder asserts the whole apply is exactly ONE version.  Data
+    skipping prunes files disjoint from every feed key (delete keys
+    included).  Oracle = the delete+insert+remove semantics in plain
+    SQL over the same frames; reference analogue: the re-import +
+    retraction flow of the aktin import schema (aktin_init.sql,
+    src/docker/database/Dockerfile:33)."""
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_cdc04_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        ups = (base.filter((F.col("encounter_num") >= 100)
+                           & (F.col("encounter_num") < 200))
+               .select("encounter_num", "patient_num",
+                       (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                        .alias("start_date"),
+                       F.lit("U").alias("inout_cd"),
+                       F.lit("update").alias("op")))
+        ins = (vis.filter((F.col("encounter_num") >= 400)
+                          & (F.col("encounter_num") < 450))
+               .withColumn("op", F.lit("insert")))
+        dels = (base.filter(F.col("encounter_num") < 50)
+                .withColumn("op", F.lit("delete")))
+        v0 = txnlog.snapshot(path).version
+        txnlog.apply_changes(
+            spark, path, ups.unionByName(ins).unionByName(dels),
+            key="encounter_num")
+        assert txnlog.snapshot(path).version == v0 + 1, \
+            "apply_changes must be ONE atomic commit"
+        return _snap_off_tmp(
+            txnlog.read_table(spark, path)
+                  .select("encounter_num", "patient_num", "start_date",
+                          "inout_cd"), tmp).orderBy("encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _cdc_04_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+base AS (SELECT * FROM vis WHERE encounter_num < 400),
+ups AS (SELECT encounter_num, patient_num,
+               start_date + INTERVAL 40 DAY AS start_date,
+               'U' AS inout_cd
+        FROM base WHERE encounter_num >= 100 AND encounter_num < 200),
+ins AS (SELECT * FROM vis
+        WHERE encounter_num >= 400 AND encounter_num < 450),
+feed_keys AS (
+    SELECT encounter_num FROM ups
+    UNION SELECT encounter_num FROM ins
+    UNION SELECT encounter_num FROM base WHERE encounter_num < 50)
+SELECT * FROM (
+  SELECT * FROM base
+  WHERE encounter_num NOT IN (SELECT encounter_num FROM feed_keys)
+  UNION ALL SELECT * FROM ups
+  UNION ALL SELECT * FROM ins)
+ORDER BY encounter_num
+"""
+
+
 def stats_01(spark, sf):
     """Metadata-only ANALYZE: per-column rows / null-count / min / max
     assembled from parquet ROW-GROUP FOOTERS alone — no data scan.
@@ -732,6 +809,11 @@ _DOCS = {
               "commit, version-tagged; intermediate states visible "
               "(delete@2 + identical re-insert@3, which the endpoint "
               "diff suppresses)",
+    "cdc_04": "Atomic CDC APPLY: mixed insert/update/delete "
+              "endpoint-diff batch in ONE commit "
+              "(txnlog.apply_changes, the MERGE-with-DELETE shape); "
+              "one-version atomicity asserted in the builder, data "
+              "skipping prunes feed-disjoint files",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
@@ -753,6 +835,7 @@ def specs() -> list[QuerySpec]:
         "ups_02": _ups_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),
+        "cdc_04": _cdc_04_oracle(),
         "stats_01": _STATS_01_ORACLE,
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,

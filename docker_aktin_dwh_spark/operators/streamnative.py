@@ -1091,8 +1091,126 @@ ORDER BY user_id, sess_start, n_events
 """
 
 
+# --------------------------- str_20 streaming bottom-k hash sample
+
+#: per-group sample size for the streaming deterministic sample
+STR20_K = 16
+
+
+def make_sample_applier(store_path: str, k: int = STR20_K):
+    """foreachBatch applier maintaining the per-lang deterministic
+    bottom-k hash sample — smp_04's KMV construction driven by a
+    stream: each batch reduces to its OWN per-lang bottom-k first
+    (work ∝ batch), then merges with the ≤ k·L store and keeps the k
+    smallest md5 priorities per lang.  State is bounded at k rows per
+    group for ANY stream length, and bottom-k merge is associative,
+    commutative AND idempotent (re-merging the same rows changes
+    nothing) — so the maintained sample equals the batch sample under
+    every split of the stream.  Batch-id idempotent via the ivm_02
+    marker discipline regardless."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from ..functions.barrier import materialize
+
+    marker = store_path.rstrip("/") + ".last_batch"
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy("pr", "doc_id")
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn"))
+
+    def apply_sample(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(marker) as f:
+                last = int(f.read())
+        except (OSError, ValueError):
+            last = -1
+        if batch_id <= last:        # retried batch: already applied
+            return
+        cand = bottom_k(batch.select(
+            "doc_id", "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("pr")))
+        cur = batch.sparkSession.read.parquet(store_path)
+        merged = materialize(bottom_k(cur.unionByName(cand)))
+        merged.write.mode("overwrite").parquet(store_path)
+        tmp = f"{marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        _os.replace(tmp, marker)    # atomic on POSIX
+
+    return apply_sample
+
+
+def str20_sample(spark: SparkSession, sf: str, base: str,
+                 n_chunks: int = 4) -> DataFrame:
+    """Replay the documents corpus in ``n_chunks`` micro-batches
+    through the sample applier; return the maintained store."""
+    import pathlib as _pl
+    import shutil as _sh
+
+    docs = catalog.load(spark, sf, "documents") \
+                  .select("doc_id", "lang")
+    watch = _pl.Path(base) / "watch20"
+    watch.mkdir(parents=True)
+    for b in range(n_chunks):
+        out = _pl.Path(base) / f"s20b{b}"
+        (docs.filter(F.pmod("doc_id", F.lit(n_chunks)) == b)
+         .coalesce(1).write.mode("overwrite").parquet(str(out)))
+        for j, pq in enumerate(sorted(out.glob("*.parquet"))):
+            _sh.copy(pq, watch / f"{b:02d}_{j}.parquet")
+    store = f"{base}/sample20"
+    spark.createDataFrame([], "doc_id bigint, lang string, pr string") \
+         .write.mode("overwrite").parquet(store)
+    src = (spark.readStream.format("parquet").schema(docs.schema)
+           .option("maxFilesPerTrigger", "1").load(str(watch)))
+    assert src.isStreaming
+    q = (src.writeStream.foreachBatch(make_sample_applier(store))
+         .option("checkpointLocation", f"{base}/ckpt20")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(store)
+
+
+def str_20(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-20 streaming deterministic bottom-k sample: the per-lang
+    KMV sample (smp_04's primitive) maintained across micro-batches
+    with k-rows-per-group bounded state; the oracle computes the
+    batch per-lang bottom-k in SQL, so the hash certifies the
+    streamed sample ≡ the batch sample — the merge-exactness that
+    makes hash sampling THE distributed/streaming sampling primitive
+    at 100 TB (shards sample independently, merges are exact)."""
+    base = tempfile.mkdtemp(prefix="spark_str20_")
+    try:
+        sample = str20_sample(spark, sf, base)
+        snap = _materialized(sample, base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("lang", "doc_id")
+
+
+_STR_20_ORACLE = f"""
+WITH pr AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS pr
+            FROM documents),
+r AS (SELECT doc_id, lang, pr,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY pr, doc_id) AS rn
+      FROM pr)
+SELECT doc_id, lang, pr FROM r WHERE rn <= {STR20_K}
+ORDER BY lang, doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(key="str_20", fn=str_20, oracle=_STR_20_ORACLE,
+                  doc=("STR-20 streaming deterministic bottom-k hash "
+                       "sample (KMV): per-lang k-row bounded state, "
+                       "merge-exact under any stream split; oracle = "
+                       "the batch per-lang bottom-k"),
+                  tags=("streaming",)),
         QuerySpec(key="str_16", fn=str_16, oracle=_STR_16_ORACLE,
                   doc=("STR-16 streaming exactly-once dedup: "
                        "dropDuplicatesWithinWatermark over planted "

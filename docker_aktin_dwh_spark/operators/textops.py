@@ -1055,6 +1055,77 @@ _DOCS = {
 }
 
 
+# ------------------------------------ curriculum difficulty ordering
+
+#: token corpus-frequency below which a token counts as rare
+CURR_RARE_MAX = 5
+CURR_BUCKETS = 10
+
+
+def curr_01(spark, sf):
+    """Curriculum ordering — the training-schedule verb of an LLM data
+    pipeline: score every document's difficulty as its rare-token
+    ratio (tokens whose CORPUS frequency < CURR_RARE_MAX — harder
+    text uses rarer vocabulary), integer-scaled so the score is
+    cross-engine exact (``n_rare·10⁶ div n_tokens``, col_01's
+    discipline), then assign easy→hard decile buckets with the
+    closed-form NTILE over the DISTRIBUTED global rank (rfm_01's
+    primitive — no single-partition window; ties broken on doc_id so
+    the order is total and deterministic).
+
+    Scale shape: one corpus explode, one vocabulary groupBy, one
+    doc-level groupBy — the rank runs on the doc-level frame (one row
+    per doc) through the range exchange + broadcast offsets; nothing
+    is corpus²."""
+    from ..functions.ranking import global_rank
+    from .relational import _ntile_from_rank
+
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("tf"))
+    per = (tok.join(vocab, "t")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.when(F.col("tf") < CURR_RARE_MAX, 1)
+                       .otherwise(0)).alias("n_rare")))
+    diff = per.select(
+        "doc_id", "n_tokens", F.col("n_rare").cast("long").alias("n_rare"),
+        F.expr("n_rare * 1000000 div n_tokens").alias("diff_s"))
+    n1 = diff.agg(F.count("*").alias("n_docs"))
+    ranked = global_rank(diff.withColumn("neg_d", -F.col("diff_s")),
+                         ["neg_d", "doc_id"], "rnk")
+    return (ranked.crossJoin(F.broadcast(n1))
+            .select("doc_id", "n_tokens", "n_rare", "diff_s",
+                    _ntile_from_rank("rnk", "n_docs", CURR_BUCKETS)
+                    .alias("bucket"))
+            .orderBy("doc_id"))
+
+
+def _curr_oracle() -> str:
+    t = SQL_TOKENS.format(col="text")
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({t}) AS t FROM documents),
+v AS (SELECT t, count(*) AS tf FROM tk GROUP BY 1),
+per AS (SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN tf < {CURR_RARE_MAX} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare
+        FROM tk JOIN v USING (t) GROUP BY 1),
+d AS (SELECT doc_id, n_tokens, n_rare,
+             n_rare * 1000000 // n_tokens AS diff_s FROM per)
+SELECT doc_id, n_tokens, n_rare, diff_s,
+       CAST(NTILE({CURR_BUCKETS})
+            OVER (ORDER BY diff_s DESC, doc_id) AS INT) AS bucket
+FROM d ORDER BY doc_id
+"""
+
+
+_ORACLES["curr_01"] = _curr_oracle()
+_DOCS["curr_01"] = ("Curriculum difficulty ordering: integer-scaled "
+                    "rare-token ratio, easy->hard deciles via "
+                    "closed-form NTILE on the distributed global rank "
+                    "(no single-partition window)")
+
+
 def specs() -> list[QuerySpec]:
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=_ORACLES.get(k), doc=d,

@@ -63,17 +63,24 @@ class QuerySpec:
 #: three fold-ins stay driver-certified; emb_01's own banked slot
 #: then goes to r9b_all (second-wave round-9 union: blm_01 / kw_01 /
 #: er_03 / ann_pq), so every round-9 operator certifies same-round.
+#: Round 10 (VERDICT r9 item 7's slot economy): ann_topk and
+#: ded_simhash fold into r10_all as verbatim-builder branches and
+#: str_07's batch form folds into str_out ("st7"), freeing three
+#: slots for r10_all (pvt_01 / gsets_01 / smp_04 / curr_01 + the two
+#: fold-ins), cdc_04 (atomic CDC apply on the txnlog format) and
+#: str_20 (streaming deterministic bottom-k sample) — every round-10
+#: operator certifies same-round.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
-    "str_win", "maint_all", "str_07", "str_01", "str_05",
+    "str_win", "maint_all", "str_20", "str_01", "str_05",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "udf_02", "udf_tf", "str_11",
-    "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "ded_simhash",
+    "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "cdc_04",
     "ded_embed",
-    "ann_topk", "ann_bx", "r7_all", "r9b_all",
+    "r10_all", "ann_bx", "r7_all", "r9b_all",
     "text_all", "str_out", "r9_all", "mm_decode",
     "r8_all", "pipe_02",
 )

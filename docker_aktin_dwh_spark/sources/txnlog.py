@@ -416,6 +416,69 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
         batch.unpersist()
 
 
+def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
+                  key: str, op_col: str = "op",
+                  delete_op: str = "delete") -> Snapshot:
+    """Apply a MIXED change batch — inserts, updates AND deletes — as
+    ONE atomic commit (the ``MERGE WHEN MATCHED [AND cond] THEN
+    DELETE`` shape; what a CDC consumer needs to maintain a replica
+    from an endpoint diff).  ``feed`` carries the table's columns plus
+    ``op_col``; rows whose op equals ``delete_op`` remove their key,
+    every other row replaces/inserts its key.  The feed must carry at
+    most one row per key (the endpoint-diff contract of
+    table_changes; a key that is both updated and deleted in one
+    batch is a malformed feed and raises).
+
+    Same data skipping and optimistic concurrency as :func:`merge`:
+    files disjoint from every feed key (delete keys included) carry
+    over by log reference; a lost version race re-derives from the
+    fresh snapshot.  Crucially, delete and upsert commit TOGETHER —
+    a crash can never leave deletes applied but upserts missing (the
+    two-call merge+delete_range emulation has exactly that window)."""
+    feed = feed.cache()
+    try:
+        dup = (feed.groupBy(key).count().filter(F.col("count") > 1)
+                   .count())
+        if dup:
+            raise ValueError(
+                f"apply_changes: feed carries {dup} keys with more "
+                f"than one op row — endpoint diffs are one-op-per-key")
+        dk = feed.select(key).distinct()
+        n_keys = dk.count()
+        if not n_keys:
+            return snapshot(path)
+        if n_keys <= MERGE_KEYS_COLLECT_MAX:
+            keys = sorted(r[0] for r in dk.collect())
+            def hits(s): return _interval_hits(s, keys)
+        else:
+            lo, hi = dk.agg(F.min(key), F.max(key)).first()
+            def hits(s): return _envelope_hits(s, lo, hi)
+        ups = feed.filter(F.col(op_col) != delete_op).drop(op_col)
+        for _ in range(MERGE_MAX_ATTEMPTS):
+            snap = snapshot(path)
+            touched = [n for n, s in snap.files.items() if hits(s)]
+            if touched:
+                old = spark.read.schema(StructType.fromJson(
+                    json.loads(snap.schema_json))).parquet(
+                    *[os.path.join(path, n) for n in touched])
+                kept = old.join(F.broadcast(dk), key, "left_anti")
+                merged = kept.unionByName(ups.select(kept.columns))
+            else:
+                merged = ups
+            adds = _stage_data_files(spark, merged, path, key,
+                                     snap.version + 1)
+            if _try_commit(path, snap.version + 1,
+                           {"op": "apply", "add": adds,
+                            "remove": touched}):
+                return snapshot(path, snap.version + 1)
+            _drop_files(path, adds)
+        raise CommitConflictError(
+            f"apply_changes lost {MERGE_MAX_ATTEMPTS} commit races "
+            f"at {path}")
+    finally:
+        feed.unpersist()
+
+
 def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
                      key: str, txn: tuple[str, int] | None = None
                      ) -> Snapshot | None:

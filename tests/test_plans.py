@@ -399,3 +399,15 @@ def test_sky01_frontier_broadcasts_no_self_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_smp04_executes_as_take_ordered_not_global_sort(spark):
+    """smp_04's ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition top-K heaps + a K·P driver merge) — a full global
+    Sort before the limit would funnel the corpus through the range
+    exchange at 100 TB."""
+    from docker_aktin_dwh_spark.operators.relational import smp_04
+
+    df = smp_04(spark, SF_SMOKE)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan

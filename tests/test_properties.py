@@ -600,3 +600,36 @@ def test_skyline_frontier_equals_bruteforce_dominance(spark):
         assert got == want, (pts, got, want)
 
     prop()
+
+
+def test_bottomk_sample_is_mergeable_and_deterministic(spark):
+    """smp_04's KMV contract: the bottom-k of the WHOLE corpus equals
+    the bottom-k of the union of per-shard bottom-k's (shards sample
+    independently, merges are exact — the property that makes hash
+    sampling the distributed/streaming sampling primitive), and the
+    sample is identical under different partitionings (no seed, no
+    partition-order sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.operators.relational import SMP4_K
+
+    o = catalog.load(spark, SF_SMOKE, "orders").select("o_orderkey")
+    pr = o.select("o_orderkey",
+                  F.md5(F.col("o_orderkey").cast("string")).alias("pr"))
+
+    def bottom_k(df):
+        return df.orderBy("pr", "o_orderkey").limit(SMP4_K)
+
+    whole = {r.o_orderkey for r in bottom_k(pr).collect()}
+    # shard by key parity, bottom-k each shard, merge, bottom-k again
+    shards = [bottom_k(pr.filter(F.pmod("o_orderkey", F.lit(3)) == i))
+              for i in range(3)]
+    merged = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    via_shards = {r.o_orderkey for r in bottom_k(merged).collect()}
+    assert whole == via_shards and len(whole) == SMP4_K
+
+    # partitioning-invariance: 1-partition vs 16-partition layouts
+    one = {r.o_orderkey for r in bottom_k(pr.coalesce(1)).collect()}
+    many = {r.o_orderkey
+            for r in bottom_k(pr.repartition(16)).collect()}
+    assert one == many == whole

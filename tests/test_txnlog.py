@@ -651,3 +651,50 @@ def test_txnstream_schema_error_names_table(tmp_path):
     src = TxnlogStreamDataSource(options={"path": table})
     with pytest.raises(FileNotFoundError, match="no schema recorded"):
         src.schema()
+
+
+def test_apply_changes_mixed_batch_one_commit(spark, tdir):
+    """apply_changes (r10): inserts, updates and deletes land in ONE
+    atomic commit; files disjoint from every feed key carry over by
+    reference; the result equals the sequential delete+merge."""
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    ups = _mk(spark, 10, 20, tag="u").withColumn("op", F.lit("update"))
+    ins = _mk(spark, 400, 410, tag="n").withColumn("op", F.lit("insert"))
+    dels = _mk(spark, 30, 40).withColumn("op", F.lit("delete"))
+    txnlog.apply_changes(spark, tdir,
+                         ups.unionByName(ins).unionByName(dels), key="k")
+    after = txnlog.snapshot(tdir)
+    assert after.version == before.version + 1, "ONE commit"
+    # ranges 100-199, 200-299, 300-399 files untouched by any feed key
+    carried = set(before.files) & set(after.files)
+    assert len(carried) >= 3
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 400                  # -10 deleted, +10 inserted
+    assert got[15] == "u15" and got[405] == "n405" and got[5] == "a5"
+    assert all(k not in got for k in range(30, 40))
+
+
+def test_apply_changes_rejects_conflicting_ops(spark, tdir):
+    """A feed carrying two op rows for one key is a malformed endpoint
+    diff — raise, don't pick a winner silently."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    bad = (_mk(spark, 3, 5, tag="u").withColumn("op", F.lit("update"))
+           .unionByName(_mk(spark, 4, 6).withColumn(
+               "op", F.lit("delete"))))
+    with pytest.raises(ValueError, match="more than one op"):
+        txnlog.apply_changes(spark, tdir, bad, key="k")
+
+
+def test_apply_changes_pure_delete_and_empty(spark, tdir):
+    """Edge arms: a delete-only feed removes its keys (no inserts); an
+    empty feed is a committed no-op (returns the current snapshot)."""
+    txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
+    v0 = txnlog.snapshot(tdir).version
+    dels = _mk(spark, 0, 10).withColumn("op", F.lit("delete"))
+    txnlog.apply_changes(spark, tdir, dels, key="k")
+    assert txnlog.read_table(spark, tdir).count() == 90
+    empty = dels.filter(F.lit(False))
+    snap = txnlog.apply_changes(spark, tdir, empty, key="k")
+    assert snap.version == v0 + 1           # no new commit for empty
