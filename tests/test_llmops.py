@@ -1804,11 +1804,16 @@ def test_bpe_window_invariance_and_depth_bound(spark, monkeypatch):
          ("anab", 3), ("nana", 6), ("banab", 2), ("abba", 2)],
         "token string, freq long")
     runs = {}
-    for w in (1, 2, textops.BPE_MATERIALIZE_EVERY):
+    # window 2 vs the default: 9 rounds cross four boundaries at w=2
+    # and one at w=8 — if windowing changed semantics these diverge
+    # (w=1, the old checkpoint-every-round discipline, was also
+    # verified equal when this landed; dropped from the suite as pure
+    # wall-time)
+    for w in (2, textops.BPE_MATERIALIZE_EVERY):
         monkeypatch.setattr(textops, "BPE_MATERIALIZE_EVERY", w)
         runs[w] = textops.bpe_train(wf, 9)
-    assert runs[1] == runs[2] == runs[textops.BPE_MATERIALIZE_EVERY]
-    assert len(runs[1]) >= 6    # the fixture really trains merges
+    assert runs[2] == runs[textops.BPE_MATERIALIZE_EVERY]
+    assert len(runs[2]) >= 6    # the fixture really trains merges
 
 
 @pytest.mark.skipif(os.environ.get("SPARK_GRAFT_SWEEP_ALL") != "1",

@@ -24,19 +24,24 @@ def tdir():
 
 
 def _mk(spark, lo, hi, tag="a"):
-    return (spark.range(lo, hi).select(
+    # coalesce(2): at local[32] a bare range stages ~32 near-empty
+    # parquet parts PER COMMIT (32 write tasks + 32 footer reads in
+    # _stage_data_files) — pure overhead for 10-400-row protocol
+    # frames.  Two partitions keep the multi-file semantics; tests
+    # that need a specific file layout repartitionByRange explicitly.
+    return (spark.range(lo, hi).coalesce(2).select(
         F.col("id").alias("k"),
         F.concat(F.lit(tag), F.col("id").cast("string")).alias("v")))
 
 
-def test_create_read_roundtrip(spark, tdir):
+def _body_create_read_roundtrip(spark, tdir):
     txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
     got = txnlog.read_table(spark, tdir)
     assert got.count() == 100
     assert {r.v for r in got.filter("k < 3").collect()} == {"a0", "a1", "a2"}
 
 
-def test_merge_delete_insert_semantics(spark, tdir):
+def _body_merge_delete_insert_semantics(spark, tdir):
     txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
     batch = _mk(spark, 50, 120, tag="b")       # replaces 50-99, inserts 100-119
     txnlog.merge(spark, tdir, batch, key="k")
@@ -45,7 +50,7 @@ def test_merge_delete_insert_semantics(spark, tdir):
     assert got[10] == "a10" and got[50] == "b50" and got[119] == "b119"
 
 
-def test_snapshot_isolation_and_time_travel(spark, tdir):
+def _body_snapshot_isolation_and_time_travel(spark, tdir):
     txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
     v0 = txnlog.snapshot(tdir).version
     pinned = txnlog.read_table(spark, tdir, version=v0)
@@ -58,7 +63,7 @@ def test_snapshot_isolation_and_time_travel(spark, tdir):
             .filter("k = 7").collect()} == {"z7"}
 
 
-def test_merge_data_skipping_rewrites_only_hit_files(spark, tdir):
+def _body_merge_data_skipping_rewrites_only_hit_files(spark, tdir):
     """Files whose footer [kmin, kmax] interval misses every batch key
     must carry over by log reference — the rewrite set is the hit
     files only (the 100 TB MERGE economics)."""
@@ -85,7 +90,7 @@ def test_interval_hits_uses_binary_search_semantics():
     assert txnlog._interval_hits({"kmin": None, "kmax": None}, [1])
 
 
-def test_concurrent_appends_both_commit(spark, tdir):
+def _body_concurrent_appends_both_commit(spark, tdir):
     """Two writers racing version claims: the atomic link serializes
     them — both succeed at distinct versions, no rows lost."""
     txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
@@ -106,7 +111,7 @@ def test_concurrent_appends_both_commit(spark, tdir):
     assert txnlog.snapshot(tdir).version == 2
 
 
-def test_conflicting_merges_serialize_to_sequential_result(spark, tdir):
+def _body_conflicting_merges_serialize_to_sequential_result(spark, tdir):
     """Two merges rewriting the SAME file: one loses the version race,
     drops its staged files, and re-derives against the winner's state —
     the final table equals some sequential order of the two merges."""
@@ -135,7 +140,7 @@ def test_conflicting_merges_serialize_to_sequential_result(spark, tdir):
     assert len(overlap_tags) == 1 and overlap_tags <= {"x", "y"}
 
 
-def test_crash_orphans_invisible_and_vacuumed(spark, tdir):
+def _body_crash_orphans_invisible_and_vacuumed(spark, tdir):
     """Data files staged by a writer that died before committing are
     invisible to readers and reclaimed by vacuum; committed files
     survive vacuum."""
@@ -160,7 +165,7 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tdir):
     assert txnlog.read_table(spark, tdir).count() == 20
 
 
-def test_checkpoint_bounds_log_replay(spark, tdir):
+def _body_checkpoint_bounds_log_replay(spark, tdir):
     """After CHECKPOINT_EVERY commits a checkpoint exists, and a
     snapshot built from it equals full-log replay."""
     txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
@@ -185,7 +190,7 @@ def test_checkpoint_bounds_log_replay(spark, tdir):
     assert n == 10 + 5 * (txnlog.CHECKPOINT_EVERY + 2)
 
 
-def test_replace_contents_txn_idempotency(spark, tdir):
+def _body_replace_contents_txn_idempotency(spark, tdir):
     """replace_contents with a txn action applies once per app version:
     a replay at the same (or lower) version is a NO-OP — content and
     app version are one atomic commit, so there is no partial state a
@@ -208,7 +213,7 @@ def test_replace_contents_txn_idempotency(spark, tdir):
     assert txnlog.read_table(spark, tdir).count() == 2
 
 
-def test_txn_versions_survive_checkpoint(spark, tdir):
+def _body_txn_versions_survive_checkpoint(spark, tdir):
     """The txn app-version map is part of checkpoint state: a snapshot
     rebuilt from the checkpoint (not full log replay) still refuses a
     replayed application version."""
@@ -224,7 +229,7 @@ def test_txn_versions_survive_checkpoint(spark, tdir):
                                    key="k", txn=("app", 7)) is None
 
 
-def test_compact_preserves_content_and_tightens_stats(spark, tdir):
+def _body_compact_preserves_content_and_tightens_stats(spark, tdir):
     """OPTIMIZE semantics: after many small appends, compaction swaps
     the file set atomically — identical content, fewer files, and the
     range-sorted rewrite restores tight per-file key intervals (better
@@ -253,7 +258,7 @@ def test_compact_preserves_content_and_tightens_stats(spark, tdir):
                           min_files=3) is None
 
 
-def test_empty_table_read_uses_logged_schema(spark, tdir):
+def _body_empty_table_read_uses_logged_schema(spark, tdir):
     empty = _mk(spark, 0, 0)
     txnlog.create_table(spark, empty, tdir, key="k")
     got = txnlog.read_table(spark, tdir)
@@ -261,7 +266,7 @@ def test_empty_table_read_uses_logged_schema(spark, tdir):
     assert [f.name for f in got.schema.fields] == ["k", "v"]
 
 
-def test_delete_range_skips_disjoint_files(spark, tdir):
+def _body_delete_range_skips_disjoint_files(spark, tdir):
     """DELETE WHERE lo<=k<hi rewrites only interval-hit files; the
     others carry over by log reference (the GDPR-erasure economics)."""
     df = _mk(spark, 0, 400).repartitionByRange(4, "k")
@@ -279,7 +284,7 @@ def test_delete_range_skips_disjoint_files(spark, tdir):
     assert txnlog.snapshot(tdir).version == v
 
 
-def test_changed_file_sets_prune_common_files(spark, tdir):
+def _body_changed_file_sets_prune_common_files(spark, tdir):
     """Files present in both snapshots are excluded from the CDC read
     set before any data I/O — the feed's cost scales with churn."""
     df = _mk(spark, 0, 400).repartitionByRange(4, "k")
@@ -296,7 +301,7 @@ def test_changed_file_sets_prune_common_files(spark, tdir):
     assert common.isdisjoint(old_only) and common.isdisjoint(new_only)
 
 
-def test_table_changes_matches_bruteforce_snapshot_diff(spark, tdir):
+def _body_table_changes_matches_bruteforce_snapshot_diff(spark, tdir):
     """The file-set-pruned feed must equal the semantic diff of the two
     full snapshots (insert/delete/update classification), with
     unchanged-but-rewritten rows suppressed."""
@@ -329,7 +334,7 @@ def test_table_changes_matches_bruteforce_snapshot_diff(spark, tdir):
     assert all(not (10 <= k < 20) for k, _, _ in got)
 
 
-def test_table_changes_compaction_is_silent(spark, tdir):
+def _body_table_changes_compaction_is_silent(spark, tdir):
     """Compaction rewrites every file but changes no row — the feed
     across a compact-only version range must be empty."""
     txnlog.create_table(
@@ -341,7 +346,7 @@ def test_table_changes_compaction_is_silent(spark, tdir):
     assert feed.count() == 0
 
 
-def test_stream_reader_sees_only_committed_files(spark, tdir):
+def _body_stream_reader_sees_only_committed_files(spark, tdir):
     """The streaming source derives its read set from COMMITS, not the
     directory: a crashed writer's staged orphan parquet sits beside
     the data files but never becomes an input partition; offsets
@@ -376,7 +381,7 @@ def test_stream_reader_sees_only_committed_files(spark, tdir):
     assert all(p.version == 1 for p in tail)
 
 
-def test_stream_reader_append_only_guard(spark, tdir):
+def _body_stream_reader_append_only_guard(spark, tdir):
     """A commit that removes files (merge/compact/delete) must RAISE
     when the tail crosses it — silent emission would be wrong
     streaming semantics for a rewrite."""
@@ -393,7 +398,7 @@ def test_stream_reader_append_only_guard(spark, tdir):
     assert r.partitions({"version": -1}, {"version": 0})
 
 
-def test_table_changes_rejects_reversed_range(spark, tdir):
+def _body_table_changes_rejects_reversed_range(spark, tdir):
     """A reversed version range would silently emit the INVERTED feed
     (inserts read as deletes) — it must raise instead."""
     import pytest as _pytest
@@ -404,7 +409,7 @@ def test_table_changes_rejects_reversed_range(spark, tdir):
         txnlog.table_changes(spark, tdir, 1, 0, key="k")
 
 
-def test_truncate_history_retention(spark, tdir):
+def _body_truncate_history_retention(spark, tdir):
     """Retention: keep_last versions still replay (content identical),
     older versions raise, and data files referenced ONLY by dropped
     history are physically reclaimed while retained-version files
@@ -461,7 +466,7 @@ def test_txnstream_layout_constants_match_txnlog():
     assert txnstream._W == txnlog._W
 
 
-def test_txnstream_versions_match_txnlog_listing(spark, tdir):
+def _body_txnstream_versions_match_txnlog_listing(spark, tdir):
     from docker_aktin_dwh_spark.sources import txnstream
 
     txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
@@ -471,7 +476,7 @@ def test_txnstream_versions_match_txnlog_listing(spark, tdir):
         txnlog._commit_name(1))
 
 
-def test_schema_evolution_append(spark, tdir):
+def _body_schema_evolution_append(spark, tdir):
     """SRC-08 on the ACID format: an evolving append widens the LOGGED
     schema in the same atomic commit; readers of later versions see
     the new column (NULL on pre-evolution files), time travel keeps
@@ -509,7 +514,7 @@ def test_schema_evolution_append(spark, tdir):
     assert rows2 == rows
 
 
-def test_per_version_feed_replays_to_final_state(spark, tdir):
+def _body_per_version_feed_replays_to_final_state(spark, tdir):
     """The CDC consumer contract: folding table_changes_range's
     per-version events IN ORDER over the v0 state must reconstruct
     the latest table exactly — the feed is sufficient to maintain a
@@ -536,7 +541,7 @@ def test_per_version_feed_replays_to_final_state(spark, tdir):
     assert final[25] == "u25" and 5 not in final and final[1] == "a1"
 
 
-def test_table_changes_across_schema_evolution(spark, tdir):
+def _body_table_changes_across_schema_evolution(spark, tdir):
     """ADVICE r9: CDC spanning a schema-evolving commit must read BOTH
     sides under the endpoint's logged (wider) schema — pre-evolution
     files NULL-fill the new column consistently instead of raising
@@ -617,7 +622,7 @@ def test_merge_wide_batch_envelope_pruning(spark, tdir, monkeypatch):
     assert got[5] == "a5" and got[25] == "b25" and got[350] == "a350"
 
 
-def test_append_txn_idempotency(spark, tdir):
+def _body_append_txn_idempotency(spark, tdir):
     """append with a txn action: content and application version
     commit atomically; a replayed (same app, same or lower version)
     append is a no-op — the foreachBatch at-least-once primitive on
@@ -653,7 +658,7 @@ def test_txnstream_schema_error_names_table(tmp_path):
         src.schema()
 
 
-def test_apply_changes_mixed_batch_one_commit(spark, tdir):
+def _body_apply_changes_mixed_batch_one_commit(spark, tdir):
     """apply_changes (r10): inserts, updates and deletes land in ONE
     atomic commit; files disjoint from every feed key carry over by
     reference; the result equals the sequential delete+merge."""
@@ -676,7 +681,7 @@ def test_apply_changes_mixed_batch_one_commit(spark, tdir):
     assert all(k not in got for k in range(30, 40))
 
 
-def test_apply_changes_rejects_conflicting_ops(spark, tdir):
+def _body_apply_changes_rejects_conflicting_ops(spark, tdir):
     """A feed carrying two op rows for one key is a malformed endpoint
     diff — raise, don't pick a winner silently."""
     txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
@@ -687,7 +692,7 @@ def test_apply_changes_rejects_conflicting_ops(spark, tdir):
         txnlog.apply_changes(spark, tdir, bad, key="k")
 
 
-def test_apply_changes_pure_delete_and_empty(spark, tdir):
+def _body_apply_changes_pure_delete_and_empty(spark, tdir):
     """Edge arms: a delete-only feed removes its keys (no inserts); an
     empty feed is a committed no-op (returns the current snapshot)."""
     txnlog.create_table(spark, _mk(spark, 0, 100), tdir, key="k")
@@ -698,3 +703,53 @@ def test_apply_changes_pure_delete_and_empty(spark, tdir):
     empty = dels.filter(F.lit(False))
     snap = txnlog.apply_changes(spark, tdir, empty, key="k")
     assert snap.version == v0 + 1           # no new commit for empty
+
+
+# ------------------------------------------------------------ pooled run
+# Each _body_* is an independent protocol scenario against its OWN
+# table dir — latency-bound on small Spark jobs, not CPU — so a module
+# fixture runs all bodies through a thread pool against the shared
+# session (the test_streaming discipline; VERDICT r9 item 6's
+# suite-time guard).  The monkeypatching tests (envelope pruning,
+# schema-race injection) stay SERIAL above: patching module attrs
+# would leak across pooled threads.
+
+_TXN_BODIES = {
+    name[len("_body_"):]: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("_body_")
+}
+
+
+@pytest.fixture(scope="module")
+def txn_outcomes(spark, request, tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
+    selected: set[str] = set()
+    for item in request.session.items:
+        if getattr(item, "module", None) is not request.module:
+            continue
+        cs = getattr(item, "callspec", None)
+        if cs is not None and "name" in cs.params:
+            selected.add(cs.params["name"])
+    todo = [n for n in _TXN_BODIES if n in selected] if selected \
+        else list(_TXN_BODIES)
+    dirs = {n: str(tmp_path_factory.mktemp(f"txn_{n}"[:40]) / "tbl")
+            for n in todo}
+
+    def run(name):
+        try:
+            _TXN_BODIES[name](spark, dirs[name])
+            return None
+        except BaseException as e:      # re-raised by the test
+            return e
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        return dict(zip(todo, ex.map(run, todo)))
+
+
+@pytest.mark.parametrize("name", list(_TXN_BODIES))
+def test_txnlog(txn_outcomes, name):
+    err = txn_outcomes[name]
+    if err is not None:
+        raise err
