@@ -81,6 +81,9 @@ HEADLINE = (
     # deciles on the distributed global rank, and the atomic CDC
     # apply (MERGE-with-DELETE) on the commit-log table format
     "pvt_01", "gsets_01", "smp_04", "curr_01", "cdc_04",
+    # round 10 second wave: forward/tolerance as-of join, grouped OLS
+    # from exact decimal moments, CUSUM changepoint detection
+    "jn_11", "reg_01", "cpd_01",
 )
 
 

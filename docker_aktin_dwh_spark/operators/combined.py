@@ -1850,6 +1850,51 @@ def _r10_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r10b_all(spark, sf):
+    """Round-10 second-wave certification union (same-round driver
+    certification for the operators that landed after r10_all froze),
+    builders verbatim: jn_11 forward/tolerance as-of join (the
+    merge_asof(direction='forward') verb on one shuffle), reg_01
+    grouped OLS regression from exact decimal moment sums, and cpd_01
+    CUSUM changepoint detection with the n-scaled exact-integer
+    statistic; plus the ded_incr fold-in (its CORE50 slot donor —
+    ded_incr's builder already rides r9_all's "dinc" branch verbatim,
+    so this union inherits the freed slot rather than duplicating the
+    branch)."""
+    out = _tag(relational.jn_11(spark, sf), "asof",
+               F.concat_ws("|", "event_id",
+                           F.coalesce(F.col("nxt_val").cast("string"),
+                                      F.lit("none"))))
+    out = out.unionByName(_tag(
+        relational.reg_01(spark, sf), "reg",
+        F.concat_ws("|", "l_returnflag", "n", "slope_s", "icept_s")))
+    out = out.unionByName(_tag(
+        relational.cpd_01(spark, sf), "cpd",
+        F.concat_ws("|",
+                    F.unix_micros(F.col("d").cast("timestamp"))
+                     .cast("string"),
+                    "x", "c_s", F.col("peak").cast("string"))))
+    return out.orderBy("tag", "v")
+
+
+def _r10b_all_oracle() -> str:
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("asof", "CAST(event_id AS VARCHAR) || '|' || "
+                 "COALESCE(CAST(nxt_val AS VARCHAR), 'none')",
+         relational._ORACLES["jn_11"]),
+        ("reg", cat("l_returnflag", "n", "slope_s", "icept_s"),
+         relational._ORACLES["reg_01"]),
+        ("cpd", "CAST(epoch_us(d) AS VARCHAR) || '|' || "
+                + cat("x", "c_s", "peak"),
+         relational._ORACLES["cpd_01"]),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -1981,6 +2026,13 @@ _DOCS = {
                "difficulty deciles on the distributed global rank "
                "(curr_01) + CORE50 fold-ins ann_topk/ded_simhash — "
                "same-round driver certification",
+    "r10b_all": "Round-10 second-wave tagged union: forward/tolerance "
+                "as-of join (jn_11, merge_asof direction=forward), "
+                "grouped OLS regression from exact decimal moments "
+                "(reg_01), CUSUM changepoint with the n-scaled "
+                "exact-integer statistic (cpd_01) — same-round driver "
+                "certification (slot donated by ded_incr, which rides "
+                "r9_all's dinc branch verbatim)",
 }
 
 
@@ -2020,6 +2072,7 @@ def specs() -> list[QuerySpec]:
         "r9_all": _r9_all_oracle(),
         "r9b_all": _r9b_all_oracle(),
         "r10_all": _r10_all_oracle(),
+        "r10b_all": _r10b_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

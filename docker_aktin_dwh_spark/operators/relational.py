@@ -2057,6 +2057,180 @@ _DOCS["smp_04"] = ("Deterministic mergeable bottom-k hash sample "
                    "merge-exactness property-tested")
 
 
+def jn_11(spark, sf):
+    """As-of join, FORWARD direction with a tolerance window (the
+    pandas/polars ``merge_asof(direction='forward', tolerance=...)``
+    verb; jn_09 is the backward form): for each click, the value of
+    that user's NEXT purchase, but only if it lands within 2 hours —
+    the time-to-conversion attach.  temporal.asof_join_forward runs it
+    as ONE shuffle (union + descending key-partitioned window carrying
+    a (ts, value) struct; the tolerance is a post-window projection,
+    never a range join).  Purchases pre-aggregate to min(value) per
+    (user, ts) so equal-timestamp ties are deterministic on both
+    engines."""
+    from . import temporal
+
+    e = T(spark, sf, "events")
+    clicks = e.filter(e.event_type == "click") \
+              .select("event_id", "user_id", "ts")
+    buys = (e.filter(e.event_type == "purchase")
+             .groupBy(e.user_id.alias("b_user"), e.ts.alias("b_ts"))
+             .agg(F.min("value").alias("b_val")))
+    res = temporal.asof_join_forward(
+        clicks, buys, left_key="user_id", right_key="b_user",
+        left_ts="ts", right_ts="b_ts", value_col="b_val",
+        out_col="nxt_val", tolerance_seconds=7200)
+    return (res.select("event_id",
+                       F.round("nxt_val", 2).alias("nxt_val"))
+               .orderBy("event_id"))
+
+
+_ORACLES["jn_11"] = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, min(value) AS v FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2),
+nxt AS (SELECT c.event_id, min(p.ts) AS pts
+        FROM c JOIN p ON p.user_id = c.user_id
+          AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
+          AND (epoch_ns(p.ts) // 1000)
+              <= (epoch_ns(c.ts) // 1000) + 7200000000
+        GROUP BY 1)
+SELECT c.event_id, ROUND(p.v, 2) AS nxt_val
+FROM c LEFT JOIN nxt USING (event_id)
+LEFT JOIN p ON p.user_id = c.user_id AND p.ts = nxt.pts
+ORDER BY c.event_id
+"""
+_DOCS["jn_11"] = ("As-of join FORWARD with tolerance (merge_asof "
+                  "direction=forward): next purchase value within 2h "
+                  "per click — one shuffle, descending-window carry, "
+                  "tolerance as a projection (no range join)")
+
+
+def reg_01(spark, sf):
+    """Grouped simple linear regression (OLS y = a + b·x): slope and
+    intercept of extended price on quantity per return flag — cor_01's
+    exact-decimal-moment discipline extended to the modeling verb.
+    The five moment sums aggregate as DECIMALS (exact, associative —
+    partial-agg order cannot move them), the closed forms evaluate
+    once per group row through an identical IEEE expression tree on
+    both engines, so even unrounded doubles match bit-for-bit; the
+    output ships 1e6-scaled integers.  One map-side-combined groupBy
+    over the scan."""
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,4)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("y"))
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").cast("decimal(38,4)").alias("sx"),
+              F.sum("y").cast("decimal(38,4)").alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+               .cast("decimal(38,8)").alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+               .cast("decimal(38,8)").alias("sxx")))
+    n, sx, sy, sxy, sxx = [F.col(c).cast("double")
+                           for c in ("n", "sx", "sy", "sxy", "sxx")]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    return (m.select("l_returnflag", "n",
+                     F.round(slope * 1_000_000).cast("long")
+                      .alias("slope_s"),
+                     F.round(icept * 1_000_000).cast("long")
+                      .alias("icept_s"))
+            .orderBy("l_returnflag"))
+
+
+_ORACLES["reg_01"] = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+              AS DECIMAL(38,4)) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_quantity AS DECIMAL(19,4))
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxx
+  FROM lineitem GROUP BY 1),
+s AS (
+  SELECT l_returnflag, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m)
+SELECT l_returnflag, n,
+       CAST(ROUND(slope * 1000000) AS BIGINT) AS slope_s,
+       CAST(ROUND((syd - slope * sxd) / CAST(n AS DOUBLE) * 1000000)
+            AS BIGINT) AS icept_s
+FROM s ORDER BY 1
+"""
+_DOCS["reg_01"] = ("Grouped OLS regression (slope + intercept) from "
+                   "EXACT decimal moment sums — order-independent "
+                   "partial aggs, bit-identical closed form on both "
+                   "engines (cor_01's discipline, modeling verb)")
+
+
+def cpd_01(spark, sf):
+    """CUSUM changepoint detection on the daily event-count series —
+    the level-shift monitor (clinical analogue: a jump in daily ED
+    visit volume).  The classic CUSUM statistic C_t = Σ_{i≤t}(x_i−x̄)
+    involves an inexact mean; multiplying by n makes it EXACT INTEGER:
+    c_t = n·P_t − t·T (P_t prefix sum, T total, n days) — identical
+    BIGINTs on both engines, no division anywhere, and argmax|c| is
+    the estimated changepoint.  Peaks (possibly tied) are flagged in
+    the output so the hash certifies the whole series AND the
+    detection.
+
+    Scale shape: one corpus groupBy(day) reduces to the DAY-cardinality
+    frame; the ordered windows run on that frame — bounded by the time
+    horizon, not the corpus (the surv_01/skyline discipline for
+    unpartitioned windows).  n·P_t ≤ days·events needs BIGINT headroom
+    ~10¹⁶ at 100 TB-scale counts; DECIMAL(38,0) routing is the escape
+    hatch above that."""
+    e = T(spark, sf, "events")
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+              .agg(F.count("*").alias("x")))
+    w_ord = Window.orderBy("d")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(F.sum("x").alias("tt"),
+                    F.count("*").alias("n"))
+    c = (daily.withColumn("t", F.row_number().over(w_ord))
+              .withColumn("p", F.sum("x").over(w_pre))
+              .crossJoin(F.broadcast(tot))
+              .select("d", "x",
+                      (F.col("n") * F.col("p")
+                       - F.col("t") * F.col("tt")).alias("c_s")))
+    peak = c.agg(F.max(F.abs("c_s")).alias("m"))
+    return (c.crossJoin(F.broadcast(peak))
+             .select(F.col("d").cast("timestamp_ntz").alias("d"), "x",
+                     "c_s", (F.abs("c_s") == F.col("m")).alias("peak"))
+             .orderBy("d"))
+
+
+_ORACLES["cpd_01"] = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+tot AS (SELECT sum(x) AS tt, count(*) AS n FROM daily),
+c AS (SELECT d, x,
+             CAST(n * sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  - row_number() OVER (ORDER BY d) * tt AS BIGINT)
+               AS c_s
+      FROM daily CROSS JOIN tot),
+m AS (SELECT max(abs(c_s)) AS m FROM c)
+SELECT CAST(d AS TIMESTAMP) AS d, x, c_s, abs(c_s) = m AS peak
+FROM c CROSS JOIN m ORDER BY d
+"""
+_DOCS["cpd_01"] = ("CUSUM changepoint detection on the daily series: "
+                   "n-scaled statistic c_t = n*P_t - t*T is exact "
+                   "integer (no mean division), peak(s) flagged; "
+                   "windows on the day-cardinality frame only")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []

@@ -90,3 +90,59 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         "__asof", F.last("__v", ignorenulls=True).over(w))
     return (carried.filter(F.col("__side") == 1)
                    .select(*lcols, F.col("__asof").alias(out_col)))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, *,
+                      left_key: str, right_key: str,
+                      left_ts: str, right_ts: str,
+                      value_col: str, out_col: str,
+                      tolerance_seconds: int | None = None) -> DataFrame:
+    """For each left row, the right row's value with the SMALLEST
+    right.ts >= left.ts within the same key (nearest-subsequent join,
+    pandas/polars ``merge_asof(direction="forward")``), optionally
+    bounded by ``tolerance_seconds`` (match NULLed when the nearest
+    subsequent right row is farther than the tolerance — polars'
+    ``tolerance`` knob; the unbounded form is tolerance=None).
+
+    Same single-shuffle design as :func:`asof_join`, mirrored: union
+    the streams, sort DESCENDING by ts with right rows ordered before
+    left rows at equal timestamps (so ``>=`` semantics hold), carry
+    the last non-null (ts, value) struct forward — carrying the ts
+    lets the tolerance apply as a post-window projection instead of a
+    range join.  No range explosion, state per task is one series.
+
+    Contract: ``right`` must be unique per (key, ts) — pre-aggregate
+    ties (e.g. min(value)) before calling, or the carried value is
+    partition-order nondeterministic.
+    """
+    lcols = left.columns
+    vtype = dict(right.dtypes)[value_col]
+    l2 = (left.withColumn("__k", F.col(left_key))
+              .withColumn("__t", F.col(left_ts))
+              .withColumn("__side", F.lit(1))
+              .withColumn("__vt", F.lit(None).cast(
+                  f"struct<t:{dict(left.dtypes)[left_ts]},v:{vtype}>")))
+    r2 = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(F.col(right_ts).alias("t"),
+                 F.col(value_col).alias("v")).alias("__vt"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+    )
+    combined = l2.select("__k", "__t", "__side", "__vt", *lcols) \
+                 .unionByName(r2.select("__k", "__t", "__side", "__vt",
+                                        *lcols))
+    w = (Window.partitionBy("__k").orderBy(F.desc("__t"), "__side")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = combined.withColumn(
+        "__nxt", F.last("__vt", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
+    v = F.col("__nxt.v")
+    if tolerance_seconds is not None:
+        v = F.when(
+            F.col("__nxt.t").cast("timestamp")
+            <= F.col("__t").cast("timestamp")
+               + F.expr(f"INTERVAL {tolerance_seconds} SECONDS"),
+            v)
+    return out.select(*lcols, v.alias(out_col))

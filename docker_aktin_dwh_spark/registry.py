@@ -68,8 +68,10 @@ class QuerySpec:
 #: str_07's batch form folds into str_out ("st7"), freeing three
 #: slots for r10_all (pvt_01 / gsets_01 / smp_04 / curr_01 + the two
 #: fold-ins), cdc_04 (atomic CDC apply on the txnlog format) and
-#: str_20 (streaming deterministic bottom-k sample) — every round-10
-#: operator certifies same-round.
+#: str_20 (streaming deterministic bottom-k sample); ded_incr — whose
+#: builder already rides r9_all's "dinc" branch verbatim — donates its
+#: redundant direct slot to r10b_all (jn_11 / reg_01 / cpd_01), so
+#: every round-10 operator certifies same-round.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -78,7 +80,7 @@ CORE50 = (
     "str_win", "maint_all", "str_20", "str_01", "str_05",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "udf_02", "udf_tf", "str_11",
-    "fin_all", "ded_ngram", "ded_minhash", "ded_incr", "cdc_04",
+    "fin_all", "ded_ngram", "ded_minhash", "r10b_all", "cdc_04",
     "ded_embed",
     "r10_all", "ann_bx", "r7_all", "r9b_all",
     "text_all", "str_out", "r9_all", "mm_decode",

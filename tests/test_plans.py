@@ -411,3 +411,13 @@ def test_smp04_executes_as_take_ordered_not_global_sort(spark):
     df = smp_04(spark, SF_SMOKE)
     plan = plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_jn11_forward_asof_is_one_shuffle_no_nlj(spark):
+    """jn_11's forward as-of join must stay the union+window shape —
+    no nested-loop/cartesian range join anywhere in the plan."""
+    from docker_aktin_dwh_spark.operators.relational import jn_11
+
+    plan = plans.formatted_plan(jn_11(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

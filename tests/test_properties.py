@@ -633,3 +633,41 @@ def test_bottomk_sample_is_mergeable_and_deterministic(spark):
     many = {r.o_orderkey
             for r in bottom_k(pr.repartition(16)).collect()}
     assert one == many == whole
+
+
+def test_asof_forward_tolerance_edge_semantics(spark):
+    """asof_join_forward's contract on a constructed series: an equal
+    timestamp matches (>= semantics), the match at EXACTLY the
+    tolerance is kept (closed bound), one past it is NULLed, and a
+    left row with no subsequent right row is NULL."""
+    from docker_aktin_dwh_spark.operators.temporal import (
+        asof_join_forward)
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"),   # equal-ts right row exists
+         (2, 10, "2024-01-01 11:00:00"),   # next right at +2h exactly
+         (3, 10, "2024-01-01 11:00:01"),   # next right at 2h-1s > tol? no: 13:00 - 11:00:01 = 1:59:59 -> match
+         (4, 10, "2024-01-01 13:00:01"),   # nothing after
+         (5, 99, "2024-01-01 10:00:00")],  # other key: no right rows
+        "event_id int, user_id int, ts_s string").selectExpr(
+        "event_id", "user_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", 1.0),
+         (10, "2024-01-01 13:00:00", 2.0)],
+        "u int, ts_s string, v double").selectExpr(
+        "u", "CAST(ts_s AS TIMESTAMP_NTZ) AS rts", "v")
+    got = {r.event_id: r.nxt for r in asof_join_forward(
+        left, right, left_key="user_id", right_key="u",
+        left_ts="ts", right_ts="rts", value_col="v", out_col="nxt",
+        tolerance_seconds=7200).collect()}
+    assert got[1] == 1.0          # equal ts matches
+    assert got[2] == 2.0          # exactly at tolerance: kept
+    assert got[3] == 2.0          # inside tolerance
+    assert got[4] is None         # no subsequent right row
+    assert got[5] is None         # key never appears on the right
+    # one second past the tolerance: NULLed
+    got2 = {r.event_id: r.nxt for r in asof_join_forward(
+        left, right, left_key="user_id", right_key="u",
+        left_ts="ts", right_ts="rts", value_col="v", out_col="nxt",
+        tolerance_seconds=7199).collect()}
+    assert got2[2] is None and got2[3] == 2.0
