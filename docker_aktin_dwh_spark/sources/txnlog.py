@@ -512,7 +512,8 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
 
 
 def compact(spark: SparkSession, path: str, *, key: str,
-            target_files: int = 1, min_files: int = 2) -> Snapshot | None:
+            target_files: int = 1, min_files: int = 2,
+            zorder_by: tuple[str, str] | None = None) -> Snapshot | None:
     """Small-file compaction (the lakehouse OPTIMIZE verb): rewrite the
     current snapshot's data files into ``target_files`` range-sorted
     files and commit the swap atomically.  Content is unchanged — only
@@ -522,6 +523,15 @@ def compact(spark: SparkSession, path: str, *, key: str,
     until someone rewrites).  Range-repartitioning by the merge key
     restores TIGHT per-file [kmin, kmax] intervals, so post-compaction
     MERGEs skip better than pre-compaction ones.
+
+    ``zorder_by=(a, b)`` is Delta's OPTIMIZE ZORDER BY: files cluster
+    on the Morton interleave of the two columns
+    (operators/maintenance.zorder_key — pure JVM bit arithmetic), so
+    per-file envelopes stay tight in BOTH dimensions and scans
+    filtering on EITHER column prune files.  The trade: the merge
+    key's own intervals loosen relative to single-key range packing —
+    pick it for tables queried by more than one column.  Bounds for
+    the quantization come from one control-plane aggregate.
 
     No-op (returns None) when the table already has fewer than
     ``min_files`` files.  Concurrency: loses its version race politely
@@ -533,7 +543,17 @@ def compact(spark: SparkSession, path: str, *, key: str,
         cur = spark.read.schema(StructType.fromJson(
             json.loads(snap.schema_json))).parquet(
             *[os.path.join(path, n) for n in sorted(snap.files)])
-        packed = cur.repartitionByRange(target_files, key)
+        if zorder_by is not None:
+            from ..operators.maintenance import zorder_key
+            a, b = zorder_by
+            lo_a, hi_a, lo_b, hi_b = cur.agg(
+                F.min(a), F.max(a), F.min(b), F.max(b)).first()
+            z = zorder_key(F.col(a), F.col(b), lo_a, hi_a, lo_b, hi_b)
+            packed = (cur.withColumn("__z", z)
+                         .repartitionByRange(target_files, "__z")
+                         .sortWithinPartitions("__z").drop("__z"))
+        else:
+            packed = cur.repartitionByRange(target_files, key)
         adds = _stage_data_files(spark, packed, path, key,
                                  snap.version + 1)
         if _try_commit(path, snap.version + 1,

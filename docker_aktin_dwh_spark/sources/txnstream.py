@@ -22,7 +22,13 @@ proportional to the files the tailed commits added, never the table.
 Honest guard: this is an APPEND-ONLY source.  A commit that removes
 files (merge/delete/compact/replace) raises — streaming semantics for
 rewrites would need change-data capture (txnlog.table_changes is the
-batch form; Delta's ``skipChangeCommits`` analogue is future scope).
+batch form).  ``option("skipChangeCommits", "true")`` is Delta's
+escape hatch, implemented here with the same semantics: commits that
+remove files are SKIPPED ENTIRELY (their adds are NOT emitted — a
+merge's rewritten files carry mostly old rows, so emitting them would
+re-deliver history; skipping the whole commit under-delivers instead,
+which is the documented Delta trade-off), while pure appends keep
+flowing.
 
 DEPLOYMENT CONSTRAINT (the reason this module is self-contained and
 registered for pickle-BY-VALUE below): Spark plans a Python data
@@ -80,8 +86,9 @@ class _FilePartition(InputPartition):
 
 
 class TxnlogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, skip_change_commits: bool = False):
         self._path = path
+        self._skip_change = skip_change_commits
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -98,10 +105,16 @@ class TxnlogStreamReader(DataSourceStreamReader):
             with open(_commit_path(self._path, v)) as f:
                 c = json.load(f)
             if c.get("remove"):
+                if self._skip_change:
+                    continue        # Delta's skipChangeCommits: the
+                    # WHOLE commit is skipped (its adds are rewritten
+                    # files carrying old rows — emitting them would
+                    # re-deliver history)
                 raise ValueError(
                     f"txnlog_stream: version {v} ({c.get('op')}) removes "
                     f"files — this source tails APPEND-ONLY history; "
-                    f"rewrites need the CDC form (txnlog.table_changes)")
+                    f"rewrites need the CDC form (txnlog.table_changes) "
+                    f"or option('skipChangeCommits', 'true')")
             for a in c.get("add", []):
                 parts.append(_FilePartition(
                     os.path.join(self._path, a["file"]), v))
@@ -159,7 +172,10 @@ class TxnlogStreamDataSource(DataSource):
                                          False)])
 
     def streamReader(self, schema: StructType) -> TxnlogStreamReader:
-        return TxnlogStreamReader(self.options["path"])
+        skip = str(self.options.get("skipChangeCommits", "false"))
+        return TxnlogStreamReader(self.options["path"],
+                                  skip_change_commits=skip.lower()
+                                  == "true")
 
 
 def _register_by_value() -> None:

@@ -705,6 +705,69 @@ def _body_apply_changes_pure_delete_and_empty(spark, tdir):
     assert snap.version == v0 + 1           # no new commit for empty
 
 
+
+def _body_stream_reader_skip_change_commits(spark, tdir):
+    """Delta's skipChangeCommits analogue: with the flag, a commit
+    that removes files (merge/compact) is skipped ENTIRELY — its adds
+    are rewritten files carrying old rows — while pure appends before
+    and after keep flowing; without the flag the guard still
+    raises."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.sources.txnstream import (
+        TxnlogStreamReader)
+
+    txnlog.create_table(spark, _mk(spark, 0, 30), tdir, key="k")       # v0
+    txnlog.append(spark, _mk(spark, 30, 60, tag="b"), tdir, key="k")   # v1
+    txnlog.merge(spark, tdir, _mk(spark, 0, 10, tag="u"), key="k")     # v2
+    txnlog.append(spark, _mk(spark, 60, 90, tag="c"), tdir, key="k")   # v3
+
+    strict = TxnlogStreamReader(tdir)
+    with _pytest.raises(ValueError, match="skipChangeCommits"):
+        strict.partitions({"version": -1}, {"version": 3})
+
+    lax = TxnlogStreamReader(tdir, skip_change_commits=True)
+    parts = lax.partitions({"version": -1}, {"version": 3})
+    versions = {p.version for p in parts}
+    assert versions == {0, 1, 3}, "merge commit v2 skipped entirely"
+    import os as _os
+    v3_files = (set(txnlog.snapshot(tdir, 3).files)
+                - set(txnlog.snapshot(tdir, 2).files))
+    assert {_os.path.basename(p.path) for p in parts
+            if p.version == 3} == v3_files
+
+
+def _body_compact_zorder_two_dim_envelopes(spark, tdir):
+    """OPTIMIZE ZORDER BY on the txn table: content unchanged, and the
+    z-ordered layout keeps per-file envelopes tight in BOTH dimensions
+    — each file's (k, v2) envelope must cover at most ~a quadrant of
+    the space, which single-key range packing cannot do for the
+    second column."""
+    df = (_mk(spark, 0, 1024)
+          .withColumn("v2", (F.col("k") * 7919) % 1024))
+    txnlog.create_table(spark, df.repartition(6), tdir, key="k")
+    before = {r.k: (r.v, r.v2) for r in
+              txnlog.read_table(spark, tdir).collect()}
+    snap = txnlog.compact(spark, tdir, key="k", target_files=4,
+                          zorder_by=("k", "v2"))
+    assert snap is not None and len(snap.files) == 4
+    after = {r.k: (r.v, r.v2) for r in
+             txnlog.read_table(spark, tdir).collect()}
+    assert after == before, "compaction must not change content"
+    # per-file two-dim envelopes: read each file, measure widths
+    import os as _os
+    import pyarrow.parquet as pq
+    for name in snap.files:
+        t = pq.read_table(_os.path.join(tdir, name))
+        ks, vs = t.column("k").to_pylist(), t.column("v2").to_pylist()
+        wk = max(ks) - min(ks)
+        wv = max(vs) - min(vs)
+        # a random 4-way split has expected width ~1023 in BOTH dims;
+        # one z-level split halves ONE dimension per file — demand
+        # at least that (width <= ~3/4 of the range in one dimension)
+        assert min(wk, wv) <= 768, (name, wk, wv)
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
