@@ -83,7 +83,7 @@ HEADLINE = (
     "pvt_01", "gsets_01", "smp_04", "curr_01", "cdc_04",
     # round 10 second wave: forward/tolerance as-of join, grouped OLS
     # from exact decimal moments, CUSUM changepoint detection
-    "jn_11", "reg_01", "cpd_01",
+    "jn_11", "reg_01", "cpd_01", "jn_12", "agg_13",
 )
 
 
@@ -656,6 +656,16 @@ def txn_churn_lane(spark, sf_dir: str) -> dict:
             txnlog.merge(spark, path, batch, key="o_orderkey")
             txnlog.delete_range(spark, path, key="o_orderkey",
                                 lo=0, hi=5_000)
+            # r10: the atomic mixed apply (upserts + deletes in ONE
+            # commit) joins the lane — same churn-∝-cost claim
+            from pyspark.sql import functions as F
+            feed = (batch.filter(batch.o_orderkey >= 7_500)
+                    .withColumn("op", F.lit("update"))
+                    .unionByName(
+                        orders.filter((orders.o_orderkey >= 5_000)
+                                      & (orders.o_orderkey < 7_500))
+                        .withColumn("op", F.lit("delete"))))
+            txnlog.apply_changes(spark, path, feed, key="o_orderkey")
             feed_rows = txnlog.table_changes(
                 spark, path, v0, key="o_orderkey").count()
             best = min(best, round(time.perf_counter() - t0, 3))

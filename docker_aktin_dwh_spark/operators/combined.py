@@ -1874,6 +1874,14 @@ def r10b_all(spark, sf):
                     F.unix_micros(F.col("d").cast("timestamp"))
                      .cast("string"),
                     "x", "c_s", F.col("peak").cast("string"))))
+    out = out.unionByName(_tag(
+        relational.jn_12(spark, sf), "q17",
+        F.concat_ws("|", "n_items",
+                    F.round(F.col("rev") * 100).cast("long"))))
+    out = out.unionByName(_tag(
+        relational.agg_13(spark, sf), "mcd",
+        F.concat_ws("|", "o_orderpriority", "n", "n_cust", "n_status",
+                    "n_dates")))
     return out.orderBy("tag", "v")
 
 
@@ -1890,6 +1898,11 @@ def _r10b_all_oracle() -> str:
         ("cpd", "CAST(epoch_us(d) AS VARCHAR) || '|' || "
                 + cat("x", "c_s", "peak"),
          relational._ORACLES["cpd_01"]),
+        ("q17", cat("n_items", "CAST(ROUND(rev * 100) AS BIGINT)"),
+         relational._ORACLES["jn_12"]),
+        ("mcd", cat("o_orderpriority", "n", "n_cust", "n_status",
+                    "n_dates"),
+         relational._ORACLES["agg_13"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2030,9 +2043,11 @@ _DOCS = {
                 "as-of join (jn_11, merge_asof direction=forward), "
                 "grouped OLS regression from exact decimal moments "
                 "(reg_01), CUSUM changepoint with the n-scaled "
-                "exact-integer statistic (cpd_01) — same-round driver "
-                "certification (slot donated by ded_incr, which rides "
-                "r9_all's dinc branch verbatim)",
+                "exact-integer statistic (cpd_01), Q17-shape "
+                "decorrelated scalar subquery (jn_12), and one-pass "
+                "multi-column COUNT DISTINCT (agg_13) — same-round "
+                "driver certification (slot donated by ded_incr, "
+                "which rides r9_all's dinc branch verbatim)",
 }
 
 

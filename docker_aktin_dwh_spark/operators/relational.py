@@ -2231,6 +2231,78 @@ _DOCS["cpd_01"] = ("CUSUM changepoint detection on the daily series: "
                    "windows on the day-cardinality frame only")
 
 
+def jn_12(spark, sf):
+    """Correlated scalar subquery, decorrelated (the TPC-H Q17 shape):
+    revenue of lineitems whose quantity is below 20% of THEIR part's
+    average quantity.  Declared as the decorrelated form Catalyst
+    itself rewrites to — the per-part aggregate joined back (one
+    groupBy + one equi-join, both shuffle-partitioned on partkey; the
+    naive correlated form would be one subquery execution per outer
+    row).  The 0.2·avg threshold routes through DECIMAL so the
+    comparison is exact on both engines (avg is sum/count over
+    decimals at fixed scale — deterministic digits, unlike a double
+    avg whose partial order floats)."""
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("p"))
+    avg_q = (li.groupBy("l_partkey")
+               .agg((F.sum("q") / F.count("*")).cast("decimal(18,4)")
+                    .alias("aq")))
+    return (li.join(avg_q, "l_partkey")
+              .filter(F.col("q")
+                      < (F.lit("0.2").cast("decimal(2,1)")
+                         * F.col("aq")).cast("decimal(18,4)"))
+              .agg(F.count("*").alias("n_items"),
+                   F.round(F.sum("p"), 2).cast("double").alias("rev")))
+
+
+_ORACLES["jn_12"] = """
+WITH li AS (SELECT l_partkey,
+                   CAST(l_quantity AS DECIMAL(18,4)) AS q,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS p
+            FROM lineitem),
+a AS (SELECT l_partkey,
+             CAST(SUM(q) / count(*) AS DECIMAL(18,4)) AS aq
+      FROM li GROUP BY 1)
+SELECT count(*) AS n_items,
+       CAST(ROUND(SUM(p), 2) AS DOUBLE) AS rev
+FROM li JOIN a USING (l_partkey)
+WHERE q < CAST(CAST(0.2 AS DECIMAL(2,1)) * aq AS DECIMAL(18,4))
+"""
+_DOCS["jn_12"] = ("Correlated scalar subquery decorrelated (TPC-H Q17 "
+                  "shape): per-part avg aggregate joined back — one "
+                  "groupBy + one equi-join instead of per-row subquery "
+                  "execution; decimal-exact threshold")
+
+
+def agg_13(spark, sf):
+    """Multiple COUNT(DISTINCT) over different columns in ONE query —
+    the shape Spark executes with a single Expand node (each row
+    replicated once per distinct-aggregate with a grouping id) feeding
+    one aggregate, instead of three self-joined scans.  Distinct
+    customers, statuses and order dates per priority, plus the plain
+    row count riding the same pass."""
+    o = T(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  F.countDistinct("o_custkey").alias("n_cust"),
+                  F.countDistinct("o_orderstatus").alias("n_status"),
+                  F.countDistinct("o_orderdate").alias("n_dates"))
+             .orderBy("o_orderpriority"))
+
+
+_ORACLES["agg_13"] = """
+SELECT o_orderpriority, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderstatus) AS n_status,
+       count(DISTINCT o_orderdate) AS n_dates
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+_DOCS["agg_13"] = ("Multi-column COUNT DISTINCT in one pass (single "
+                   "Expand + aggregate, not three scans)")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []
