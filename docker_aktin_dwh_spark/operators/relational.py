@@ -2205,8 +2205,13 @@ def cpd_01(spark, sf):
               .select("d", "x",
                       (F.col("n") * F.col("p")
                        - F.col("t") * F.col("tt")).alias("c_s")))
-    peak = c.agg(F.max(F.abs("c_s")).alias("m"))
-    return (c.crossJoin(F.broadcast(peak))
+    # peak as a whole-frame window max instead of an agg + crossJoin:
+    # the frame is already single-partitioned by w_ord, so this adds
+    # no exchange AND avoids recomputing the c subtree for a scalar
+    w_all = (Window.partitionBy()
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    return (c.withColumn("m", F.max(F.abs("c_s")).over(w_all))
              .select(F.col("d").cast("timestamp_ntz").alias("d"), "x",
                      "c_s", (F.abs("c_s") == F.col("m")).alias("peak"))
              .orderBy("d"))

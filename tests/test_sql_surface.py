@@ -61,7 +61,12 @@ ANSI_KEYS = sorted(
     # decimal-moment Pearson closed form, the federated-overlap
     # exact counts, and the commit-version assignment all parse on
     # Spark 4 verbatim
-    "ups_02 cdc_02 sky_01 cor_01 fed_02 str_19"
+    "ups_02 cdc_02 sky_01 cor_01 fed_02 str_19 "
+    # r10 additions born dual-dialect: the Q17-shape decorrelated
+    # subquery, one-pass multi-distinct, grouped OLS from decimal
+    # moments, and the integer CUSUM changepoint all parse on Spark 4
+    # verbatim
+    "jn_12 agg_13 reg_01 cpd_01"
     .split())
 
 
