@@ -83,7 +83,7 @@ HEADLINE = (
     "pvt_01", "gsets_01", "smp_04", "curr_01", "cdc_04",
     # round 10 second wave: forward/tolerance as-of join, grouped OLS
     # from exact decimal moments, CUSUM changepoint detection
-    "jn_11", "reg_01", "cpd_01", "jn_12", "agg_13",
+    "jn_11", "reg_01", "cpd_01", "jn_12", "agg_13", "win_08",
 )
 
 

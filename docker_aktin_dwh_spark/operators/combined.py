@@ -1882,6 +1882,11 @@ def r10b_all(spark, sf):
         relational.agg_13(spark, sf), "mcd",
         F.concat_ws("|", "o_orderpriority", "n", "n_cust", "n_status",
                     "n_dates")))
+    out = out.unionByName(_tag(
+        relational.win_08(spark, sf), "wau",
+        F.concat_ws("|",
+                    F.unix_micros(F.col("day").cast("timestamp"))
+                     .cast("string"), "wau")))
     return out.orderBy("tag", "v")
 
 
@@ -1903,6 +1908,9 @@ def _r10b_all_oracle() -> str:
         ("mcd", cat("o_orderpriority", "n", "n_cust", "n_status",
                     "n_dates"),
          relational._ORACLES["agg_13"]),
+        ("wau", "CAST(epoch_us(day) AS VARCHAR) || '|' || "
+                "CAST(wau AS VARCHAR)",
+         relational._ORACLES["win_08"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2045,9 +2053,11 @@ _DOCS = {
                 "(reg_01), CUSUM changepoint with the n-scaled "
                 "exact-integer statistic (cpd_01), Q17-shape "
                 "decorrelated scalar subquery (jn_12), and one-pass "
-                "multi-column COUNT DISTINCT (agg_13) — same-round "
-                "driver certification (slot donated by ded_incr, "
-                "which rides r9_all's dinc branch verbatim)",
+                "multi-column COUNT DISTINCT (agg_13), and the "
+                "rolling 7-day distinct active users via bounded "
+                "day-bucket explode (win_08) — same-round driver "
+                "certification (slot donated by ded_incr, which "
+                "rides r9_all's dinc branch verbatim)",
 }
 
 

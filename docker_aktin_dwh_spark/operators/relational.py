@@ -2308,6 +2308,49 @@ _DOCS["agg_13"] = ("Multi-column COUNT DISTINCT in one pass (single "
                    "Expand + aggregate, not three scans)")
 
 
+def win_08(spark, sf):
+    """Rolling 7-day distinct active users per day (the WAU metric) —
+    the one rolling aggregate a window frame CANNOT express
+    (``countDistinct`` is not frame-able): each (user, day) activity
+    contributes to the 7 day-buckets it is visible from (a bounded
+    per-row sequence explode — ×7 amplification on the per-user-day
+    DISTINCT frame, not the raw corpus), then one groupBy(day)
+    countDistinct.  Days past the observed horizon are trimmed so
+    every reported day is fully defined.  At 100 TB the explode factor
+    is the WINDOW LENGTH — constant — and both shuffles key on
+    user-day/day; the naive per-day self-join would be 7 scans."""
+    e = T(spark, sf, "events")
+    ud = (e.select("user_id", F.to_date("ts").alias("d")).distinct())
+    horizon = ud.agg(F.max("d").alias("dmax"))
+    buckets = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"),
+                             F.date_add(F.col("d"), 6))).alias("day"))
+    return (buckets.crossJoin(F.broadcast(horizon))
+            .filter(F.col("day") <= F.col("dmax"))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .select(F.col("day").cast("timestamp_ntz").alias("day"),
+                    "wau")
+            .orderBy("day"))
+
+
+_ORACLES["win_08"] = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+h AS (SELECT max(d) AS dmax FROM ud),
+b AS (SELECT user_id, d + CAST(x AS INTEGER) AS day
+      FROM ud, UNNEST(range(0, 7)) AS u(x))
+SELECT CAST(day AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS wau
+FROM b CROSS JOIN h WHERE day <= dmax
+GROUP BY 1 ORDER BY 1
+"""
+_DOCS["win_08"] = ("Rolling 7-day distinct active users (WAU): "
+                   "bounded day-bucket explode + one groupBy "
+                   "countDistinct — the scalable form of the rolling "
+                   "distinct a window frame cannot express")
+
+
 def specs() -> list[QuerySpec]:
     _ORACLES["prof_01"] = _prof_01_oracle()
     out = []
