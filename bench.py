@@ -208,7 +208,12 @@ SCALE_QUERIES = ("jn_03", "ded_minhash", "ded_incr", "pipe_02",
                  # prefix-filtered AllPairs path (the slope is the
                  # direct evidence the exact chain lost its df-squared
                  # bend) and the bounded-basket association miner
-                 "pipe_01", "mba_01")
+                 "pipe_01", "mba_01",
+                 # r10: the distributed-rank curriculum deciles (range
+                 # exchange + broadcast offsets at 10x docs), the
+                 # forward as-of union-window, and the rolling-distinct
+                 # day-bucket explode
+                 "curr_01", "jn_11", "win_08")
 SCALE_REPLICAS = 10
 
 
