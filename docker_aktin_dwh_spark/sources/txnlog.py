@@ -21,8 +21,11 @@ Protocol invariants (each one is a test in tests/test_txnlog.py):
   story.  Two writers racing for version N: exactly one succeeds, the
   loser re-reads the log and retries against the new state
   (optimistic concurrency).  NOTE: object stores without atomic
-  create-if-absent need a coordination layer here (same caveat as
-  Delta on S3).
+  create-if-absent need a coordination layer for exactly this one
+  step (same caveat as Delta on S3) — the claim is a PLUGGABLE seam
+  (:func:`set_claim_backend`): swap in a conditional-put coordinator
+  and the rest of the protocol runs unchanged (equivalence pinned in
+  tests with a non-link coordinator backend).
 - **Snapshot isolation**: readers list the log, replay add/remove up
   to the latest (or a pinned) version, and read exactly those
   immutable files — never a half-written state, no reader locks.
@@ -160,14 +163,46 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     return Snapshot(target, files, schema_json, txns)
 
 
+#: Pluggable version-claim backend — the ONE point where the whole
+#: protocol needs atomic publish-if-absent.  Everything else is plain
+#: reads/writes of immutable files, so a deployment on an object
+#: store WITHOUT atomic create (classic S3) swaps only this seam for
+#: an external coordinator (DynamoDB conditional put, a database row,
+#: etcd lease — exactly Delta's S3 LogStore design) and the rest of
+#: the module runs unchanged.  The backend receives (tmp, target):
+#: tmp holds the fully-written, fsynced commit bytes; it must publish
+#: them at target iff no commit exists there, returning True on the
+#: win and False on a lost race — and must never publish partial
+#: content.  Default: POSIX link(2).
+_claim_backend = None
+
+
+def set_claim_backend(fn) -> None:
+    """Install a custom claim backend (None restores POSIX link).
+    Protocol-equivalence for any conforming backend is pinned in
+    tests/test_txnlog.py (concurrent appends through a non-link
+    backend serialize identically)."""
+    global _claim_backend
+    _claim_backend = fn
+
+
+def _posix_link_claim(tmp: str, target: str) -> bool:
+    """link(2) fails with EEXIST if another writer won AND publishes
+    complete content or nothing — a crash can never leave a truncated
+    commit file for snapshot() to choke on (O_CREAT|O_EXCL alone
+    would claim the version before its bytes exist)."""
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+
+
 def _try_commit(path: str, version: int, payload: dict) -> bool:
-    """Atomically claim ``version``.  The txn point is ``os.link`` of a
-    fully-written-and-fsynced temp file onto the version name: link(2)
-    fails with EEXIST if another writer won AND publishes complete
-    content or nothing — a crash can never leave a truncated commit
-    file for snapshot() to choke on (O_CREAT|O_EXCL alone would claim
-    the version before its bytes exist).  Returns False, side-effect
-    free, when the version was already taken."""
+    """Atomically claim ``version`` through the claim backend (POSIX
+    link by default — see _claim_backend for the object-store seam).
+    Returns False, side-effect free, when the version was already
+    taken."""
     payload = {"version": version, **payload}
     target = os.path.join(_log_dir(path), _commit_name(version))
     tmp = os.path.join(_log_dir(path), f".commit-{uuid.uuid4().hex}")
@@ -176,12 +211,12 @@ def _try_commit(path: str, version: int, payload: dict) -> bool:
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.link(tmp, target)
-    except FileExistsError:
-        return False
+        won = (_claim_backend or _posix_link_claim)(tmp, target)
     finally:
         with contextlib.suppress(OSError):
             os.remove(tmp)
+    if not won:
+        return False
     _maybe_checkpoint(path, version)
     return True
 

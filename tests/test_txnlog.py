@@ -816,3 +816,48 @@ def test_txnlog(txn_outcomes, name):
     err = txn_outcomes[name]
     if err is not None:
         raise err
+
+
+def test_claim_backend_seam_serializes_writers(spark, tmp_path):
+    """The object-store coordination seam (set_claim_backend): a
+    NON-LINK backend with conditional-put semantics (external
+    coordinator stand-in: mutex + exists-check + plain copy — nothing
+    relies on POSIX link atomicity) must drive the identical protocol:
+    racing appends both commit at distinct versions, conflicting
+    merges serialize, reads see exactly the committed state.  SERIAL
+    test (the backend is module-global)."""
+    import shutil as _sh
+    import threading as _th
+
+    tdir = str(tmp_path / "tbl")
+    coord = _th.Lock()          # the "external coordinator"
+
+    def conditional_put(tmp, target):
+        with coord:
+            if os.path.exists(target):
+                return False    # lost: another writer holds the slot
+            _sh.copyfile(tmp, target)   # plain PUT under the lock
+            return True
+
+    txnlog.set_claim_backend(conditional_put)
+    try:
+        txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+        errs = []
+
+        def add(lo, hi):
+            try:
+                txnlog.append(spark, _mk(spark, lo, hi), tdir, key="k")
+            except Exception as e:      # pragma: no cover
+                errs.append(e)
+
+        ts = [_th.Thread(target=add, args=(100, 130)),
+              _th.Thread(target=add, args=(200, 230))]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        txnlog.merge(spark, tdir, _mk(spark, 0, 10, tag="m"), key="k")
+        got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+        assert len(got) == 110 and got[5] == "m5" and got[205] == "a205"
+        assert txnlog.snapshot(tdir).version == 3
+    finally:
+        txnlog.set_claim_backend(None)
