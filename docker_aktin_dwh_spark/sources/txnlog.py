@@ -426,6 +426,14 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
             touched = [n for n, s in snap.files.items() if hits(s)]
+            logged_cols = [fl.name for fl in StructType.fromJson(
+                json.loads(snap.schema_json)).fields]
+            extra = [c for c in batch.columns if c not in logged_cols]
+            if extra:
+                raise ValueError(
+                    f"merge: batch adds columns {extra} not in the "
+                    f"table schema; widen first with "
+                    f"append(evolve_schema=True)")
             if touched:
                 # logged schema, not file inference: post-evolution,
                 # pre-evolution files lack the new columns (NULL-fill)
@@ -435,7 +443,11 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 kept = old.join(
                     F.broadcast(batch.select(key).distinct()),
                     key, "left_anti")
-                merged = kept.unionByName(batch.select(kept.columns))
+                # a batch NARROWER than the evolved schema NULL-fills
+                # its missing columns (delete+insert semantics: the
+                # replacing row version simply has no value there)
+                merged = kept.unionByName(batch,
+                                          allowMissingColumns=True)
             else:
                 merged = batch
             adds = _stage_data_files(spark, merged, path, key,
@@ -491,13 +503,22 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
         ups = feed.filter(F.col(op_col) != delete_op).drop(op_col)
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
+            logged_cols = [fl.name for fl in StructType.fromJson(
+                json.loads(snap.schema_json)).fields]
+            extra = [c for c in ups.columns if c not in logged_cols]
+            if extra:
+                raise ValueError(
+                    f"apply_changes: feed adds columns {extra} not in "
+                    f"the table schema; widen first with "
+                    f"append(evolve_schema=True)")
             touched = [n for n, s in snap.files.items() if hits(s)]
             if touched:
                 old = spark.read.schema(StructType.fromJson(
                     json.loads(snap.schema_json))).parquet(
                     *[os.path.join(path, n) for n in touched])
                 kept = old.join(F.broadcast(dk), key, "left_anti")
-                merged = kept.unionByName(ups.select(kept.columns))
+                merged = kept.unionByName(ups,
+                                          allowMissingColumns=True)
             else:
                 merged = ups
             adds = _stage_data_files(spark, merged, path, key,
@@ -806,6 +827,47 @@ def table_changes_range(spark: SparkSession, path: str, v_from: int,
             f"table_changes_range: empty range ({v_from}, "
             f"{s_to.version}]")
     return out
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY (the Delta audit verb): one row per retained
+    commit — version, operation, files added/removed, rows added, the
+    schema-evolution flag and the evolved column names — assembled
+    from the commit JSONs alone (control-plane; no data file opens).
+    The log IS the audit trail: every MERGE/DELETE/APPLY/compaction is
+    attributable by version, which is what an operator inspects before
+    trusting or time-traveling a table."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no txnlog table at {path}")
+    rows = []
+    prev_cols: set[str] | None = None
+    for v in versions:
+        with open(os.path.join(_log_dir(path), _commit_name(v))) as f:
+            c = json.load(f)
+        added = c.get("add", [])
+        schema_changed = False
+        new_cols: list[str] = []
+        if c.get("schema") is not None:
+            cols = {fl.name for fl in
+                    StructType.fromJson(json.loads(c["schema"])).fields}
+            if prev_cols is not None and cols != prev_cols:
+                schema_changed = True
+                new_cols = sorted(cols - prev_cols)
+            prev_cols = cols
+        txn = c.get("txn")
+        rows.append((
+            v, c.get("op", "unknown"), len(added),
+            len(c.get("remove", [])),
+            sum(a.get("rows", 0) for a in added),
+            schema_changed, new_cols,
+            txn["app"] if txn else None,
+            txn["version"] if txn else None))
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, n_added int, n_removed int, "
+        "rows_added long, schema_changed boolean, "
+        "new_columns array<string>, txn_app string, txn_version long")
 
 
 def vacuum(path: str, *,

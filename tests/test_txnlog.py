@@ -768,6 +768,29 @@ def _body_compact_zorder_two_dim_envelopes(spark, tdir):
         assert min(wk, wv) <= 768, (name, wk, wv)
 
 
+
+def _body_describe_history_audit_trail(spark, tdir):
+    """DESCRIBE HISTORY: one control-plane row per commit with op,
+    file/row deltas, the schema-evolution flag (and WHICH columns),
+    and the txn action — the audit verb an operator reads before
+    trusting or time-traveling a table."""
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 50, 60, tag="b"), tdir, key="k",
+                  txn=("ing", 7))
+    wide = _mk(spark, 60, 70, tag="c").withColumn("score", F.lit(1))
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)
+    txnlog.merge(spark, tdir, _mk(spark, 0, 5, tag="m"), key="k")
+    h = {r.version: r for r in
+         txnlog.describe_history(spark, tdir).collect()}
+    assert h[0].op == "create" and h[0].rows_added == 50
+    assert not h[0].schema_changed
+    assert h[1].op == "append" and h[1].txn_app == "ing" \
+        and h[1].txn_version == 7
+    assert h[2].schema_changed and h[2].new_columns == ["score"]
+    assert h[3].op == "merge" and h[3].n_removed >= 1
+    assert h[3].rows_added >= 5 and not h[3].schema_changed
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
