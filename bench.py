@@ -84,6 +84,7 @@ HEADLINE = (
     # round 10 second wave: forward/tolerance as-of join, grouped OLS
     # from exact decimal moments, CUSUM changepoint detection
     "jn_11", "reg_01", "cpd_01", "jn_12", "agg_13", "win_08",
+    "shard_01", "priv_03",
 )
 
 

@@ -457,6 +457,60 @@ def priv_02(spark, sf, salt: str | None = None):
             .orderBy("m", "inout_cd"))
 
 
+def priv_03(spark, sf):
+    """Date-shift pseudonymization — the HIPAA Safe-Harbor-style
+    de-identification transform a clinical DWH exports under
+    (reference analogue: the pseudonymized broker export, SURVEY §3.3):
+    every patient's timestamps shift by a DETERMINISTIC per-patient
+    offset in [-14, +14] days (md5 bits mod 29 − 14 — the repo's
+    md5-uniform discipline, reproducible with no stored mapping), and
+    patient_num itself is replaced by an md5 pseudo-id.  Calendar
+    identity is destroyed; WITHIN-patient intervals are preserved
+    EXACTLY — and the certification makes that the load-bearing claim:
+    the Spark side computes each patient's visit span from the
+    SHIFTED timestamps while the oracle computes it from the
+    UNSHIFTED ones, so the hash match IS the interval-preservation
+    proof, not an assertion beside it.  One groupBy(patient); the
+    shift is per-row JVM arithmetic."""
+    v = catalog.visit_dimension(spark, sf).select(
+        "patient_num", "start_date")
+    pstr = F.col("patient_num").cast("string")
+    shift = (F.pmod(F.conv(F.substring(F.md5(pstr), 1, 6), 16, 10)
+                    .cast("long"), F.lit(29)) - 14).cast("int")
+    s = (v.withColumn("pid", F.substring(F.md5(pstr), 1, 16))
+          .withColumn("sd", shift)
+          .withColumn("ts2", F.expr("timestampadd(DAY, sd, start_date)")))
+    return (s.groupBy("pid")
+            .agg(F.count("*").alias("n_visits"),
+                 F.min("sd").alias("shift_d"),
+                 (F.unix_micros(F.min("ts2").cast("timestamp"))
+                  / 1_000_000).cast("long").alias("first_s"),
+                 ((F.unix_micros(F.max("ts2").cast("timestamp"))
+                   - F.unix_micros(F.min("ts2").cast("timestamp")))
+                  / 1_000_000).cast("long").alias("span_s"))
+            .orderBy("pid"))
+
+
+def _priv_03_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+s AS (SELECT substr(md5(CAST(patient_num AS VARCHAR)), 1, 16) AS pid,
+             CAST(CAST(('0x' || substr(md5(CAST(patient_num AS VARCHAR)),
+                                       1, 6)) AS BIGINT) % 29 - 14
+                  AS INT) AS sd,
+             start_date
+      FROM visit_dimension)
+SELECT pid, count(*) AS n_visits, min(sd) AS shift_d,
+       CAST(epoch_us(min(start_date + to_days(sd))) // 1000000
+            AS BIGINT) AS first_s,
+       -- span from the UNSHIFTED timestamps: equality with the
+       -- Spark side's shifted-span is the preservation proof
+       CAST((epoch_us(max(start_date)) - epoch_us(min(start_date)))
+            // 1000000 AS BIGINT) AS span_s
+FROM s GROUP BY pid ORDER BY pid
+"""
+
+
 #: federated sites of fed_01 — stands in for the AKTIN broker's
 #: hospital nodes (poll loop reference src/build.sh:255-256).
 FED_SITES = 3
@@ -762,6 +816,8 @@ SELECT m, inout_cd,
 FROM z ORDER BY m, inout_cd
 """
 
+_ORACLES["priv_03"] = _priv_03_oracle()
+
 _ORACLES["fed_01"] = """
 WITH p AS (
   SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
@@ -877,6 +933,10 @@ _DOCS = {
                "public cell key, so it is recomputable and NOT "
                "private as shipped — certification mode only; pass "
                "salt=<secret> for an actual DP release",
+    "priv_03": "Date-shift pseudonymization: deterministic per-patient "
+               "±14-day md5 offset + md5 pseudo-ids; the hash match "
+               "ITSELF proves interval preservation (Spark spans from "
+               "shifted, oracle spans from unshifted timestamps)",
     "fed_01": "Federated aggregate merge: per-site partial aggregates "
               "summed by the coordinator (broker query shape)",
     "fed_hll": "Federated approximate distinct: per-site HLL sketches "

@@ -1887,6 +1887,14 @@ def r10b_all(spark, sf):
         F.concat_ws("|",
                     F.unix_micros(F.col("day").cast("timestamp"))
                      .cast("string"), "wau")))
+    from . import packing
+    out = out.unionByName(_tag(
+        packing.shard_01(spark, sf), "shd",
+        F.concat_ws("|", "shard", "n_docs", "tokens", "dev_bp")))
+    out = out.unionByName(_tag(
+        cohort.priv_03(spark, sf), "pv3",
+        F.concat_ws("|", "pid", "n_visits", "shift_d", "first_s",
+                    "span_s")))
     return out.orderBy("tag", "v")
 
 
@@ -1911,6 +1919,11 @@ def _r10b_all_oracle() -> str:
         ("wau", "CAST(epoch_us(day) AS VARCHAR) || '|' || "
                 "CAST(wau AS VARCHAR)",
          relational._ORACLES["win_08"]),
+        ("shd", cat("shard", "n_docs", "tokens", "dev_bp"),
+         __import__("docker_aktin_dwh_spark.operators.packing",
+                    fromlist=["x"])._SHARD_ORACLE),
+        ("pv3", cat("pid", "n_visits", "shift_d", "first_s", "span_s"),
+         cohort._ORACLES["priv_03"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2055,9 +2068,13 @@ _DOCS = {
                 "decorrelated scalar subquery (jn_12), and one-pass "
                 "multi-column COUNT DISTINCT (agg_13), and the "
                 "rolling 7-day distinct active users via bounded "
-                "day-bucket explode (win_08) — same-round driver "
-                "certification (slot donated by ded_incr, which "
-                "rides r9_all's dinc branch verbatim)",
+                "day-bucket explode (win_08), the coordination-free "
+                "training-shard manifest with certified balance "
+                "(shard_01), and date-shift pseudonymization whose "
+                "hash match proves interval preservation (priv_03) — "
+                "same-round driver certification (slot donated by "
+                "ded_incr, which rides r9_all's dinc branch "
+                "verbatim)",
 }
 
 

@@ -504,8 +504,63 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: training shards the release manifest assigns docs to
+SHARD_N = 16
+
+
+def shard_01(spark, sf):
+    """Deterministic training-shard manifest — the final step of a
+    data release: every document hash-assigns to one of SHARD_N
+    shards (a pure function of doc_id: md5 bits mod N — reproducible
+    on any layout, no stored assignment, the split_01 primitive), and
+    the manifest reports per-shard doc and token counts plus each
+    shard's token deviation from the ideal N-th (scaled integer).
+    Hash assignment is the 100 TB shard strategy BECAUSE it needs no
+    coordination: writers shard independently, and the law of large
+    numbers bounds imbalance (the deviation column is the evidence —
+    certified, not assumed; a greedy bin-packer would balance tighter
+    but serializes on a global state)."""
+    d = catalog.load(spark, sf, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long"), F.lit(SHARD_N)).cast("int")
+    per = (d.select(shard.alias("shard"),
+                    F.size(tokens("text")).alias("n_tok"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("tokens")))
+    tot = per.agg(F.sum("tokens").alias("tt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard", "n_docs", "tokens",
+                    F.expr(f"(tokens * {SHARD_N} * 10000) DIV tt "
+                           f"- 10000").cast("long").alias("dev_bp"))
+            .orderBy("shard"))
+
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % {SHARD_N} AS INT) AS shard,
+         len({SQL_TOKENS.format(col="text")}) AS n_tok
+  FROM documents),
+per AS (SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens
+        FROM s GROUP BY 1),
+t AS (SELECT sum(tokens) AS tt FROM per)
+SELECT shard, n_docs, tokens,
+       CAST(tokens * {SHARD_N} * 10000 // tt - 10000 AS BIGINT) AS dev_bp
+FROM per CROSS JOIN t ORDER BY shard
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(key="shard_01", fn=shard_01, oracle=_SHARD_ORACLE,
+                  doc=("Deterministic training-shard manifest: "
+                       "coordination-free md5 hash assignment to "
+                       f"{SHARD_N} shards, per-shard doc/token counts "
+                       "+ certified balance deviation (basis points)"),
+                  tags=("llm", "pipeline")),
         QuerySpec(key="split_01", fn=split_01, oracle=_SPLIT_ORACLE,
                   doc=("Deterministic train/val/test split: md5-prefix "
                        "assignment, reproducible on any layout; "
