@@ -270,8 +270,13 @@ def scaling_section(spark, registry, sf_dir: str,
             # ded_substr's 11.73 was exactly this; a same-phase base
             # re-measure put it at 8.5, and even an adversarial
             # every-span-duplicated corpus measured 8.7).  Re-measure
-            # the base in-phase before reporting.
-            base_sec[key] = best_of(lambda: fn(spark, sf_dir).count())
+            # BOTH sides in-phase at best-of-3 before reporting — the
+            # ±50% VM noise otherwise leaves boundary lanes flapping
+            # across the linearity line run to run.
+            base_sec[key] = best_of(
+                lambda: fn(spark, sf_dir).count(), n=3)
+            scaled_sec[key] = best_of(
+                lambda: fn(spark, scale_dir).count(), n=3)
             slope[key] = round(
                 scaled_sec[key] / max(base_sec[key], 1e-9), 2)
         if have_small:
