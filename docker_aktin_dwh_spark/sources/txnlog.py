@@ -326,6 +326,28 @@ def _widened_schema(snap: Snapshot, df: DataFrame) -> StructType:
                          if f.name not in have])
 
 
+def _check_types(snap: Snapshot, df: DataFrame, verb: str) -> None:
+    """Reject a frame that RETYPES a logged column (ADVICE r10): schema
+    merging is by name, so without this check an append/merge whose df
+    carries e.g. ``v string`` against a logged ``v long`` would commit
+    files whose physical type conflicts with the logged schema — the
+    write succeeds and the corruption surfaces only at read time.
+    Delta rejects incompatible metadata at COMMIT; so do we (exact
+    dataType equality — implicit widening is a silent fork too)."""
+    logged = {f.name: f.dataType for f in
+              StructType.fromJson(json.loads(snap.schema_json)).fields}
+    bad = [(f.name, str(logged[f.name]), str(f.dataType))
+           for f in df.schema.fields
+           if f.name in logged and f.dataType != logged[f.name]]
+    if bad:
+        raise ValueError(
+            f"{verb}: frame retypes logged column(s) "
+            + ", ".join(f"{n} (logged {lt}, frame {ft})"
+                        for n, lt, ft in bad)
+            + " — txnlog rejects type conflicts at commit time; cast "
+            "the frame to the logged types first")
+
+
 def append(spark: SparkSession, df: DataFrame, path: str, *,
            key: str, evolve_schema: bool = False,
            txn: tuple[str, int] | None = None) -> Snapshot | None:
@@ -360,6 +382,7 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
         raise ValueError(
             f"append: frame adds columns {new_cols} not in the table "
             f"schema; pass evolve_schema=True to widen the table")
+    _check_types(snap, df, "append")
     adds = _stage_data_files(spark, df, path, key, snap.version + 1)
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if new_cols:
@@ -420,9 +443,16 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
             keys = sorted(r[0] for r in dk.collect())
             def hits(s): return _interval_hits(s, keys)
+            anti_keys = F.broadcast(dk)
         else:
             lo, hi = dk.agg(F.min(key), F.max(key)).first()
             def hits(s): return _envelope_hits(s, lo, hi)
+            # ADVICE r10: above the collect cap the key set can be
+            # millions of rows — a broadcast hint would force it
+            # through the driver and onto every executor, defeating
+            # the bounded-driver-memory goal of the envelope arm.
+            # Let it run as a shuffle anti-join instead.
+            anti_keys = dk
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
             touched = [n for n, s in snap.files.items() if hits(s)]
@@ -434,15 +464,14 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                     f"merge: batch adds columns {extra} not in the "
                     f"table schema; widen first with "
                     f"append(evolve_schema=True)")
+            _check_types(snap, batch, "merge")
             if touched:
                 # logged schema, not file inference: post-evolution,
                 # pre-evolution files lack the new columns (NULL-fill)
                 old = spark.read.schema(StructType.fromJson(
                     json.loads(snap.schema_json))).parquet(
                     *[os.path.join(path, n) for n in touched])
-                kept = old.join(
-                    F.broadcast(batch.select(key).distinct()),
-                    key, "left_anti")
+                kept = old.join(anti_keys, key, "left_anti")
                 # a batch NARROWER than the evolved schema NULL-fills
                 # its missing columns (delete+insert semantics: the
                 # replacing row version simply has no value there)
@@ -463,9 +492,18 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
         batch.unpersist()
 
 
+#: op values apply_changes accepts as "replace/insert this key" (any
+#: NULL or out-of-vocabulary op raises — ADVICE r10: `op != delete` is
+#: NULL for a NULL op, so an unvalidated malformed row would silently
+#: DELETE its key: excluded from the upsert arm yet anti-joined out)
+APPLY_UPSERT_OPS = ("insert", "update", "upsert")
+
+
 def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                   key: str, op_col: str = "op",
-                  delete_op: str = "delete") -> Snapshot:
+                  delete_op: str = "delete",
+                  upsert_ops: tuple[str, ...] = APPLY_UPSERT_OPS
+                  ) -> Snapshot:
     """Apply a MIXED change batch — inserts, updates AND deletes — as
     ONE atomic commit (the ``MERGE WHEN MATCHED [AND cond] THEN
     DELETE`` shape; what a CDC consumer needs to maintain a replica
@@ -490,6 +528,20 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
             raise ValueError(
                 f"apply_changes: feed carries {dup} keys with more "
                 f"than one op row — endpoint diffs are one-op-per-key")
+        # Validate ops up front (ADVICE r10), mirroring the duplicate-
+        # key feed check: a NULL op is neither upsert nor delete under
+        # three-valued logic, so its key would be anti-joined out of
+        # the existing files — a silent delete — and an out-of-
+        # vocabulary op is a malformed feed either way.
+        valid = tuple(upsert_ops) + (delete_op,)
+        n_bad = feed.filter(F.col(op_col).isNull()
+                            | ~F.col(op_col).isin(*valid)).count()
+        if n_bad:
+            raise ValueError(
+                f"apply_changes: feed carries {n_bad} rows whose "
+                f"{op_col!r} is NULL or not in {sorted(valid)} — "
+                f"refusing to guess (a NULL op would silently delete "
+                f"its key)")
         dk = feed.select(key).distinct()
         n_keys = dk.count()
         if not n_keys:
@@ -497,9 +549,11 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
             keys = sorted(r[0] for r in dk.collect())
             def hits(s): return _interval_hits(s, keys)
+            anti_keys = F.broadcast(dk)
         else:
             lo, hi = dk.agg(F.min(key), F.max(key)).first()
             def hits(s): return _envelope_hits(s, lo, hi)
+            anti_keys = dk        # wide batch: no broadcast (see merge)
         ups = feed.filter(F.col(op_col) != delete_op).drop(op_col)
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
@@ -511,12 +565,13 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                     f"apply_changes: feed adds columns {extra} not in "
                     f"the table schema; widen first with "
                     f"append(evolve_schema=True)")
+            _check_types(snap, ups, "apply_changes")
             touched = [n for n, s in snap.files.items() if hits(s)]
             if touched:
                 old = spark.read.schema(StructType.fromJson(
                     json.loads(snap.schema_json))).parquet(
                     *[os.path.join(path, n) for n in touched])
-                kept = old.join(F.broadcast(dk), key, "left_anti")
+                kept = old.join(anti_keys, key, "left_anti")
                 merged = kept.unionByName(ups,
                                           allowMissingColumns=True)
             else:
@@ -841,7 +896,22 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no txnlog table at {path}")
     rows = []
+    # Seed prev_cols from the newest checkpoint at/below the first
+    # retained version (the same replay source snapshot() uses) —
+    # ADVICE r10: after truncate_history the pre-truncation schema
+    # lives only in the cutoff checkpoint, and a None seed made the
+    # first schema-bearing retained commit report schema_changed=False
+    # and lose its new_columns.
     prev_cols: set[str] | None = None
+    for cv in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
+                      if n.endswith(".ckpt.json")), reverse=True):
+        if cv <= versions[0]:
+            with open(os.path.join(_log_dir(path), _ckpt_name(cv))) as f:
+                ck = json.load(f)
+            if ck.get("schema") is not None:
+                prev_cols = {fl.name for fl in StructType.fromJson(
+                    json.loads(ck["schema"])).fields}
+            break
     for v in versions:
         with open(os.path.join(_log_dir(path), _commit_name(v))) as f:
             c = json.load(f)

@@ -122,6 +122,34 @@ def _owns(lock: str, token: str) -> bool:
         return False
 
 
+def _grab_release(lock: str, token: str) -> bool:
+    """Atomic release (ADVICE r10): a separate ``_owns`` check followed
+    by ``rmtree`` leaves a TOCTOU window in which a contender that just
+    broke our lease has ITS fresh lock dir deleted — re-opening the
+    third-writer hazard the token closed.  Instead, atomically GRAB
+    whatever dir sits at the lock path (``rename(2)``), verify the
+    token on the grabbed dir (nobody else can mutate it now), and only
+    then delete.  If we grabbed a usurper's live lock, rename it back
+    intact; if even the give-back loses a race (a third claim landed in
+    the microsecond the path was vacant), drop the orphaned dir — the
+    usurper's own fencing checks fail against the third writer's
+    owner.json either way, so single-writer still holds.  Returns True
+    iff WE owned the lock and released it."""
+    grabbed = f"{lock}.rel-{token}"
+    try:
+        os.rename(lock, grabbed)
+    except OSError:
+        return False                 # lock vanished — not ours anymore
+    if _owns(grabbed, token):
+        shutil.rmtree(grabbed, ignore_errors=True)
+        return True
+    try:
+        os.rename(grabbed, lock)     # give the usurper its lock back
+    except OSError:
+        shutil.rmtree(grabbed, ignore_errors=True)
+    return False
+
+
 @contextlib.contextmanager
 def _writer_lock(path: str, lease: float = LEASE_SECONDS):
     """Single-writer guard for the store at ``path``: an atomic mkdir
@@ -162,10 +190,24 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
                     "the lock dir to re-enable writers")
             if _attempt == 0 and _lease_expired(lock, lease):
                 # crashed holder: lease lapsed with no heartbeat.
-                # Break the lock and retry the claim ONCE (two
-                # breakers racing here → one wins the mkdir, the
-                # other raises ConcurrentWriterError — safe).
-                shutil.rmtree(lock, ignore_errors=True)
+                # Grab-verify-break (same atomic rename discipline as
+                # _grab_release): rename the stale dir aside, RE-CHECK
+                # expiry on the grabbed dir (mtimes survive rename) so
+                # a fresh lock mkdir'd between our check and the grab
+                # is handed back intact, then retry the claim ONCE
+                # (two breakers racing → one wins the rename, the
+                # other sees ENOENT and just retries the mkdir).
+                grab = f"{lock}.brk-{_uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, grab)
+                except OSError:
+                    continue        # vanished — retry the claim
+                if _lease_expired(grab, lease):
+                    shutil.rmtree(grab, ignore_errors=True)
+                    continue
+                with contextlib.suppress(OSError):
+                    os.rename(grab, lock)   # grabbed a LIVE lock
+                shutil.rmtree(grab, ignore_errors=True)
                 continue
             raise ConcurrentWriterError(
                 f"upsert store {path} is locked by another writer "
@@ -213,7 +255,7 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
             raise
         stop.set()
         beater.join(timeout=5)
-        if not _owns(lock, token):
+        if not _grab_release(lock, token):
             raise UsurpedLockError(
                 f"writer lease on {path} was broken mid-merge (this "
                 f"process stalled past {lease:.0f}s without a "
@@ -221,7 +263,6 @@ def _writer_lock(path: str, lease: float = LEASE_SECONDS):
                 "merge completed but may have interleaved with the "
                 "new holder's rewrite — inspect the store; the new "
                 "holder's lock is left untouched")
-        shutil.rmtree(lock, ignore_errors=True)
     finally:
         stop.set()
 

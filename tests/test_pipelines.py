@@ -191,6 +191,43 @@ def test_writer_lock_fencing_token_blocks_usurped_holder(tmp_path):
         "failed marker belongs to the holder, never the usurper's lock")
 
 
+def test_grab_release_is_atomic_wrt_usurpers(tmp_path):
+    """ADVICE r10: the release path used to check _owns(lock, token)
+    and THEN rmtree — a contender breaking the lease in that window
+    had its fresh lock dir deleted (the third-writer hazard again).
+    _grab_release renames the dir aside FIRST (atomic grab), verifies
+    the token on the grabbed dir, and either deletes (ours) or renames
+    back intact (a usurper's live lock)."""
+    import json as _json
+    import os
+
+    lock = str(tmp_path / upsert._LOCK_DIR)
+
+    # arm 1: our own lock -> released, True
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        _json.dump({"token": "tok-A"}, f)
+    assert upsert._grab_release(lock, "tok-A") is True
+    assert not os.path.exists(lock)
+
+    # arm 2: a usurper's lock -> handed back byte-intact, False
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        _json.dump({"token": "usurper"}, f)
+    with open(os.path.join(lock, upsert._HEARTBEAT), "w") as f:
+        f.write("123")
+    assert upsert._grab_release(lock, "tok-A") is False
+    assert os.path.isdir(lock), "usurper's lock must be restored"
+    with open(os.path.join(lock, "owner.json")) as f:
+        assert _json.load(f)["token"] == "usurper"
+    assert os.path.exists(os.path.join(lock, upsert._HEARTBEAT))
+
+    # arm 3: lock vanished entirely -> False, no crash
+    import shutil as _sh
+    _sh.rmtree(lock)
+    assert upsert._grab_release(lock, "tok-A") is False
+
+
 def test_merge_upsert_touches_only_batch_partitions(spark, fact, tmp_path):
     table = str(tmp_path / "fact")
     upsert.write_initial(fact, table, format="parquet")  # layout-specific

@@ -791,6 +791,74 @@ def _body_describe_history_audit_trail(spark, tdir):
     assert h[3].rows_added >= 5 and not h[3].schema_changed
 
 
+def _body_append_merge_reject_retyped_columns(spark, tdir):
+    """ADVICE r10: schema merging is by NAME, so a frame that retypes
+    a logged column (v string vs logged v long) used to commit files
+    whose physical type conflicts with the logged schema — the write
+    succeeded and the corruption surfaced at read time.  Every write
+    verb now rejects type conflicts at commit time (Delta's rule)."""
+    txnlog.create_table(spark, _mk(spark, 0, 20), tdir, key="k")
+    retyped = (spark.range(20, 25).coalesce(1)
+               .select(F.col("id").alias("k"),
+                       F.col("id").alias("v")))       # v long, logged string
+    with pytest.raises(ValueError, match="retypes logged column"):
+        txnlog.append(spark, retyped, tdir, key="k")
+    with pytest.raises(ValueError, match="retypes logged column"):
+        txnlog.merge(spark, tdir, retyped, key="k")
+    with pytest.raises(ValueError, match="retypes logged column"):
+        txnlog.apply_changes(
+            spark, tdir, retyped.withColumn("op", F.lit("update")),
+            key="k")
+    # table untouched: still v0, still readable under the logged schema
+    assert txnlog.snapshot(tdir).version == 0
+    assert txnlog.read_table(spark, tdir).count() == 20
+
+
+def _body_apply_changes_rejects_null_and_unknown_ops(spark, tdir):
+    """ADVICE r10: `op != 'delete'` is NULL for a NULL op, so an
+    unvalidated row was neither upsert nor delete — yet its key was
+    anti-joined out of existing files, a SILENT DELETE.  NULL and
+    out-of-vocabulary ops now raise up front, like the duplicate-key
+    feed check."""
+    txnlog.create_table(spark, _mk(spark, 0, 20), tdir, key="k")
+    null_op = _mk(spark, 3, 5, tag="u").withColumn(
+        "op", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="NULL or not in"):
+        txnlog.apply_changes(spark, tdir, null_op, key="k")
+    weird = _mk(spark, 3, 5, tag="u").withColumn("op", F.lit("upsort"))
+    with pytest.raises(ValueError, match="NULL or not in"):
+        txnlog.apply_changes(spark, tdir, weird, key="k")
+    # nothing was deleted by the rejected feeds
+    assert txnlog.read_table(spark, tdir).count() == 20
+
+
+def _body_describe_history_after_truncation(spark, tdir):
+    """ADVICE r10: describe_history used to seed prev_cols only from
+    commit JSONs, so after truncate_history the first schema-bearing
+    retained commit (an evolving append right after truncation)
+    reported schema_changed=False and lost its new_columns.  The seed
+    now comes from the cutoff checkpoint — the same replay source
+    snapshot() uses."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")   # v0
+    for i in range(3):                                             # v1-v3
+        txnlog.append(spark, _mk(spark, 10 + i, 11 + i, tag="b"),
+                      tdir, key="k")
+    txnlog.truncate_history(tdir, keep_last=2, retention_seconds=0)
+    wide = (_mk(spark, 20, 25, tag="c")
+            .withColumn("score", F.lit(1)))
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)
+    h = {r.version: r for r in
+         txnlog.describe_history(spark, tdir).collect()}
+    assert min(h) == 2, "history below the cutoff is gone"
+    evolved = h[max(h)]
+    assert evolved.schema_changed, (
+        "evolution right after truncation must still be flagged")
+    assert evolved.new_columns == ["score"]
+    # the retained pre-evolution commit is NOT flagged (its schema
+    # equals the checkpoint seed)
+    assert not h[min(h)].schema_changed
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
