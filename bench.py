@@ -167,6 +167,7 @@ def main() -> None:
             for v in cc.values() if isinstance(v, dict))
     if "txn_churn" in out:
         compact["txn_churn_flat_ratio"] = out["txn_churn"]["flat_ratio"]
+        compact["txn_churn_bytes_ratio"] = out["txn_churn"]["bytes_ratio"]
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -662,6 +663,35 @@ def txn_churn_lane(spark, sf_dir: str) -> dict:
             txnlog.create_table(
                 spark, full.repartitionByRange(files, "o_orderkey"),
                 path, key="o_orderkey")
+            # r11 sparse arm FIRST (fresh table): ~15 scattered keys
+            # hit nearly every base-range file with 1-2 rows each —
+            # the merge-on-read case.  Staged bytes must be the batch
+            # rows' bytes at BOTH scales (copy-on-write would rewrite
+            # every hit file and scale with the table).
+            import json as _json
+            import os as _os
+            from pyspark.sql import functions as F
+            sparse = (orders
+                      .filter(orders.o_orderkey % 4001 == 1)
+                      .select("o_orderkey",
+                              (orders.o_totalprice + 2)
+                              .alias("o_totalprice")))
+            ts = time.perf_counter()
+            txnlog.merge(spark, path, sparse, key="o_orderkey")
+            sparse_sec = round(time.perf_counter() - ts, 3)
+            log = _os.path.join(path, "_txnlog")
+            v_sparse = txnlog.snapshot(path).version
+            c = _json.load(open(_os.path.join(
+                log, f"{v_sparse:020d}.json")))
+            sparse_staged = sum(
+                _os.path.getsize(_os.path.join(path, a["file"]))
+                for a in c.get("add", []))
+            sparse_dv = {"files": len(c.get("dv", [])),
+                         "rows": sum(d.get("n_new", 0)
+                                     for d in c.get("dv", [])),
+                         "removed": len(c.get("remove", [])),
+                         "staged_bytes": sparse_staged,
+                         "sec": sparse_sec}
             v0 = txnlog.snapshot(path).version
             t0 = time.perf_counter()
             txnlog.merge(spark, path, batch, key="o_orderkey")
@@ -680,13 +710,39 @@ def txn_churn_lane(spark, sf_dir: str) -> dict:
             feed_rows = txnlog.table_changes(
                 spark, path, v0, key="o_orderkey").count()
             best = min(best, round(time.perf_counter() - t0, 3))
-            files_live = len(txnlog.snapshot(path).files)
+            snap_end = txnlog.snapshot(path)
+            files_live = len(snap_end.files)
+            # r11 merge-on-read evidence: bytes STAGED by the churn =
+            # every file the commits after v0 added (immutable, still
+            # on disk pre-vacuum).  With deletion vectors this is the
+            # churned ROWS' bytes; copy-on-write would stage whole
+            # interval-hit files and scale with the table.
+            staged, dv_rows = 0, 0
+            for n in sorted(_os.listdir(log)):
+                if not n.endswith(".json") or n.endswith(".ckpt.json"):
+                    continue
+                c = _json.load(open(_os.path.join(log, n)))
+                if c["version"] <= v0:
+                    continue
+                dv_rows += sum(d.get("n_new", 0) for d in c.get("dv", []))
+                for a in c.get("add", []):
+                    f = _os.path.join(path, a["file"])
+                    if _os.path.exists(f):
+                        staged += _os.path.getsize(f)
             shutil.rmtree(tmp, ignore_errors=True)
         out[tag] = {"churn_sec": best, "feed_rows": feed_rows,
-                    "files_live": files_live}
+                    "files_live": files_live,
+                    "staged_bytes": staged, "dv_rows": dv_rows,
+                    "sparse": sparse_dv}
     out["flat_ratio"] = round(
         out["scaled"]["churn_sec"] / max(out["base"]["churn_sec"], 1e-9),
         2)
+    out["bytes_ratio"] = round(
+        out["scaled"]["staged_bytes"]
+        / max(out["base"]["staged_bytes"], 1), 2)
+    out["sparse_bytes_ratio"] = round(
+        out["scaled"]["sparse"]["staged_bytes"]
+        / max(out["base"]["sparse"]["staged_bytes"], 1), 2)
     return out
 
 

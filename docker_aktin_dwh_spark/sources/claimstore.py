@@ -125,9 +125,19 @@ class SQLiteClaimBackend:
     # -- internals ------------------------------------------------------
     def _publish(self, con: sqlite3.Connection, target: str,
                  side: str) -> None:
-        shutil.copyfile(side, target)
-        with open(target, "rb") as f:
-            os.fsync(f.fileno())
+        """Copy side → target, flag complete, drop the side file.
+        Publish and recovery can run CONCURRENTLY (a slow winner and a
+        recovering loser): both copy the same immutable bytes, and a
+        side file that vanished mid-way proves the OTHER party already
+        landed the target — tolerated, not an error."""
+        try:
+            shutil.copyfile(side, target)
+            with open(target, "rb") as f:
+                os.fsync(f.fileno())
+        except FileNotFoundError:
+            if not os.path.exists(target):
+                raise               # side lost with nothing published:
+                # genuinely broken (manual tampering) — surface it
         con.execute("UPDATE claims SET complete = 1 WHERE target = ?",
                     (target,))
         con.commit()
@@ -144,15 +154,7 @@ class SQLiteClaimBackend:
             (target,)).fetchone()
         if row is None or row[1]:
             return
-        side = row[0]
-        if os.path.exists(side):
-            self._publish(con, target, side)
-        elif os.path.exists(target):
-            # publish landed but the flag didn't: just mark it
-            con.execute(
-                "UPDATE claims SET complete = 1 WHERE target = ?",
-                (target,))
-            con.commit()
+        self._publish(con, target, row[0])
 
     def recover_table(self, log_dir: str) -> list[str]:
         """Sweep RECOVERY over every incomplete claim under ``log_dir``

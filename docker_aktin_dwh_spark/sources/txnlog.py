@@ -46,6 +46,20 @@ Protocol invariants (each one is a test in tests/test_txnlog.py):
   file list is checkpointed; a snapshot reads one checkpoint plus the
   commits after it, so open cost stays O(recent commits) no matter
   the table's age.
+- **Deletion vectors (merge-on-read, r11)**: a sparse MERGE/DELETE no
+  longer rewrites every interval-hit file — it commits a per-file
+  ``dv`` action (a run-length row-index bitmap in the log, Delta's
+  deletion-vector design) and readers MASK the dead rows via the
+  parquet reader's ``_metadata.row_index`` (one broadcast-hash join
+  against the churn-sized DV table + a JVM-side ``exists`` filter —
+  zero overhead when no DVs exist).  Rewrite bytes become ∝ touched
+  ROWS, not touched files: at 100 TB a 100-row correction commits a
+  100-row add file and a few dozen bitmap entries instead of GBs.
+  A file whose cumulative DV passes DV_MAX_FILE_FRACTION is folded
+  (rewritten without its dead rows) by the very commit that crossed
+  the line, and :func:`compact` folds all DVs; time travel, CDC and
+  vacuum stay exact (table_changes reads DV *deltas* on files common
+  to both snapshots).
 """
 
 from __future__ import annotations
@@ -120,6 +134,62 @@ def _list_versions(path: str) -> list[int]:
                   if n.endswith(".json") and not n.endswith(".ckpt.json"))
 
 
+# ----------------------------------------------------------- DV ranges
+# A deletion vector is a sorted list of inclusive [start, end] row-index
+# ranges within ONE data file — run-length encoded so a contiguous
+# erasure of 10k rows is one entry, and small enough to live inline in
+# the commit JSON (the log stays the single source of truth; Delta
+# keeps bitmaps in side files for the same structure).
+
+def _ranges_from_indexes(idx: list[int]) -> list[list[int]]:
+    """Sorted distinct row indexes → inclusive [start, end] runs."""
+    out: list[list[int]] = []
+    for i in idx:
+        if out and i == out[-1][1] + 1:
+            out[-1][1] = i
+        elif out and i <= out[-1][1]:
+            continue                      # duplicate index
+        else:
+            out.append([i, i])
+    return out
+
+
+def _ranges_union(a: list, b: list) -> list[list[int]]:
+    """Union of two inclusive range lists, normalized."""
+    runs = sorted([list(r) for r in a] + [list(r) for r in b])
+    out: list[list[int]] = []
+    for s, e in runs:
+        if out and s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+def _ranges_subtract(a: list, b: list) -> list[list[int]]:
+    """Ranges in ``a`` not covered by ``b`` (the CDC dv-delta: rows
+    dead at v_to that were still live at v_from)."""
+    out: list[list[int]] = []
+    bs = [list(r) for r in sorted(b)]
+    for s, e in sorted(a):
+        cur = s
+        for t, u in bs:
+            if u < cur or t > e:
+                continue
+            if t > cur:
+                out.append([cur, t - 1])
+            cur = max(cur, u + 1)
+            if cur > e:
+                break
+        if cur <= e:
+            out.append([cur, e])
+    return out
+
+
+def _ranges_count(ranges: list) -> int:
+    return sum(e - s + 1 for s, e in ranges)
+
+
 def snapshot(path: str, version: int | None = None) -> Snapshot:
     """Replay the commit log (from the newest usable checkpoint) up to
     ``version`` (default: latest).  Pure metadata reads — no data file
@@ -155,6 +225,10 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             files.pop(name, None)
         for a in c.get("add", []):
             files[a["file"]] = {k: a[k] for k in ("rows", "kmin", "kmax")}
+        for d in c.get("dv", []):
+            # the action carries the file's COMPLETE (cumulative) DV —
+            # it supersedes, never appends to, any earlier vector
+            files[d["file"]]["dv"] = d["ranges"]
         schema_json = c.get("schema", schema_json)
         t = c.get("txn")
         if t:
@@ -298,6 +372,64 @@ def create_table(spark: SparkSession, df: DataFrame, path: str, *,
     return snapshot(path)
 
 
+_FILE_META = "__txnlog_file"
+_ROW_META = "__txnlog_ri"
+
+
+def _with_rowmeta(df: DataFrame) -> DataFrame:
+    """Append the per-file identity the DV protocol is keyed on: the
+    data file's basename and the parquet reader's physical row index
+    (``_metadata.row_index`` — stable, 0-based per file, JVM-side)."""
+    return df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+         .alias(_FILE_META),
+        F.col("_metadata.row_index").alias(_ROW_META))
+
+
+def _dv_frame(spark: SparkSession, dvmap: dict[str, list]) -> DataFrame:
+    rows = [(n, [(int(s), int(e)) for s, e in rg])
+            for n, rg in sorted(dvmap.items())]
+    return spark.createDataFrame(
+        rows, f"{_FILE_META} string, __dv_ranges array<struct<s: bigint,"
+              " e: bigint>>")
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame,
+              dvmap: dict[str, list], *, keep_dead: bool = False
+              ) -> DataFrame:
+    """Mask (or, for CDC, SELECT) the rows a deletion vector covers.
+    One broadcast hash join on the file basename against the
+    churn-sized DV table, then a codegen'd ``exists`` over the range
+    structs — no explode, no Python, cost ∝ scanned rows with a
+    few-entry array probe each.  ``keep_dead=True`` inverts the filter
+    (only DV'd rows survive — the CDC delta read)."""
+    cols = df.columns
+    base = _with_rowmeta(df)
+    j = base.join(F.broadcast(_dv_frame(spark, dvmap)),
+                  _FILE_META, "left")
+    dead = F.when(F.col("__dv_ranges").isNull(), F.lit(False)).otherwise(
+        F.exists("__dv_ranges",
+                 lambda r: (F.col(_ROW_META) >= r["s"])
+                           & (F.col(_ROW_META) <= r["e"])))
+    return j.filter(dead if keep_dead else ~dead).select(*cols)
+
+
+def _read_files(spark: SparkSession, path: str, schema: StructType,
+                names: list[str], stats: dict[str, dict]) -> DataFrame:
+    """The ONE data-file read path: the named files under the logged
+    schema, with each file's deletion vector masked.  Every rewrite
+    (merge fold, compact, delete) reads through here — reading a DV'd
+    file raw would RESURRECT its dead rows into the rewrite."""
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, n) for n in names])
+    dvmap = {n: stats[n]["dv"] for n in names
+             if stats.get(n, {}).get("dv")}
+    if not dvmap:
+        return df
+    return _apply_dv(spark, df, dvmap)
+
+
 def read_table(spark: SparkSession, path: str,
                version: int | None = None) -> DataFrame:
     """DataFrame over exactly the files live at ``version`` (default
@@ -307,13 +439,15 @@ def read_table(spark: SparkSession, path: str,
     written before the evolution lack the new columns and Spark's
     parquet reader surfaces them as NULL; time travel to an
     pre-evolution version reads under THAT version's narrower
-    schema."""
+    schema.  Rows covered by a deletion vector at that version are
+    masked (merge-on-read); rows DV'd only in LATER versions are
+    still visible — time travel sees them alive."""
     snap = snapshot(path, version)
     schema = StructType.fromJson(json.loads(snap.schema_json))
     if not snap.files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, n) for n in sorted(snap.files)]
-    return spark.read.schema(schema).parquet(*paths)
+    return _read_files(spark, path, schema, sorted(snap.files),
+                       snap.files)
 
 
 def _widened_schema(snap: Snapshot, df: DataFrame) -> StructType:
@@ -417,6 +551,63 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
 #: path for ordinary churn-sized batches).
 MERGE_KEYS_COLLECT_MAX = 100_000
 
+#: a file whose cumulative deletion vector reaches this fraction of its
+#: rows is FOLDED (rewritten without the dead rows) by the commit that
+#: crossed the line — merge-on-read trades a little read-side masking
+#: for write economy, and this cap bounds the trade (Delta compacts
+#: heavy DVs the same way).
+DV_MAX_FILE_FRACTION = 0.5
+
+#: cap on deletion indexes collected to the driver per commit; a churn
+#: batch deleting more live rows than this takes the copy-on-write
+#:  path instead (the bitmaps would stop being "sparse" anyway)
+DV_ROWS_COLLECT_MAX = 1_000_000
+
+
+def _compute_dv(spark: SparkSession, path: str, snap: Snapshot,
+                touched: list[str], hit_rows, key: str):
+    """Plan the merge-on-read arm for one commit attempt: which touched
+    files take a ``dv`` action and which must FOLD (rewrite).
+
+    ``hit_rows(df)`` filters a frame of the touched files to the rows
+    the operation deletes (key ∈ batch for merge, the range predicate
+    for delete).  Returns ``(dv_actions, fold_files)`` or ``(None,
+    None)`` when the deletion is too large to plan as bitmaps (caller
+    falls back to copy-on-write).  Driver memory is bounded by
+    DV_ROWS_COLLECT_MAX int pairs — same discipline as the merge key
+    collect cap."""
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    raw = spark.read.schema(schema).parquet(
+        *[os.path.join(path, n) for n in touched])
+    # raw (unmasked) is correct here: an already-dead row that matches
+    # again just re-enters the union — idempotent on ranges
+    hits = (hit_rows(_with_rowmeta(raw))
+            .select(_FILE_META, _ROW_META))
+    # one bounded job: cap + 1 rows proves "too big" without a second scan
+    got = hits.limit(DV_ROWS_COLLECT_MAX + 1).collect()
+    if len(got) > DV_ROWS_COLLECT_MAX:
+        return None, None
+    per: dict[str, list[int]] = {}
+    for fn, ri in got:
+        per.setdefault(fn, []).append(ri)
+    dv_actions: list[dict] = []
+    fold: list[str] = []
+    for fname in sorted(per):
+        st = snap.files[fname]
+        old_rg = st.get("dv") or []
+        new_rg = _ranges_union(old_rg, _ranges_from_indexes(
+            sorted(per[fname])))
+        n_total = _ranges_count(new_rg)
+        n_new = n_total - _ranges_count(old_rg)
+        if n_new == 0:
+            continue            # every hit row was already dead
+        if n_total >= DV_MAX_FILE_FRACTION * st["rows"]:
+            fold.append(fname)
+        else:
+            dv_actions.append({"file": fname, "ranges": new_rg,
+                               "n": n_total, "n_new": n_new})
+    return dv_actions, fold
+
 
 def merge(spark: SparkSession, path: str, batch: DataFrame, *,
           key: str) -> Snapshot:
@@ -425,11 +616,18 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
     appears in the batch are replaced, everything else inserted.
 
     Data skipping: only files whose footer [kmin, kmax] interval
-    contains a batch key are rewritten; disjoint files carry over by
+    contains a batch key are considered; disjoint files carry over by
     log reference alone.  The batch key set is collected to the
     driver ONLY below MERGE_KEYS_COLLECT_MAX distinct keys (O(log B)
     bisect per file); a wider batch prunes by its min/max envelope —
     one aggregate row, driver cost O(1) regardless of churn.
+
+    Merge-on-read (r11): below the key-collect cap the replaced rows
+    are DELETION-VECTORED, not rewritten — the commit carries the
+    batch's own files plus per-file row-index bitmaps; a file whose
+    cumulative DV crosses DV_MAX_FILE_FRACTION is folded (rewritten
+    live-rows-only) by that same commit.  Wide batches keep the
+    copy-on-write rewrite.
     Optimistic concurrency: on a lost version race the staged files
     are dropped and the WHOLE merge re-derives from the fresh
     snapshot (a concurrent commit may have rewritten the very files
@@ -465,25 +663,51 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                     f"table schema; widen first with "
                     f"append(evolve_schema=True)")
             _check_types(snap, batch, "merge")
-            if touched:
-                # logged schema, not file inference: post-evolution,
-                # pre-evolution files lack the new columns (NULL-fill)
-                old = spark.read.schema(StructType.fromJson(
-                    json.loads(snap.schema_json))).parquet(
-                    *[os.path.join(path, n) for n in touched])
-                kept = old.join(anti_keys, key, "left_anti")
-                # a batch NARROWER than the evolved schema NULL-fills
-                # its missing columns (delete+insert semantics: the
-                # replacing row version simply has no value there)
-                merged = kept.unionByName(batch,
-                                          allowMissingColumns=True)
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            dv_actions = fold = None
+            if touched and n_keys <= MERGE_KEYS_COLLECT_MAX:
+                dv_actions, fold = _compute_dv(
+                    spark, path, snap, touched,
+                    lambda df: df.join(F.broadcast(dk), key,
+                                       "left_semi"), key)
+            if dv_actions is not None:
+                # merge-on-read: the commit is the batch's own files,
+                # per-file deletion vectors for the replaced rows, and
+                # a rewrite ONLY of files whose DV crossed the fold
+                # cap — rewrite bytes ∝ touched rows, not files
+                adds = []
+                if fold:
+                    live = _read_files(spark, path, schema, fold,
+                                       snap.files)
+                    kept = live.join(anti_keys, key, "left_anti")
+                    adds += _stage_data_files(spark, kept, path, key,
+                                              snap.version + 1)
+                adds += _stage_data_files(spark, batch, path, key,
+                                          snap.version + 1)
+                payload = {"op": "merge", "add": adds, "remove": fold}
+                if dv_actions:
+                    payload["dv"] = dv_actions
             else:
-                merged = batch
-            adds = _stage_data_files(spark, merged, path, key,
-                                     snap.version + 1)
-            if _try_commit(path, snap.version + 1,
-                           {"op": "merge", "add": adds,
-                            "remove": touched}):
+                if touched:
+                    # copy-on-write fallback (wide batch / huge churn):
+                    # logged schema + DV masking — a raw read would
+                    # resurrect rows an earlier DV killed
+                    old = _read_files(spark, path, schema, touched,
+                                      snap.files)
+                    kept = old.join(anti_keys, key, "left_anti")
+                    # a batch NARROWER than the evolved schema
+                    # NULL-fills its missing columns (delete+insert
+                    # semantics: the replacing row version simply has
+                    # no value there)
+                    merged = kept.unionByName(batch,
+                                              allowMissingColumns=True)
+                else:
+                    merged = batch
+                adds = _stage_data_files(spark, merged, path, key,
+                                         snap.version + 1)
+                payload = {"op": "merge", "add": adds,
+                           "remove": touched}
+            if _try_commit(path, snap.version + 1, payload):
                 return snapshot(path, snap.version + 1)
             _drop_files(path, adds)   # lost the race: redo vs new state
         raise CommitConflictError(
@@ -567,20 +791,42 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                     f"append(evolve_schema=True)")
             _check_types(snap, ups, "apply_changes")
             touched = [n for n, s in snap.files.items() if hits(s)]
-            if touched:
-                old = spark.read.schema(StructType.fromJson(
-                    json.loads(snap.schema_json))).parquet(
-                    *[os.path.join(path, n) for n in touched])
-                kept = old.join(anti_keys, key, "left_anti")
-                merged = kept.unionByName(ups,
-                                          allowMissingColumns=True)
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            dv_actions = fold = None
+            if touched and n_keys <= MERGE_KEYS_COLLECT_MAX:
+                dv_actions, fold = _compute_dv(
+                    spark, path, snap, touched,
+                    lambda df: df.join(F.broadcast(dk), key,
+                                       "left_semi"), key)
+            if dv_actions is not None:
+                # merge-on-read: deletes AND replaced update rows are
+                # bitmapped; only the upsert rows (and any fold) stage
+                adds = []
+                if fold:
+                    live = _read_files(spark, path, schema, fold,
+                                       snap.files)
+                    kept = live.join(anti_keys, key, "left_anti")
+                    adds += _stage_data_files(spark, kept, path, key,
+                                              snap.version + 1)
+                adds += _stage_data_files(spark, ups, path, key,
+                                          snap.version + 1)
+                payload = {"op": "apply", "add": adds, "remove": fold}
+                if dv_actions:
+                    payload["dv"] = dv_actions
             else:
-                merged = ups
-            adds = _stage_data_files(spark, merged, path, key,
-                                     snap.version + 1)
-            if _try_commit(path, snap.version + 1,
-                           {"op": "apply", "add": adds,
-                            "remove": touched}):
+                if touched:
+                    old = _read_files(spark, path, schema, touched,
+                                      snap.files)
+                    kept = old.join(anti_keys, key, "left_anti")
+                    merged = kept.unionByName(ups,
+                                              allowMissingColumns=True)
+                else:
+                    merged = ups
+                adds = _stage_data_files(spark, merged, path, key,
+                                         snap.version + 1)
+                payload = {"op": "apply", "add": adds,
+                           "remove": touched}
+            if _try_commit(path, snap.version + 1, payload):
                 return snapshot(path, snap.version + 1)
             _drop_files(path, adds)
         raise CommitConflictError(
@@ -649,11 +895,15 @@ def compact(spark: SparkSession, path: str, *, key: str,
     and retries against the fresh snapshot like merge()."""
     for _ in range(MERGE_MAX_ATTEMPTS):
         snap = snapshot(path)
-        if len(snap.files) < min_files:
+        has_dv = any(s.get("dv") for s in snap.files.values())
+        if len(snap.files) < min_files and not has_dv:
             return None
-        cur = spark.read.schema(StructType.fromJson(
-            json.loads(snap.schema_json))).parquet(
-            *[os.path.join(path, n) for n in sorted(snap.files)])
+        # masked read: compaction FOLDS deletion vectors — the rewritten
+        # files carry live rows only and start with empty DVs
+        cur = _read_files(spark, path,
+                          StructType.fromJson(json.loads(
+                              snap.schema_json)),
+                          sorted(snap.files), snap.files)
         if zorder_by is not None:
             from ..operators.maintenance import zorder_key
             a, b = zorder_by
@@ -709,22 +959,41 @@ def delete_range(spark: SparkSession, path: str, *, key,
     files holding the range, never the table.  Optimistic concurrency
     as in merge: a lost version race re-derives from the fresh
     snapshot."""
+    pred = lambda df: df.filter((F.col(key) >= F.lit(lo))   # noqa: E731
+                                & (F.col(key) < F.lit(hi)))
     for _ in range(MERGE_MAX_ATTEMPTS):
         snap = snapshot(path)
         touched = sorted(n for n, s in snap.files.items()
                          if _range_hits(s, lo, hi))
         if not touched:
             return snap                       # statically nothing to do
-        old = spark.read.schema(StructType.fromJson(
-            json.loads(snap.schema_json))).parquet(
-            *[os.path.join(path, n) for n in touched])
-        kept = old.filter(~((F.col(key) >= F.lit(lo))
-                            & (F.col(key) < F.lit(hi))))
-        adds = _stage_data_files(spark, kept, path, key,
-                                 snap.version + 1)
-        if _try_commit(path, snap.version + 1,
-                       {"op": "delete", "add": adds,
-                        "remove": touched}):
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        # merge-on-read first: a sparse erasure (one id band in a
+        # 100 TB table) commits bitmaps, zero data rewrite
+        dv_actions, fold = _compute_dv(spark, path, snap, touched,
+                                       pred, key)
+        if dv_actions is not None:
+            adds = []
+            if fold:
+                live = _read_files(spark, path, schema, fold,
+                                   snap.files)
+                adds = _stage_data_files(
+                    spark, live.filter(~((F.col(key) >= F.lit(lo))
+                                         & (F.col(key) < F.lit(hi)))),
+                    path, key, snap.version + 1)
+            payload = {"op": "delete", "add": adds, "remove": fold}
+            if dv_actions:
+                payload["dv"] = dv_actions
+            if not dv_actions and not fold:
+                return snap     # footer false positive: nothing to do
+        else:
+            old = _read_files(spark, path, schema, touched, snap.files)
+            kept = old.filter(~((F.col(key) >= F.lit(lo))
+                                & (F.col(key) < F.lit(hi))))
+            adds = _stage_data_files(spark, kept, path, key,
+                                     snap.version + 1)
+            payload = {"op": "delete", "add": adds, "remove": touched}
+        if _try_commit(path, snap.version + 1, payload):
             return snapshot(path, snap.version + 1)
         _drop_files(path, adds)
     raise CommitConflictError(
@@ -760,7 +1029,9 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
     snapshots are pruned before any data I/O, so cost scales with the
     CHURNED fraction of the table, not its size (the only viable CDC
     shape at 100 TB; a full two-snapshot diff would read the table
-    twice).  Emits Delta's change shape: the data columns plus
+    twice).  Merge-on-read commits contribute through their DV
+    DELTAS: files common to both snapshots whose deletion vector grew
+    are read once for exactly the newly-dead rows.  Emits Delta's change shape: the data columns plus
     ``change_type`` ∈ {insert, delete, update_preimage,
     update_postimage}.  Rows rewritten with IDENTICAL values (file
     churn from compaction, or neighbors of a point update inside a
@@ -780,7 +1051,7 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
     schema = StructType.fromJson(
         json.loads(s1.schema_json or s0.schema_json))
 
-    def side(names: list[str]) -> DataFrame:
+    def side(names: list[str], snap: Snapshot) -> DataFrame:
         if not names:
             return spark.createDataFrame([], schema)
         # read under the WIDER logged schema of the endpoint version,
@@ -788,15 +1059,38 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
         # old side's files lack the new columns (they NULL-fill here),
         # and a side mixing pre/post-evolution files must not let
         # Spark infer from one file and silently misalign the
-        # struct-equality change classification (ADVICE r9).
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, n) for n in names])
+        # struct-equality change classification (ADVICE r9).  Each
+        # side is masked by ITS OWN snapshot's deletion vectors — a
+        # row already dead at the endpoint is not part of that state.
+        return _read_files(spark, path, schema, names, snap.files)
+
+    old_df = side(old_only, s0)
+    # DV deltas on files COMMON to both snapshots: a merge-on-read
+    # commit deletes rows without changing file membership, so the
+    # rows in (dv_to \ dv_from) are old-side rows — live at v_from,
+    # dead at v_to.  DVs on a common file only ever GROW (a file is
+    # never re-added under the same name), so the delta is exact.
+    dv_delta: dict[str, list] = {}
+    for fname, st1 in s1.files.items():
+        st0 = s0.files.get(fname)
+        if st0 is None:
+            continue
+        d0, d1 = st0.get("dv") or [], st1.get("dv") or []
+        if d1 != d0:
+            delta = _ranges_subtract(d1, d0)
+            if delta:
+                dv_delta[fname] = delta
+    if dv_delta:
+        raw = spark.read.schema(schema).parquet(
+            *[os.path.join(path, fn) for fn in sorted(dv_delta)])
+        old_df = old_df.unionByName(
+            _apply_dv(spark, raw, dv_delta, keep_dead=True))
 
     cols = [f.name for f in schema.fields]
-    o = side(old_only).select(F.col(key).alias("_k"),
-                              F.struct(*cols).alias("_o"))
-    n = side(new_only).select(F.col(key).alias("_k"),
-                              F.struct(*cols).alias("_n"))
+    o = old_df.select(F.col(key).alias("_k"),
+                      F.struct(*cols).alias("_o"))
+    n = side(new_only, s1).select(F.col(key).alias("_k"),
+                                  F.struct(*cols).alias("_n"))
     j = o.join(n, "_k", "full_outer")
 
     def rec(tag: str, image):
@@ -926,18 +1220,21 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 new_cols = sorted(cols - prev_cols)
             prev_cols = cols
         txn = c.get("txn")
+        dv = c.get("dv", [])
         rows.append((
             v, c.get("op", "unknown"), len(added),
             len(c.get("remove", [])),
             sum(a.get("rows", 0) for a in added),
             schema_changed, new_cols,
             txn["app"] if txn else None,
-            txn["version"] if txn else None))
+            txn["version"] if txn else None,
+            len(dv), sum(d.get("n_new", 0) for d in dv)))
     return spark.createDataFrame(
         rows,
         "version long, op string, n_added int, n_removed int, "
         "rows_added long, schema_changed boolean, "
-        "new_columns array<string>, txn_app string, txn_version long")
+        "new_columns array<string>, txn_app string, txn_version long, "
+        "n_dv_files int, rows_dv_deleted long")
 
 
 def vacuum(path: str, *,

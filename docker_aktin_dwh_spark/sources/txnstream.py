@@ -104,7 +104,10 @@ class TxnlogStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             with open(_commit_path(self._path, v)) as f:
                 c = json.load(f)
-            if c.get("remove"):
+            if c.get("remove") or c.get("dv"):
+                # a deletion-vector commit changes rows without
+                # changing file membership — it is a CHANGE commit
+                # exactly like a rewrite and trips the same guard
                 if self._skip_change:
                     continue        # Delta's skipChangeCommits: the
                     # WHOLE commit is skipped (its adds are rewritten
@@ -112,8 +115,9 @@ class TxnlogStreamReader(DataSourceStreamReader):
                     # re-deliver history)
                 raise ValueError(
                     f"txnlog_stream: version {v} ({c.get('op')}) removes "
-                    f"files — this source tails APPEND-ONLY history; "
-                    f"rewrites need the CDC form (txnlog.table_changes) "
+                    f"or deletion-vectors rows — this source tails "
+                    f"APPEND-ONLY history; rewrites need the CDC form "
+                    f"(txnlog.table_changes) "
                     f"or option('skipChangeCommits', 'true')")
             for a in c.get("add", []):
                 parts.append(_FilePartition(

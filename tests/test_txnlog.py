@@ -65,8 +65,10 @@ def _body_snapshot_isolation_and_time_travel(spark, tdir):
 
 def _body_merge_data_skipping_rewrites_only_hit_files(spark, tdir):
     """Files whose footer [kmin, kmax] interval misses every batch key
-    must carry over by log reference — the rewrite set is the hit
-    files only (the 100 TB MERGE economics)."""
+    must carry over by log reference — and with merge-on-read (r11)
+    even the HIT file carries over: the sparse merge commits the
+    batch's own files plus a deletion vector for the replaced rows
+    (the 100 TB MERGE economics: rewrite bytes ∝ touched rows)."""
     # 4 disjoint key-range files via repartitionByRange on 4 ranges
     df = _mk(spark, 0, 400).repartitionByRange(4, "k")
     txnlog.create_table(spark, df, tdir, key="k")
@@ -76,8 +78,12 @@ def _body_merge_data_skipping_rewrites_only_hit_files(spark, tdir):
     txnlog.merge(spark, tdir, batch, key="k")
     after = txnlog.snapshot(tdir)
     surviving = set(before.files) & set(after.files)
-    assert len(surviving) == 3, (
-        f"expected 3 untouched files to carry over, got {len(surviving)}")
+    assert len(surviving) == 4, (
+        f"expected all 4 files to carry over (DV route), got "
+        f"{len(surviving)}")
+    dvd = {n: s["dv"] for n, s in after.files.items() if s.get("dv")}
+    assert len(dvd) == 1, "only the hit file carries a deletion vector"
+    assert txnlog._ranges_count(next(iter(dvd.values()))) == 10
     got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
     assert len(got) == 400 and got[15] == "b15" and got[250] == "a250"
 
@@ -267,38 +273,63 @@ def _body_empty_table_read_uses_logged_schema(spark, tdir):
 
 
 def _body_delete_range_skips_disjoint_files(spark, tdir):
-    """DELETE WHERE lo<=k<hi rewrites only interval-hit files; the
-    others carry over by log reference (the GDPR-erasure economics)."""
+    """DELETE WHERE lo<=k<hi touches only interval-hit files; the
+    others carry over by log reference (the GDPR-erasure economics).
+    r11: a SPARSE range delete is merge-on-read — zero data files are
+    rewritten, the hit file gains a deletion vector; a delete past the
+    fold cap rewrites the file live-rows-only."""
     df = _mk(spark, 0, 400).repartitionByRange(4, "k")
     txnlog.create_table(spark, df, tdir, key="k")
     before = txnlog.snapshot(tdir)
     txnlog.delete_range(spark, tdir, key="k", lo=10, hi=20)
     after = txnlog.snapshot(tdir)
-    surviving = set(before.files) & set(after.files)
-    assert len(surviving) == 3
+    assert set(before.files) == set(after.files), (
+        "sparse delete must be pure metadata (deletion vector)")
+    assert sum(1 for s in after.files.values() if s.get("dv")) == 1
     got = {r.k for r in txnlog.read_table(spark, tdir).collect()}
     assert len(got) == 390 and 10 not in got and 9 in got and 20 in got
     # statically-missing range: no rewrite, not even a commit
     v = after.version
     txnlog.delete_range(spark, tdir, key="k", lo=5000, hi=6000)
     assert txnlog.snapshot(tdir).version == v
+    # dense delete (60 of the file's remaining rows): folds — the hit
+    # file is rewritten without its dead rows and its DV resets
+    txnlog.delete_range(spark, tdir, key="k", lo=20, hi=80)
+    s2 = txnlog.snapshot(tdir)
+    assert len(set(before.files) & set(s2.files)) == 3
+    assert all(not s.get("dv") for s in s2.files.values())
+    got2 = {r.k for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got2) == 330 and 19 not in got2 and 80 in got2
 
 
 def _body_changed_file_sets_prune_common_files(spark, tdir):
     """Files present in both snapshots are excluded from the CDC read
-    set before any data I/O — the feed's cost scales with churn."""
+    set before any data I/O — the feed's cost scales with churn.
+    r11: a sparse merge DV-routes (membership UNCHANGED, the hit file
+    gains a deletion vector); a merge past the fold cap rewrites the
+    hit file — the membership diff the CDC prune is keyed on."""
     df = _mk(spark, 0, 400).repartitionByRange(4, "k")
     txnlog.create_table(spark, df, tdir, key="k")
     s0 = txnlog.snapshot(tdir)
+    # sparse merge: merge-on-read, no file leaves the snapshot
     txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="b"), key="k")
     s1 = txnlog.snapshot(tdir)
     old_only, new_only = txnlog.changed_file_sets(s0, s1)
-    assert len(old_only) == 1                 # only the hit file left
-    assert set(old_only).isdisjoint(s1.files)
-    assert set(new_only).isdisjoint(s0.files)
-    common = set(s0.files) & set(s1.files)
-    assert len(common) == 3
-    assert common.isdisjoint(old_only) and common.isdisjoint(new_only)
+    assert old_only == [], "sparse merge must not rewrite files"
+    assert len(new_only) >= 1                 # the batch's own files
+    hit = [n for n, s in s1.files.items() if s.get("dv")]
+    assert len(hit) == 1 and txnlog._ranges_count(
+        s1.files[hit[0]]["dv"]) == 10
+    # dense merge on one file (60 of its 100 rows): past the 0.5 fold
+    # cap -> that file is rewritten, membership changes
+    txnlog.merge(spark, tdir, _mk(spark, 110, 170, tag="c"), key="k")
+    s2 = txnlog.snapshot(tdir)
+    old_only2, new_only2 = txnlog.changed_file_sets(s1, s2)
+    assert len(old_only2) == 1                # only the folded file left
+    assert set(old_only2).isdisjoint(s2.files)
+    assert set(new_only2).isdisjoint(s1.files)
+    common = set(s1.files) & set(s2.files)
+    assert common.isdisjoint(old_only2) and common.isdisjoint(new_only2)
 
 
 def _body_table_changes_matches_bruteforce_snapshot_diff(spark, tdir):
@@ -787,7 +818,10 @@ def _body_describe_history_audit_trail(spark, tdir):
     assert h[1].op == "append" and h[1].txn_app == "ing" \
         and h[1].txn_version == 7
     assert h[2].schema_changed and h[2].new_columns == ["score"]
-    assert h[3].op == "merge" and h[3].n_removed >= 1
+    # r11 merge-on-read: the sparse merge removes no files — the audit
+    # row reports its deletion vector instead
+    assert h[3].op == "merge" and h[3].n_removed == 0
+    assert h[3].n_dv_files == 1 and h[3].rows_dv_deleted == 5
     assert h[3].rows_added >= 5 and not h[3].schema_changed
 
 
@@ -857,6 +891,78 @@ def _body_describe_history_after_truncation(spark, tdir):
     # the retained pre-evolution commit is NOT flagged (its schema
     # equals the checkpoint seed)
     assert not h[min(h)].schema_changed
+
+
+def _body_dv_compact_folds_vectors(spark, tdir):
+    """OPTIMIZE folds deletion vectors: the compacted files carry live
+    rows only and start with empty DVs — content identical before and
+    after, scan cost restored (no masking join left in the plan)."""
+    txnlog.create_table(spark, _mk(spark, 0, 200)
+                        .repartitionByRange(2, "k"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 10, 25, tag="b"), key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=150, hi=160)
+    pre = txnlog.snapshot(tdir)
+    assert sum(1 for s in pre.files.values() if s.get("dv")) == 2
+    before = {(r.k, r.v) for r in txnlog.read_table(spark, tdir).collect()}
+    txnlog.compact(spark, tdir, key="k", target_files=2)
+    post = txnlog.snapshot(tdir)
+    assert all(not s.get("dv") for s in post.files.values()), (
+        "compaction must fold every deletion vector")
+    after = {(r.k, r.v) for r in txnlog.read_table(spark, tdir).collect()}
+    assert after == before
+    assert len(after) == 190 and ("b15" in {v for _, v in after})
+    # physical row counts now match live rows (dead rows gone)
+    assert sum(s["rows"] for s in post.files.values()) == 190
+
+
+def _body_dv_cumulative_across_commits_and_checkpoint(spark, tdir):
+    """DVs are CUMULATIVE per file (each action supersedes with the
+    union) and survive checkpoint-bounded replay: after crossing
+    CHECKPOINT_EVERY commits the snapshot replays from the checkpoint
+    and the masking stays exact; time travel below a DV commit still
+    sees its rows alive."""
+    txnlog.create_table(spark, _mk(spark, 0, 1000).coalesce(1),
+                        tdir, key="k")
+    # 11 sparse merges against the SAME file: DV grows monotonically,
+    # version 10 writes a checkpoint that must carry the vector
+    for i in range(11):
+        txnlog.merge(spark, tdir,
+                     _mk(spark, 10 * i, 10 * i + 5, tag=f"m{i}"),
+                     key="k")
+    snap = txnlog.snapshot(tdir)
+    assert snap.version == 11
+    assert os.path.exists(os.path.join(
+        tdir, "_txnlog", f"{10:020d}.ckpt.json"))
+    dv_files = {n: s["dv"] for n, s in snap.files.items()
+                if s.get("dv")}
+    assert len(dv_files) == 1
+    assert txnlog._ranges_count(next(iter(dv_files.values()))) == 55
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 1000
+    assert got[42] == "m442" and got[103] == "m10103" and got[999] == "a999"
+    # time travel: at v3 only merges 0-2 applied
+    old = {r.k: r.v for r in
+           txnlog.read_table(spark, tdir, version=3).collect()}
+    assert old[4] == "m04" and old[24] == "m224" and old[30] == "a30"
+    assert len(old) == 1000
+
+
+def _body_dv_rewrite_proportional_to_rows_not_files(spark, tdir):
+    """The 100 TB contract VERDICT r10 item 2 asked for: a sparse
+    point update against a WIDE table (8 files x 500 rows) stages only
+    the batch's own rows — staged bytes ∝ touched rows, while the
+    copy-on-write path would have rewritten the whole hit file."""
+    txnlog.create_table(spark, _mk(spark, 0, 4000)
+                        .repartitionByRange(8, "k"), tdir, key="k")
+    sizes_before = {n: os.path.getsize(os.path.join(tdir, n))
+                    for n in txnlog.snapshot(tdir).files}
+    txnlog.merge(spark, tdir, _mk(spark, 7, 9, tag="b"), key="k")
+    snap = txnlog.snapshot(tdir)
+    new_files = [n for n in snap.files if n not in sizes_before]
+    assert sum(snap.files[n]["rows"] for n in new_files) == 2, (
+        "only the 2 batch rows may be staged")
+    assert len(set(sizes_before) - set(snap.files)) == 0, (
+        "no existing file rewritten")
 
 
 # ------------------------------------------------------------ pooled run
