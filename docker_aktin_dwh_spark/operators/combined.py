@@ -1929,6 +1929,43 @@ def _r10b_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r11_all(spark, sf):
+    """Round-11 certification union (same-round driver certification,
+    the r8/r9/r10 discipline): the NEW r11 operator sdd_01 — SemDeDup
+    semantic dedup (k-means clusters + cluster-bounded pairwise cosine
+    prune, planted duplicates certified through the unrolled-SQL Lloyd
+    oracle) — plus the ded_minhash fold-in VERDICT r10 item 7 named
+    (slot donor; its builder rides verbatim, and its banding generics
+    stay exercised by pipe_02/pipe_03's chains too)."""
+    from . import dedup
+    out = _tag(dedup.sdd_01(spark, sf), "sdd",
+               F.concat_ws("|", "cid", "i", "j",
+                           F.round(F.col("cos_r") * 10_000)
+                            .cast("long")))
+    out = out.unionByName(_tag(
+        dedup.ded_minhash(spark, sf), "mh",
+        F.concat_ws("|", "i", "j",
+                    F.round(F.col("jac") * 1000).cast("long"))))
+    return out.orderBy("tag", "v")
+
+
+def _r11_all_oracle() -> str:
+    from . import dedup
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("sdd", cat("cid", "i", "j",
+                    "CAST(ROUND(cos_r * 10000) AS BIGINT)"),
+         dedup._sdd_oracle()),
+        ("mh", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
+         dedup._MINHASH_ORACLE),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -2075,6 +2112,12 @@ _DOCS = {
                 "same-round driver certification (slot donated by "
                 "ded_incr, which rides r9_all's dinc branch "
                 "verbatim)",
+    "r11_all": "Round-11 tagged union: SemDeDup semantic dedup "
+               "(sdd_01 — k-means clusters + cluster-bounded pairwise "
+               "cosine prune, planted duplicates certified through "
+               "the unrolled-SQL Lloyd oracle) + the ded_minhash "
+               "CORE50 fold-in (builder verbatim) — same-round driver "
+               "certification",
 }
 
 
@@ -2115,6 +2158,7 @@ def specs() -> list[QuerySpec]:
         "r9b_all": _r9b_all_oracle(),
         "r10_all": _r10_all_oracle(),
         "r10b_all": _r10b_all_oracle(),
+        "r11_all": _r11_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

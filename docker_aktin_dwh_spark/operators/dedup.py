@@ -937,6 +937,123 @@ def ded_embed2(spark, sf):
             .orderBy("i", "j"))
 
 
+def sdd_01(spark, sf):
+    """SemDeDup (Abbas et al. 2023, public) — SEMANTIC dedup as
+    cluster-bounded pairwise cosine: k-means the embedding corpus
+    (km_01's deterministic Lloyd machinery verbatim: md5 seeds →
+    KM_ITERS exact-integer updates → final assignment), then compare
+    pairs ONLY within a cluster and mark cos ≥ EMBED2_TAU as semantic
+    duplicates (keep-first: i survives, j drops).  The quadratic is
+    bounded by the largest CLUSTER, never the corpus — the property
+    that makes semantic dedup runnable at 100 TB (K scales with N;
+    the per-cluster join is one shuffle on cid).
+
+    Certification (the ded_embed2 planting discipline): every
+    EMBED2_STRIDE-th vector re-enters under a fresh id with its first
+    dimension scaled by EMBED2_PERTURB (cos ≈ 0.9999 — random fixtures
+    have no natural pairs in that regime), and the DuckDB oracle
+    re-derives the ENTIRE chain — planting, unrolled-SQL Lloyd,
+    cluster-bounded pairs — so the hash certifies the cluster
+    assignment AND the prune, including that a planted pair straddling
+    clusters is (by SemDeDup's declared semantics) missed identically
+    on both engines.  Reference analogue: semantic near-duplicate
+    collapse before corpus statistics, generalizing the encounter-
+    level re-import dedup (aktin_init.sql) to embedding space."""
+    from .similarity import (DIM, KM_ITERS, _km_assign,
+                             _km_seed_centroids, _km_update)
+
+    base = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("x"))
+    offset = base.agg(F.max("vec_id")).first()[0] + 1
+    planted = (base.filter(F.col("vec_id") % EMBED2_STRIDE == 0)
+               .select((F.col("vec_id") + offset).alias("vec_id"),
+                       F.concat(
+                           F.array(F.element_at("x", 1)
+                                   * F.lit(EMBED2_PERTURB)),
+                           F.slice("x", 2, DIM - 1)).alias("x")))
+    pts = materialize(base.unionByName(planted))
+    cents = _km_seed_centroids(pts)
+    for _ in range(KM_ITERS):
+        cents = _km_update(_km_assign(pts, cents))
+    assigned = materialize(
+        _km_assign(pts, cents).select("vec_id", "x", "cid"))
+    a = assigned.select("cid", F.col("vec_id").alias("i"),
+                        F.col("x").alias("va"))
+    b = assigned.select("cid", F.col("vec_id").alias("j"),
+                        F.col("x").alias("vb"))
+    cand = a.join(b, "cid").filter(F.col("i") < F.col("j"))
+    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                                 F.lit(0.0), lambda acc, x: acc + x))
+              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                                   F.lit(0.0), lambda acc, x: acc + x))))
+    return (cand.select("cid", "i", "j", cos.alias("cos"))
+                .filter(F.col("cos") >= EMBED2_TAU)
+                .select("cid", "i", "j",
+                        F.round("cos", 4).alias("cos_r"))
+                .orderBy("i", "j"))
+
+
+def _sdd_oracle() -> str:
+    """Planted corpus + unrolled-SQL Lloyd (the _km_oracle chain over
+    the planted union) + cluster-bounded pairwise prune."""
+    from .similarity import KM_ITERS, KM_K
+
+    parts = [f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+off AS (SELECT max(vec_id) + 1 AS o FROM e0),
+planted AS (SELECT vec_id + off.o AS vec_id,
+                   list_concat([v[1] * {EMBED2_PERTURB}], v[2:]) AS v
+            FROM e0, off WHERE vec_id % {EMBED2_STRIDE} = 0),
+corp AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
+pts AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+               CAST(unnest(v) AS DOUBLE) AS xv
+        FROM corp),
+seeds AS (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS INT) AS cid
+          FROM corp
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KM_K}),
+cent0 AS (SELECT s.cid, p.dim, p.xv AS cv
+          FROM seeds s JOIN pts p USING (vec_id))"""]
+    for t in range(1, KM_ITERS + 2):
+        parts.append(f"""
+d{t} AS (SELECT p.vec_id, c.cid,
+               SUM(CAST(FLOOR((p.xv - c.cv) * (p.xv - c.cv) * 1e12)
+                        AS BIGINT)) AS dist
+         FROM pts p JOIN cent{t - 1} c ON p.dim = c.dim
+         GROUP BY p.vec_id, c.cid),
+a{t} AS (SELECT vec_id, CAST(MIN(dist * 16 + cid) % 16 AS INT) AS cid
+         FROM d{t} GROUP BY vec_id)""")
+        if t <= KM_ITERS:
+            parts.append(f"""
+cent{t} AS (SELECT a.cid, p.dim,
+                  CAST(SUM(CAST(FLOOR(p.xv * 1e9) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e9 AS cv
+            FROM a{t} a JOIN pts p USING (vec_id)
+            GROUP BY a.cid, p.dim)""")
+    last = KM_ITERS + 1
+    body = ",".join(parts)
+    return f"""{body}
+SELECT ai.cid, x.vec_id AS i, y.vec_id AS j,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 4) AS cos_r
+FROM a{last} ai JOIN a{last} aj
+     ON ai.cid = aj.cid AND ai.vec_id < aj.vec_id
+JOIN corp x ON x.vec_id = ai.vec_id
+JOIN corp y ON y.vec_id = aj.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= {EMBED2_TAU}
+ORDER BY i, j
+"""
+
+
 # ----------------------------------------------------------------- oracles
 
 _NGRAM_ORACLE = f"""
@@ -1191,6 +1308,10 @@ _DOCS = {
                   "sliding-window hash equi-join — the suffix-array "
                   "repeated-substring query, Spark-native): per-doc "
                   "duplicated-span counts and fraction",
+    "sdd_01": "SemDeDup: k-means clusters (km_01's deterministic "
+              "Lloyd verbatim) + per-cluster pairwise cosine prune — "
+              "cluster-bounded quadratic, planted semantic duplicates "
+              "hash-certified through the unrolled-SQL Lloyd oracle",
 }
 
 _ORACLES = {
@@ -1207,6 +1328,7 @@ _ORACLES = {
     "ded_simhash": _SIMHASH_ORACLE,
     "ded_embed": _EMBED_ORACLE,
     "ded_embed2": _EMBED2_ORACLE,
+    "sdd_01": _sdd_oracle(),
     "ded_substr": _SUBSTR_ORACLE,
 }
 

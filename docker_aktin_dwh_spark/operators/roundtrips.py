@@ -16,6 +16,7 @@ through catalog.load.
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -230,6 +231,78 @@ def ups_02(spark, sf):
     except BaseException:
         _rmtree(tmp)
         raise
+
+
+def ds_01(spark, sf):
+    """SRC-12 (r11): batch DataSource + SQL surface over the txnlog
+    format (sources/txnbatch.py) — ``spark.read.format("txnlog")``
+    with a ``versionAsOf`` option, the batch twin of the str_19
+    streaming source.  Builds the ups_02 table (base + MERGE moving
+    encounters 100-199 by +40 days — merge-on-read deletion vectors
+    underneath since r11), then reads it back ENTIRELY through the
+    registered DataSource: the latest snapshot plus the pre-merge
+    version 0, the v0 arm through PLAIN SQL over a temp view.  A hash
+    match certifies three things at once: the DataSource replay equals
+    the native read (DV masking included), versionAsOf time travel is
+    exact, and the source composes with spark.sql.  Reference
+    analogue: any SQL client SELECTing the warehouse state Postgres
+    arbitrates (src/docker/database) — here any Spark SQL session
+    composes over the commit log's snapshot."""
+    from ..sources import txnbatch, txnlog
+
+    base = (catalog.visit_dimension(spark, sf)
+            .filter(F.col("encounter_num") < 400)
+            .select("encounter_num", "patient_num", "start_date",
+                    "inout_cd"))
+    tmp = tempfile.mkdtemp(prefix="spark_ds01_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        batch = (base.filter((F.col("encounter_num") >= 100)
+                             & (F.col("encounter_num") < 200))
+                 .select("encounter_num", "patient_num",
+                         (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                          .alias("start_date"),
+                         F.lit("U").alias("inout_cd")))
+        txnlog.merge(spark, path, batch, key="encounter_num")
+        txnbatch.register(spark)
+        latest = (spark.read.format("txnlog").option("path", path)
+                  .load()
+                  .select("encounter_num", "patient_num", "start_date",
+                          "inout_cd")
+                  .withColumn("snap", F.lit("latest")))
+        view = f"txnds_{uuid.uuid4().hex[:8]}"
+        (spark.read.format("txnlog").option("path", path)
+         .option("versionAsOf", 0).load().createOrReplaceTempView(view))
+        v0 = spark.sql(
+            f"SELECT encounter_num, patient_num, start_date, inout_cd,"
+            f" 'v0' AS snap FROM {view} WHERE encounter_num % 3 = 0")
+        out = _snap_off_tmp(latest.unionByName(v0), tmp)
+        spark.catalog.dropTempView(view)
+        return out.orderBy("snap", "encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _ds_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+base AS (SELECT encounter_num, patient_num, start_date, inout_cd
+         FROM visit_dimension WHERE encounter_num < 400),
+batch AS (SELECT encounter_num, patient_num,
+                 start_date + INTERVAL 40 DAY AS start_date,
+                 'U' AS inout_cd
+          FROM base WHERE encounter_num >= 100 AND encounter_num < 200)
+SELECT *, 'latest' AS snap FROM (
+  SELECT * FROM base
+  WHERE encounter_num NOT IN (SELECT encounter_num FROM batch)
+  UNION ALL SELECT * FROM batch)
+UNION ALL
+SELECT *, 'v0' AS snap FROM base WHERE encounter_num % 3 = 0
+"""
 
 
 def cdc_02(spark, sf):
@@ -795,6 +868,10 @@ _DOCS = {
     "ups_02": "SNK-01 upsert through the transactional commit-log "
               "table format (txnlog ACID MERGE, footer-stats data "
               "skipping) — result ≡ ups_01's lock-based merge",
+    "ds_01": "SRC-12 batch DataSource + SQL surface over the txnlog "
+             "format (spark.read.format('txnlog'), versionAsOf time "
+             "travel, DV masking in the source; v0 arm through plain "
+             "SQL over a temp view)",
     "cdc_02": "Change-data feed over the commit-log table format "
               "(Delta-CDF shape from the version-asymmetric file "
               "sets; stats-skipped DELETE + MERGE between versions; "
@@ -833,6 +910,7 @@ def specs() -> list[QuerySpec]:
         "src_04": _SRC_04_ORACLE,
         "ups_01": _ups_01_oracle(),
         "ups_02": _ups_01_oracle(),
+        "ds_01": _ds_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),
         "cdc_04": _cdc_04_oracle(),

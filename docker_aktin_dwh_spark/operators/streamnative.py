@@ -1022,6 +1022,44 @@ GROUP BY 1
 """
 
 
+def str_rep(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-replay certification union (r11 slot economy,
+    VERDICT r10 item 7's named fold): str_01 (file-arrival source +
+    stream–static broadcast enrich, 3-trigger replay) and str_05
+    (watermark-finalized hourly counts under cross-batch disorder,
+    10-trigger append replay) — BUILDERS VERBATIM, so the one CORE50
+    slot certifies both streaming contracts; the fine-grained keys
+    stay registered and individually oracle-tested post-50."""
+    s1 = str_01(spark, sf)
+    v1 = F.concat_ws(
+        "|", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        "user_id", "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long"),
+        "props", "concept_class")
+    s5 = str_05(spark, sf)
+    v5 = F.concat_ws(
+        "|",
+        F.unix_micros(F.col("ws").cast("timestamp")).cast("string"),
+        "n")
+    out = (s1.select(F.lit("r01").alias("tag"), v1.alias("v"))
+           .unionByName(
+               s5.select(F.lit("r05").alias("tag"), v5.alias("v"))))
+    return out.orderBy("tag", "v")
+
+
+def _str_rep_oracle() -> str:
+    c1 = ("CAST(event_id AS VARCHAR) || '|' || "
+          "CAST(epoch_us(ts) AS VARCHAR) || '|' || "
+          "CAST(user_id AS VARCHAR) || '|' || event_type || '|' || "
+          "CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS VARCHAR) "
+          "|| '|' || props || '|' || concept_class")
+    c5 = ("CAST(epoch_us(ws) AS VARCHAR) || '|' || CAST(n AS VARCHAR)")
+    return (f"SELECT 'r01' AS tag, {c1} AS v FROM ({_STR_01_ORACLE})\n"
+            f"UNION ALL\nSELECT 'r05' AS tag, {c5} AS v "
+            f"FROM ({_STR_05_ORACLE})")
+
+
 def str14_stream(spark: SparkSession, sf: str, base: str) -> DataFrame:
     """The unstarted STR-14 frame: Spark's NATIVE session_window
     aggregation (dynamic gap-merged windows in the state store) — the
@@ -1248,6 +1286,12 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-15 windowed approximate distinct: HLL "
                        "sketch in the streaming state store, bounded "
                        "self-check vs batch exact per finalized window"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_rep", fn=str_rep, oracle=_str_rep_oracle(),
+                  doc=("Streaming-replay union (r11 slot economy): "
+                       "str_01 + str_05 builders verbatim — one slot "
+                       "certifies the file-source enrich AND the "
+                       "watermark-finalization contract"),
                   tags=("streaming",)),
         QuerySpec(key="str_01", fn=str_01, oracle=_STR_01_ORACLE,
                   doc=("STR-01 file streaming source + STR-08 enrich, "

@@ -71,16 +71,23 @@ class QuerySpec:
 #: str_20 (streaming deterministic bottom-k sample); ded_incr — whose
 #: builder already rides r9_all's "dinc" branch verbatim — donates its
 #: redundant direct slot to r10b_all (jn_11 / reg_01 / cpd_01), so
-#: every round-10 operator certifies same-round.
+#: every round-10 operator certifies same-round.  Round 11 (VERDICT
+#: r10 item 7's slot economy, the named folds): str_01 + str_05
+#: consolidate into str_rep (both builders verbatim — one slot,
+#: both streaming contracts) and ded_minhash folds into r11_all as a
+#: verbatim branch; the two freed slots go to ds_01 (the txnlog batch
+#: DataSource + SQL surface, VERDICT r10 item 3's driver-certified
+#: key) and r11_all (sdd_01 SemDeDup + the ded_minhash fold-in), so
+#: every round-11 operator certifies same-round.
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
-    "str_win", "maint_all", "str_20", "str_01", "str_05",
+    "str_win", "maint_all", "str_20", "str_rep", "ds_01",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "udf_02", "udf_tf", "str_11",
-    "fin_all", "ded_ngram", "ded_minhash", "r10b_all", "cdc_04",
+    "fin_all", "ded_ngram", "r11_all", "r10b_all", "cdc_04",
     "ded_embed",
     "r10_all", "ann_bx", "r7_all", "r9b_all",
     "text_all", "str_out", "r9_all", "mm_decode",

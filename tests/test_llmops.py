@@ -118,6 +118,53 @@ def test_cosine_udf_matches_numpy(spark):
         assert cos == pytest.approx(expect, abs=1e-12)
 
 
+def test_semdedup_cluster_bounded_and_finds_planted(spark):
+    """sdd_01 (r11 SemDeDup): (1) the candidate space is BOUNDED by
+    cluster sizes — Σ n_c·(n_c−1)/2 over the k-means assignment, a
+    strict subset of the corpus quadratic (the property that makes the
+    semantic prune runnable at scale); (2) the prune finds the planted
+    cos-0.9999 twins that co-cluster (original and twin land in the
+    same cluster — their distance-to-centroid profile is nearly
+    identical) and admits NO natural pair (random fixtures have no
+    cos ≥ 0.99 neighbors)."""
+    rows = dedup.sdd_01(spark, SF_ORACLE).collect()
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    n_vec = emb.count()
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
+    n_planted = emb.filter(
+        F.col("vec_id") % dedup.EMBED2_STRIDE == 0).count()
+    corpus = n_vec + n_planted
+
+    # every surviving pair is a planted (original, twin) pair
+    assert rows, "planted duplicates must be found"
+    assert all(r.j == r.i + offset for r in rows), (
+        "only planted twins can reach cos >= 0.99")
+    assert len(rows) >= int(0.9 * n_planted), (
+        f"expected >=90% of {n_planted} planted pairs co-clustered, "
+        f"got {len(rows)}")
+
+    # cluster-boundedness: recompute the assignment and compare the
+    # candidate count against the corpus quadratic
+    from docker_aktin_dwh_spark.operators.similarity import (
+        KM_ITERS, _km_assign, _km_seed_centroids, _km_update)
+    base = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("x"))
+    planted = (base.filter(F.col("vec_id") % dedup.EMBED2_STRIDE == 0)
+               .select((F.col("vec_id") + offset).alias("vec_id"),
+                       F.col("x")))
+    pts = base.unionByName(planted)
+    cents = _km_seed_centroids(pts)
+    for _ in range(KM_ITERS):
+        cents = _km_update(_km_assign(pts, cents))
+    sizes = [r.n for r in _km_assign(pts, cents)
+             .groupBy("cid").agg(F.count("*").alias("n")).collect()]
+    candidates = sum(n * (n - 1) // 2 for n in sizes)
+    quadratic = corpus * (corpus - 1) // 2
+    assert candidates < quadratic / 3, (
+        f"cluster-bounded candidate count {candidates} must be well "
+        f"under the corpus quadratic {quadratic}")
+
+
 def test_exact_dedup_keeps_min_doc_id(spark):
     got = dedup.ded_exact(spark, SF_SMOKE).collect()
     assert got and all(r.n == 2 for r in got)

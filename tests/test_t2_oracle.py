@@ -56,6 +56,11 @@ UNION_COVERED = frozenset({
     "str_17", "str_18", "str_19",
     # ann_bx branches
     "ann_lsh", "ann_ivf",
+    # str_rep branches (r11): full streaming replays, certified via
+    # the union slot — the exact repetition this list exists to trim
+    "str_01", "str_05",
+    # r11_all branches
+    "ded_minhash", "sdd_01",
 })
 SWEEP_ALL = os.environ.get("SPARK_GRAFT_SWEEP_ALL") == "1"
 

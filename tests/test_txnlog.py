@@ -965,6 +965,47 @@ def _body_dv_rewrite_proportional_to_rows_not_files(spark, tdir):
         "no existing file rewritten")
 
 
+def _body_batch_datasource_parity_with_native_read(spark, tdir):
+    """The batch DataSource (sources/txnbatch, r11) must equal
+    txnlog.read_table EXACTLY in every state the protocol can produce:
+    plain, after a deletion-vector merge (masking in the source),
+    after schema evolution (NULL-fill under the logged schema), and at
+    a pinned versionAsOf (time travel below both) — plus compose with
+    plain SQL via a temp view."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnlog.create_table(spark, _mk(spark, 0, 200)
+                        .repartitionByRange(2, "k"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 10, 25, tag="b"), key="k")
+    wide = _mk(spark, 200, 210, tag="c").withColumn("score", F.lit(1))
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)
+    txnbatch.register(spark)
+
+    def eq(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    cur = spark.read.format("txnlog").option("path", tdir).load()
+    assert eq(cur, txnlog.read_table(spark, tdir))
+    assert cur.count() == 210
+    for v in (0, 1):
+        pinned = (spark.read.format("txnlog").option("path", tdir)
+                  .option("versionAsOf", v).load())
+        assert eq(pinned, txnlog.read_table(spark, tdir, version=v))
+    v0 = (spark.read.format("txnlog").option("path", tdir)
+          .option("versionAsOf", 0).load())
+    assert v0.columns == ["k", "v"], "pre-evolution schema is narrow"
+    # SQL surface
+    cur.createOrReplaceTempView("txnds_parity")
+    row = spark.sql("SELECT count(*) n, sum(score) s FROM txnds_parity "
+                    "WHERE k >= 100").collect()[0]
+    assert (row.n, row.s) == (110, 10)
+    spark.catalog.dropTempView("txnds_parity")
+    # option errors: out-of-log version
+    with pytest.raises(Exception, match="versionAsOf"):
+        (spark.read.format("txnlog").option("path", tdir)
+         .option("versionAsOf", 99).load().count())
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
