@@ -85,6 +85,10 @@ HEADLINE = (
     # from exact decimal moments, CUSUM changepoint detection
     "jn_11", "reg_01", "cpd_01", "jn_12", "agg_13", "win_08",
     "shard_01", "priv_03",
+    # round 11: SemDeDup cluster-bounded semantic dedup and the txnlog
+    # batch DataSource + SQL surface (build + merge-on-read MERGE +
+    # two DataSource reads, one through plain SQL)
+    "sdd_01", "ds_01",
 )
 
 

@@ -748,11 +748,15 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
       matmul inside mapInPandas (BLAS, ~100× the per-pair-UDF rate the
       previous theta-join form managed).
 
-    The corpus size is capped at COSINE_MAX_VECS (explicit ValueError):
-    beyond that, exact-at-low-τ is not a sane query on any engine; the
-    declared scale path for genuine near-dup thresholds is
-    ded_embed2's banded LSH (certified below) and the LSH / IVF
-    machinery in similarity.py.  float64 matmul accumulation
+    The corpus size is capped at COSINE_MAX_VECS (explicit ValueError)
+    — and the cap is the operator's DECLARED CONTRACT, not a todo
+    (SURVEY §2, promoted r11): the baseline τ=0.4 sits ~3σ above the
+    64-dim random-cosine background, a regime no LSH family buckets,
+    so exact all-pairs is the only faithful semantics and its
+    quadratic cost is intrinsic to the QUERY.  The certified scale
+    paths for real near-dup thresholds are ded_embed2's banded LSH
+    (τ≥0.99, below), sdd_01's SemDeDup cluster-bounded prune, and the
+    LSH / IVF top-k machinery in similarity.py.  float64 matmul accumulation
     differences vs a sequential fold sit ~1e-16, far below the 1e-4
     rounding the declared query applies.
     """
@@ -770,8 +774,10 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     if n_vecs > COSINE_MAX_VECS:
         raise ValueError(
             f"exact cosine_pairs is capped at {COSINE_MAX_VECS} vectors "
-            "(bounded baseline); use similarity.ann_lsh_topk / ivf_topk "
-            "for large corpora")
+            "(bounded baseline — the declared contract of exact "
+            "all-pairs at an unbucketable threshold); for large "
+            "corpora use ded_embed2 (banded LSH), sdd_01 (SemDeDup), "
+            "or similarity.ann_lsh_topk / ivf_topk")
     n_blocks = int(n_vecs) // COSINE_BLOCK + 1
     blocks = (e.withColumn("bid", F.pmod(F.xxhash64("vec_id"),
                                          F.lit(n_blocks)).cast("int"))
