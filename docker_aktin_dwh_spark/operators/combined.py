@@ -1937,7 +1937,7 @@ def r11_all(spark, sf):
     oracle) — plus the ded_minhash fold-in VERDICT r10 item 7 named
     (slot donor; its builder rides verbatim, and its banding generics
     stay exercised by pipe_02/pipe_03's chains too)."""
-    from . import dedup
+    from . import dedup, roundtrips
     out = _tag(dedup.sdd_01(spark, sf), "sdd",
                F.concat_ws("|", "cid", "i", "j",
                            F.round(F.col("cos_r") * 10_000)
@@ -1946,6 +1946,12 @@ def r11_all(spark, sf):
         dedup.ded_minhash(spark, sf), "mh",
         F.concat_ws("|", "i", "j",
                     F.round(F.col("jac") * 1000).cast("long"))))
+    out = out.unionByName(_tag(
+        roundtrips.rst_01(spark, sf), "rst",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.unix_micros(F.col("start_date")
+                                  .cast("timestamp")).cast("string"),
+                    "inout_cd")))
     return out.orderBy("tag", "v")
 
 
@@ -1961,6 +1967,12 @@ def _r11_all_oracle() -> str:
          dedup._sdd_oracle()),
         ("mh", cat("i", "j", "CAST(ROUND(jac * 1000) AS BIGINT)"),
          dedup._MINHASH_ORACLE),
+        ("rst", "CAST(encounter_num AS VARCHAR) || '|' || "
+                "CAST(patient_num AS VARCHAR) || '|' || "
+                "CAST(epoch_us(start_date) AS VARCHAR) || '|' || "
+                "inout_cd",
+         __import__("docker_aktin_dwh_spark.operators.roundtrips",
+                    fromlist=["x"])._rst_01_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2115,7 +2127,9 @@ _DOCS = {
     "r11_all": "Round-11 tagged union: SemDeDup semantic dedup "
                "(sdd_01 — k-means clusters + cluster-bounded pairwise "
                "cosine prune, planted duplicates certified through "
-               "the unrolled-SQL Lloyd oracle) + the ded_minhash "
+               "the unrolled-SQL Lloyd oracle), the RESTORE roundtrip "
+               "(rst_01 — metadata-only rollback hash-certified "
+               "against the base selection), and the ded_minhash "
                "CORE50 fold-in (builder verbatim) — same-round driver "
                "certification",
 }

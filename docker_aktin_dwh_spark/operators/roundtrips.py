@@ -305,6 +305,56 @@ SELECT *, 'v0' AS snap FROM base WHERE encounter_num % 3 = 0
 """
 
 
+def rst_01(spark, sf):
+    """RESTORE roundtrip (r11): build the ups_02 table, MERGE the +40d
+    correction (merge-on-read DVs underneath), DELETE a key band, then
+    ``txnlog.restore(version=0)`` — and read the result through the
+    LATEST snapshot.  Oracle = the plain base selection: a hash match
+    certifies the metadata-only rollback reconstructs v0 exactly (file
+    re-references, DV clears, schema) even though the data files were
+    never rewritten.  The CDC-across-restore and audit contracts are
+    pinned in tests/test_txnlog.py.  Reference analogue: restoring the
+    warehouse from a pre-import state after a bad batch (the operator
+    escape hatch a Postgres PITR provides; here it is one commit)."""
+    from ..sources import txnlog
+
+    base = (catalog.visit_dimension(spark, sf)
+            .filter(F.col("encounter_num") < 400)
+            .select("encounter_num", "patient_num", "start_date",
+                    "inout_cd"))
+    tmp = tempfile.mkdtemp(prefix="spark_rst01_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        batch = (base.filter((F.col("encounter_num") >= 100)
+                             & (F.col("encounter_num") < 200))
+                 .select("encounter_num", "patient_num",
+                         (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                          .alias("start_date"),
+                         F.lit("U").alias("inout_cd")))
+        txnlog.merge(spark, path, batch, key="encounter_num")
+        txnlog.delete_range(spark, path, key="encounter_num",
+                            lo=0, hi=50)
+        txnlog.restore(spark, path, version=0)
+        return _snap_off_tmp(
+            txnlog.read_table(spark, path)
+                  .select("encounter_num", "patient_num", "start_date",
+                          "inout_cd"), tmp).orderBy("encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _rst_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """
+SELECT encounter_num, patient_num, start_date, inout_cd
+FROM visit_dimension WHERE encounter_num < 400
+"""
+
+
 def cdc_02(spark, sf):
     """Change-data-feed over the commit-log table format
     (sources/txnlog.table_changes — Delta-CDF shape computed from the
@@ -872,6 +922,10 @@ _DOCS = {
              "format (spark.read.format('txnlog'), versionAsOf time "
              "travel, DV masking in the source; v0 arm through plain "
              "SQL over a temp view)",
+    "rst_01": "RESTORE TO VERSION AS OF roundtrip: metadata-only "
+              "rollback (file re-references + DV clears + schema) as "
+              "one auditable commit; hash-certified against the plain "
+              "base selection",
     "cdc_02": "Change-data feed over the commit-log table format "
               "(Delta-CDF shape from the version-asymmetric file "
               "sets; stats-skipped DELETE + MERGE between versions; "
@@ -911,6 +965,7 @@ def specs() -> list[QuerySpec]:
         "ups_01": _ups_01_oracle(),
         "ups_02": _ups_01_oracle(),
         "ds_01": _ds_01_oracle(),
+        "rst_01": _rst_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),
         "cdc_04": _cdc_04_oracle(),

@@ -1065,32 +1065,44 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
         return _read_files(spark, path, schema, names, snap.files)
 
     old_df = side(old_only, s0)
+    new_df = side(new_only, s1)
     # DV deltas on files COMMON to both snapshots: a merge-on-read
     # commit deletes rows without changing file membership, so the
     # rows in (dv_to \ dv_from) are old-side rows — live at v_from,
-    # dead at v_to.  DVs on a common file only ever GROW (a file is
-    # never re-added under the same name), so the delta is exact.
-    dv_delta: dict[str, list] = {}
+    # dead at v_to.  Ordinary commits only GROW a file's DV, but
+    # RESTORE can shrink it (rolling back a deletion): the rows in
+    # (dv_from \ dv_to) are resurrected — new-side rows.
+    dv_dead: dict[str, list] = {}
+    dv_alive: dict[str, list] = {}
     for fname, st1 in s1.files.items():
         st0 = s0.files.get(fname)
         if st0 is None:
             continue
         d0, d1 = st0.get("dv") or [], st1.get("dv") or []
-        if d1 != d0:
-            delta = _ranges_subtract(d1, d0)
-            if delta:
-                dv_delta[fname] = delta
-    if dv_delta:
+        if d1 == d0:
+            continue
+        dead = _ranges_subtract(d1, d0)
+        if dead:
+            dv_dead[fname] = dead
+        alive = _ranges_subtract(d0, d1)
+        if alive:
+            dv_alive[fname] = alive
+
+    def delta_rows(dvmap: dict[str, list]) -> DataFrame:
         raw = spark.read.schema(schema).parquet(
-            *[os.path.join(path, fn) for fn in sorted(dv_delta)])
-        old_df = old_df.unionByName(
-            _apply_dv(spark, raw, dv_delta, keep_dead=True))
+            *[os.path.join(path, fn) for fn in sorted(dvmap)])
+        return _apply_dv(spark, raw, dvmap, keep_dead=True)
+
+    if dv_dead:
+        old_df = old_df.unionByName(delta_rows(dv_dead))
+    if dv_alive:
+        new_df = new_df.unionByName(delta_rows(dv_alive))
 
     cols = [f.name for f in schema.fields]
     o = old_df.select(F.col(key).alias("_k"),
                       F.struct(*cols).alias("_o"))
-    n = side(new_only, s1).select(F.col(key).alias("_k"),
-                                  F.struct(*cols).alias("_n"))
+    n = new_df.select(F.col(key).alias("_k"),
+                      F.struct(*cols).alias("_n"))
     j = o.join(n, "_k", "full_outer")
 
     def rec(tag: str, image):
@@ -1109,6 +1121,103 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
          .otherwise(F.slice(F.array(rec("insert", F.col("_n"))), 1, 0)))
     return (j.select(F.explode(events).alias("e"))
              .select("e.r.*", "e.change_type"))
+
+
+def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's verb): commit a NEW
+    version whose state — file set, deletion vectors, schema — equals
+    the target version's.  Pure metadata: no data file is read or
+    written; old files re-enter by log reference (vacuum keeps any
+    file referenced by a retained commit, so files a rewrite dropped
+    are still on disk unless history was truncated past them).  The
+    rollback is itself a commit: history stays append-only and
+    auditable (describe_history shows op='restore'), readers pinned on
+    intermediate versions are untouched, and the change feed across
+    the restore classifies resurrected rows as inserts (DV shrink) —
+    table_changes handles the one case where a deletion vector ever
+    shrinks.  Raises if a needed file was already vacuumed away."""
+    def _state(files: dict) -> dict:
+        # normalized comparison: a CLEARED vector ("dv": []) and an
+        # absent one are the same logical state
+        return {n: (s.get("rows"), s.get("kmin"), s.get("kmax"),
+                    tuple(tuple(r) for r in (s.get("dv") or [])))
+                for n, s in files.items()}
+
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        cur = snapshot(path)
+        tgt = snapshot(path, version)
+        if (_state(tgt.files) == _state(cur.files)
+                and tgt.schema_json == cur.schema_json):
+            return cur                         # already that state
+        missing = [n for n in tgt.files
+                   if n not in cur.files
+                   and not os.path.exists(os.path.join(path, n))]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version}: {len(missing)} data file(s) "
+                f"of that version were vacuumed (e.g. {missing[0]}) — "
+                f"unrecoverable; raise keep_last/retention if restores "
+                f"must reach this far back")
+        adds = [{"file": n, **{k: s.get(k) for k in ("rows", "kmin",
+                                                     "kmax")}}
+                for n, s in sorted(tgt.files.items())
+                if n not in cur.files]
+        removes = sorted(n for n in cur.files if n not in tgt.files)
+        dv_actions = []
+        for n, s in sorted(tgt.files.items()):
+            tgt_dv = s.get("dv") or []
+            cur_dv = (cur.files.get(n) or {}).get("dv") or []
+            if n in cur.files and tgt_dv == cur_dv:
+                continue
+            if tgt_dv or cur_dv:
+                # the action carries the COMPLETE vector; an empty
+                # ranges list CLEARS a current DV the target lacked
+                dv_actions.append({"file": n, "ranges": tgt_dv,
+                                   "n": _ranges_count(tgt_dv),
+                                   "n_new": 0})
+        payload: dict = {"op": "restore", "add": adds,
+                         "remove": removes,
+                         "restore_of": tgt.version,
+                         "schema": tgt.schema_json}
+        if dv_actions:
+            payload["dv"] = dv_actions
+        if _try_commit(path, cur.version + 1, payload):
+            return snapshot(path, cur.version + 1)
+    raise CommitConflictError(
+        f"restore lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
+
+
+def clone_table(path: str, dest: str) -> Snapshot:
+    """Zero-copy table clone (the SHALLOW CLONE economics on POSIX):
+    the destination gets a fresh single-commit log referencing
+    HARDLINKED data files — no bytes move, immutability makes sharing
+    safe (neither table ever mutates a data file in place; rewrites
+    create new files), and the clone evolves independently from its
+    own v0 (merge/delete/compact/vacuum on either side never disturb
+    the other — vacuum deletes names, and a hardlinked inode survives
+    until both names drop).  Deletion vectors and the logged schema
+    carry over exactly.  On an object store, swap the hardlink for a
+    path-reference add entry — same protocol shape as Delta's shallow
+    clone.  Control-plane cost: one link(2) per live file."""
+    snap = snapshot(path)
+    os.makedirs(_log_dir(dest), exist_ok=False)
+    adds, dv_actions = [], []
+    for n, s in sorted(snap.files.items()):
+        os.link(os.path.join(path, n), os.path.join(dest, n))
+        adds.append({"file": n, **{k: s.get(k) for k in ("rows", "kmin",
+                                                         "kmax")}})
+        if s.get("dv"):
+            dv_actions.append({"file": n, "ranges": s["dv"],
+                               "n": _ranges_count(s["dv"]), "n_new": 0})
+    payload: dict = {"op": "clone", "add": adds, "remove": [],
+                     "schema": snap.schema_json,
+                     "clone_of": {"path": os.path.abspath(path),
+                                  "version": snap.version}}
+    if dv_actions:
+        payload["dv"] = dv_actions
+    if not _try_commit(dest, 0, payload):   # pragma: no cover
+        raise CommitConflictError(f"clone target {dest} already exists")
+    return snapshot(dest)
 
 
 def truncate_history(path: str, *, keep_last: int = 10,

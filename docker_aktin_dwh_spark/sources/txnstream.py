@@ -104,10 +104,12 @@ class TxnlogStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             with open(_commit_path(self._path, v)) as f:
                 c = json.load(f)
-            if c.get("remove") or c.get("dv"):
+            if c.get("remove") or c.get("dv") or c.get("op") == "restore":
                 # a deletion-vector commit changes rows without
-                # changing file membership — it is a CHANGE commit
-                # exactly like a rewrite and trips the same guard
+                # changing file membership, and a RESTORE re-adds OLD
+                # files (emitting them would re-deliver history) —
+                # both are CHANGE commits exactly like a rewrite and
+                # trip the same guard
                 if self._skip_change:
                     continue        # Delta's skipChangeCommits: the
                     # WHOLE commit is skipped (its adds are rewritten

@@ -60,7 +60,7 @@ UNION_COVERED = frozenset({
     # the union slot — the exact repetition this list exists to trim
     "str_01", "str_05",
     # r11_all branches
-    "ded_minhash", "sdd_01",
+    "ded_minhash", "sdd_01", "rst_01",
 })
 SWEEP_ALL = os.environ.get("SPARK_GRAFT_SWEEP_ALL") == "1"
 

@@ -1006,6 +1006,77 @@ def _body_batch_datasource_parity_with_native_read(spark, tdir):
          .option("versionAsOf", 99).load().count())
 
 
+def _body_restore_rolls_back_state_as_a_new_commit(spark, tdir):
+    """RESTORE (r11): rolls file set, deletion vectors AND schema back
+    to the target version as ONE NEW metadata-only commit — history
+    stays append-only (the rollback is auditable), no data file is
+    read or written, and the change feed across the restore classifies
+    resurrected rows as inserts (the one case a DV ever shrinks)."""
+    txnlog.create_table(spark, _mk(spark, 0, 100)
+                        .repartitionByRange(2, "k"), tdir, key="k")  # v0
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="b"), key="k")  # v1 dv
+    txnlog.delete_range(spark, tdir, key="k", lo=90, hi=100)         # v2 dv
+    wide = _mk(spark, 100, 105, tag="c").withColumn("s", F.lit(1))
+    txnlog.append(spark, wide, tdir, key="k", evolve_schema=True)    # v3
+    v0_rows = {(r.k, r.v) for r in
+               txnlog.read_table(spark, tdir, version=0).collect()}
+
+    snap = txnlog.restore(spark, tdir, version=0)                    # v4
+    assert snap.version == 4, "restore is a NEW commit"
+    got = txnlog.read_table(spark, tdir)
+    assert got.columns == ["k", "v"], "schema restored (s gone)"
+    assert {(r.k, r.v) for r in got.collect()} == v0_rows
+    # intermediate versions still readable (append-only history)
+    assert txnlog.read_table(spark, tdir, version=3).count() == 95
+    # audit row
+    h = {r.version: r for r in
+         txnlog.describe_history(spark, tdir).collect()}
+    assert h[4].op == "restore"
+    # CDC across the restore: the 10 deleted rows (90-99) resurrect as
+    # inserts; the merged rows 10-19 revert b->a (update pre/post)
+    feed = txnlog.table_changes(spark, tdir, 3, 4, key="k")
+    by_type: dict = {}
+    for r in feed.collect():
+        by_type.setdefault(r.change_type, set()).add(r.k)
+    assert by_type["insert"] >= {90, 99}
+    assert by_type["delete"] == {100, 101, 102, 103, 104}
+    assert by_type["update_postimage"] >= {10, 19}
+    # idempotent: restoring to the state we're already in is a no-op
+    assert txnlog.restore(spark, tdir, version=0).version == 4
+
+
+def _body_clone_table_zero_copy_and_independent(spark, tdir):
+    """Zero-copy clone (r11): the destination hardlinks the live data
+    files (same inode — no bytes copied), carries DVs and schema
+    exactly, and evolves independently — a merge on the clone never
+    disturbs the source, and vacuum on either side cannot break the
+    other (the inode survives until both names drop)."""
+    txnlog.create_table(spark, _mk(spark, 0, 100)
+                        .repartitionByRange(2, "k"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 5, 10, tag="b"), key="k")
+    dest = tdir + "_clone"
+    snap = txnlog.clone_table(tdir, dest)
+    assert snap.version == 0
+    src_rows = {(r.k, r.v) for r in txnlog.read_table(spark, tdir).collect()}
+    assert {(r.k, r.v) for r in
+            txnlog.read_table(spark, dest).collect()} == src_rows
+    # zero-copy: same inode for every shared file
+    for n in txnlog.snapshot(dest).files:
+        assert (os.stat(os.path.join(tdir, n)).st_ino
+                == os.stat(os.path.join(dest, n)).st_ino)
+    # independent evolution: merge on the clone, source unchanged
+    txnlog.merge(spark, dest, _mk(spark, 0, 3, tag="z"), key="k")
+    assert {(r.k, r.v) for r in
+            txnlog.read_table(spark, tdir).collect()} == src_rows
+    got = {r.k: r.v for r in txnlog.read_table(spark, dest).collect()}
+    assert got[0] == "z0" and got[5] == "b5" and got[50] == "a50"
+    # vacuum on the source cannot break the clone
+    txnlog.vacuum(tdir, retention_seconds=0)
+    assert {(r.k, r.v) for r in
+            txnlog.read_table(spark, dest).collect()} | set() >= {
+        (0, "z0")}
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
