@@ -2,7 +2,7 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key; 253 keys as of
+               extensions), one callable per key; 255 keys as of
                round 11.  The first 50 keys (registry.CORE50) cover
                every §2 row + the LLM extension inside the driver's
                verification window (SURVEY.md §2.0); fine-grained
@@ -12,7 +12,7 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                verbatim) or rows-only by declared design; new round-11
                operators certify same-round via the r11_all union and
                the ds_01/str_rep slots.
-oracle_sql() — DuckDB-equivalent SQL per key, 247 keys (omitted only
+oracle_sql() — DuckDB-equivalent SQL per key, 249 keys (omitted only
                for the genuinely non-SQL-expressible operators: smp_02
                seeded sample, the raw-pair/raw-top-k ANN and SimHash
                variants (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw —

@@ -1229,9 +1229,18 @@ def str_out(spark, sf):
                  F.unix_micros(F.col("opened").cast("timestamp"))
                   .cast("string"),
                  F.col("closed").cast("string")))
+    # r11: the streaming change-data feed (txnlog_cdc DataSource) —
+    # classified per-version diffs streamed from the commit log,
+    # certified the round it lands (shares cdc_03's oracle shape)
+    j = _tag(SN.str_21(spark, sf), "cdf21",
+             F.concat_ws(
+                 "|", "encounter_num", "patient_num",
+                 F.unix_micros(F.col("start_date").cast("timestamp"))
+                  .cast("string"),
+                 "inout_cd", "change_type", "commit_version"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i)
+            .unionByName(h).unionByName(i).unionByName(j)
             .orderBy("tag", "v"))
 
 
@@ -1283,7 +1292,15 @@ def _str_out_oracle() -> str:
             "CAST(n_events AS VARCHAR) || '|' || "
             "CAST(epoch_us(opened) AS VARCHAR) || '|' || "
             "CAST(closed AS VARCHAR) AS v "
-            f"FROM ({relational._ORACLES['str_07']})")
+            f"FROM ({relational._ORACLES['str_07']})"
+            "\nUNION ALL\nSELECT 'cdf21' AS tag, "
+            "CAST(encounter_num AS VARCHAR) || '|' || "
+            "CAST(patient_num AS VARCHAR) || '|' || "
+            "CAST(epoch_us(start_date) AS VARCHAR) || '|' || "
+            "inout_cd || '|' || change_type || '|' || "
+            "CAST(commit_version AS VARCHAR) AS v FROM ("
+            + __import__("docker_aktin_dwh_spark.operators.roundtrips",
+                         fromlist=["x"])._cdc_03_oracle() + ")")
 
 
 def r7_all(spark, sf):

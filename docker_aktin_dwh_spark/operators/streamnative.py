@@ -959,6 +959,58 @@ FROM vis WHERE encounter_num < 450
 _STR_19_ORACLE = _str19_oracle()
 
 
+def str_21(spark: SparkSession, sf: str) -> DataFrame:
+    """STR-21 streaming CHANGE-DATA-FEED from the transactional table
+    (sources/cdcstream — Delta's readChangeFeed as a stream): the
+    cdc_03 table history (v1 MERGE of updates+inserts, v2 stats-
+    skipped DELETE, v3 re-insert of original values) tailed as a
+    stream of CLASSIFIED per-version diffs — insert / delete /
+    update_preimage / update_postimage, version-tagged — computed on
+    executors from the version-asymmetric file sets and deletion-
+    vector deltas, never a full table read.  This is the CDC form the
+    append-only source's guard points rewrites at; it shares cdc_03's
+    oracle, so the hash certifies streamed ≡ the batch per-version
+    feed including intermediate visibility (delete@2 then insert@3
+    for the re-inserted keys)."""
+    from ..sources import cdcstream, txnlog
+
+    base = tempfile.mkdtemp(prefix="spark_str21_")
+    try:
+        path = base + "/tbl"
+        vis = catalog.visit_dimension(spark, sf).select(
+            "encounter_num", "patient_num", "start_date", "inout_cd")
+        tbl = vis.filter(F.col("encounter_num") < 400)
+        txnlog.create_table(
+            spark, tbl.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        ups = (tbl.filter((F.col("encounter_num") >= 100)
+                          & (F.col("encounter_num") < 200))
+               .select("encounter_num", "patient_num",
+                       (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                        .alias("start_date"),
+                       F.lit("U").alias("inout_cd")))
+        ins = vis.filter((F.col("encounter_num") >= 400)
+                         & (F.col("encounter_num") < 450))
+        txnlog.merge(spark, path, ups.unionByName(ins),
+                     key="encounter_num")                        # v1
+        txnlog.delete_range(spark, path, key="encounter_num",
+                            lo=0, hi=50)                         # v2
+        txnlog.merge(spark, path,
+                     tbl.filter(F.col("encounter_num") < 5),
+                     key="encounter_num")                        # v3
+        cdcstream.register(spark)
+        feed = (spark.readStream.format("txnlog_cdc")
+                .option("path", path)
+                .option("key", "encounter_num").load()
+                .withColumnRenamed("_commit_version", "commit_version"))
+        snap = _materialized(_run_to_parquet(feed, base), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    return snap.orderBy("commit_version", "encounter_num",
+                        "change_type")
+
+
 def str_01(spark: SparkSession, sf: str) -> DataFrame:
     """STR-01 file-arrival source + STR-08 stream–static broadcast
     enrich, streaming-native: 3 chronological chunk files replayed one
@@ -1286,6 +1338,16 @@ def specs() -> list[QuerySpec]:
                   doc=("STR-15 windowed approximate distinct: HLL "
                        "sketch in the streaming state store, bounded "
                        "self-check vs batch exact per finalized window"),
+                  tags=("streaming",)),
+        QuerySpec(key="str_21", fn=str_21,
+                  oracle=__import__(
+                      "docker_aktin_dwh_spark.operators.roundtrips",
+                      fromlist=["x"])._cdc_03_oracle(),
+                  doc=("STR-21 streaming change-data feed from the "
+                       "txnlog table (txnlog_cdc DataSource): "
+                       "classified per-version diffs computed from "
+                       "file-set + DV deltas, streamed ≡ batch "
+                       "(shares cdc_03's oracle)"),
                   tags=("streaming",)),
         QuerySpec(key="str_rep", fn=str_rep, oracle=_str_rep_oracle(),
                   doc=("Streaming-replay union (r11 slot economy): "

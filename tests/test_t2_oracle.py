@@ -61,6 +61,8 @@ UNION_COVERED = frozenset({
     "str_01", "str_05",
     # r11_all branches
     "ded_minhash", "sdd_01", "rst_01",
+    # str_out's cdf21 branch (r11): a full streaming CDC replay
+    "str_21",
 })
 SWEEP_ALL = os.environ.get("SPARK_GRAFT_SWEEP_ALL") == "1"
 
