@@ -60,6 +60,15 @@ Protocol invariants (each one is a test in tests/test_txnlog.py):
   the line, and :func:`compact` folds all DVs; time travel, CDC and
   vacuum stay exact (table_changes reads DV *deltas* on files common
   to both snapshots).
+- **Lakehouse verbs (r11)**: :func:`restore` (RESTORE TO VERSION AS OF
+  — metadata-only rollback of files+DVs+schema+constraints as one
+  auditable commit), :func:`clone_table` (zero-copy hardlink clone,
+  independent evolution), :func:`set_constraint`/:func:`drop_constraint`
+  (CHECK constraints recorded in the log, validated against existing
+  content when added, enforced on every write verb — NULL-filled
+  omitted columns included).  SQL surfaces: sources/txnbatch.py (batch
+  ``spark.read.format("txnlog")`` with versionAsOf) and
+  sources/cdcstream.py (streaming classified change feed).
 """
 
 from __future__ import annotations
@@ -106,11 +115,15 @@ class Snapshot:
     "view updated" and "batch marked applied")."""
 
     def __init__(self, version: int, files: dict[str, dict],
-                 schema_json: str | None, txns: dict[str, int]):
+                 schema_json: str | None, txns: dict[str, int],
+                 constraints: dict[str, str] | None = None):
         self.version = version
         self.files = files
         self.schema_json = schema_json
         self.txns = txns
+        #: CHECK constraints (name → SQL boolean expr) enforced on
+        #: every write verb — Delta's table constraints (r11)
+        self.constraints = constraints or {}
 
 
 def _log_dir(path: str) -> str:
@@ -204,6 +217,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     files: dict[str, dict] = {}
     schema_json: str | None = None
     txns: dict[str, int] = {}
+    constraints: dict[str, str] = {}
     start = 0
     # newest checkpoint at or below the target bounds the replay
     for v in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
@@ -214,6 +228,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             files = dict(ck["files"])
             schema_json = ck.get("schema")
             txns = dict(ck.get("txns", {}))
+            constraints = dict(ck.get("constraints", {}))
             start = v + 1
             break
     for v in versions:
@@ -230,11 +245,13 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             # it supersedes, never appends to, any earlier vector
             files[d["file"]]["dv"] = d["ranges"]
         schema_json = c.get("schema", schema_json)
+        if "constraints" in c:
+            constraints = dict(c["constraints"])   # full map, latest wins
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(t["version"],
                                  txns.get(t["app"], t["version"]))
-    return Snapshot(target, files, schema_json, txns)
+    return Snapshot(target, files, schema_json, txns, constraints)
 
 
 #: Pluggable version-claim backend — the ONE point where the whole
@@ -302,7 +319,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     tmp = os.path.join(_log_dir(path), f".ckpt-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump({"version": version, "files": snap.files,
-                   "schema": snap.schema_json, "txns": snap.txns}, f)
+                   "schema": snap.schema_json, "txns": snap.txns,
+                   "constraints": snap.constraints}, f)
     os.replace(tmp, os.path.join(_log_dir(path), _ckpt_name(version)))
 
 
@@ -482,6 +500,79 @@ def _check_types(snap: Snapshot, df: DataFrame, verb: str) -> None:
             "the frame to the logged types first")
 
 
+def _check_constraints(snap: Snapshot, df: DataFrame,
+                       verb: str) -> None:
+    """Enforce the table's CHECK constraints on an incoming frame —
+    Delta's write-side validation: a row violates a constraint iff the
+    expression evaluates to FALSE (NULL satisfies, standard-SQL CHECK
+    semantics).  One filter+count per constraint over the batch-sized
+    frame, before anything stages."""
+    if not snap.constraints:
+        return
+    # validate the frame AS IT WILL BE STORED: a batch narrower than
+    # the logged schema NULL-fills its missing columns, and those
+    # nulls must face the constraint too (`v IS NOT NULL` on an
+    # omitted v is a violation, not a free pass)
+    logged = StructType.fromJson(json.loads(snap.schema_json))
+    widened = df
+    for fld in logged.fields:
+        if fld.name not in df.columns:
+            widened = widened.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType))
+    for name, expr in sorted(snap.constraints.items()):
+        n_bad = widened.filter(~F.expr(expr)).count()
+        if n_bad:
+            raise ValueError(
+                f"{verb}: {n_bad} row(s) violate CHECK constraint "
+                f"{name!r} ({expr}) — nothing was committed")
+
+
+def set_constraint(spark: SparkSession, path: str, *, name: str,
+                   expr: str) -> Snapshot:
+    """ALTER TABLE ADD CONSTRAINT (Delta's CHECK constraints): record
+    ``expr`` in the log and enforce it on every subsequent write verb.
+    Like Delta, adding a constraint first VALIDATES the existing
+    content — a table already violating it refuses the constraint
+    rather than recording a lie.  The commit carries the full updated
+    constraint map (latest wins, like schema), so checkpoint replay
+    and time travel see the constraints of their version; RESTORE
+    rolls constraints back with the rest of the metadata."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        n_bad = read_table(spark, path).filter(~F.expr(expr)).count()
+        if n_bad:
+            raise ValueError(
+                f"set_constraint: existing table content violates "
+                f"{name!r} ({expr}) on {n_bad} row(s) — refusing to "
+                f"record a constraint the data does not satisfy")
+        merged = {**snap.constraints, name: expr}
+        if _try_commit(path, snap.version + 1,
+                       {"op": "set_constraint", "add": [], "remove": [],
+                        "constraints": merged}):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"set_constraint lost {MERGE_MAX_ATTEMPTS} races at {path}")
+
+
+def drop_constraint(spark: SparkSession, path: str, *,
+                    name: str) -> Snapshot:
+    """ALTER TABLE DROP CONSTRAINT — commits the shrunken map."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        if name not in snap.constraints:
+            raise KeyError(
+                f"drop_constraint: no constraint {name!r} on {path} "
+                f"(have {sorted(snap.constraints)})")
+        merged = {k: v for k, v in snap.constraints.items()
+                  if k != name}
+        if _try_commit(path, snap.version + 1,
+                       {"op": "drop_constraint", "add": [],
+                        "remove": [], "constraints": merged}):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"drop_constraint lost {MERGE_MAX_ATTEMPTS} races at {path}")
+
+
 def append(spark: SparkSession, df: DataFrame, path: str, *,
            key: str, evolve_schema: bool = False,
            txn: tuple[str, int] | None = None) -> Snapshot | None:
@@ -517,6 +608,7 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
             f"append: frame adds columns {new_cols} not in the table "
             f"schema; pass evolve_schema=True to widen the table")
     _check_types(snap, df, "append")
+    _check_constraints(snap, df, "append")
     adds = _stage_data_files(spark, df, path, key, snap.version + 1)
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if new_cols:
@@ -663,6 +755,7 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                     f"table schema; widen first with "
                     f"append(evolve_schema=True)")
             _check_types(snap, batch, "merge")
+            _check_constraints(snap, batch, "merge")
             schema = StructType.fromJson(json.loads(snap.schema_json))
             dv_actions = fold = None
             if touched and n_keys <= MERGE_KEYS_COLLECT_MAX:
@@ -790,6 +883,7 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                     f"the table schema; widen first with "
                     f"append(evolve_schema=True)")
             _check_types(snap, ups, "apply_changes")
+            _check_constraints(snap, ups, "apply_changes")
             touched = [n for n, s in snap.files.items() if hits(s)]
             schema = StructType.fromJson(json.loads(snap.schema_json))
             dv_actions = fold = None
@@ -856,6 +950,7 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
         snap = snapshot(path)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return None                       # already applied
+        _check_constraints(snap, df, "replace_contents")
         adds = _stage_data_files(spark, df, path, key, snap.version + 1)
         payload = {"op": "replace", "add": adds,
                    "remove": sorted(snap.files)}
@@ -1147,7 +1242,8 @@ def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
         cur = snapshot(path)
         tgt = snapshot(path, version)
         if (_state(tgt.files) == _state(cur.files)
-                and tgt.schema_json == cur.schema_json):
+                and tgt.schema_json == cur.schema_json
+                and tgt.constraints == cur.constraints):
             return cur                         # already that state
         missing = [n for n in tgt.files
                    if n not in cur.files
@@ -1178,7 +1274,8 @@ def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
         payload: dict = {"op": "restore", "add": adds,
                          "remove": removes,
                          "restore_of": tgt.version,
-                         "schema": tgt.schema_json}
+                         "schema": tgt.schema_json,
+                         "constraints": tgt.constraints}
         if dv_actions:
             payload["dv"] = dv_actions
         if _try_commit(path, cur.version + 1, payload):
@@ -1211,6 +1308,7 @@ def clone_table(path: str, dest: str) -> Snapshot:
                                "n": _ranges_count(s["dv"]), "n_new": 0})
     payload: dict = {"op": "clone", "add": adds, "remove": [],
                      "schema": snap.schema_json,
+                     "constraints": snap.constraints,
                      "clone_of": {"path": os.path.abspath(path),
                                   "version": snap.version}}
     if dv_actions:
@@ -1242,7 +1340,8 @@ def truncate_history(path: str, *, keep_last: int = 10,
     tmp = os.path.join(log, f".ckpt-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump({"version": cut, "files": snap.files,
-                   "schema": snap.schema_json, "txns": snap.txns}, f)
+                   "schema": snap.schema_json, "txns": snap.txns,
+                   "constraints": snap.constraints}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(log, _ckpt_name(cut)))

@@ -1077,6 +1077,60 @@ def _body_clone_table_zero_copy_and_independent(spark, tdir):
         (0, "z0")}
 
 
+def _body_check_constraints_enforced_on_every_write_verb(spark, tdir):
+    """CHECK constraints (r11, Delta's table constraints): recorded in
+    the log (latest-wins map, checkpoint-carried), validated against
+    EXISTING content when added, enforced on append/merge/apply/
+    replace — including NULL-filled omitted columns (`v IS NOT NULL`
+    on a narrower batch is a violation, not a free pass) — and rolled
+    back by RESTORE with the rest of the metadata."""
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")   # v0
+    txnlog.set_constraint(spark, tdir, name="k_nonneg",
+                          expr="k >= 0")                           # v1
+    txnlog.set_constraint(spark, tdir, name="v_notnull",
+                          expr="v IS NOT NULL")                    # v2
+    assert txnlog.snapshot(tdir).constraints == {
+        "k_nonneg": "k >= 0", "v_notnull": "v IS NOT NULL"}
+
+    # adding a constraint the data violates refuses
+    with pytest.raises(ValueError, match="existing table content"):
+        txnlog.set_constraint(spark, tdir, name="small", expr="k < 10")
+
+    bad = spark.range(-5, -1).coalesce(1).select(
+        F.col("id").alias("k"), F.lit("x").alias("v"))
+    with pytest.raises(ValueError, match="k_nonneg"):
+        txnlog.append(spark, bad, tdir, key="k")
+    with pytest.raises(ValueError, match="k_nonneg"):
+        txnlog.merge(spark, tdir, bad, key="k")
+    with pytest.raises(ValueError, match="k_nonneg"):
+        txnlog.apply_changes(
+            spark, tdir, bad.withColumn("op", F.lit("update")),
+            key="k")
+    with pytest.raises(ValueError, match="k_nonneg"):
+        txnlog.replace_contents(spark, tdir, bad, key="k")
+    # a batch OMITTING v null-fills it -> violates v_notnull
+    narrow = (spark.range(60, 62).coalesce(1)
+              .select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="v_notnull"):
+        txnlog.merge(spark, tdir, narrow, key="k")
+    assert txnlog.snapshot(tdir).version == 2, "no write landed"
+    # a clean batch passes
+    txnlog.merge(spark, tdir, _mk(spark, 10, 15, tag="b"), key="k")  # v3
+    # drop + restore semantics: restore to v1 brings k_nonneg only
+    txnlog.drop_constraint(spark, tdir, name="k_nonneg")             # v4
+    assert txnlog.snapshot(tdir).constraints == {
+        "v_notnull": "v IS NOT NULL"}
+    txnlog.restore(spark, tdir, version=1)                           # v5
+    assert txnlog.snapshot(tdir).constraints == {"k_nonneg": "k >= 0"}
+    # constraints survive checkpoint replay (cross CHECKPOINT_EVERY)
+    for i in range(6):
+        txnlog.append(spark, _mk(spark, 100 + i, 101 + i), tdir,
+                      key="k")                                       # ..v11
+    assert txnlog.snapshot(tdir).constraints == {"k_nonneg": "k >= 0"}
+    with pytest.raises(ValueError, match="k_nonneg"):
+        txnlog.append(spark, bad, tdir, key="k")
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
