@@ -497,6 +497,65 @@ def test_txnstream_layout_constants_match_txnlog():
     assert txnstream._W == txnlog._W
 
 
+def test_datasource_replays_match_txnlog_snapshot():
+    """txnbatch and cdcstream duplicate the checkpoint-bounded replay
+    and the range subtraction for self-containment (their planner
+    processes can't import the package) — the duplicates must stay
+    byte-compatible with txnlog's: same layout constants, same file
+    set, same DV ranges, same schema, and identical range
+    subtraction on every edge shape."""
+    from docker_aktin_dwh_spark.sources import cdcstream, txnbatch
+
+    assert txnbatch._LOG == txnlog._LOG and txnbatch._W == txnlog._W
+    assert cdcstream._LOG == txnlog._LOG and cdcstream._W == txnlog._W
+
+    # range subtraction equivalence on edge shapes
+    cases = [
+        ([[0, 10]], [[3, 5]]),
+        ([[0, 10]], []),
+        ([], [[1, 2]]),
+        ([[0, 3], [7, 9]], [[2, 8]]),
+        ([[0, 100]], [[0, 100]]),
+        ([[5, 5], [7, 7]], [[6, 6]]),
+    ]
+    for a, b in cases:
+        assert cdcstream._sub_ranges(a, b) == txnlog._ranges_subtract(
+            a, b), (a, b)
+
+    # replay equivalence against a real (sparkless) synthetic log:
+    # commits with adds, removes, dv actions, schema evolution and a
+    # checkpoint — written with txnlog's own primitives
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as d:
+        tbl = os.path.join(d, "tbl")
+        os.makedirs(txnlog._log_dir(tbl))
+        sc0 = '{"type":"struct","fields":[]}'
+        txnlog._try_commit(tbl, 0, {
+            "op": "create", "add": [{"file": "a.parquet", "rows": 10,
+                                     "kmin": 0, "kmax": 9}],
+            "remove": [], "schema": sc0})
+        txnlog._try_commit(tbl, 1, {
+            "op": "merge", "add": [{"file": "b.parquet", "rows": 2,
+                                    "kmin": 3, "kmax": 4}],
+            "remove": [], "dv": [{"file": "a.parquet",
+                                  "ranges": [[3, 4]], "n": 2,
+                                  "n_new": 2}]})
+        txnlog._try_commit(tbl, 2, {
+            "op": "delete", "add": [], "remove": ["b.parquet"]})
+        for v in (0, 1, 2):
+            snap = txnlog.snapshot(tbl, v)
+            for mod in (txnbatch, cdcstream):
+                files, schema_json = mod._replay(tbl, v)
+                assert set(files) == set(snap.files), (mod, v)
+                for n in files:
+                    assert (files[n].get("dv") or []) == (
+                        snap.files[n].get("dv") or []), (mod, v, n)
+                import json as _json
+                assert (_json.loads(schema_json)["fields"]
+                        == _json.loads(sc0)["fields"])
+
+
 def _body_txnstream_versions_match_txnlog_listing(spark, tdir):
     from docker_aktin_dwh_spark.sources import txnstream
 
