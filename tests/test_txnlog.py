@@ -1229,7 +1229,7 @@ def txn_outcomes(spark, request, tmp_path_factory):
         except BaseException as e:      # re-raised by the test
             return e
 
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    with ThreadPoolExecutor(max_workers=16) as ex:
         return dict(zip(todo, ex.map(run, todo)))
 
 
