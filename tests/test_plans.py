@@ -421,3 +421,34 @@ def test_jn11_forward_asof_is_one_shuffle_no_nlj(spark):
     plan = plans.formatted_plan(jn_11(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_txnlog_dv_read_plans(spark, tmp_path):
+    """Deletion-vector masking plan contract (r11): a table with NO
+    deletion vectors reads as a PLAIN parquet scan (zero masking
+    overhead — no join node at all); a table WITH a DV masks through
+    exactly one BroadcastHashJoin against the churn-sized DV frame
+    plus a codegen'd exists() filter — never a nested loop, never a
+    shuffle of the data side."""
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr("id AS k",
+                                        "CAST(id AS STRING) AS v")
+    txnlog.create_table(spark, df.coalesce(2), path, key="k")
+    clean = plans.formatted_plan(txnlog.read_table(spark, path))
+    assert "Join" not in clean, clean
+
+    txnlog.merge(spark, path,
+                 spark.range(5, 8).selectExpr("id AS k", "'b' AS v"),
+                 key="k")
+    assert any(s.get("dv")
+               for s in txnlog.snapshot(path).files.values())
+    import re
+    masked = plans.formatted_plan(txnlog.read_table(spark, path))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", masked)) == 1, \
+        masked
+    assert "BroadcastNestedLoopJoin" not in masked, masked
+    assert "CartesianProduct" not in masked, masked
+    # the data side must not shuffle for the mask
+    assert "Exchange hashpartitioning" not in masked, masked
