@@ -1210,14 +1210,20 @@ def substr_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
 
     Scale shape: windows are built per-row in JVM (transform over
     sequence → md5 of slice — no Python, no per-window string shuffle
-    beyond the hash), exploded once and materialized (three consumers:
-    dup-set, per-doc dup counts, per-doc totals — one explode, not
-    three).  The duplicated-hash set is distinct(doc,h) → groupBy(h)
-    (both map-side combinable); the only corpus-sized shuffles are on
-    the window hash — never doc×doc.  ~L× row amplification is the
-    algorithm's inherent cost (same as suffix-array construction);
-    at 100 TB you shard by hash, which is exactly what the groupBy
-    partitioning already does."""
+    beyond the hash), exploded once and immediately crushed by ONE
+    map-side-combinable groupBy(doc, h) into per-doc span counts —
+    the frame that gets materialized is the DISTINCT (doc, h) set
+    with multiplicities, not the raw span stream (r11: pinning the
+    full explode in block storage was the lane's dominant memory
+    traffic; the counted form carries identical information for all
+    three consumers — dup-set, per-doc dup counts, per-doc totals —
+    at the distinct cardinality).  The duplicated-hash set is then
+    groupBy(h) over that counted frame; the only corpus-sized
+    shuffles key on the window hash — never doc×doc.  ~L× row
+    amplification inside the first aggregation is the algorithm's
+    inherent cost (same as suffix-array construction); at 100 TB you
+    shard by hash, which is exactly what the groupBy partitioning
+    already does."""
     toks = tokens("text")
     nwin = F.size(toks) - w + 1
     hashes = F.when(
@@ -1225,15 +1231,15 @@ def substr_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         F.transform(F.sequence(F.lit(1), nwin),
                     lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")))
     ).otherwise(F.array().cast("array<string>"))
-    spans = materialize(
-        docs.select("doc_id", F.explode(hashes).alias("h")))
-    dup = (spans.select("doc_id", "h").distinct()
-                .groupBy("h").count()
-                .filter(F.col("count") >= 2).select("h"))
-    per_doc = (spans.join(dup, "h")
-                    .groupBy("doc_id")
-                    .agg(F.count("*").alias("n_dup_spans")))
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    g = materialize(
+        docs.select("doc_id", F.explode(hashes).alias("h"))
+            .groupBy("doc_id", "h").agg(F.count("*").alias("c")))
+    dup = (g.groupBy("h").count()
+            .filter(F.col("count") >= 2).select("h"))
+    per_doc = (g.join(dup, "h")
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias("n_dup_spans")))
+    totals = g.groupBy("doc_id").agg(F.sum("c").alias("n_spans"))
     return (totals.join(per_doc, "doc_id")
                   .select("doc_id", "n_spans", "n_dup_spans",
                           F.round(F.col("n_dup_spans").cast("double")
