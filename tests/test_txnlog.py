@@ -1104,6 +1104,39 @@ def _body_restore_rolls_back_state_as_a_new_commit(spark, tdir):
     assert txnlog.restore(spark, tdir, version=0).version == 4
 
 
+def _body_restore_respects_retention_boundaries(spark, tdir):
+    """RESTORE vs the retention lifecycle: a target version dropped by
+    truncate_history raises (not in log); a RETAINED version whose
+    files were vacuumed away raises FileNotFoundError BEFORE
+    committing anything — never a commit referencing missing data."""
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")   # v0
+    for i in range(4):                                             # v1-4
+        txnlog.merge(spark, tdir, _mk(spark, 10 * i, 10 * i + 5,
+                                      tag=f"m{i}"), key="k")
+    txnlog.truncate_history(tdir, keep_last=2, retention_seconds=0)
+    with pytest.raises(ValueError, match="not in log"):
+        txnlog.restore(spark, tdir, version=0)
+    # a retained version restores fine after truncation (its files
+    # are still referenced)
+    vkeep = txnlog._list_versions(tdir)[0]
+    before = txnlog.read_table(spark, tdir, version=vkeep).count()
+    txnlog.restore(spark, tdir, version=vkeep)
+    assert txnlog.read_table(spark, tdir).count() == before
+    # simulate a vacuumed-away file for a retained version: remove a
+    # data file only the target still references... all files here are
+    # shared with latest (DV route), so instead delete one live file
+    # and check restore to the CURRENT state still no-ops while a
+    # restore NEEDING a missing file raises
+    snap = txnlog.snapshot(tdir)
+    victim = sorted(snap.files)[0]
+    # rewrite table fully so `victim` leaves the current file set
+    txnlog.replace_contents(spark, tdir,
+                            _mk(spark, 0, 20, tag="z"), key="k")
+    os.remove(os.path.join(tdir, victim))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txnlog.restore(spark, tdir, version=snap.version)
+
+
 def _body_clone_table_zero_copy_and_independent(spark, tdir):
     """Zero-copy clone (r11): the destination hardlinks the live data
     files (same inode — no bytes copied), carries DVs and schema
