@@ -113,10 +113,12 @@ class SQLiteClaimBackend:
                 self._recover(con, target)
                 return False
             con.commit()
-            # 2. we own the version: publish.  Plain copy, NOT rename —
-            #    nothing here relies on POSIX atomicity; the CAS row is
-            #    the authority and a torn publish is repaired by
-            #    recovery from the side file.
+            # 2. we own the version: publish.  Copy to a dot-prefixed
+            #    temp in the log dir, fsync, then os.replace — rename
+            #    gives atomic VISIBILITY (a snapshot() can never list a
+            #    truncated commit), while the CAS row + side file stay
+            #    the recovery authority for a winner that crashes
+            #    before the rename lands.
             self._publish(con, target, side)
             return True
         finally:
@@ -125,16 +127,27 @@ class SQLiteClaimBackend:
     # -- internals ------------------------------------------------------
     def _publish(self, con: sqlite3.Connection, target: str,
                  side: str) -> None:
-        """Copy side → target, flag complete, drop the side file.
-        Publish and recovery can run CONCURRENTLY (a slow winner and a
-        recovering loser): both copy the same immutable bytes, and a
-        side file that vanished mid-way proves the OTHER party already
+        """Copy side → temp → atomic-rename onto target, flag
+        complete, drop the side file.  The rename means a concurrent
+        snapshot() either sees the complete commit bytes or no file at
+        all — never a truncation — matching the POSIX backend's
+        invariant (_posix_link_claim).  Publish and recovery can run
+        CONCURRENTLY (a slow winner and a recovering loser): both
+        stage the same immutable bytes under distinct temp names and
+        os.replace is last-writer-wins over identical content; a side
+        file that vanished mid-way proves the OTHER party already
         landed the target — tolerated, not an error."""
+        tmp = os.path.join(
+            os.path.dirname(target),
+            ".%s.%d.tmp" % (os.path.basename(target), os.getpid()))
         try:
-            shutil.copyfile(side, target)
-            with open(target, "rb") as f:
+            shutil.copyfile(side, tmp)
+            with open(tmp, "rb") as f:
                 os.fsync(f.fileno())
+            os.replace(tmp, target)
         except FileNotFoundError:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
             if not os.path.exists(target):
                 raise               # side lost with nothing published:
                 # genuinely broken (manual tampering) — surface it

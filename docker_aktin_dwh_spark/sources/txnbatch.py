@@ -186,8 +186,18 @@ class TxnlogBatchDataSource(DataSource):
         return StructType.fromJson(json.loads(schema_json))
 
     def reader(self, schema: StructType) -> TxnlogBatchReader:
-        _, schema_json = _replay(self.options["path"], self._version())
-        return TxnlogBatchReader(self.options["path"], self._version(),
+        # Pin a CONCRETE version for latest reads (ADVICE r11): with
+        # version=None, partitions() would replay the log AGAIN at
+        # execution time, so a commit landing between plan and execute
+        # reads a newer file set under the older snapshot's schema — a
+        # non-repeatable read within one query.  Resolving latest →
+        # integer here makes partitions() replay the exact snapshot
+        # the schema came from.
+        version = self._version()
+        if version is None:
+            version = _versions(self.options["path"])[-1]
+        _, schema_json = _replay(self.options["path"], version)
+        return TxnlogBatchReader(self.options["path"], version,
                                  schema_json)
 
 

@@ -623,13 +623,33 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
         # the snapshot so an evolving payload merges ITS schema with
         # whatever schema the winner logged, and a txn-idempotent
         # append notices the winner was its own earlier attempt.
+        prev_constraints = snap.constraints
         snap = snapshot(path)
         v = max(v + 1, snap.version + 1)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             _drop_files(path, adds)
             return None
+        # the winner may have CHANGED the table (ADVICE r11): a
+        # concurrent set_constraint must gate this commit too, and a
+        # concurrent evolving append whose new column's type conflicts
+        # with df's must trip the retype guard — the logged-∪-df
+        # re-merge alone would silently drop it from new_cols and
+        # commit physically retyped files.  Re-validate per attempt,
+        # exactly like merge()/apply_changes() re-derive.
+        try:
+            _check_types(snap, df, "append")
+            if snap.constraints != prev_constraints:
+                _check_constraints(snap, df, "append")
+        except Exception:
+            _drop_files(path, adds)
+            raise
+        logged = {f.name for f in StructType.fromJson(
+            json.loads(snap.schema_json)).fields}
+        new_cols = [c for c in df.columns if c not in logged]
         if new_cols:
             payload["schema"] = _widened_schema(snap, df).json()
+        else:
+            payload.pop("schema", None)
     _drop_files(path, adds)
     raise CommitConflictError(f"append lost {MERGE_MAX_ATTEMPTS * 4} "
                               f"version races at {path}")
@@ -950,6 +970,7 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
         snap = snapshot(path)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return None                       # already applied
+        _check_types(snap, df, "replace_contents")
         _check_constraints(snap, df, "replace_contents")
         adds = _stage_data_files(spark, df, path, key, snap.version + 1)
         payload = {"op": "replace", "add": adds,
@@ -1335,25 +1356,37 @@ def truncate_history(path: str, *, keep_last: int = 10,
     if len(versions) <= keep_last:
         return {"dropped_versions": 0, "removed_files": []}
     cut = versions[-keep_last]
-    snap = snapshot(path, cut)
+    # Checkpoint the state STRICTLY BELOW the cutoff (cut-1), not at
+    # it (ADVICE r11): a checkpoint at cut contains the cut commit's
+    # own post-state, so describe_history could never compare the
+    # oldest retained commit against its true pre-commit state — a
+    # schema evolution in that very commit vanished from the audit
+    # trail.  cut-1 always exists and is contiguous (there is at
+    # least one dropped version below cut); replay of any retained
+    # version v ≥ cut loads this checkpoint and applies commits
+    # cut..v, all of which are retained.
+    pre = cut - 1
+    snap = snapshot(path, pre)
     log = _log_dir(path)
     tmp = os.path.join(log, f".ckpt-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump({"version": cut, "files": snap.files,
+        json.dump({"version": pre, "files": snap.files,
                    "schema": snap.schema_json, "txns": snap.txns,
                    "constraints": snap.constraints}, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(log, _ckpt_name(cut)))
+    os.replace(tmp, os.path.join(log, _ckpt_name(pre)))
     dropped = 0
     for n in os.listdir(log):
         if not n.endswith(".json") or n.startswith("."):
             continue
         v = int(n[:_W])
-        if v < cut:
+        if n.endswith(".ckpt.json"):
+            if v < pre:
+                os.remove(os.path.join(log, n))
+        elif v < cut:
             os.remove(os.path.join(log, n))
-            if not n.endswith(".ckpt.json"):
-                dropped += 1
+            dropped += 1
     return {"dropped_versions": dropped, "cut": cut,
             "removed_files": vacuum(
                 path, retention_seconds=retention_seconds)}
@@ -1398,16 +1431,21 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no txnlog table at {path}")
     rows = []
-    # Seed prev_cols from the newest checkpoint at/below the first
-    # retained version (the same replay source snapshot() uses) —
-    # ADVICE r10: after truncate_history the pre-truncation schema
+    # Seed prev_cols from the newest checkpoint STRICTLY BELOW the
+    # first retained version (the same replay source snapshot() uses)
+    # — ADVICE r10: after truncate_history the pre-truncation schema
     # lives only in the cutoff checkpoint, and a None seed made the
     # first schema-bearing retained commit report schema_changed=False
-    # and lose its new_columns.
+    # and lose its new_columns.  Strictly-below (ADVICE r11): a
+    # periodic checkpoint coinciding with the oldest retained commit
+    # already CONTAINS that commit's schema, so seeding from it would
+    # compare the commit against its own post-state and hide an
+    # evolution in that very commit — the oldest retained commit must
+    # be compared against pre-commit state.
     prev_cols: set[str] | None = None
     for cv in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
                       if n.endswith(".ckpt.json")), reverse=True):
-        if cv <= versions[0]:
+        if cv < versions[0]:
             with open(os.path.join(_log_dir(path), _ckpt_name(cv))) as f:
                 ck = json.load(f)
             if ck.get("schema") is not None:

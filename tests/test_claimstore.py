@@ -120,6 +120,62 @@ def test_crashed_winner_is_completed_by_next_claimant(tmp_path):
     con.close()
 
 
+def test_publish_is_atomically_visible(tmp_path, monkeypatch):
+    """ADVICE r11: _publish used to copy the side file DIRECTLY onto
+    the commit target, so a concurrent snapshot() could list and
+    json.load a half-written commit, and a winner crashing mid-copy
+    left a truncated committed version wedging every reader.  Publish
+    now stages to a dot-prefixed temp + fsync + os.replace: the
+    target either does not exist or holds the complete bytes — never
+    a truncation.  Simulated crash mid-copy: the target must be
+    ABSENT (not torn), the claim stays incomplete, and the normal
+    recovery path repairs it from the side file."""
+    import shutil
+
+    log_dir = str(tmp_path / "_txnlog")
+    os.makedirs(log_dir)
+    db = str(tmp_path / "cas.db")
+    backend = claimstore.SQLiteClaimBackend(db)
+    target = os.path.join(log_dir, f"{3:020d}.json")
+    payload = {"version": 3, "winner": "w", "pad": "x" * 4096}
+
+    real_copy = shutil.copyfile
+    state = {"crashes": 1}
+
+    def torn_copy(src, dst):
+        # crash only the PUBLISH copy (dot-prefixed temp target), not
+        # the side-file copy claim() does first — the crash must land
+        # after the CAS row exists, mid-publish
+        if state["crashes"] and os.path.basename(dst).startswith("."):
+            state["crashes"] -= 1
+            with open(src, "rb") as f, open(dst, "wb") as g:
+                g.write(f.read()[:17])      # half-written temp...
+            raise OSError("simulated crash mid-copy")
+        return real_copy(src, dst)
+
+    monkeypatch.setattr(claimstore.shutil, "copyfile", torn_copy)
+    tmp = os.path.join(log_dir, ".commit-w")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    with pytest.raises(OSError, match="simulated crash"):
+        backend(tmp, target)
+    # the invariant: NO truncated target is ever visible
+    assert not os.path.exists(target), (
+        "a torn publish must never surface at the commit name")
+    # nothing a log reader would pick up: side files don't end in
+    # .json and temp debris is dot-prefixed (both invisible to the
+    # replay filter `endswith('.json') and not startswith('.')`)
+    visible = [n for n in os.listdir(log_dir)
+               if n.endswith(".json") and not n.startswith(".")]
+    assert visible == [], "no reader-visible commit name allowed"
+    # the claim row + side file remain the recovery authority
+    fixed = backend.recover_table(log_dir)
+    assert fixed == [os.path.abspath(target)]
+    with open(target) as f:
+        assert json.load(f) == payload
+    os.remove(tmp)
+
+
 def test_recover_table_sweep(tmp_path):
     """recover_table: the maintenance sweep completes EVERY incomplete
     claim under the table's log dir without waiting for the next

@@ -691,6 +691,66 @@ def test_append_schema_race_remerges_schemas(spark, tdir, monkeypatch):
     assert rows[5] == (None, None)     # pre-evolution NULL-fills both
 
 
+def test_append_race_revalidates_constraints(spark, tdir, monkeypatch):
+    """ADVICE r11: an append that loses its version race to a
+    concurrent set_constraint must re-validate against the FRESH
+    snapshot inside the retry loop — the pre-race check ran before the
+    constraint existed, and committing anyway would land unvalidated
+    rows (a silent constraint violation)."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    real = txnlog._try_commit
+    state = {"injected": False}
+
+    def racing(path, version, payload):
+        if not state["injected"] and payload.get("op") == "append":
+            state["injected"] = True
+            # concurrent writer wins this version with a CHECK the
+            # pending append violates (its keys are 100..109 ≥ 50)
+            txnlog.set_constraint(spark, tdir, name="k_small",
+                                  expr="k < 50")
+        return real(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", racing)
+    with pytest.raises(ValueError, match="violate CHECK constraint"):
+        txnlog.append(spark, _mk(spark, 100, 110, tag="m"), tdir,
+                      key="k")
+    # nothing committed: latest version is the constraint commit, and
+    # content is untouched
+    snap = txnlog.snapshot(tdir)
+    assert snap.version == 1 and "k_small" in snap.constraints
+    assert txnlog.read_table(spark, tdir).count() == 10
+
+
+def test_append_race_revalidates_types(spark, tdir, monkeypatch):
+    """ADVICE r11: an evolving append that loses its race to a
+    concurrent evolving append whose NEW column's type conflicts with
+    ours must trip the retype guard on retry — the schema re-merge
+    alone would drop the column from new_cols (it is now logged) and
+    commit physically retyped files undetected."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    real = txnlog._try_commit
+    state = {"injected": False}
+
+    def racing(path, version, payload):
+        if not state["injected"] and payload.get("op") == "append":
+            state["injected"] = True
+            other = _mk(spark, 100, 110, tag="o").withColumn(
+                "score", F.lit(1))                    # score int
+            txnlog.append(spark, other, tdir, key="k",
+                          evolve_schema=True)
+        return real(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", racing)
+    mine = _mk(spark, 200, 210, tag="m").withColumn(
+        "score", F.lit(2.5))                          # score double
+    with pytest.raises(ValueError, match="retypes logged column"):
+        txnlog.append(spark, mine, tdir, key="k", evolve_schema=True)
+    # the winner's commit stands; ours landed nothing
+    got = txnlog.read_table(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "score"]
+    assert got.count() == 20
+
+
 def test_merge_wide_batch_envelope_pruning(spark, tdir, monkeypatch):
     """VERDICT r9 item 4: above MERGE_KEYS_COLLECT_MAX distinct keys
     the merge must NOT collect the key set — it prunes files by the
@@ -950,6 +1010,53 @@ def _body_describe_history_after_truncation(spark, tdir):
     # the retained pre-evolution commit is NOT flagged (its schema
     # equals the checkpoint seed)
     assert not h[min(h)].schema_changed
+
+
+def _body_describe_history_evolution_at_cutoff(spark, tdir):
+    """ADVICE r11: when the retention checkpoint coincided with the
+    oldest retained commit, that commit's own schema evolution
+    reported schema_changed=False (the checkpoint already contained
+    its post-state).  truncate_history now checkpoints STRICTLY BELOW
+    the cutoff (cut-1) and describe_history seeds from strictly-below
+    checkpoints only, so the oldest retained commit is compared
+    against true pre-commit state."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")   # v0
+    txnlog.append(spark, _mk(spark, 10, 12, tag="b"), tdir, key="k")
+    wide = (_mk(spark, 20, 25, tag="c")
+            .withColumn("score", F.lit(1)))
+    txnlog.append(spark, wide, tdir, key="k",
+                  evolve_schema=True)                              # v2
+    txnlog.append(spark, _mk(spark, 30, 32, tag="d")
+                  .withColumn("score", F.lit(2)), tdir, key="k")   # v3
+    # keep_last=2 → cut=v2: the EVOLVING commit is the oldest retained
+    txnlog.truncate_history(tdir, keep_last=2, retention_seconds=0)
+    h = {r.version: r for r in
+         txnlog.describe_history(spark, tdir).collect()}
+    assert sorted(h) == [2, 3]
+    assert h[2].schema_changed, (
+        "evolution IN the cutoff commit must stay in the audit trail")
+    assert h[2].new_columns == ["score"]
+    assert not h[3].schema_changed
+    # replay below the cut still raises; retained versions replay fine
+    with pytest.raises(ValueError, match="not in log"):
+        txnlog.read_table(spark, tdir, version=1).count()
+    assert txnlog.read_table(spark, tdir, version=2).count() == 17
+
+
+def _body_replace_contents_rejects_retyped_columns(spark, tdir):
+    """ADVICE r11: replace_contents gained _check_constraints in r10
+    but not _check_types, so a frame retyping a logged column staged
+    files whose physical type conflicts with the logged schema — the
+    same commit-time-undetected corruption closed for append/merge,
+    still open on this verb."""
+    txnlog.create_table(spark, _mk(spark, 0, 20), tdir, key="k")
+    retyped = (spark.range(5).coalesce(1)
+               .select(F.col("id").alias("k"),
+                       F.col("id").alias("v")))   # v long, logged string
+    with pytest.raises(ValueError, match="retypes logged column"):
+        txnlog.replace_contents(spark, tdir, retyped, key="k")
+    assert txnlog.snapshot(tdir).version == 0
+    assert txnlog.read_table(spark, tdir).count() == 20
 
 
 def _body_dv_compact_folds_vectors(spark, tdir):
