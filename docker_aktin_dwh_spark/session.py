@@ -63,6 +63,7 @@ def build_session(app_name: str = "docker-aktin-dwh-spark",
                 "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config(NANOS_AS_LONG, "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -86,6 +87,11 @@ def apply_runtime_policy(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                    "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Python DataSource filter pushdown (txnbatch file skipping): with
+    # this off, Spark REFUSES a reader that overrides pushFilters
+    # instead of skipping the pushdown — must be on wherever the
+    # txnlog format might be read.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ship_package(spark)
     return spark
 

@@ -239,7 +239,9 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
         for name in c.get("remove", []):
             files.pop(name, None)
         for a in c.get("add", []):
-            files[a["file"]] = {k: a[k] for k in ("rows", "kmin", "kmax")}
+            files[a["file"]] = {k: a[k] for k in
+                                ("rows", "kmin", "kmax", "cols")
+                                if k in a}
         for d in c.get("dv", []):
             # the action carries the file's COMPLETE (cumulative) DV —
             # it supersedes, never appends to, any earlier vector
@@ -324,26 +326,75 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     os.replace(tmp, os.path.join(_log_dir(path), _ckpt_name(version)))
 
 
+#: longest string min/max recorded in per-column stats; longer values
+#: drop the COLUMN's entry for that file (omission = unprunable =
+#: correct) rather than truncating, because a truncated max
+#: underestimates the interval and would prune files that match
+STATS_STR_MAX = 64
+
+
+def _stats_encode(v):
+    """JSON-encode one footer min/max value; None = not encodable
+    (drop the column's stats for this file)."""
+    import datetime
+    if isinstance(v, bool) or v is None:
+        return None                 # boolean intervals never prune
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= STATS_STR_MAX else None
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "d", "v": v.isoformat()}
+    return None
+
+
+def _stats_decode(v):
+    import datetime
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v.get("t") == "d":
+            return datetime.date.fromisoformat(v["v"])
+    return v
+
+
 def _file_stats(fpath: str, key: str) -> dict:
-    """rows + merge-key min/max from the parquet FOOTER (no data scan;
-    catalog.table_row_count's discipline).  Missing statistics fall
-    back to an unbounded interval — correct, just unprunable."""
+    """rows + merge-key min/max + PER-COLUMN [min, max] intervals from
+    the parquet FOOTER (no data scan; catalog.table_row_count's
+    discipline).  Missing statistics fall back to an unbounded
+    interval — correct, just unprunable.
+
+    The ``cols`` map (VERDICT r11 item 4) is what lets the READ path
+    skip files on any predicate column, not just the merge key: at
+    100 TB a table has tens of thousands of files and a selective
+    non-key filter should open only the interval-hit ones — Delta
+    records the same per-column min/max in its add actions."""
     import pyarrow.parquet as pq
     md = pq.ParquetFile(fpath).metadata
-    kmin = kmax = None
-    try:
-        idx = md.schema.to_arrow_schema().get_field_index(key)
-    except (KeyError, ValueError):
-        idx = -1
-    if idx >= 0:
+    arrow_schema = md.schema.to_arrow_schema()
+    per: dict[str, list] = {}
+    for idx, name in enumerate(arrow_schema.names):
+        cmin = cmax = None
+        ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                kmin = kmax = None
+                ok = False
                 break
-            kmin = st.min if kmin is None else min(kmin, st.min)
-            kmax = st.max if kmax is None else max(kmax, st.max)
-    return {"rows": md.num_rows, "kmin": kmin, "kmax": kmax}
+            cmin = st.min if cmin is None else min(cmin, st.min)
+            cmax = st.max if cmax is None else max(cmax, st.max)
+        if not ok or md.num_row_groups == 0:
+            continue
+        lo, hi = _stats_encode(cmin), _stats_encode(cmax)
+        if lo is not None and hi is not None:
+            per[name] = [lo, hi]
+    kiv = per.get(key)
+    return {"rows": md.num_rows,
+            "kmin": kiv[0] if kiv else None,
+            "kmax": kiv[1] if kiv else None,
+            "cols": per}
 
 
 def _stage_data_files(spark: SparkSession, df: DataFrame, path: str,
@@ -448,8 +499,48 @@ def _read_files(spark: SparkSession, path: str, schema: StructType,
     return _apply_dv(spark, df, dvmap)
 
 
+def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
+    """Can a file with these per-column stats contain a row satisfying
+    ``col <op> val``?  True (keep the file) whenever the answer is
+    not provably no — missing stats, un-stats'd column, or a type
+    mismatch all keep the file (skipping is an optimization, never a
+    correctness lever)."""
+    iv = (stats.get("cols") or {}).get(col)
+    if iv is None:
+        return True
+    lo, hi = _stats_decode(iv[0]), _stats_decode(iv[1])
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True                 # incomparable literal: no pruning
+    return True                     # unknown op: no pruning
+
+
+def prune_files(snap: Snapshot,
+                filters: list[tuple[str, str, object]]) -> list[str]:
+    """The live files of ``snap`` that can contain a row satisfying
+    ALL of ``filters`` (conjunction of ``(col, op, literal)`` with op
+    ∈ {=, <, <=, >, >=}), judged by the per-column [min, max]
+    intervals each commit records from the parquet footers
+    (_file_stats).  Control-plane only — no file is opened."""
+    return [n for n in sorted(snap.files)
+            if all(_interval_hit(snap.files[n], c, o, v)
+                   for c, o, v in filters)]
+
+
 def read_table(spark: SparkSession, path: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None, *,
+               filters: list[tuple[str, str, object]] | None = None
+               ) -> DataFrame:
     """DataFrame over exactly the files live at ``version`` (default
     latest) — snapshot-isolated, lock-free.  Reads under the LOGGED
     schema of that version (the log, not the files, is the source of
@@ -459,13 +550,21 @@ def read_table(spark: SparkSession, path: str,
     pre-evolution version reads under THAT version's narrower
     schema.  Rows covered by a deletion vector at that version are
     masked (merge-on-read); rows DV'd only in LATER versions are
-    still visible — time travel sees them alive."""
+    still visible — time travel sees them alive.
+
+    ``filters`` (VERDICT r11 item 4) skips files whose recorded
+    per-column [min, max] interval cannot satisfy the conjunction —
+    FILE-granular pruning only: the caller still applies the same
+    predicate row-level (`.filter(...)`), exactly like Delta's data
+    skipping leaves the residual predicate in the scan.  At 100 TB
+    this is the difference between opening every file of a
+    10k-file table and opening the interval-hit handful."""
     snap = snapshot(path, version)
     schema = StructType.fromJson(json.loads(snap.schema_json))
-    if not snap.files:
+    keep = prune_files(snap, filters) if filters else sorted(snap.files)
+    if not keep:
         return spark.createDataFrame([], schema)
-    return _read_files(spark, path, schema, sorted(snap.files),
-                       snap.files)
+    return _read_files(spark, path, schema, keep, snap.files)
 
 
 def _widened_schema(snap: Snapshot, df: DataFrame) -> StructType:

@@ -190,7 +190,9 @@ def _body_checkpoint_bounds_log_replay(spark, tdir):
         for name in c.get("remove", []):
             files.pop(name, None)
         for a in c.get("add", []):
-            files[a["file"]] = {k: a[k] for k in ("rows", "kmin", "kmax")}
+            files[a["file"]] = {k: a[k] for k in
+                                ("rows", "kmin", "kmax", "cols")
+                                if k in a}
     assert snap.files == files
     n = txnlog.read_table(spark, tdir).count()
     assert n == 10 + 5 * (txnlog.CHECKPOINT_EVERY + 2)
