@@ -880,7 +880,11 @@ def text_all(spark, sf):
     never want four scans for four columns)."""
     from ..functions.textfns import tokens
     d = T(spark, sf, "documents")
-    tok = tokens("text")
+    # tokens bound to a column (r12, the col_01 finding): the union
+    # projection reads the array ~8 times (counts, stop filter, one
+    # vote filter per language) — bound, one tokenize per row
+    d = d.select("doc_id", "lang", "text", tokens("text").alias("_tk"))
+    tok = F.col("_tk")
     all_stops = tuple(sorted({w for ws in textops.STOPWORDS.values()
                               for w in ws}))
     stop_cnt = F.size(F.filter(tok, lambda t: t.isin(*all_stops)))

@@ -40,13 +40,18 @@ def _kept(spark, sf):
     MAX_STOP_RATIO — shared by every pipe_* chain so the gate always
     prunes before any shingle explode."""
     d = catalog.load(spark, sf, "documents")
-    tok = tokens("text")
+    # tokens bound to a column first (r12, the col_01 finding): the
+    # gate reads the array three times — bound, that is one tokenize
+    # per row instead of three
+    tok = F.col("_tk")
     from .textops import STOPWORDS
     all_stops = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
     n_tok = F.size(tok)
     stop_ratio = (F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
                   / n_tok.cast("double"))
-    return (d.filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
+    return (d.select("doc_id", "lang", "text",
+                     tokens("text").alias("_tk"))
+             .filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
              .select("doc_id", "lang", "text", n_tok.alias("n_tokens")))
 
 

@@ -65,14 +65,17 @@ def bm25_01(spark, sf):
     and idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Robertson/
     Spärck Jones form Lucene uses."""
     d = T(spark, sf, "documents")
-    tok = tokens("text")
+    # tokens bound to a column first (r12): each tf term filter would
+    # otherwise inline the regex tokenizer — |terms|+1 tokenizes per
+    # row instead of one (the col_01 finding)
+    tok = F.col("_tk")
 
     def tf_col(term):
         # closure (not a default-arg lambda): a 2-arg HOF lambda would
         # be the (element, index) form and Spark would pass the INDEX
         return F.size(F.filter(tok, lambda x: x == F.lit(term)))
 
-    base = d.select(
+    base = d.select("doc_id", tokens("text").alias("_tk")).select(
         "doc_id",
         F.size(tok).cast("double").alias("dl"),
         *[tf_col(t).cast("double").alias(f"tf_{t}") for t in _ALL_TERMS])

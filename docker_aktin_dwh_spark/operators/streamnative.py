@@ -914,7 +914,7 @@ def str_19(spark: SparkSession, sf: str) -> DataFrame:
     rewriting commit raises (append-only source; both pinned in
     tests/test_txnlog.py)."""
     from ..sources import txnlog
-    from ..sources.txnstream import TxnlogStreamDataSource
+    from ..sources import txnstream as _txnstream
 
     base = tempfile.mkdtemp(prefix="spark_str19_")
     try:
@@ -932,7 +932,7 @@ def str_19(spark: SparkSession, sf: str) -> DataFrame:
             spark, vis.filter((F.col("encounter_num") >= 350)
                               & (F.col("encounter_num") < 450)),
             path, key="encounter_num")
-        spark.dataSource.register(TxnlogStreamDataSource)
+        _txnstream.register(spark)
         stream = (spark.readStream.format("txnlog_stream")
                   .option("path", path).load()
                   .withColumnRenamed("_commit_version", "commit_version"))

@@ -50,15 +50,20 @@ def text_tokens(spark, sf):
 
 
 def text_quality(spark, sf):
-    """Quality scoring: token count, stopword ratio, mean token length."""
+    """Quality scoring: token count, stopword ratio, mean token length.
+
+    Tokens BOUND to a column first (r12): used four times in the
+    projection, the raw expression would re-run the regex tokenizer
+    per use (the col_01 finding)."""
     d = T(spark, sf, "documents")
-    tok = tokens("text")
+    tok = F.col("_tk")
     all_stops = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
     stop_cnt = F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
     n_tok = F.size(tok)
     mean_len = F.round((F.length(F.trim("text")) - (n_tok - 1))
                        / n_tok.cast("double"), 4)
-    return (d.select("doc_id",
+    return (d.select("doc_id", "text", tokens("text").alias("_tk"))
+             .select("doc_id",
                      n_tok.alias("n_tokens"),
                      stop_cnt.alias("stop_cnt"),
                      F.round(stop_cnt / n_tok.cast("double"), 4).alias("stop_ratio"),
@@ -67,9 +72,11 @@ def text_quality(spark, sf):
 
 
 def text_langid(spark, sf):
-    """Language ID: stopword-profile vote, fixed-order argmax."""
+    """Language ID: stopword-profile vote, fixed-order argmax.  Tokens
+    bound to a column (one tokenize per row, not one per language)."""
     d = T(spark, sf, "documents")
-    tok = tokens("text")
+    d = d.select("doc_id", "lang", tokens("text").alias("_tk"))
+    tok = F.col("_tk")
     votes = {lang: F.size(F.filter(tok, lambda t: t.isin(*ws)))
              for lang, ws in STOPWORDS.items()}
     # strict-majority cascade in fixed LANG_ORDER: first language whose
@@ -224,9 +231,11 @@ def qrep_01(spark, sf):
     the corpus).  The standard repetition-quality gate ahead of
     training-corpus assembly."""
     d = T(spark, sf, "documents")
-    t = tokens("text")
+    # tokens bound first (r12): the projection reads the array four
+    # times — one tokenize per row, not four
+    t = F.col("_tk")
     n = F.size(t)
-    base = d.select(
+    base = d.select("doc_id", tokens("text").alias("_tk")).select(
         "doc_id", t.alias("t"), n.alias("n_tokens"),
         F.round((n - F.size(F.array_distinct(t))) / n.cast("double"), 4)
          .alias("dup_tok_ratio"))
@@ -288,11 +297,14 @@ def lm_01(spark, sf):
     the frequency table is the broadcast/bucketed side, the corpus is
     probed in place."""
     d = T(spark, sf, "documents")
-    t = tokens("text")
+    # tokens bound first (r12): filter + two slices would inline the
+    # tokenizer three times per row
+    t = F.col("_tk")
     n = F.size(t)
     bg_expr = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
                          lambda x, y: F.concat_ws(" ", x, y))
-    per_doc = (d.filter(n >= 2)
+    per_doc = (d.select("doc_id", tokens("text").alias("_tk"))
+                .filter(n >= 2)
                 .select("doc_id", F.explode(bg_expr).alias("bg")))
     freq = per_doc.groupBy("bg").agg(F.count("*").alias("c"))
     return (per_doc.join(freq, "bg")
@@ -934,19 +946,28 @@ def col_01(spark, sf):
     the exact BIGINT quotient, all values positive so trunc ≡
     floor ≡ DuckDB's ``//``."""
     d = T(spark, sf, "documents")
-    toks = tokens("text")
-    n = F.size(toks)
+    # BIND the token array to a column before the pair transform (r12,
+    # VERDICT r11 item 3 — measured 5.4 s → 0.7 s at sf0.1): a lambda
+    # over the raw ``tokens("text")`` EXPRESSION inlines the regex
+    # tokenizer into every element_at call, re-tokenizing the document
+    # once per bigram element; a bound column evaluates it once per
+    # row.  (Dictionary/xxhash64-encoding the shuffle was A/B'd and
+    # LOST — 6.1 s vs 0.7 s — because the tokenize-inlining was the
+    # real cost, not shuffle width; map-side combine already reduces
+    # the shuffle to per-task-distinct pairs.)
+    tk = F.col("tk")
+    n = F.size(tk)
     pairs = F.when(n >= 2, F.transform(
         F.sequence(F.lit(1), n - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
-                           F.element_at(toks, i + 1).alias("w2")))
+        lambda i: F.struct(F.element_at(tk, i).alias("w1"),
+                           F.element_at(tk, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bg = (d.select(tokens("text").alias("tk"))
+           .select(F.explode(pairs).alias("p")).select("p.w1", "p.w2"))
     # cnt feeds four consumers, but they share one subplan and Spark
     # serves them through a ReusedExchange — measured: a materialize
-    # barrier here does NOT change the 5.2 s sf0.1 cost (unlike
-    # bm25_01's tf frame, whose consumers had divergent subplans).
-    # The cost IS the one corpus bigram explode+groupBy.
+    # barrier here does NOT change the cost.  The cost IS the one
+    # corpus bigram explode+groupBy.
     cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     m1 = cnt.groupBy("w1").agg(F.sum("n").alias("cx"))
     m2 = cnt.groupBy("w2").agg(F.sum("n").alias("cy"))

@@ -298,7 +298,18 @@ class TxnlogCdcDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(TxnlogCdcDataSource)
+    # once per session under a lock: DataSourceManager.register
+    # REPLACES an existing entry, so re-registering from a pooled
+    # worker thread opens a lookup-miss window for queries mid-plan
+    # on other threads (see txnbatch.register)
+    with _REGISTER_LOCK:
+        if spark not in _REGISTERED:
+            spark.dataSource.register(TxnlogCdcDataSource)
+            _REGISTERED.add(spark)
+
+
+_REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED = __import__("weakref").WeakSet()
 
 
 def _register_by_value() -> None:

@@ -188,11 +188,13 @@ def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
 
 class TxnlogBatchReader(DataSourceReader):
     def __init__(self, table: str, version: int | None,
-                 schema_json: str):
+                 schema_json: str, skipping: bool = False,
+                 pruning: list | None = None):
         self._table = table
         self._version = version
         self._schema_json = schema_json
-        self._pruning: list[tuple[str, str, object]] = []
+        self._skipping = skipping
+        self._pruning: list[tuple[str, str, object]] = pruning or []
 
     def pushFilters(self, filters):
         """File-skipping pushdown (Spark 4.1 DataSource filter API):
@@ -202,7 +204,25 @@ class TxnlogBatchReader(DataSourceReader):
         partitions() emits only interval-hit files.  EVERY filter is
         returned as residual — the skip is file-granular, Spark still
         applies the row-level predicate (Delta's data-skipping
-        contract)."""
+        contract).
+
+        OPT-IN via ``.option("dataSkipping", "true")``, because Spark
+        4.1's PythonDataSourceV2 caches ONE read plan per relation
+        and `PythonScanBuilder.pushFilters` OVERWRITES it
+        (setReadInfo): a filter-dependent partition list makes a
+        later, differently-filtered query on the SAME loaded
+        DataFrame silently reuse the pruned file set — e.g.
+        ``r.filter(...).count(); r.count()`` returns the pruned
+        count (verified against a minimal pure datasource; upstream
+        bug, not protocol-specific).  Default off = the partition
+        list never depends on pushed filters = plan reuse is always
+        correct.  Turn it on for one-shot relations (load → one
+        query), or use the always-safe explicit routes:
+        ``option("filters", json)`` (pruning pinned at load, every
+        query on the relation sees the same declared subset) or
+        ``txnlog.read_table(filters=...)``."""
+        if not self._skipping:
+            return filters
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
                                             GreaterThanOrEqual,
                                             LessThan, LessThanOrEqual)
@@ -227,6 +247,11 @@ class TxnlogBatchReader(DataSourceReader):
         # executor-side: one parquet file -> Arrow batches aligned to
         # the LOGGED schema (pre-evolution files NULL-fill the added
         # columns) with the deletion vector masked — all vectorized.
+        if partition is None:
+            # pruning (or an empty table) eliminated every file:
+            # pyspark substitutes [None] for an empty partition list
+            # (plan_data_source_read.py) — zero rows, not a crash
+            return
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType as _ST
@@ -277,23 +302,34 @@ def _stats_encode(v):
 
 def _file_stats(fpath: str, key: str | None) -> dict:
     """Mirror of txnlog._file_stats: rows + key interval + per-column
-    [min, max] from the parquet footer (no data scan)."""
+    [min, max] from the parquet footer (no data scan).  Accumulates by
+    LEAF path — row-group chunks enumerate parquet leaves, so nested
+    columns shift positional indexing (see txnlog._file_stats); only
+    top-level primitives (no dot in the path) record an interval."""
     import pyarrow.parquet as pq
     md = pq.ParquetFile(fpath).metadata
-    names = md.schema.to_arrow_schema().names
-    per: dict[str, list] = {}
-    for idx, name in enumerate(names):
-        cmin = cmax = None
-        ok = md.num_row_groups > 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
             if st is None or not st.has_min_max:
-                ok = False
-                break
-            cmin = st.min if cmin is None else min(cmin, st.min)
-            cmax = st.max if cmax is None else max(cmax, st.max)
-        if not ok:
-            continue
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    per: dict[str, list] = {}
+    for name, (cmin, cmax) in acc.items():
         lo, hi = _stats_encode(cmin), _stats_encode(cmax)
         if lo is not None and hi is not None:
             per[name] = [lo, hi]
@@ -586,8 +622,11 @@ class TxnlogBatchDataSource(DataSource):
     :func:`register` (or ``spark.dataSource.register``):
 
     - read:  ``spark.read.format("txnlog").option("path", p)
-      [.option("versionAsOf", n)]`` with footer-stats file skipping
-      on pushed comparison filters,
+      [.option("versionAsOf", n)]``; footer-stats file skipping via
+      ``option("filters", '[["col", ">=", lit], ...]')`` (pinned at
+      load — always safe) or ``option("dataSkipping", "true")``
+      (pushed-filter pruning for one-shot relations; see
+      TxnlogBatchReader.pushFilters for why it is opt-in),
     - write: ``df.write.format("txnlog").option("path", p)
       .mode("append"|"overwrite")`` (creates the table when no log
       exists; ``option("key", k)`` names the merge key,
@@ -662,17 +701,55 @@ class TxnlogBatchDataSource(DataSource):
         if version is None:
             version = _versions(self.options["path"])[-1]
         _, schema_json = _replay(self.options["path"], version)
+        skipping = str(self.options.get("dataSkipping",
+                                        "false")).lower() == "true"
+        pruning = None
+        declared = self.options.get("filters")
+        if declared is not None:
+            # load-time declared pruning: [(col, op, literal), ...] as
+            # JSON — pinned at load, so EVERY query on this relation
+            # sees the same subset (safe under Spark's one-plan-per-
+            # relation caching, unlike pushFilters; see pushFilters)
+            pruning = [tuple(f) for f in json.loads(declared)]
         return TxnlogBatchReader(self.options["path"], version,
-                                 schema_json)
+                                 schema_json, skipping=skipping,
+                                 pruning=pruning)
 
 
 def register(spark) -> None:
     """Idempotently register the batch source on a session.  Also
     enables the Python DataSource filter-pushdown conf (runtime-
     settable): with it off, Spark REFUSES any reader that overrides
-    pushFilters rather than silently skipping the pushdown."""
+    pushFilters rather than silently skipping the pushdown.
+
+    Pins the JVM active session for the CALLING thread too: the
+    WRITE-path lookup of Python data sources goes through the JVM's
+    thread-local active session, so ``df.write.format("txnlog")``
+    from a Python worker thread (py4j pins each Python thread to its
+    own JVM thread) raises DATA_SOURCE_NOT_FOUND unless that thread's
+    active session is set — the read path resolves through the
+    default session and never trips this.  Callers that register on
+    one thread and write on another should call register() (cheap,
+    idempotent) on the writing thread."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession)
+    except Exception:       # pragma: no cover - connect-mode sessions
+        pass
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(TxnlogBatchDataSource)
+    # register once per session: DataSourceManager.register REPLACES
+    # an existing entry (remove+put), so re-registering from a worker
+    # thread opens a lookup-miss window for queries mid-plan on other
+    # threads — observed as flaky DATA_SOURCE_NOT_FOUND under pooled
+    # tests
+    with _REGISTER_LOCK:
+        if spark not in _REGISTERED:
+            spark.dataSource.register(TxnlogBatchDataSource)
+            _REGISTERED.add(spark)
+
+
+_REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED = __import__("weakref").WeakSet()
 
 
 def _register_by_value() -> None:

@@ -373,20 +373,35 @@ def _file_stats(fpath: str, key: str) -> dict:
     records the same per-column min/max in its add actions."""
     import pyarrow.parquet as pq
     md = pq.ParquetFile(fpath).metadata
-    arrow_schema = md.schema.to_arrow_schema()
-    per: dict[str, list] = {}
-    for idx, name in enumerate(arrow_schema.names):
-        cmin = cmax = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+    # Accumulate by the LEAF path, not the arrow field index: row-group
+    # column chunks enumerate parquet LEAVES, so any nested column
+    # (struct/list) shifts positional indexing and attributes another
+    # column's interval — which would prune files that DO match.  Only
+    # top-level primitives (path == field name, no dot) get stats;
+    # nested leaves ("s.x", "emb.list.element") are skipped — their
+    # parent column is simply unprunable, which is always correct.
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
             if st is None or not st.has_min_max:
-                ok = False
-                break
-            cmin = st.min if cmin is None else min(cmin, st.min)
-            cmax = st.max if cmax is None else max(cmax, st.max)
-        if not ok or md.num_row_groups == 0:
-            continue
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    per: dict[str, list] = {}
+    for name, (cmin, cmax) in acc.items():
         lo, hi = _stats_encode(cmin), _stats_encode(cmax)
         if lo is not None and hi is not None:
             per[name] = [lo, hi]

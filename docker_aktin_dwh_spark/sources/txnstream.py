@@ -184,6 +184,22 @@ class TxnlogStreamDataSource(DataSource):
                                   == "true")
 
 
+def register(spark) -> None:
+    """Idempotently register the stream source — once per session
+    under a lock: DataSourceManager.register REPLACES an existing
+    entry, so re-registering from a pooled worker thread opens a
+    lookup-miss window for queries mid-plan on other threads (see
+    txnbatch.register)."""
+    with _REGISTER_LOCK:
+        if spark not in _REGISTERED:
+            spark.dataSource.register(TxnlogStreamDataSource)
+            _REGISTERED.add(spark)
+
+
+_REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED = __import__("weakref").WeakSet()
+
+
 def _register_by_value() -> None:
     """Make this module's classes cloudpickle BY VALUE so the data
     source survives processes that never see our package on sys.path

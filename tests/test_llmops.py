@@ -146,14 +146,17 @@ def _hv_semdedup_cluster_bounded_and_finds_planted(spark):
     # cluster-boundedness: recompute the assignment and compare the
     # candidate count against the corpus quadratic
     from docker_aktin_dwh_spark.operators.similarity import (
-        KM_ITERS, _km_assign, _km_seed_centroids, _km_update)
+        KM_ITERS, SDD_TARGET_CLUSTER_ROWS, _km_assign,
+        _km_seed_centroids, _km_update, sdd_k)
     base = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("x"))
     planted = (base.filter(F.col("vec_id") % dedup.EMBED2_STRIDE == 0)
                .select((F.col("vec_id") + offset).alias("vec_id"),
                        F.col("x")))
     pts = base.unionByName(planted)
-    cents = _km_seed_centroids(pts)
+    k = sdd_k(corpus)           # the operator's own scale-aware K (r12)
+    assert k == max(8, -(-corpus // SDD_TARGET_CLUSTER_ROWS))
+    cents = _km_seed_centroids(pts, k=k)
     for _ in range(KM_ITERS):
         cents = _km_update(_km_assign(pts, cents))
     sizes = [r.n for r in _km_assign(pts, cents)
@@ -163,6 +166,13 @@ def _hv_semdedup_cluster_bounded_and_finds_planted(spark):
     assert candidates < quadratic / 3, (
         f"cluster-bounded candidate count {candidates} must be well "
         f"under the corpus quadratic {quadratic}")
+    # the r12 contract: with K ∝ N the PER-CLUSTER expectation is the
+    # constant target, so candidates stay within a small multiple of
+    # the linear bound N·(target−1)/2 even under imbalanced clusters
+    linear_bound = corpus * (SDD_TARGET_CLUSTER_ROWS - 1) / 2
+    assert candidates <= 12 * linear_bound, (
+        f"candidate count {candidates} vs linear bound {linear_bound}:"
+        f" clustering degenerated to corpus-quadratic")
 
 
 def test_exact_dedup_keeps_min_doc_id(spark):

@@ -1332,6 +1332,238 @@ def _body_check_constraints_enforced_on_every_write_verb(spark, tdir):
         txnlog.append(spark, bad, tdir, key="k")
 
 
+def _body_writer_datasource_create_append_overwrite(spark, tdir):
+    """The write surface (r12, VERDICT r11 item 1):
+    ``df.write.format("txnlog")`` CREATES a table when no log exists
+    (option("key") recording the merge key), mode("append") appends,
+    mode("overwrite") replaces contents — each an atomic commit that
+    txnlog's native verbs read back exactly, with footer stats (key
+    interval + per-column cols map) recorded on every added file."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnbatch.register(spark)
+    (_mk(spark, 0, 100).write.format("txnlog")
+     .option("path", tdir).option("key", "k").mode("append").save())
+    assert txnbatch._replay_meta(tdir, None)[4] == "k", \
+        "create-by-write records the merge key"
+    assert txnlog.read_table(spark, tdir).count() == 100
+    (_mk(spark, 100, 150, tag="b").write.format("txnlog")
+     .option("path", tdir).mode("append").save())
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 150
+    assert got.filter(F.col("v").startswith("b")).count() == 50
+    # every writer-staged file carries stats usable by MERGE and
+    # by the read path's pruning
+    snap = txnlog.snapshot(tdir)
+    for st in snap.files.values():
+        assert st["kmin"] is not None and "k" in st["cols"]
+    # native MERGE composes with writer-created tables (data skipping
+    # runs off the writer's recorded intervals)
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="m"), key="k")
+    assert txnlog.read_table(spark, tdir) \
+        .filter(F.col("v").startswith("m")).count() == 10
+    (_mk(spark, 0, 7, tag="o").write.format("txnlog")
+     .option("path", tdir).mode("overwrite").save())
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 7
+    assert got.filter(~F.col("v").startswith("o")).count() == 0
+    # overwrite was a commit, not a reset: time travel still works
+    assert txnlog.read_table(spark, tdir, version=1).count() == 150
+
+
+def _body_writer_datasource_guards(spark, tdir):
+    """Writer-path safety gates (same contract as the Python verbs):
+    new columns need evolveSchema, retyped columns are rejected at
+    commit time, CHECK constraints gate the commit (validated via
+    duckdb over the staged parquet — including NULL-filled omitted
+    columns), and a failed write leaves NO live change and no staged
+    orphan garbage."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnbatch.register(spark)
+    (_mk(spark, 0, 50).write.format("txnlog")
+     .option("path", tdir).option("key", "k").mode("append").save())
+    wide = _mk(spark, 50, 60).withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="evolveSchema"):
+        (wide.write.format("txnlog").option("path", tdir)
+         .mode("append").save())
+    (wide.write.format("txnlog").option("path", tdir)
+     .option("evolveSchema", "true").mode("append").save())
+    got = txnlog.read_table(spark, tdir)
+    assert got.columns == ["k", "v", "extra"] and got.count() == 60
+    retyped = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))  # v long, logged string
+    with pytest.raises(Exception, match="retypes"):
+        (retyped.write.format("txnlog").option("path", tdir)
+         .mode("append").save())
+    # constraint arm on its own table where the constraint HOLDS on
+    # existing content, then a NARROWER batch omits the column ->
+    # NULL-filled -> must violate and commit nothing
+    cdir = tdir + "_c"
+    (_mk(spark, 0, 30).withColumn("extra", F.lit(1))
+     .write.format("txnlog").option("path", cdir).option("key", "k")
+     .mode("append").save())
+    txnlog.set_constraint(spark, cdir, name="extra_set",
+                          expr="extra IS NOT NULL")
+    before = txnlog.snapshot(cdir)
+    with pytest.raises(Exception, match="extra_set"):
+        (_mk(spark, 100, 103).write.format("txnlog")
+         .option("path", cdir).mode("append").save())
+    after = txnlog.snapshot(cdir)
+    assert after.version == before.version, "failed write committed"
+    live = set(after.files)
+    orphans = [n for n in os.listdir(cdir)
+               if n.endswith(".parquet") and n.startswith("p-w-")
+               and n not in live]
+    assert not orphans, "aborted writer write left staged files"
+
+
+def _body_writer_stream_sink_exactly_once(spark, tdir):
+    """``df.writeStream.format("txnlog")`` (r12): each micro-batch
+    commits its files AND the (txnAppId, batchId) marker in ONE atomic
+    log entry.  A restart on the same checkpoint re-delivers nothing;
+    a replay of the SAME batch ids under a fresh checkpoint (same
+    txnAppId) is a no-op — the exactly-once contract, held by the log
+    itself rather than the checkpoint."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnbatch.register(spark)
+    base = os.path.dirname(tdir)
+    src = os.path.join(base, "src")
+    _mk(spark, 0, 40).write.parquet(src)
+
+    def run(ck):
+        q = (spark.readStream.schema("k long, v string").parquet(src)
+             .writeStream.format("txnlog").option("path", tdir)
+             .option("key", "k").option("txnAppId", "ds02-sink")
+             .option("checkpointLocation", os.path.join(base, ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run("ck1")
+    assert txnlog.read_table(spark, tdir).count() == 40
+    run("ck1")      # restart, no new files
+    assert txnlog.read_table(spark, tdir).count() == 40
+    run("ck2")      # fresh checkpoint replays batch 0: txn no-op
+    assert txnlog.read_table(spark, tdir).count() == 40
+    snap = txnlog.snapshot(tdir)
+    assert snap.txns.get("ds02-sink") == 0
+
+
+def _body_read_pruning_opens_only_interval_hit_files(spark, tdir):
+    """Per-column footer-stats file skipping (r12, VERDICT r11 item
+    4): a NON-KEY predicate must plan only the interval-hit files —
+    through txnlog.prune_files / read_table(filters=...) AND through
+    the DataSource's pushFilters — while never changing results
+    (skipping is an optimization, the row filter stays)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("score"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string"))
+        .alias("cat"))
+    txnlog.create_table(spark, df.repartitionByRange(3, "k"), tdir,
+                        key="k")
+    snap = txnlog.snapshot(tdir)
+    assert len(snap.files) == 3
+    # non-key numeric predicate: score >= 2500 lives in the top file
+    hit = txnlog.prune_files(snap, [("score", ">=", 2500)])
+    assert len(hit) == 1
+    # conjunction can prove emptiness
+    assert txnlog.prune_files(
+        snap, [("score", ">=", 2500), ("score", "<", 0)]) == []
+    # string column intervals prune too
+    assert len(txnlog.prune_files(snap, [("cat", "=", "zzz")])) == 0
+    # read_table(filters=...) plans only the hit files, result exact
+    got = (txnlog.read_table(spark, tdir,
+                             filters=[("score", ">=", 2500)])
+           .filter(F.col("score") >= 2500))
+    assert got.count() == 50
+    assert txnlog.read_table(
+        spark, tdir, filters=[("cat", "=", "zzz")]).count() == 0
+    # DataSource: pushed filters shrink the partition list (the
+    # observable plan-level proof files are SKIPPED, not re-filtered)
+    txnbatch.register(spark)
+    ds = txnbatch.TxnlogBatchDataSource(
+        options={"path": tdir, "dataSkipping": "true"})
+    rd = ds.reader(ds.schema())
+    residual = rd.pushFilters([GreaterThanOrEqual(("score",), 2500)])
+    assert list(residual), "row-level predicate must stay with Spark"
+    assert len(rd.partitions()) == 1
+    rd2 = ds.reader(ds.schema())
+    rd2.pushFilters([EqualTo(("cat",), "zzz")])
+    assert len(rd2.partitions()) == 0 or rd2.partitions() == []
+    # end to end through SQL with opt-in skipping: pruned plan, exact
+    # rows (one-shot relation per query — the documented usage)
+    sk = (spark.read.format("txnlog").option("path", tdir)
+          .option("dataSkipping", "true").load())
+    assert sk.filter("score >= 2500").rdd.getNumPartitions() == 1
+    assert (spark.read.format("txnlog").option("path", tdir)
+            .option("dataSkipping", "true").load()
+            .filter("score >= 2500").count()) == 50
+    # load-time declared pruning: pinned at load, safe under reuse
+    decl = (spark.read.format("txnlog").option("path", tdir)
+            .option("filters", '[["score", ">=", 2500]]').load())
+    assert decl.rdd.getNumPartitions() == 1
+    assert decl.filter("score >= 2500").count() == 50
+
+
+def _body_datasource_plan_reuse_stays_correct(spark, tdir):
+    """Regression for the Spark 4.1 one-plan-per-relation cache
+    (PythonDataSourceV2.setReadInfo): with dataSkipping OFF (the
+    default) the partition list never depends on pushed filters, so
+    reusing one loaded DataFrame across differently-filtered queries
+    stays exact — the silent-wrong-count repro (filtered query, then
+    bare count on the same relation returns the pruned count) must
+    not reproduce through the default read path."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("score"))
+    txnlog.create_table(spark, df.repartitionByRange(3, "k"), tdir,
+                        key="k")
+    txnbatch.register(spark)
+    r = spark.read.format("txnlog").option("path", tdir).load()
+    assert r.count() == 300
+    assert r.filter("score >= 2500").count() == 50
+    assert r.count() == 300, \
+        "plan reuse after a filtered query lost rows (file skipping " \
+        "must be opt-in per load)"
+    assert r.filter("score < 1000").count() == 100
+
+
+def test_file_stats_attributes_by_leaf_path(tmp_path):
+    """Regression (r12): parquet row-group chunks enumerate LEAVES, so
+    positional indexing against the arrow field list misattributes
+    intervals once a struct/list column appears — z would inherit
+    s.y's [20, 20] and a filter z = 100 would prune EVERY file (silent
+    wrong answer).  Stats must key by path_in_schema, top-level
+    primitives only, and the txnbatch mirror must agree byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    t = pa.table({"a": [1, 2, 3],
+                  "s": [{"x": 10, "y": 20}] * 3,
+                  "emb": [[1.0, 2.0], [3.0], [4.0]],
+                  "z": [100, 200, 300]})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p, row_group_size=2)
+    st = txnlog._file_stats(p, "a")
+    assert st["cols"]["z"] == [100, 300]
+    assert st["cols"]["a"] == [1, 3]
+    assert "s" not in st["cols"] and "emb" not in st["cols"], \
+        "nested columns are unprunable, never misattributed"
+    assert txnbatch._file_stats(p, "a") == st
+    assert txnlog._interval_hit(st, "z", "=", 100)
+    assert not txnlog._interval_hit(st, "z", ">", 300)
+    assert txnlog._interval_hit(st, "s", "=", 5), \
+        "un-stats'd column keeps the file"
+
+
 # ------------------------------------------------------------ pooled run
 # Each _body_* is an independent protocol scenario against its OWN
 # table dir — latency-bound on small Spark jobs, not CPU — so a module
