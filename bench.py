@@ -89,6 +89,10 @@ HEADLINE = (
     # batch DataSource + SQL surface (build + merge-on-read MERGE +
     # two DataSource reads, one through plain SQL)
     "sdd_01", "ds_01",
+    # round 12: the txnlog WRITER surface (df.write.format create +
+    # append, writeStream exactly-once sink with a replayed batch,
+    # stats-pruned DataSource read-back)
+    "ds_02",
 )
 
 
@@ -357,8 +361,66 @@ def scaling_section(spark, registry, sf_dir: str,
     scaled_sec[key] = best_of(_hotdup)
     slope[key] = round(scaled_sec[key] / max(base_sec[key], 1e-9), 2)
 
+    # SemDeDup K ∝ N lane (r12, VERDICT r11 item 2): with K =
+    # sdd_k(N) the in-cluster candidate count Σ n_c(n_c−1)/2 must
+    # grow ≈ linearly with the corpus, not quadratically.  The scale
+    # fixture copies embeddings verbatim, so the 10× corpus is built
+    # inline: replicas shift vec_id and jitter dim 1 by r·1e-6 (keeps
+    # the geometry, avoids exact-duplicate degeneracy).
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.operators.dedup import (EMBED2_PERTURB,
+                                                        EMBED2_STRIDE)
+    from docker_aktin_dwh_spark.operators.similarity import (
+        DIM, KM_ITERS, _km_assign, _km_seed_centroids, _km_update,
+        sdd_k)
+
+    def _sdd_counts(replicas: int):
+        e0 = (spark.read.parquet(sf_dir + "/embeddings.parquet")
+              .select("vec_id", F.transform(
+                  "embedding", lambda x: x.cast("double")).alias("x")))
+        if replicas > 1:
+            stride = e0.agg(F.max("vec_id")).first()[0] + 1
+            rep = spark.range(replicas).withColumnRenamed("id", "_r")
+            e0 = (e0.crossJoin(rep)
+                  .select((F.col("vec_id") + F.col("_r") * stride)
+                          .alias("vec_id"),
+                          F.concat(
+                              F.array(F.element_at("x", 1)
+                                      + F.col("_r") * F.lit(1e-6)),
+                              F.slice("x", 2, DIM - 1)).alias("x")))
+        offset = e0.agg(F.max("vec_id")).first()[0] + 1
+        planted = (e0.filter(F.col("vec_id") % EMBED2_STRIDE == 0)
+                   .select((F.col("vec_id") + offset).alias("vec_id"),
+                           F.concat(
+                               F.array(F.element_at("x", 1)
+                                       * F.lit(EMBED2_PERTURB)),
+                               F.slice("x", 2, DIM - 1)).alias("x")))
+        pts = e0.unionByName(planted).localCheckpoint()
+        n = pts.count()
+        k = sdd_k(n)
+        cents = _km_seed_centroids(pts, k=k)
+        for _ in range(KM_ITERS):
+            cents = _km_update(_km_assign(pts, cents))
+        sizes = [r.nn for r in _km_assign(pts, cents).groupBy("cid")
+                 .agg(F.count("*").alias("nn")).collect()]
+        return n, k, sum(s * (s - 1) // 2 for s in sizes)
+
+    nb, kb, cb = _sdd_counts(1)
+    ns, ks, cs = _sdd_counts(SCALE_REPLICAS)
+    sdd_lane = {
+        "base": {"n": nb, "k": kb, "cand_pairs": cb},
+        "scaled": {"n": ns, "k": ks, "cand_pairs": cs},
+        "corpus_ratio": round(ns / max(nb, 1), 2),
+        "pairs_ratio": round(cs / max(cb, 1), 2),
+        # quadratic would read ~corpus_ratio²; linear ≈ corpus_ratio
+        "pairs_per_corpus_ratio": round((cs / max(cb, 1))
+                                        / (ns / max(nb, 1)), 2),
+    }
+
     out = {"replicas": SCALE_REPLICAS, "base_sec": base_sec,
            "scaled_sec": scaled_sec, "slope": slope,
+           "semdedup_k_scaling": sdd_lane,
            "dupcc_rounds": cc_rounds}
     if have_small:
         out["small_sec"] = small_sec

@@ -1191,7 +1191,7 @@ def str_out(spark, sf):
     from concurrent.futures import ThreadPoolExecutor
 
     from . import streamnative as SN
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    with ThreadPoolExecutor(max_workers=11) as ex:
         f12 = ex.submit(SN.str_12, spark, sf)
         f13 = ex.submit(SN.str_13, spark, sf)
         f14 = ex.submit(SN.str_14, spark, sf)
@@ -1202,6 +1202,7 @@ def str_out(spark, sf):
         f19 = ex.submit(SN.str_19, spark, sf)
         f07 = ex.submit(relational.str_07, spark, sf)
         f21 = ex.submit(SN.str_21, spark, sf)
+        f20 = ex.submit(SN.str_20, spark, sf)
     a = _tag(f12.result(), "outer",
              F.concat_ws(
                  "|", "a_id",
@@ -1262,9 +1263,15 @@ def str_out(spark, sf):
                  F.unix_micros(F.col("start_date").cast("timestamp"))
                   .cast("string"),
                  "inout_cd", "change_type", "commit_version"))
+    # r12 fold-in (slot economy): str_20's streaming KMV bottom-k
+    # sample, builder verbatim — its CORE50 slot went to ds_02 (the
+    # txnlog writer surface)
+    k = _tag(f20.result(), "kmv20",
+             F.concat_ws("|", "doc_id", "lang", "pr"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
             .unionByName(h).unionByName(i).unionByName(j)
+            .unionByName(k)
             .orderBy("tag", "v"))
 
 
@@ -1324,7 +1331,10 @@ def _str_out_oracle() -> str:
             "inout_cd || '|' || change_type || '|' || "
             "CAST(commit_version AS VARCHAR) AS v FROM ("
             + __import__("docker_aktin_dwh_spark.operators.roundtrips",
-                         fromlist=["x"])._cdc_03_oracle() + ")")
+                         fromlist=["x"])._cdc_03_oracle() + ")"
+            "\nUNION ALL\nSELECT 'kmv20' AS tag, "
+            "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || pr AS v "
+            f"FROM ({SN._STR_20_ORACLE})")
 
 
 def r7_all(spark, sf):

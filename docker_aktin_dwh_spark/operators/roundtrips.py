@@ -305,6 +305,74 @@ SELECT *, 'v0' AS snap FROM base WHERE encounter_num % 3 = 0
 """
 
 
+def ds_02(spark, sf):
+    """SRC-14 (r12, VERDICT r11 item 1): the WRITE surface of the
+    txnlog DataSource — ``df.write.format("txnlog")`` CREATES the
+    table (option("key") recording the merge key) and appends a second
+    slice, then ``df.writeStream.format("txnlog")`` commits a third
+    slice as an exactly-once streaming sink and the SAME batch is
+    REPLAYED under a fresh checkpoint (same txnAppId): the (appId,
+    batchId) txn action in the commit log makes the replay a no-op, so
+    a duplicate would double the full arm and fail the hash.  Read
+    back entirely through the DataSource: a full arm and a
+    stats-pruned arm (option("dataSkipping") pushes the non-key
+    predicate into footer-interval file skipping — one-shot relation,
+    the documented safe usage).  Reference analogue: any SQL client
+    WRITES through Postgres (src/docker/database/Dockerfile:8) — the
+    read surface got its SQL twin in r11 (ds_01), this is the write
+    surface."""
+    from ..sources import txnbatch
+
+    base = (catalog.visit_dimension(spark, sf)
+            .filter(F.col("encounter_num") < 450)
+            .select("encounter_num", "patient_num", "start_date",
+                    "inout_cd"))
+    tmp = tempfile.mkdtemp(prefix="spark_ds02_")
+    try:
+        path = tmp + "/tbl"
+        txnbatch.register(spark)
+        a = base.filter(F.col("encounter_num") < 150)
+        b = base.filter((F.col("encounter_num") >= 150)
+                        & (F.col("encounter_num") < 300))
+        c = base.filter(F.col("encounter_num") >= 300)
+        (a.repartitionByRange(2, "encounter_num")
+          .write.format("txnlog").option("path", path)
+          .option("key", "encounter_num").mode("append").save())
+        b.write.format("txnlog").option("path", path) \
+         .mode("append").save()
+        src = tmp + "/src"
+        c.coalesce(1).write.parquet(src)
+        for ck in ("ck1", "ck2"):      # ck2 = replay of batch 0
+            q = (spark.readStream.schema(c.schema).parquet(src)
+                 .writeStream.format("txnlog").option("path", path)
+                 .option("txnAppId", "ds02-sink")
+                 .option("checkpointLocation", f"{tmp}/{ck}")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        full = (spark.read.format("txnlog").option("path", path)
+                .load().withColumn("arm", F.lit("full")))
+        flt = (spark.read.format("txnlog").option("path", path)
+               .option("dataSkipping", "true").load()
+               .filter(F.col("patient_num") >= 50)
+               .withColumn("arm", F.lit("flt")))
+        return _snap_off_tmp(full.unionByName(flt), tmp) \
+            .orderBy("arm", "encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _ds_02_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+base AS (SELECT encounter_num, patient_num, start_date, inout_cd
+         FROM visit_dimension WHERE encounter_num < 450)
+SELECT *, 'full' AS arm FROM base
+UNION ALL
+SELECT *, 'flt' AS arm FROM base WHERE patient_num >= 50
+"""
+
+
 def rst_01(spark, sf):
     """RESTORE roundtrip (r11): build the ups_02 table, MERGE the +40d
     correction (merge-on-read DVs underneath), DELETE a key band, then
@@ -922,6 +990,10 @@ _DOCS = {
              "format (spark.read.format('txnlog'), versionAsOf time "
              "travel, DV masking in the source; v0 arm through plain "
              "SQL over a temp view)",
+    "ds_02": "SRC-14 txnlog writer surface (r12): "
+             "df.write.format('txnlog') create+append, writeStream "
+             "sink with exactly-once batch replay (txn action in the "
+             "commit), stats-pruned DataSource read-back",
     "rst_01": "RESTORE TO VERSION AS OF roundtrip: metadata-only "
               "rollback (file re-references + DV clears + schema) as "
               "one auditable commit; hash-certified against the plain "
@@ -965,6 +1037,7 @@ def specs() -> list[QuerySpec]:
         "ups_01": _ups_01_oracle(),
         "ups_02": _ups_01_oracle(),
         "ds_01": _ds_01_oracle(),
+        "ds_02": _ds_02_oracle(),
         "rst_01": _rst_01_oracle(),
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),

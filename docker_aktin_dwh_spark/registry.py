@@ -78,13 +78,18 @@ class QuerySpec:
 #: verbatim branch; the two freed slots go to ds_01 (the txnlog batch
 #: DataSource + SQL surface, VERDICT r10 item 3's driver-certified
 #: key) and r11_all (sdd_01 SemDeDup + the ded_minhash fold-in), so
-#: every round-11 operator certifies same-round.
+#: every round-11 operator certifies same-round.  Round 12 (VERDICT
+#: r11 item 1 + the slot-economy discipline): str_20 folds into
+#: str_out as its "kmv20" branch (builder verbatim — the streaming
+#: KMV sample stays driver-certified) and the freed slot goes to
+#: ds_02, the txnlog WRITER surface (df.write.format +
+#: writeStream exactly-once sink + stats-pruned read-back).
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
-    "str_win", "maint_all", "str_20", "str_rep", "ds_01",
+    "str_win", "maint_all", "ds_02", "str_rep", "ds_01",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "udf_02", "udf_tf", "str_11",
     "fin_all", "ded_ngram", "r11_all", "r10b_all", "cdc_04",
