@@ -143,6 +143,7 @@ def main() -> None:
                                            out["scaling"])
         out["cms_error_curve"] = cms_width_sweep(spark, sf_dir)
         out["txn_churn"] = txn_churn_lane(spark, sf_dir)
+        out["claimstore"] = claimstore_lane()
 
     # The driver captures only the last ~2 KB of stdout and parses the
     # final line as JSON: the full multi-section object outgrew that in
@@ -176,6 +177,14 @@ def main() -> None:
     if "txn_churn" in out:
         compact["txn_churn_flat_ratio"] = out["txn_churn"]["flat_ratio"]
         compact["txn_churn_bytes_ratio"] = out["txn_churn"]["bytes_ratio"]
+    if "scaling" in out and "semdedup_k_scaling" in out["scaling"]:
+        compact["sdd_pairs_per_corpus_ratio"] = \
+            out["scaling"]["semdedup_k_scaling"]["pairs_per_corpus_ratio"]
+    if "claimstore" in out:
+        compact["claim_sqlite_vs_posix"] = \
+            out["claimstore"]["sqlite_vs_posix_throughput"]
+        compact["claim_recovery_sec"] = \
+            out["claimstore"]["sigkill_recovery"]["recover_sec"]
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -856,6 +865,144 @@ def cms_width_sweep(spark, sf_dir: str) -> dict:
             "mean_overcount": round(sum(over) / len(over), 1),
             "never_undercounts": all(o >= 0 for o in over),
             "within_eps_bound": all(r.within_bound for r in rows)}
+    return out
+
+
+def _claims_worker(args):
+    """One claim-protocol writer (runs in its OWN OS process): commit
+    ``n_commits`` payloads into the shared log dir by racing the next
+    free version — the txnlog claim loop without the Spark staging.
+    Returns (commits, lost_races)."""
+    mode, log_dir, db_path, n_commits, wid = args
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    if mode == "sqlite":
+        from docker_aktin_dwh_spark.sources.claimstore import \
+            SQLiteClaimBackend
+        claim = SQLiteClaimBackend(db_path)
+    else:
+        from docker_aktin_dwh_spark.sources.txnlog import \
+            _posix_link_claim as claim
+    done = lost = 0
+    while done < n_commits:
+        names = [n for n in _os.listdir(log_dir)
+                 if n.endswith(".json") and not n.startswith(".")]
+        v = max((int(n[:20]) for n in names), default=-1) + 1
+        target = _os.path.join(log_dir, f"{v:020d}.json")
+        tmp = _os.path.join(log_dir, f".commit-{_uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            _json.dump({"version": v, "writer": wid, "seq": done}, f)
+            f.flush()
+            _os.fsync(f.fileno())
+        won = claim(tmp, target)
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+        if won:
+            done += 1
+        else:
+            lost += 1
+    return done, lost
+
+
+def _killed_winner(args):
+    """Claim a version through the SQLite CAS, then SIGKILL this very
+    process BETWEEN claim and publish — the real crash window the
+    recovery protocol exists for.  The subclass hook only pins WHERE
+    the kill lands; the kill itself is the OS's, not an exception."""
+    db_path, log_dir, target = args
+    import os as _os
+    import signal as _signal
+
+    from docker_aktin_dwh_spark.sources.claimstore import \
+        SQLiteClaimBackend
+
+    class KilledAtPublish(SQLiteClaimBackend):
+        def _publish(self, con, target, side):
+            _os.kill(_os.getpid(), _signal.SIGKILL)
+
+    tmp = _os.path.join(log_dir, ".victim-tmp")
+    with open(tmp, "w") as f:
+        f.write('{"version": 0, "writer": "victim"}')
+        f.flush()
+        _os.fsync(f.fileno())
+    KilledAtPublish(db_path)(tmp, target)   # never returns
+
+
+def claimstore_lane(writers: int = 8, commits_per_writer: int = 25) -> dict:
+    """Coordinator economics (VERDICT r11 item 5): commit throughput
+    of the SQLite CAS backend vs the POSIX link(2) baseline under
+    ``writers`` racing OS processes, plus recovery latency after a
+    winner is SIGKILLed between claim and publish (the next claimant
+    completes the crashed commit; payload integrity asserted)."""
+    import multiprocessing as mp
+    import tempfile as _tf
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = mp.get_context("spawn")
+    out: dict[str, object] = {"writers": writers,
+                              "commits_per_writer": commits_per_writer}
+    for mode in ("posix", "sqlite"):
+        with _tf.TemporaryDirectory(prefix=f"claim_{mode}_") as d:
+            log_dir = os.path.join(d, "_txnlog")
+            os.makedirs(log_dir)
+            db = os.path.join(d, "cas.db")
+            args = [(mode, log_dir, db, commits_per_writer, w)
+                    for w in range(writers)]
+            t0 = time.perf_counter()
+            with ProcessPoolExecutor(writers, mp_context=ctx) as ex:
+                res = list(ex.map(_claims_worker, args))
+            wall = time.perf_counter() - t0
+            total = sum(r[0] for r in res)
+            n_files = len([n for n in os.listdir(log_dir)
+                           if n.endswith(".json")])
+            out[mode] = {
+                "wall_sec": round(wall, 2),
+                "commits_per_sec": round(total / wall, 1),
+                "total_commits": total,
+                "log_files": n_files,
+                "lost_races": sum(r[1] for r in res),
+                "exactly_one_winner_per_version": n_files == total,
+            }
+    out["sqlite_vs_posix_throughput"] = round(
+        out["sqlite"]["commits_per_sec"]
+        / max(out["posix"]["commits_per_sec"], 1e-9), 3)
+
+    # SIGKILL-mid-publish recovery: winner dies between claim and
+    # publish; the next claimant for that version loses the CAS,
+    # completes the crashed commit from its registered side file, and
+    # only then moves on — measure that completion latency.
+    with _tf.TemporaryDirectory(prefix="claim_kill_") as d:
+        log_dir = os.path.join(d, "_txnlog")
+        os.makedirs(log_dir)
+        db = os.path.join(d, "cas.db")
+        target = os.path.join(log_dir, f"{0:020d}.json")
+        p = ctx.Process(target=_killed_winner,
+                        args=((db, log_dir, target),))
+        p.start()
+        p.join(timeout=60)
+        killed = (p.exitcode is not None and p.exitcode < 0)
+        t0 = time.perf_counter()
+        from docker_aktin_dwh_spark.sources.claimstore import \
+            SQLiteClaimBackend
+        back = SQLiteClaimBackend(db)
+        tmp2 = os.path.join(log_dir, ".second-tmp")
+        with open(tmp2, "w") as f:
+            f.write('{"version": 0, "writer": "second"}')
+        won = back(tmp2, target)
+        recover_sec = time.perf_counter() - t0
+        with open(target) as f:
+            payload = json.load(f)
+        out["sigkill_recovery"] = {
+            "winner_sigkilled": killed,
+            "second_claim_lost_cas": not won,
+            "recover_sec": round(recover_sec, 3),
+            "recovered_payload_is_victims":
+                payload.get("writer") == "victim",
+        }
     return out
 
 

@@ -106,6 +106,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     instead of a parquet directory.  JDBC sources deliver real
     timestamp columns, so the parquet-specific nanos rewrite is skipped.
     """
+    if sf_dir.startswith("pg+native:"):
+        # LIVE Postgres over the pure-Python wire client (SRC-01's
+        # compat arm, r12 — sources/pgwire.py): spec is
+        # ``pg+native:<unix socket dir>[?db=<d>&port=<p>&user=<u>]``
+        # (query params, because the socket dir is a path with
+        # slashes), auth is trust, the fetch is driver-side and
+        # ROWS_MAX-bounded.  The 100 TB path stays the JVM JDBC
+        # reader (``jdbc:`` spec) — this arm exists so the compat
+        # surface has one test against a REAL server even without a
+        # driver jar on the classpath.
+        from urllib.parse import parse_qs
+
+        from .sources.pgwire import pg_native_load
+        rest = sf_dir[len("pg+native:"):]
+        q: dict[str, list[str]] = {}
+        if "?" in rest:
+            rest, qs = rest.split("?", 1)
+            q = parse_qs(qs)
+        return pg_native_load(
+            spark, f"SELECT * FROM {name}", unix_dir=rest,
+            port=int(q.get("port", ["5432"])[0]),
+            user=q.get("user", ["postgres"])[0],
+            database=q.get("db", ["postgres"])[0])
     if sf_dir.startswith("jdbc:"):
         return jdbc_reader(spark, sf_dir, name).load()
     if name == "events":

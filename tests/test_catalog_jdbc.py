@@ -141,3 +141,118 @@ def test_split_sql_drops_comment_only_fragments():
     stmts = catalog._split_sql(
         "-- header; comment\nSELECT 1;\n-- done\n/* eof */")
     assert stmts == ["-- header; comment\nSELECT 1"]
+
+
+# ------------------------------------------------ LIVE Postgres arm (r12)
+# The image ships a real PostgreSQL server (initdb/pg_ctl) but no JDBC
+# jar and no Python driver — sources/pgwire.py speaks the public v3
+# wire protocol directly, so SRC-01's compat surface finally gets a
+# test against a REAL server (VERDICT r11 item 7).  The fixture runs a
+# throwaway trust-auth instance as an unprivileged user on a unix
+# socket; everything is skipped cleanly where the binaries or setpriv
+# are unavailable.
+
+import shutil
+import subprocess
+import tempfile
+
+
+def _setpriv_prefix():
+    return ["setpriv", "--reuid=nobody", "--regid=nogroup",
+            "--clear-groups", "env", "HOME=/tmp"]
+
+
+@pytest.fixture(scope="module")
+def pg_instance():
+    for exe in ("initdb", "pg_ctl", "setpriv"):
+        if shutil.which(exe) is None:
+            pytest.skip(f"{exe} not available")
+    if os.geteuid() != 0:
+        pytest.skip("needs root (to drop to nobody for initdb)")
+    base = tempfile.mkdtemp(prefix="pglive_")
+    os.chmod(base, 0o777)
+    data, sock = os.path.join(base, "data"), os.path.join(base, "sock")
+    os.makedirs(sock)
+    subprocess.run(["chown", "-R", "nobody", base], check=True)
+    r = subprocess.run(_setpriv_prefix() + ["initdb", "-D", data,
+                                            "-U", "postgres"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+    r = subprocess.run(
+        _setpriv_prefix() + [
+            "pg_ctl", "-D", data, "-l", os.path.join(base, "log"),
+            "-o", f"-k {sock} -c listen_addresses=''", "start"],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-200:]}")
+    import time as _time
+    sock_file = os.path.join(sock, ".s.PGSQL.5432")
+    for _ in range(100):            # pg_ctl -w readiness probes the
+        if os.path.exists(sock_file):  # DEFAULT socket dir; wait for
+            break                      # ours to appear
+        _time.sleep(0.1)
+    try:
+        yield sock
+    finally:
+        subprocess.run(_setpriv_prefix() + ["pg_ctl", "-D", data,
+                                            "-m", "immediate", "stop"],
+                       capture_output=True)
+        subprocess.run(["rm", "-rf", base])
+
+
+def test_pgwire_live_roundtrip(spark, pg_instance):
+    """End to end against the real server: DDL + typed INSERT through
+    the wire client, read back through the catalog's pg+native seam as
+    a Spark DataFrame — types (bigint/varchar/date/numeric/boolean),
+    NULLs, and values all surface exactly."""
+    import datetime
+    from decimal import Decimal
+
+    from docker_aktin_dwh_spark.sources.pgwire import PgWireClient
+
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        c.execute("DROP TABLE IF EXISTS visit_dim")
+        c.execute("CREATE TABLE visit_dim (encounter_num bigint, "
+                  "inout_cd varchar(2), start_date date, "
+                  "cost numeric(10,2), ok boolean)")
+        c.execute("INSERT INTO visit_dim VALUES "
+                  "(1,'I','2024-01-05',10.25,true),"
+                  "(2,'O','2024-02-06',NULL,false),"
+                  "(3,NULL,NULL,0.00,NULL)")
+    df = catalog.load(spark, f"pg+native:{pg_instance}", "visit_dim")
+    rows = {r.encounter_num: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].inout_cd == "I"
+    assert rows[1].start_date == datetime.date(2024, 1, 5)
+    assert rows[1].cost == Decimal("10.25")
+    assert rows[1].ok is True
+    assert rows[2].cost is None and rows[2].ok is False
+    assert rows[3].inout_cd is None and rows[3].ok is None
+    # a real relational op over the live source
+    n = df.filter("ok OR ok IS NULL").count()
+    assert n == 2
+
+
+def test_pgwire_live_error_and_bound(spark, pg_instance):
+    """Server errors surface as PgError (not wedges); the ROWS_MAX
+    fetch bound is enforced (the compat arm refuses to masquerade as
+    the scan path)."""
+    from docker_aktin_dwh_spark.sources import pgwire
+    from docker_aktin_dwh_spark.sources.pgwire import (PgError,
+                                                       PgWireClient)
+
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        with pytest.raises(PgError, match="42P01"):
+            c.query("SELECT * FROM no_such_table_anywhere")
+        # connection stays usable after a server error
+        _, _, rows = c.query("SELECT 41 + 1 AS x")
+        assert rows == [(42,)]
+    old = pgwire.ROWS_MAX
+    pgwire.ROWS_MAX = 10
+    try:
+        with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+            with pytest.raises(PgError, match="ROWS_MAX"):
+                c.query("SELECT generate_series(1, 100)")
+    finally:
+        pgwire.ROWS_MAX = old

@@ -1534,6 +1534,87 @@ def _body_datasource_plan_reuse_stays_correct(spark, tdir):
     assert r.filter("score < 1000").count() == 100
 
 
+def _body_delta_export_conformance(spark, tdir):
+    """export_delta_log (r12, VERDICT r11 item 6): the exported
+    _delta_log commit must follow the PUBLIC Delta protocol action
+    shapes (delta-io/delta PROTOCOL.md) so a real Delta reader opens
+    it — validated structurally here, and differentially the moment a
+    delta package is importable (gated arm below).  Also pins: DV-
+    carrying snapshots refuse (compact folds them first), data files
+    are hardlinked (zero-copy), stats carry the commit's footer
+    intervals, and txn appIds survive the export."""
+    import pyarrow.parquet as pq
+
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk(spark, 0, 100)
+                        .repartitionByRange(2, "k"), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 100, 130, tag="b"), tdir, key="k",
+                  txn=("exp-app", 7))
+    # a DV'd snapshot refuses; compact folds and export succeeds
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="m"), key="k")
+    dest = tdir + "_delta"
+    if any(st.get("dv") for st in txnlog.snapshot(tdir).files.values()):
+        with pytest.raises(ValueError, match="deletion vectors"):
+            delta_export.export_delta_log(tdir, dest)
+        txnlog.compact(spark, tdir, key="k")
+    delta_export.export_delta_log(tdir, dest)
+
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    assert all(len(a) == 1 for a in actions), "one action per line"
+    by_kind: dict[str, list] = {}
+    for a in actions:
+        k, v = next(iter(a.items()))
+        by_kind.setdefault(k, []).append(v)
+    assert set(by_kind) <= {"protocol", "metaData", "add", "txn"}
+    # protocol: exactly one, spec'd fields
+    (proto,) = by_kind["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # metaData: exactly one; schemaString is Spark StructType JSON
+    (meta,) = by_kind["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    from pyspark.sql.types import StructType
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert [f.name for f in st.fields] == ["k", "v"]
+    assert meta["partitionColumns"] == [] and isinstance(meta["id"], str)
+    # adds: required keys, real sizes, numRecords == footer rows,
+    # hardlinked (same inode)
+    snap = txnlog.snapshot(tdir)
+    assert len(by_kind["add"]) == len(snap.files)
+    for add in by_kind["add"]:
+        assert set(add) >= {"path", "partitionValues", "size",
+                            "modificationTime", "dataChange"}
+        assert add["dataChange"] is True
+        assert add["partitionValues"] == {}
+        src = os.path.join(tdir, add["path"])
+        dst = os.path.join(dest, add["path"])
+        assert os.stat(src).st_ino == os.stat(dst).st_ino, "zero-copy"
+        assert add["size"] == os.stat(src).st_size
+        stats = json.loads(add["stats"])
+        assert stats["numRecords"] == \
+            pq.ParquetFile(dst).metadata.num_rows
+        assert stats["minValues"]["k"] <= stats["maxValues"]["k"]
+    # txn: streaming idempotence ids survive
+    assert {"appId": "exp-app", "version": 7,
+            "lastUpdated": by_kind["txn"][0]["lastUpdated"]} \
+        in by_kind["txn"]
+    # exported data == txnlog read (via plain parquet over the adds)
+    got = spark.read.parquet(
+        *[os.path.join(dest, a["path"]) for a in by_kind["add"]])
+    want = txnlog.read_table(spark, tdir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # differential arm: runs automatically once a delta package lands
+    try:
+        import delta  # noqa: F401
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return
+    real = spark.read.format("delta").load(dest)   # pragma: no cover
+    assert real.exceptAll(want).count() == 0       # pragma: no cover
+
+
 def test_file_stats_attributes_by_leaf_path(tmp_path):
     """Regression (r12): parquet row-group chunks enumerate LEAVES, so
     positional indexing against the arrow field list misattributes
