@@ -55,8 +55,12 @@ _PERM_B = [_rng.randrange(0, MERSENNE31) for _ in range(N_PERM)]
 
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) rows, distinct per doc."""
-    return (docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s")))
+    """(doc_id, shingle) rows, distinct per doc.  Tokens bound to a
+    column first (r12): shingles() slices the token expression n+1
+    times — unbound, that is 4 regex tokenizes per row."""
+    return (docs.select("doc_id", tokens("text").alias("_tk"))
+                .select("doc_id",
+                        F.explode(shingles(F.col("_tk"))).alias("s")))
 
 
 def _shingle_hash_rows(docs: DataFrame) -> DataFrame:

@@ -243,13 +243,16 @@ def doc_chunks(d):
     """Chunk rows (doc_id, chunk_idx, n_tok, chunk_md5) for any
     (doc_id, text) frame — chunk_01's exact windowing, reusable."""
     stride = CHUNK_SIZE - CHUNK_OVERLAP
-    tok = tokens("text")
+    # tokens bound first (r12): t/n/n_chunks would inline the
+    # tokenizer three times per row
+    tok = F.col("_tk")
     n = F.size(tok)
     n_chunks = (F.ceil(F.greatest(n - CHUNK_SIZE, F.lit(0)) / stride)
                 + 1).cast("int")
-    rows = d.select("doc_id", tok.alias("t"), n.alias("n"),
-                    F.explode(F.sequence(F.lit(0), n_chunks - 1))
-                     .alias("chunk_idx"))
+    rows = (d.select("doc_id", tokens("text").alias("_tk"))
+             .select("doc_id", tok.alias("t"), n.alias("n"),
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                      .alias("chunk_idx")))
     start = F.col("chunk_idx") * stride
     clen = F.least(F.lit(CHUNK_SIZE), F.col("n") - start)
     return (rows.select(

@@ -124,12 +124,16 @@ def pipe_03(spark, sf):
              .select(F.col("j").alias("doc_id")).distinct())
     surv = ex.join(dup_j, "doc_id", "left_anti")
 
+    # tokens bound before shingles (r12): the slice-based shingle
+    # expression reads the token array n+1 times per row
     bench = (catalog.load(spark, sf, "documents")
              .filter(F.col("doc_id") < BENCH_MAX_ID)
-             .select(F.explode(shingles(tokens("text"))).alias("sg")))
-    contaminated = (surv.select("doc_id",
-                                F.explode(shingles(tokens("text")))
-                                 .alias("sg"))
+             .select(tokens("text").alias("_tk"))
+             .select(F.explode(shingles(F.col("_tk"))).alias("sg")))
+    contaminated = (surv.select("doc_id", tokens("text").alias("_tk"))
+                    .select("doc_id",
+                            F.explode(shingles(F.col("_tk")))
+                             .alias("sg"))
                     .join(F.broadcast(bench), "sg")
                     .groupBy("doc_id").agg(F.count("*").alias("shared"))
                     .filter(F.col("shared") >= DECON_MIN_SHARED)
@@ -354,8 +358,11 @@ def decon_01(spark, sf):
     d = catalog.load(spark, sf, "documents").select("doc_id", "text")
 
     def sh(df, name):
-        return df.select(F.col("doc_id").alias(name),
-                         F.explode(shingles(tokens("text"))).alias("sg"))
+        # tokens bound before shingles (r12): one tokenize per row
+        return (df.select(F.col("doc_id").alias(name),
+                          tokens("text").alias("_tk"))
+                  .select(name,
+                          F.explode(shingles(F.col("_tk"))).alias("sg")))
 
     bench = sh(d.filter(F.col("doc_id") < BENCH_MAX_ID), "j")
     corpus = sh(d.filter(F.col("doc_id") >= BENCH_MAX_ID), "i")

@@ -390,16 +390,24 @@ def _file_stats(fpath: str, key: str) -> dict:
             if "." in name or name in dead:
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                ok = st is not None and st.has_min_max
+                lo_hi = (st.min, st.max) if ok else None
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError extracting
+                # min/max for some physical types (e.g. INT96) —
+                # unprunable, never fatal
+                lo_hi = None
+            if lo_hi is None:
                 dead.add(name)
                 acc.pop(name, None)
                 continue
             cur = acc.get(name)
             if cur is None:
-                acc[name] = [st.min, st.max]
+                acc[name] = list(lo_hi)
             else:
-                cur[0] = min(cur[0], st.min)
-                cur[1] = max(cur[1], st.max)
+                cur[0] = min(cur[0], lo_hi[0])
+                cur[1] = max(cur[1], lo_hi[1])
     per: dict[str, list] = {}
     for name, (cmin, cmax) in acc.items():
         lo, hi = _stats_encode(cmin), _stats_encode(cmax)

@@ -60,7 +60,9 @@ def clean_batch(batch: DataFrame) -> DataFrame:
     """Quality gate + PII scrub for one batch (pure JVM expressions,
     identical semantics to the declared pipe_01 gate and pii_01
     scrub)."""
-    tok = tokens("text")
+    # tokens bound to a column first (r12, the col_01 finding): the
+    # gate reads the array three times — bound, one tokenize per row
+    tok = F.col("_tk")
     all_stops = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
     n_tok = F.size(tok)
     stop_ratio = (F.size(F.filter(tok, lambda t: t.isin(*all_stops)))
@@ -71,6 +73,7 @@ def clean_batch(batch: DataFrame) -> DataFrame:
             PII_PHONE, "[PHONE]"),
         PII_IPV4, "[IP]")
     return (batch
+            .withColumn("_tk", tokens("text"))
             .filter((n_tok >= MIN_TOKENS) & (stop_ratio <= MAX_STOP_RATIO))
             .select("doc_id", "lang", scrub.alias("text")))
 
