@@ -205,3 +205,45 @@ def pg_native_load(spark, query: str, *, unix_dir: str | None = None,
         names, ddl, rows = c.query(query)
     schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, ddl))
     return spark.createDataFrame(rows, schema)
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f"'{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def pg_native_write(df, table: str, *, unix_dir: str | None = None,
+                    host: str | None = None, port: int = 5432,
+                    user: str = "postgres", database: str = "postgres",
+                    batch_rows: int = 500) -> int:
+    """Write a (small) DataFrame into a server table — the report
+    write-back arm of the compat path (the reference materializes
+    report/result tables INTO its Postgres: SNK-02's DB form).
+    Driver-side, ROWS_MAX-bounded like the read arm; multi-row INSERT
+    statements of ``batch_rows`` each, one connection, so the write is
+    a handful of round-trips, not row-at-a-time.  Returns rows
+    written.  For corpus-sized writes use the JDBC jar path."""
+    rows = df.collect()
+    if len(rows) > ROWS_MAX:
+        raise PgError(
+            f"{len(rows)} rows exceed ROWS_MAX={ROWS_MAX}: the "
+            f"pure-Python compat arm is for report frames; write "
+            f"through the JDBC jar path")
+    cols = ", ".join(df.columns)
+    with PgWireClient(host=host, port=port, unix_dir=unix_dir,
+                      user=user, database=database) as c:
+        for i in range(0, len(rows), batch_rows):
+            chunk = rows[i:i + batch_rows]
+            values = ",".join(
+                "(" + ",".join(_sql_literal(v) for v in r) + ")"
+                for r in chunk)
+            c.execute(f"INSERT INTO {table} ({cols}) VALUES {values}")
+    return len(rows)

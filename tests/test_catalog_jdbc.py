@@ -256,3 +256,31 @@ def test_pgwire_live_error_and_bound(spark, pg_instance):
                 c.query("SELECT generate_series(1, 100)")
     finally:
         pgwire.ROWS_MAX = old
+
+
+def test_pgwire_live_report_writeback(spark, pg_instance):
+    """SNK-02's DB form: a report frame written INTO the live server
+    (multi-row INSERT batches through one connection), read back
+    through the same wire — values, NULLs and types surface exactly
+    (the reference materializes report tables into its Postgres)."""
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.sources.pgwire import (PgWireClient,
+                                                       pg_native_write)
+
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        c.execute("DROP TABLE IF EXISTS monthly_report")
+        c.execute("CREATE TABLE monthly_report (month varchar(7), "
+                  "n_visits bigint, note varchar(40))")
+    rep = spark.createDataFrame(
+        [("2024-01", 10, "it's fine"), ("2024-02", 20, None)],
+        "month string, n_visits long, note string")
+    n = pg_native_write(rep, "monthly_report", unix_dir=pg_instance)
+    assert n == 2
+    back = catalog.load(spark, f"pg+native:{pg_instance}",
+                        "monthly_report")
+    rows = {r.month: r for r in back.collect()}
+    assert rows["2024-01"].n_visits == 10
+    assert rows["2024-01"].note == "it's fine"   # quote-escaping
+    assert rows["2024-02"].note is None
+    assert back.agg(F.sum("n_visits")).first()[0] == 30

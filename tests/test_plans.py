@@ -452,3 +452,24 @@ def test_txnlog_dv_read_plans(spark, tmp_path):
     assert "CartesianProduct" not in masked, masked
     # the data side must not shuffle for the mask
     assert "Exchange hashpartitioning" not in masked, masked
+
+
+def test_tokenize_not_inlined_per_element(spark):
+    """r12 regression (the col_01 finding): a HOF lambda over the raw
+    ``tokens("text")`` EXPRESSION re-inlines the regex tokenizer into
+    every element_at/slice — measured 7× on col_01, 2× on ded_substr.
+    Guard: the hot text operators' plans must contain only a bounded
+    number of split(...) occurrences per documents scan (bound, the
+    tokenizer appears once in the binding projection and once in any
+    pushed-down duplicate — never O(tokens) copies)."""
+    from docker_aktin_dwh_spark.operators import dedup, textops
+
+    for fn, bound in ((textops.col_01, 4), (dedup.ded_substr, 4),
+                      (textops.text_quality, 4),
+                      (textops.text_langid, 4)):
+        df = fn(spark, SF_SMOKE)
+        n_split = plans.formatted_plan(df).count("split(")
+        assert n_split <= bound, (
+            f"{fn.__name__}: {n_split} split(...) occurrences in the "
+            f"physical plan — tokens() is being re-inlined per "
+            f"element/use again (bind it to a column first)")

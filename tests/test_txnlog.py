@@ -918,6 +918,15 @@ def _body_compact_zorder_two_dim_envelopes(spark, tdir):
         # one z-level split halves ONE dimension per file — demand
         # at least that (width <= ~3/4 of the range in one dimension)
         assert min(wk, wv) <= 768, (name, wk, wv)
+    # r12: the point of tight envelopes is the read path — after
+    # Z-order compaction a selective predicate on EITHER dimension
+    # must let prune_files skip files (the pre-compact repartition(6)
+    # layout is random, so every file spans ~the full range and
+    # nothing can prune)
+    for col in ("k", "v2"):
+        hit = txnlog.prune_files(snap, [(col, "<", 256)])
+        assert len(hit) < len(snap.files), (
+            f"Z-order layout must make {col}-pruning effective")
 
 
 
