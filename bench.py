@@ -91,8 +91,10 @@ HEADLINE = (
     "sdd_01", "ds_01",
     # round 12: the txnlog WRITER surface (df.write.format create +
     # append, writeStream exactly-once sink with a replayed batch,
-    # stats-pruned DataSource read-back)
-    "ds_02",
+    # stats-pruned DataSource read-back), Spark 4 VariantType
+    # schema-on-read analytics, and incremental SemDeDup (arrivals
+    # vs frozen corpus centroids)
+    "ds_02", "var_01", "sdd_02",
 )
 
 

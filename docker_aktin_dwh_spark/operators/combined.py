@@ -101,6 +101,15 @@ def jn_misc(spark, sf):
         F.concat_ws("-", "l_orderkey", "l_linenumber", "other")))
     out = out.unionByName(_tag(R.jn_10(spark, sf), "cross",
                                F.concat_ws("|", "r_name", "o_orderpriority")))
+    # r12 fold-in (slot economy): jn_09's backward as-of join, builder
+    # verbatim — its CORE50 slot went to r12_all (var_01 + sdd_02)
+    out = out.unionByName(_tag(
+        R.jn_09(spark, sf), "asof",
+        F.concat_ws(
+            "|", "event_id",
+            F.coalesce(F.unix_micros(F.col("prior_view_ts")
+                                     .cast("timestamp")).cast("string"),
+                       F.lit("none")))))
     return out.orderBy("tag", "v")
 
 
@@ -115,6 +124,9 @@ def _jn_misc_oracle() -> str:
                  "CAST(l_linenumber AS STRING) || '-' || CAST(other AS STRING)",
          O["jn_07"]),
         ("cross", "r_name || '|' || o_orderpriority", O["jn_10"]),
+        ("asof", "CAST(event_id AS STRING) || '|' || "
+                 "COALESCE(CAST(epoch_us(prior_view_ts) AS STRING), "
+                 "'none')", O["jn_09"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -441,6 +453,67 @@ SELECT event_id, CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS mi,
        CAST(json_extract(props, '$.k') AS INT) AS kv,
        CAST(json_extract(props, '$.k') AS INT) * 2 AS kv2
 FROM events ORDER BY event_id LIMIT 200
+"""
+
+
+def var_01(spark, sf):
+    """FN-VARIANT (r12 extension): Spark 4's VariantType as the
+    schema-on-read path for semi-structured event payloads — the OPEN
+    half of FN-JSON's fixed-schema from_json.  A nested JSON document
+    is built per event (type + integer-scaled value + the raw props
+    object embedded verbatim + a tags array), parsed ONCE with
+    ``parse_json`` into a variant, and every downstream extraction is
+    a typed ``variant_get`` path (nested object, embedded-object
+    field, array index) — the binary variant encoding makes repeated
+    path access O(path) instead of re-parsing text, which is the
+    100 TB telemetry-scan argument for the type.  ``try_variant_get``
+    pins the coercion contract (a non-numeric string under a bigint
+    target yields NULL, counted 0).  Floats enter the JSON as
+    FLOOR(value·100) BIGINTs so the document bytes are bit-identical
+    on both engines; the DuckDB oracle builds the same string and
+    extracts with json_extract.  Reference analogue: JSONB columns a
+    Postgres telemetry table would query with ``->``/``->>``."""
+    e = T(spark, sf, "events")
+    vint = F.floor(F.col("value") * 100).cast("long")
+    jstr = F.concat(
+        F.lit('{"meta":{"t":"'), F.col("event_type"), F.lit('","v":'),
+        vint.cast("string"), F.lit('},"props":'), F.col("props"),
+        F.lit(',"tags":['), (F.col("user_id") % 5).cast("string"),
+        F.lit(','), (F.col("event_id") % 7).cast("string"),
+        F.lit(']}'))
+    v = F.parse_json(jstr)
+    d = e.select(
+        F.variant_get(v, "$.meta.t", "string").alias("mtype"),
+        F.variant_get(v, "$.props.k", "bigint").alias("k"),
+        F.variant_get(v, "$.tags[0]", "bigint").alias("t0"),
+        F.variant_get(v, "$.meta.v", "bigint").alias("mv"),
+        F.try_variant_get(v, "$.meta.t", "bigint").alias("bad"))
+    return (d.groupBy("mtype")
+             .agg(F.count("*").alias("n"),
+                  F.sum("k").alias("sum_k"),
+                  F.sum("t0").alias("sum_t0"),
+                  F.sum("mv").alias("sum_mv"),
+                  F.count("bad").alias("n_coerced"))
+             .orderBy("mtype"))
+
+
+_VAR_01_ORACLE = """
+WITH j AS (SELECT '{"meta":{"t":"' || event_type || '","v":' ||
+  CAST(CAST(FLOOR(value*100) AS BIGINT) AS VARCHAR) || '},"props":'
+  || props || ',"tags":[' || CAST(user_id % 5 AS VARCHAR) || ','
+  || CAST(event_id % 7 AS VARCHAR) || ']}' AS js
+  FROM events),
+x AS (SELECT js->>'$.meta.t' AS mtype,
+             CAST(js->>'$.props.k' AS BIGINT) AS k,
+             CAST(js->>'$.tags[0]' AS BIGINT) AS t0,
+             CAST(js->>'$.meta.v' AS BIGINT) AS mv,
+             TRY_CAST(js->>'$.meta.t' AS BIGINT) AS bad
+      FROM j)
+SELECT mtype, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(t0) AS BIGINT) AS sum_t0,
+       CAST(sum(mv) AS BIGINT) AS sum_mv,
+       CAST(count(bad) AS BIGINT) AS n_coerced
+FROM x GROUP BY mtype ORDER BY mtype
 """
 
 
@@ -2036,6 +2109,46 @@ def _r11_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r12_all(spark, sf):
+    """Round-12 certification union (same-round driver certification,
+    the r8-r11 discipline): the NEW r12 operators — var_01 (Spark 4
+    VariantType schema-on-read analytics) and sdd_02 (INCREMENTAL
+    SemDeDup: arrivals assigned to frozen corpus centroids, pruned
+    only against existing cluster members) — builders verbatim.  The
+    slot comes from jn_09, which folds into jn_misc's asof branch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import dedup
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fs = _ex.submit(dedup.sdd_02, spark, sf)
+        _fv = _ex.submit(var_01, spark, sf)
+    out = _tag(_fv.result(), "var",
+               F.concat_ws("|", "mtype", "n", "sum_k", "sum_t0",
+                           "sum_mv", "n_coerced"))
+    out = out.unionByName(_tag(
+        _fs.result(), "sdd2",
+        F.concat_ws("|", "cid", "i", "j",
+                    F.round(F.col("cos_r") * 10_000).cast("long"))))
+    return out.orderBy("tag", "v")
+
+
+def _r12_all_oracle() -> str:
+    from . import dedup
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("var", cat("mtype", "n", "sum_k", "sum_t0", "sum_mv",
+                    "n_coerced"), _VAR_01_ORACLE),
+        ("sdd2", cat("cid", "i", "j",
+                     "CAST(ROUND(cos_r * 10000) AS BIGINT)"),
+         dedup._sdd_02_oracle()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -2085,6 +2198,10 @@ _DOCS = {
     "fn_pl": "FN-STR/ARR/MATH/CAST one-pass projection (lineitem ⋈ part)",
     "fn_ord": "FN-COND/DT/HASH + PRJ-02 projection (orders)",
     "fn_ev": "FN-DT2/MAP/JSON projection (events)",
+    "var_01": "FN-VARIANT (r12): Spark 4 VariantType schema-on-read "
+              "over nested event JSON — parse_json once, typed "
+              "variant_get paths (nested object / embedded props / "
+              "array index), try_variant_get coercion contract",
     "str_tw": "STR-02/03 tumbling + sliding window counts (batch form)",
     "str_sd": "STR-04 session + STR-06 dedup tagged union (batch form)",
     "str_win": "STR-02/03/04/06 consolidated tagged union (batch "
@@ -2190,6 +2307,15 @@ _DOCS = {
                "against the base selection), and the ded_minhash "
                "CORE50 fold-in (builder verbatim) — same-round driver "
                "certification",
+    "r12_all": "Round-12 tagged union: Spark 4 VariantType "
+               "schema-on-read analytics (var_01 — parse_json + typed "
+               "variant_get paths vs a DuckDB json_extract oracle) "
+               "and INCREMENTAL SemDeDup (sdd_02 — arrivals assigned "
+               "to frozen corpus centroids, pruned only against "
+               "existing cluster members; frozen assignment + "
+               "asymmetric prune hash-certified) — same-round driver "
+               "certification; the slot comes from jn_09's fold into "
+               "jn_misc",
 }
 
 
@@ -2205,6 +2331,7 @@ def specs() -> list[QuerySpec]:
         "fn_pl": _FN_PL_ORACLE,
         "fn_ord": _FN_ORD_ORACLE,
         "fn_ev": _FN_EV_ORACLE,
+        "var_01": _VAR_01_ORACLE,
         "str_tw": _str_tw_oracle(),
         "str_sd": _str_sd_oracle(),
         "str_win": _str_win_oracle(),
@@ -2231,6 +2358,7 @@ def specs() -> list[QuerySpec]:
         "r10_all": _r10_all_oracle(),
         "r10b_all": _r10b_all_oracle(),
         "r11_all": _r11_all_oracle(),
+        "r12_all": _r12_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

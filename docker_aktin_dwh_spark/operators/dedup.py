@@ -1010,6 +1010,144 @@ def sdd_01(spark, sf):
                 .orderBy("i", "j"))
 
 
+def sdd_02(spark, sf):
+    """INCREMENTAL SemDeDup (r12 extension) — the production shape at
+    100 TB: the corpus is already clustered; a NEW batch (crawl
+    increment) must be deduped AGAINST it without re-clustering.
+    Existing corpus = vec_id % 4 != 0; Lloyd runs on it alone
+    (k = sdd_k(|exist|), km_01's machinery verbatim), the centroids
+    FREEZE, and arrivals — planted cos-0.9999 twins of every
+    EMBED2_STRIDE-th existing vector plus the genuinely-novel
+    vec_id % 4 == 0 slice — are assigned to the frozen centroids in
+    ONE pass.  The prune compares each arrival ONLY to the EXISTING
+    members of its cluster (never arrival×arrival, never corpus-wide):
+    per-batch cost is |batch|·E[cluster], independent of corpus size —
+    the property that lets a daily increment dedup against a petabyte
+    corpus.  Output: (cid, i existing, j arrival, cos_r ≥ τ).  The
+    DuckDB oracle re-derives the whole chain (exist-only Lloyd, frozen
+    assignment of both sets, cross-set prune), so the hash certifies
+    the frozen-centroid assignment and the asymmetric prune."""
+    from .similarity import (DIM, KM_ITERS, _km_assign,
+                             _km_seed_centroids, _km_update, sdd_k)
+
+    base = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("x"))
+    exist = materialize(base.filter(F.col("vec_id") % 4 != 0))
+    offset = base.agg(F.max("vec_id")).first()[0] + 1
+    # stride-residue 1 (not 0): vec_id % 16 == 0 implies % 4 == 0,
+    # which the exist filter excludes — residue 1 intersects exist,
+    # so the planted-twin set is non-empty at every scale
+    planted = (exist.filter(F.col("vec_id") % EMBED2_STRIDE == 1)
+               .select((F.col("vec_id") + offset).alias("vec_id"),
+                       F.concat(
+                           F.array(F.element_at("x", 1)
+                                   * F.lit(EMBED2_PERTURB)),
+                           F.slice("x", 2, DIM - 1)).alias("x")))
+    novel = base.filter(F.col("vec_id") % 4 == 0)
+    arrivals = materialize(planted.unionByName(novel))
+    cents = _km_seed_centroids(exist, k=sdd_k(exist.count()))
+    for _ in range(KM_ITERS):
+        cents = _km_update(_km_assign(exist, cents))
+    a = (_km_assign(exist, cents)
+         .select("cid", F.col("vec_id").alias("i"),
+                 F.col("x").alias("va")))
+    b = (_km_assign(arrivals, cents)
+         .select("cid", F.col("vec_id").alias("j"),
+                 F.col("x").alias("vb")))
+    cand = a.join(b, "cid")
+    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                                 F.lit(0.0), lambda acc, x: acc + x))
+              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                                   F.lit(0.0), lambda acc, x: acc + x))))
+    return (cand.select("cid", "i", "j", cos.alias("cos"))
+                .filter(F.col("cos") >= EMBED2_TAU)
+                .select("cid", "i", "j",
+                        F.round("cos", 4).alias("cos_r"))
+                .orderBy("i", "j"))
+
+
+def _sdd_02_oracle() -> str:
+    """Exist-only Lloyd (k from |exist|), frozen-centroid assignment
+    of exist ∪ arrivals, cross-set in-cluster prune — the sdd_01
+    oracle chain with an asymmetric final join."""
+    from .similarity import (KM_ITERS, KM_K, SDD_TARGET_CLUSTER_ROWS,
+                             SDD_TIE_MOD)
+
+    parts = [f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+exist AS (SELECT * FROM e0 WHERE vec_id % 4 != 0),
+off AS (SELECT max(vec_id) + 1 AS o FROM e0),
+planted AS (SELECT vec_id + off.o AS vec_id,
+                   list_concat([v[1] * {EMBED2_PERTURB}], v[2:]) AS v
+            FROM exist, off WHERE vec_id % {EMBED2_STRIDE} = 1),
+arrivals AS (SELECT * FROM planted
+             UNION ALL SELECT * FROM e0 WHERE vec_id % 4 = 0),
+kk AS (SELECT GREATEST({KM_K}, CAST(CEIL(
+           COUNT(*) / {SDD_TARGET_CLUSTER_ROWS}.0) AS INT)) AS k
+       FROM exist),
+pts AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+               CAST(unnest(v) AS DOUBLE) AS xv
+        FROM exist),
+seeds AS (SELECT vec_id, CAST(rn - 1 AS INT) AS cid
+          FROM (SELECT vec_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rn
+                FROM exist)
+          WHERE rn <= (SELECT k FROM kk)),
+cent0 AS (SELECT s.cid, p.dim, p.xv AS cv
+          FROM seeds s JOIN pts p USING (vec_id))"""]
+    for t in range(1, KM_ITERS + 1):
+        parts.append(f"""
+d{t} AS (SELECT p.vec_id, c.cid,
+               SUM(CAST(FLOOR((p.xv - c.cv) * (p.xv - c.cv) * 1e12)
+                        AS BIGINT)) AS dist
+         FROM pts p JOIN cent{t - 1} c ON p.dim = c.dim
+         GROUP BY p.vec_id, c.cid),
+a{t} AS (SELECT vec_id,
+                CAST(MIN(dist * {SDD_TIE_MOD} + cid) % {SDD_TIE_MOD}
+                     AS INT) AS cid
+         FROM d{t} GROUP BY vec_id),
+cent{t} AS (SELECT a.cid, p.dim,
+                  CAST(SUM(CAST(FLOOR(p.xv * 1e9) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1e9 AS cv
+            FROM a{t} a JOIN pts p USING (vec_id)
+            GROUP BY a.cid, p.dim)""")
+    last = KM_ITERS
+    parts.append(f"""
+pall AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                CAST(unnest(v) AS DOUBLE) AS xv
+         FROM (SELECT * FROM exist UNION ALL SELECT * FROM arrivals)),
+df AS (SELECT p.vec_id, c.cid,
+              SUM(CAST(FLOOR((p.xv - c.cv) * (p.xv - c.cv) * 1e12)
+                       AS BIGINT)) AS dist
+       FROM pall p JOIN cent{last} c ON p.dim = c.dim
+       GROUP BY p.vec_id, c.cid),
+af AS (SELECT vec_id,
+              CAST(MIN(dist * {SDD_TIE_MOD} + cid) % {SDD_TIE_MOD}
+                   AS INT) AS cid
+       FROM df GROUP BY vec_id),
+corp AS (SELECT * FROM exist UNION ALL SELECT * FROM arrivals)""")
+    body = ",".join(parts)
+    return f"""{body}
+SELECT ai.cid, x.vec_id AS i, y.vec_id AS j,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 4) AS cos_r
+FROM af ai JOIN af aj ON ai.cid = aj.cid
+JOIN exist x ON x.vec_id = ai.vec_id
+JOIN arrivals y ON y.vec_id = aj.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= {EMBED2_TAU}
+ORDER BY i, j
+"""
+
+
 def _sdd_oracle() -> str:
     """Planted corpus + unrolled-SQL Lloyd (the _km_oracle chain over
     the planted union) + cluster-bounded pairwise prune.  K is derived
@@ -1348,6 +1486,12 @@ _DOCS = {
               "Lloyd verbatim) + per-cluster pairwise cosine prune — "
               "cluster-bounded quadratic, planted semantic duplicates "
               "hash-certified through the unrolled-SQL Lloyd oracle",
+    "sdd_02": "INCREMENTAL SemDeDup (r12): new-batch arrivals "
+              "assigned to FROZEN corpus centroids in one pass, "
+              "pruned only against existing cluster members — "
+              "per-batch cost |batch|·E[cluster], corpus-size "
+              "independent; frozen assignment + asymmetric prune "
+              "hash-certified",
 }
 
 _ORACLES = {
@@ -1365,6 +1509,7 @@ _ORACLES = {
     "ded_embed": _EMBED_ORACLE,
     "ded_embed2": _EMBED2_ORACLE,
     "sdd_01": _sdd_oracle(),
+    "sdd_02": _sdd_02_oracle(),
     "ded_substr": _SUBSTR_ORACLE,
 }
 

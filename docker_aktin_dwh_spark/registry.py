@@ -83,9 +83,13 @@ class QuerySpec:
 #: str_out as its "kmv20" branch (builder verbatim — the streaming
 #: KMV sample stays driver-certified) and the freed slot goes to
 #: ds_02, the txnlog WRITER surface (df.write.format +
-#: writeStream exactly-once sink + stats-pruned read-back).
+#: writeStream exactly-once sink + stats-pruned read-back).  Second
+#: half: jn_09 folds into jn_misc as its "asof" branch (builder
+#: verbatim) and the freed slot goes to r12_all (var_01 Spark 4
+#: VariantType analytics + sdd_02 incremental SemDeDup), so every
+#: r12 operator certifies same-round.
 CORE50 = (
-    "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
+    "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "r12_all",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
