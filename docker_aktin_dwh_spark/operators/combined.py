@@ -101,15 +101,6 @@ def jn_misc(spark, sf):
         F.concat_ws("-", "l_orderkey", "l_linenumber", "other")))
     out = out.unionByName(_tag(R.jn_10(spark, sf), "cross",
                                F.concat_ws("|", "r_name", "o_orderpriority")))
-    # r12 fold-in (slot economy): jn_09's backward as-of join, builder
-    # verbatim — its CORE50 slot went to r12_all (var_01 + sdd_02)
-    out = out.unionByName(_tag(
-        R.jn_09(spark, sf), "asof",
-        F.concat_ws(
-            "|", "event_id",
-            F.coalesce(F.unix_micros(F.col("prior_view_ts")
-                                     .cast("timestamp")).cast("string"),
-                       F.lit("none")))))
     return out.orderBy("tag", "v")
 
 
@@ -124,9 +115,6 @@ def _jn_misc_oracle() -> str:
                  "CAST(l_linenumber AS STRING) || '-' || CAST(other AS STRING)",
          O["jn_07"]),
         ("cross", "r_name || '|' || o_orderpriority", O["jn_10"]),
-        ("asof", "CAST(event_id AS STRING) || '|' || "
-                 "COALESCE(CAST(epoch_us(prior_view_ts) AS STRING), "
-                 "'none')", O["jn_09"]),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -817,13 +805,22 @@ def _coh_misc_oracle() -> str:
 def udf_px(spark, sf):
     """udf_01 (pandas_udf normalize) + udf_04 (mapInPandas bucketing)
     consolidated — same slot-reshuffle move as coh_misc; the freed
-    CORE50 slot driver-certifies the streaming-native str_11."""
+    CORE50 slot driver-certifies the streaming-native str_11.
+    r12 fold-in: udf_02's applyInPandas grouped stat rides as the
+    "gstat" branch (builder verbatim; its CORE50 slot went to
+    r12_all).  Prices fold as ROUND(x·100) BIGINTs — exact for the
+    cents-precision fixture, and the only dual-dialect-stable
+    rendering (double CAST AS STRING differs between engines)."""
     from . import udfs
     a = _tag(udfs.udf_01(spark, sf), "norm",
              F.concat_ws("|", "c_custkey", "norm_name"))
     b = _tag(udfs.udf_04(spark, sf), "bucket",
              F.concat_ws("|", "c_custkey", "bal_bucket"))
-    return a.unionByName(b).orderBy("tag", "v")
+    c = _tag(udfs.udf_02(spark, sf), "gstat",
+             F.concat_ws("|", "l_returnflag", "n",
+                         F.round(F.col("min_price") * 100).cast("long"),
+                         F.round(F.col("max_price") * 100).cast("long")))
+    return a.unionByName(b).unionByName(c).orderBy("tag", "v")
 
 
 def _udf_px_oracle() -> str:
@@ -838,7 +835,10 @@ def _udf_px_oracle() -> str:
     return (f"SELECT 'norm' AS tag, {cat('c_custkey', 'norm_name')} AS v "
             f"FROM ({O['udf_01']})\nUNION ALL\n"
             f"SELECT 'bucket' AS tag, {cat('c_custkey', 'bal_bucket')} "
-            f"AS v FROM ({O['udf_04']})")
+            f"AS v FROM ({O['udf_04']})\nUNION ALL\n"
+            f"SELECT 'gstat' AS tag, "
+            f"{cat('l_returnflag', 'n', 'CAST(ROUND(min_price * 100) AS BIGINT)', 'CAST(ROUND(max_price * 100) AS BIGINT)')} "
+            f"AS v FROM ({O['udf_02']})")
 
 
 def ext_all(spark, sf):
@@ -2115,7 +2115,7 @@ def r12_all(spark, sf):
     VariantType schema-on-read analytics) and sdd_02 (INCREMENTAL
     SemDeDup: arrivals assigned to frozen corpus centroids, pruned
     only against existing cluster members) — builders verbatim.  The
-    slot comes from jn_09, which folds into jn_misc's asof branch."""
+    slot comes from udf_02, which folds into udf_px's gstat branch."""
     from concurrent.futures import ThreadPoolExecutor
 
     from . import dedup
@@ -2314,8 +2314,8 @@ _DOCS = {
                "to frozen corpus centroids, pruned only against "
                "existing cluster members; frozen assignment + "
                "asymmetric prune hash-certified) — same-round driver "
-               "certification; the slot comes from jn_09's fold into "
-               "jn_misc",
+               "certification; the slot comes from udf_02's fold "
+               "into udf_px",
 }
 
 

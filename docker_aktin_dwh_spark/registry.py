@@ -84,18 +84,20 @@ class QuerySpec:
 #: KMV sample stays driver-certified) and the freed slot goes to
 #: ds_02, the txnlog WRITER surface (df.write.format +
 #: writeStream exactly-once sink + stats-pruned read-back).  Second
-#: half: jn_09 folds into jn_misc as its "asof" branch (builder
-#: verbatim) and the freed slot goes to r12_all (var_01 Spark 4
+#: half: udf_02 folds into udf_px as its "gstat" branch (builder
+#: verbatim — jn_09 was tried first but its oracle is DuckDB-dialect
+#: (epoch_ns//1000) and jn_misc must stay ANSI-parity; udf_02's is
+#: dual-dialect) and the freed slot goes to r12_all (var_01 Spark 4
 #: VariantType analytics + sdd_02 incremental SemDeDup), so every
 #: r12 operator certifies same-round.
 CORE50 = (
-    "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "r12_all",
+    "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
     "src_02", "src_03", "src_04", "ups_01", "brk_01",
     "str_win", "maint_all", "ds_02", "str_rep", "ds_01",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
-    "udf_px", "udf_02", "udf_tf", "str_11",
+    "udf_px", "r12_all", "udf_tf", "str_11",
     "fin_all", "ded_ngram", "r11_all", "r10b_all", "cdc_04",
     "ded_embed",
     "r10_all", "ann_bx", "r7_all", "r9b_all",
