@@ -649,6 +649,35 @@ class TxnlogBatchDataSource(DataSource):
 
     def _version(self) -> int | None:
         v = self.options.get("versionAsOf")
+        ts = self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "txnlog: pass versionAsOf OR timestampAsOf, not both")
+        if ts is not None:
+            # epoch seconds or ISO 'YYYY-MM-DD[ HH:MM:SS]' — resolved
+            # against commit-file mtimes, monotonized (Delta's rule;
+            # mirror of txnlog.resolve_timestamp, self-contained)
+            import datetime
+            try:
+                target = float(ts)
+            except ValueError:
+                target = datetime.datetime.fromisoformat(
+                    str(ts)).timestamp()
+            table = self.options["path"]
+            versions = _versions(table)
+            if not versions:
+                raise FileNotFoundError(f"no txnlog table at {table}")
+            eff, run = [], float("-inf")
+            for vv in versions:
+                m = os.stat(os.path.join(
+                    _log_dir(table), f"{vv:0{_W}d}.json")).st_mtime
+                run = max(run, m)
+                eff.append((vv, run))
+            if target < eff[0][1]:
+                raise ValueError(
+                    f"timestampAsOf {ts} predates the first retained "
+                    f"commit")
+            return max(vv for vv, m in eff if m <= target)
         return None if v is None else int(v)
 
     def _write_opts(self) -> tuple[str, str | None, bool]:

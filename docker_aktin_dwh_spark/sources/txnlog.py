@@ -560,8 +560,37 @@ def prune_files(snap: Snapshot,
                    for c, o, v in filters)]
 
 
+def resolve_timestamp(path: str, ts: float) -> int:
+    """``timestampAsOf`` resolution (r12, Delta's rule): the LATEST
+    version whose commit landed at or before ``ts`` (epoch seconds),
+    judged by the commit FILE's modification time — the same authority
+    Delta uses (no clock is recorded in the payload; the log file IS
+    the commit event).  Non-monotonic mtimes (clock skew between
+    racing writers, file copies) are adjusted upward like Delta's
+    monotonization: each version's effective time is the running max,
+    so version order always wins over clock order.  Raises if ``ts``
+    predates the first retained commit (after truncate_history the
+    honest answer is "unknown", not version 0)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no txnlog table at {path}")
+    eff = []
+    run = float("-inf")
+    for v in versions:
+        m = os.stat(os.path.join(_log_dir(path), _commit_name(v))).st_mtime
+        run = max(run, m)
+        eff.append((v, run))
+    if ts < eff[0][1]:
+        raise ValueError(
+            f"timestampAsOf {ts} predates the first retained commit "
+            f"(version {eff[0][0]} at {eff[0][1]}); earlier history "
+            f"is truncated or never existed")
+    return max(v for v, m in eff if m <= ts)
+
+
 def read_table(spark: SparkSession, path: str,
                version: int | None = None, *,
+               timestamp: float | None = None,
                filters: list[tuple[str, str, object]] | None = None
                ) -> DataFrame:
     """DataFrame over exactly the files live at ``version`` (default
@@ -581,7 +610,15 @@ def read_table(spark: SparkSession, path: str,
     predicate row-level (`.filter(...)`), exactly like Delta's data
     skipping leaves the residual predicate in the scan.  At 100 TB
     this is the difference between opening every file of a
-    10k-file table and opening the interval-hit handful."""
+    10k-file table and opening the interval-hit handful.
+
+    ``timestamp`` (epoch seconds) resolves to a version via
+    :func:`resolve_timestamp` — Delta's ``timestampAsOf``; mutually
+    exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = resolve_timestamp(path, timestamp)
     snap = snapshot(path, version)
     schema = StructType.fromJson(json.loads(snap.schema_json))
     keep = prune_files(snap, filters) if filters else sorted(snap.files)

@@ -1624,6 +1624,89 @@ def _body_delta_export_conformance(spark, tdir):
     assert real.exceptAll(want).count() == 0       # pragma: no cover
 
 
+def _body_timestamp_as_of_resolution(spark, tdir):
+    """timestampAsOf (r12, Delta's rule): resolved against commit-file
+    mtimes with monotonization; before-first-commit raises; the
+    DataSource accepts epoch seconds or ISO strings.  mtimes pinned
+    with os.utime so the test is clock-independent, including a
+    deliberately NON-monotonic middle commit (skewed writer clock)
+    that monotonization must absorb."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")    # v0
+    txnlog.append(spark, _mk(spark, 10, 30, tag="b"), tdir, key="k")  # v1
+    txnlog.append(spark, _mk(spark, 30, 60, tag="c"), tdir, key="k")  # v2
+    log = os.path.join(tdir, "_txnlog")
+    t0 = 1_700_000_000.0
+    for v, t in ((0, t0), (1, t0 + 100), (2, t0 + 50)):  # v2 skewed EARLY
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t, t))
+    assert txnlog.resolve_timestamp(tdir, t0) == 0
+    assert txnlog.resolve_timestamp(tdir, t0 + 99) == 0
+    # monotonization: v2's effective time is max(t0+100, t0+50) =
+    # t0+100 — version order beats its skewed clock, and the query at
+    # t0+100 sees the LATEST version committed by then (v2, like Delta)
+    assert txnlog.resolve_timestamp(tdir, t0 + 100) == 2
+    assert txnlog.resolve_timestamp(tdir, t0 + 1e6) == 2
+    with pytest.raises(ValueError, match="predates"):
+        txnlog.resolve_timestamp(tdir, t0 - 1)
+    assert txnlog.read_table(spark, tdir, timestamp=t0).count() == 10
+    with pytest.raises(ValueError, match="not both"):
+        txnlog.read_table(spark, tdir, version=1, timestamp=t0)
+    txnbatch.register(spark)
+    assert (spark.read.format("txnlog").option("path", tdir)
+            .option("timestampAsOf", str(t0 + 99)).load().count()) == 10
+    # ISO form parses; far-future resolves to latest regardless of the
+    # local timezone's rendering of t0
+    assert (spark.read.format("txnlog").option("path", tdir)
+            .option("timestampAsOf", "2999-01-01 00:00:00").load()
+            .count()) == 60
+
+
+def _body_stream_replication_source_to_sink(spark, tdir):
+    """Composition (r12): the commit-log streaming SOURCE feeding the
+    txnlog streaming SINK — CDC-style table replication entirely
+    through registered formats (readStream.format('txnlog_stream') →
+    writeStream.format('txnlog')), exactly-once on BOTH ends: the
+    source replays committed versions only, the sink commits each
+    micro-batch with its (appId, batchId) txn action, and a full
+    restart replays nothing.  New commits on the primary propagate on
+    the next trigger."""
+    from docker_aktin_dwh_spark.sources import txnbatch, txnstream
+
+    txnbatch.register(spark)
+    txnstream.register(spark)
+    base = os.path.dirname(tdir)
+    replica = os.path.join(base, "replica")
+    txnlog.create_table(spark, _mk(spark, 0, 60), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 60, 100, tag="b"), tdir, key="k")
+
+    def run(ck):
+        q = (spark.readStream.format("txnlog_stream")
+             .option("path", tdir).load()
+             .drop("_commit_version")
+             .writeStream.format("txnlog")
+             .option("path", replica).option("key", "k")
+             .option("txnAppId", "repl")
+             .option("checkpointLocation", os.path.join(base, ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run("ck1")
+    got = txnlog.read_table(spark, replica)
+    assert got.count() == 100
+    # restart: nothing re-delivered, nothing re-committed
+    run("ck1")
+    assert txnlog.read_table(spark, replica).count() == 100
+    # primary advances; replica catches up on the next trigger
+    txnlog.append(spark, _mk(spark, 100, 120, tag="c"), tdir, key="k")
+    run("ck1")
+    rep = txnlog.read_table(spark, replica)
+    assert rep.count() == 120
+    want = txnlog.read_table(spark, tdir)
+    assert rep.exceptAll(want).count() == 0
+    assert want.exceptAll(rep).count() == 0
+
+
 def test_file_stats_attributes_by_leaf_path(tmp_path):
     """Regression (r12): parquet row-group chunks enumerate LEAVES, so
     positional indexing against the arrow field list misattributes
