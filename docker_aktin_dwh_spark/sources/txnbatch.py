@@ -181,6 +181,8 @@ def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
             return hi > val
         if op == ">=":
             return hi >= val
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
     except TypeError:
         return True
     return True
@@ -224,11 +226,15 @@ class TxnlogBatchReader(DataSourceReader):
         if not self._skipping:
             return filters
         from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                            GreaterThanOrEqual,
+                                            GreaterThanOrEqual, In,
                                             LessThan, LessThanOrEqual)
         ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
                LessThan: "<", LessThanOrEqual: "<="}
         for f in filters:
+            if isinstance(f, In) and len(f.attribute) == 1:
+                self._pruning.append((f.attribute[0], "in",
+                                      tuple(f.value)))
+                continue
             op = ops.get(type(f))
             if op is not None and len(f.attribute) == 1:
                 self._pruning.append((f.attribute[0], op, f.value))

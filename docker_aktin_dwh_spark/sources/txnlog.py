@@ -543,6 +543,9 @@ def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
             return hi > val
         if op == ">=":
             return hi >= val
+        if op == "in":
+            # an IN list can match iff ANY member falls in [lo, hi]
+            return any(lo <= v <= hi for v in val)
     except TypeError:
         return True                 # incomparable literal: no pruning
     return True                     # unknown op: no pruning

@@ -1504,6 +1504,15 @@ def _body_read_pruning_opens_only_interval_hit_files(spark, tdir):
     rd2 = ds.reader(ds.schema())
     rd2.pushFilters([EqualTo(("cat",), "zzz")])
     assert len(rd2.partitions()) == 0 or rd2.partitions() == []
+    # IN-list pruning: any member inside the interval keeps the file
+    assert len(txnlog.prune_files(
+        snap, [("score", "in", (2500, 2600))])) == 1
+    assert txnlog.prune_files(
+        snap, [("score", "in", (-5, 99999))]) == []
+    from pyspark.sql.datasource import In
+    rin = ds.reader(ds.schema())
+    rin.pushFilters([In(("score",), (10, 20))])
+    assert len(rin.partitions()) == 1
     # end to end through SQL with opt-in skipping: pruned plan, exact
     # rows (one-shot relation per query — the documented usage)
     sk = (spark.read.format("txnlog").option("path", tdir)
