@@ -34,6 +34,17 @@ Reference analogue: the read side of the reference's import schema —
 any SQL client can SELECT the warehouse state Postgres arbitrates
 (docker-aktin-dwh src/docker/database); here any Spark SQL session
 composes over the snapshot the commit log arbitrates.
+
+SQL surface boundary (verified, r12): ``CREATE TABLE ... USING
+txnlog OPTIONS (path ...)`` resolves the table's SCHEMA (the options
+reach schema() as a ``file:`` URI — normalized by _norm_path), but
+Spark 4.1 constructs a FRESH DataSource with EMPTY options for the
+actual scan and for ``INSERT INTO`` writes (verified with an options
+spy on reader()/writer()), so catalog-table reads/writes cannot work
+for ANY Python data source yet — an upstream plumbing gap, not a
+format one.  The supported SQL composition path is ds_01's: ``load()``
++ ``createOrReplaceTempView`` for reads, ``df.write.format`` /
+``writeStream.format`` for writes.
 """
 
 from __future__ import annotations
@@ -49,6 +60,18 @@ from pyspark.sql.types import StructType
 
 _LOG = "_txnlog"
 _W = 20
+
+
+def _norm_path(p: str) -> str:
+    """Spark's catalog layer normalizes a table's ``path`` option to a
+    ``file:`` URI (``CREATE TABLE ... USING txnlog OPTIONS (path ...)``
+    then SELECT hands the reader ``file:/abs/path``); local filesystem
+    calls need the plain path back."""
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
 
 
 def _log_dir(table: str) -> str:
@@ -669,7 +692,7 @@ class TxnlogBatchDataSource(DataSource):
             except ValueError:
                 target = datetime.datetime.fromisoformat(
                     str(ts)).timestamp()
-            table = self.options["path"]
+            table = _norm_path(self.options["path"])
             versions = _versions(table)
             if not versions:
                 raise FileNotFoundError(f"no txnlog table at {table}")
@@ -687,7 +710,7 @@ class TxnlogBatchDataSource(DataSource):
         return None if v is None else int(v)
 
     def _write_opts(self) -> tuple[str, str | None, bool]:
-        table = self.options["path"]
+        table = _norm_path(self.options["path"])
         key = self.options.get("key")
         evolve = str(self.options.get("evolveSchema",
                                       "false")).lower() == "true"
@@ -728,7 +751,7 @@ class TxnlogBatchDataSource(DataSource):
                                   evolve, schema.json(), app_id)
 
     def schema(self) -> StructType:
-        _, schema_json = _replay(self.options["path"], self._version())
+        _, schema_json = _replay(_norm_path(self.options["path"]), self._version())
         return StructType.fromJson(json.loads(schema_json))
 
     def reader(self, schema: StructType) -> TxnlogBatchReader:
@@ -741,8 +764,8 @@ class TxnlogBatchDataSource(DataSource):
         # the schema came from.
         version = self._version()
         if version is None:
-            version = _versions(self.options["path"])[-1]
-        _, schema_json = _replay(self.options["path"], version)
+            version = _versions(_norm_path(self.options["path"]))[-1]
+        _, schema_json = _replay(_norm_path(self.options["path"]), version)
         skipping = str(self.options.get("dataSkipping",
                                         "false")).lower() == "true"
         pruning = None
@@ -753,7 +776,7 @@ class TxnlogBatchDataSource(DataSource):
             # sees the same subset (safe under Spark's one-plan-per-
             # relation caching, unlike pushFilters; see pushFilters)
             pruning = [tuple(f) for f in json.loads(declared)]
-        return TxnlogBatchReader(self.options["path"], version,
+        return TxnlogBatchReader(_norm_path(self.options["path"]), version,
                                  schema_json, skipping=skipping,
                                  pruning=pruning)
 
