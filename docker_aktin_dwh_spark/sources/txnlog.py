@@ -206,7 +206,25 @@ def _ranges_count(ranges: list) -> int:
 def snapshot(path: str, version: int | None = None) -> Snapshot:
     """Replay the commit log (from the newest usable checkpoint) up to
     ``version`` (default: latest).  Pure metadata reads — no data file
-    is opened."""
+    is opened.
+
+    Read-side repair (r12, Delta's fix-the-log-on-read): when a claim
+    BACKEND with a ``recover_table`` sweep is installed
+    (set_claim_backend — the object-store coordinator), a winner that
+    crashed between claim and publish is completed HERE, before the
+    version listing, so a reader sees the committed version without
+    waiting for the next writer to lose a race on it.  The POSIX
+    default needs no repair (link(2) publishes atomically) and skips
+    the hook."""
+    b = _claim_backend
+    if b is not None and hasattr(b, "recover_table"):
+        try:
+            b.recover_table(_log_dir(path))
+        except Exception:
+            # repair is best-effort on the READ path: a broken
+            # coordinator must not take reads down with it — writers
+            # will surface it loudly on the next claim
+            pass
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no txnlog table at {path}")

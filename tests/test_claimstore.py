@@ -248,3 +248,56 @@ def test_txnlog_protocol_through_sqlite_backend(spark, tmp_path):
         assert backend.recover_table(os.path.join(tdir, "_txnlog")) == []
     finally:
         txnlog.set_claim_backend(None)
+
+
+def test_snapshot_repairs_crashed_publish_on_read(spark, tmp_path):
+    """Read-side repair (r12, Delta's fix-the-log-on-read): with the
+    coordinator installed, a commit whose winner crashed between claim
+    and publish is completed by the very next snapshot()/read_table —
+    no writer involvement.  SERIAL (module-global backend seam)."""
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    tdir = str(tmp_path / "tbl")
+    db = str(tmp_path / "cas.db")
+    backend = claimstore.SQLiteClaimBackend(db)
+    txnlog.set_claim_backend(backend)
+    try:
+        df = spark.range(0, 20).selectExpr("id AS k",
+                                           "CAST(id AS STRING) AS v")
+        txnlog.create_table(spark, df, tdir, key="k")          # v0
+        # plant a crashed v1: claimed in the CAS, side file durable,
+        # never published (exactly the state after a SIGKILL between
+        # claim and publish — tests/test_claimstore + the bench lane
+        # exercise the real kill; here the state is constructed so the
+        # READ path's behavior is isolated)
+        log = os.path.join(tdir, "_txnlog")
+        target = os.path.abspath(os.path.join(log, f"{1:020d}.json"))
+        side = f"{target}.cas-crashed"
+        snap0 = txnlog.snapshot(tdir)
+        add_name = "p-crashed.parquet"
+        import shutil as _sh
+        donor = sorted(snap0.files)[0]
+        _sh.copyfile(os.path.join(tdir, donor),
+                     os.path.join(tdir, add_name))
+        import pyarrow.parquet as _pq
+        rows = _pq.ParquetFile(os.path.join(tdir, add_name)) \
+                  .metadata.num_rows
+        with open(side, "w") as f:
+            json.dump({"version": 1, "op": "append",
+                       "add": [{"file": add_name, "rows": rows,
+                                "kmin": None, "kmax": None,
+                                "cols": {}}],
+                       "remove": []}, f)
+        con = sqlite3.connect(db)
+        con.execute("INSERT INTO claims (target, side, complete) "
+                    "VALUES (?, ?, 0)", (target, side))
+        con.commit()
+        con.close()
+        assert not os.path.exists(target)
+        # the read repairs: v1 becomes visible without any writer
+        snap = txnlog.snapshot(tdir)
+        assert snap.version == 1
+        assert os.path.exists(target)
+        assert txnlog.read_table(spark, tdir).count() == 20 + rows
+    finally:
+        txnlog.set_claim_backend(None)
