@@ -118,14 +118,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver jar on the classpath.
         from urllib.parse import parse_qs
 
-        from .sources.pgwire import pg_native_load
+        from .sources.pgwire import pg_native_load, quote_ident
         rest = sf_dir[len("pg+native:"):]
         q: dict[str, list[str]] = {}
         if "?" in rest:
             rest, qs = rest.split("?", 1)
             q = parse_qs(qs)
         return pg_native_load(
-            spark, f"SELECT * FROM {name}", unix_dir=rest,
+            spark, f"SELECT * FROM {quote_ident(name)}", unix_dir=rest,
             port=int(q.get("port", ["5432"])[0]),
             user=q.get("user", ["postgres"])[0],
             database=q.get("db", ["postgres"])[0])

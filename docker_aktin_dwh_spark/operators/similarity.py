@@ -722,8 +722,21 @@ SDD_TIE_MOD = 32768
 
 def sdd_k(n_rows: int) -> int:
     """Scale-aware K for SemDeDup: ceil(N / target cluster rows),
-    floored at KM_K so tiny fixtures keep a multi-cluster shape."""
-    return max(KM_K, -(-int(n_rows) // SDD_TARGET_CLUSTER_ROWS))
+    floored at KM_K so tiny fixtures keep a multi-cluster shape.
+
+    Guarded against SDD_TIE_MOD: the oracle's MIN(dist·MOD+cid)%MOD
+    tie-break aliases cids once K > MOD, so a corpus beyond
+    MOD·SDD_TARGET_CLUSTER_ROWS rows (~2M) must raise rather than
+    silently de-certify (ADVICE r12; at that scale raise SDD_TIE_MOD
+    in both the Spark and oracle encodings together)."""
+    k = max(KM_K, -(-int(n_rows) // SDD_TARGET_CLUSTER_ROWS))
+    if k > SDD_TIE_MOD:
+        raise ValueError(
+            f"sdd_k: derived K={k} exceeds SDD_TIE_MOD={SDD_TIE_MOD}; "
+            f"the oracle tie-break encoding would alias cluster ids — "
+            f"raise SDD_TIE_MOD (Spark + oracle together) for corpora "
+            f"beyond {SDD_TIE_MOD * SDD_TARGET_CLUSTER_ROWS} rows")
+    return k
 
 
 def _km_assign(pts, cents):
@@ -736,8 +749,9 @@ def _km_assign(pts, cents):
     and measured ~2M scalar ops/s: the sdd_k 10× lane (21k rows ×
     K=333) took 214 s.  The numpy kernel computes the IDENTICAL IEEE
     doubles ((x−c)·(x−c)·1e12, floor, int64 sum — multiplication
-    order preserved), chunked at 512 rows so the (rows × K × DIM)
-    intermediate stays ~90 MB, argmin's first-index rule = the
+    order preserved), row-chunked at step = 2^23 // (K·DIM) so the
+    (rows × K × DIM) float64 intermediate stays ~64 MB, argmin's
+    first-index rule = the
     lowest-cid tie-break (centroids arrive cid-sorted).  Same
     measured-A/B precedent as the PQ encoder (ann_pq): Python is the
     fast path here because Arrow amortizes the transfer and numpy

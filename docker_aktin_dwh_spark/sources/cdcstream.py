@@ -63,11 +63,12 @@ def _versions(table: str) -> list[int]:
 
 
 def _replay(table: str, target: int):
-    """files{name: {rows, dv}} + schema_json at ``target`` — the same
-    checkpoint-bounded walk txnlog.snapshot does (self-contained; see
-    module docstring)."""
+    """files{name: {rows, dv}} + schema_json + colmap at ``target`` —
+    the same checkpoint-bounded walk txnlog.snapshot does
+    (self-contained; see module docstring)."""
     files: dict[str, dict] = {}
     schema_json = None
+    colmap = None
     start = 0
     log = os.path.join(table, _LOG)
     for v in sorted((int(n[:_W]) for n in os.listdir(log)
@@ -77,6 +78,7 @@ def _replay(table: str, target: int):
                 ck = json.load(f)
             files = {n: dict(s) for n, s in ck["files"].items()}
             schema_json = ck.get("schema")
+            colmap = ck.get("colmap")
             start = v + 1
             break
     for v in _versions(table):
@@ -91,7 +93,9 @@ def _replay(table: str, target: int):
         for d in c.get("dv", []):
             files[d["file"]]["dv"] = d["ranges"]
         schema_json = c.get("schema", schema_json)
-    return files, schema_json
+        if "colmap" in c:
+            colmap = c["colmap"]
+    return files, schema_json, colmap
 
 
 def _sub_ranges(a: list, b: list) -> list[list[int]]:
@@ -117,7 +121,8 @@ def _sub_ranges(a: list, b: list) -> list[list[int]]:
 class _VersionDiffPartition(InputPartition):
     def __init__(self, table: str, version: int, key: str,
                  schema_json: str, old_files: list, new_files: list,
-                 dv_dead: list, dv_alive: list):
+                 dv_dead: list, dv_alive: list,
+                 colmap: dict | None = None):
         self.table = table
         self.version = version
         self.key = key
@@ -127,6 +132,10 @@ class _VersionDiffPartition(InputPartition):
         self.new_files = new_files
         self.dv_dead = dv_dead      # [(name, ranges)] -> old side
         self.dv_alive = dv_alive    # [(name, ranges)] -> new side
+        # logical → physical names at this version (r13 column
+        # mapping; physical names are rename-stable, so one map
+        # serves both sides of the diff)
+        self.colmap = colmap
 
 
 def _nullable(schema_json: str) -> str:
@@ -154,9 +163,10 @@ class TxnlogCdcStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            f0, s0 = _replay(self._table, v - 1)
-            f1, s1 = _replay(self._table, v)
+            f0, s0, cm0 = _replay(self._table, v - 1)
+            f1, s1, cm1 = _replay(self._table, v)
             schema_json = _nullable(s1 or s0)
+            colmap = cm1 if s1 is not None else cm0
             old_files = [(n, None, f0[n].get("dv"))
                          for n in sorted(f0) if n not in f1]
             new_files = [(n, None, f1[n].get("dv"))
@@ -178,7 +188,7 @@ class TxnlogCdcStreamReader(DataSourceStreamReader):
             if old_files or new_files or dv_dead or dv_alive:
                 parts.append(_VersionDiffPartition(
                     self._table, v, self._key, schema_json,
-                    old_files, new_files, dv_dead, dv_alive))
+                    old_files, new_files, dv_dead, dv_alive, colmap))
         return parts
 
     def read(self, partition: _VersionDiffPartition):
@@ -192,12 +202,15 @@ class TxnlogCdcStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(_ST.fromJson(
             json.loads(partition.schema_json)))
 
+        cm = getattr(partition, "colmap", None) or {}
+
         def load(name, keep_ranges, mask_ranges):
             t = pq.read_table(os.path.join(partition.table, name))
             cols = []
             for field in target:
-                if field.name in t.column_names:
-                    cols.append(t.column(field.name).cast(field.type))
+                phys = cm.get(field.name, field.name)
+                if phys in t.column_names:
+                    cols.append(t.column(phys).cast(field.type))
                 else:
                     cols.append(pa.nulls(t.num_rows, field.type))
             t = pa.table(dict(zip(target.names, cols)), schema=target)
@@ -276,7 +289,7 @@ class TxnlogCdcDataSource(DataSource):
         if not vs:
             raise FileNotFoundError(
                 f"no txnlog table at {self.options['path']}")
-        _, schema_json = _replay(self.options["path"], vs[-1])
+        _, schema_json, _ = _replay(self.options["path"], vs[-1])
         if schema_json is None:
             raise FileNotFoundError(
                 f"txnlog_cdc: no schema recorded in any retained "

@@ -37,8 +37,10 @@ row-for-row against ``txnlog.read_table``.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import shutil
 import uuid
 
 from . import txnlog
@@ -73,9 +75,34 @@ def export_delta_log(path: str, dest: str,
     log_dir = os.path.join(dest, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
+    # Column mapping (r13): a renamed/dropped-column table exports
+    # with Delta's columnMapping mode "name" — each schema field
+    # carries delta.columnMapping.{id, physicalName} metadata, the
+    # table configuration declares the mode, and the protocol bumps
+    # to reader 2 / writer 5 (PROTOCOL.md's column-mapping floor).
+    # Identity tables keep the base protocol untouched.
+    mapped = snap.colmap is not None
+    schema_doc = json.loads(snap.schema_json)
+    configuration: dict = {}
+    reader_v, writer_v = MIN_READER_VERSION, MIN_WRITER_VERSION
+    if mapped:
+        for i, fld in enumerate(schema_doc.get("fields", []), start=1):
+            md = dict(fld.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = \
+                snap.colmap.get(fld["name"], fld["name"])
+            fld["metadata"] = md
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId":
+                str(len(schema_doc.get("fields", []))),
+        }
+        reader_v, writer_v = 2, 5
+    schema_string = json.dumps(schema_doc, separators=(",", ":"))
+
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": MIN_READER_VERSION,
-                      "minWriterVersion": MIN_WRITER_VERSION}},
+        {"protocol": {"minReaderVersion": reader_v,
+                      "minWriterVersion": writer_v}},
     ]
     meta_time = 0
     adds = []
@@ -84,7 +111,15 @@ def export_delta_log(path: str, dest: str,
         src = os.path.join(path, name)
         dst = os.path.join(dest, name)
         if not os.path.exists(dst):
-            os.link(src, dst)
+            try:
+                os.link(src, dst)
+            except OSError as e:
+                if e.errno != errno.EXDEV:
+                    raise
+                # dest on a different filesystem: degrade to a copy
+                shutil.copyfile(src, dst)
+                with open(dst, "rb") as cf:
+                    os.fsync(cf.fileno())
         info = os.stat(src)
         mtime_ms = int(info.st_mtime * 1000)
         meta_time = max(meta_time, mtime_ms)
@@ -107,9 +142,9 @@ def export_delta_log(path: str, dest: str,
         "id": str(uuid.uuid5(uuid.NAMESPACE_URL,
                              f"txnlog-export:{os.path.abspath(path)}")),
         "format": {"provider": "parquet", "options": {}},
-        "schemaString": snap.schema_json,
+        "schemaString": schema_string,
         "partitionColumns": [],
-        "configuration": {},
+        "configuration": configuration,
         "createdTime": meta_time,
     }})
     actions.extend(adds)

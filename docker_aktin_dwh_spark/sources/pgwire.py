@@ -136,6 +136,7 @@ class PgWireClient:
         decoders: list = []
         rows: list[tuple] = []
         err: str | None = None
+        overflow = False
         while True:
             kind, payload = self._recv_msg()
             if kind == b"T":
@@ -151,6 +152,8 @@ class PgWireClient:
                     decoders.append(dec)
                     i = j + 19
             elif kind == b"D":
+                if overflow:
+                    continue  # keep draining to ReadyForQuery
                 (nf,) = struct.unpack("!h", payload[:2])
                 i = 2
                 vals = []
@@ -165,15 +168,21 @@ class PgWireClient:
                         i += ln
                 rows.append(tuple(vals))
                 if len(rows) > ROWS_MAX:
-                    raise PgError(
-                        f"result exceeds ROWS_MAX={ROWS_MAX}: the "
-                        f"pure-Python compat arm is for control-plane "
-                        f"tables; scan through the JDBC jar path")
+                    # stop accumulating but DRAIN the remaining frames
+                    # to ReadyForQuery before raising, so a caller that
+                    # catches the error can keep using the connection
+                    overflow = True
+                    rows.clear()
             elif kind == b"E":
                 err = self._error_fields(payload)
             elif kind == b"Z":
                 if err:
                     raise PgError(err)
+                if overflow:
+                    raise PgError(
+                        f"result exceeds ROWS_MAX={ROWS_MAX}: the "
+                        f"pure-Python compat arm is for control-plane "
+                        f"tables; scan through the JDBC jar path")
                 return names, ddl, rows
             # 'C' CommandComplete / 'N' Notice: fall through
 
@@ -207,6 +216,15 @@ def pg_native_load(spark, query: str, *, unix_dir: str | None = None,
     return spark.createDataFrame(rows, schema)
 
 
+def quote_ident(ident: str) -> str:
+    """Double-quote a SQL identifier, doubling embedded quotes —
+    mixed-case/keyword/special-char names work, and untrusted names
+    stop being an injection surface (schema-qualified names quote
+    each dotted part)."""
+    return ".".join('"' + p.replace('"', '""') + '"'
+                    for p in ident.split("."))
+
+
 def _sql_literal(v) -> str:
     if v is None:
         return "NULL"
@@ -237,7 +255,8 @@ def pg_native_write(df, table: str, *, unix_dir: str | None = None,
             f"{len(rows)} rows exceed ROWS_MAX={ROWS_MAX}: the "
             f"pure-Python compat arm is for report frames; write "
             f"through the JDBC jar path")
-    cols = ", ".join(df.columns)
+    cols = ", ".join(quote_ident(c) for c in df.columns)
+    qtable = quote_ident(table)
     with PgWireClient(host=host, port=port, unix_dir=unix_dir,
                       user=user, database=database) as c:
         for i in range(0, len(rows), batch_rows):
@@ -245,5 +264,5 @@ def pg_native_write(df, table: str, *, unix_dir: str | None = None,
             values = ",".join(
                 "(" + ",".join(_sql_literal(v) for v in r) + ")"
                 for r in chunk)
-            c.execute(f"INSERT INTO {table} ({cols}) VALUES {values}")
+            c.execute(f"INSERT INTO {qtable} ({cols}) VALUES {values}")
     return len(rows)

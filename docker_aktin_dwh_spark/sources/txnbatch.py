@@ -88,12 +88,41 @@ def _versions(table: str) -> list[int]:
                   and not n.startswith("."))
 
 
+_UNSET = object()
+
+
+def _resolve_timestamp(table: str, ts) -> int:
+    """Epoch seconds or ISO 'YYYY-MM-DD[ HH:MM:SS]' → newest version
+    whose commit-file mtime (monotonized — Delta's rule) is <= target.
+    Verbatim mirror of txnlog.resolve_timestamp, self-contained for
+    the same reason as _replay_meta."""
+    import datetime
+    try:
+        target = float(ts)
+    except ValueError:
+        target = datetime.datetime.fromisoformat(str(ts)).timestamp()
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    eff, run = [], float("-inf")
+    for vv in versions:
+        m = os.stat(os.path.join(
+            _log_dir(table), f"{vv:0{_W}d}.json")).st_mtime
+        run = max(run, m)
+        eff.append((vv, run))
+    if target < eff[0][1]:
+        raise ValueError(
+            f"timestampAsOf {ts} predates the first retained commit")
+    return max(vv for vv, m in eff if m <= target)
+
+
 def _replay_meta(table: str, version: int | None):
     """Self-contained snapshot replay — the same checkpoint-bounded
     walk txnlog.snapshot does, duplicated because the DataSource
     planner/committer processes cannot import the package (see module
     docstring; equality pinned in tests).  Returns (files,
-    raw_schema_json, txns, constraints, key, resolved_version)."""
+    raw_schema_json, txns, constraints, key, colmap,
+    resolved_version)."""
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no txnlog table at {table}")
@@ -107,6 +136,7 @@ def _replay_meta(table: str, version: int | None):
     txns: dict[str, int] = {}
     constraints: dict[str, str] = {}
     key = None
+    colmap: dict[str, str] | None = None
     start = 0
     log = _log_dir(table)
     for v in sorted((int(n[:_W]) for n in os.listdir(log)
@@ -118,6 +148,8 @@ def _replay_meta(table: str, version: int | None):
             schema_json = ck.get("schema")
             txns = dict(ck.get("txns", {}))
             constraints = dict(ck.get("constraints", {}))
+            colmap = ck.get("colmap")
+            key = ck.get("key")
             start = v + 1
             break
     for v in versions:
@@ -135,6 +167,8 @@ def _replay_meta(table: str, version: int | None):
         schema_json = c.get("schema", schema_json)
         if "constraints" in c:
             constraints = dict(c["constraints"])
+        if "colmap" in c:
+            colmap = c["colmap"]
         if "key" in c:
             key = c["key"]
         t = c.get("txn")
@@ -145,14 +179,16 @@ def _replay_meta(table: str, version: int | None):
         raise FileNotFoundError(
             f"txnlog: no schema recorded in any retained commit or "
             f"checkpoint of {table}")
-    return files, schema_json, txns, constraints, key, target
+    return files, schema_json, txns, constraints, key, colmap, target
 
 
 def _replay(table: str, version: int | None):
-    """(files, nullable schema) — the read-path view of _replay_meta
-    (kept as the reader's seam; byte-compat pinned in tests)."""
-    files, schema_json, *_ = _replay_meta(table, version)
-    return files, _nullable_schema_json(schema_json)
+    """(files, nullable schema, colmap) — the read-path view of
+    _replay_meta (kept as the reader's seam; byte-compat pinned in
+    tests)."""
+    files, schema_json, _t, _c, _k, colmap, _v = _replay_meta(
+        table, version)
+    return files, _nullable_schema_json(schema_json), colmap
 
 
 def _nullable_schema_json(schema_json: str) -> str:
@@ -214,12 +250,17 @@ def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
 class TxnlogBatchReader(DataSourceReader):
     def __init__(self, table: str, version: int | None,
                  schema_json: str, skipping: bool = False,
-                 pruning: list | None = None):
+                 pruning: list | None = None,
+                 colmap: dict[str, str] | None = None):
         self._table = table
         self._version = version
         self._schema_json = schema_json
         self._skipping = skipping
         self._pruning: list[tuple[str, str, object]] = pruning or []
+        # logical → physical column map (r13 column mapping; None =
+        # identity).  Pruning conjuncts arrive logical; footer stats
+        # are keyed physical (rename-stable).
+        self._colmap = colmap
 
     def pushFilters(self, filters):
         """File-skipping pushdown (Spark 4.1 DataSource filter API):
@@ -264,10 +305,12 @@ class TxnlogBatchReader(DataSourceReader):
         return filters              # all residual: row filtering is Spark's
 
     def partitions(self):
-        files, _ = _replay(self._table, self._version)
+        files, _, colmap = _replay(self._table, self._version)
+        cm = colmap or {}
+        pruning = [(cm.get(c, c), o, v) for c, o, v in self._pruning]
         keep = [n for n in sorted(files)
                 if all(_interval_hit(files[n], c, o, v)
-                       for c, o, v in self._pruning)]
+                       for c, o, v in pruning)]
         return [_SnapshotFilePartition(os.path.join(self._table, n),
                                        files[n].get("dv"))
                 for n in keep]
@@ -288,11 +331,13 @@ class TxnlogBatchReader(DataSourceReader):
 
         target = to_arrow_schema(_ST.fromJson(
             json.loads(self._schema_json)))
+        cm = self._colmap or {}
         t = pq.read_table(partition.path)
         cols = []
         for field in target:
-            if field.name in t.column_names:
-                cols.append(t.column(field.name).cast(field.type))
+            phys = cm.get(field.name, field.name)
+            if phys in t.column_names:
+                cols.append(t.column(phys).cast(field.type))
             else:
                 cols.append(pa.nulls(t.num_rows, field.type))
         t = pa.table(dict(zip(target.names, cols)), schema=target)
@@ -404,13 +449,14 @@ def _link_claim_commit(table: str, version: int, payload: dict) -> bool:
         except OSError:
             pass
     if won and version % _CHECKPOINT_EVERY == 0 and version > 0:
-        files, schema_json, txns, constraints, _, _ = _replay_meta(
-            table, version)
+        (files, schema_json, txns, constraints, key, colmap,
+         _) = _replay_meta(table, version)
         ck = os.path.join(log, f".ckpt-{uuid.uuid4().hex}")
         with open(ck, "w") as f:
             json.dump({"version": version, "files": files,
                        "schema": schema_json, "txns": txns,
-                       "constraints": constraints}, f)
+                       "constraints": constraints,
+                       "colmap": colmap, "key": key}, f)
         os.replace(ck, os.path.join(log,
                                     f"{version:0{_W}d}.ckpt.json"))
     return won
@@ -418,7 +464,8 @@ def _link_claim_commit(table: str, version: int, payload: dict) -> bool:
 
 def _validate_staged(table: str, adds: list[dict],
                      constraints: dict[str, str],
-                     logged_fields: list[str]) -> None:
+                     logged_fields: list[str],
+                     colmap: dict[str, str] | None = None) -> None:
     """CHECK-constraint validation of staged files via duckdb (the
     committer process has no SparkSession; duckdb reads the staged
     parquet directly — batch-sized work, not table-sized).  Columns
@@ -433,13 +480,21 @@ def _validate_staged(table: str, adds: list[dict],
     import duckdb
     import pyarrow.parquet as pq
     con = duckdb.connect()
+    cm = colmap or {}
     paths = [os.path.join(table, a["file"]) for a in adds]
     have = set(pq.ParquetFile(paths[0]).schema_arrow.names)
-    null_fill = ", ".join(f"NULL AS {c}" for c in logged_fields
-                          if c not in have)
-    extra = f", {null_fill}" if null_fill else ""
+    # staged files store PHYSICAL names under column mapping; the
+    # constraint exprs reference LOGICAL names — alias per field
+    sel = []
+    for c in logged_fields:
+        phys = cm.get(c, c)
+        sel.append(f'"{phys}" AS "{c}"' if phys in have
+                   else f'NULL AS "{c}"')
+    # columns the batch carries beyond the logged schema (evolution)
+    sel += [f'"{p}"' for p in have
+            if p not in {cm.get(c, c) for c in logged_fields}]
     files_sql = ", ".join(f"'{p}'" for p in paths)
-    base = f"SELECT *{extra} FROM read_parquet([{files_sql}])"
+    base = f"SELECT {', '.join(sel)} FROM read_parquet([{files_sql}])"
     for name, expr in sorted(constraints.items()):
         try:
             n_bad = con.execute(
@@ -504,19 +559,31 @@ class _TxnlogWriterBase:
     a failed/aborted write leaves only unreferenced files that vacuum
     reclaims after the retention window)."""
 
-    def __init__(self, table: str, key: str | None):
+    def __init__(self, table: str, key: str | None,
+                 colmap: dict[str, str] | None = None):
         self._table = table
         self._key = key
+        #: complete logical → physical map for the PLAN schema under
+        #: column mapping (fresh physical names for evolving columns
+        #: assigned at plan time), or None for identity tables
+        self._colmap = colmap
 
     def write(self, iterator):
         import uuid
+        import pyarrow as pa
         import pyarrow.parquet as pq
         os.makedirs(self._table, exist_ok=True)   # create-by-write
         name = f"p-w-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(self._table, name)
+        cm = self._colmap or {}
         writer = None
         try:
             for batch in iterator:
+                if cm:
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns),
+                        names=[cm.get(n, n)
+                               for n in batch.schema.names])
                 if writer is None:
                     writer = pq.ParquetWriter(fpath, batch.schema)
                 writer.write_batch(batch)
@@ -525,7 +592,8 @@ class _TxnlogWriterBase:
                 writer.close()
         if writer is None:
             return _TxnWriteMessage([])         # empty partition
-        stats = _file_stats(fpath, self._key)
+        stats = _file_stats(fpath, cm.get(self._key, self._key)
+                            if self._key else self._key)
         if stats["rows"] == 0:
             os.remove(fpath)
             return _TxnWriteMessage([])
@@ -564,12 +632,20 @@ class TxnlogBatchWriter(_TxnlogWriterBase, DataSourceArrowWriter):
 
     def __init__(self, table: str, key: str | None, overwrite: bool,
                  evolve: bool, plan_schema_json: str,
-                 txn: tuple[str, int] | None = None):
-        super().__init__(table, key)
+                 txn: tuple[str, int] | None = None,
+                 colmap: dict[str, str] | None = None,
+                 plan_colmap: dict[str, str] | None = None):
+        super().__init__(table, key, colmap)
         self._overwrite = overwrite
         self._evolve = evolve
         self._plan_schema_json = plan_schema_json
         self._txn = txn
+        #: the table's colmap AS REPLAYED AT PLAN TIME (no fresh
+        #: names) — the committer compares it against the fresh replay
+        #: to detect a concurrent rename/drop (staged files would
+        #: carry stale physical names; Delta fails concurrent metadata
+        #: transactions the same way)
+        self._plan_colmap = plan_colmap
 
     # -- driver side ---------------------------------------------------
     def commit(self, messages) -> None:
@@ -595,23 +671,40 @@ class TxnlogBatchWriter(_TxnlogWriterBase, DataSourceArrowWriter):
                     return
                 continue            # lost the create race: re-derive
             (files, schema_json, txns, constraints, logged_key,
-             version) = _replay_meta(self._table, None)
+             colmap, version) = _replay_meta(self._table, None)
             if self._txn is not None and \
                     txns.get(self._txn[0], -1) >= self._txn[1]:
                 _drop_staged(self._table, adds)
                 return              # idempotent replay: already applied
+            if colmap != self._plan_colmap:
+                # a rename/drop landed between plan and commit: the
+                # staged files carry physical names derived from the
+                # OLD map — committing them would mis-wire columns.
+                # Fail the write (Delta's concurrent-metadata conflict)
+                # rather than guess; the caller re-runs the write.
+                _drop_staged(self._table, adds)
+                raise RuntimeError(
+                    f"txnlog writer: concurrent column-mapping change "
+                    f"on {self._table} (plan {self._plan_colmap!r} vs "
+                    f"commit {colmap!r}) — retry the write")
             new_cols, widened = _check_write_schema(
                 self._plan_schema_json, schema_json, self._evolve)
             logged_fields = [f["name"] for f in
                              json.loads(schema_json)["fields"]]
             _validate_staged(self._table, adds, constraints,
-                             logged_fields)
+                             logged_fields, self._colmap)
             op = "replace" if self._overwrite else "append"
             payload = {"op": op, "add": adds,
                        "remove": sorted(files) if self._overwrite
                        else []}
             if widened is not None:
                 payload["schema"] = widened
+                if colmap is not None:
+                    # evolving under an active mapping: record the
+                    # fresh physical names assigned at plan time
+                    payload["colmap"] = {
+                        **colmap,
+                        **{c: self._colmap[c] for c in new_cols}}
             if self._txn is not None:
                 payload["txn"] = {"app": self._txn[0],
                                   "version": self._txn[1]}
@@ -636,17 +729,21 @@ class TxnlogStreamWriter(_TxnlogWriterBase, DataSourceStreamArrowWriter):
     (the materialized-view shape, replace_contents' semantics)."""
 
     def __init__(self, table: str, key: str | None, overwrite: bool,
-                 evolve: bool, plan_schema_json: str, app_id: str):
-        super().__init__(table, key)
+                 evolve: bool, plan_schema_json: str, app_id: str,
+                 colmap: dict[str, str] | None = None,
+                 plan_colmap: dict[str, str] | None = None):
+        super().__init__(table, key, colmap)
         self._overwrite = overwrite
         self._evolve = evolve
         self._plan_schema_json = plan_schema_json
         self._app_id = app_id
+        self._plan_colmap = plan_colmap
 
     def commit(self, messages, batchId: int) -> None:
         delegate = TxnlogBatchWriter(
             self._table, self._key, self._overwrite, self._evolve,
-            self._plan_schema_json, txn=(self._app_id, batchId))
+            self._plan_schema_json, txn=(self._app_id, batchId),
+            colmap=self._colmap, plan_colmap=self._plan_colmap)
         delegate.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:
@@ -677,37 +774,23 @@ class TxnlogBatchDataSource(DataSource):
         return "txnlog"
 
     def _version(self) -> int | None:
+        # memoized: schema()/reader() on the same load resolve the
+        # version once (the timestamp arm stats every commit file)
+        cached = getattr(self, "_resolved_version", _UNSET)
+        if cached is not _UNSET:
+            return cached
         v = self.options.get("versionAsOf")
         ts = self.options.get("timestampAsOf")
         if v is not None and ts is not None:
             raise ValueError(
                 "txnlog: pass versionAsOf OR timestampAsOf, not both")
         if ts is not None:
-            # epoch seconds or ISO 'YYYY-MM-DD[ HH:MM:SS]' — resolved
-            # against commit-file mtimes, monotonized (Delta's rule;
-            # mirror of txnlog.resolve_timestamp, self-contained)
-            import datetime
-            try:
-                target = float(ts)
-            except ValueError:
-                target = datetime.datetime.fromisoformat(
-                    str(ts)).timestamp()
-            table = _norm_path(self.options["path"])
-            versions = _versions(table)
-            if not versions:
-                raise FileNotFoundError(f"no txnlog table at {table}")
-            eff, run = [], float("-inf")
-            for vv in versions:
-                m = os.stat(os.path.join(
-                    _log_dir(table), f"{vv:0{_W}d}.json")).st_mtime
-                run = max(run, m)
-                eff.append((vv, run))
-            if target < eff[0][1]:
-                raise ValueError(
-                    f"timestampAsOf {ts} predates the first retained "
-                    f"commit")
-            return max(vv for vv, m in eff if m <= target)
-        return None if v is None else int(v)
+            out = _resolve_timestamp(
+                _norm_path(self.options["path"]), ts)
+        else:
+            out = None if v is None else int(v)
+        self._resolved_version = out
+        return out
 
     def _write_opts(self) -> tuple[str, str | None, bool]:
         table = _norm_path(self.options["path"])
@@ -717,28 +800,41 @@ class TxnlogBatchDataSource(DataSource):
         return table, key, evolve
 
     def _plan_checks(self, table: str, schema: StructType,
-                     evolve: bool) -> str | None:
+                     evolve: bool):
         """Fail-fast plan-time validation (commit re-derives under the
-        fresh snapshot anyway); returns the logged key if the table
-        exists, else None."""
+        fresh snapshot anyway); returns (logged_key, plan_colmap,
+        stage_colmap) — stage_colmap extends the table's colmap with
+        FRESH physical names for evolving columns (tasks stage under
+        it; the commit records it)."""
         if not _versions(table):
-            return None
-        _, schema_json, _, _, logged_key, _ = _replay_meta(table, None)
-        _check_write_schema(schema.json(), schema_json, evolve)
-        return logged_key
+            return None, None, None
+        (_, schema_json, _, _, logged_key, colmap,
+         _) = _replay_meta(table, None)
+        new_cols, _w = _check_write_schema(schema.json(), schema_json,
+                                           evolve)
+        stage = None
+        if colmap is not None:
+            import uuid
+            stage = {**colmap,
+                     **{c: f"c-{uuid.uuid4().hex[:12]}"
+                        for c in new_cols}}
+        return logged_key, colmap, stage
 
     def writer(self, schema: StructType,
                overwrite: bool) -> TxnlogBatchWriter:
         table, key, evolve = self._write_opts()
-        logged_key = self._plan_checks(table, schema, evolve)
+        logged_key, plan_colmap, stage = self._plan_checks(
+            table, schema, evolve)
         return TxnlogBatchWriter(table, key or logged_key, overwrite,
-                                 evolve, schema.json())
+                                 evolve, schema.json(),
+                                 colmap=stage, plan_colmap=plan_colmap)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> TxnlogStreamWriter:
         import hashlib
         table, key, evolve = self._write_opts()
-        logged_key = self._plan_checks(table, schema, evolve)
+        logged_key, plan_colmap, stage = self._plan_checks(
+            table, schema, evolve)
         app_id = self.options.get("txnAppId")
         if app_id is None:
             # stable across restarts iff the checkpoint is: derive
@@ -748,10 +844,12 @@ class TxnlogBatchDataSource(DataSource):
             app_id = "txnlog-sink-" + hashlib.sha256(
                 ckpt.encode()).hexdigest()[:16]
         return TxnlogStreamWriter(table, key or logged_key, overwrite,
-                                  evolve, schema.json(), app_id)
+                                  evolve, schema.json(), app_id,
+                                  colmap=stage, plan_colmap=plan_colmap)
 
     def schema(self) -> StructType:
-        _, schema_json = _replay(_norm_path(self.options["path"]), self._version())
+        _, schema_json, _ = _replay(_norm_path(self.options["path"]),
+                                    self._version())
         return StructType.fromJson(json.loads(schema_json))
 
     def reader(self, schema: StructType) -> TxnlogBatchReader:
@@ -765,7 +863,8 @@ class TxnlogBatchDataSource(DataSource):
         version = self._version()
         if version is None:
             version = _versions(_norm_path(self.options["path"]))[-1]
-        _, schema_json = _replay(_norm_path(self.options["path"]), version)
+        _, schema_json, colmap = _replay(
+            _norm_path(self.options["path"]), version)
         skipping = str(self.options.get("dataSkipping",
                                         "false")).lower() == "true"
         pruning = None
@@ -778,7 +877,7 @@ class TxnlogBatchDataSource(DataSource):
             pruning = [tuple(f) for f in json.loads(declared)]
         return TxnlogBatchReader(_norm_path(self.options["path"]), version,
                                  schema_json, skipping=skipping,
-                                 pruning=pruning)
+                                 pruning=pruning, colmap=colmap)
 
 
 def register(spark) -> None:

@@ -116,7 +116,9 @@ class Snapshot:
 
     def __init__(self, version: int, files: dict[str, dict],
                  schema_json: str | None, txns: dict[str, int],
-                 constraints: dict[str, str] | None = None):
+                 constraints: dict[str, str] | None = None,
+                 colmap: dict[str, str] | None = None,
+                 key: str | None = None):
         self.version = version
         self.files = files
         self.schema_json = schema_json
@@ -124,6 +126,18 @@ class Snapshot:
         #: CHECK constraints (name → SQL boolean expr) enforced on
         #: every write verb — Delta's table constraints (r11)
         self.constraints = constraints or {}
+        #: column mapping (r13, Delta's columnMapping mode "name"):
+        #: COMPLETE logical → physical name map once a rename/drop has
+        #: activated it, else None (identity — pre-mapping tables pay
+        #: zero translation).  Data files always store PHYSICAL names;
+        #: the logged schema is logical.  Physical names never change
+        #: after assignment (renames are logical-only), and columns
+        #: added post-activation get FRESH uuid physical names so a
+        #: re-added logical name can never resurrect a dropped
+        #: column's data.
+        self.colmap = colmap
+        #: the logged merge key (logical name; renames update it)
+        self.key = key
 
 
 def _log_dir(path: str) -> str:
@@ -236,6 +250,8 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     schema_json: str | None = None
     txns: dict[str, int] = {}
     constraints: dict[str, str] = {}
+    colmap: dict[str, str] | None = None
+    key: str | None = None
     start = 0
     # newest checkpoint at or below the target bounds the replay
     for v in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
@@ -247,6 +263,8 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             schema_json = ck.get("schema")
             txns = dict(ck.get("txns", {}))
             constraints = dict(ck.get("constraints", {}))
+            colmap = ck.get("colmap")
+            key = ck.get("key")
             start = v + 1
             break
     for v in versions:
@@ -267,11 +285,16 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
         schema_json = c.get("schema", schema_json)
         if "constraints" in c:
             constraints = dict(c["constraints"])   # full map, latest wins
+        if "colmap" in c:
+            colmap = c["colmap"]                   # full map (or null)
+        if "key" in c:
+            key = c["key"]
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(t["version"],
                                  txns.get(t["app"], t["version"]))
-    return Snapshot(target, files, schema_json, txns, constraints)
+    return Snapshot(target, files, schema_json, txns, constraints,
+                    colmap, key)
 
 
 #: Pluggable version-claim backend — the ONE point where the whole
@@ -340,7 +363,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"version": version, "files": snap.files,
                    "schema": snap.schema_json, "txns": snap.txns,
-                   "constraints": snap.constraints}, f)
+                   "constraints": snap.constraints,
+                   "colmap": snap.colmap, "key": snap.key}, f)
     os.replace(tmp, os.path.join(_log_dir(path), _ckpt_name(version)))
 
 
@@ -438,11 +462,78 @@ def _file_stats(fpath: str, key: str) -> dict:
             "cols": per}
 
 
+# ------------------------------------------------- column mapping (r13)
+# Delta's columnMapping mode "name" on the commit-log format: the
+# logged schema carries LOGICAL names, data files carry PHYSICAL names,
+# and the snapshot's ``colmap`` (a complete logical → physical dict
+# once activated by the first rename/drop; None = identity for
+# pre-mapping tables) translates at exactly two seams — staging
+# (logical → physical before the parquet write) and scanning (physical
+# → logical aliasing after the parquet read).  Per-file footer stats
+# stay keyed by PHYSICAL name, which renames never change, so old
+# files remain prunable across any number of renames.
+
+def _phys_name(colmap: dict[str, str] | None, logical: str) -> str:
+    return colmap.get(logical, logical) if colmap else logical
+
+
+def _phys_schema(schema: StructType,
+                 colmap: dict[str, str] | None) -> StructType:
+    """The logical schema with fields renamed to their physical
+    names — what the parquet reader is handed."""
+    if not colmap:
+        return schema
+    from pyspark.sql.types import StructField
+    return StructType([
+        StructField(colmap.get(f.name, f.name), f.dataType,
+                    f.nullable, f.metadata) for f in schema.fields])
+
+
+def _to_physical(df: DataFrame,
+                 colmap: dict[str, str] | None) -> DataFrame:
+    """Rename ``df``'s (logical) columns to physical names for
+    staging.  No-op for identity tables."""
+    if not colmap:
+        return df
+    return df.select([F.col(c).alias(colmap.get(c, c))
+                      for c in df.columns])
+
+
+def _alias_logical(df: DataFrame, schema: StructType,
+                   colmap: dict[str, str] | None,
+                   extra: tuple[str, ...] = ()) -> DataFrame:
+    """Alias a physically-named frame back to the logical schema
+    (keeping ``extra`` pass-through columns, e.g. the DV row-meta)."""
+    if not colmap:
+        return df
+    return df.select(*[F.col(colmap.get(f.name, f.name)).alias(f.name)
+                       for f in schema.fields],
+                     *[F.col(c) for c in extra])
+
+
+def _fresh_phys() -> str:
+    """Physical name for a column added AFTER mapping activation —
+    never collides with any current or dropped column's storage."""
+    return f"c-{uuid.uuid4().hex[:12]}"
+
+
+def _identity_colmap(schema: StructType) -> dict[str, str]:
+    """Mapping activation: existing columns keep their current names
+    as physical names (that is what the existing files store)."""
+    return {f.name: f.name for f in schema.fields}
+
+
 def _stage_data_files(spark: SparkSession, df: DataFrame, path: str,
-                      key: str, version_hint: int) -> list[dict]:
+                      key: str, version_hint: int,
+                      colmap: dict[str, str] | None = None
+                      ) -> list[dict]:
     """Write ``df`` as immutable data files in the table dir (staged
     through a Spark parquet write, then renamed — same filesystem, so
-    the rename is metadata-only) and return their add-entries."""
+    the rename is metadata-only) and return their add-entries.  Under
+    an active column mapping the files (and therefore their footer
+    stats) land under PHYSICAL names."""
+    df = _to_physical(df, colmap)
+    key = _phys_name(colmap, key)
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     adds = []
@@ -526,18 +617,22 @@ def _apply_dv(spark: SparkSession, df: DataFrame,
 
 
 def _read_files(spark: SparkSession, path: str, schema: StructType,
-                names: list[str], stats: dict[str, dict]) -> DataFrame:
+                names: list[str], stats: dict[str, dict],
+                colmap: dict[str, str] | None = None) -> DataFrame:
     """The ONE data-file read path: the named files under the logged
-    schema, with each file's deletion vector masked.  Every rewrite
-    (merge fold, compact, delete) reads through here — reading a DV'd
-    file raw would RESURRECT its dead rows into the rewrite."""
-    df = spark.read.schema(schema).parquet(
+    (logical) schema, with each file's deletion vector masked.  Every
+    rewrite (merge fold, compact, delete) reads through here — reading
+    a DV'd file raw would RESURRECT its dead rows into the rewrite.
+    Under column mapping the scan runs under PHYSICAL names (DV
+    masking included — it needs the scan's ``_metadata``) and aliases
+    back to logical as the last projection."""
+    df = spark.read.schema(_phys_schema(schema, colmap)).parquet(
         *[os.path.join(path, n) for n in names])
     dvmap = {n: stats[n]["dv"] for n in names
              if stats.get(n, {}).get("dv")}
-    if not dvmap:
-        return df
-    return _apply_dv(spark, df, dvmap)
+    if dvmap:
+        df = _apply_dv(spark, df, dvmap)
+    return _alias_logical(df, schema, colmap)
 
 
 def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
@@ -575,7 +670,10 @@ def prune_files(snap: Snapshot,
     ALL of ``filters`` (conjunction of ``(col, op, literal)`` with op
     ∈ {=, <, <=, >, >=}), judged by the per-column [min, max]
     intervals each commit records from the parquet footers
-    (_file_stats).  Control-plane only — no file is opened."""
+    (_file_stats).  Control-plane only — no file is opened.  Filters
+    name LOGICAL columns; stats are keyed physical (rename-stable), so
+    the conjuncts translate through the snapshot's colmap first."""
+    filters = [(_phys_name(snap.colmap, c), o, v) for c, o, v in filters]
     return [n for n in sorted(snap.files)
             if all(_interval_hit(snap.files[n], c, o, v)
                    for c, o, v in filters)]
@@ -645,7 +743,8 @@ def read_table(spark: SparkSession, path: str,
     keep = prune_files(snap, filters) if filters else sorted(snap.files)
     if not keep:
         return spark.createDataFrame([], schema)
-    return _read_files(spark, path, schema, keep, snap.files)
+    return _read_files(spark, path, schema, keep, snap.files,
+                       snap.colmap)
 
 
 def _widened_schema(snap: Snapshot, df: DataFrame) -> StructType:
@@ -753,6 +852,113 @@ def drop_constraint(spark: SparkSession, path: str, *,
         f"drop_constraint lost {MERGE_MAX_ATTEMPTS} races at {path}")
 
 
+def _constraint_refs(constraints: dict[str, str], col: str) -> list[str]:
+    """Constraint names whose expression mentions ``col`` as a word —
+    conservative (a quoted string literal containing the name also
+    matches), which errs toward refusing a rename/drop rather than
+    silently breaking a CHECK expression."""
+    import re
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
+def rename_column(spark: SparkSession, path: str, *, old: str,
+                  new: str) -> Snapshot:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (r13 —
+    Delta's columnMapping mode "name"; reference analogue: plain
+    ``ALTER TABLE RENAME COLUMN`` on stock Postgres,
+    /root/reference/src/docker/database/Dockerfile:8).  No data file
+    is read or rewritten — at 100 TB that is the whole point: the
+    commit records the renamed LOGICAL schema plus a logical→physical
+    column map; data files keep their (physical) column names and
+    readers alias at scan time.  First rename/drop ACTIVATES the
+    mapping with identity physical names (that is what existing files
+    store); physical names never change afterwards, so footer-stats
+    pruning, MERGE data skipping and CDC diffs keep working across any
+    number of renames.  Renaming the merge key updates the logged key.
+    Refuses to rename a column referenced by a CHECK constraint
+    (drop/re-add the constraint around the rename — rewriting SQL
+    text would be a guess)."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(
+                f"rename_column: no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists")
+        refs = _constraint_refs(snap.constraints, old)
+        if refs:
+            raise ValueError(
+                f"rename_column: column {old!r} is referenced by CHECK "
+                f"constraint(s) {refs} — drop them, rename, then "
+                f"re-add under the new name (txnlog will not rewrite "
+                f"constraint SQL)")
+        colmap = dict(snap.colmap) if snap.colmap is not None \
+            else _identity_colmap(schema)
+        colmap[new] = colmap.pop(old)
+        from pyspark.sql.types import StructField
+        new_schema = StructType([
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata) for f in schema.fields])
+        payload: dict = {"op": "rename_column", "add": [], "remove": [],
+                         "schema": new_schema.json(), "colmap": colmap,
+                         "renamed": {"from": old, "to": new}}
+        if snap.key == old:
+            payload["key"] = new
+        if _try_commit(path, snap.version + 1, payload):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"rename_column lost {MERGE_MAX_ATTEMPTS} races at {path}")
+
+
+def drop_column(spark: SparkSession, path: str, *,
+                column: str) -> Snapshot:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (r13): the
+    field leaves the logical schema and the column map; the physical
+    data stays in the files but no reader ever projects it (the next
+    :func:`compact` rewrites it away physically).  A column LATER
+    re-added under the same logical name gets a FRESH physical name
+    (see :func:`append`), so the dropped data can never resurrect —
+    Delta's columnMapping drop semantics.  Refuses to drop the merge
+    key, the last column, or a column referenced by a CHECK
+    constraint."""
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if column not in names:
+            raise KeyError(
+                f"drop_column: no column {column!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        if snap.key == column:
+            raise ValueError(
+                f"drop_column: {column!r} is the table's merge key — "
+                f"MERGE/data-skipping is keyed on it; re-key the table "
+                f"(recreate) before dropping")
+        refs = _constraint_refs(snap.constraints, column)
+        if refs:
+            raise ValueError(
+                f"drop_column: column {column!r} is referenced by "
+                f"CHECK constraint(s) {refs} — drop the constraint(s) "
+                f"first")
+        colmap = dict(snap.colmap) if snap.colmap is not None \
+            else _identity_colmap(schema)
+        colmap.pop(column, None)
+        new_schema = StructType([f for f in schema.fields
+                                 if f.name != column])
+        payload = {"op": "drop_column", "add": [], "remove": [],
+                   "schema": new_schema.json(), "colmap": colmap,
+                   "dropped": column}
+        if _try_commit(path, snap.version + 1, payload):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"drop_column lost {MERGE_MAX_ATTEMPTS} races at {path}")
+
+
 def append(spark: SparkSession, df: DataFrame, path: str, *,
            key: str, evolve_schema: bool = False,
            txn: tuple[str, int] | None = None) -> Snapshot | None:
@@ -789,10 +995,24 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
             f"schema; pass evolve_schema=True to widen the table")
     _check_types(snap, df, "append")
     _check_constraints(snap, df, "append")
-    adds = _stage_data_files(spark, df, path, key, snap.version + 1)
+
+    def _stage_map(s: Snapshot, newc: list[str]):
+        """The logical → physical map this attempt stages under: the
+        snapshot's colmap plus FRESH physical names for evolving
+        columns (Delta's rule — a re-added dropped name must never
+        land on the dropped column's storage)."""
+        if s.colmap is None:
+            return None
+        return {**s.colmap, **{c: _fresh_phys() for c in newc}}
+
+    stage_map = _stage_map(snap, new_cols)
+    adds = _stage_data_files(spark, df, path, key, snap.version + 1,
+                             stage_map)
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if new_cols:
         payload["schema"] = _widened_schema(snap, df).json()
+        if stage_map is not None:
+            payload["colmap"] = stage_map
     if txn is not None:
         payload["txn"] = {"app": txn[0], "version": txn[1]}
     v = snap.version + 1
@@ -804,6 +1024,7 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
         # whatever schema the winner logged, and a txn-idempotent
         # append notices the winner was its own earlier attempt.
         prev_constraints = snap.constraints
+        prev_colmap = snap.colmap
         snap = snapshot(path)
         v = max(v + 1, snap.version + 1)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -826,10 +1047,23 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
         logged = {f.name for f in StructType.fromJson(
             json.loads(snap.schema_json)).fields}
         new_cols = [c for c in df.columns if c not in logged]
+        if snap.colmap != prev_colmap:
+            # a concurrent rename/drop (or first evolving append under
+            # mapping) changed the column mapping: the staged files
+            # carry stale physical names — re-stage under the fresh map
+            _drop_files(path, adds)
+            stage_map = _stage_map(snap, new_cols)
+            adds = _stage_data_files(spark, df, path, key, v, stage_map)
+            payload["add"] = adds
         if new_cols:
             payload["schema"] = _widened_schema(snap, df).json()
+            if stage_map is not None:
+                payload["colmap"] = {
+                    **snap.colmap,
+                    **{c: stage_map[c] for c in new_cols}}
         else:
             payload.pop("schema", None)
+            payload.pop("colmap", None)
     _drop_files(path, adds)
     raise CommitConflictError(f"append lost {MERGE_MAX_ATTEMPTS * 4} "
                               f"version races at {path}")
@@ -869,12 +1103,15 @@ def _compute_dv(spark: SparkSession, path: str, snap: Snapshot,
     DV_ROWS_COLLECT_MAX int pairs — same discipline as the merge key
     collect cap."""
     schema = StructType.fromJson(json.loads(snap.schema_json))
-    raw = spark.read.schema(schema).parquet(
+    raw = spark.read.schema(_phys_schema(schema, snap.colmap)).parquet(
         *[os.path.join(path, n) for n in touched])
     # raw (unmasked) is correct here: an already-dead row that matches
-    # again just re-enters the union — idempotent on ranges
-    hits = (hit_rows(_with_rowmeta(raw))
-            .select(_FILE_META, _ROW_META))
+    # again just re-enters the union — idempotent on ranges.  Row-meta
+    # attaches on the PHYSICAL scan (it needs `_metadata`), the
+    # logical aliasing follows so hit_rows sees logical names.
+    base = _alias_logical(_with_rowmeta(raw), schema, snap.colmap,
+                          extra=(_FILE_META, _ROW_META))
+    hits = hit_rows(base).select(_FILE_META, _ROW_META)
     # one bounded job: cap + 1 rows proves "too big" without a second scan
     got = hits.limit(DV_ROWS_COLLECT_MAX + 1).collect()
     if len(got) > DV_ROWS_COLLECT_MAX:
@@ -971,12 +1208,13 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 adds = []
                 if fold:
                     live = _read_files(spark, path, schema, fold,
-                                       snap.files)
+                                       snap.files, snap.colmap)
                     kept = live.join(anti_keys, key, "left_anti")
                     adds += _stage_data_files(spark, kept, path, key,
-                                              snap.version + 1)
+                                              snap.version + 1,
+                                              snap.colmap)
                 adds += _stage_data_files(spark, batch, path, key,
-                                          snap.version + 1)
+                                          snap.version + 1, snap.colmap)
                 payload = {"op": "merge", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
@@ -986,7 +1224,7 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                     # logged schema + DV masking — a raw read would
                     # resurrect rows an earlier DV killed
                     old = _read_files(spark, path, schema, touched,
-                                      snap.files)
+                                      snap.files, snap.colmap)
                     kept = old.join(anti_keys, key, "left_anti")
                     # a batch NARROWER than the evolved schema
                     # NULL-fills its missing columns (delete+insert
@@ -997,7 +1235,7 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 else:
                     merged = batch
                 adds = _stage_data_files(spark, merged, path, key,
-                                         snap.version + 1)
+                                         snap.version + 1, snap.colmap)
                 payload = {"op": "merge", "add": adds,
                            "remove": touched}
             if _try_commit(path, snap.version + 1, payload):
@@ -1098,26 +1336,27 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                 adds = []
                 if fold:
                     live = _read_files(spark, path, schema, fold,
-                                       snap.files)
+                                       snap.files, snap.colmap)
                     kept = live.join(anti_keys, key, "left_anti")
                     adds += _stage_data_files(spark, kept, path, key,
-                                              snap.version + 1)
+                                              snap.version + 1,
+                                              snap.colmap)
                 adds += _stage_data_files(spark, ups, path, key,
-                                          snap.version + 1)
+                                          snap.version + 1, snap.colmap)
                 payload = {"op": "apply", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
             else:
                 if touched:
                     old = _read_files(spark, path, schema, touched,
-                                      snap.files)
+                                      snap.files, snap.colmap)
                     kept = old.join(anti_keys, key, "left_anti")
                     merged = kept.unionByName(ups,
                                               allowMissingColumns=True)
                 else:
                     merged = ups
                 adds = _stage_data_files(spark, merged, path, key,
-                                         snap.version + 1)
+                                         snap.version + 1, snap.colmap)
                 payload = {"op": "apply", "add": adds,
                            "remove": touched}
             if _try_commit(path, snap.version + 1, payload):
@@ -1152,7 +1391,8 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
             return None                       # already applied
         _check_types(snap, df, "replace_contents")
         _check_constraints(snap, df, "replace_contents")
-        adds = _stage_data_files(spark, df, path, key, snap.version + 1)
+        adds = _stage_data_files(spark, df, path, key, snap.version + 1,
+                                 snap.colmap)
         payload = {"op": "replace", "add": adds,
                    "remove": sorted(snap.files)}
         if txn is not None:
@@ -1199,7 +1439,7 @@ def compact(spark: SparkSession, path: str, *, key: str,
         cur = _read_files(spark, path,
                           StructType.fromJson(json.loads(
                               snap.schema_json)),
-                          sorted(snap.files), snap.files)
+                          sorted(snap.files), snap.files, snap.colmap)
         if zorder_by is not None:
             from ..operators.maintenance import zorder_key
             a, b = zorder_by
@@ -1212,7 +1452,7 @@ def compact(spark: SparkSession, path: str, *, key: str,
         else:
             packed = cur.repartitionByRange(target_files, key)
         adds = _stage_data_files(spark, packed, path, key,
-                                 snap.version + 1)
+                                 snap.version + 1, snap.colmap)
         if _try_commit(path, snap.version + 1,
                        {"op": "compact", "add": adds,
                         "remove": sorted(snap.files)}):
@@ -1272,22 +1512,23 @@ def delete_range(spark: SparkSession, path: str, *, key,
             adds = []
             if fold:
                 live = _read_files(spark, path, schema, fold,
-                                   snap.files)
+                                   snap.files, snap.colmap)
                 adds = _stage_data_files(
                     spark, live.filter(~((F.col(key) >= F.lit(lo))
                                          & (F.col(key) < F.lit(hi)))),
-                    path, key, snap.version + 1)
+                    path, key, snap.version + 1, snap.colmap)
             payload = {"op": "delete", "add": adds, "remove": fold}
             if dv_actions:
                 payload["dv"] = dv_actions
             if not dv_actions and not fold:
                 return snap     # footer false positive: nothing to do
         else:
-            old = _read_files(spark, path, schema, touched, snap.files)
+            old = _read_files(spark, path, schema, touched, snap.files,
+                              snap.colmap)
             kept = old.filter(~((F.col(key) >= F.lit(lo))
                                 & (F.col(key) < F.lit(hi))))
             adds = _stage_data_files(spark, kept, path, key,
-                                     snap.version + 1)
+                                     snap.version + 1, snap.colmap)
             payload = {"op": "delete", "add": adds, "remove": touched}
         if _try_commit(path, snap.version + 1, payload):
             return snapshot(path, snap.version + 1)
@@ -1344,8 +1585,17 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
             f"{s0.version} — a reversed range would silently emit the "
             f"INVERTED feed (inserts as deletes)")
     old_only, new_only = changed_file_sets(s0, s1)
-    schema = StructType.fromJson(
-        json.loads(s1.schema_json or s0.schema_json))
+    # schema AND colmap come from the same endpoint (the TO version
+    # when it logs one): physical names are rename-stable, so the TO
+    # colmap projects the right storage columns out of files from
+    # EITHER side — a renamed column diffs as the same column, a
+    # post-mapping added column NULL-fills on pre-mapping files.
+    if s1.schema_json is not None:
+        schema = StructType.fromJson(json.loads(s1.schema_json))
+        cm = s1.colmap
+    else:
+        schema = StructType.fromJson(json.loads(s0.schema_json))
+        cm = s0.colmap
 
     def side(names: list[str], snap: Snapshot) -> DataFrame:
         if not names:
@@ -1358,7 +1608,7 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
         # struct-equality change classification (ADVICE r9).  Each
         # side is masked by ITS OWN snapshot's deletion vectors — a
         # row already dead at the endpoint is not part of that state.
-        return _read_files(spark, path, schema, names, snap.files)
+        return _read_files(spark, path, schema, names, snap.files, cm)
 
     old_df = side(old_only, s0)
     new_df = side(new_only, s1)
@@ -1385,9 +1635,10 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
             dv_alive[fname] = alive
 
     def delta_rows(dvmap: dict[str, list]) -> DataFrame:
-        raw = spark.read.schema(schema).parquet(
+        raw = spark.read.schema(_phys_schema(schema, cm)).parquet(
             *[os.path.join(path, fn) for fn in sorted(dvmap)])
-        return _apply_dv(spark, raw, dvmap, keep_dead=True)
+        return _alias_logical(_apply_dv(spark, raw, dvmap,
+                                        keep_dead=True), schema, cm)
 
     if dv_dead:
         old_df = old_df.unionByName(delta_rows(dv_dead))
@@ -1444,7 +1695,8 @@ def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
         tgt = snapshot(path, version)
         if (_state(tgt.files) == _state(cur.files)
                 and tgt.schema_json == cur.schema_json
-                and tgt.constraints == cur.constraints):
+                and tgt.constraints == cur.constraints
+                and tgt.colmap == cur.colmap):
             return cur                         # already that state
         missing = [n for n in tgt.files
                    if n not in cur.files
@@ -1476,7 +1728,9 @@ def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
                          "remove": removes,
                          "restore_of": tgt.version,
                          "schema": tgt.schema_json,
-                         "constraints": tgt.constraints}
+                         "constraints": tgt.constraints,
+                         "colmap": tgt.colmap,   # may be null: restore
+                         "key": tgt.key}         # below activation
         if dv_actions:
             payload["dv"] = dv_actions
         if _try_commit(path, cur.version + 1, payload):
@@ -1510,6 +1764,7 @@ def clone_table(path: str, dest: str) -> Snapshot:
     payload: dict = {"op": "clone", "add": adds, "remove": [],
                      "schema": snap.schema_json,
                      "constraints": snap.constraints,
+                     "colmap": snap.colmap, "key": snap.key,
                      "clone_of": {"path": os.path.abspath(path),
                                   "version": snap.version}}
     if dv_actions:
@@ -1552,7 +1807,8 @@ def truncate_history(path: str, *, keep_last: int = 10,
     with open(tmp, "w") as f:
         json.dump({"version": pre, "files": snap.files,
                    "schema": snap.schema_json, "txns": snap.txns,
-                   "constraints": snap.constraints}, f)
+                   "constraints": snap.constraints,
+                   "colmap": snap.colmap, "key": snap.key}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(log, _ckpt_name(pre)))

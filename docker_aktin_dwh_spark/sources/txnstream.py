@@ -85,10 +85,36 @@ class _FilePartition(InputPartition):
         self.version = version
 
 
+def _latest_colmap(table: str) -> dict | None:
+    """The newest logical → physical column map (r13 column mapping),
+    replayed the same way schema() replays the schema — None for
+    identity tables.  Physical names are rename-stable, so the latest
+    map correctly projects files of EVERY commit."""
+    colmap = None
+    seeded = False
+    for v in _versions(table):
+        with open(_commit_path(table, v)) as f:
+            c = json.load(f)
+        if "colmap" in c:
+            colmap = c["colmap"]
+            seeded = True
+    if not seeded:
+        log = os.path.join(table, _LOG)
+        for n in sorted(os.listdir(log)):
+            if n.endswith(".ckpt.json"):
+                with open(os.path.join(log, n)) as f:
+                    colmap = json.load(f).get("colmap", colmap)
+    return colmap
+
+
 class TxnlogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, skip_change_commits: bool = False):
+    def __init__(self, path: str, skip_change_commits: bool = False,
+                 schema_json: str | None = None,
+                 colmap: dict | None = None):
         self._path = path
         self._skip_change = skip_change_commits
+        self._schema_json = schema_json
+        self._colmap = colmap
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -128,10 +154,28 @@ class TxnlogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         # executor-side: one parquet file -> Arrow batches with the
-        # commit version appended (vectorized, no per-row Python)
+        # commit version appended (vectorized, no per-row Python).
+        # Files store PHYSICAL column names under column mapping and
+        # pre-evolution files lack later columns — align each file to
+        # the declared logical schema (cast + NULL-fill), exactly like
+        # the batch DataSource's read.
         import pyarrow as pa
         import pyarrow.parquet as pq
         t = pq.read_table(partition.path)
+        if self._schema_json is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+            target = to_arrow_schema(_ST.fromJson(
+                json.loads(self._schema_json)))
+            cm = self._colmap or {}
+            cols = []
+            for field in target:
+                phys = cm.get(field.name, field.name)
+                if phys in t.column_names:
+                    cols.append(t.column(phys).cast(field.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, field.type))
+            t = pa.table(dict(zip(target.names, cols)), schema=target)
         ver = pa.nulls(t.num_rows, pa.int64()).fill_null(partition.version)
         t = t.append_column("_commit_version", ver)
         yield from t.to_batches()
@@ -179,9 +223,16 @@ class TxnlogStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> TxnlogStreamReader:
         skip = str(self.options.get("skipChangeCommits", "false"))
+        # the declared schema minus the appended _commit_version is the
+        # logical table schema read() aligns every file to
+        logical = StructType([f for f in schema.fields
+                              if f.name != "_commit_version"])
         return TxnlogStreamReader(self.options["path"],
                                   skip_change_commits=skip.lower()
-                                  == "true")
+                                  == "true",
+                                  schema_json=logical.json(),
+                                  colmap=_latest_colmap(
+                                      self.options["path"]))
 
 
 def register(spark) -> None:

@@ -1716,6 +1716,374 @@ def _body_stream_replication_source_to_sink(spark, tdir):
     assert want.exceptAll(rep).count() == 0
 
 
+def _mk3(spark, lo, hi, tag="a"):
+    """Three-column protocol frame for the column-mapping bodies."""
+    return (spark.range(lo, hi).coalesce(2).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v"),
+        (F.col("id") % 5).alias("grp")))
+
+
+def _body_colmap_rename_metadata_only(spark, tdir):
+    """rename_column (r13): a METADATA-ONLY commit — identical file
+    set, logical reads under the new name, time travel below the
+    rename keeps the old name, merges address the renamed column, and
+    renaming the merge key updates the logged key so data skipping
+    stays keyed."""
+    txnlog.create_table(spark, _mk3(spark, 0, 100)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    s1 = txnlog.rename_column(spark, tdir, old="v", new="val")
+    assert s1.files == before.files, "rename must not touch data files"
+    assert s1.colmap == {"k": "k", "v": None, "val": "v",
+                         "grp": "grp"} or s1.colmap == {
+        "k": "k", "val": "v", "grp": "grp"}
+    got = txnlog.read_table(spark, tdir)
+    assert got.columns == ["k", "val", "grp"]
+    assert {r.val for r in got.filter("k < 2").collect()} == {"a0", "a1"}
+    # time travel below the rename reads the OLD logical shape
+    assert txnlog.read_table(spark, tdir, 0).columns == ["k", "v", "grp"]
+    # merge under the new logical name
+    batch = (_mk3(spark, 10, 20, tag="m")
+             .withColumnRenamed("v", "val"))
+    txnlog.merge(spark, tdir, batch, key="k")
+    cur = {r.k: r.val for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(cur) == 100 and cur[15] == "m15" and cur[50] == "a50"
+    # rename the MERGE KEY; the logged key follows and skipping works
+    txnlog.rename_column(spark, tdir, old="k", new="kid")
+    assert txnlog.snapshot(tdir).key == "kid"
+    b2 = (_mk3(spark, 30, 35, tag="z")
+          .withColumnRenamed("v", "val").withColumnRenamed("k", "kid"))
+    txnlog.merge(spark, tdir, b2, key="kid")
+    out = txnlog.read_table(spark, tdir)
+    assert {r.val for r in out.filter("kid = 32").collect()} == {"z32"}
+    # footer pruning addresses the RENAMED column (stats are physical)
+    pruned = txnlog.prune_files(txnlog.snapshot(tdir),
+                                [("kid", "<", 5)])
+    assert 0 < len(pruned) < len(txnlog.snapshot(tdir).files), \
+        "renamed-key pruning must still skip disjoint files"
+
+
+def _body_colmap_drop_readd_no_resurrection(spark, tdir):
+    """drop_column + evolving re-add (r13): the drop is metadata-only;
+    a column re-added under the SAME logical name gets a FRESH
+    physical name, so the dropped data never resurrects (Delta's
+    columnMapping drop semantics); compact physically removes the
+    dropped storage."""
+    txnlog.create_table(spark, _mk3(spark, 0, 50), tdir, key="k")
+    before = txnlog.snapshot(tdir)
+    s1 = txnlog.drop_column(spark, tdir, column="v")
+    assert s1.files == before.files, "drop must not touch data files"
+    assert txnlog.read_table(spark, tdir).columns == ["k", "grp"]
+    # re-add "v" by evolving append: fresh physical name
+    add = _mk3(spark, 50, 60, tag="NEW")
+    txnlog.append(spark, add, tdir, key="k", evolve_schema=True)
+    snap = txnlog.snapshot(tdir)
+    assert snap.colmap["v"] != "v", "re-added column needs a fresh " \
+        "physical name (identity would resurrect the dropped data)"
+    got = txnlog.read_table(spark, tdir)
+    alive = got.filter(F.col("v").isNotNull())
+    assert alive.count() == 10, "old rows must read NULL, not the " \
+        "dropped column's data"
+    assert {r.v for r in alive.filter("k = 55").collect()} == {"NEW55"}
+    # compact rewrites live logical columns only: dropped storage gone
+    txnlog.compact(spark, tdir, key="k")
+    import pyarrow.parquet as pq
+    snap2 = txnlog.snapshot(tdir)
+    for n in snap2.files:
+        names = set(pq.ParquetFile(os.path.join(tdir, n))
+                    .schema_arrow.names)
+        assert names == {"k", "grp", snap2.colmap["v"]}, names
+    assert txnlog.read_table(spark, tdir).filter(
+        F.col("v").isNotNull()).count() == 10
+
+
+def _body_colmap_all_write_verbs(spark, tdir):
+    """Every write verb stages under the physical map: append, merge,
+    apply_changes, delete_range, replace_contents, compact — and
+    restore across the activation rolls the mapping back."""
+    txnlog.create_table(spark, _mk3(spark, 0, 100)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+
+    def mk(lo, hi, tag):
+        return _mk3(spark, lo, hi, tag).withColumnRenamed("v", "val")
+
+    txnlog.append(spark, mk(100, 110, "ap"), tdir, key="k")
+    txnlog.merge(spark, tdir, mk(10, 15, "mg"), key="k")
+    feed = (mk(20, 25, "up").withColumn("op", F.lit("update"))
+            .unionByName(mk(110, 115, "in")
+                         .withColumn("op", F.lit("insert")))
+            .unionByName(mk(0, 5, "x")
+                         .withColumn("op", F.lit("delete"))))
+    txnlog.apply_changes(spark, tdir, feed, key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=90, hi=95)
+    got = {r.k: r.val for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 105      # 115 - 5 deleted - 5 ranged
+    assert got[12] == "mg12" and got[22] == "up22" and \
+        got[112] == "in112" and got[50] == "a50"
+    assert 0 not in got and 92 not in got
+    txnlog.compact(spark, tdir, key="k")
+    assert len(txnlog.read_table(spark, tdir).collect()) == 105
+    v_pre = txnlog.snapshot(tdir).version
+    txnlog.replace_contents(spark, tdir, mk(0, 7, "rc"), key="k")
+    assert {r.val for r in txnlog.read_table(spark, tdir).collect()} \
+        == {f"rc{i}" for i in range(7)}
+    # restore to the pre-replace state under the SAME mapping
+    txnlog.restore(spark, tdir, version=v_pre)
+    assert len(txnlog.read_table(spark, tdir).collect()) == 105
+    # restore BELOW the activation: colmap rolls back to identity-None
+    txnlog.restore(spark, tdir, version=0)
+    s = txnlog.snapshot(tdir)
+    assert s.colmap is None
+    assert txnlog.read_table(spark, tdir).columns == ["k", "v", "grp"]
+    assert txnlog.read_table(spark, tdir).count() == 100
+
+
+def _body_colmap_datasource_parity_and_writes(spark, tdir):
+    """The SQL surface under mapping: the batch DataSource read equals
+    the native read after rename/drop/evolution (versionAsOf across
+    the rename included), declared-filter pruning addresses logical
+    names, df.write.format('txnlog') stages under physical names, and
+    an EVOLVING DataSource write assigns a fresh physical name."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+    txnbatch.register(spark)
+    txnlog.create_table(spark, _mk3(spark, 0, 100)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+    txnlog.merge(spark, tdir,
+                 _mk3(spark, 10, 15, tag="m")
+                 .withColumnRenamed("v", "val"), key="k")
+
+    def ds(**opts):
+        r = spark.read.format("txnlog").option("path", tdir)
+        for kk, vv in opts.items():
+            r = r.option(kk, vv)
+        return r.load()
+
+    native = txnlog.read_table(spark, tdir)
+    got = ds()
+    assert got.columns == native.columns == ["k", "val", "grp"]
+    assert got.exceptAll(native).count() == 0
+    assert native.exceptAll(got).count() == 0
+    # versionAsOf BELOW the rename: old logical shape
+    assert ds(versionAsOf=0).columns == ["k", "v", "grp"]
+    assert ds(versionAsOf=0).count() == 100
+    # declared pruning on the RENAMED logical column skips files
+    flt = ds(filters=json.dumps([["k", "<", 5]]))
+    assert flt.count() < 100 and flt.filter("k < 5").count() == 5
+    # DataSource write post-rename: logical frame, physical staging
+    (_mk3(spark, 200, 205, tag="w").withColumnRenamed("v", "val")
+     .write.format("txnlog").option("path", tdir).mode("append").save())
+    assert txnlog.read_table(spark, tdir).filter("k >= 200").count() == 5
+    # evolving DataSource write: fresh physical for the new column
+    (_mk3(spark, 300, 303, tag="e").withColumnRenamed("v", "val")
+     .withColumn("extra", F.lit("E"))
+     .write.format("txnlog").option("path", tdir)
+     .option("evolveSchema", "true").mode("append").save())
+    snap = txnlog.snapshot(tdir)
+    assert snap.colmap["extra"].startswith("c-"), snap.colmap
+    out = txnlog.read_table(spark, tdir)
+    assert out.filter(F.col("extra").isNotNull()).count() == 3
+    # DataSource read agrees on the evolved mapped table
+    got2 = ds()
+    assert got2.exceptAll(out).count() == 0
+    assert out.exceptAll(got2).count() == 0
+
+
+def _body_colmap_cdc_and_stream_sources(spark, tdir):
+    """CDC across a rename (r13): physical names are rename-stable, so
+    table_changes classifies the SAME column across the rename instead
+    of delete+insert storms; the rename commit itself emits no change
+    rows; the streaming CDC source and the append-only stream source
+    agree under mapping."""
+    from docker_aktin_dwh_spark.sources import txnstream
+    txnlog.create_table(spark, _mk3(spark, 0, 60)
+                        .repartitionByRange(2, "k"), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="val")     # v1
+    txnlog.merge(spark, tdir,
+                 _mk3(spark, 5, 10, tag="m")
+                 .withColumnRenamed("v", "val"), key="k")     # v2
+    # the rename alone contributes NO change rows
+    assert txnlog.table_changes(spark, tdir, 0, 1, key="k") \
+        .count() == 0
+    feed = txnlog.table_changes(spark, tdir, 0, key="k")
+    assert set(feed.columns) == {"k", "val", "grp", "change_type"}
+    by = {(r.k, r.change_type): r.val for r in feed.collect()}
+    assert by[(7, "update_preimage")] == "a7"
+    assert by[(7, "update_postimage")] == "m7"
+    assert len(by) == 10, "only the 5 merged keys changed (pre+post)"
+    # streaming CDC source under mapping
+    from docker_aktin_dwh_spark.sources import cdcstream
+    cdcstream.register(spark)
+    base = os.path.dirname(tdir)
+    rows = []
+    q = (spark.readStream.format("txnlog_cdc")
+         .option("path", tdir).option("key", "k")
+         .load()
+         .writeStream.foreachBatch(
+             lambda df, _b: rows.extend(df.collect()))
+         .option("checkpointLocation", os.path.join(base, "cdc_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.k, r.change_type): r.val for r in rows}
+    assert got[(7, "update_preimage")] == "a7"
+    assert got[(7, "update_postimage")] == "m7"
+    # append-only stream source aligns physical files to logical names
+    txnstream.register(spark)
+    txnlog.append(spark, _mk3(spark, 60, 70, tag="n")
+                  .withColumnRenamed("v", "val"), tdir, key="k")
+    srows = []
+    q2 = (spark.readStream.format("txnlog_stream")
+          .option("path", tdir)
+          .option("skipChangeCommits", "true").load()
+          .writeStream.foreachBatch(
+              lambda df, _b: srows.extend(df.collect()))
+          .option("checkpointLocation", os.path.join(base, "st_ck"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    svals = {r.k: r.val for r in srows}
+    assert svals[65] == "n65" and svals[0] == "a0"
+
+
+def _body_colmap_guards(spark, tdir):
+    """Refusal surface: rename to an existing name, rename/drop of
+    constraint-referenced columns, dropping the merge key or the last
+    column, unknown columns — each a loud error, never a guess."""
+    txnlog.create_table(spark, _mk3(spark, 0, 20), tdir, key="k")
+    txnlog.set_constraint(spark, tdir, name="v_nn",
+                          expr="v IS NOT NULL")
+    with pytest.raises(ValueError, match="already exists"):
+        txnlog.rename_column(spark, tdir, old="v", new="grp")
+    with pytest.raises(KeyError, match="no column"):
+        txnlog.rename_column(spark, tdir, old="nope", new="x")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        txnlog.rename_column(spark, tdir, old="v", new="val")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        txnlog.drop_column(spark, tdir, column="v")
+    with pytest.raises(ValueError, match="merge key"):
+        txnlog.drop_column(spark, tdir, column="k")
+    # constraint dropped → rename proceeds; then the re-added
+    # constraint addresses the NEW name
+    txnlog.drop_constraint(spark, tdir, name="v_nn")
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+    txnlog.set_constraint(spark, tdir, name="val_nn",
+                          expr="val IS NOT NULL")
+    with pytest.raises(ValueError, match="violate CHECK"):
+        txnlog.append(
+            spark,
+            spark.range(1).select(
+                (F.col("id") + 500).alias("k"),
+                F.lit(None).cast("string").alias("val"),
+                F.lit(0).cast("long").alias("grp")),
+            tdir, key="k")
+
+
+def _body_colmap_checkpoint_and_truncate_replay(spark, tdir):
+    """The mapping survives checkpoint-bounded replay and history
+    truncation: >CHECKPOINT_EVERY commits after a rename, then
+    truncate_history — the checkpoint (not any retained commit) is the
+    only carrier of the colmap/key, and both snapshot() and the
+    DataSource mirror must replay it."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+    txnlog.create_table(spark, _mk3(spark, 0, 30), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+    for i in range(12):
+        txnlog.append(spark,
+                      _mk3(spark, 100 + 10 * i, 110 + 10 * i, tag="b")
+                      .withColumnRenamed("v", "val"), tdir, key="k")
+    txnlog.truncate_history(tdir, keep_last=3, retention_seconds=0)
+    snap = txnlog.snapshot(tdir)
+    assert snap.colmap == {"k": "k", "val": "v", "grp": "grp"}
+    assert snap.key == "k"
+    got = txnlog.read_table(spark, tdir)
+    assert got.columns == ["k", "val", "grp"] and got.count() == 150
+    # DataSource mirror replays the same colmap through the checkpoint
+    txnbatch.register(spark)
+    ds = spark.read.format("txnlog").option("path", tdir).load()
+    assert ds.columns == ["k", "val", "grp"]
+    assert ds.exceptAll(got).count() == 0
+    assert got.exceptAll(ds).count() == 0
+
+
+def _body_delta_export_differential_independent_reader(spark, tdir):
+    """VERDICT r12 item 2: a second, INDEPENDENT implementation reads
+    the export — tests/independent_delta_reader.py replays the
+    _delta_log from the public protocol alone (zero shared code with
+    the exporter) and materializes through DuckDB (a third engine).
+    Exported contents must equal the txnlog snapshot for: a plain
+    snapshot, a schema-evolved table, and a post-compact DV-folded
+    table; txn appIds must survive."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from independent_delta_reader import read_delta_table
+
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    def check(dest):
+        cols, rows, txns = read_delta_table(dest)
+        want = txnlog.read_table(spark, tdir).select(*cols).collect()
+        want = sorted((tuple(r) for r in want), key=lambda r: tuple(
+            (v is None, str(type(v)), v) for v in r))
+        assert [tuple(r) for r in rows] == [tuple(r) for r in want], \
+            f"independent reader disagrees at {dest}"
+        return txns
+
+    # 1. plain snapshot
+    txnlog.create_table(spark, _mk(spark, 0, 80)
+                        .repartitionByRange(2, "k"), tdir, key="k",)
+    txnlog.append(spark, _mk(spark, 80, 100, tag="b"), tdir, key="k",
+                  txn=("ind-app", 3))
+    txns = check(delta_export.export_delta_log(tdir, tdir + "_d1"))
+    assert txns.get("ind-app") == 3
+    # 2. schema evolution: pre-evolution files NULL-fill via the
+    # reader's union_by_name + logical projection
+    txnlog.append(spark, _mk(spark, 100, 110).withColumn(
+        "extra", F.lit("E")), tdir, key="k", evolve_schema=True)
+    check(delta_export.export_delta_log(tdir, tdir + "_d2"))
+    # 3. DVs folded by compact, then export
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="m"), key="k")
+    if any(st.get("dv") for st in txnlog.snapshot(tdir).files.values()):
+        txnlog.compact(spark, tdir, key="k")
+    check(delta_export.export_delta_log(tdir, tdir + "_d3"))
+
+
+def _body_delta_export_column_mapping(spark, tdir):
+    """A RENAMED table exports with Delta columnMapping mode "name"
+    (physicalName/id field metadata, protocol 2/5) and the independent
+    reader resolves the indirection; an identity table keeps the base
+    protocol 1/2."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from independent_delta_reader import read_delta_table
+
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk3(spark, 0, 40), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+    txnlog.append(spark, _mk3(spark, 40, 50, tag="n")
+                  .withColumnRenamed("v", "val"), tdir, key="k")
+    dest = delta_export.export_delta_log(tdir, tdir + "_dm")
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    flds = json.loads(meta["schemaString"])["fields"]
+    by_name = {f["name"]: f["metadata"] for f in flds}
+    assert by_name["val"]["delta.columnMapping.physicalName"] == "v"
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in flds]
+    assert sorted(ids) == list(range(1, len(flds) + 1))
+    cols, rows, _ = read_delta_table(dest)
+    assert cols == ["k", "val", "grp"]
+    want = sorted((tuple(r) for r in
+                   txnlog.read_table(spark, tdir).collect()),
+                  key=lambda r: tuple((v is None, str(type(v)), v)
+                                      for v in r))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
 def test_file_stats_attributes_by_leaf_path(tmp_path):
     """Regression (r12): parquet row-group chunks enumerate LEAVES, so
     positional indexing against the arrow field list misattributes
