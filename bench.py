@@ -95,6 +95,10 @@ HEADLINE = (
     # schema-on-read analytics, and incremental SemDeDup (arrivals
     # vs frozen corpus centroids)
     "ds_02", "var_01", "sdd_02",
+    # round 13: column mapping — rename/drop as metadata-only txnlog
+    # commits (merge on the renamed column, time travel across the
+    # rename, fresh-physical re-add, CDC across all of it)
+    "colmap_01",
 )
 
 

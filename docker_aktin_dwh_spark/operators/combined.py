@@ -2149,6 +2149,54 @@ def _r12_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r13_all(spark, sf):
+    """Round-13 certification union (same-round driver certification,
+    the r8-r12 discipline): the NEW r13 operator colmap_01 — column
+    mapping: rename/drop as metadata-only txnlog commits, merge on
+    the renamed column, time travel across the rename, fresh-physical
+    re-add (no resurrection), CDC across all of it — plus the cdc_04
+    fold-in (slot donor; its atomic-apply builder rides verbatim)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import roundtrips
+    # both are eager txnlog roundtrips — build concurrently
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fm = _ex.submit(roundtrips.colmap_01, spark, sf)
+        _fc = _ex.submit(roundtrips.cdc_04, spark, sf)
+    out = _tag(_fm.result(), "cm",
+               F.concat_ws("|", "arm", "change_type", "encounter_num",
+                           "patient_num",
+                           F.unix_micros(F.col("ts").cast("timestamp"))
+                            .cast("string"),
+                           F.coalesce(F.col("io"), F.lit("NUL"))))
+    out = out.unionByName(_tag(
+        _fc.result(), "cdc4",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.unix_micros(F.col("start_date")
+                                  .cast("timestamp")).cast("string"),
+                    "inout_cd")))
+    return out.orderBy("tag", "v")
+
+
+def _r13_all_oracle() -> str:
+    from . import roundtrips
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("cm", cat("arm", "change_type", "encounter_num",
+                   "patient_num", "epoch_us(ts)",
+                   "COALESCE(io, 'NUL')"),
+         roundtrips._colmap_01_oracle()),
+        ("cdc4", cat("encounter_num", "patient_num",
+                     "epoch_us(start_date)", "inout_cd"),
+         roundtrips._cdc_04_oracle()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -2316,6 +2364,13 @@ _DOCS = {
                "asymmetric prune hash-certified) — same-round driver "
                "certification; the slot comes from udf_02's fold "
                "into udf_px",
+    "r13_all": "Round-13 tagged union: column mapping (colmap_01 — "
+               "rename/drop as metadata-only txnlog commits, merge on "
+               "the renamed column, time travel across the rename, "
+               "fresh-physical re-add with no resurrection, CDC "
+               "endpoint diff across all of it) plus the cdc_04 "
+               "atomic-CDC-apply fold-in (slot donor; builder "
+               "verbatim) — same-round driver certification",
 }
 
 
@@ -2359,6 +2414,7 @@ def specs() -> list[QuerySpec]:
         "r10b_all": _r10b_all_oracle(),
         "r11_all": _r11_all_oracle(),
         "r12_all": _r12_all_oracle(),
+        "r13_all": _r13_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

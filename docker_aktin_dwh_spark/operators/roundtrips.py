@@ -588,6 +588,123 @@ ORDER BY encounter_num
 """
 
 
+def colmap_01(spark, sf):
+    """Column mapping roundtrip (r13, VERDICT r12 item 1): RENAME and
+    DROP columns as METADATA-ONLY commits on the txnlog format
+    (sources/txnlog.rename_column/drop_column — Delta's columnMapping
+    mode "name"; reference analogue: plain ``ALTER TABLE RENAME
+    COLUMN`` on stock Postgres, src/docker/database/Dockerfile:8).
+
+    The key drives the full lifecycle and certifies each contract in
+    one hash: create → RENAME start_date→admit_ts (asserted
+    file-identical: no data moved) → MERGE addressing the renamed
+    column (encounters 100-199 +40 days) → DROP inout_cd → evolving
+    append RE-ADDING inout_cd for new encounters 400-449 (fresh
+    physical name asserted — the dropped data must NOT resurrect, so
+    pre-drop rows read NULL).  Three arms: the CURRENT state (renamed
+    + re-added columns), TIME TRAVEL to v0 (original names and values
+    across the rename), and the CDC endpoint diff v0→latest (the
+    rename itself contributes no change rows; updates classify on the
+    renamed column because physical names are rename-stable).  Oracle
+    = the same three arms derived in plain SQL from the fixture."""
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_colmap01_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        pre = txnlog.snapshot(path)
+        txnlog.rename_column(spark, path, old="start_date",
+                             new="admit_ts")
+        s1 = txnlog.snapshot(path)
+        assert s1.files == pre.files, \
+            "rename_column must be metadata-only"
+        batch = (base.filter((F.col("encounter_num") >= 100)
+                             & (F.col("encounter_num") < 200))
+                 .select("encounter_num", "patient_num",
+                         (F.col("start_date") + F.expr("INTERVAL 40 DAYS"))
+                          .alias("admit_ts"),
+                         F.lit("U").alias("inout_cd")))
+        txnlog.merge(spark, path, batch, key="encounter_num")
+        txnlog.drop_column(spark, path, column="inout_cd")
+        readd = (vis.filter((F.col("encounter_num") >= 400)
+                            & (F.col("encounter_num") < 450))
+                 .select("encounter_num", "patient_num",
+                         F.col("start_date").alias("admit_ts"),
+                         "inout_cd"))
+        txnlog.append(spark, readd, path, key="encounter_num",
+                      evolve_schema=True)
+        s4 = txnlog.snapshot(path)
+        assert s4.colmap["inout_cd"] != "inout_cd", \
+            "re-added column must get a fresh physical name"
+        cur = (txnlog.read_table(spark, path)
+               .select(F.lit("cur").alias("arm"),
+                       F.lit("state").alias("change_type"),
+                       "encounter_num", "patient_num",
+                       F.col("admit_ts").alias("ts"),
+                       F.col("inout_cd").alias("io")))
+        tt = (txnlog.read_table(spark, path, 0)
+              .select(F.lit("tt").alias("arm"),
+                      F.lit("state").alias("change_type"),
+                      "encounter_num", "patient_num",
+                      F.col("start_date").alias("ts"),
+                      F.col("inout_cd").alias("io")))
+        cdc = (txnlog.table_changes(spark, path, 0, key="encounter_num")
+               .select(F.lit("cdc").alias("arm"), "change_type",
+                       "encounter_num", "patient_num",
+                       F.col("admit_ts").alias("ts"),
+                       F.col("inout_cd").alias("io")))
+        out = cur.unionByName(tt).unionByName(cdc)
+        return _snap_off_tmp(out, tmp).orderBy(
+            "arm", "change_type", "encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _colmap_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+base AS (SELECT * FROM vis WHERE encounter_num < 400),
+readd AS (SELECT * FROM vis
+          WHERE encounter_num >= 400 AND encounter_num < 450),
+cur AS (
+  SELECT encounter_num, patient_num,
+         CASE WHEN encounter_num >= 100 AND encounter_num < 200
+              THEN start_date + INTERVAL 40 DAY ELSE start_date
+         END AS ts,
+         CAST(NULL AS VARCHAR) AS io
+  FROM base
+  UNION ALL
+  SELECT encounter_num, patient_num, start_date AS ts, inout_cd AS io
+  FROM readd)
+SELECT 'cur' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, ts, io FROM cur
+UNION ALL
+SELECT 'tt' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io FROM base
+UNION ALL
+SELECT 'cdc' AS arm, 'update_preimage' AS change_type, encounter_num,
+       patient_num, start_date AS ts, CAST(NULL AS VARCHAR) AS io
+FROM base WHERE encounter_num >= 100 AND encounter_num < 200
+UNION ALL
+SELECT 'cdc' AS arm, 'update_postimage' AS change_type, encounter_num,
+       patient_num, start_date + INTERVAL 40 DAY AS ts,
+       CAST(NULL AS VARCHAR) AS io
+FROM base WHERE encounter_num >= 100 AND encounter_num < 200
+UNION ALL
+SELECT 'cdc' AS arm, 'insert' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io FROM readd
+"""
+
+
 def stats_01(spark, sf):
     """Metadata-only ANALYZE: per-column rows / null-count / min / max
     assembled from parquet ROW-GROUP FOOTERS alone — no data scan.
@@ -1017,6 +1134,13 @@ _DOCS = {
               "(txnlog.apply_changes, the MERGE-with-DELETE shape); "
               "one-version atomicity asserted in the builder, data "
               "skipping prunes feed-disjoint files",
+    "colmap_01": "Column mapping (r13): rename/drop as metadata-only "
+                 "txnlog commits (Delta columnMapping mode 'name') — "
+                 "merge on the renamed column, time travel across the "
+                 "rename, fresh-physical re-add of a dropped name "
+                 "(no resurrection), CDC endpoint diff across all of "
+                 "it; file-identity and fresh-name asserted in the "
+                 "builder",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
@@ -1042,6 +1166,7 @@ def specs() -> list[QuerySpec]:
         "cdc_02": _cdc_02_oracle(),
         "cdc_03": _cdc_03_oracle(),
         "cdc_04": _cdc_04_oracle(),
+        "colmap_01": _colmap_01_oracle(),
         "stats_01": _STATS_01_ORACLE,
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,

@@ -89,7 +89,13 @@ class QuerySpec:
 #: (epoch_ns//1000) and jn_misc must stay ANSI-parity; udf_02's is
 #: dual-dialect) and the freed slot goes to r12_all (var_01 Spark 4
 #: VariantType analytics + sdd_02 incremental SemDeDup), so every
-#: r12 operator certifies same-round.
+#: r12 operator certifies same-round.  Round 13 (VERDICT r12 item 1 +
+#: the slot-economy discipline): cdc_04 folds into r13_all as its
+#: "cdc4" branch (builder verbatim — the atomic CDC apply stays
+#: driver-certified) and the slot carries colmap_01 too: column
+#: mapping (rename/drop as metadata-only txnlog commits, merge on the
+#: renamed column, time travel across the rename, fresh-physical
+#: re-add with no resurrection, CDC across all of it).
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
@@ -98,7 +104,7 @@ CORE50 = (
     "str_win", "maint_all", "ds_02", "str_rep", "ds_01",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "r12_all", "udf_tf", "str_11",
-    "fin_all", "ded_ngram", "r11_all", "r10b_all", "cdc_04",
+    "fin_all", "ded_ngram", "r11_all", "r10b_all", "r13_all",
     "ded_embed",
     "r10_all", "ann_bx", "r7_all", "r9b_all",
     "text_all", "str_out", "r9_all", "mm_decode",
