@@ -150,6 +150,7 @@ def main() -> None:
         out["cms_error_curve"] = cms_width_sweep(spark, sf_dir)
         out["txn_churn"] = txn_churn_lane(spark, sf_dir)
         out["claimstore"] = claimstore_lane()
+        out["serializability"] = serializability_lane(spark)
 
     # The driver captures only the last ~2 KB of stdout and parses the
     # final line as JSON: the full multi-section object outgrew that in
@@ -191,6 +192,11 @@ def main() -> None:
             out["claimstore"]["sqlite_vs_posix_throughput"]
         compact["claim_recovery_sec"] = \
             out["claimstore"]["sigkill_recovery"]["recover_sec"]
+    if "serializability" in out:
+        compact["serializable_history"] = \
+            out["serializability"]["serializable"]
+        compact["serializability_commits"] = \
+            out["serializability"].get("commits", 0)
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -912,6 +918,211 @@ def _claims_worker(args):
         else:
             lost += 1
     return done, lost
+
+
+def serializability_lane(spark, writers: int = 12,
+                         seconds: float = 10.0) -> dict:
+    """Multi-writer serializability stress (VERDICT r12 item 3):
+    ``writers`` concurrent writers run MIXED verbs — append, MERGE,
+    schema-evolving append, constraint add/drop, compaction — against
+    ONE txnlog table for ``seconds``, then the final state must replay
+    to a serial history:
+
+    - versions contiguous (every commit exactly one parent; the claim
+      protocol admits no forks),
+    - data ≡ metadata (the final read's row count equals the final
+      snapshot's footer arithmetic, and sampled HISTORICAL versions
+      replay to their own consistent counts),
+    - no lost appends (each appender's disjoint key band holds exactly
+      its successful batches — the ADVICE r11 append-revalidation fix
+      under real contention),
+    - the shared merge band equals the HIGHEST-version merge's content
+      (last writer in serial order wins, no interleaving),
+    - each evolver's column is non-NULL exactly on its own band,
+    - the final constraints hold on the final content.
+
+    Writers are threads sharing the bench session (the protocol state
+    is all on disk — fsync/link race windows are identical across
+    threads and processes; the claimstore lane covers multi-PROCESS
+    racing at the one contended step).  CommitConflictError is
+    by-design caller-retries behavior and is counted, not failed."""
+    import tempfile as _tf
+    import threading as _th
+
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    tdir = _tf.mkdtemp(prefix="ser_lane_")
+    path = os.path.join(tdir, "tbl")
+
+    def frame(lo, hi, tag):
+        return (spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k"),
+            F.lit(tag).alias("v")))
+
+    # seed: the shared merge band [0, 100)
+    txnlog.create_table(spark, frame(0, 100, "seed"), path, key="k")
+    deadline = time.monotonic() + seconds
+    stats = {"append": 0, "merge": 0, "evolve": 0, "constraint": 0,
+             "compact": 0, "conflicts": 0}
+    lock = _th.Lock()
+    errors: list = []
+    append_batches: dict[int, int] = {}
+    merge_versions: dict[int, tuple[int, int]] = {}
+
+    def bump(kind, n=1):
+        with lock:
+            stats[kind] += n
+
+    def run(body):
+        try:
+            while time.monotonic() < deadline:
+                try:
+                    body()
+                except txnlog.CommitConflictError:
+                    bump("conflicts")
+        except Exception as e:          # pragma: no cover - lane fail
+            errors.append(e)
+
+    def appender(i):
+        base = 10_000 * (i + 1)
+
+        def body():
+            seq = append_batches.get(i, 0)
+            txnlog.append(spark,
+                          frame(base + 20 * seq, base + 20 * seq + 20,
+                                f"a{i}:{seq}"), path, key="k")
+            with lock:
+                append_batches[i] = seq + 1
+        return body
+
+    def merger(i):
+        seq = [0]
+
+        def body():
+            snap = txnlog.merge(
+                spark, path, frame(0, 100, f"m{i}:{seq[0]}"), key="k")
+            with lock:
+                merge_versions[snap.version] = (i, seq[0])
+            seq[0] += 1
+            bump("merge")
+        return body
+
+    def evolver(j):
+        base = 1_000_000 * (j + 1)
+        seq = [0]
+
+        def body():
+            df = (spark.range(base + 10 * seq[0],
+                              base + 10 * seq[0] + 10).coalesce(1)
+                  .select(F.col("id").alias("k"),
+                          F.lit(f"e{j}").alias("v"),
+                          F.col("id").alias(f"w{j}")))
+            txnlog.append(spark, df, path, key="k",
+                          evolve_schema=True)
+            seq[0] += 1
+            bump("evolve")
+        return body
+
+    def constrainer():
+        def body():
+            try:
+                txnlog.set_constraint(spark, path, name="k_nonneg",
+                                      expr="k >= 0")
+                txnlog.drop_constraint(spark, path, name="k_nonneg")
+                bump("constraint")
+            except KeyError:
+                pass                    # lost a toggle race: fine
+        return body
+
+    def compactor():
+        def body():
+            txnlog.compact(spark, path, key="k", target_files=4)
+            bump("compact")
+            time.sleep(0.5)
+        return body
+
+    n_app = max(writers - 7, 3)
+    bodies = ([appender(i) for i in range(n_app)]
+              + [merger(i) for i in range(3)]
+              + [evolver(j) for j in range(2)]
+              + [constrainer(), compactor()])
+    threads = [_th.Thread(target=run, args=(b,)) for b in bodies]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stats["append"] = sum(append_batches.values())
+
+    out: dict[str, object] = {"writers": len(bodies),
+                              "seconds": seconds, **stats}
+    try:
+        assert not errors, f"writer errors: {errors[:3]}"
+        versions = txnlog._list_versions(path)
+        out["commits"] = len(versions)
+        assert versions == list(range(len(versions))), \
+            "version chain must be contiguous (serial history)"
+        final = txnlog.snapshot(path)
+        meta_rows = sum(s["rows"] - txnlog._ranges_count(s.get("dv") or [])
+                        for s in final.files.values())
+        data = txnlog.read_table(spark, path).cache()
+        try:
+            n = data.count()
+            assert n == meta_rows, f"data {n} != metadata {meta_rows}"
+            # no lost appends: each band holds exactly its batches
+            for i, batches in append_batches.items():
+                lo = 10_000 * (i + 1)
+                band = data.filter((F.col("k") >= lo)
+                                   & (F.col("k") < lo + 10_000))
+                assert band.count() == 20 * batches, \
+                    f"appender {i}: lost/duplicated rows"
+                assert band.select("k").distinct().count() \
+                    == 20 * batches
+            # merge band: highest-version merge wins
+            if merge_versions:
+                wi, ws = merge_versions[max(merge_versions)]
+                vals = {r.v for r in data.filter("k < 100")
+                        .select("v").distinct().collect()}
+                assert vals == {f"m{wi}:{ws}"}, \
+                    f"merge band {vals} != last merge m{wi}:{ws}"
+            # evolved columns: non-NULL exactly on the evolver's band
+            for j in range(2):
+                col = f"w{j}"
+                if col not in data.columns:
+                    continue
+                lo = 1_000_000 * (j + 1)
+                nn = data.filter(F.col(col).isNotNull())
+                assert nn.filter((F.col("k") < lo)
+                                 | (F.col("k") >= lo + 10_000)) \
+                    .count() == 0, f"{col} leaked outside its band"
+                assert nn.filter(F.col(col) != F.col("k")).count() == 0
+            # final constraints hold on final content
+            for name, expr in final.constraints.items():
+                assert data.filter(~F.expr(expr)).count() == 0, \
+                    f"constraint {name} violated at final state"
+            # sampled historical versions replay consistently
+            import random as _rnd
+            sample = sorted(_rnd.Random(13).sample(
+                versions, min(5, len(versions))))
+            for v in sample:
+                s = txnlog.snapshot(path, v)
+                mrows = sum(
+                    st["rows"] - txnlog._ranges_count(st.get("dv") or [])
+                    for st in s.files.values())
+                assert txnlog.read_table(spark, path, v).count() \
+                    == mrows, f"version {v} data != metadata"
+            out["sampled_versions"] = sample
+        finally:
+            data.unpersist()
+        out["serializable"] = True
+    except AssertionError as e:
+        out["serializable"] = False
+        out["violation"] = str(e)
+    finally:
+        import shutil as _sh
+        _sh.rmtree(tdir, ignore_errors=True)
+    return out
 
 
 def _killed_winner(args):
