@@ -97,8 +97,9 @@ HEADLINE = (
     "ds_02", "var_01", "sdd_02",
     # round 13: column mapping — rename/drop as metadata-only txnlog
     # commits (merge on the renamed column, time travel across the
-    # rename, fresh-physical re-add, CDC across all of it)
-    "colmap_01",
+    # rename, fresh-physical re-add, CDC across all of it) — and
+    # variant shredding (typed subcolumns + residual + pushdown)
+    "colmap_01", "var_02",
 )
 
 

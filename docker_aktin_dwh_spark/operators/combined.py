@@ -505,6 +505,120 @@ FROM x GROUP BY mtype ORDER BY mtype
 """
 
 
+def var_02(spark, sf):
+    """Variant SHREDDING (r13, VERDICT r12 item 5 — the storage half
+    of the schema-on-read story; var_01 is the compute half): the
+    var_01 documents are parsed once and WRITTEN with
+    sources/varshred.write_shredded — typed subcolumns for
+    ``$.meta.t`` / ``$.meta.v`` / ``$.props.k`` (the Parquet
+    variant-shredding spec's typed_value lane, via try_variant_get so
+    a type mismatch lands NULL + residual, never a lossy cast) beside
+    the full variant residual — then every arm reads back from the
+    SHREDDED parquet:
+
+    - ``agg``: the var_01 aggregate where the three shredded paths
+      come from typed parquet columns (no variant decode) and the
+      un-shredded ``$.tags[0]`` falls back through the residual lane;
+    - ``flt``: a filter on the shredded ``meta.v`` column — a REAL
+      typed column, so the predicate reaches the scan as a parquet
+      pushdown (plan-asserted in tests);
+    - ``chk``: the reconstruction certificate — per-path count of
+      rows where the typed column disagrees with extracting the same
+      path from the residual; the oracle pins 0, so the hash FAILS if
+      shredding ever diverges from the variant.
+
+    Reference analogue: a JSONB column materialized into typed
+    expression-index columns on stock Postgres."""
+    import shutil
+    import tempfile
+
+    from ..sources import varshred
+
+    e = T(spark, sf, "events")
+    vint = F.floor(F.col("value") * 100).cast("long")
+    jstr = F.concat(
+        F.lit('{"meta":{"t":"'), F.col("event_type"), F.lit('","v":'),
+        vint.cast("string"), F.lit('},"props":'), F.col("props"),
+        F.lit(',"tags":['), (F.col("user_id") % 5).cast("string"),
+        F.lit(','), (F.col("event_id") % 7).cast("string"),
+        F.lit(']}'))
+    tmp = tempfile.mkdtemp(prefix="spark_var02_")
+    try:
+        path = tmp + "/t"
+        varshred.write_shredded(
+            e.select(F.parse_json(jstr).alias("v")), "v",
+            {"$.meta.t": "string", "$.meta.v": "bigint",
+             "$.props.k": "bigint"}, path)
+        s = varshred.read_shredded(spark, path)
+        P = lambda p, t: varshred.path_col(s, p, t)     # noqa: E731
+        agg = (s.select(P("$.meta.t", "string").alias("mtype"),
+                        P("$.props.k", "bigint").alias("k"),
+                        P("$.tags[0]", "bigint").alias("t0"),
+                        P("$.meta.v", "bigint").alias("mv"))
+               .groupBy("mtype")
+               .agg(F.count("*").alias("n"),
+                    F.sum("k").alias("sum_k"),
+                    F.sum("t0").alias("sum_t0"),
+                    F.sum("mv").alias("sum_mv"))
+               .select(F.lit("agg").alias("arm"), "mtype", "n",
+                       "sum_k", "sum_t0", "sum_mv"))
+        flt = (s.filter(F.col(varshred.shred_name("$.meta.v")) >= 500)
+               .agg(F.count("*").alias("n"),
+                    F.sum(P("$.props.k", "bigint")).alias("sum_k"),
+                    F.sum(P("$.meta.v", "bigint")).alias("sum_mv"))
+               .select(F.lit("flt").alias("arm"),
+                       F.lit("*").alias("mtype"), "n", "sum_k",
+                       F.lit(0).cast("long").alias("sum_t0"),
+                       "sum_mv"))
+        mism = lambda p, t: F.sum(                      # noqa: E731
+            (~F.col(varshred.shred_name(p)).eqNullSafe(
+                F.variant_get(F.col(varshred.RESIDUAL), p, t)))
+            .cast("long"))
+        chk = (s.agg(mism("$.meta.t", "string").alias("n"),
+                     mism("$.meta.v", "bigint").alias("sum_k"),
+                     mism("$.props.k", "bigint").alias("sum_t0"))
+               .select(F.lit("chk").alias("arm"),
+                       F.lit("*").alias("mtype"), "n", "sum_k",
+                       "sum_t0", F.lit(0).cast("long").alias("sum_mv")))
+        out = agg.unionByName(flt).unionByName(chk)
+        from ..functions.barrier import materialize
+        try:
+            return materialize(out).orderBy("arm", "mtype")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+_VAR_02_ORACLE = """
+WITH j AS (SELECT '{"meta":{"t":"' || event_type || '","v":' ||
+  CAST(CAST(FLOOR(value*100) AS BIGINT) AS VARCHAR) || '},"props":'
+  || props || ',"tags":[' || CAST(user_id % 5 AS VARCHAR) || ','
+  || CAST(event_id % 7 AS VARCHAR) || ']}' AS js
+  FROM events),
+x AS (SELECT js->>'$.meta.t' AS mtype,
+             CAST(js->>'$.props.k' AS BIGINT) AS k,
+             CAST(js->>'$.tags[0]' AS BIGINT) AS t0,
+             CAST(js->>'$.meta.v' AS BIGINT) AS mv
+      FROM j)
+SELECT 'agg' AS arm, mtype, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(t0) AS BIGINT) AS sum_t0,
+       CAST(sum(mv) AS BIGINT) AS sum_mv
+FROM x GROUP BY mtype
+UNION ALL
+SELECT 'flt' AS arm, '*' AS mtype, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k, CAST(0 AS BIGINT) AS sum_t0,
+       CAST(sum(mv) AS BIGINT) AS sum_mv
+FROM x WHERE mv >= 500
+UNION ALL
+SELECT 'chk' AS arm, '*' AS mtype, CAST(0 AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS sum_k, CAST(0 AS BIGINT) AS sum_t0,
+       CAST(0 AS BIGINT) AS sum_mv
+"""
+
+
 # ------------------------------------------------------ STR batch equivalents
 
 def str_tw(spark, sf):
@@ -2159,10 +2273,11 @@ def r13_all(spark, sf):
     from concurrent.futures import ThreadPoolExecutor
 
     from . import roundtrips
-    # both are eager txnlog roundtrips — build concurrently
-    with ThreadPoolExecutor(max_workers=2) as _ex:
+    # all three are eager roundtrips — build concurrently
+    with ThreadPoolExecutor(max_workers=3) as _ex:
         _fm = _ex.submit(roundtrips.colmap_01, spark, sf)
         _fc = _ex.submit(roundtrips.cdc_04, spark, sf)
+        _fv = _ex.submit(var_02, spark, sf)
     out = _tag(_fm.result(), "cm",
                F.concat_ws("|", "arm", "change_type", "encounter_num",
                            "patient_num",
@@ -2175,6 +2290,10 @@ def r13_all(spark, sf):
                     F.unix_micros(F.col("start_date")
                                   .cast("timestamp")).cast("string"),
                     "inout_cd")))
+    out = out.unionByName(_tag(
+        _fv.result(), "vs",
+        F.concat_ws("|", "arm", "mtype", "n", "sum_k", "sum_t0",
+                    "sum_mv")))
     return out.orderBy("tag", "v")
 
 
@@ -2192,6 +2311,8 @@ def _r13_all_oracle() -> str:
         ("cdc4", cat("encounter_num", "patient_num",
                      "epoch_us(start_date)", "inout_cd"),
          roundtrips._cdc_04_oracle()),
+        ("vs", cat("arm", "mtype", "n", "sum_k", "sum_t0", "sum_mv"),
+         _VAR_02_ORACLE),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2364,12 +2485,22 @@ _DOCS = {
                "asymmetric prune hash-certified) — same-round driver "
                "certification; the slot comes from udf_02's fold "
                "into udf_px",
+    "var_02": "Variant SHREDDING (r13): the var_01 documents written "
+              "with typed subcolumns for three paths (Parquet "
+              "variant-shredding spec's typed_value lane, "
+              "try_variant_get no-coercion rule) beside the variant "
+              "residual; arms read back from the shredded parquet — "
+              "typed-column aggregate, a pushed-down filter on the "
+              "shredded column, and a per-path typed-vs-residual "
+              "reconstruction certificate the oracle pins at 0",
     "r13_all": "Round-13 tagged union: column mapping (colmap_01 — "
                "rename/drop as metadata-only txnlog commits, merge on "
                "the renamed column, time travel across the rename, "
                "fresh-physical re-add with no resurrection, CDC "
-               "endpoint diff across all of it) plus the cdc_04 "
-               "atomic-CDC-apply fold-in (slot donor; builder "
+               "endpoint diff across all of it), variant shredding "
+               "(var_02 — typed subcolumns + residual, pushdown on a "
+               "shredded path, reconstruction certificate), plus the "
+               "cdc_04 atomic-CDC-apply fold-in (slot donor; builder "
                "verbatim) — same-round driver certification",
 }
 
@@ -2387,6 +2518,7 @@ def specs() -> list[QuerySpec]:
         "fn_ord": _FN_ORD_ORACLE,
         "fn_ev": _FN_EV_ORACLE,
         "var_01": _VAR_01_ORACLE,
+        "var_02": _VAR_02_ORACLE,
         "str_tw": _str_tw_oracle(),
         "str_sd": _str_sd_oracle(),
         "str_win": _str_win_oracle(),

@@ -473,3 +473,29 @@ def test_tokenize_not_inlined_per_element(spark):
             f"{fn.__name__}: {n_split} split(...) occurrences in the "
             f"physical plan — tokens() is being re-inlined per "
             f"element/use again (bind it to a column first)")
+
+
+def test_var02_shredded_path_filter_pushes_down(spark, tmp_path):
+    """Variant shredding (r13): a filter on a SHREDDED path is a
+    predicate on a real typed parquet column — it must reach the scan
+    as a parquet pushdown, and the typed read must prune the variant
+    residual out of the scan schema.  This is the storage argument for
+    shredding: the unshredded form can never push a $.meta.v filter."""
+    from docker_aktin_dwh_spark.sources import varshred
+
+    docs = spark.range(200).selectExpr(
+        "parse_json(concat('{\"meta\":{\"v\":', id, '},\"x\":\"y\"}')) AS v")
+    path = str(tmp_path / "shred")
+    varshred.write_shredded(docs, "v", {"$.meta.v": "bigint"}, path)
+    s = varshred.read_shredded(spark, path)
+    col = varshred.shred_name("$.meta.v")
+    q = s.filter(F.col(col) >= 100).select(col)
+    got = plans.pushed_filters(q)
+    assert any(col in f for f in got), got
+    scans = plans.read_schema_columns(q)
+    assert scans and all(varshred.RESIDUAL not in set(sc)
+                         for sc in scans), scans
+    assert q.count() == 100
+    # fallback lane: an un-shredded path still resolves via residual
+    assert s.select(varshred.path_col(s, "$.x", "string").alias("x")) \
+        .filter("x = 'y'").count() == 200

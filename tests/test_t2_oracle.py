@@ -63,8 +63,9 @@ UNION_COVERED = frozenset({
     "ded_minhash", "sdd_01", "rst_01",
     # str_out's cdf21 branch (r11): a full streaming CDC replay
     "str_21",
-    # r13_all branches: two eager txnlog roundtrips, builders verbatim
-    "colmap_01", "cdc_04",
+    # r13_all branches: two eager txnlog roundtrips + the shredded-
+    # variant write/read, builders verbatim
+    "colmap_01", "cdc_04", "var_02",
 })
 SWEEP_ALL = os.environ.get("SPARK_GRAFT_SWEEP_ALL") == "1"
 
