@@ -2,8 +2,8 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key; 259 keys as of
-               round 12.  The first 50 keys (registry.CORE50) cover
+               extensions), one callable per key; 262 keys as of
+               round 13.  The first 50 keys (registry.CORE50) cover
                every §2 row + the LLM extension inside the driver's
                verification window (SURVEY.md §2.0); fine-grained
                per-operator keys follow and are oracle-tested locally —
@@ -12,9 +12,10 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                verbatim) or rows-only by declared design; new round-11
                operators certify same-round via the r11_all union and
                the ds_01/str_rep slots; round-12 operators via ds_02
-               and the r12_all union (slots from the str_20→str_out
-               and udf_02→udf_px folds).
-oracle_sql() — DuckDB-equivalent SQL per key, 253 keys (omitted only
+               and the r12_all union; round-13 operators (colmap_01
+               column mapping, var_02 variant shredding) via the
+               r13_all union (slot from the cdc_04 fold).
+oracle_sql() — DuckDB-equivalent SQL per key, 256 keys (omitted only
                for the genuinely non-SQL-expressible operators: smp_02
                seeded sample, the raw-pair/raw-top-k ANN and SimHash
                variants (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw —

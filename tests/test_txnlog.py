@@ -545,17 +545,24 @@ def test_datasource_replays_match_txnlog_snapshot():
                                   "n_new": 2}]})
         txnlog._try_commit(tbl, 2, {
             "op": "delete", "add": [], "remove": ["b.parquet"]})
-        for v in (0, 1, 2):
+        txnlog._try_commit(tbl, 3, {
+            "op": "rename_column", "add": [], "remove": [],
+            "schema": sc0, "colmap": {"x": "y"}, "key": "x"})
+        for v in (0, 1, 2, 3):
             snap = txnlog.snapshot(tbl, v)
             for mod in (txnbatch, cdcstream):
-                files, schema_json = mod._replay(tbl, v)
+                files, schema_json, colmap = mod._replay(tbl, v)
                 assert set(files) == set(snap.files), (mod, v)
+                assert colmap == snap.colmap, (mod, v)
                 for n in files:
                     assert (files[n].get("dv") or []) == (
                         snap.files[n].get("dv") or []), (mod, v, n)
                 import json as _json
                 assert (_json.loads(schema_json)["fields"]
                         == _json.loads(sc0)["fields"])
+        assert txnlog.snapshot(tbl, 2).colmap is None
+        assert txnlog.snapshot(tbl, 3).colmap == {"x": "y"}
+        assert txnlog.snapshot(tbl, 3).key == "x"
 
 
 def _body_txnstream_versions_match_txnlog_listing(spark, tdir):
