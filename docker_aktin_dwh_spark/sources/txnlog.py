@@ -980,6 +980,43 @@ def drop_column(spark: SparkSession, path: str, *,
         f"drop_column lost {METADATA_MAX_ATTEMPTS} races at {path}")
 
 
+def add_column(spark: SparkSession, path: str, *, column: str,
+               dtype: str, nullable: bool = True) -> Snapshot:
+    """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit (r13): the
+    field joins the logical schema; no data file is touched — every
+    existing file simply lacks the (physical) column and readers
+    NULL-fill it, exactly like a schema-evolving append's
+    pre-evolution files.  Under an active column mapping the new
+    column gets a FRESH physical name (same no-resurrection rule as
+    the evolving-append path); without mapping it keeps its own name.
+    Non-nullable additions refuse: existing rows have no value to
+    satisfy the constraint (Delta refuses the same way)."""
+    if not nullable:
+        raise ValueError(
+            "add_column: a non-nullable column cannot be added to a "
+            "table with existing rows (they would all violate it); "
+            "add nullable, backfill, then enforce via set_constraint")
+    from pyspark.sql.types import StructField, _parse_datatype_string
+    dt = _parse_datatype_string(dtype)
+    for _ in range(METADATA_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if column in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"add_column: column {column!r} already exists")
+        new_schema = StructType(list(schema.fields)
+                                + [StructField(column, dt, True)])
+        payload: dict = {"op": "add_column", "add": [], "remove": [],
+                         "schema": new_schema.json(),
+                         "added": column}
+        if snap.colmap is not None:
+            payload["colmap"] = {**snap.colmap, column: _fresh_phys()}
+        if _try_commit(path, snap.version + 1, payload):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"add_column lost {METADATA_MAX_ATTEMPTS} races at {path}")
+
+
 def append(spark: SparkSession, df: DataFrame, path: str, *,
            key: str, evolve_schema: bool = False,
            txn: tuple[str, int] | None = None) -> Snapshot | None:
@@ -1159,6 +1196,29 @@ def _compute_dv(spark: SparkSession, path: str, snap: Snapshot,
     return dv_actions, fold
 
 
+def _rewrite_unaffected(s0: Snapshot, s1: Snapshot,
+                        touched: list, hits) -> bool:
+    """Logical conflict detection for staged rewrites (r13, Delta's
+    rule): a lost VERSION race does not by itself invalidate a staged
+    merge/apply/delete — commits are deltas, so a concurrent commit
+    that neither changes the files this rewrite read (same stats,
+    same DVs), nor adds interval-hit files it should have covered,
+    nor touches schema/constraints/colmap, leaves the staged output
+    VALID VERBATIM.  Then the loser only re-claims the next version
+    instead of re-reading and re-staging — under append churn this is
+    the difference between a merge that commits and a merge that
+    starves (observed in bench's serializability lane: 3 mergers vs
+    9 appenders, zero merges landed on a 5-re-derive budget)."""
+    if (s1.schema_json != s0.schema_json
+            or s1.constraints != s0.constraints
+            or s1.colmap != s0.colmap):
+        return False
+    touched2 = {n for n, s in s1.files.items() if hits(s)}
+    if touched2 != set(touched):
+        return False
+    return all(s1.files[n] == s0.files[n] for n in touched)
+
+
 def merge(spark: SparkSession, path: str, batch: DataFrame, *,
           key: str) -> Snapshot:
     """Delete+insert MERGE keyed on ``key`` (the reference's re-import
@@ -1259,9 +1319,19 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                                          snap.version + 1, snap.colmap)
                 payload = {"op": "merge", "add": adds,
                            "remove": touched}
-            if _try_commit(path, snap.version + 1, payload):
-                return snapshot(path, snap.version + 1)
-            _drop_files(path, adds)   # lost the race: redo vs new state
+            # claim loop: while the winner's commit is logically
+            # disjoint (see _rewrite_unaffected), the staged output
+            # stays valid — retry the claim only, no re-derive
+            v = snap.version + 1
+            for _ in range(MERGE_MAX_ATTEMPTS * 8):
+                if _try_commit(path, v, payload):
+                    return snapshot(path, v)
+                nxt = snapshot(path)
+                if not _rewrite_unaffected(snap, nxt, touched, hits):
+                    break                     # real conflict: re-derive
+                snap = nxt
+                v = max(v + 1, nxt.version + 1)
+            _drop_files(path, adds)   # lost materially: redo vs new state
         raise CommitConflictError(
             f"merge lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
     finally:
@@ -1380,8 +1450,15 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                                          snap.version + 1, snap.colmap)
                 payload = {"op": "apply", "add": adds,
                            "remove": touched}
-            if _try_commit(path, snap.version + 1, payload):
-                return snapshot(path, snap.version + 1)
+            v = snap.version + 1
+            for _ in range(MERGE_MAX_ATTEMPTS * 8):
+                if _try_commit(path, v, payload):
+                    return snapshot(path, v)
+                nxt = snapshot(path)
+                if not _rewrite_unaffected(snap, nxt, touched, hits):
+                    break                     # real conflict: re-derive
+                snap = nxt
+                v = max(v + 1, nxt.version + 1)
             _drop_files(path, adds)
         raise CommitConflictError(
             f"apply_changes lost {MERGE_MAX_ATTEMPTS} commit races "
@@ -1551,8 +1628,17 @@ def delete_range(spark: SparkSession, path: str, *, key,
             adds = _stage_data_files(spark, kept, path, key,
                                      snap.version + 1, snap.colmap)
             payload = {"op": "delete", "add": adds, "remove": touched}
-        if _try_commit(path, snap.version + 1, payload):
-            return snapshot(path, snap.version + 1)
+        v = snap.version + 1
+        for _ in range(MERGE_MAX_ATTEMPTS * 8):
+            if _try_commit(path, v, payload):
+                return snapshot(path, v)
+            nxt = snapshot(path)
+            if not _rewrite_unaffected(
+                    snap, nxt, touched,
+                    lambda s: _range_hits(s, lo, hi)):
+                break                         # real conflict: re-derive
+            snap = nxt
+            v = max(v + 1, nxt.version + 1)
         _drop_files(path, adds)
     raise CommitConflictError(
         f"delete lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
