@@ -781,6 +781,69 @@ def test_merge_wide_batch_envelope_pruning(spark, tdir, monkeypatch):
     assert got[5] == "a5" and got[25] == "b25" and got[350] == "a350"
 
 
+def test_merge_disjoint_race_reclaims_without_restaging(spark, tdir,
+                                                        monkeypatch):
+    """Logical conflict detection (r13): a merge that loses its
+    version race to a DISJOINT append must NOT re-read and re-stage —
+    commits are deltas, so the staged output stays valid verbatim and
+    only the claim retries (Delta's conflict rule; what lets a merge
+    land under append churn instead of starving).  A winner that
+    TOUCHES the merge's files (overlapping keys → DV change) must
+    force a full re-derive, and the result must still be exact."""
+    df = _mk(spark, 0, 400).repartitionByRange(4, "k")
+    txnlog.create_table(spark, df, tdir, key="k")
+
+    stages = {"n": 0}
+    real_stage = txnlog._stage_data_files
+
+    def counting_stage(*a, **kw):
+        stages["n"] += 1
+        return real_stage(*a, **kw)
+
+    real_commit = txnlog._try_commit
+    state = {"interfered": False}
+
+    def interfering_commit(path, version, payload):
+        if payload.get("op") == "merge" and not state["interfered"]:
+            state["interfered"] = True
+            # a DISJOINT append (keys 500+) steals the version first
+            txnlog.append(spark, _mk(spark, 500, 520, tag="x"),
+                          tdir, key="k")
+            return real_commit(path, version, payload)  # loses: taken
+        return real_commit(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_stage_data_files", counting_stage)
+    monkeypatch.setattr(txnlog, "_try_commit", interfering_commit)
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="m"), key="k")
+    # one staging round for the merge + one for the interfering append
+    assert stages["n"] == 2, (
+        f"disjoint race must reuse the staged files (got "
+        f"{stages['n']} staging rounds)")
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 420 and got[15] == "m15" and got[510] == "x510"
+
+    # overlapping winner: the second merge DVs the same file our merge
+    # read — must re-derive (extra staging), result still exact
+    stages["n"] = 0
+    state["interfered"] = False
+
+    def overlapping_commit(path, version, payload):
+        if payload.get("op") == "merge" and not state["interfered"]:
+            state["interfered"] = True
+            txnlog.merge(spark, tdir, _mk(spark, 12, 14, tag="w"),
+                         key="k")
+            return real_commit(path, version, payload)
+        return real_commit(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", overlapping_commit)
+    txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="z"), key="k")
+    assert stages["n"] >= 3, "overlapping race must re-derive"
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 420
+    assert all(got[k] == f"z{k}" for k in range(10, 20)), \
+        "the LAST merge's rows must win after the re-derive"
+
+
 def _body_append_txn_idempotency(spark, tdir):
     """append with a txn action: content and application version
     commit atomically; a replayed (same app, same or lower version)
