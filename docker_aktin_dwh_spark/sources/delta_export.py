@@ -52,6 +52,54 @@ MIN_READER_VERSION = 1
 MIN_WRITER_VERSION = 2
 
 
+def _check_physical_types(path: str, snap) -> None:
+    """A table widened by ``txnlog.widen_column_type`` may hold files
+    whose PHYSICAL type is narrower than the logged schema (that is
+    the point of the metadata-only verb); Delta declares such tables
+    through the ``typeWidening`` table feature, which this exporter
+    does not emit — so a physically-narrow table refuses with the
+    remediation (``txnlog.compact`` rewrites every file under the
+    wide type) instead of exporting a table strict readers would
+    reject.  Footer reads only; files pyarrow cannot open (exotic
+    logical types) are skipped conservatively."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    try:
+        from . import txnlog
+        logical = StructType.fromJson(json.loads(snap.schema_json))
+        expect = to_arrow_schema(
+            txnlog._phys_schema(logical, snap.colmap))
+    except Exception:
+        return
+    import pyarrow as pa
+
+    def in_matrix(t) -> bool:
+        # only the types the widening matrix covers — comparing e.g.
+        # string/timestamp arrow mappings would risk false refusals
+        # on benign writer-codec differences
+        return (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_decimal(t))
+
+    want = {f.name: f.type for f in expect}
+    for name in sorted(snap.files):
+        try:
+            got = pq.ParquetFile(os.path.join(path, name)).schema_arrow
+        except Exception:
+            continue
+        for f in got:
+            w = want.get(f.name)
+            if w is not None and in_matrix(w) and f.type != w:
+                raise ValueError(
+                    f"export_delta_log: file {name} stores column "
+                    f"{f.name!r} as {f.type} but the logged schema "
+                    f"says {w} (a widen_column_type table) — Delta "
+                    f"needs the typeWidening feature for that; run "
+                    f"txnlog.compact() to rewrite files under the "
+                    f"wide type, then export")
+
+
 def export_delta_log(path: str, dest: str,
                      version: int | None = None) -> str:
     """Materialize the txnlog table at ``version`` (default latest) as
@@ -71,6 +119,7 @@ def export_delta_log(path: str, dest: str,
             f"txnlog.compact() to fold them, then export")
     if snap.schema_json is None:
         raise ValueError("export_delta_log: table has no logged schema")
+    _check_physical_types(path, snap)
     os.makedirs(dest, exist_ok=True)
     log_dir = os.path.join(dest, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)

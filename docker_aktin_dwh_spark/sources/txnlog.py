@@ -980,6 +980,73 @@ def drop_column(spark: SparkSession, path: str, *,
         f"drop_column lost {METADATA_MAX_ATTEMPTS} races at {path}")
 
 
+def _is_safe_widening(a, b) -> bool:
+    """The widening matrix: every value representable in ``a`` is
+    exactly representable in ``b`` AND Spark's vectorized parquet
+    reader can read an ``a``-typed file under a ``b`` read schema
+    (probed on this build: int chain, float→double, decimal
+    same-scale precision increase).  Deliberately NOT float→decimal,
+    scale changes, or anything lossy."""
+    from pyspark.sql.types import (ByteType, DecimalType, DoubleType,
+                                   FloatType, IntegerType, LongType,
+                                   ShortType)
+    chain = [ByteType, ShortType, IntegerType, LongType]
+    if type(a) in chain and type(b) in chain:
+        return chain.index(type(b)) > chain.index(type(a))
+    if isinstance(a, FloatType) and isinstance(b, DoubleType):
+        return True
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        return b.scale == a.scale and b.precision > a.precision
+    return False
+
+
+def widen_column_type(spark: SparkSession, path: str, *, column: str,
+                      to: str) -> Snapshot:
+    """ALTER COLUMN TYPE as a METADATA-ONLY commit (r13 — Delta 4.0's
+    type widening): the logged schema records the WIDER type; no data
+    file is rewritten — existing files keep their narrow physical
+    type and every read path already widens at scan time (Spark's
+    vectorized reader for the native path; the Arrow ``cast`` in the
+    three DataSource mirrors).  Only transitions in the safe matrix
+    (:func:`_is_safe_widening`) are allowed — byte→short→int→long,
+    float→double, decimal same-scale precision increase; anything
+    lossy refuses.  Subsequent writes must carry the wide type (the
+    retype guard enforces it); :func:`compact` physically normalizes
+    old files to the wide type as a side effect of its rewrite.
+    Reference analogue: ``ALTER TABLE ... ALTER COLUMN TYPE`` on
+    stock Postgres (a full-table rewrite there; a log entry here)."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+    dst = _parse_datatype_string(to)
+    for _ in range(METADATA_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        if column not in by_name:
+            raise KeyError(
+                f"widen_column_type: no column {column!r} "
+                f"(have {[f.name for f in schema.fields]})")
+        src_f = by_name[column]
+        if not _is_safe_widening(src_f.dataType, dst):
+            raise ValueError(
+                f"widen_column_type: {src_f.dataType.simpleString()} → "
+                f"{dst.simpleString()} is not a safe widening "
+                f"(allowed: byte→short→int→long, float→double, "
+                f"decimal same-scale precision increase)")
+        new_schema = StructType([
+            StructField(f.name, dst if f.name == column else f.dataType,
+                        f.nullable, f.metadata) for f in schema.fields])
+        payload = {"op": "widen_column_type", "add": [], "remove": [],
+                   "schema": new_schema.json(),
+                   "widened": {"column": column,
+                               "from": src_f.dataType.simpleString(),
+                               "to": dst.simpleString()}}
+        if _try_commit(path, snap.version + 1, payload):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"widen_column_type lost {METADATA_MAX_ATTEMPTS} races at "
+        f"{path}")
+
+
 def add_column(spark: SparkSession, path: str, *, column: str,
                dtype: str, nullable: bool = True) -> Snapshot:
     """ALTER TABLE ADD COLUMN as a METADATA-ONLY commit (r13): the
