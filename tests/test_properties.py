@@ -671,3 +671,30 @@ def test_asof_forward_tolerance_edge_semantics(spark):
         left_ts="ts", right_ts="rts", value_col="v", out_col="nxt",
         tolerance_seconds=7199).collect()}
     assert got2[2] is None and got2[3] == 2.0
+
+
+def test_copy_escape_roundtrip_hypothesis():
+    """pgwire COPY text-format codec (r13): escape → unescape is the
+    identity for ARBITRARY text including tabs, newlines, backslashes
+    and literal '\\N' sequences — the classic bulk-codec bug class;
+    hypothesis drives the edge shapes (trailing backslash runs,
+    adjacent escapes, unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docker_aktin_dwh_spark.sources.pgwire import (_copy_escape,
+                                                       _copy_unescape)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def roundtrip(s):
+        esc = _copy_escape(s)
+        # escaped form never contains a RAW field/row separator
+        assert "\t" not in esc and "\n" not in esc and "\r" not in esc
+        assert _copy_unescape(esc) == s
+
+    roundtrip()
+    # the octal/hex decode lanes PostgreSQL may emit
+    assert _copy_unescape("\\011") == "\t"
+    assert _copy_unescape("\\x41B") == "AB"
+    assert _copy_unescape("\\1012") == "A2"   # max 3 octal digits
