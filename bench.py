@@ -962,11 +962,16 @@ def serializability_lane(spark, writers: int = 12,
             F.col("id").alias("k"),
             F.lit(tag).alias("v")))
 
-    # seed: the shared merge band [0, 100)
-    txnlog.create_table(spark, frame(0, 100, "seed"), path, key="k")
+    # seed: the shared merge band [0, 100), plus a spare column no
+    # data writer touches — the renamer toggles its LOGICAL name
+    # mid-churn (r13 column mapping under contention: appends racing
+    # a rename re-stage; merges re-derive on the colmap change)
+    seed = frame(0, 100, "seed").withColumn(
+        "w", F.col("k") * F.lit(2))
+    txnlog.create_table(spark, seed, path, key="k")
     deadline = time.monotonic() + seconds
     stats = {"append": 0, "merge": 0, "evolve": 0, "constraint": 0,
-             "compact": 0, "conflicts": 0}
+             "compact": 0, "rename": 0, "conflicts": 0}
     lock = _th.Lock()
     errors: list = []
     append_batches: dict[int, int] = {}
@@ -1044,11 +1049,30 @@ def serializability_lane(spark, writers: int = 12,
             time.sleep(0.5)
         return body
 
-    n_app = max(writers - 7, 3)
+    def renamer():
+        # toggle the spare column's LOGICAL name: activates column
+        # mapping on the live table and races every other verb's
+        # staged output (append re-stages, merge re-derives — the
+        # colmap arm of _rewrite_unaffected)
+        def body():
+            import json as _json
+            snap = txnlog.snapshot(path)
+            names = {f["name"] for f in
+                     _json.loads(snap.schema_json)["fields"]}
+            if "w" in names:
+                txnlog.rename_column(spark, path, old="w", new="w_r")
+            elif "w_r" in names:
+                txnlog.rename_column(spark, path, old="w_r", new="w")
+            bump("rename")
+            time.sleep(0.6)   # give data verbs room: every rename
+            # forces in-flight appends to re-stage
+        return body
+
+    n_app = max(writers - 8, 3)
     bodies = ([appender(i) for i in range(n_app)]
               + [merger(i) for i in range(3)]
               + [evolver(j) for j in range(2)]
-              + [constrainer(), compactor()])
+              + [constrainer(), compactor(), renamer()])
     threads = [_th.Thread(target=run, args=(b,)) for b in bodies]
     for t in threads:
         t.start()
@@ -1102,6 +1126,13 @@ def serializability_lane(spark, writers: int = 12,
             for name, expr in final.constraints.items():
                 assert data.filter(~F.expr(expr)).count() == 0, \
                     f"constraint {name} violated at final state"
+            # the renamed spare column survives under exactly ONE of
+            # its two logical names, values intact on the seed band
+            # rows the mergers never replaced... mergers replace the
+            # whole band, so just pin the name toggle's consistency
+            spare = [c for c in data.columns if c in ("w", "w_r")]
+            assert len(spare) == 1, \
+                f"rename toggle left {spare} — lost/forked mapping"
             # sampled historical versions replay consistently
             import random as _rnd
             sample = sorted(_rnd.Random(13).sample(
