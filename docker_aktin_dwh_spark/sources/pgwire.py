@@ -418,12 +418,20 @@ def _copy_unescape(s: str) -> str:
             out.append(ch)
             i += 1
             continue
+        if i + 1 >= len(s):
+            # a field ending in a lone backslash: PostgreSQL's COPY
+            # never emits one, so the data is malformed/truncated —
+            # treat the backslash as literal rather than crash with
+            # an unrelated IndexError (ADVICE r13)
+            out.append(ch)
+            break
         nxt = s[i + 1]
         if nxt in _COPY_ESC:
             out.append(_COPY_ESC[nxt])
             i += 2
-        elif nxt == "x":
-            j = i + 2
+        elif nxt == "x" and i + 2 < len(s) \
+                and s[i + 2] in "0123456789abcdefABCDEF":
+            j = i + 3
             while j < len(s) and j < i + 4 and s[j] in "0123456789abcdefABCDEF":
                 j += 1
             out.append(chr(int(s[i + 2:j], 16)))

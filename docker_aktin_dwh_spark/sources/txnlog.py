@@ -273,6 +273,24 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             colmap = ck.get("colmap")
             key = ck.get("key")
             start = v + 1
+            if "key" not in ck or "colmap" not in ck:
+                # checkpoint written before the r13 column-mapping
+                # fields existed (ADVICE r13): replaying from it would
+                # reset key/colmap to None on an existing table and
+                # silently disable drop_column's merge-key guard.
+                # Recover them from the retained commits BELOW the
+                # checkpoint (the create commit logs the key; any
+                # rename/drop logs key/colmap) instead of defaulting.
+                for pv in versions:
+                    if pv >= start:
+                        break
+                    with open(os.path.join(_log_dir(path),
+                                           _commit_name(pv))) as pf:
+                        pc = json.load(pf)
+                    if "key" not in ck and "key" in pc:
+                        key = pc["key"]
+                    if "colmap" not in ck and "colmap" in pc:
+                        colmap = pc["colmap"]
             break
     for v in versions:
         if v < start or v > target:
@@ -833,9 +851,18 @@ def set_constraint(spark: SparkSession, path: str, *, name: str,
     validated_state = None
     for _ in range(METADATA_MAX_ATTEMPTS):
         snap = snapshot(path)
-        state = {n: (s.get("rows"),
-                     tuple(tuple(r) for r in (s.get("dv") or [])))
-                 for n, s in snap.files.items()}
+        # keyed on file rows/DVs AND schema/colmap (ADVICE r13): a
+        # concurrent metadata-only rename/drop leaves the file state
+        # unchanged but can strip the very column ``expr`` references —
+        # re-validation must re-run so the unresolvable column surfaces
+        # BEFORE the constraint is recorded (a poisoned constraint
+        # would break every subsequent write at _check_constraints)
+        state = (snap.schema_json, None if snap.colmap is None
+                 else tuple(sorted(snap.colmap.items())),
+                 tuple(sorted(
+                     (n, s.get("rows"),
+                      tuple(tuple(r) for r in (s.get("dv") or [])))
+                     for n, s in snap.files.items())))
         if state != validated_state:
             n_bad = read_table(spark, path, snap.version) \
                 .filter(~F.expr(expr)).count()
@@ -1172,6 +1199,19 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
         logged = {f.name for f in StructType.fromJson(
             json.loads(snap.schema_json)).fields}
         new_cols = [c for c in df.columns if c not in logged]
+        if new_cols and not evolve_schema:
+            # ADVICE r13: a concurrent rename/drop removed a logical
+            # name this frame carries — retrying would silently commit
+            # a WIDENED schema (re-adding the column under a fresh
+            # physical name) even though the caller never opted into
+            # evolution.  Delta raises a concurrent-metadata conflict
+            # here; so does the txnbatch mirror (plan_colmap check).
+            _drop_files(path, adds)
+            raise CommitConflictError(
+                f"append: a concurrent schema change removed "
+                f"column(s) {new_cols} the frame carries and "
+                f"evolve_schema=False — re-read the table schema and "
+                f"retry (a silent retry would widen the schema)")
         if snap.colmap != prev_colmap:
             # a concurrent rename/drop (or first evolving append under
             # mapping) changed the column mapping: the staged files

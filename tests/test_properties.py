@@ -698,3 +698,15 @@ def test_copy_escape_roundtrip_hypothesis():
     assert _copy_unescape("\\011") == "\t"
     assert _copy_unescape("\\x41B") == "AB"
     assert _copy_unescape("\\1012") == "A2"   # max 3 octal digits
+
+
+def test_copy_unescape_malformed_input_is_literal():
+    """ADVICE r13: truncated/malformed COPY text data — a field ending
+    in a lone backslash, or \\x with no hex digit — must decode to the
+    literal characters (PostgreSQL treats an unrecognized escape as
+    the character itself), never crash with IndexError/ValueError."""
+    from docker_aktin_dwh_spark.sources.pgwire import _copy_unescape
+    assert _copy_unescape("abc\\") == "abc\\"
+    assert _copy_unescape("\\") == "\\"
+    assert _copy_unescape("a\\x") == "ax"
+    assert _copy_unescape("a\\xZ9") == "axZ9"

@@ -2382,3 +2382,86 @@ def test_claim_backend_seam_serializes_writers(spark, tmp_path):
         assert txnlog.snapshot(tdir).version == 3
     finally:
         txnlog.set_claim_backend(None)
+
+
+def test_append_race_refuses_silent_widening(spark, tdir, monkeypatch):
+    """ADVICE r13: an append (evolve_schema=False) that loses its
+    version race to a concurrent drop_column removing a logical name
+    the frame carries must RAISE, not silently commit a widened
+    schema that re-adds the dropped column under a fresh physical
+    name — Delta fails this as a concurrent-metadata conflict."""
+    base = _mk(spark, 0, 10).withColumn("extra", F.lit(1))
+    txnlog.create_table(spark, base, tdir, key="k")
+    real = txnlog._try_commit
+    state = {"injected": False}
+
+    def racing(path, version, payload):
+        if not state["injected"] and payload.get("op") == "append":
+            state["injected"] = True
+            txnlog.drop_column(spark, tdir, column="extra")
+        return real(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", racing)
+    mine = _mk(spark, 100, 110, tag="m").withColumn("extra", F.lit(2))
+    with pytest.raises(txnlog.CommitConflictError,
+                       match="concurrent schema change"):
+        txnlog.append(spark, mine, tdir, key="k")
+    # the drop stands, the append landed nothing, schema stays narrow
+    got = txnlog.read_table(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    assert got.count() == 10
+
+
+def test_set_constraint_race_revalidates_after_schema_change(
+        spark, tdir, monkeypatch):
+    """ADVICE r13: set_constraint's re-validation skip must key on the
+    SCHEMA too — a concurrent drop_column between validation and claim
+    leaves file state unchanged, so a rows/DV-only key would skip
+    re-validation and record a constraint referencing a column that no
+    longer exists, poisoning every subsequent write."""
+    base = _mk(spark, 0, 10).withColumn("extra", F.lit(1))
+    txnlog.create_table(spark, base, tdir, key="k")
+    real = txnlog._try_commit
+    state = {"injected": False}
+
+    def racing(path, version, payload):
+        if not state["injected"] \
+                and payload.get("op") == "set_constraint":
+            state["injected"] = True
+            txnlog.drop_column(spark, tdir, column="extra")
+        return real(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_try_commit", racing)
+    with pytest.raises(Exception) as ei:
+        txnlog.set_constraint(spark, tdir, name="extra_pos",
+                              expr="extra > 0")
+    assert "extra" in str(ei.value)
+    # the poisoned constraint was never recorded; writes still work
+    snap = txnlog.snapshot(tdir)
+    assert "extra_pos" not in snap.constraints
+    txnlog.append(spark, _mk(spark, 100, 105, tag="m"), tdir, key="k")
+    assert txnlog.read_table(spark, tdir).count() == 15
+
+
+def test_legacy_checkpoint_without_key_recovers_from_create(
+        spark, tdir):
+    """ADVICE r13: a checkpoint written before the key/colmap fields
+    existed must not reset snap.key to None — snapshot() falls back to
+    the retained create commit, keeping drop_column's merge-key guard
+    armed."""
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    for i in range(10):          # force a periodic checkpoint at v10
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 105 + 10 * i,
+                                 tag=f"t{i}"), tdir, key="k")
+    log = txnlog._log_dir(tdir)
+    ckpt = os.path.join(log, txnlog._ckpt_name(10))
+    assert os.path.exists(ckpt)
+    with open(ckpt) as f:
+        ck = json.load(f)
+    del ck["key"], ck["colmap"]          # simulate the legacy shape
+    with open(ckpt, "w") as f:
+        json.dump(ck, f)
+    snap = txnlog.snapshot(tdir)
+    assert snap.key == "k"
+    with pytest.raises(ValueError, match="merge key"):
+        txnlog.drop_column(spark, tdir, column="k")
