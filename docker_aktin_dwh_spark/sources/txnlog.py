@@ -125,11 +125,20 @@ class Snapshot:
                  schema_json: str | None, txns: dict[str, int],
                  constraints: dict[str, str] | None = None,
                  colmap: dict[str, str] | None = None,
-                 key: str | None = None):
+                 key: str | None = None,
+                 partition_by: list[str] | None = None):
         self.version = version
         self.files = files
         self.schema_json = schema_json
         self.txns = txns
+        #: hive-style partition columns fixed at create_table (r14,
+        #: Delta's partitionValues / the reference's declarative
+        #: partitioning on the visit/fact tables): data files live in
+        #: ``col=value`` directories, each add action records the
+        #: file's partition values, and partition pruning runs BEFORE
+        #: footer-stats pruning (an exact [v, v] interval per file).
+        #: None/[] = unpartitioned.
+        self.partition_by = partition_by or None
         #: CHECK constraints (name → SQL boolean expr) enforced on
         #: every write verb — Delta's table constraints (r11)
         self.constraints = constraints or {}
@@ -259,6 +268,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     constraints: dict[str, str] = {}
     colmap: dict[str, str] | None = None
     key: str | None = None
+    partition_by: list[str] | None = None
     start = 0
     # newest checkpoint at or below the target bounds the replay
     for v in sorted((int(n[:_W]) for n in os.listdir(_log_dir(path))
@@ -272,6 +282,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             constraints = dict(ck.get("constraints", {}))
             colmap = ck.get("colmap")
             key = ck.get("key")
+            partition_by = ck.get("partition_by")
             start = v + 1
             if "key" not in ck or "colmap" not in ck:
                 # checkpoint written before the r13 column-mapping
@@ -301,7 +312,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             files.pop(name, None)
         for a in c.get("add", []):
             files[a["file"]] = {k: a[k] for k in
-                                ("rows", "kmin", "kmax", "cols")
+                                ("rows", "kmin", "kmax", "cols", "pv")
                                 if k in a}
         for d in c.get("dv", []):
             # the action carries the file's COMPLETE (cumulative) DV —
@@ -314,12 +325,14 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
             colmap = c["colmap"]                   # full map (or null)
         if "key" in c:
             key = c["key"]
+        if "partition_by" in c:
+            partition_by = c["partition_by"]       # create-only, fixed
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(t["version"],
                                  txns.get(t["app"], t["version"]))
     return Snapshot(target, files, schema_json, txns, constraints,
-                    colmap, key)
+                    colmap, key, partition_by)
 
 
 #: Pluggable version-claim backend — the ONE point where the whole
@@ -389,7 +402,8 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         json.dump({"version": version, "files": snap.files,
                    "schema": snap.schema_json, "txns": snap.txns,
                    "constraints": snap.constraints,
-                   "colmap": snap.colmap, "key": snap.key}, f)
+                   "colmap": snap.colmap, "key": snap.key,
+                   "partition_by": snap.partition_by}, f)
     os.replace(tmp, os.path.join(_log_dir(path), _ckpt_name(version)))
 
 
@@ -548,29 +562,129 @@ def _identity_colmap(schema: StructType) -> dict[str, str]:
     return {f.name: f.name for f in schema.fields}
 
 
+# -------------------------------------------------- partitioning (r14)
+# Hive-style table partitioning on the commit-log format (Delta's
+# partitionValues): create_table(partition_by=[cols]) fixes the layout;
+# every add action records its file's partition values (the raw
+# directory fragments Spark's own partitioned write produced), and
+# partition pruning is an exact [v, v] interval check that runs before
+# footer-stats pruning.  Reference analogue: Postgres declarative
+# partitioning on the visit/fact tables
+# (/root/reference/src/docker/database/Dockerfile:8).
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pv_decode(raw: str, dtype):
+    """Decode one raw partition-directory fragment (as Spark's
+    partitioned write escaped it) to the Python value of the logged
+    column type.  ``_HIVE_NULL`` → None."""
+    import datetime
+    import decimal
+    from urllib.parse import unquote
+
+    from pyspark.sql.types import (BooleanType, ByteType, DateType,
+                                   DecimalType, DoubleType, FloatType,
+                                   IntegerType, LongType, ShortType,
+                                   TimestampNTZType, TimestampType)
+    if raw == _HIVE_NULL:
+        return None
+    s = unquote(raw)
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return int(s)
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return float(s)
+    if isinstance(dtype, BooleanType):
+        return s == "true"
+    if isinstance(dtype, DateType):
+        return datetime.date.fromisoformat(s)
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return datetime.datetime.fromisoformat(s.replace(" ", "T"))
+    if isinstance(dtype, DecimalType):
+        return decimal.Decimal(s)
+    return s
+
+
+def _pv_types(schema: StructType,
+              partition_by: list[str]) -> dict[str, object]:
+    by_name = {f.name: f.dataType for f in schema.fields}
+    return {c: by_name[c] for c in partition_by}
+
+
+def _pv_tuple(stats: dict, partition_by: list[str],
+              types: dict) -> tuple:
+    """A file's decoded partition-value tuple (None-safe)."""
+    pv = stats.get("pv") or {}
+    return tuple(_pv_decode(pv[c], types[c]) if c in pv else None
+                 for c in partition_by)
+
+
+def _walk_staged(stage: str) -> list[tuple[str, str]]:
+    """(relative_partition_dir, filename) for every staged leaf file —
+    '' reldir for an unpartitioned write."""
+    out = []
+    for root, _dirs, names in os.walk(stage):
+        rel = os.path.relpath(root, stage)
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(("" if rel == "." else rel, n))
+    return sorted(out)
+
+
 def _stage_data_files(spark: SparkSession, df: DataFrame, path: str,
                       key: str, version_hint: int,
-                      colmap: dict[str, str] | None = None
+                      colmap: dict[str, str] | None = None,
+                      partition_by: list[str] | None = None
                       ) -> list[dict]:
     """Write ``df`` as immutable data files in the table dir (staged
     through a Spark parquet write, then renamed — same filesystem, so
     the rename is metadata-only) and return their add-entries.  Under
     an active column mapping the files (and therefore their footer
-    stats) land under PHYSICAL names."""
+    stats) land under PHYSICAL names.  For a partitioned table the
+    write is ``partitionBy`` (one Spark job regardless of partition
+    count), files keep their ``col=value`` directory layout relative
+    to the table root, and each add entry records its partition
+    values — the merge key's stats fall back to the partition value
+    when the key IS a partition column (partition files do not store
+    the column physically)."""
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write to partitioned table omits partition "
+                f"column(s) {missing}")
+    pv_types = _pv_types(df.schema, partition_by) if partition_by \
+        else {}
     df = _to_physical(df, colmap)
     key = _phys_name(colmap, key)
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        # partition cols are never renameable (rename_column refuses),
+        # so physical == logical for them and the dir names are stable
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
     adds = []
     try:
-        parts = sorted(n for n in os.listdir(stage)
-                       if n.endswith(".parquet"))
-        for i, part in enumerate(parts):
-            src = os.path.join(stage, part)
+        for i, (rel, part) in enumerate(_walk_staged(stage)):
+            src = os.path.join(stage, rel, part)
             stats = _file_stats(src, key)
             if stats["rows"] == 0:
                 continue
+            if rel:
+                pv = dict(comp.partition("=")[::2]
+                          for comp in rel.split(os.sep))
+                stats["pv"] = pv
+                if key in pv and stats["kmin"] is None:
+                    enc = _stats_encode(_pv_decode(pv[key],
+                                                   pv_types[key]))
+                    if enc is not None:
+                        stats["kmin"] = stats["kmax"] = enc
             name = f"p-{version_hint}-{i}-{uuid.uuid4().hex}.parquet"
+            if rel:
+                os.makedirs(os.path.join(path, rel), exist_ok=True)
+                name = f"{rel}/{name}" if os.sep == "/" else \
+                    "/".join(rel.split(os.sep) + [name])
             os.rename(src, os.path.join(path, name))
             adds.append({"file": name, **stats})
     finally:
@@ -585,13 +699,40 @@ def _drop_files(path: str, adds: list[dict]) -> None:
 
 
 def create_table(spark: SparkSession, df: DataFrame, path: str, *,
-                 key: str) -> Snapshot:
-    """Create a txnlog table at ``path`` from ``df`` (commit v0)."""
+                 key: str,
+                 partition_by: list[str] | None = None) -> Snapshot:
+    """Create a txnlog table at ``path`` from ``df`` (commit v0).
+
+    ``partition_by`` (r14) fixes a hive-style partition layout for the
+    table's lifetime: data files land in ``col=value`` directories,
+    every add action records its partition values, and reads/merges
+    prune whole partitions before footer stats.  Partition columns
+    cannot be renamed, dropped, or type-widened afterwards (their
+    values are baked into directory names) — pick coarse, stable
+    columns (the reference partitions its fact tables by month for
+    the same reason)."""
+    partition_by = list(partition_by) if partition_by else None
+    if partition_by:
+        names = [f.name for f in df.schema.fields]
+        missing = [c for c in partition_by if c not in names]
+        if missing:
+            raise ValueError(
+                f"create_table: partition column(s) {missing} not in "
+                f"the frame (have {names})")
+        if len(set(partition_by)) != len(partition_by):
+            raise ValueError("create_table: duplicate partition column")
+        if set(partition_by) == set(names):
+            raise ValueError(
+                "create_table: cannot partition by every column — "
+                "no data columns would remain in the files")
     os.makedirs(_log_dir(path), exist_ok=False)
-    adds = _stage_data_files(spark, df, path, key, 0)
-    ok = _try_commit(path, 0, {"op": "create", "key": key, "add": adds,
-                               "remove": [],
-                               "schema": df.schema.json()})
+    adds = _stage_data_files(spark, df, path, key, 0,
+                             partition_by=partition_by)
+    payload = {"op": "create", "key": key, "add": adds, "remove": [],
+               "schema": df.schema.json()}
+    if partition_by:
+        payload["partition_by"] = partition_by
+    ok = _try_commit(path, 0, payload)
     if not ok:  # pragma: no cover - create races are caller error
         _drop_files(path, adds)
         raise CommitConflictError(f"table already created at {path}")
@@ -641,9 +782,24 @@ def _apply_dv(spark: SparkSession, df: DataFrame,
     return j.filter(dead if keep_dead else ~dead).select(*cols)
 
 
+def _scan(spark: SparkSession, path: str, schema: StructType,
+          names: list[str], colmap: dict[str, str] | None,
+          partition_by: list[str] | None) -> DataFrame:
+    """Raw (un-DV-masked) physical-name scan of the named files.  For
+    a partitioned table the files sit in ``col=value`` dirs and carry
+    no physical partition columns — ``basePath`` makes Spark's native
+    partition discovery surface them, typed by the provided schema, as
+    one scan node (no per-partition union)."""
+    reader = spark.read.schema(_phys_schema(schema, colmap))
+    if partition_by:
+        reader = reader.option("basePath", path)
+    return reader.parquet(*[os.path.join(path, n) for n in names])
+
+
 def _read_files(spark: SparkSession, path: str, schema: StructType,
                 names: list[str], stats: dict[str, dict],
-                colmap: dict[str, str] | None = None) -> DataFrame:
+                colmap: dict[str, str] | None = None,
+                partition_by: list[str] | None = None) -> DataFrame:
     """The ONE data-file read path: the named files under the logged
     (logical) schema, with each file's deletion vector masked.  Every
     rewrite (merge fold, compact, delete) reads through here — reading
@@ -651,9 +807,10 @@ def _read_files(spark: SparkSession, path: str, schema: StructType,
     Under column mapping the scan runs under PHYSICAL names (DV
     masking included — it needs the scan's ``_metadata``) and aliases
     back to logical as the last projection."""
-    df = spark.read.schema(_phys_schema(schema, colmap)).parquet(
-        *[os.path.join(path, n) for n in names])
-    dvmap = {n: stats[n]["dv"] for n in names
+    df = _scan(spark, path, schema, names, colmap, partition_by)
+    # DVs join on the file BASENAME (uuid-unique even across partition
+    # dirs) — log entries key the relative path
+    dvmap = {os.path.basename(n): stats[n]["dv"] for n in names
              if stats.get(n, {}).get("dv")}
     if dvmap:
         df = _apply_dv(spark, df, dvmap)
@@ -689,19 +846,60 @@ def _interval_hit(stats: dict, col: str, op: str, val) -> bool:
     return True                     # unknown op: no pruning
 
 
+def _pv_hit(stats: dict, col: str, op: str, val, dtype) -> bool:
+    """Partition pruning for one conjunct: the file's recorded
+    partition value is an EXACT [v, v] interval — no footer, no
+    false-keep from interval width.  A NULL partition value satisfies
+    no comparison (SQL three-valued logic), so those files prune."""
+    raw = (stats.get("pv") or {}).get(col)
+    if raw is None:
+        return True                       # no recorded value: keep
+    v = _pv_decode(raw, dtype)
+    if v is None:
+        return False                      # NULL partition: provably no
+    try:
+        if op == "=":
+            return v == val
+        if op == "<":
+            return v < val
+        if op == "<=":
+            return v <= val
+        if op == ">":
+            return v > val
+        if op == ">=":
+            return v >= val
+        if op == "in":
+            return v in val
+    except TypeError:
+        return True                       # incomparable: no pruning
+    return True
+
+
 def prune_files(snap: Snapshot,
                 filters: list[tuple[str, str, object]]) -> list[str]:
     """The live files of ``snap`` that can contain a row satisfying
     ALL of ``filters`` (conjunction of ``(col, op, literal)`` with op
-    ∈ {=, <, <=, >, >=}), judged by the per-column [min, max]
-    intervals each commit records from the parquet footers
-    (_file_stats).  Control-plane only — no file is opened.  Filters
-    name LOGICAL columns; stats are keyed physical (rename-stable), so
-    the conjuncts translate through the snapshot's colmap first."""
-    filters = [(_phys_name(snap.colmap, c), o, v) for c, o, v in filters]
+    ∈ {=, <, <=, >, >=, in}), judged by PARTITION VALUES first (exact,
+    r14) and then the per-column [min, max] intervals each commit
+    records from the parquet footers (_file_stats).  Control-plane
+    only — no file is opened.  Filters name LOGICAL columns; stats are
+    keyed physical (rename-stable), so the conjuncts translate through
+    the snapshot's colmap first (partition columns are never renamed,
+    so their names pass through unchanged)."""
+    pcols = set(snap.partition_by or ())
+    types = {}
+    if pcols and snap.schema_json:
+        types = _pv_types(
+            StructType.fromJson(json.loads(snap.schema_json)),
+            list(pcols))
+    part = [(c, o, v) for c, o, v in filters if c in pcols]
+    rest = [(_phys_name(snap.colmap, c), o, v)
+            for c, o, v in filters if c not in pcols]
     return [n for n in sorted(snap.files)
-            if all(_interval_hit(snap.files[n], c, o, v)
-                   for c, o, v in filters)]
+            if all(_pv_hit(snap.files[n], c, o, v, types[c])
+                   for c, o, v in part)
+            and all(_interval_hit(snap.files[n], c, o, v)
+                    for c, o, v in rest)]
 
 
 def resolve_timestamp(path: str, ts: float) -> int:
@@ -769,7 +967,7 @@ def read_table(spark: SparkSession, path: str,
     if not keep:
         return spark.createDataFrame([], schema)
     return _read_files(spark, path, schema, keep, snap.files,
-                       snap.colmap)
+                       snap.colmap, snap.partition_by)
 
 
 def _widened_schema(snap: Snapshot, df: DataFrame) -> StructType:
@@ -944,6 +1142,11 @@ def rename_column(spark: SparkSession, path: str, *, old: str,
                 f"constraint(s) {refs} — drop them, rename, then "
                 f"re-add under the new name (txnlog will not rewrite "
                 f"constraint SQL)")
+        if old in (snap.partition_by or ()):
+            raise ValueError(
+                f"rename_column: {old!r} is a partition column — its "
+                f"name is baked into every data directory; recreate "
+                f"the table to change the partition layout")
         colmap = dict(snap.colmap) if snap.colmap is not None \
             else _identity_colmap(schema)
         colmap[new] = colmap.pop(old)
@@ -993,6 +1196,11 @@ def drop_column(spark: SparkSession, path: str, *,
                 f"drop_column: column {column!r} is referenced by "
                 f"CHECK constraint(s) {refs} — drop the constraint(s) "
                 f"first")
+        if column in (snap.partition_by or ()):
+            raise ValueError(
+                f"drop_column: {column!r} is a partition column — "
+                f"the layout is fixed at create_table; recreate the "
+                f"table to change it")
         colmap = dict(snap.colmap) if snap.colmap is not None \
             else _identity_colmap(schema)
         colmap.pop(column, None)
@@ -1052,6 +1260,12 @@ def widen_column_type(spark: SparkSession, path: str, *, column: str,
             raise KeyError(
                 f"widen_column_type: no column {column!r} "
                 f"(have {[f.name for f in schema.fields]})")
+        if column in (snap.partition_by or ()):
+            raise ValueError(
+                f"widen_column_type: {column!r} is a partition "
+                f"column — its values are encoded in directory names "
+                f"under the CURRENT type; recreate the table to "
+                f"change the partition layout")
         src_f = by_name[column]
         if not _is_safe_widening(src_f.dataType, dst):
             raise ValueError(
@@ -1159,7 +1373,7 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
 
     stage_map = _stage_map(snap, new_cols)
     adds = _stage_data_files(spark, df, path, key, snap.version + 1,
-                             stage_map)
+                             stage_map, snap.partition_by)
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if new_cols:
         payload["schema"] = _widened_schema(snap, df).json()
@@ -1218,7 +1432,8 @@ def append(spark: SparkSession, df: DataFrame, path: str, *,
             # carry stale physical names — re-stage under the fresh map
             _drop_files(path, adds)
             stage_map = _stage_map(snap, new_cols)
-            adds = _stage_data_files(spark, df, path, key, v, stage_map)
+            adds = _stage_data_files(spark, df, path, key, v, stage_map,
+                                     snap.partition_by)
             payload["add"] = adds
         if new_cols:
             payload["schema"] = _widened_schema(snap, df).json()
@@ -1268,8 +1483,8 @@ def _compute_dv(spark: SparkSession, path: str, snap: Snapshot,
     DV_ROWS_COLLECT_MAX int pairs — same discipline as the merge key
     collect cap."""
     schema = StructType.fromJson(json.loads(snap.schema_json))
-    raw = spark.read.schema(_phys_schema(schema, snap.colmap)).parquet(
-        *[os.path.join(path, n) for n in touched])
+    raw = _scan(spark, path, schema, touched, snap.colmap,
+                snap.partition_by)
     # raw (unmasked) is correct here: an already-dead row that matches
     # again just re-enters the union — idempotent on ranges.  Row-meta
     # attaches on the PHYSICAL scan (it needs `_metadata`), the
@@ -1281,9 +1496,10 @@ def _compute_dv(spark: SparkSession, path: str, snap: Snapshot,
     got = hits.limit(DV_ROWS_COLLECT_MAX + 1).collect()
     if len(got) > DV_ROWS_COLLECT_MAX:
         return None, None
+    rev = {os.path.basename(n): n for n in touched}
     per: dict[str, list[int]] = {}
     for fn, ri in got:
-        per.setdefault(fn, []).append(ri)
+        per.setdefault(rev[fn], []).append(ri)
     dv_actions: list[dict] = []
     fold: list[str] = []
     for fname in sorted(per):
@@ -1327,7 +1543,8 @@ def _rewrite_unaffected(s0: Snapshot, s1: Snapshot,
 
 
 def merge(spark: SparkSession, path: str, batch: DataFrame, *,
-          key: str) -> Snapshot:
+          key: str,
+          partition_filter: dict[str, object] | None = None) -> Snapshot:
     """Delete+insert MERGE keyed on ``key`` (the reference's re-import
     semantics, same contract as upsert.merge_upsert): rows whose key
     appears in the batch are replaced, everything else inserted.
@@ -1348,7 +1565,21 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
     Optimistic concurrency: on a lost version race the staged files
     are dropped and the WHOLE merge re-derives from the fresh
     snapshot (a concurrent commit may have rewritten the very files
-    this merge read), up to MERGE_MAX_ATTEMPTS."""
+    this merge read), up to MERGE_MAX_ATTEMPTS.
+
+    ``partition_filter`` (r14, partitioned tables): a {col: value}
+    conjunction over partition columns that SCOPES the merge — only
+    files in matching partitions are considered (pruned before key
+    intervals), and concurrent commits in OTHER partitions are
+    logically disjoint, so partition-local writers commit without
+    re-deriving each other.  This is a CALLER CONTRACT, the same one
+    Delta's partition-predicate-in-ON-clause merge makes: every batch
+    row must match the filter (validated — a stray row raises), and
+    the caller asserts no existing row with a batch key lives OUTSIDE
+    the scope (true whenever the partition column is functionally
+    dependent on the merge key, the normal layout).  Without the
+    filter, semantics are global delete+insert — a key may move
+    between partitions — at the cost of key-interval conflict scope."""
     batch = batch.cache()
     try:
         dk = batch.select(key).distinct()
@@ -1357,17 +1588,49 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
             return append(spark, batch, path, key=key)
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
             keys = sorted(r[0] for r in dk.collect())
-            def hits(s): return _interval_hits(s, keys)
+            def key_hits(s): return _interval_hits(s, keys)
             anti_keys = F.broadcast(dk)
         else:
             lo, hi = dk.agg(F.min(key), F.max(key)).first()
-            def hits(s): return _envelope_hits(s, lo, hi)
+            def key_hits(s): return _envelope_hits(s, lo, hi)
             # ADVICE r10: above the collect cap the key set can be
             # millions of rows — a broadcast hint would force it
             # through the driver and onto every executor, defeating
             # the bounded-driver-memory goal of the envelope arm.
             # Let it run as a shuffle anti-join instead.
             anti_keys = dk
+        hits = key_hits
+        if partition_filter:
+            snap0 = snapshot(path)
+            bad = [c for c in partition_filter
+                   if c not in (snap0.partition_by or ())]
+            if bad:
+                raise ValueError(
+                    f"merge: partition_filter names {bad}, not "
+                    f"partition columns (partitioned by "
+                    f"{snap0.partition_by})")
+            import functools
+            in_scope = functools.reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.lit(v))
+                 for c, v in partition_filter.items()])
+            n_out = batch.filter(~in_scope).count()
+            if n_out:
+                raise ValueError(
+                    f"merge: {n_out} batch row(s) fall outside "
+                    f"partition_filter {partition_filter} — the scope "
+                    f"contract requires every batch row to match")
+            ptypes = _pv_types(
+                StructType.fromJson(json.loads(snap0.schema_json)),
+                list(partition_filter))
+
+            def hits(s):
+                pv = s.get("pv") or {}
+                for c, v in partition_filter.items():
+                    if c not in pv or _pv_decode(pv[c],
+                                                 ptypes[c]) != v:
+                        return False
+                return key_hits(s)
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
             touched = [n for n, s in snap.files.items() if hits(s)]
@@ -1396,13 +1659,16 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 adds = []
                 if fold:
                     live = _read_files(spark, path, schema, fold,
-                                       snap.files, snap.colmap)
+                                       snap.files, snap.colmap,
+                                       snap.partition_by)
                     kept = live.join(anti_keys, key, "left_anti")
                     adds += _stage_data_files(spark, kept, path, key,
                                               snap.version + 1,
-                                              snap.colmap)
+                                              snap.colmap,
+                                              snap.partition_by)
                 adds += _stage_data_files(spark, batch, path, key,
-                                          snap.version + 1, snap.colmap)
+                                          snap.version + 1, snap.colmap,
+                                          snap.partition_by)
                 payload = {"op": "merge", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
@@ -1412,7 +1678,8 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                     # logged schema + DV masking — a raw read would
                     # resurrect rows an earlier DV killed
                     old = _read_files(spark, path, schema, touched,
-                                      snap.files, snap.colmap)
+                                      snap.files, snap.colmap,
+                                      snap.partition_by)
                     kept = old.join(anti_keys, key, "left_anti")
                     # a batch NARROWER than the evolved schema
                     # NULL-fills its missing columns (delete+insert
@@ -1423,7 +1690,8 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 else:
                     merged = batch
                 adds = _stage_data_files(spark, merged, path, key,
-                                         snap.version + 1, snap.colmap)
+                                         snap.version + 1, snap.colmap,
+                                         snap.partition_by)
                 payload = {"op": "merge", "add": adds,
                            "remove": touched}
             # claim loop: while the winner's commit is logically
@@ -1534,27 +1802,32 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                 adds = []
                 if fold:
                     live = _read_files(spark, path, schema, fold,
-                                       snap.files, snap.colmap)
+                                       snap.files, snap.colmap,
+                                       snap.partition_by)
                     kept = live.join(anti_keys, key, "left_anti")
                     adds += _stage_data_files(spark, kept, path, key,
                                               snap.version + 1,
-                                              snap.colmap)
+                                              snap.colmap,
+                                              snap.partition_by)
                 adds += _stage_data_files(spark, ups, path, key,
-                                          snap.version + 1, snap.colmap)
+                                          snap.version + 1, snap.colmap,
+                                          snap.partition_by)
                 payload = {"op": "apply", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
             else:
                 if touched:
                     old = _read_files(spark, path, schema, touched,
-                                      snap.files, snap.colmap)
+                                      snap.files, snap.colmap,
+                                      snap.partition_by)
                     kept = old.join(anti_keys, key, "left_anti")
                     merged = kept.unionByName(ups,
                                               allowMissingColumns=True)
                 else:
                     merged = ups
                 adds = _stage_data_files(spark, merged, path, key,
-                                         snap.version + 1, snap.colmap)
+                                         snap.version + 1, snap.colmap,
+                                         snap.partition_by)
                 payload = {"op": "apply", "add": adds,
                            "remove": touched}
             v = snap.version + 1
@@ -1597,7 +1870,7 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
         _check_types(snap, df, "replace_contents")
         _check_constraints(snap, df, "replace_contents")
         adds = _stage_data_files(spark, df, path, key, snap.version + 1,
-                                 snap.colmap)
+                                 snap.colmap, snap.partition_by)
         payload = {"op": "replace", "add": adds,
                    "remove": sorted(snap.files)}
         if txn is not None:
@@ -1644,7 +1917,8 @@ def compact(spark: SparkSession, path: str, *, key: str,
         cur = _read_files(spark, path,
                           StructType.fromJson(json.loads(
                               snap.schema_json)),
-                          sorted(snap.files), snap.files, snap.colmap)
+                          sorted(snap.files), snap.files, snap.colmap,
+                          snap.partition_by)
         if zorder_by is not None:
             from ..operators.maintenance import zorder_key
             a, b = zorder_by
@@ -1657,7 +1931,8 @@ def compact(spark: SparkSession, path: str, *, key: str,
         else:
             packed = cur.repartitionByRange(target_files, key)
         adds = _stage_data_files(spark, packed, path, key,
-                                 snap.version + 1, snap.colmap)
+                                 snap.version + 1, snap.colmap,
+                                 snap.partition_by)
         if _try_commit(path, snap.version + 1,
                        {"op": "compact", "add": adds,
                         "remove": sorted(snap.files)}):
@@ -1717,11 +1992,13 @@ def delete_range(spark: SparkSession, path: str, *, key,
             adds = []
             if fold:
                 live = _read_files(spark, path, schema, fold,
-                                   snap.files, snap.colmap)
+                                   snap.files, snap.colmap,
+                                   snap.partition_by)
                 adds = _stage_data_files(
                     spark, live.filter(~((F.col(key) >= F.lit(lo))
                                          & (F.col(key) < F.lit(hi)))),
-                    path, key, snap.version + 1, snap.colmap)
+                    path, key, snap.version + 1, snap.colmap,
+                    snap.partition_by)
             payload = {"op": "delete", "add": adds, "remove": fold}
             if dv_actions:
                 payload["dv"] = dv_actions
@@ -1729,11 +2006,12 @@ def delete_range(spark: SparkSession, path: str, *, key,
                 return snap     # footer false positive: nothing to do
         else:
             old = _read_files(spark, path, schema, touched, snap.files,
-                              snap.colmap)
+                              snap.colmap, snap.partition_by)
             kept = old.filter(~((F.col(key) >= F.lit(lo))
                                 & (F.col(key) < F.lit(hi))))
             adds = _stage_data_files(spark, kept, path, key,
-                                     snap.version + 1, snap.colmap)
+                                     snap.version + 1, snap.colmap,
+                                     snap.partition_by)
             payload = {"op": "delete", "add": adds, "remove": touched}
         v = snap.version + 1
         for _ in range(MERGE_MAX_ATTEMPTS * 8):
@@ -1749,6 +2027,49 @@ def delete_range(spark: SparkSession, path: str, *, key,
         _drop_files(path, adds)
     raise CommitConflictError(
         f"delete lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
+
+
+def drop_partition(spark: SparkSession, path: str, *,
+                   values: dict[str, object]) -> Snapshot:
+    """Drop whole partitions as a METADATA-ONLY commit (r14 — the
+    retention fast path the reference gets from ``ALTER TABLE ...
+    DETACH PARTITION``/``DROP TABLE`` on its month-partitioned fact
+    tables): every live file whose partition values match ALL of
+    ``values`` (a {col: value} conjunction over partition columns)
+    leaves the snapshot by log reference — no data file is read or
+    written; vacuum reclaims the bytes after retention.  Time travel
+    below the drop still sees the partition; the change feed
+    classifies its rows as deletes.  At 100 TB this is how a month of
+    history retires: one commit, zero data I/O."""
+    for _ in range(METADATA_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        if not snap.partition_by:
+            raise ValueError(
+                f"drop_partition: table at {path} is not partitioned "
+                f"(use delete_range for key-range erasure)")
+        bad = [c for c in values if c not in snap.partition_by]
+        if bad:
+            raise ValueError(
+                f"drop_partition: {bad} are not partition columns "
+                f"(partitioned by {snap.partition_by})")
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        types = _pv_types(schema, list(values))
+        removes = sorted(
+            n for n, s in snap.files.items()
+            if all(c in (s.get("pv") or {})
+                   and _pv_decode(s["pv"][c], types[c]) == v
+                   for c, v in values.items()))
+        if not removes:
+            return snap                   # nothing lives there
+        if _try_commit(path, snap.version + 1,
+                       {"op": "drop_partition", "add": [],
+                        "remove": removes,
+                        "dropped_partition": {
+                            c: None if v is None else str(v)
+                            for c, v in values.items()}}):
+            return snapshot(path, snap.version + 1)
+    raise CommitConflictError(
+        f"drop_partition lost {METADATA_MAX_ATTEMPTS} races at {path}")
 
 
 def _range_hits(stats: dict, lo, hi) -> bool:
@@ -1822,7 +2143,8 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
         # struct-equality change classification (ADVICE r9).  Each
         # side is masked by ITS OWN snapshot's deletion vectors — a
         # row already dead at the endpoint is not part of that state.
-        return _read_files(spark, path, schema, names, snap.files, cm)
+        return _read_files(spark, path, schema, names, snap.files, cm,
+                           s1.partition_by or s0.partition_by)
 
     old_df = side(old_only, s0)
     new_df = side(new_only, s1)
@@ -1849,9 +2171,10 @@ def table_changes(spark: SparkSession, path: str, v_from: int,
             dv_alive[fname] = alive
 
     def delta_rows(dvmap: dict[str, list]) -> DataFrame:
-        raw = spark.read.schema(_phys_schema(schema, cm)).parquet(
-            *[os.path.join(path, fn) for fn in sorted(dvmap)])
-        return _alias_logical(_apply_dv(spark, raw, dvmap,
+        raw = _scan(spark, path, schema, sorted(dvmap), cm,
+                    s1.partition_by or s0.partition_by)
+        base_dv = {os.path.basename(n): rg for n, rg in dvmap.items()}
+        return _alias_logical(_apply_dv(spark, raw, base_dv,
                                         keep_dead=True), schema, cm)
 
     if dv_dead:
@@ -1921,8 +2244,9 @@ def restore(spark: SparkSession, path: str, *, version: int) -> Snapshot:
                 f"of that version were vacuumed (e.g. {missing[0]}) — "
                 f"unrecoverable; raise keep_last/retention if restores "
                 f"must reach this far back")
-        adds = [{"file": n, **{k: s.get(k) for k in ("rows", "kmin",
-                                                     "kmax")}}
+        adds = [{"file": n,
+                 **{k: s[k] for k in ("rows", "kmin", "kmax",
+                                      "cols", "pv") if k in s}}
                 for n, s in sorted(tgt.files.items())
                 if n not in cur.files]
         removes = sorted(n for n in cur.files if n not in tgt.files)
@@ -1969,9 +2293,12 @@ def clone_table(path: str, dest: str) -> Snapshot:
     os.makedirs(_log_dir(dest), exist_ok=False)
     adds, dv_actions = [], []
     for n, s in sorted(snap.files.items()):
-        os.link(os.path.join(path, n), os.path.join(dest, n))
-        adds.append({"file": n, **{k: s.get(k) for k in ("rows", "kmin",
-                                                         "kmax")}})
+        dst = os.path.join(dest, n)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(os.path.join(path, n), dst)
+        adds.append({"file": n,
+                     **{k: s[k] for k in ("rows", "kmin", "kmax",
+                                          "cols", "pv") if k in s}})
         if s.get("dv"):
             dv_actions.append({"file": n, "ranges": s["dv"],
                                "n": _ranges_count(s["dv"]), "n_new": 0})
@@ -1979,6 +2306,7 @@ def clone_table(path: str, dest: str) -> Snapshot:
                      "schema": snap.schema_json,
                      "constraints": snap.constraints,
                      "colmap": snap.colmap, "key": snap.key,
+                     "partition_by": snap.partition_by,
                      "clone_of": {"path": os.path.abspath(path),
                                   "version": snap.version}}
     if dv_actions:
@@ -2022,7 +2350,8 @@ def truncate_history(path: str, *, keep_last: int = 10,
         json.dump({"version": pre, "files": snap.files,
                    "schema": snap.schema_json, "txns": snap.txns,
                    "constraints": snap.constraints,
-                   "colmap": snap.colmap, "key": snap.key}, f)
+                   "colmap": snap.colmap, "key": snap.key,
+                   "partition_by": snap.partition_by}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(log, _ckpt_name(pre)))
@@ -2167,13 +2496,30 @@ def vacuum(path: str, *,
             return False        # vanished mid-scan: nothing to reclaim
 
     removed = []
-    for n in os.listdir(path):
-        full = os.path.join(path, n)
-        if (n.endswith(".parquet") and n not in referenced
-                and os.path.isfile(full) and aged(full)):
-            os.remove(full)
-            removed.append(n)
-        if n.startswith("_stage-") and aged(full):
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(n)
+    for root, dirs, names in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel == ".":
+            # the commit log is never a data dir; staged dirs are
+            # reclaimed whole (their contents are pre-commit)
+            dirs[:] = [d for d in dirs if d != _LOG
+                       and not d.startswith("_stage-")]
+            for d in os.listdir(path):
+                full = os.path.join(path, d)
+                if d.startswith("_stage-") and aged(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(d)
+            rel = ""
+        for n in names:
+            full = os.path.join(root, n)
+            key = f"{rel}/{n}" if rel else n
+            if (n.endswith(".parquet") and key not in referenced
+                    and os.path.isfile(full) and aged(full)):
+                os.remove(full)
+                removed.append(key)
+    # reclaim partition dirs a partition drop + vacuum emptied
+    for root, dirs, names in os.walk(path, topdown=False):
+        if root != path and not dirs and not names \
+                and "=" in os.path.basename(root):
+            with contextlib.suppress(OSError):
+                os.rmdir(root)
     return sorted(removed)

@@ -2465,3 +2465,194 @@ def test_legacy_checkpoint_without_key_recovers_from_create(
     assert snap.key == "k"
     with pytest.raises(ValueError, match="merge key"):
         txnlog.drop_column(spark, tdir, column="k")
+
+
+# ------------------------------------------------ partitioned tables (r14)
+
+def _mkp(spark, lo, hi, tag="a", nparts=4):
+    return (spark.range(lo, hi).coalesce(2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % nparts).cast("int").alias("region"),
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("v")))
+
+
+def test_partitioned_create_read_prune(spark, tdir):
+    """r14: partitioned create_table lays files out in hive dirs, logs
+    per-file partition values, and a partition filter prunes the read
+    to exactly the matching files (plan-asserted via inputFiles)."""
+    snap = txnlog.create_table(spark, _mkp(spark, 0, 100), tdir,
+                               key="k", partition_by=["region"])
+    assert snap.partition_by == ["region"]
+    assert all("/" in n and n.split("/")[0].startswith("region=")
+               for n in snap.files)
+    assert all((s.get("pv") or {}).get("region") is not None
+               for s in snap.files.values())
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 100
+    assert [f.name for f in got.schema.fields] == ["k", "v", "region"]
+    # partition pruning: control-plane file selection, then the scan
+    # reads ONLY those files
+    keep = txnlog.prune_files(snap, [("region", "=", 2)])
+    assert keep and all(n.startswith("region=2/") for n in keep)
+    pruned = txnlog.read_table(spark, tdir,
+                               filters=[("region", "=", 2)])
+    assert len(pruned.inputFiles()) == len(keep)
+    assert pruned.filter("region = 2").count() == 25
+    # partition values survive the round trip typed (int, not string)
+    assert {r.region for r in pruned.select("region").distinct()
+            .collect()} == {2, 0, 1, 3} - {0, 1, 3} | {2} - {0}
+
+
+def test_partitioned_merge_scoped_and_race_disjoint(spark, tdir,
+                                                    monkeypatch):
+    """r14, the serializability claim: a partition-scoped merge that
+    loses its version race to an append in a DIFFERENT partition with
+    OVERLAPPING key range must commit WITHOUT re-staging (partition
+    disjointness, not key disjointness, is what scopes the conflict);
+    and a batch row outside the declared scope raises."""
+    txnlog.create_table(spark, _mkp(spark, 0, 400), tdir, key="k",
+                        partition_by=["region"])
+    # contract violation: batch carries region 1 under a region-2 scope
+    bad = _mkp(spark, 0, 10, tag="b")
+    with pytest.raises(ValueError, match="outside partition_filter"):
+        txnlog.merge(spark, tdir, bad, key="k",
+                     partition_filter={"region": 2})
+
+    stages = {"n": 0}
+    real_stage = txnlog._stage_data_files
+
+    def counting_stage(*a, **kw):
+        stages["n"] += 1
+        return real_stage(*a, **kw)
+
+    real_commit = txnlog._try_commit
+    state = {"interfered": False}
+
+    def interfering_commit(path, version, payload):
+        if payload.get("op") == "merge" and not state["interfered"]:
+            state["interfered"] = True
+            # an append into region 0 with keys INSIDE the merge's key
+            # envelope steals the version — partition-disjoint, so the
+            # staged merge output stays valid verbatim
+            other = (spark.range(0, 20).coalesce(1).select(
+                (F.col("id") * 4).alias("k"),
+                F.lit(0).cast("int").alias("region"),
+                F.concat(F.lit("x"), (F.col("id") * 4).cast("string"))
+                 .alias("v")))
+            txnlog.merge(spark, tdir, other, key="k",
+                         partition_filter={"region": 0})
+            return real_commit(path, version, payload)
+        return real_commit(path, version, payload)
+
+    monkeypatch.setattr(txnlog, "_stage_data_files", counting_stage)
+    monkeypatch.setattr(txnlog, "_try_commit", interfering_commit)
+    mine = (spark.range(0, 20).coalesce(1).select(
+        (F.col("id") * 4 + 2).alias("k"),
+        F.lit(2).cast("int").alias("region"),
+        F.concat(F.lit("m"), (F.col("id") * 4 + 2).cast("string"))
+         .alias("v")))
+    txnlog.merge(spark, tdir, mine, key="k",
+                 partition_filter={"region": 2})
+    assert stages["n"] == 2, (
+        f"partition-disjoint race must reuse staged files (got "
+        f"{stages['n']} staging rounds)")
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 400
+    assert got[2] == "m2" and got[4] == "x4" and got[1] == "a1"
+
+
+def test_partitioned_drop_partition_cdc_timetravel_vacuum(spark, tdir):
+    """r14 retention fast path: drop_partition is metadata-only, CDC
+    classifies its rows as deletes, time travel below it still sees
+    the partition, restore resurrects it, and vacuum reclaims the
+    bytes and the emptied directory after retention."""
+    txnlog.create_table(spark, _mkp(spark, 0, 80), tdir, key="k",
+                        partition_by=["region"])
+    txnlog.append(spark, _mkp(spark, 100, 120, tag="b"), tdir, key="k")
+    v_before = txnlog.snapshot(tdir).version
+    snap = txnlog.drop_partition(spark, tdir, values={"region": 3})
+    assert snap.version == v_before + 1
+    assert txnlog.read_table(spark, tdir).filter(
+        "region = 3").count() == 0
+    assert txnlog.read_table(spark, tdir).count() == 75
+    # CDC: exactly the dropped partition's rows, all deletes
+    tc = txnlog.table_changes(spark, tdir, v_before, snap.version,
+                              key="k")
+    rows = tc.collect()
+    assert len(rows) == 25
+    assert all(r.change_type == "delete" and r.region == 3
+               for r in rows)
+    # time travel below the drop
+    assert txnlog.read_table(spark, tdir, version=v_before).filter(
+        "region = 3").count() == 25
+    # restore resurrects the partition by log reference
+    txnlog.restore(spark, tdir, version=v_before)
+    assert txnlog.read_table(spark, tdir).count() == 100
+    # drop again, move on, truncate history past it, vacuum reclaims
+    # (one more commit so the cutoff checkpoint lands ABOVE the drop —
+    # the checkpoint is the replay base and must not pin the bytes)
+    snap2 = txnlog.drop_partition(spark, tdir, values={"region": 3})
+    filler = (spark.range(200, 204).coalesce(1).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("region"),
+        F.col("id").cast("string").alias("v")))
+    txnlog.append(spark, filler, tdir, key="k")
+    got = txnlog.truncate_history(tdir, keep_last=1,
+                                  retention_seconds=0)
+    assert any(n.startswith("region=3/") for n in got["removed_files"])
+    assert not os.path.exists(os.path.join(tdir, "region=3"))
+    assert txnlog.read_table(spark, tdir).count() == 79
+    # a second drop on an empty partition is a no-op (no new commit)
+    v_now = txnlog.snapshot(tdir).version
+    assert v_now > snap2.version
+    assert txnlog.drop_partition(
+        spark, tdir, values={"region": 3}).version == v_now
+
+
+def test_partitioned_alter_refusals_and_dv(spark, tdir):
+    """r14: partition columns refuse rename/drop/widen (their names
+    and values are baked into directory paths); merge-on-read DVs
+    work inside partition dirs (basename-keyed)."""
+    txnlog.create_table(spark, _mkp(spark, 0, 100), tdir, key="k",
+                        partition_by=["region"])
+    with pytest.raises(ValueError, match="partition column"):
+        txnlog.rename_column(spark, tdir, old="region", new="r2")
+    with pytest.raises(ValueError, match="partition column"):
+        txnlog.drop_column(spark, tdir, column="region")
+    with pytest.raises(ValueError, match="partition column"):
+        txnlog.widen_column_type(spark, tdir, column="region",
+                                 to="long")
+    # sparse delete: DV, no rewrite of partition files
+    snap = txnlog.delete_range(spark, tdir, key="k", lo=8, hi=10)
+    assert any(s.get("dv") for s in snap.files.values())
+    assert txnlog.read_table(spark, tdir).count() == 98
+    assert txnlog.read_table(spark, tdir).filter(
+        "k in (8, 9)").count() == 0
+    # merge key may BE a partition column: stats fall back to pv
+    t2 = tdir + "_bykey"
+    txnlog.create_table(
+        spark, _mkp(spark, 0, 40), t2, key="region",
+        partition_by=["region"])
+    s2 = txnlog.snapshot(t2)
+    assert all(s["kmin"] == s["kmax"] ==
+               int(s["pv"]["region"]) for s in s2.files.values())
+
+
+def test_partitioned_null_and_string_values(spark, tdir):
+    """r14: NULL and special-character partition values roundtrip
+    (hive escaping), NULL partitions prune under any comparison."""
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "p=q%r", "b"), (3, None, "c")],
+        "k long, cat string, v string").coalesce(1)
+    snap = txnlog.create_table(spark, df, tdir, key="k",
+                               partition_by=["cat"])
+    got = {r.k: r.cat for r in txnlog.read_table(spark, tdir).collect()}
+    assert got == {1: "x y", 2: "p=q%r", 3: None}
+    keep = txnlog.prune_files(snap, [("cat", "=", "x y")])
+    assert len(keep) == 1 and keep[0].startswith("cat=x")
+    # NULL partition satisfies no equality: pruned everywhere
+    assert not any("HIVE_DEFAULT" in n for n in keep)
+    # clone carries the layout
+    dest = tdir + "_clone"
+    csnap = txnlog.clone_table(tdir, dest)
+    assert csnap.partition_by == ["cat"]
+    assert txnlog.read_table(spark, dest).count() == 3
