@@ -100,6 +100,10 @@ HEADLINE = (
     # rename, fresh-physical re-add, CDC across all of it) — and
     # variant shredding (typed subcolumns + residual + pushdown)
     "colmap_01", "var_02",
+    # round 14: partitioned txnlog tables (hive-layout create,
+    # partition-scoped merge, plan-asserted pruned read, metadata-only
+    # DROP PARTITION, time travel + CDC across it)
+    "part_01",
 )
 
 

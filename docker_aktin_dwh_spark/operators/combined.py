@@ -2318,6 +2318,55 @@ def _r13_all_oracle() -> str:
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
 
 
+def r14_all(spark, sf):
+    """Round-14 certification union (same-round driver certification,
+    the r8-r13 discipline): the NEW r14 operator part_01 — partitioned
+    txnlog tables: hive-layout create, partition-scoped merge,
+    partition-pruned read (plan-asserted in the builder),
+    metadata-only DROP PARTITION, time travel + CDC across all of
+    it — plus the ups_01 fold-in (slot donor; its upsert-sink
+    roundtrip builder rides verbatim)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import roundtrips
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fp = _ex.submit(roundtrips.part_01, spark, sf)
+        _fu = _ex.submit(roundtrips.ups_01, spark, sf)
+    out = _tag(_fp.result(), "pt",
+               F.concat_ws("|", "arm", "change_type", "encounter_num",
+                           "patient_num",
+                           F.unix_micros(F.col("ts").cast("timestamp"))
+                            .cast("string"),
+                           F.coalesce(F.col("io"), F.lit("NUL"))))
+    out = out.unionByName(_tag(
+        _fu.result(), "ups",
+        F.concat_ws("|", "encounter_num", "patient_num",
+                    F.unix_micros(F.col("start_date")
+                                  .cast("timestamp")).cast("string"),
+                    "inout_cd")))
+    return out.orderBy("tag", "v")
+
+
+def _r14_all_oracle() -> str:
+    from . import roundtrips
+
+    def cat(*cols):
+        return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+    branches = [
+        ("pt", cat("arm", "change_type", "encounter_num",
+                   "patient_num", "epoch_us(ts)",
+                   "COALESCE(io, 'NUL')"),
+         roundtrips._part_01_oracle()),
+        ("ups", cat("encounter_num", "patient_num",
+                    "epoch_us(start_date)", "inout_cd"),
+         roundtrips._ups_01_oracle()),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
+
+
+
 def _r9_all_oracle() -> str:
     from . import dedup, graph, similarity
 
@@ -2502,6 +2551,13 @@ _DOCS = {
                "shredded path, reconstruction certificate), plus the "
                "cdc_04 atomic-CDC-apply fold-in (slot donor; builder "
                "verbatim) — same-round driver certification",
+    "r14_all": "Round-14 tagged union: partitioned txnlog tables "
+               "(part_01 — hive-layout create, partition-scoped "
+               "merge, partition-pruned read (plan-asserted), "
+               "metadata-only DROP PARTITION, time travel + CDC "
+               "across it all) plus the ups_01 upsert-sink fold-in "
+               "(slot donor; builder verbatim) — same-round driver "
+               "certification",
 }
 
 
@@ -2547,6 +2603,7 @@ def specs() -> list[QuerySpec]:
         "r11_all": _r11_all_oracle(),
         "r12_all": _r12_all_oracle(),
         "r13_all": _r13_all_oracle(),
+        "r14_all": _r14_all_oracle(),
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

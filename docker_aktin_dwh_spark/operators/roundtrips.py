@@ -705,6 +705,145 @@ SELECT 'cdc' AS arm, 'insert' AS change_type, encounter_num,
 """
 
 
+def part_01(spark, sf):
+    """Partitioned txnlog tables (r14, VERDICT r13 item 1): hive-style
+    table partitioning on the commit-log format
+    (sources/txnlog.create_table(partition_by=...), Delta's
+    partitionValues; reference analogue: Postgres declarative
+    partitioning of the visit/fact tables,
+    /root/reference/src/docker/database/Dockerfile:8).
+
+    One key certifies the whole contract: CREATE partitioned by
+    inout_cd (files land in ``inout_cd=I/O`` dirs, partition values
+    logged per file) -> partition-SCOPED MERGE inside 'I' (encounters
+    100-199, +40 days; partition_filter validates the batch) -> append
+    into 'O' (new encounters 400-449; partition-disjoint writers
+    commit without re-derive, pinned by the unit tests + bench lane)
+    -> PARTITION-PRUNED read (plan-asserted here: the scan's input
+    files are exactly the I-partition's, strictly fewer than the
+    table's) -> DROP PARTITION 'O' as a METADATA-ONLY commit.  Arms:
+    cur (post-merge/append state), pru (the pruned read), tt (time
+    travel to v0 across every partition op), cdc (endpoint diff
+    v0->v2: merged I keys classify as updates, appended O rows as
+    inserts), dcd (diff across the drop: exactly the O rows, all
+    deletes).  Oracle = the same five arms in plain SQL."""
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_part01_")
+    try:
+        path = tmp + "/tbl"
+        snap0 = txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num", partition_by=["inout_cd"])
+        assert all(n.split("/")[0].startswith("inout_cd=")
+                   for n in snap0.files), "hive layout expected"
+        batch = (base.filter((F.col("encounter_num") >= 100)
+                             & (F.col("encounter_num") < 200)
+                             & (F.col("inout_cd") == "I"))
+                 .select("encounter_num", "patient_num",
+                         (F.col("start_date")
+                          + F.expr("INTERVAL 40 DAYS"))
+                         .alias("start_date"),
+                         "inout_cd"))
+        txnlog.merge(spark, path, batch, key="encounter_num",
+                     partition_filter={"inout_cd": "I"})
+        app = vis.filter((F.col("encounter_num") >= 400)
+                         & (F.col("encounter_num") < 450)
+                         & (F.col("inout_cd") == "O"))
+        txnlog.append(spark, app, path, key="encounter_num")
+        s2 = txnlog.snapshot(path)
+        keep = txnlog.prune_files(s2, [("inout_cd", "=", "I")])
+        assert keep and len(keep) < len(s2.files) \
+            and all(n.startswith("inout_cd=I/") for n in keep), \
+            "partition pruning must select exactly the I files"
+        pru_df = txnlog.read_table(spark, path,
+                                   filters=[("inout_cd", "=", "I")])
+        assert len(pru_df.inputFiles()) == len(keep), \
+            "the pruned scan must read only the partition's files"
+
+        def arm(df, tag, ct="state"):
+            return df.select(
+                F.lit(tag).alias("arm"),
+                (F.lit(ct) if ct else F.col("change_type"))
+                .alias("change_type"),
+                "encounter_num", "patient_num",
+                F.col("start_date").alias("ts"),
+                F.col("inout_cd").alias("io"))
+
+        cur = arm(txnlog.read_table(spark, path, s2.version), "cur")
+        pru = arm(pru_df.filter(F.col("inout_cd") == "I"), "pru")
+        tt = arm(txnlog.read_table(spark, path, 0), "tt")
+        cdc = arm(txnlog.table_changes(spark, path, 0, s2.version,
+                                       key="encounter_num"),
+                  "cdc", ct=None)
+        txnlog.drop_partition(spark, path, values={"inout_cd": "O"})
+        s3 = txnlog.snapshot(path)
+        assert txnlog.read_table(spark, path).filter(
+            "inout_cd = 'O'").count() == 0
+        dcd = arm(txnlog.table_changes(spark, path, s2.version,
+                                       s3.version,
+                                       key="encounter_num"),
+                  "dcd", ct=None)
+        out = cur.unionByName(pru).unionByName(tt).unionByName(cdc) \
+                 .unionByName(dcd)
+        return _snap_off_tmp(out, tmp).orderBy(
+            "arm", "change_type", "encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _part_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+base AS (SELECT * FROM vis WHERE encounter_num < 400),
+app AS (SELECT encounter_num, patient_num, start_date AS ts,
+               inout_cd
+        FROM vis WHERE encounter_num >= 400 AND encounter_num < 450
+          AND inout_cd = 'O'),
+upd AS (SELECT encounter_num, patient_num,
+               start_date + INTERVAL 40 DAY AS ts, inout_cd
+        FROM base WHERE inout_cd = 'I'
+          AND encounter_num >= 100 AND encounter_num < 200),
+cur AS (
+  SELECT encounter_num, patient_num,
+         CASE WHEN inout_cd = 'I' AND encounter_num >= 100
+                   AND encounter_num < 200
+              THEN start_date + INTERVAL 40 DAY ELSE start_date
+         END AS ts, inout_cd
+  FROM base
+  UNION ALL SELECT * FROM app)
+SELECT 'cur' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, ts, inout_cd AS io FROM cur
+UNION ALL
+SELECT 'pru' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, ts, inout_cd AS io FROM cur WHERE inout_cd = 'I'
+UNION ALL
+SELECT 'tt' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io FROM base
+UNION ALL
+SELECT 'cdc' AS arm, 'update_preimage' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io
+FROM base WHERE inout_cd = 'I'
+  AND encounter_num >= 100 AND encounter_num < 200
+UNION ALL
+SELECT 'cdc' AS arm, 'update_postimage' AS change_type,
+       encounter_num, patient_num, ts, inout_cd AS io FROM upd
+UNION ALL
+SELECT 'cdc' AS arm, 'insert' AS change_type, encounter_num,
+       patient_num, ts, inout_cd AS io FROM app
+UNION ALL
+SELECT 'dcd' AS arm, 'delete' AS change_type, encounter_num,
+       patient_num, ts, inout_cd AS io FROM cur WHERE inout_cd = 'O'
+"""
+
+
+
 def stats_01(spark, sf):
     """Metadata-only ANALYZE: per-column rows / null-count / min / max
     assembled from parquet ROW-GROUP FOOTERS alone — no data scan.
@@ -1141,6 +1280,10 @@ _DOCS = {
                  "(no resurrection), CDC endpoint diff across all of "
                  "it; file-identity and fresh-name asserted in the "
                  "builder",
+    "part_01": "Partitioned txnlog tables (r14): hive-layout create, "
+               "partition-scoped merge, partition-pruned read "
+               "(plan-asserted), metadata-only DROP PARTITION; time "
+               "travel + CDC across every partition op",
     "brk_01": "SRC-05/SNK-03 broker request->execute->export roundtrip",
     "src_jsonl": "SRC-06 JSONL corpus sink->source roundtrip",
     "src_orc": "SRC-07 ORC columnar-interchange roundtrip (typed row "
@@ -1167,6 +1310,7 @@ def specs() -> list[QuerySpec]:
         "cdc_03": _cdc_03_oracle(),
         "cdc_04": _cdc_04_oracle(),
         "colmap_01": _colmap_01_oracle(),
+        "part_01": _part_01_oracle(),
         "stats_01": _STATS_01_ORACLE,
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,

@@ -95,12 +95,18 @@ class QuerySpec:
 #: driver-certified) and the slot carries colmap_01 too: column
 #: mapping (rename/drop as metadata-only txnlog commits, merge on the
 #: renamed column, time travel across the rename, fresh-physical
-#: re-add with no resurrection, CDC across all of it).
+#: re-add with no resurrection, CDC across all of it).  Round 14
+#: (VERDICT r13 item 1 + the slot-economy discipline): ups_01 folds
+#: into r14_all as its "ups" branch (builder verbatim — the upsert
+#: sink stays driver-certified) and the slot carries part_01 too:
+#: partitioned txnlog tables (hive-layout create, partition-scoped
+#: merge, plan-asserted partition-pruned read, metadata-only DROP
+#: PARTITION, time travel + CDC across all of it).
 CORE50 = (
     "flt_all", "jn_03", "llm_all", "jn_misc", "jn_08", "jn_09",
     "agg_core", "agg_olap", "agg_03", "win_all", "set_all",
     "fn_pl", "fn_ord", "fn_ev",
-    "src_02", "src_03", "src_04", "ups_01", "brk_01",
+    "src_02", "src_03", "src_04", "r14_all", "brk_01",
     "str_win", "maint_all", "ds_02", "str_rep", "ds_01",
     "coh_panel", "coh_misc", "ext_all", "ont_01", "eav_01", "rep_01",
     "udf_px", "r12_all", "udf_tf", "str_11",
