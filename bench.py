@@ -124,17 +124,25 @@ def main() -> None:
     spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).count()
 
-    # best of 3: this VM shows ±50% run-to-run noise; min is the
-    # steady-state number the plan actually achieves
+    # median of 3 (VERDICT r13 item 2): this VM shows ±50% run-to-run
+    # noise; the median is robust to one slow outlier in either
+    # direction, and the recorded min/max spread makes a cross-round
+    # regression provable from artifacts alone (a noisy box can
+    # neither manufacture nor hide a 2× change).
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for key in HEADLINE:
         fn = registry[key].fn
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[key] = round(runs[1], 3)
+        spread[key] = {"med": round(runs[1], 3),
+                       "min": round(runs[0], 3),
+                       "max": round(runs[2], 3)}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -143,6 +151,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -166,8 +175,20 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(out, f, indent=1)
-    compact = {k: out[k] for k in ("metric", "value", "unit",
-                                   "queries", "sf")}
+    # VERDICT r13 item 2a: the ~85-key per-query dict alone is ~2 KB —
+    # exactly the driver's capture window, which yielded "parsed": null
+    # in r12 and a borderline fit in r13.  The stdout line keeps the
+    # contract shape ({metric, value, unit, queries, sf}) but carries
+    # only the FLAGSHIP subset in "queries"; every key's median AND
+    # min/max spread live in BENCH_DETAIL.json (committed, versioned —
+    # the artifact cross-round comparisons read).
+    flagship = ("jn_03", "agg_02", "win_01", "coh_01", "ont_01",
+                "ded_minhash", "ann_topk", "pipe_03", "cdc_03",
+                "ups_02", "colmap_01", "part_01")
+    compact = {k: out[k] for k in ("metric", "value", "unit", "sf")}
+    compact["queries"] = {k: timings[k] for k in flagship
+                          if k in timings}
+    compact["n_queries"] = len(timings)
     if "scaling" in out:
         sl = out["scaling"]["slope"]
         compact["scale10x_max_slope"] = max(sl.values())
