@@ -21,18 +21,40 @@ PUBLIC Delta transaction-log protocol (delta-io/delta PROTOCOL.md):
 - one ``txn`` per streaming application id (appId/version), so
   exactly-once sinks keep their idempotence across the export.
 
-Deletion vectors do NOT export: Delta encodes DVs as serialized
-roaring bitmaps, which cannot be produced faithfully without the
-format's own library — a snapshot that still carries DVs raises and
-the caller runs :func:`txnlog.compact` first (folds DVs into clean
-files; row counts preserved, protocol-tested).  This keeps the
-exported table bit-faithful instead of silently wrong.
+r14 (VERDICT r13 items 3-5) lifts three refusals into real emission:
+
+- **Deletion vectors**: live DVs serialize to Delta's inline DV shape
+  — the run-length ranges expand into a RoaringBitmapArray in the
+  "portable" format (PROTOCOL.md §Deletion Vector Format: 4-byte LE
+  magic 1681511377, 8-byte LE bitmap count, then per 32-bit bitmap a
+  4-byte LE key + a standard RoaringFormatSpec bitmap), Z85-encoded
+  into ``pathOrInlineDv`` with ``storageType "i"``; the add action's
+  stats keep physical ``numRecords`` with ``tightBounds: false`` and
+  the protocol declares the ``deletionVectors`` table feature
+  (reader 3 / writer 7).
+- **Type widening**: a table widened by ``txnlog.widen_column_type``
+  (files physically narrower than the logged schema) exports with the
+  ``typeWidening`` table feature plus per-field
+  ``delta.typeChanges`` metadata instead of refusing; readers widen
+  at scan time exactly like txnlog's own read path.
+- **Partitioned tables**: hive-layout tables export their files at
+  their partition-relative paths with real ``partitionValues`` maps
+  and ``metaData.partitionColumns``.
+
+:func:`export_delta_history` additionally exports the RETAINED COMMIT
+HISTORY — one Delta JSON commit per txnlog version (snapshot-diff
+derived: add/remove/DV-rewrite actions, metaData re-emission on schema
+change) — and writes ``N.checkpoint.parquet`` + ``_last_checkpoint``
+every CHECKPOINT_EVERY commits (PROTOCOL.md checkpoint schema: one
+nullable action struct per row), so a long-history export replays from
+the newest checkpoint instead of every JSON commit.
 
 The conformance test (tests/test_txnlog.py) validates every emitted
 action against the spec's required keys and types, checks stats
-against the parquet footers, and — when a ``delta`` package IS
-importable — opens the export with the real reader and compares
-row-for-row against ``txnlog.read_table``.
+against the parquet footers, and differentially compares every export
+shape against ``tests/independent_delta_reader.py`` — a second,
+zero-shared-code implementation of the log replay, DV decode and
+checkpoint load.
 """
 
 from __future__ import annotations
@@ -41,6 +63,7 @@ import errno
 import json
 import os
 import shutil
+import struct
 import uuid
 
 from . import txnlog
@@ -51,38 +74,154 @@ from . import txnlog
 MIN_READER_VERSION = 1
 MIN_WRITER_VERSION = 2
 
+#: checkpoint cadence for export_delta_history — matches txnlog's own
+CHECKPOINT_EVERY = 10
 
-def _check_physical_types(path: str, snap) -> None:
-    """A table widened by ``txnlog.widen_column_type`` may hold files
-    whose PHYSICAL type is narrower than the logged schema (that is
-    the point of the metadata-only verb); Delta declares such tables
-    through the ``typeWidening`` table feature, which this exporter
-    does not emit — so a physically-narrow table refuses with the
-    remediation (``txnlog.compact`` rewrites every file under the
-    wide type) instead of exporting a table strict readers would
-    reject.  Footer reads only; files pyarrow cannot open (exotic
-    logical types) are skipped conservatively."""
+
+# ----------------------------------------------- DV serialization (r14)
+# RoaringBitmapArray "portable" serialization per the public Delta
+# PROTOCOL.md (§Deletion Vector Format) + the RoaringFormatSpec it
+# references: 64-bit values split into (high-32 key → 32-bit roaring
+# bitmap); each 32-bit bitmap splits values into (high-16 container
+# key → array/bitmap container of low-16 values).
+
+_ROARING_MAGIC = 1681511377
+_SERIAL_COOKIE_NO_RUN = 12346
+_ARRAY_MAX = 4096
+
+#: Z85 alphabet (ZeroMQ spec — the encoding PROTOCOL.md names for
+#: inline DVs and DV file UUIDs)
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode ``data``, zero-padding to a multiple of 4 bytes (the
+    descriptor's sizeInBytes records the TRUE length, so decoders
+    truncate the padding — Delta's own codec does the same)."""
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """One 32-bit roaring bitmap (RoaringFormatSpec, no-run cookie):
+    sorted distinct uint32 values → bytes."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    head = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys))
+    desc = b"".join(struct.pack("<HH", k, len(containers[k]) - 1)
+                    for k in keys)
+    # offset header (always present with the no-run cookie): byte
+    # offset of each container from the start of the bitmap stream
+    base = len(head) + len(desc) + 4 * len(keys)
+    offsets = []
+    bodies = []
+    pos = base
+    for k in keys:
+        vals = containers[k]
+        offsets.append(pos)
+        if len(vals) <= _ARRAY_MAX:
+            body = struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            body = bytes(bits)
+        bodies.append(body)
+        pos += len(body)
+    return (head + desc
+            + b"".join(struct.pack("<i", o) for o in offsets)
+            + b"".join(bodies))
+
+
+def serialize_dv(ranges: list) -> tuple[bytes, int]:
+    """txnlog's inclusive [start, end] row-index runs → (serialized
+    RoaringBitmapArray bytes, cardinality)."""
+    by_high: dict[int, list[int]] = {}
+    n = 0
+    for s, e in ranges:
+        for v in range(int(s), int(e) + 1):
+            by_high.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+            n += 1
+    highs = sorted(by_high)
+    out = [struct.pack("<i", _ROARING_MAGIC),
+           struct.pack("<q", len(highs))]
+    for h in highs:
+        out.append(struct.pack("<i", h))
+        out.append(_serialize_roaring32(sorted(set(by_high[h]))))
+    return b"".join(out), n
+
+
+def dv_descriptor(ranges: list) -> dict:
+    """Inline deletion-vector descriptor for an add action."""
+    data, card = serialize_dv(ranges)
+    return {"storageType": "i",
+            "pathOrInlineDv": z85_encode(data),
+            "sizeInBytes": len(data),
+            "cardinality": card}
+
+
+def _delta_type_name(t) -> str:
+    """Arrow type → Delta schema type name (widening-matrix types
+    only — the only ones _widened_columns compares)."""
+    import pyarrow as pa
+    if pa.types.is_int8(t):
+        return "byte"
+    if pa.types.is_int16(t):
+        return "short"
+    if pa.types.is_int32(t):
+        return "integer"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
+def _widened_columns(path: str, snap) -> dict[str, tuple[str, str]]:
+    """Columns whose logged type is WIDER than some file's physical
+    type (the state ``txnlog.widen_column_type`` leaves behind) —
+    {physical column name: (narrowest from-type, logged to-type)}.
+    r13 refused to export these; r14 declares them through Delta's
+    ``typeWidening`` table feature + ``delta.typeChanges`` field
+    metadata instead (VERDICT r13 item 4).  Footer reads only; files
+    pyarrow cannot open are skipped conservatively."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
     try:
-        from . import txnlog
         logical = StructType.fromJson(json.loads(snap.schema_json))
         expect = to_arrow_schema(
             txnlog._phys_schema(logical, snap.colmap))
     except Exception:
-        return
+        return {}
     import pyarrow as pa
 
     def in_matrix(t) -> bool:
         # only the types the widening matrix covers — comparing e.g.
-        # string/timestamp arrow mappings would risk false refusals
+        # string/timestamp arrow mappings would risk false positives
         # on benign writer-codec differences
         return (pa.types.is_integer(t) or pa.types.is_floating(t)
                 or pa.types.is_decimal(t))
 
     want = {f.name: f.type for f in expect}
+    out: dict[str, tuple[str, str]] = {}
     for name in sorted(snap.files):
         try:
             got = pq.ParquetFile(os.path.join(path, name)).schema_arrow
@@ -91,46 +230,26 @@ def _check_physical_types(path: str, snap) -> None:
         for f in got:
             w = want.get(f.name)
             if w is not None and in_matrix(w) and f.type != w:
-                raise ValueError(
-                    f"export_delta_log: file {name} stores column "
-                    f"{f.name!r} as {f.type} but the logged schema "
-                    f"says {w} (a widen_column_type table) — Delta "
-                    f"needs the typeWidening feature for that; run "
-                    f"txnlog.compact() to rewrite files under the "
-                    f"wide type, then export")
+                out[f.name] = (_delta_type_name(f.type),
+                               _delta_type_name(w))
+    return out
 
 
-def export_delta_log(path: str, dest: str,
-                     version: int | None = None) -> str:
-    """Materialize the txnlog table at ``version`` (default latest) as
-    a Delta table under ``dest``: hardlinked data files (same-inode,
-    zero-copy — the clone_table discipline) + a single version-0 Delta
-    commit describing the complete snapshot.  Returns ``dest``.
+def _protocol_and_meta(path: str, snap) -> tuple[dict, dict]:
+    """The protocol and metaData actions for one snapshot.
 
-    Raises if any live file carries a deletion vector (run
-    ``txnlog.compact`` first — see module docstring)."""
-    snap = txnlog.snapshot(path, version)
-    dvd = [n for n, st in snap.files.items() if st.get("dv")]
-    if dvd:
-        raise ValueError(
-            f"export_delta_log: {len(dvd)} live file(s) carry deletion "
-            f"vectors (e.g. {dvd[0]}); Delta encodes DVs as roaring "
-            f"bitmaps this exporter will not fake — run "
-            f"txnlog.compact() to fold them, then export")
-    if snap.schema_json is None:
-        raise ValueError("export_delta_log: table has no logged schema")
-    _check_physical_types(path, snap)
-    os.makedirs(dest, exist_ok=True)
-    log_dir = os.path.join(dest, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-
-    # Column mapping (r13): a renamed/dropped-column table exports
-    # with Delta's columnMapping mode "name" — each schema field
-    # carries delta.columnMapping.{id, physicalName} metadata, the
-    # table configuration declares the mode, and the protocol bumps
-    # to reader 2 / writer 5 (PROTOCOL.md's column-mapping floor).
-    # Identity tables keep the base protocol untouched.
+    Column mapping (r13): a renamed/dropped-column table exports with
+    Delta's columnMapping mode "name" — each schema field carries
+    delta.columnMapping.{id, physicalName} metadata, the table
+    configuration declares the mode, and the protocol floor is
+    reader 2 / writer 5.  Deletion vectors and type widening (r14) are
+    TABLE FEATURES: their presence bumps to reader 3 / writer 7 with
+    explicit readerFeatures/writerFeatures lists (PROTOCOL.md's rule:
+    at those versions every active feature is listed, legacy ones
+    included)."""
     mapped = snap.colmap is not None
+    has_dv = any(st.get("dv") for st in snap.files.values())
+    widened = _widened_columns(path, snap)
     schema_doc = json.loads(snap.schema_json)
     configuration: dict = {}
     reader_v, writer_v = MIN_READER_VERSION, MIN_WRITER_VERSION
@@ -147,65 +266,305 @@ def export_delta_log(path: str, dest: str,
                 str(len(schema_doc.get("fields", []))),
         }
         reader_v, writer_v = 2, 5
-    schema_string = json.dumps(schema_doc, separators=(",", ":"))
-
-    actions: list[dict] = [
-        {"protocol": {"minReaderVersion": reader_v,
-                      "minWriterVersion": writer_v}},
-    ]
-    meta_time = 0
-    adds = []
-    for name in sorted(snap.files):
-        st = snap.files[name]
-        src = os.path.join(path, name)
-        dst = os.path.join(dest, name)
-        if not os.path.exists(dst):
-            try:
-                os.link(src, dst)
-            except OSError as e:
-                if e.errno != errno.EXDEV:
-                    raise
-                # dest on a different filesystem: degrade to a copy
-                shutil.copyfile(src, dst)
-                with open(dst, "rb") as cf:
-                    os.fsync(cf.fileno())
-        info = os.stat(src)
-        mtime_ms = int(info.st_mtime * 1000)
-        meta_time = max(meta_time, mtime_ms)
-        stats = {"numRecords": st["rows"]}
-        cols = st.get("cols") or {}
-        if cols:
-            stats["minValues"] = {c: txnlog._stats_decode(iv[0])
-                                  for c, iv in sorted(cols.items())}
-            stats["maxValues"] = {c: txnlog._stats_decode(iv[1])
-                                  for c, iv in sorted(cols.items())}
-        adds.append({"add": {
-            "path": name,
-            "partitionValues": {},
-            "size": info.st_size,
-            "modificationTime": mtime_ms,
-            "dataChange": True,
-            "stats": json.dumps(stats, default=str),
-        }})
-    actions.append({"metaData": {
+    phys_of = (snap.colmap or {})
+    if widened:
+        for fld in schema_doc.get("fields", []):
+            ph = phys_of.get(fld["name"], fld["name"])
+            if ph in widened:
+                md = dict(fld.get("metadata") or {})
+                frm, to = widened[ph]
+                md["delta.typeChanges"] = [
+                    {"fromType": frm, "toType": to}]
+                fld["metadata"] = md
+    features = []
+    if has_dv:
+        features.append("deletionVectors")
+    if widened:
+        features.append("typeWidening")
+    protocol: dict = {"minReaderVersion": reader_v,
+                      "minWriterVersion": writer_v}
+    if features:
+        rf = sorted(set(features) | ({"columnMapping"} if mapped
+                                     else set()))
+        protocol = {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": rf, "writerFeatures": rf}
+    meta = {
         "id": str(uuid.uuid5(uuid.NAMESPACE_URL,
                              f"txnlog-export:{os.path.abspath(path)}")),
         "format": {"provider": "parquet", "options": {}},
-        "schemaString": schema_string,
-        "partitionColumns": [],
+        "schemaString": json.dumps(schema_doc, separators=(",", ":")),
+        "partitionColumns": list(snap.partition_by or []),
         "configuration": configuration,
-        "createdTime": meta_time,
-    }})
-    actions.extend(adds)
-    for app, v in sorted(snap.txns.items()):
-        actions.append({"txn": {"appId": app, "version": v,
-                                "lastUpdated": meta_time}})
+        "createdTime": 0,
+    }
+    return protocol, meta
 
+
+def _partition_values(name: str, st: dict) -> dict:
+    """The add action's partitionValues map: raw hive dir fragments
+    decode to their unescaped string form; the null marker becomes a
+    JSON null (PROTOCOL.md's representation)."""
+    from urllib.parse import unquote
+    pv = st.get("pv") or {}
+    return {c: (None if raw == txnlog._HIVE_NULL else unquote(raw))
+            for c, raw in sorted(pv.items())}
+
+
+def _link_file(path: str, dest: str, name: str) -> os.stat_result:
+    src = os.path.join(path, name)
+    dst = os.path.join(dest, name)
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError as e:
+            if e.errno != errno.EXDEV:
+                raise
+            # dest on a different filesystem: degrade to a copy
+            shutil.copyfile(src, dst)
+            with open(dst, "rb") as cf:
+                os.fsync(cf.fileno())
+    return os.stat(src)
+
+
+def _add_action(path: str, dest: str, snap, name: str) -> dict:
+    """Hardlink one live file into the export and build its add
+    action (stats from the commit's recorded footer intervals; a live
+    deletion vector serializes inline — see module docstring)."""
+    st = snap.files[name]
+    info = _link_file(path, dest, name)
+    stats = {"numRecords": st["rows"]}
+    cols = st.get("cols") or {}
+    if cols:
+        stats["minValues"] = {c: txnlog._stats_decode(iv[0])
+                              for c, iv in sorted(cols.items())}
+        stats["maxValues"] = {c: txnlog._stats_decode(iv[1])
+                              for c, iv in sorted(cols.items())}
+    add = {
+        "path": name,
+        "partitionValues": _partition_values(name, st),
+        "size": info.st_size,
+        "modificationTime": int(info.st_mtime * 1000),
+        "dataChange": True,
+    }
+    if st.get("dv"):
+        add["deletionVector"] = dv_descriptor(st["dv"])
+        # physical row count with masked rows present: bounds may be
+        # loose relative to the LIVE rows — Delta flags exactly this
+        stats["tightBounds"] = False
+    add["stats"] = json.dumps(stats, default=str)
+    return {"add": add}
+
+
+def _write_commit(log_dir: str, version: int,
+                  actions: list[dict]) -> None:
     tmp = os.path.join(log_dir, f".export-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(log_dir, f"{0:020d}.json"))
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.json"))
+
+
+def export_delta_log(path: str, dest: str,
+                     version: int | None = None) -> str:
+    """Materialize the txnlog table at ``version`` (default latest) as
+    a Delta table under ``dest``: hardlinked data files (same-inode,
+    zero-copy — the clone_table discipline) + a single version-0 Delta
+    commit describing the complete snapshot.  Returns ``dest``.
+    Deletion vectors, type-widened columns and partition layouts all
+    export faithfully (r14) — see the module docstring."""
+    snap = txnlog.snapshot(path, version)
+    if snap.schema_json is None:
+        raise ValueError("export_delta_log: table has no logged schema")
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    protocol, meta = _protocol_and_meta(path, snap)
+    actions: list[dict] = [{"protocol": protocol}]
+    meta_time = 0
+    adds = []
+    for name in sorted(snap.files):
+        a = _add_action(path, dest, snap, name)
+        meta_time = max(meta_time, a["add"]["modificationTime"])
+        adds.append(a)
+    meta["createdTime"] = meta_time
+    actions.append({"metaData": meta})
+    actions.extend(adds)
+    for app, v in sorted(snap.txns.items()):
+        actions.append({"txn": {"appId": app, "version": v,
+                                "lastUpdated": meta_time}})
+    _write_commit(log_dir, 0, actions)
+    return dest
+
+
+# ------------------------------------------- history + checkpoints (r14)
+
+def _checkpoint_schema():
+    """PROTOCOL.md checkpoint schema: one row per action, each action
+    kind a nullable top-level struct column."""
+    import pyarrow as pa
+    dv = pa.struct([("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64())])
+    return pa.schema([
+        ("txn", pa.struct([("appId", pa.string()),
+                           ("version", pa.int64())])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv)])),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("deletionTimestamp", pa.int64()),
+                              ("dataChange", pa.bool_())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", pa.map_(pa.string(), pa.string()))])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64())])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string()))])),
+    ])
+
+
+def _map_items(d: dict | None):
+    """pyarrow map_ columns take key/value tuple lists."""
+    return sorted((d or {}).items())
+
+
+def _write_checkpoint(log_dir: str, delta_version: int,
+                      actions: list[dict]) -> None:
+    """``N.checkpoint.parquet`` + ``_last_checkpoint``: the complete
+    reconstructed state at ``delta_version`` (protocol + metaData +
+    every live add + txns), so a reader starts here and replays only
+    the newer JSON commits — txnlog's own checkpoint economics in
+    Delta's on-disk shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = []
+    for a in actions:
+        row = {"txn": None, "add": None, "remove": None,
+               "metaData": None, "protocol": None}
+        if "add" in a:
+            add = dict(a["add"])
+            add["partitionValues"] = _map_items(
+                add.get("partitionValues"))
+            add.setdefault("deletionVector", None)
+            add.setdefault("stats", None)
+            row["add"] = add
+        elif "metaData" in a:
+            m = dict(a["metaData"])
+            m["configuration"] = _map_items(m.get("configuration"))
+            fmt = dict(m.get("format") or {})
+            fmt["options"] = _map_items(fmt.get("options"))
+            m["format"] = fmt
+            row["metaData"] = m
+        elif "protocol" in a:
+            p = dict(a["protocol"])
+            p.setdefault("readerFeatures", None)
+            p.setdefault("writerFeatures", None)
+            row["protocol"] = p
+        elif "txn" in a:
+            row["txn"] = {k: a["txn"][k] for k in ("appId", "version")}
+        elif "remove" in a:
+            row["remove"] = a["remove"]
+        rows.append(row)
+    table = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
+    name = f"{delta_version:020d}.checkpoint.parquet"
+    pq.write_table(table, os.path.join(log_dir, name))
+    tmp = os.path.join(log_dir, f".lc-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"version": delta_version, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+
+
+def export_delta_history(path: str, dest: str, *,
+                         checkpoint_every: int = CHECKPOINT_EVERY
+                         ) -> str:
+    """Export the RETAINED txnlog commit history as a multi-commit
+    Delta log (VERDICT r13 item 5): one Delta JSON commit per retained
+    txnlog version (re-based to 0..n-1), derived from SNAPSHOT DIFFS —
+    adds/removes for file-set changes, remove+add rewrites for files
+    whose deletion vector changed, metaData re-emission on
+    schema/colmap/feature changes, txn actions when an application
+    version advances.  Every ``checkpoint_every`` commits the complete
+    state checkpoints to ``N.checkpoint.parquet`` + ``_last_checkpoint``
+    so long histories replay from the newest checkpoint, exactly like
+    txnlog's own log.  Time travel over the export therefore matches
+    txnlog's own (per-version differential in the conformance test)."""
+    versions = txnlog._list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no txnlog table at {path}")
+    os.makedirs(dest, exist_ok=True)
+    log_dir = os.path.join(dest, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    prev = None
+    prev_proto = prev_meta_sig = None
+    for dv_ver, v in enumerate(versions):
+        snap = txnlog.snapshot(path, v)
+        protocol, meta = _protocol_and_meta(path, snap)
+        meta_sig = (meta["schemaString"],
+                    json.dumps(meta["configuration"], sort_keys=True),
+                    tuple(meta["partitionColumns"]))
+        actions: list[dict] = []
+        if prev is None:
+            actions.append({"protocol": protocol})
+            adds = [_add_action(path, dest, snap, n)
+                    for n in sorted(snap.files)]
+            meta["createdTime"] = max(
+                [a["add"]["modificationTime"] for a in adds],
+                default=0)
+            actions.append({"metaData": meta})
+            actions.extend(adds)
+            for app, tv in sorted(snap.txns.items()):
+                actions.append({"txn": {"appId": app, "version": tv}})
+        else:
+            if protocol != prev_proto:
+                actions.append({"protocol": protocol})
+            if meta_sig != prev_meta_sig:
+                actions.append({"metaData": meta})
+            now_ms = 0
+            for n in sorted(set(prev.files) | set(snap.files)):
+                in_prev, in_cur = n in prev.files, n in snap.files
+                dv_changed = (in_prev and in_cur
+                              and (prev.files[n].get("dv") or [])
+                              != (snap.files[n].get("dv") or []))
+                if in_prev and (not in_cur or dv_changed):
+                    actions.append({"remove": {
+                        "path": n, "deletionTimestamp": now_ms,
+                        "dataChange": True}})
+                if in_cur and (not in_prev or dv_changed):
+                    actions.append(_add_action(path, dest, snap, n))
+            for app, tv in sorted(snap.txns.items()):
+                if prev.txns.get(app) != tv:
+                    actions.append({"txn": {"appId": app,
+                                            "version": tv}})
+        _write_commit(log_dir, dv_ver, actions)
+        if dv_ver and dv_ver % checkpoint_every == 0:
+            state: list[dict] = [{"protocol": protocol},
+                                 {"metaData": meta}]
+            state += [_add_action(path, dest, snap, n)
+                      for n in sorted(snap.files)]
+            state += [{"txn": {"appId": app, "version": tv}}
+                      for app, tv in sorted(snap.txns.items())]
+            _write_checkpoint(log_dir, dv_ver, state)
+        prev, prev_proto, prev_meta_sig = snap, protocol, meta_sig
     return dest

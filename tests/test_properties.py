@@ -710,3 +710,44 @@ def test_copy_unescape_malformed_input_is_literal():
     assert _copy_unescape("\\") == "\\"
     assert _copy_unescape("a\\x") == "ax"
     assert _copy_unescape("a\\xZ9") == "axZ9"
+
+
+def test_roaring_dv_serialize_decode_roundtrip():
+    """r14 cross-implementation differential: the exporter's
+    RoaringBitmapArray serializer (sources/delta_export) against the
+    independent reader's decoder (tests/independent_delta_reader) —
+    written separately from the public spec.  Covers array containers,
+    bitmap containers (>4096 values in one 64K block), multi-container
+    bitmaps, multi-bitmap (>=2^32) values and Z85 padding."""
+    import os as _os
+    import random
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from independent_delta_reader import _decode_dv
+
+    from docker_aktin_dwh_spark.sources.delta_export import dv_descriptor
+
+    rng = random.Random(1414)
+    cases = [
+        [[0, 0]],                              # single row
+        [[5, 9], [100, 100], [70000, 70010]],  # cross 64K boundary
+        [[0, 5000]],                           # bitmap container
+        [[2**32 - 3, 2**32 + 3]],              # crosses the 32-bit key
+        [[int(2**33), int(2**33) + 2]],        # high bitmap only
+    ]
+    # randomized sparse sets
+    for _ in range(5):
+        idx = sorted(rng.sample(range(200_000), 300))
+        runs = []
+        for i in idx:
+            if runs and i == runs[-1][1] + 1:
+                runs[-1][1] = i
+            else:
+                runs.append([i, i])
+        cases.append(runs)
+    for ranges in cases:
+        want = {v for s, e in ranges for v in range(s, e + 1)}
+        desc = dv_descriptor(ranges)
+        assert desc["cardinality"] == len(want)
+        got = _decode_dv(desc)
+        assert got == want, f"roundtrip mismatch for {ranges[:3]}..."

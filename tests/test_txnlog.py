@@ -1639,12 +1639,12 @@ def _body_delta_export_conformance(spark, tdir):
                         .repartitionByRange(2, "k"), tdir, key="k")
     txnlog.append(spark, _mk(spark, 100, 130, tag="b"), tdir, key="k",
                   txn=("exp-app", 7))
-    # a DV'd snapshot refuses; compact folds and export succeeds
+    # r14: DV-carrying snapshots now export (inline roaring bitmaps,
+    # covered by the differential tests below); this conformance body
+    # pins the BASE protocol shape, so fold the DVs first
     txnlog.merge(spark, tdir, _mk(spark, 10, 20, tag="m"), key="k")
     dest = tdir + "_delta"
     if any(st.get("dv") for st in txnlog.snapshot(tdir).files.values()):
-        with pytest.raises(ValueError, match="deletion vectors"):
-            delta_export.export_delta_log(tdir, dest)
         txnlog.compact(spark, tdir, key="k")
     delta_export.export_delta_log(tdir, dest)
 
@@ -2153,10 +2153,32 @@ def _body_widen_column_type_metadata_only(spark, tdir):
                     F.col("id").cast("decimal(12,2)").alias("m")))
     txnlog.append(spark, wide, tdir, key="k")
     assert txnlog.read_table(spark, tdir).count() == 110
-    # exporter refuses the physically-narrow table, names the cure
-    # (checked pre-merge: the DV refusal would fire first otherwise)
-    with pytest.raises(ValueError, match="typeWidening"):
-        delta_export.export_delta_log(tdir, tdir + "_d0")
+    # r14: the physically-narrow table EXPORTS, declaring Delta's
+    # typeWidening table feature (reader 3/writer 7) with per-field
+    # delta.typeChanges metadata — and the independent reader widens
+    # at scan time (differential below, read-widen arm)
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from independent_delta_reader import read_delta_table
+
+    d0 = delta_export.export_delta_log(tdir, tdir + "_d0")
+    log0 = os.path.join(d0, "_delta_log", f"{0:020d}.json")
+    acts0 = [json.loads(line) for line in open(log0)]
+    proto0 = next(a["protocol"] for a in acts0 if "protocol" in a)
+    assert proto0["minReaderVersion"] == 3 \
+        and "typeWidening" in proto0["readerFeatures"]
+    meta0 = next(a["metaData"] for a in acts0 if "metaData" in a)
+    fld_k = next(f for f in json.loads(meta0["schemaString"])["fields"]
+                 if f["name"] == "k")
+    assert fld_k["metadata"]["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}]
+    cols0, rows0, _ = read_delta_table(d0)
+    want0 = sorted((tuple(r) for r in
+                    txnlog.read_table(spark, tdir).collect()),
+                   key=lambda r: tuple((v is None, str(type(v)), v)
+                                       for v in r))
+    assert [tuple(r) for r in rows0] == [tuple(r) for r in want0], \
+        "independent reader must widen the narrow files to the schema"
     # merge addressing the widened key (old narrow files DV'd fine)
     txnlog.merge(spark, tdir,
                  wide.withColumn("k", F.col("k") - F.lit(100)),
@@ -2656,3 +2678,118 @@ def test_partitioned_null_and_string_values(spark, tdir):
     csnap = txnlog.clone_table(tdir, dest)
     assert csnap.partition_by == ["cat"]
     assert txnlog.read_table(spark, dest).count() == 3
+
+
+# -------------------------------------------- delta export, r14 arms
+
+def _ind_reader():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from independent_delta_reader import read_delta_table
+    return read_delta_table
+
+
+def _sorted_rows(df):
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda r: tuple((v is None, str(type(v)), v)
+                                      for v in r))
+
+
+def test_delta_export_deletion_vectors(spark, tdir):
+    """r14 (VERDICT r13 item 3): a snapshot with LIVE deletion vectors
+    exports without compacting — the run-length DVs serialize to
+    Delta's inline roaring-bitmap form (storageType 'i', Z85), the
+    protocol declares the deletionVectors feature, and the independent
+    reader's second bitmap-decode implementation masks the dead rows
+    to exactly txnlog's own view."""
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk(spark, 0, 400)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 10, 25, tag="m"), key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=390, hi=395)
+    snap = txnlog.snapshot(tdir)
+    dvd = [n for n, st in snap.files.items() if st.get("dv")]
+    assert dvd, "precondition: live DVs exist"
+    dest = delta_export.export_delta_log(tdir, tdir + "_dv")
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 \
+        and proto["minWriterVersion"] == 7 \
+        and "deletionVectors" in proto["readerFeatures"]
+    adds = [a["add"] for a in actions if "add" in a]
+    with_dv = [a for a in adds if a.get("deletionVector")]
+    assert len(with_dv) == len(dvd)
+    for a in with_dv:
+        d = a["deletionVector"]
+        assert d["storageType"] == "i" and d["cardinality"] > 0
+        assert len(d["pathOrInlineDv"]) % 5 == 0
+        assert json.loads(a["stats"])["tightBounds"] is False
+    cols, rows, _ = _ind_reader()(dest)
+    want = _sorted_rows(txnlog.read_table(spark, tdir).select(*cols))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want], \
+        "independent DV decode must mask exactly txnlog's dead rows"
+
+
+def test_delta_export_history_and_checkpoint(spark, tdir):
+    """r14 (VERDICT r13 item 5): export_delta_history writes one Delta
+    commit per retained txnlog version plus N.checkpoint.parquet +
+    _last_checkpoint every 10 commits; the independent reader seeded
+    from the checkpoint must equal its own full JSON replay AND
+    txnlog's snapshot."""
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    for i in range(22):
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 105 + 10 * i,
+                                 tag=f"t{i}"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 0, 5, tag="m"), key="k")
+    txnlog.append(spark, _mk(spark, 900, 905, tag="z")
+                  .withColumn("extra", F.lit(1)), tdir, key="k",
+                  evolve_schema=True)
+    dest = delta_export.export_delta_history(tdir, tdir + "_h")
+    log_dir = os.path.join(dest, "_delta_log")
+    names = set(os.listdir(log_dir))
+    n_versions = len(txnlog._list_versions(tdir))
+    assert f"{n_versions - 1:020d}.json" in names
+    assert f"{10:020d}.checkpoint.parquet" in names
+    assert f"{20:020d}.checkpoint.parquet" in names
+    assert "_last_checkpoint" in names
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 20
+    rd = _ind_reader()
+    cols_c, rows_c, txns_c = rd(dest, from_checkpoint=True)
+    cols_f, rows_f, txns_f = rd(dest, from_checkpoint=False)
+    assert cols_c == cols_f and rows_c == rows_f, \
+        "checkpoint seed and full replay must agree"
+    want = _sorted_rows(txnlog.read_table(spark, tdir).select(*cols_c))
+    assert [tuple(r) for r in rows_c] == [tuple(r) for r in want]
+
+
+def test_delta_export_partitioned(spark, tdir):
+    """r14: a hive-partitioned txnlog table exports with real
+    partitionValues maps (null marker -> JSON null, escapes decoded)
+    and metaData.partitionColumns; the independent reader injects the
+    partition constants typed by the schema."""
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b"), (3, "p=q%r", "c"),
+         (4, None, "d")],
+        "k long, cat string, v string").coalesce(1)
+    txnlog.create_table(spark, df, tdir, key="k",
+                        partition_by=["cat"])
+    dest = delta_export.export_delta_log(tdir, tdir + "_p")
+    log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == ["cat"]
+    adds = [a["add"] for a in actions if "add" in a]
+    pvs = {tuple(sorted(a["partitionValues"].items())) for a in adds}
+    assert ("cat", "x y") in {p for pv in pvs for p in pv}
+    assert ("cat", None) in {p for pv in pvs for p in pv}
+    assert ("cat", "p=q%r") in {p for pv in pvs for p in pv}
+    cols, rows, _ = _ind_reader()(dest)
+    want = _sorted_rows(txnlog.read_table(spark, tdir).select(*cols))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
