@@ -165,6 +165,7 @@ def main() -> None:
         out["txn_churn"] = txn_churn_lane(spark, sf_dir)
         out["claimstore"] = claimstore_lane()
         out["serializability"] = serializability_lane(spark)
+        out["partition_lane"] = partition_lane(spark)
 
     # The driver captures only the last ~2 KB of stdout and parses the
     # final line as JSON: the full multi-section object outgrew that in
@@ -223,6 +224,12 @@ def main() -> None:
             out["serializability"]["serializable"]
         compact["serializability_commits"] = \
             out["serializability"].get("commits", 0)
+        compact["serializability_reads"] = \
+            out["serializability"].get("reads", 0)
+    if "partition_lane" in out:
+        compact["partition_lane_ok"] = out["partition_lane"]["ok"]
+        compact["partition_stage_per_commit"] = \
+            out["partition_lane"]["stage_per_commit"]
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()
@@ -987,20 +994,25 @@ def serializability_lane(spark, writers: int = 12,
             F.col("id").alias("k"),
             F.lit(tag).alias("v")))
 
-    # seed: the shared merge band [0, 100), plus a spare column no
-    # data writer touches — the renamer toggles its LOGICAL name
-    # mid-churn (r13 column mapping under contention: appends racing
-    # a rename re-stage; merges re-derive on the colmap change)
-    seed = frame(0, 100, "seed").withColumn(
-        "w", F.col("k") * F.lit(2))
+    # seed: the shared merge band [0, 100), a deleter band [200, 400)
+    # (sparse DV-producing delete/reinsert cycles), a spare column the
+    # renamer toggles (r13 column mapping under contention) and a
+    # spare int column the widener one-shots to long (r14)
+    seed = (frame(0, 100, "seed")
+            .unionByName(frame(200, 400, "dband"))
+            .withColumn("w", F.col("k") * F.lit(2))
+            .withColumn("z", F.col("k").cast("int")))
     txnlog.create_table(spark, seed, path, key="k")
     deadline = time.monotonic() + seconds
     stats = {"append": 0, "merge": 0, "evolve": 0, "constraint": 0,
-             "compact": 0, "rename": 0, "conflicts": 0}
+             "compact": 0, "rename": 0, "conflicts": 0,
+             "widen": 0, "restore": 0, "dv_delete": 0, "reinsert": 0,
+             "reads": 0}
     lock = _th.Lock()
     errors: list = []
     append_batches: dict[int, int] = {}
     merge_versions: dict[int, tuple[int, int]] = {}
+    read_violations: list = []
 
     def bump(kind, n=1):
         with lock:
@@ -1093,11 +1105,75 @@ def serializability_lane(spark, writers: int = 12,
             # forces in-flight appends to re-stage
         return body
 
+    def widener():
+        # z int → long mid-churn (r14) — a pure metadata commit racing
+        # every staged writer; re-widens when a concurrent RESTORE
+        # legitimately rolled the widening back
+        def body():
+            time.sleep(1.0)
+            import json as _json
+            snap = txnlog.snapshot(path)
+            ztype = next((f["type"] for f in
+                          _json.loads(snap.schema_json)["fields"]
+                          if f["name"] == "z"), None)
+            if ztype == "integer":
+                txnlog.widen_column_type(spark, path, column="z",
+                                         to="long")
+                bump("widen")
+        return body
+
+    def deleter():
+        # DV-producing sparse delete + scoped reinsert cycles on the
+        # private [200, 400) band (r14): 5 of 200 rows stays far
+        # under the fold cap, so these are REAL merge-on-read bitmap
+        # commits racing the rewriting verbs
+        def body():
+            txnlog.delete_range(spark, path, key="k", lo=300, hi=305)
+            bump("dv_delete")
+            txnlog.merge(spark, path, frame(300, 305, "dre"),
+                         key="k")
+            bump("reinsert")
+        return body
+
+    def restorer():
+        # RESTORE mid-churn (r14): roll the table back one committed
+        # version — concurrent writers' freshest commit legitimately
+        # disappears (Delta semantics), which is why the lane's
+        # invariants are phrased per ATOMIC BATCH (a batch is fully
+        # present or fully absent, never partial)
+        def body():
+            time.sleep(1.5)
+            versions = txnlog._list_versions(path)
+            if len(versions) < 6:
+                return
+            txnlog.restore(spark, path, version=versions[-2])
+            bump("restore")
+        return body
+
+    def reader():
+        # CONCURRENT READER asserting snapshot isolation (r14): a read
+        # pinned at version v sees exactly v's state — footer
+        # arithmetic equals the actual row count — no matter what the
+        # 14 writers are committing meanwhile; a torn read (missing
+        # file, half state) would throw or miscount
+        def body():
+            s = txnlog.snapshot(path)
+            meta_rows = sum(
+                st["rows"] - txnlog._ranges_count(st.get("dv") or [])
+                for st in s.files.values())
+            n = txnlog.read_table(spark, path, s.version).count()
+            if n != meta_rows:
+                read_violations.append(
+                    (s.version, n, meta_rows))
+            bump("reads")
+        return body
+
     n_app = max(writers - 8, 3)
     bodies = ([appender(i) for i in range(n_app)]
               + [merger(i) for i in range(3)]
               + [evolver(j) for j in range(2)]
-              + [constrainer(), compactor(), renamer()])
+              + [constrainer(), compactor(), renamer(),
+                 widener(), deleter(), restorer(), reader()])
     threads = [_th.Thread(target=run, args=(b,)) for b in bodies]
     for t in threads:
         t.start()
@@ -1120,22 +1196,50 @@ def serializability_lane(spark, writers: int = 12,
         try:
             n = data.count()
             assert n == meta_rows, f"data {n} != metadata {meta_rows}"
-            # no lost appends: each band holds exactly its batches
+            # batch ATOMICITY (restore-aware, r14): a concurrent
+            # RESTORE legitimately reverts a writer's freshest
+            # commits, so "every batch present" becomes "every batch
+            # fully present or fully absent — never partial, never
+            # duplicated" (exactly what commit atomicity + rollback
+            # semantics promise)
             for i, batches in append_batches.items():
                 lo = 10_000 * (i + 1)
                 band = data.filter((F.col("k") >= lo)
                                    & (F.col("k") < lo + 10_000))
-                assert band.count() == 20 * batches, \
-                    f"appender {i}: lost/duplicated rows"
+                per_tag = {r.v: r["count"] for r in
+                           band.groupBy("v").count().collect()}
+                assert all(c == 20 for c in per_tag.values()), \
+                    f"appender {i}: partial batch {per_tag}"
+                assert len(per_tag) <= batches
                 assert band.select("k").distinct().count() \
-                    == 20 * batches
-            # merge band: highest-version merge wins
-            if merge_versions:
+                    == 20 * len(per_tag), f"appender {i}: dup keys"
+                if not stats["restore"]:
+                    assert len(per_tag) == batches, \
+                        f"appender {i}: lost batch without a restore"
+            # merge band: exactly one merge's content (serial order —
+            # no interleaving; under restore it may be any surviving
+            # merge or the seed, but never a MIX)
+            vals = {r.v for r in data.filter("k < 100")
+                    .select("v").distinct().collect()}
+            assert len(vals) == 1, f"merge band interleaved: {vals}"
+            if merge_versions and not stats["restore"]:
                 wi, ws = merge_versions[max(merge_versions)]
-                vals = {r.v for r in data.filter("k < 100")
-                        .select("v").distinct().collect()}
                 assert vals == {f"m{wi}:{ws}"}, \
                     f"merge band {vals} != last merge m{wi}:{ws}"
+            # deleter band (r14): the sparse DV delete/reinsert cycle
+            # leaves [200, 400) in exactly one of its two legal
+            # states, keys distinct, the untouched slice always whole
+            dband = data.filter((F.col("k") >= 200)
+                                & (F.col("k") < 400))
+            n_d = dband.count()
+            assert n_d in (195, 200), f"deleter band torn: {n_d}"
+            assert dband.select("k").distinct().count() == n_d
+            assert dband.filter((F.col("k") < 300)
+                                | (F.col("k") >= 305)).count() == 195
+            # concurrent reader (r14): every pinned read during the
+            # churn saw exactly one version's state
+            assert not read_violations, \
+                f"snapshot isolation violated: {read_violations[:3]}"
             # evolved columns: non-NULL exactly on the evolver's band
             for j in range(2):
                 col = f"w{j}"
@@ -1175,6 +1279,137 @@ def serializability_lane(spark, writers: int = 12,
         out["serializable"] = True
     except AssertionError as e:
         out["serializable"] = False
+        out["violation"] = str(e)
+    finally:
+        import shutil as _sh
+        _sh.rmtree(tdir, ignore_errors=True)
+    return out
+
+
+def partition_lane(spark, seconds: float = 6.0) -> dict:
+    """Partition-disjoint concurrency economics (r14, VERDICT r13
+    item 1): on a 4-partition txnlog table, 4 partition-SCOPED mergers
+    (one per partition, partition_filter) plus 2 appenders churn
+    concurrently; because a scoped merge's conflict set is its own
+    partition, lost claim races re-claim WITHOUT re-staging — measured
+    as stagings-per-rewrite staying near 1 (DV folds add one staging
+    of their own, re-derives would add far more; at 100 TB a re-derive
+    re-reads the touched files, so partition disjointness makes churn
+    in other partitions free).  Invariants: contiguous versions,
+    data ≡ metadata, each partition's merge band holds exactly one
+    merge's content."""
+    import tempfile as _tf
+    import threading as _th
+
+    from pyspark.sql import functions as F
+
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    tdir = _tf.mkdtemp(prefix="part_lane_")
+    path = os.path.join(tdir, "tbl")
+
+    def frame(lo, hi, part, tag):
+        return (spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k"),
+            F.lit(part).cast("int").alias("p"),
+            F.lit(tag).alias("v")))
+
+    seed = None
+    for p in range(4):
+        f = frame(1000 * p, 1000 * p + 100, p, "seed")
+        seed = f if seed is None else seed.unionByName(f)
+    txnlog.create_table(spark, seed, path, key="k",
+                        partition_by=["p"])
+
+    stages = [0]
+    real_stage = txnlog._stage_data_files
+
+    def counting_stage(*a, **kw):
+        stages[0] += 1
+        return real_stage(*a, **kw)
+
+    txnlog._stage_data_files = counting_stage
+    deadline = time.monotonic() + seconds
+    lock = _th.Lock()
+    stats = {"merge": 0, "append": 0, "conflicts": 0}
+    errors: list = []
+    last_merge: dict[int, str] = {}
+
+    def run(body):
+        try:
+            while time.monotonic() < deadline:
+                try:
+                    body()
+                except txnlog.CommitConflictError:
+                    with lock:
+                        stats["conflicts"] += 1
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    def merger(p):
+        seq = [0]
+
+        def body():
+            tag = f"m{p}:{seq[0]}"
+            txnlog.merge(spark, path,
+                         frame(1000 * p, 1000 * p + 100, p, tag),
+                         key="k", partition_filter={"p": p})
+            with lock:
+                stats["merge"] += 1
+                last_merge[p] = tag
+            seq[0] += 1
+        return body
+
+    def appender(i):
+        base = 100_000 * (i + 1)
+        seq = [0]
+
+        def body():
+            txnlog.append(spark,
+                          frame(base + 20 * seq[0],
+                                base + 20 * seq[0] + 20, i, f"a{i}"),
+                          path, key="k")
+            with lock:
+                stats["append"] += 1
+            seq[0] += 1
+        return body
+
+    threads = [_th.Thread(target=run, args=(b,))
+               for b in ([merger(p) for p in range(4)]
+                         + [appender(i) for i in range(2)])]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        txnlog._stage_data_files = real_stage
+
+    out: dict[str, object] = {"seconds": seconds, **stats,
+                              "stagings": stages[0]}
+    rewrites = stats["merge"] + stats["append"]
+    out["stage_per_commit"] = round(stages[0] / max(rewrites, 1), 2)
+    try:
+        assert not errors, f"writer errors: {errors[:3]}"
+        versions = txnlog._list_versions(path)
+        out["commits"] = len(versions)
+        assert versions == list(range(len(versions)))
+        final = txnlog.snapshot(path)
+        meta_rows = sum(
+            s["rows"] - txnlog._ranges_count(s.get("dv") or [])
+            for s in final.files.values())
+        data = txnlog.read_table(spark, path)
+        assert data.count() == meta_rows
+        for p, tag in last_merge.items():
+            vals = {r.v for r in
+                    data.filter((F.col("k") >= 1000 * p)
+                                & (F.col("k") < 1000 * p + 100))
+                    .select("v").distinct().collect()}
+            assert vals == {tag}, \
+                f"partition {p} band {vals} != last merge {tag}"
+        out["ok"] = True
+    except AssertionError as e:
+        out["ok"] = False
         out["violation"] = str(e)
     finally:
         import shutil as _sh
