@@ -311,6 +311,121 @@ class PgWireClient:
     def execute(self, sql: str) -> None:
         self.query(sql)
 
+    # -- extended-query protocol (r14) -----------------------------------
+    #: Python type → parameter OID for Parse (0 = let the server infer;
+    #: None params always send 0 and rely on context inference)
+    _PARAM_OIDS = {bool: 16, int: 20, float: 701, Decimal: 1700,
+                   str: 25, datetime.date: 1082,
+                   datetime.datetime: 1114}
+
+    @staticmethod
+    def _param_text(v) -> bytes | None:
+        """Text-format parameter encoding — VALUES, not SQL: no
+        quoting, no escaping, no injection surface (the server never
+        parses these bytes as SQL)."""
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return b"t" if v else b"f"
+        if isinstance(v, (int, float, Decimal)):
+            return str(v).encode()
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ").encode()
+        if isinstance(v, datetime.date):
+            return v.isoformat().encode()
+        return str(v).encode("utf-8")
+
+    def query_params(self, sql: str, params: "list | tuple"
+                     ) -> tuple[list[str], list[str], list[tuple]]:
+        """Run one EXTENDED-protocol query (PostgreSQL manual §55.2.3:
+        Parse → Bind → Describe → Execute → Sync) with ``$1..$n``
+        placeholders bound to ``params`` as typed TEXT-format values.
+        Unlike the simple protocol there is no literal interpolation:
+        parameter bytes travel outside the SQL string, so quotes, tabs,
+        NULLs and injection-shaped strings are just data (VERDICT r13
+        item 7 — the production-grade fix literal quoting only
+        approximated).  Returns (names, Spark DDL types, rows); DDL is
+        empty for statements without a result set."""
+        q = sql.encode() + b"\0"
+        oids = b"".join(
+            struct.pack("!i", self._PARAM_OIDS.get(type(p), 0))
+            for p in params)
+        parse = (b"\0" + q + struct.pack("!h", len(params)) + oids)
+        out = (b"P" + struct.pack("!i", 4 + len(parse)) + parse)
+        vals = b""
+        for p in params:
+            t = self._param_text(p)
+            if t is None:
+                vals += struct.pack("!i", -1)
+            else:
+                vals += struct.pack("!i", len(t)) + t
+        bind = (b"\0\0"                       # unnamed portal/statement
+                + struct.pack("!hh", 1, 0)    # all params text format
+                + struct.pack("!h", len(params)) + vals
+                + struct.pack("!hh", 1, 0))   # all results text format
+        out += b"B" + struct.pack("!i", 4 + len(bind)) + bind
+        out += b"D" + struct.pack("!i", 6) + b"P\0"   # Describe portal
+        out += (b"E" + struct.pack("!i", 9) + b"\0"
+                + struct.pack("!i", 0))       # Execute, no row limit
+        out += b"S" + struct.pack("!i", 4)    # Sync
+        self._sock.sendall(out)
+
+        names: list[str] = []
+        ddl: list[str] = []
+        decoders: list = []
+        rows: list[tuple] = []
+        err: str | None = None
+        overflow = False
+        while True:
+            kind, payload = self._recv_msg()
+            if kind in (b"1", b"2", b"n", b"C", b"N", b"s"):
+                continue  # ParseComplete/BindComplete/NoData/...
+            if kind == b"T":
+                (nf,) = struct.unpack("!h", payload[:2])
+                i = 2
+                for _ in range(nf):
+                    j = payload.index(b"\0", i)
+                    names.append(payload[i:j].decode())
+                    (_toid, _col, typ, _tl, _tm, _fmt) = struct.unpack(
+                        "!ihihih", payload[j + 1:j + 19])
+                    t, dec = _TYPES.get(typ, ("string", str))
+                    ddl.append(t)
+                    decoders.append(dec)
+                    i = j + 19
+            elif kind == b"D":
+                if overflow:
+                    continue
+                (nf,) = struct.unpack("!h", payload[:2])
+                i = 2
+                vals_row = []
+                for c in range(nf):
+                    (ln,) = struct.unpack("!i", payload[i:i + 4])
+                    i += 4
+                    if ln == -1:
+                        vals_row.append(None)
+                    else:
+                        vals_row.append(decoders[c](
+                            payload[i:i + ln].decode()))
+                        i += ln
+                rows.append(tuple(vals_row))
+                if len(rows) > ROWS_MAX:
+                    overflow = True
+                    rows.clear()
+            elif kind == b"E":
+                err = self._error_fields(payload)
+            elif kind == b"Z":
+                if err:
+                    raise PgError(err)
+                if overflow:
+                    raise PgError(
+                        f"result exceeds ROWS_MAX={ROWS_MAX}: the "
+                        f"pure-Python compat arm is for control-plane "
+                        f"tables; scan through the JDBC jar path")
+                return names, ddl, rows
+
+    def execute_params(self, sql: str, params: "list | tuple") -> None:
+        self.query_params(sql, params)
+
     # -- COPY subprotocol (r13) ------------------------------------------
     def copy_out(self, sql: str) -> list[list[str | None]]:
         """``COPY ... TO STDOUT`` (text format): returns raw text
@@ -533,7 +648,13 @@ def pg_native_write(df, table: str, *, unix_dir: str | None = None,
 
     ``bulk=True`` (r13) streams through ``COPY FROM STDIN`` instead —
     one round trip for the whole frame, bound lifted to
-    COPY_ROWS_MAX.  For corpus-sized writes use the JDBC jar path."""
+    COPY_ROWS_MAX.  For corpus-sized writes use the JDBC jar path.
+
+    r14 (VERDICT r13 item 7): the default path binds values as TYPED
+    PARAMETERS through the extended-query protocol (Parse/Bind/
+    Execute) — multi-row ``VALUES ($1,$2),($3,$4)...`` with the data
+    travelling outside the SQL string, so quoting is structural, not
+    textual (identifier quoting remains quote_ident)."""
     rows = df.collect()
     cap = COPY_ROWS_MAX if bulk else ROWS_MAX
     if len(rows) > cap:
@@ -543,6 +664,10 @@ def pg_native_write(df, table: str, *, unix_dir: str | None = None,
             f"frames; write through the JDBC jar path")
     cols = ", ".join(quote_ident(c) for c in df.columns)
     qtable = quote_ident(table)
+    ncols = max(len(df.columns), 1)
+    # PostgreSQL caps bind parameters at 65535 per statement; clamp
+    # the per-statement row count to stay well inside it
+    batch_rows = max(1, min(batch_rows, 30000 // ncols))
     with PgWireClient(host=host, port=port, unix_dir=unix_dir,
                       user=user, database=database,
                       password=password) as c:
@@ -553,9 +678,12 @@ def pg_native_write(df, table: str, *, unix_dir: str | None = None,
         else:
             for i in range(0, len(rows), batch_rows):
                 chunk = rows[i:i + batch_rows]
-                values = ",".join(
-                    "(" + ",".join(_sql_literal(v) for v in r) + ")"
-                    for r in chunk)
-                c.execute(
-                    f"INSERT INTO {qtable} ({cols}) VALUES {values}")
+                placeholders = ",".join(
+                    "(" + ",".join(
+                        f"${r * ncols + j + 1}" for j in range(ncols))
+                    + ")" for r in range(len(chunk)))
+                params = [v for r in chunk for v in r]
+                c.execute_params(
+                    f"INSERT INTO {qtable} ({cols}) VALUES "
+                    f"{placeholders}", params)
     return len(rows)

@@ -381,3 +381,69 @@ def test_pgwire_live_copy_roundtrip(spark, pg_instance):
         assert big.count() == 100
     finally:
         pgwire.ROWS_MAX = old
+
+
+def test_pgwire_live_extended_query_params(spark, pg_instance):
+    """r14 (VERDICT r13 item 7): the EXTENDED-query protocol
+    (Parse/Bind/Describe/Execute/Sync) with typed text-format
+    parameters against the real server — NULLs, tabs, newlines,
+    quotes, unicode and injection-shaped strings are DATA (they travel
+    outside the SQL string), and pg_native_write's default path now
+    rides it, making the injection guarantee structural."""
+    import datetime
+    from decimal import Decimal
+
+    from docker_aktin_dwh_spark.sources.pgwire import (PgError,
+                                                       PgWireClient,
+                                                       pg_native_write)
+
+    nasty = "a'b\\'; DROP TABLE ext_t; --\tx\nyé"
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        c.execute("DROP TABLE IF EXISTS ext_t")
+        c.execute("CREATE TABLE ext_t (k bigint, s text, d date, "
+                  "ts timestamp, n numeric(10,2), b boolean, "
+                  "x double precision)")
+        # parameterized insert: every scalar type + NULLs
+        c.execute_params(
+            "INSERT INTO ext_t VALUES ($1,$2,$3,$4,$5,$6,$7)",
+            [1, nasty, datetime.date(2024, 3, 4),
+             datetime.datetime(2024, 3, 4, 5, 6, 7),
+             Decimal("12.34"), True, 2.5])
+        c.execute_params(
+            "INSERT INTO ext_t VALUES ($1,$2,$3,$4,$5,$6,$7)",
+            [2, None, None, None, None, None, None])
+        # parameterized SELECT with a result set
+        names, ddl, rows = c.query_params(
+            "SELECT k, s, d, ts, n, b, x FROM ext_t "
+            "WHERE k = $1 OR s = $2 ORDER BY k", [2, nasty])
+        assert names == ["k", "s", "d", "ts", "n", "b", "x"]
+        assert len(rows) == 2
+        r1, r2 = rows
+        assert r1[0] == 1 and r1[1] == nasty
+        assert r1[2] == datetime.date(2024, 3, 4)
+        assert r1[3] == datetime.datetime(2024, 3, 4, 5, 6, 7)
+        assert r1[4] == Decimal("12.34") and r1[5] is True
+        assert r1[6] == 2.5
+        assert r2 == (2, None, None, None, None, None, None)
+        # the injection-shaped string stayed data: table still exists
+        _, _, n = c.query_params(
+            "SELECT count(*)::bigint FROM ext_t", [])
+        assert n[0][0] == 2
+        # a server-side error inside the extended flow surfaces as
+        # PgError and the connection survives (Sync recovers)
+        with pytest.raises(PgError):
+            c.query_params("SELECT 1/0", [])
+        assert c.query_params("SELECT $1::bigint + 1", [41])[2] \
+            == [(42,)]
+
+    # pg_native_write's default (non-bulk) path through parameters
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        c.execute("DROP TABLE IF EXISTS ext_wb")
+        c.execute("CREATE TABLE ext_wb (k bigint, s text)")
+    rep = spark.createDataFrame(
+        [(1, nasty), (2, None), (3, "plain")], "k long, s string")
+    assert pg_native_write(rep, "ext_wb", unix_dir=pg_instance,
+                           batch_rows=2) == 3
+    with PgWireClient(unix_dir=pg_instance, user="postgres") as c:
+        _, _, rows = c.query("SELECT k, s FROM ext_wb ORDER BY k")
+        assert rows == [(1, nasty), (2, None), (3, "plain")]
