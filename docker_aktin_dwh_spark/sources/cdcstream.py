@@ -206,11 +206,26 @@ class TxnlogCdcStreamReader(DataSourceStreamReader):
 
         def load(name, keep_ranges, mask_ranges):
             t = pq.read_table(os.path.join(partition.table, name))
+            # r14 partitioned tables: partition values are encoded in
+            # the file's RELATIVE directory components (hive layout)
+            from urllib.parse import unquote
+            pv = {}
+            for comp in os.path.dirname(name).split(os.sep):
+                if "=" in comp:
+                    c, _, raw = comp.partition("=")
+                    pv[c] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                             else unquote(raw))
             cols = []
             for field in target:
                 phys = cm.get(field.name, field.name)
                 if phys in t.column_names:
                     cols.append(t.column(phys).cast(field.type))
+                elif phys in pv:
+                    raw = pv[phys]
+                    cols.append(
+                        pa.nulls(t.num_rows, field.type) if raw is None
+                        else pa.array([raw] * t.num_rows)
+                        .cast(field.type))
                 else:
                     cols.append(pa.nulls(t.num_rows, field.type))
             t = pa.table(dict(zip(target.names, cols)), schema=target)

@@ -122,7 +122,7 @@ def _replay_meta(table: str, version: int | None):
     planner/committer processes cannot import the package (see module
     docstring; equality pinned in tests).  Returns (files,
     raw_schema_json, txns, constraints, key, colmap,
-    resolved_version)."""
+    resolved_version, partition_by)."""
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no txnlog table at {table}")
@@ -137,6 +137,7 @@ def _replay_meta(table: str, version: int | None):
     constraints: dict[str, str] = {}
     key = None
     colmap: dict[str, str] | None = None
+    partition_by = None
     start = 0
     log = _log_dir(table)
     for v in sorted((int(n[:_W]) for n in os.listdir(log)
@@ -150,6 +151,7 @@ def _replay_meta(table: str, version: int | None):
             constraints = dict(ck.get("constraints", {}))
             colmap = ck.get("colmap")
             key = ck.get("key")
+            partition_by = ck.get("partition_by")
             start = v + 1
             break
     for v in versions:
@@ -161,7 +163,8 @@ def _replay_meta(table: str, version: int | None):
             files.pop(name, None)
         for a in c.get("add", []):
             files[a["file"]] = {"rows": a["rows"],
-                                "cols": a.get("cols") or {}}
+                                "cols": a.get("cols") or {},
+                                "pv": a.get("pv")}
         for d in c.get("dv", []):
             files[d["file"]]["dv"] = d["ranges"]
         schema_json = c.get("schema", schema_json)
@@ -171,6 +174,8 @@ def _replay_meta(table: str, version: int | None):
             colmap = c["colmap"]
         if "key" in c:
             key = c["key"]
+        if "partition_by" in c:
+            partition_by = c["partition_by"]
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(t["version"],
@@ -179,15 +184,16 @@ def _replay_meta(table: str, version: int | None):
         raise FileNotFoundError(
             f"txnlog: no schema recorded in any retained commit or "
             f"checkpoint of {table}")
-    return files, schema_json, txns, constraints, key, colmap, target
+    return (files, schema_json, txns, constraints, key, colmap,
+            target, partition_by)
 
 
 def _replay(table: str, version: int | None):
     """(files, nullable schema, colmap) — the read-path view of
     _replay_meta (kept as the reader's seam; byte-compat pinned in
     tests)."""
-    files, schema_json, _t, _c, _k, colmap, _v = _replay_meta(
-        table, version)
+    (files, schema_json, _t, _c, _k, colmap, _v,
+     _p) = _replay_meta(table, version)
     return files, _nullable_schema_json(schema_json), colmap
 
 
@@ -205,9 +211,28 @@ def _nullable_schema_json(schema_json: str) -> str:
 
 
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str, dv_ranges: list | None):
+    def __init__(self, path: str, dv_ranges: list | None,
+                 pv: dict | None = None):
         self.path = path
         self.dv_ranges = dv_ranges
+        #: raw hive partition-value fragments from the add action
+        #: (r14 partitioned tables) — decoded executor-side
+        self.pv = pv
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pv_constant(raw: str | None, n: int, arrow_type):
+    """One partition column as a constant Arrow column: the raw hive
+    dir fragment unescapes and casts through Arrow's string parser
+    (ISO dates/timestamps, decimals, ints — the same value space
+    txnlog._pv_decode covers); the null marker yields nulls."""
+    import pyarrow as pa
+    from urllib.parse import unquote
+    if raw is None or raw == _HIVE_NULL:
+        return pa.nulls(n, arrow_type)
+    return pa.array([unquote(raw)] * n).cast(arrow_type)
 
 
 def _stats_decode(v):
@@ -305,14 +330,37 @@ class TxnlogBatchReader(DataSourceReader):
         return filters              # all residual: row filtering is Spark's
 
     def partitions(self):
-        files, _, colmap = _replay(self._table, self._version)
+        files, schema_json, colmap = _replay(self._table, self._version)
         cm = colmap or {}
+        # r14 partitioned tables: a recorded partition value is an
+        # EXACT [v, v] interval — inject it into the per-file stats so
+        # the same conjunct machinery prunes whole partitions before
+        # footer intervals ever matter
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _ST
+        arrow = to_arrow_schema(_ST.fromJson(json.loads(schema_json)))
+        types = {f.name: f.type for f in arrow}
+        for n, st in files.items():
+            for c, raw in (st.get("pv") or {}).items():
+                t = types.get(c)
+                if t is None:
+                    continue
+                try:
+                    v = _pv_constant(raw, 1, t)[0].as_py()
+                except Exception:
+                    continue            # undecodable: unprunable
+                enc = _stats_encode(v)
+                if enc is not None:
+                    st["cols"] = {**(st.get("cols") or {}),
+                                  c: [enc, enc]}
         pruning = [(cm.get(c, c), o, v) for c, o, v in self._pruning]
         keep = [n for n in sorted(files)
                 if all(_interval_hit(files[n], c, o, v)
                        for c, o, v in pruning)]
         return [_SnapshotFilePartition(os.path.join(self._table, n),
-                                       files[n].get("dv"))
+                                       files[n].get("dv"),
+                                       files[n].get("pv"))
                 for n in keep]
 
     def read(self, partition: _SnapshotFilePartition):
@@ -332,12 +380,18 @@ class TxnlogBatchReader(DataSourceReader):
         target = to_arrow_schema(_ST.fromJson(
             json.loads(self._schema_json)))
         cm = self._colmap or {}
+        pv = partition.pv or {}
         t = pq.read_table(partition.path)
         cols = []
         for field in target:
             phys = cm.get(field.name, field.name)
             if phys in t.column_names:
                 cols.append(t.column(phys).cast(field.type))
+            elif phys in pv:
+                # r14 partitioned tables: the column lives in the
+                # directory name, not the file — a typed constant
+                cols.append(_pv_constant(pv[phys], t.num_rows,
+                                         field.type))
             else:
                 cols.append(pa.nulls(t.num_rows, field.type))
         t = pa.table(dict(zip(target.names, cols)), schema=target)
@@ -450,13 +504,14 @@ def _link_claim_commit(table: str, version: int, payload: dict) -> bool:
             pass
     if won and version % _CHECKPOINT_EVERY == 0 and version > 0:
         (files, schema_json, txns, constraints, key, colmap,
-         _) = _replay_meta(table, version)
+         _, partition_by) = _replay_meta(table, version)
         ck = os.path.join(log, f".ckpt-{uuid.uuid4().hex}")
         with open(ck, "w") as f:
             json.dump({"version": version, "files": files,
                        "schema": schema_json, "txns": txns,
                        "constraints": constraints,
-                       "colmap": colmap, "key": key}, f)
+                       "colmap": colmap, "key": key,
+                       "partition_by": partition_by}, f)
         os.replace(ck, os.path.join(log,
                                     f"{version:0{_W}d}.ckpt.json"))
     return won
@@ -671,7 +726,19 @@ class TxnlogBatchWriter(_TxnlogWriterBase, DataSourceArrowWriter):
                     return
                 continue            # lost the create race: re-derive
             (files, schema_json, txns, constraints, logged_key,
-             colmap, version) = _replay_meta(self._table, None)
+             colmap, version, partition_by) = _replay_meta(
+                self._table, None)
+            if partition_by:
+                # r14: the writer mirror stages FLAT files; committing
+                # one into a hive-partitioned table would break the
+                # layout contract (no partition dir, no pv entry).
+                # Refuse with the working route rather than corrupt.
+                _drop_staged(self._table, adds)
+                raise RuntimeError(
+                    f"txnlog writer: {self._table} is partitioned by "
+                    f"{partition_by} — the DataSource writer does not "
+                    f"stage hive layouts; write through txnlog.append/"
+                    f"merge (they partition the staged files)")
             if self._txn is not None and \
                     txns.get(self._txn[0], -1) >= self._txn[1]:
                 _drop_staged(self._table, adds)
@@ -809,7 +876,13 @@ class TxnlogBatchDataSource(DataSource):
         if not _versions(table):
             return None, None, None
         (_, schema_json, _, _, logged_key, colmap,
-         _) = _replay_meta(table, None)
+         _, partition_by) = _replay_meta(table, None)
+        if partition_by:
+            raise RuntimeError(
+                f"txnlog writer: {table} is partitioned by "
+                f"{partition_by} — the DataSource writer does not "
+                f"stage hive layouts; write through txnlog.append/"
+                f"merge (they partition the staged files)")
         new_cols, _w = _check_write_schema(schema.json(), schema_json,
                                            evolve)
         stage = None

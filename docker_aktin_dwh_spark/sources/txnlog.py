@@ -814,7 +814,13 @@ def _read_files(spark: SparkSession, path: str, schema: StructType,
              if stats.get(n, {}).get("dv")}
     if dvmap:
         df = _apply_dv(spark, df, dvmap)
-    return _alias_logical(df, schema, colmap)
+    df = _alias_logical(df, schema, colmap)
+    if partition_by:
+        # partition discovery surfaces partition columns LAST no
+        # matter the provided schema order — project back to the
+        # logged order (a pure column reorder, no computation)
+        df = df.select(*[f.name for f in schema.fields])
+    return df
 
 
 def _interval_hit(stats: dict, col: str, op: str, val) -> bool:

@@ -80,9 +80,27 @@ def _versions(table: str) -> list[int]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int,
+                 pv: dict | None = None):
         self.path = path
         self.version = version
+        #: raw hive partition-value fragments from the add action
+        #: (r14 partitioned tables) — decoded executor-side
+        self.pv = pv
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pv_constant(raw, n, arrow_type):
+    """Partition column as a typed constant Arrow column (r14): the
+    raw hive fragment unescapes and casts through Arrow's string
+    parser; the null marker yields nulls."""
+    import pyarrow as pa
+    from urllib.parse import unquote
+    if raw is None or raw == _HIVE_NULL:
+        return pa.nulls(n, arrow_type)
+    return pa.array([unquote(raw)] * n).cast(arrow_type)
 
 
 def _latest_colmap(table: str) -> dict | None:
@@ -149,7 +167,8 @@ class TxnlogStreamReader(DataSourceStreamReader):
                     f"or option('skipChangeCommits', 'true')")
             for a in c.get("add", []):
                 parts.append(_FilePartition(
-                    os.path.join(self._path, a["file"]), v))
+                    os.path.join(self._path, a["file"]), v,
+                    a.get("pv")))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -168,11 +187,17 @@ class TxnlogStreamReader(DataSourceStreamReader):
             target = to_arrow_schema(_ST.fromJson(
                 json.loads(self._schema_json)))
             cm = self._colmap or {}
+            pv = partition.pv or {}
             cols = []
             for field in target:
                 phys = cm.get(field.name, field.name)
                 if phys in t.column_names:
                     cols.append(t.column(phys).cast(field.type))
+                elif phys in pv:
+                    # r14 partitioned tables: the column lives in the
+                    # directory name, not the file
+                    cols.append(_pv_constant(pv[phys], t.num_rows,
+                                             field.type))
                 else:
                     cols.append(pa.nulls(t.num_rows, field.type))
             t = pa.table(dict(zip(target.names, cols)), schema=target)
