@@ -2329,9 +2329,10 @@ def r14_all(spark, sf):
     from concurrent.futures import ThreadPoolExecutor
 
     from . import roundtrips
-    with ThreadPoolExecutor(max_workers=2) as _ex:
+    with ThreadPoolExecutor(max_workers=3) as _ex:
         _fp = _ex.submit(roundtrips.part_01, spark, sf)
         _fu = _ex.submit(roundtrips.ups_01, spark, sf)
+        _fd = _ex.submit(roundtrips.upd_01, spark, sf)
     out = _tag(_fp.result(), "pt",
                F.concat_ws("|", "arm", "change_type", "encounter_num",
                            "patient_num",
@@ -2344,6 +2345,12 @@ def r14_all(spark, sf):
                     F.unix_micros(F.col("start_date")
                                   .cast("timestamp")).cast("string"),
                     "inout_cd")))
+    out = out.unionByName(_tag(
+        _fd.result(), "upd",
+        F.concat_ws("|", "arm", "change_type", "encounter_num",
+                    "patient_num",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                     .cast("string"), "io")))
     return out.orderBy("tag", "v")
 
 
@@ -2361,6 +2368,9 @@ def _r14_all_oracle() -> str:
         ("ups", cat("encounter_num", "patient_num",
                     "epoch_us(start_date)", "inout_cd"),
          roundtrips._ups_01_oracle()),
+        ("upd", cat("arm", "change_type", "encounter_num",
+                    "patient_num", "epoch_us(ts)", "io"),
+         roundtrips._upd_01_oracle()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS tag, {v} AS v FROM ({q})" for t, v, q in branches)
@@ -2555,7 +2565,9 @@ _DOCS = {
                "(part_01 — hive-layout create, partition-scoped "
                "merge, partition-pruned read (plan-asserted), "
                "metadata-only DROP PARTITION, time travel + CDC "
-               "across it all) plus the ups_01 upsert-sink fold-in "
+               "across it all), the atomic UPDATE verb (upd_01 — "
+               "conjunction-pruned merge-on-read update + CDC "
+               "pre/post pairs), plus the ups_01 upsert-sink fold-in "
                "(slot donor; builder verbatim) — same-round driver "
                "certification",
 }

@@ -844,6 +844,91 @@ SELECT 'dcd' AS arm, 'delete' AS change_type, encounter_num,
 
 
 
+def upd_01(spark, sf):
+    """UPDATE ... SET as one atomic txnlog commit (r14,
+    sources/txnlog.update_where — Delta's UPDATE verb; reference
+    analogue: plain SQL UPDATE on stock Postgres): the (col, op,
+    literal) conjunction prunes files control-plane first (partition
+    values, then footer intervals), matched rows DELETION-VECTOR in
+    place and the updated row versions stage as new files — rewrite
+    bytes ∝ updated rows.  Arms: cur (post-update state) and cdc (the
+    endpoint diff classifies exactly the updated keys as
+    update_preimage/postimage pairs with no stored change column).
+    Oracle = the same two arms in plain SQL."""
+    from pyspark.sql import functions as F
+
+    from ..sources import txnlog
+
+    vis = catalog.visit_dimension(spark, sf).select(
+        "encounter_num", "patient_num", "start_date", "inout_cd")
+    base = vis.filter(F.col("encounter_num") < 400)
+    tmp = tempfile.mkdtemp(prefix="spark_upd01_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(4, "encounter_num"), path,
+            key="encounter_num")
+        v0 = txnlog.snapshot(path)
+        snap = txnlog.update_where(
+            spark, path, key="encounter_num",
+            filters=[("encounter_num", ">=", 100),
+                     ("encounter_num", "<", 200),
+                     ("inout_cd", "=", "I")],
+            assignments={
+                "start_date": F.col("start_date")
+                + F.expr("INTERVAL 40 DAYS"),
+                "inout_cd": F.lit("U")})
+        assert any(s.get("dv") for s in snap.files.values()), \
+            "a sparse update must commit merge-on-read"
+        cur = (txnlog.read_table(spark, path)
+               .select(F.lit("cur").alias("arm"),
+                       F.lit("state").alias("change_type"),
+                       "encounter_num", "patient_num",
+                       F.col("start_date").alias("ts"),
+                       F.col("inout_cd").alias("io")))
+        cdc = (txnlog.table_changes(spark, path, v0.version,
+                                    snap.version,
+                                    key="encounter_num")
+               .select(F.lit("cdc").alias("arm"), "change_type",
+                       "encounter_num", "patient_num",
+                       F.col("start_date").alias("ts"),
+                       F.col("inout_cd").alias("io")))
+        return _snap_off_tmp(cur.unionByName(cdc), tmp).orderBy(
+            "arm", "change_type", "encounter_num")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+def _upd_01_oracle() -> str:
+    ct = catalog.clinical_with_clause(("visit_dimension",))
+    return ct.rstrip("\n") + """,
+vis AS (SELECT encounter_num, patient_num, start_date, inout_cd
+        FROM visit_dimension),
+base AS (SELECT * FROM vis WHERE encounter_num < 400),
+hit AS (SELECT * FROM base WHERE inout_cd = 'I'
+          AND encounter_num >= 100 AND encounter_num < 200),
+upd AS (SELECT encounter_num, patient_num,
+               start_date + INTERVAL 40 DAY AS ts, 'U' AS io
+        FROM hit),
+cur AS (
+  SELECT encounter_num, patient_num, start_date AS ts,
+         inout_cd AS io FROM base
+  WHERE NOT (inout_cd = 'I' AND encounter_num >= 100
+             AND encounter_num < 200)
+  UNION ALL SELECT * FROM upd)
+SELECT 'cur' AS arm, 'state' AS change_type, encounter_num,
+       patient_num, ts, io FROM cur
+UNION ALL
+SELECT 'cdc' AS arm, 'update_preimage' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io FROM hit
+UNION ALL
+SELECT 'cdc' AS arm, 'update_postimage' AS change_type,
+       encounter_num, patient_num, ts, io FROM upd
+"""
+
+
+
 def stats_01(spark, sf):
     """Metadata-only ANALYZE: per-column rows / null-count / min / max
     assembled from parquet ROW-GROUP FOOTERS alone — no data scan.
@@ -1280,6 +1365,9 @@ _DOCS = {
                  "(no resurrection), CDC endpoint diff across all of "
                  "it; file-identity and fresh-name asserted in the "
                  "builder",
+    "upd_01": "UPDATE ... SET as one atomic txnlog commit (r14): "
+              "conjunction-pruned, merge-on-read DVs + updated-row "
+              "staging, CDC pre/post pairs",
     "part_01": "Partitioned txnlog tables (r14): hive-layout create, "
                "partition-scoped merge, partition-pruned read "
                "(plan-asserted), metadata-only DROP PARTITION; time "
@@ -1311,6 +1399,7 @@ def specs() -> list[QuerySpec]:
         "cdc_04": _cdc_04_oracle(),
         "colmap_01": _colmap_01_oracle(),
         "part_01": _part_01_oracle(),
+        "upd_01": _upd_01_oracle(),
         "stats_01": _STATS_01_ORACLE,
         "brk_01": _BRK_01_ORACLE,
         "src_jsonl": _SRC_JSONL_ORACLE,

@@ -1890,7 +1890,9 @@ def replace_contents(spark: SparkSession, path: str, df: DataFrame, *,
 
 def compact(spark: SparkSession, path: str, *, key: str,
             target_files: int = 1, min_files: int = 2,
-            zorder_by: tuple[str, str] | None = None) -> Snapshot | None:
+            zorder_by: tuple[str, str] | None = None,
+            partition_filter: dict[str, object] | None = None
+            ) -> Snapshot | None:
     """Small-file compaction (the lakehouse OPTIMIZE verb): rewrite the
     current snapshot's data files into ``target_files`` range-sorted
     files and commit the swap atomically.  Content is unchanged — only
@@ -1912,18 +1914,45 @@ def compact(spark: SparkSession, path: str, *, key: str,
 
     No-op (returns None) when the table already has fewer than
     ``min_files`` files.  Concurrency: loses its version race politely
-    and retries against the fresh snapshot like merge()."""
+    and retries against the fresh snapshot like merge().
+
+    ``partition_filter`` (r14, partitioned tables) scopes the rewrite
+    to the matching partitions — how a 100 TB table compacts in
+    practice: partition by partition (ideally the recently-churned
+    ones), never as one table-sized job; files in other partitions
+    carry over by log reference and concurrent writers there are
+    logically untouched."""
     for _ in range(MERGE_MAX_ATTEMPTS):
         snap = snapshot(path)
-        has_dv = any(s.get("dv") for s in snap.files.values())
-        if len(snap.files) < min_files and not has_dv:
+        if partition_filter:
+            bad = [c for c in partition_filter
+                   if c not in (snap.partition_by or ())]
+            if bad:
+                raise ValueError(
+                    f"compact: partition_filter names {bad}, not "
+                    f"partition columns (partitioned by "
+                    f"{snap.partition_by})")
+            types = _pv_types(
+                StructType.fromJson(json.loads(snap.schema_json)),
+                list(partition_filter))
+            scope = {
+                n: s for n, s in snap.files.items()
+                if all(c in (s.get("pv") or {})
+                       and _pv_decode(s["pv"][c], types[c]) == v
+                       for c, v in partition_filter.items())}
+        else:
+            scope = snap.files
+        has_dv = any(s.get("dv") for s in scope.values())
+        if len(scope) < min_files and not has_dv:
+            return None
+        if not scope:
             return None
         # masked read: compaction FOLDS deletion vectors — the rewritten
         # files carry live rows only and start with empty DVs
         cur = _read_files(spark, path,
                           StructType.fromJson(json.loads(
                               snap.schema_json)),
-                          sorted(snap.files), snap.files, snap.colmap,
+                          sorted(scope), snap.files, snap.colmap,
                           snap.partition_by)
         if zorder_by is not None:
             from ..operators.maintenance import zorder_key
@@ -1941,7 +1970,7 @@ def compact(spark: SparkSession, path: str, *, key: str,
                                  snap.partition_by)
         if _try_commit(path, snap.version + 1,
                        {"op": "compact", "add": adds,
-                        "remove": sorted(snap.files)}):
+                        "remove": sorted(scope)}):
             return snapshot(path, snap.version + 1)
         _drop_files(path, adds)
     raise CommitConflictError(
@@ -2033,6 +2062,148 @@ def delete_range(spark: SparkSession, path: str, *, key,
         _drop_files(path, adds)
     raise CommitConflictError(
         f"delete lost {MERGE_MAX_ATTEMPTS} commit races at {path}")
+
+
+def _filters_pred(filters: list[tuple[str, str, object]]):
+    """The row-level predicate Column for a (col, op, literal)
+    conjunction — the SAME semantics prune_files applies at file
+    granularity, so pruning never changes the answer."""
+    import functools
+    ops = {
+        "=": lambda c, v: F.col(c) == F.lit(v),
+        "<": lambda c, v: F.col(c) < F.lit(v),
+        "<=": lambda c, v: F.col(c) <= F.lit(v),
+        ">": lambda c, v: F.col(c) > F.lit(v),
+        ">=": lambda c, v: F.col(c) >= F.lit(v),
+        "in": lambda c, v: F.col(c).isin(*list(v)),
+    }
+    return functools.reduce(lambda a, b: a & b,
+                            [ops[o](c, v) for c, o, v in filters])
+
+
+def _snap_file_hits(snap: Snapshot,
+                    filters: list[tuple[str, str, object]]):
+    """Per-file can-match closure for ``filters`` under ``snap``'s
+    schema — partition values first (exact), then footer intervals;
+    used both for the touched set and for logical conflict detection
+    on retry."""
+    pcols = set(snap.partition_by or ())
+    types = {}
+    if pcols and snap.schema_json:
+        types = _pv_types(
+            StructType.fromJson(json.loads(snap.schema_json)),
+            list(pcols))
+    part = [(c, o, v) for c, o, v in filters if c in pcols]
+    rest = [(_phys_name(snap.colmap, c), o, v)
+            for c, o, v in filters if c not in pcols]
+
+    def hits(stats: dict) -> bool:
+        return (all(_pv_hit(stats, c, o, v, types[c])
+                    for c, o, v in part)
+                and all(_interval_hit(stats, c, o, v)
+                        for c, o, v in rest))
+    return hits
+
+
+def update_where(spark: SparkSession, path: str, *, key: str,
+                 filters: list[tuple[str, str, object]],
+                 assignments: dict[str, object]) -> Snapshot:
+    """``UPDATE ... SET`` as ONE atomic commit (r14 — Delta's UPDATE,
+    the lakehouse verb merge/apply/delete did not yet cover; reference
+    analogue: plain SQL UPDATE on stock Postgres).  ``filters`` is the
+    same (col, op, literal) conjunction read_table/prune_files speak —
+    it prunes files control-plane FIRST (partition values, then footer
+    intervals), so at 100 TB an update touching one id band opens the
+    interval-hit handful of files, never the table.  ``assignments``
+    maps column → new value (a Column, or a SQL expression string
+    evaluated per row — old column values referencable).
+
+    Merge-on-read: matched rows are DELETION-VECTORED in place and the
+    updated row versions stage as new files — rewrite bytes ∝ updated
+    ROWS (files whose cumulative DV crosses the fold cap rewrite, as
+    everywhere).  Wide updates past the DV collect cap fall back to
+    copy-on-write.  The merge key cannot be assigned (key identity is
+    what CDC/merge semantics are built on — re-keying is a
+    merge/delete+insert, not an update).  Constraints and the retype
+    guard validate the UPDATED rows before anything commits; the
+    change feed classifies the result as update_preimage/postimage
+    pairs with no stored change column.  Optimistic concurrency: lost
+    claims retry claim-only while the winner is logically disjoint
+    (_rewrite_unaffected), else re-derive."""
+    if not filters:
+        raise ValueError("update_where: empty filters would rewrite "
+                         "the whole table; pass an explicit "
+                         "conjunction (or use replace_contents)")
+    if key in assignments:
+        raise ValueError(
+            f"update_where: cannot assign the merge key {key!r} — "
+            f"re-keying rows is a merge/delete+insert, not an update")
+    pred = _filters_pred(filters)
+
+    def assign(df: DataFrame) -> DataFrame:
+        for c, v in assignments.items():
+            df = df.withColumn(c, F.expr(v) if isinstance(v, str)
+                               else v)
+        return df
+
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        logged = {f.name for f in schema.fields}
+        bad = [c for c in assignments if c not in logged]
+        if bad:
+            raise ValueError(
+                f"update_where: assignment targets {bad} not in the "
+                f"table schema (have {sorted(logged)})")
+        hits = _snap_file_hits(snap, filters)
+        touched = sorted(n for n, s in snap.files.items()
+                         if hits(s))
+        if not touched:
+            return snap                   # statically nothing matches
+        live = _read_files(spark, path, schema, touched, snap.files,
+                           snap.colmap, snap.partition_by)
+        updated = assign(live.filter(pred)).select(
+            *[f.name for f in schema.fields])
+        _check_types(snap, updated, "update_where")
+        _check_constraints(snap, updated, "update_where")
+        dv_actions, fold = _compute_dv(spark, path, snap, touched,
+                                       lambda df: df.filter(pred), key)
+        if dv_actions is not None:
+            if not dv_actions and not fold:
+                return snap   # footer false positive: nothing matches
+            adds = []
+            if fold:
+                flive = _read_files(spark, path, schema, fold,
+                                    snap.files, snap.colmap,
+                                    snap.partition_by)
+                adds += _stage_data_files(
+                    spark, flive.filter(~pred), path, key,
+                    snap.version + 1, snap.colmap, snap.partition_by)
+            adds += _stage_data_files(spark, updated, path, key,
+                                      snap.version + 1, snap.colmap,
+                                      snap.partition_by)
+            payload = {"op": "update", "add": adds, "remove": fold}
+            if dv_actions:
+                payload["dv"] = dv_actions
+        else:
+            merged = live.filter(~pred).unionByName(updated)
+            adds = _stage_data_files(spark, merged, path, key,
+                                     snap.version + 1, snap.colmap,
+                                     snap.partition_by)
+            payload = {"op": "update", "add": adds, "remove": touched}
+        v = snap.version + 1
+        for _ in range(MERGE_MAX_ATTEMPTS * 8):
+            if _try_commit(path, v, payload):
+                return snapshot(path, v)
+            nxt = snapshot(path)
+            if not _rewrite_unaffected(snap, nxt, touched, hits):
+                break                     # real conflict: re-derive
+            snap = nxt
+            v = max(v + 1, nxt.version + 1)
+        _drop_files(path, adds)
+    raise CommitConflictError(
+        f"update_where lost {MERGE_MAX_ATTEMPTS} commit races at "
+        f"{path}")
 
 
 def drop_partition(spark: SparkSession, path: str, *,

@@ -66,9 +66,9 @@ UNION_COVERED = frozenset({
     # r13_all branches: two eager txnlog roundtrips + the shredded-
     # variant write/read, builders verbatim
     "colmap_01", "cdc_04", "var_02",
-    # r14_all branches: partitioned-table + upsert-sink roundtrips,
-    # builders verbatim
-    "part_01", "ups_01",
+    # r14_all branches: partitioned-table + upsert-sink + atomic-
+    # update roundtrips, builders verbatim
+    "part_01", "ups_01", "upd_01",
 })
 SWEEP_ALL = os.environ.get("SPARK_GRAFT_SWEEP_ALL") == "1"
 

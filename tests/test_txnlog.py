@@ -2871,3 +2871,102 @@ def test_partitioned_datasource_mirrors(spark, tdir):
     q2.awaitTermination()
     by_k = {r.k: r.region for r in srows}
     assert by_k[505] == 3 and by_k[0] == 0
+
+
+def test_update_where_merge_on_read(spark, tdir):
+    """r14 UPDATE verb: matched rows DV in place, updated versions
+    stage as new files (rewrite bytes ~ updated rows); pruning uses
+    the same conjunction semantics as read_table; CDC classifies
+    update pre/post pairs; key assignment and schema violations
+    refuse; constraints validate the UPDATED rows."""
+    txnlog.create_table(spark, _mk(spark, 0, 400)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    v0 = txnlog.snapshot(tdir)
+    snap = txnlog.update_where(
+        spark, tdir, key="k", filters=[("k", ">=", 10), ("k", "<", 15)],
+        assignments={"v": F.concat(F.lit("u"), F.col("v"))})
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 400
+    assert got[12] == "ua12" and got[9] == "a9" and got[15] == "a15"
+    # merge-on-read: a sparse update DV'd, did not rewrite the table
+    assert any(s.get("dv") for s in snap.files.values())
+    assert sum(1 for n in snap.files if n not in v0.files) <= 2
+    # CDC: exactly the 5 updated keys as pre/post pairs
+    tc = txnlog.table_changes(spark, tdir, v0.version, snap.version,
+                              key="k").collect()
+    by = {(r.change_type, r.k) for r in tc}
+    assert len(tc) == 10
+    assert ("update_preimage", 12) in by \
+        and ("update_postimage", 12) in by
+    # statically-empty predicate: no-op, no commit
+    assert txnlog.update_where(
+        spark, tdir, key="k", filters=[("k", ">=", 10_000)],
+        assignments={"v": F.lit("x")}).version == snap.version
+    # refusals
+    with pytest.raises(ValueError, match="merge key"):
+        txnlog.update_where(spark, tdir, key="k",
+                            filters=[("k", "=", 1)],
+                            assignments={"k": F.lit(99)})
+    with pytest.raises(ValueError, match="empty filters"):
+        txnlog.update_where(spark, tdir, key="k", filters=[],
+                            assignments={"v": F.lit("x")})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        txnlog.update_where(spark, tdir, key="k",
+                            filters=[("k", "=", 1)],
+                            assignments={"nope": F.lit(1)})
+    # constraints gate the UPDATED rows
+    txnlog.set_constraint(spark, tdir, name="v_not_bad",
+                          expr="v <> 'bad'")
+    with pytest.raises(ValueError, match="violate CHECK"):
+        txnlog.update_where(spark, tdir, key="k",
+                            filters=[("k", "=", 1)],
+                            assignments={"v": F.lit("bad")})
+    # SQL-string assignment referencing old values
+    txnlog.update_where(spark, tdir, key="k",
+                        filters=[("k", "=", 20)],
+                        assignments={"v": "upper(v)"})
+    assert txnlog.read_table(spark, tdir).filter("k = 20") \
+        .first().v == "A20"
+
+
+def test_update_where_partitioned_and_scoped_compact(spark, tdir):
+    """r14: update_where prunes partitions first on a partitioned
+    table; compact(partition_filter=...) rewrites ONLY the matching
+    partition's files (others carry over by log reference)."""
+    txnlog.create_table(spark, _mkp(spark, 0, 200), tdir, key="k",
+                        partition_by=["region"])
+    snap = txnlog.update_where(
+        spark, tdir, key="k",
+        filters=[("region", "=", 2), ("k", "<", 50)],
+        assignments={"v": F.concat(F.lit("u"), F.col("v"))})
+    got = {r.k: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert got[2] == "ua2" and got[46] == "ua46"
+    assert got[50] == "a50" and got[3] == "a3"       # outside scope
+    # new files landed only in region=2
+    v0_files = {n for n in txnlog.snapshot(tdir, 0).files}
+    new = [n for n in snap.files if n not in v0_files]
+    assert new and all(n.startswith("region=2/") for n in new)
+    # scoped compact: many small files in region 2 fold to one; other
+    # partitions' file sets are untouched
+    for i in range(3):
+        txnlog.append(spark, (spark.range(1000 + i, 1001 + i)
+                              .coalesce(1).select(
+            F.col("id").alias("k"),
+            F.lit(2).cast("int").alias("region"),
+            F.lit("z").alias("v"))), tdir, key="k")
+    pre = txnlog.snapshot(tdir)
+    pre_r3 = {n for n in pre.files if n.startswith("region=3/")}
+    txnlog.compact(spark, tdir, key="k",
+                   partition_filter={"region": 2})
+    post = txnlog.snapshot(tdir)
+    assert {n for n in post.files if n.startswith("region=3/")} \
+        == pre_r3, "unscoped partitions must carry over by reference"
+    assert sum(1 for n in post.files
+               if n.startswith("region=2/")) == 1
+    assert txnlog.read_table(spark, tdir).count() == 203
+    # unpartitioned tables refuse a partition_filter
+    t2 = tdir + "_flat"
+    txnlog.create_table(spark, _mk(spark, 0, 10), t2, key="k")
+    with pytest.raises(ValueError, match="not partition columns"):
+        txnlog.compact(spark, t2, key="k",
+                       partition_filter={"region": 1})
