@@ -1980,13 +1980,19 @@ def compact(spark: SparkSession, path: str, *, key: str,
 def _interval_hits(stats: dict, keys: list) -> bool:
     """Does any batch key fall inside the file's [kmin, kmax]?  Missing
     stats → conservatively true.  Binary search over the sorted batch
-    keys: O(log B) per file, control-plane."""
+    keys: O(log B) per file, control-plane.  Endpoints are stored in
+    their JSON encoding (date/timestamp keys encode as tagged dicts —
+    _stats_encode) and decode before comparing; an incomparable pair
+    keeps the file (skipping is an optimization, never correctness)."""
     import bisect
     kmin, kmax = stats.get("kmin"), stats.get("kmax")
     if kmin is None or kmax is None:
         return True
-    i = bisect.bisect_left(keys, kmin)
-    return i < len(keys) and keys[i] <= kmax
+    try:
+        i = bisect.bisect_left(keys, _stats_decode(kmin))
+        return i < len(keys) and keys[i] <= _stats_decode(kmax)
+    except TypeError:
+        return True
 
 
 def _envelope_hits(stats: dict, lo, hi) -> bool:
@@ -1996,7 +2002,10 @@ def _envelope_hits(stats: dict, lo, hi) -> bool:
     kmin, kmax = stats.get("kmin"), stats.get("kmax")
     if kmin is None or kmax is None:
         return True
-    return kmin <= hi and kmax >= lo
+    try:
+        return _stats_decode(kmin) <= hi and _stats_decode(kmax) >= lo
+    except TypeError:
+        return True
 
 
 def delete_range(spark: SparkSession, path: str, *, key,
@@ -2251,11 +2260,15 @@ def drop_partition(spark: SparkSession, path: str, *,
 
 def _range_hits(stats: dict, lo, hi) -> bool:
     """Does the file's [kmin, kmax] interval intersect [lo, hi)?
-    Missing stats → conservatively true."""
+    Missing stats → conservatively true; encoded endpoints decode
+    first (see _interval_hits)."""
     kmin, kmax = stats.get("kmin"), stats.get("kmax")
     if kmin is None or kmax is None:
         return True
-    return kmin < hi and kmax >= lo
+    try:
+        return _stats_decode(kmin) < hi and _stats_decode(kmax) >= lo
+    except TypeError:
+        return True
 
 
 def changed_file_sets(s_from: Snapshot,

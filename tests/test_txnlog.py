@@ -2970,3 +2970,30 @@ def test_update_where_partitioned_and_scoped_compact(spark, tdir):
     with pytest.raises(ValueError, match="not partition columns"):
         txnlog.compact(spark, t2, key="k",
                        partition_filter={"region": 1})
+
+
+def test_date_keyed_merge_and_delete(spark, tdir):
+    """r14 regression: date/timestamp merge keys store their footer
+    stats JSON-ENCODED (tagged dicts) — interval pruning must decode
+    before comparing, or every merge/delete on a date-keyed table
+    crashes with TypeError (caught by probe, fixed in
+    _interval_hits/_envelope_hits/_range_hits)."""
+    import datetime
+    df = (spark.range(0, 40).coalesce(2).select(
+        F.expr("date_add(date'2024-01-01', cast(id as int))")
+         .alias("d"),
+        F.col("id").alias("v")))
+    txnlog.create_table(spark, df, tdir, key="d")
+    batch = (spark.range(5, 8).coalesce(1).select(
+        F.expr("date_add(date'2024-01-01', cast(id as int))")
+         .alias("d"),
+        (F.col("id") * 100).alias("v")))
+    txnlog.merge(spark, tdir, batch, key="d")
+    got = {r.d: r.v for r in txnlog.read_table(spark, tdir).collect()}
+    assert len(got) == 40
+    assert got[datetime.date(2024, 1, 6)] == 500
+    assert got[datetime.date(2024, 1, 2)] == 1
+    txnlog.delete_range(spark, tdir, key="d",
+                        lo=datetime.date(2024, 1, 1),
+                        hi=datetime.date(2024, 1, 3))
+    assert txnlog.read_table(spark, tdir).count() == 38
