@@ -1000,6 +1000,7 @@ def serializability_lane(spark, writers: int = 12,
     # spare int column the widener one-shots to long (r14)
     seed = (frame(0, 100, "seed")
             .unionByName(frame(200, 400, "dband"))
+            .unionByName(frame(400, 600, "uband"))
             .withColumn("w", F.col("k") * F.lit(2))
             .withColumn("z", F.col("k").cast("int")))
     txnlog.create_table(spark, seed, path, key="k")
@@ -1007,7 +1008,7 @@ def serializability_lane(spark, writers: int = 12,
     stats = {"append": 0, "merge": 0, "evolve": 0, "constraint": 0,
              "compact": 0, "rename": 0, "conflicts": 0,
              "widen": 0, "restore": 0, "dv_delete": 0, "reinsert": 0,
-             "reads": 0}
+             "update": 0, "reads": 0}
     lock = _th.Lock()
     errors: list = []
     append_batches: dict[int, int] = {}
@@ -1122,6 +1123,20 @@ def serializability_lane(spark, writers: int = 12,
                 bump("widen")
         return body
 
+    def updater():
+        # the r14 UPDATE verb on its own band [400, 600): sparse
+        # conjunction-pruned merge-on-read updates racing everything
+        seq = [0]
+
+        def body():
+            txnlog.update_where(
+                spark, path, key="k",
+                filters=[("k", ">=", 450), ("k", "<", 455)],
+                assignments={"v": F.lit(f"u{seq[0]}")})
+            seq[0] += 1
+            bump("update")
+        return body
+
     def deleter():
         # DV-producing sparse delete + scoped reinsert cycles on the
         # private [200, 400) band (r14): 5 of 200 rows stays far
@@ -1173,7 +1188,8 @@ def serializability_lane(spark, writers: int = 12,
               + [merger(i) for i in range(3)]
               + [evolver(j) for j in range(2)]
               + [constrainer(), compactor(), renamer(),
-                 widener(), deleter(), restorer(), reader()])
+                 widener(), deleter(), updater(), restorer(),
+                 reader()])
     threads = [_th.Thread(target=run, args=(b,)) for b in bodies]
     for t in threads:
         t.start()
@@ -1236,6 +1252,21 @@ def serializability_lane(spark, writers: int = 12,
             assert dband.select("k").distinct().count() == n_d
             assert dband.filter((F.col("k") < 300)
                                 | (F.col("k") >= 305)).count() == 195
+            # updater band (r14): the UPDATE verb's 5 keys carry
+            # exactly one generation tag (atomic update — never a mix
+            # of generations), the rest of the band is untouched seed
+            uband = data.filter((F.col("k") >= 400)
+                                & (F.col("k") < 600))
+            assert uband.count() == 200
+            tags = {r.v for r in uband.filter(
+                (F.col("k") >= 450) & (F.col("k") < 455))
+                .select("v").distinct().collect()}
+            assert len(tags) == 1, f"update generations mixed: {tags}"
+            outside = {r.v for r in uband.filter(
+                (F.col("k") < 450) | (F.col("k") >= 455))
+                .select("v").distinct().collect()}
+            assert outside == {"uband"}, \
+                f"update leaked outside its filter: {outside}"
             # concurrent reader (r14): every pinned read during the
             # churn saw exactly one version's state
             assert not read_violations, \
