@@ -499,3 +499,40 @@ def test_var02_shredded_path_filter_pushes_down(spark, tmp_path):
     # fallback lane: an un-shredded path still resolves via residual
     assert s.select(varshred.path_col(s, "$.x", "string").alias("x")) \
         .filter("x = 'y'").count() == 200
+
+
+def test_partitioned_txnlog_scan_shape(spark, tmp_path):
+    """r14 partitioned tables, the 100 TB read posture in one plan:
+    control-plane pruning hands the scan ONLY the matching partition's
+    files, Spark's native PartitionFilters stack on top (the partition
+    column comes from directory names, so it is absent from
+    ReadSchema), the non-partition conjunct reaches PushedFilters, and
+    the residual filter stays inside one WholeStageCodegen span."""
+    from docker_aktin_dwh_spark.sources import txnlog
+
+    tbl = str(tmp_path / "ptbl")
+    df = (spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("region"),
+        F.col("id").cast("string").alias("v")))
+    txnlog.create_table(spark, df.repartition(4), tbl, key="k",
+                        partition_by=["region"])
+    snap = txnlog.snapshot(tbl)
+    r = (txnlog.read_table(spark, tbl,
+                           filters=[("region", "=", 2),
+                                    ("k", ">=", 100)])
+         .filter("region = 2 AND k >= 100 AND k < 200"))
+    n_r2 = sum(1 for n in snap.files if n.startswith("region=2/"))
+    assert len(r.inputFiles()) == n_r2 < len(snap.files), \
+        "control-plane pruning must hand the scan only the partition"
+    plan = plans.formatted_plan(r)
+    assert "PartitionFilters: [isnotnull(region" in plan \
+           or "(region" in plan.split("PartitionFilters:")[1] \
+           .split("\n")[0], plan
+    pushed = plans.pushed_filters(r)
+    assert any("k" in f and ("GreaterThanOrEqual" in f or ">=" in f)
+               for f in pushed), pushed
+    # ReadSchema excludes the partition column (it is directory-borne)
+    rs = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "region" not in rs, rs
+    assert "WholeStageCodegen" in plan or "codegen id" in plan
