@@ -177,13 +177,16 @@ def _load_checkpoint(log_dir: str) -> tuple[dict, dict, dict, dict, int] | None:
     return live, meta, protocol, txns, v
 
 
-def read_delta_table(path: str, *, from_checkpoint: bool = True):
+def read_delta_table(path: str, *, from_checkpoint: bool = True,
+                     version: int | None = None):
     """Replay ``path``'s _delta_log and return (column names, rows,
     txns) with rows as a sorted list of tuples in logical column
     order, materialized by DuckDB over exactly the live parquet files
     with deletion vectors masked and partition values injected.
     ``from_checkpoint=False`` forces a full JSON replay even when a
-    checkpoint exists (the differential the conformance test runs)."""
+    checkpoint exists (the differential the conformance test runs);
+    ``version`` pins the replay to commits ≤ version — Delta's
+    versionAsOf time travel (checkpoints above the pin are ignored)."""
     log_dir = os.path.join(path, "_delta_log")
     live: dict[str, dict] = {}
     meta = None
@@ -192,12 +195,14 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True):
     start = 0
     if from_checkpoint:
         seeded = _load_checkpoint(log_dir)
-        if seeded is not None:
+        if seeded is not None and (version is None
+                                   or seeded[4] <= version):
             live, meta, protocol, txns, v = seeded
             start = v + 1
     commits = sorted(n for n in os.listdir(log_dir)
                      if n.endswith(".json") and n[:20].isdigit()
-                     and int(n[:20]) >= start)
+                     and int(n[:20]) >= start
+                     and (version is None or int(n[:20]) <= version))
     if not commits and not live:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
 

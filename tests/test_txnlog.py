@@ -2997,3 +2997,36 @@ def test_date_keyed_merge_and_delete(spark, tdir):
                         lo=datetime.date(2024, 1, 1),
                         hi=datetime.date(2024, 1, 3))
     assert txnlog.read_table(spark, tdir).count() == 38
+
+
+def test_delta_export_history_time_travel(spark, tdir):
+    """r14: versionAsOf over the EXPORTED history — the independent
+    reader pinned at Delta version K must equal txnlog's own time
+    travel to retained version K, across sampled versions spanning a
+    merge (DV rewrite) and a schema evolution."""
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    for i in range(6):
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 105 + 10 * i,
+                                 tag=f"t{i}"), tdir, key="k")
+    txnlog.merge(spark, tdir, _mk(spark, 0, 5, tag="m"), key="k")
+    txnlog.append(spark, _mk(spark, 900, 905, tag="z")
+                  .withColumn("extra", F.lit(1)), tdir, key="k",
+                  evolve_schema=True)
+    dest = delta_export.export_delta_history(tdir, tdir + "_tt",
+                                             checkpoint_every=4)
+    rd = _ind_reader()
+    versions = txnlog._list_versions(tdir)
+    for dv_ver, v in [(0, versions[0]), (3, versions[3]),
+                      (7, versions[7]),
+                      (len(versions) - 1, versions[-1])]:
+        cols, rows, _ = rd(dest, version=dv_ver)
+        want = _sorted_rows(
+            txnlog.read_table(spark, tdir, v).select(*cols))
+        assert [tuple(r) for r in rows] == [tuple(r) for r in want], \
+            f"export time travel diverges at delta v{dv_ver}"
+        # checkpoint-seeded pin (when one is at or below the pin)
+        cols2, rows2, _ = rd(dest, version=dv_ver,
+                             from_checkpoint=True)
+        assert rows2 == rows
