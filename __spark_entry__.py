@@ -2,8 +2,8 @@
 
 entry()      — flagship star query (JN-03) on sf0.001.
 queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
-               extensions), one callable per key; 262 keys as of
-               round 13.  The first 50 keys (registry.CORE50) cover
+               extensions), one callable per key; 265 keys as of
+               round 14.  The first 50 keys (registry.CORE50) cover
                every §2 row + the LLM extension inside the driver's
                verification window (SURVEY.md §2.0); fine-grained
                per-operator keys follow and are oracle-tested locally —
@@ -14,8 +14,11 @@ queries()    — every declared operator from SURVEY.md §2 (+ LLM-pipeline
                the ds_01/str_rep slots; round-12 operators via ds_02
                and the r12_all union; round-13 operators (colmap_01
                column mapping, var_02 variant shredding) via the
-               r13_all union (slot from the cdc_04 fold).
-oracle_sql() — DuckDB-equivalent SQL per key, 256 keys (omitted only
+               r13_all union (slot from the cdc_04 fold); round-14
+               operators (part_01 partitioned tables, upd_01 atomic
+               UPDATE) via the r14_all union (slot from the ups_01
+               fold).
+oracle_sql() — DuckDB-equivalent SQL per key, 259 keys (omitted only
                for the genuinely non-SQL-expressible operators: smp_02
                seeded sample, the raw-pair/raw-top-k ANN and SimHash
                variants (ded_simhash_raw / ann_lsh_raw / ann_ivf_raw —

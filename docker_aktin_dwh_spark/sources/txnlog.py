@@ -2215,6 +2215,66 @@ def update_where(spark: SparkSession, path: str, *, key: str,
         f"{path}")
 
 
+def delete_where(spark: SparkSession, path: str, *, key: str,
+                 filters: list[tuple[str, str, object]]) -> Snapshot:
+    """``DELETE WHERE`` over an arbitrary (col, op, literal)
+    conjunction (r14 — Delta's predicate DELETE; :func:`delete_range`
+    remains the key-range fast form).  Same physics as
+    :func:`update_where` minus the assignments: conjunction-pruned
+    file selection (partition values first, then footer intervals),
+    merge-on-read deletion vectors for sparse hits with fold/copy-on-
+    write fallbacks, CDC classifies plain deletes, claim-only retries
+    while the winner is logically disjoint."""
+    if not filters:
+        raise ValueError("delete_where: empty filters would delete "
+                         "the whole table; pass an explicit "
+                         "conjunction")
+    pred = _filters_pred(filters)
+    for _ in range(MERGE_MAX_ATTEMPTS):
+        snap = snapshot(path)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        hits = _snap_file_hits(snap, filters)
+        touched = sorted(n for n, s in snap.files.items() if hits(s))
+        if not touched:
+            return snap                   # statically nothing matches
+        dv_actions, fold = _compute_dv(spark, path, snap, touched,
+                                       lambda df: df.filter(pred), key)
+        if dv_actions is not None:
+            if not dv_actions and not fold:
+                return snap   # footer false positive: nothing matches
+            adds = []
+            if fold:
+                live = _read_files(spark, path, schema, fold,
+                                   snap.files, snap.colmap,
+                                   snap.partition_by)
+                adds = _stage_data_files(
+                    spark, live.filter(~pred), path, key,
+                    snap.version + 1, snap.colmap, snap.partition_by)
+            payload = {"op": "delete", "add": adds, "remove": fold}
+            if dv_actions:
+                payload["dv"] = dv_actions
+        else:
+            old = _read_files(spark, path, schema, touched, snap.files,
+                              snap.colmap, snap.partition_by)
+            adds = _stage_data_files(spark, old.filter(~pred), path,
+                                     key, snap.version + 1,
+                                     snap.colmap, snap.partition_by)
+            payload = {"op": "delete", "add": adds, "remove": touched}
+        v = snap.version + 1
+        for _ in range(MERGE_MAX_ATTEMPTS * 8):
+            if _try_commit(path, v, payload):
+                return snapshot(path, v)
+            nxt = snapshot(path)
+            if not _rewrite_unaffected(snap, nxt, touched, hits):
+                break                     # real conflict: re-derive
+            snap = nxt
+            v = max(v + 1, nxt.version + 1)
+        _drop_files(path, adds)
+    raise CommitConflictError(
+        f"delete_where lost {MERGE_MAX_ATTEMPTS} commit races at "
+        f"{path}")
+
+
 def drop_partition(spark: SparkSession, path: str, *,
                    values: dict[str, object]) -> Snapshot:
     """Drop whole partitions as a METADATA-ONLY commit (r14 — the

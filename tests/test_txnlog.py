@@ -3030,3 +3030,32 @@ def test_delta_export_history_time_travel(spark, tdir):
         cols2, rows2, _ = rd(dest, version=dv_ver,
                              from_checkpoint=True)
         assert rows2 == rows
+
+
+def test_delete_where_conjunction(spark, tdir):
+    """r14 predicate DELETE: arbitrary conjunction (non-key columns
+    included), merge-on-read for sparse hits, partition pruning on a
+    partitioned table, CDC classifies plain deletes, empty filters
+    refuse."""
+    txnlog.create_table(spark, _mkp(spark, 0, 200), tdir, key="k",
+                        partition_by=["region"])
+    v0 = txnlog.snapshot(tdir)
+    snap = txnlog.delete_where(
+        spark, tdir, key="k",
+        filters=[("region", "=", 2), ("k", "<", 30)])
+    got = txnlog.read_table(spark, tdir)
+    assert got.count() == 193            # keys 2,6,...,26 (7 rows) gone
+    assert got.filter("region = 2 AND k < 30").count() == 0
+    assert got.filter("k = 3").count() == 1      # other partitions kept
+    assert any(s.get("dv") for s in snap.files.values()), \
+        "sparse predicate delete must commit merge-on-read"
+    tc = txnlog.table_changes(spark, tdir, v0.version, snap.version,
+                              key="k").collect()
+    assert len(tc) == 7
+    assert all(r.change_type == "delete" and r.region == 2 for r in tc)
+    # statically-empty predicate: no-op
+    assert txnlog.delete_where(
+        spark, tdir, key="k",
+        filters=[("k", ">=", 10_000)]).version == snap.version
+    with pytest.raises(ValueError, match="empty filters"):
+        txnlog.delete_where(spark, tdir, key="k", filters=[])
