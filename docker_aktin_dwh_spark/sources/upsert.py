@@ -288,16 +288,23 @@ INITIAL_FILES = 8
 
 def write_initial(df: DataFrame, path: str, ts_col: str = "start_date",
                   *, key: str = "encounter_num",
-                  format: str = "txnlog") -> None:
+                  format: str = "txnlog",
+                  partition_by: list[str] | None = None) -> None:
     """Create the upsert store.  Default is the transactional commit-log
     format (range-packed by ``key`` so MERGE skipping starts tight);
-    ``format="parquet"`` keeps the legacy month-partitioned layout."""
+    ``format="parquet"`` keeps the legacy month-partitioned layout.
+    ``partition_by`` (r14, txnlog only) fixes a hive partition layout —
+    the declarative-partitioning shape the reference gives its fact
+    tables, with partition pruning ahead of footer stats on every
+    read/merge through the store."""
     if format == "txnlog":
         from . import txnlog as _t
         _t.create_table(df.sparkSession,
                         df.repartitionByRange(INITIAL_FILES, key),
-                        path, key=key)
+                        path, key=key, partition_by=partition_by)
         return
+    if partition_by:
+        raise ValueError("partition_by requires the txnlog format")
     (with_partition(df, ts_col).write.mode("overwrite")
      .partitionBy(PARTITION_COL).parquet(path))
 

@@ -3059,3 +3059,45 @@ def test_delete_where_conjunction(spark, tdir):
         filters=[("k", ">=", 10_000)]).version == snap.version
     with pytest.raises(ValueError, match="empty filters"):
         txnlog.delete_where(spark, tdir, key="k", filters=[])
+
+
+def test_partitioned_streaming_sink_and_default_store(spark, tdir,
+                                                      tmp_path):
+    """r14: the default SNK-01 store accepts partition_by (txnlog
+    underneath), merge_upsert rides partition staging transparently,
+    and a foreachBatch streaming append into a PARTITIONED table lands
+    hive-laid files with partition values logged (the exactly-once
+    ingest path on a partitioned table)."""
+    from docker_aktin_dwh_spark.sources import upsert
+
+    base = _mkp(spark, 0, 80).withColumnRenamed("k", "encounter_num")
+    upsert.write_initial(base, tdir, key="encounter_num",
+                         partition_by=["region"])
+    snap = txnlog.snapshot(tdir)
+    assert snap.partition_by == ["region"]
+    batch = (spark.range(0, 10).coalesce(1).select(
+        F.col("id").alias("encounter_num"),
+        (F.col("id") % 4).cast("int").alias("region"),
+        F.lit("m").alias("v")))
+    upsert.merge_upsert(spark, tdir, batch, key="encounter_num")
+    got = upsert.read_store(spark, tdir)
+    assert got.count() == 80
+    assert got.filter("encounter_num = 5").first().v == "m"
+    # legacy format refuses the option rather than ignoring it
+    with pytest.raises(ValueError, match="txnlog format"):
+        upsert.write_initial(base, str(tmp_path / "x"),
+                             key="encounter_num", format="parquet",
+                             partition_by=["region"])
+    # streaming micro-batches append into the partitioned table with
+    # txn idempotence (replayed batch is a no-op)
+    txnlog.append(spark, _mkp(spark, 100, 110, tag="s")
+                  .withColumnRenamed("k", "encounter_num"),
+                  tdir, key="encounter_num", txn=("ing", 0))
+    assert txnlog.append(spark, _mkp(spark, 100, 110, tag="dup")
+                         .withColumnRenamed("k", "encounter_num"),
+                         tdir, key="encounter_num",
+                         txn=("ing", 0)) is None
+    snap2 = txnlog.snapshot(tdir)
+    new = [n for n in snap2.files if n not in snap.files]
+    assert new and all("region=" in n for n in new)
+    assert upsert.read_store(spark, tdir).count() == 90
