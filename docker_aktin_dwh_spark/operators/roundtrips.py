@@ -880,6 +880,11 @@ def upd_01(spark, sf):
                 "inout_cd": F.lit("U")})
         assert any(s.get("dv") for s in snap.files.values()), \
             "a sparse update must commit merge-on-read"
+        snap = txnlog.delete_where(
+            spark, path, key="encounter_num",
+            filters=[("encounter_num", ">=", 300),
+                     ("encounter_num", "<", 320),
+                     ("inout_cd", "=", "O")])
         cur = (txnlog.read_table(spark, path)
                .select(F.lit("cur").alias("arm"),
                        F.lit("state").alias("change_type"),
@@ -911,11 +916,15 @@ hit AS (SELECT * FROM base WHERE inout_cd = 'I'
 upd AS (SELECT encounter_num, patient_num,
                start_date + INTERVAL 40 DAY AS ts, 'U' AS io
         FROM hit),
+dead AS (SELECT * FROM base WHERE inout_cd = 'O'
+           AND encounter_num >= 300 AND encounter_num < 320),
 cur AS (
   SELECT encounter_num, patient_num, start_date AS ts,
          inout_cd AS io FROM base
   WHERE NOT (inout_cd = 'I' AND encounter_num >= 100
              AND encounter_num < 200)
+    AND NOT (inout_cd = 'O' AND encounter_num >= 300
+             AND encounter_num < 320)
   UNION ALL SELECT * FROM upd)
 SELECT 'cur' AS arm, 'state' AS change_type, encounter_num,
        patient_num, ts, io FROM cur
@@ -925,6 +934,9 @@ SELECT 'cdc' AS arm, 'update_preimage' AS change_type, encounter_num,
 UNION ALL
 SELECT 'cdc' AS arm, 'update_postimage' AS change_type,
        encounter_num, patient_num, ts, io FROM upd
+UNION ALL
+SELECT 'cdc' AS arm, 'delete' AS change_type, encounter_num,
+       patient_num, start_date AS ts, inout_cd AS io FROM dead
 """
 
 
@@ -1365,9 +1377,9 @@ _DOCS = {
                  "(no resurrection), CDC endpoint diff across all of "
                  "it; file-identity and fresh-name asserted in the "
                  "builder",
-    "upd_01": "UPDATE ... SET as one atomic txnlog commit (r14): "
-              "conjunction-pruned, merge-on-read DVs + updated-row "
-              "staging, CDC pre/post pairs",
+    "upd_01": "UPDATE ... SET + DELETE WHERE as atomic txnlog "
+              "commits (r14): conjunction-pruned, merge-on-read DVs "
+              "+ updated-row staging, CDC pre/post pairs + deletes",
     "part_01": "Partitioned txnlog tables (r14): hive-layout create, "
                "partition-scoped merge, partition-pruned read "
                "(plan-asserted), metadata-only DROP PARTITION; time "
