@@ -3101,3 +3101,47 @@ def test_partitioned_streaming_sink_and_default_store(spark, tdir,
     new = [n for n in snap2.files if n not in snap.files]
     assert new and all("region=" in n for n in new)
     assert upsert.read_store(spark, tdir).count() == 90
+
+
+def test_partitioned_with_column_mapping(spark, tdir):
+    """r14 interaction: NON-partition columns stay renameable on a
+    partitioned table (partition dirs use physical names, which the
+    rename never touches) — staging under the map + partitionBy,
+    partition-pruned reads under the renamed schema, merge on the
+    renamed column, and time travel across the rename all line up."""
+    txnlog.create_table(spark, _mkp(spark, 0, 80), tdir, key="k",
+                        partition_by=["region"])
+    txnlog.rename_column(spark, tdir, old="v", new="val")
+    snap = txnlog.snapshot(tdir)
+    assert snap.colmap["val"] == "v" and snap.partition_by == ["region"]
+    got = txnlog.read_table(spark, tdir)
+    assert [f.name for f in got.schema.fields] == ["k", "region",
+                                                   "val"]
+    assert got.filter("k = 5").first().val == "a5"
+    # write under the mapping into partition dirs
+    batch = (spark.range(0, 10).coalesce(1).select(
+        (F.col("id") * 4 + 1).alias("k"),
+        F.lit(1).cast("int").alias("region"),
+        F.concat(F.lit("m"), (F.col("id") * 4 + 1).cast("string"))
+         .alias("val")))
+    txnlog.merge(spark, tdir, batch, key="k",
+                 partition_filter={"region": 1})
+    got2 = {r.k: r.val for r in txnlog.read_table(spark, tdir)
+            .collect()}
+    assert len(got2) == 80 and got2[5] == "m5" and got2[4] == "a4"
+    # partition-pruned read under the renamed schema
+    pruned = txnlog.read_table(spark, tdir,
+                               filters=[("region", "=", 1)])
+    assert pruned.count() == 20
+    assert all(n.startswith("region=1/")
+               for n in [p.split(tdir + "/")[-1]
+                         for p in pruned.inputFiles()])
+    # time travel below the rename keeps the old name
+    tt = txnlog.read_table(spark, tdir, 0)
+    assert [f.name for f in tt.schema.fields] == ["k", "region", "v"]
+    # update_where on the renamed column, partition-scoped filters
+    txnlog.update_where(spark, tdir, key="k",
+                        filters=[("region", "=", 1), ("k", "=", 5)],
+                        assignments={"val": F.lit("u5")})
+    assert txnlog.read_table(spark, tdir).filter("k = 5") \
+        .first().val == "u5"
