@@ -1354,14 +1354,18 @@ def partition_lane(spark, seconds: float = 6.0) -> dict:
 
     stages = [0]
     real_stage = txnlog._stage_data_files
+    lock = _th.Lock()
 
     def counting_stage(*a, **kw):
-        stages[0] += 1
+        # 6 writer threads call this concurrently: the increment must
+        # hold the lock or lost updates undercount stagings and
+        # flatter stage_per_commit (ADVICE r14)
+        with lock:
+            stages[0] += 1
         return real_stage(*a, **kw)
 
     txnlog._stage_data_files = counting_stage
     deadline = time.monotonic() + seconds
-    lock = _th.Lock()
     stats = {"merge": 0, "append": 0, "conflicts": 0}
     errors: list = []
     last_merge: dict[int, str] = {}

@@ -548,9 +548,20 @@ def export_delta_history(path: str, dest: str, *,
                               and (prev.files[n].get("dv") or [])
                               != (snap.files[n].get("dv") or []))
                 if in_prev and (not in_cur or dv_changed):
-                    actions.append({"remove": {
-                        "path": n, "deletionTimestamp": now_ms,
-                        "dataChange": True}})
+                    rm = {"path": n, "deletionTimestamp": now_ms,
+                          "dataChange": True}
+                    prev_dv = prev.files[n].get("dv") or []
+                    if prev_dv:
+                        # Delta log reconciliation keys file actions
+                        # by (path, dvId): a remove without the
+                        # superseded add's DV descriptor fails to
+                        # cancel it and spec-compliant readers see
+                        # BOTH row sets (ADVICE r14).  dv_descriptor
+                        # is deterministic in the ranges, so this is
+                        # byte-identical to the descriptor the earlier
+                        # add carried.
+                        rm["deletionVector"] = dv_descriptor(prev_dv)
+                    actions.append({"remove": rm})
                 if in_cur and (not in_prev or dv_changed):
                     actions.append(_add_action(path, dest, snap, n))
             for app, tv in sorted(snap.txns.items()):

@@ -153,6 +153,23 @@ def _replay_meta(table: str, version: int | None):
             key = ck.get("key")
             partition_by = ck.get("partition_by")
             start = v + 1
+            if "key" not in ck or "colmap" not in ck:
+                # pre-r13 checkpoint without the column-mapping
+                # fields: recover key/colmap from retained commits
+                # BELOW the checkpoint, exactly as txnlog.snapshot
+                # does (ADVICE r14 — the two replays must agree, and
+                # the writer must never stage logical-named files
+                # into a physically-mapped layout).
+                for pv in versions:
+                    if pv >= start:
+                        break
+                    with open(os.path.join(
+                            log, f"{pv:0{_W}d}.json")) as pf:
+                        pc = json.load(pf)
+                    if "key" not in ck and "key" in pc:
+                        key = pc["key"]
+                    if "colmap" not in ck and "colmap" in pc:
+                        colmap = pc["colmap"]
             break
     for v in versions:
         if v < start or v > target:

@@ -2150,10 +2150,13 @@ def update_where(spark: SparkSession, path: str, *, key: str,
     pred = _filters_pred(filters)
 
     def assign(df: DataFrame) -> DataFrame:
-        for c, v in assignments.items():
-            df = df.withColumn(c, F.expr(v) if isinstance(v, str)
-                               else v)
-        return df
+        # ONE projection for all assignments so every expression sees
+        # the PRE-update row (SQL/Delta UPDATE semantics: {'a': col
+        # ('b'), 'b': col('a')} swaps; sequential withColumn would
+        # feed later assignments the NEW values — ADVICE r14).
+        return df.withColumns(
+            {c: (F.expr(v) if isinstance(v, str) else v)
+             for c, v in assignments.items()})
 
     for _ in range(MERGE_MAX_ATTEMPTS):
         snap = snapshot(path)

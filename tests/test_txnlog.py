@@ -2489,6 +2489,36 @@ def test_legacy_checkpoint_without_key_recovers_from_create(
         txnlog.drop_column(spark, tdir, column="k")
 
 
+def test_legacy_checkpoint_txnbatch_replay_matches(spark, tdir):
+    """ADVICE r14: the txnbatch mirror's _replay_meta must apply the
+    SAME pre-r13-checkpoint key/colmap recovery as txnlog.snapshot —
+    otherwise the two replays (whose equality the module pins) diverge
+    on legacy tables and the DataSource writer stages logical-named
+    files into a physically-mapped layout."""
+    from docker_aktin_dwh_spark.sources import txnbatch
+
+    txnlog.create_table(spark, _mk(spark, 0, 10), tdir, key="k")
+    txnlog.rename_column(spark, tdir, old="v", new="w")  # logs colmap
+    for i in range(9):           # periodic checkpoint lands at v10
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 105 + 10 * i,
+                                 tag=f"t{i}")
+                      .withColumnRenamed("v", "w"), tdir, key="k")
+    log = txnlog._log_dir(tdir)
+    ckpt = os.path.join(log, txnlog._ckpt_name(10))
+    assert os.path.exists(ckpt)
+    with open(ckpt) as f:
+        ck = json.load(f)
+    del ck["key"], ck["colmap"]          # simulate the legacy shape
+    with open(ckpt, "w") as f:
+        json.dump(ck, f)
+    snap = txnlog.snapshot(tdir)
+    assert snap.key == "k" and snap.colmap
+    (_f, _s, _t, _c, bkey, bcolmap, _v,
+     _p) = txnbatch._replay_meta(tdir, None)
+    assert bkey == snap.key
+    assert bcolmap == snap.colmap
+
+
 # ------------------------------------------------ partitioned tables (r14)
 
 def _mkp(spark, lo, hi, tag="a", nparts=4):
@@ -2731,6 +2761,70 @@ def test_delta_export_deletion_vectors(spark, tdir):
     want = _sorted_rows(txnlog.read_table(spark, tdir).select(*cols))
     assert [tuple(r) for r in rows] == [tuple(r) for r in want], \
         "independent DV decode must mask exactly txnlog's dead rows"
+
+
+def test_delta_export_remove_carries_superseded_dv(spark, tdir):
+    """ADVICE r14: Delta log reconciliation keys file actions by
+    (path, dvId) — when a file's DV changes a SECOND time between
+    exported versions, the remove superseding the old add must carry
+    the OLD add's deletionVector descriptor, byte-identical, or
+    spec-compliant readers keep both adds live and see duplicate
+    rows."""
+    from docker_aktin_dwh_spark.sources import delta_export
+
+    txnlog.create_table(spark, _mk(spark, 0, 400)
+                        .repartitionByRange(4, "k"), tdir, key="k")
+    txnlog.delete_range(spark, tdir, key="k", lo=5, hi=8)
+    txnlog.delete_range(spark, tdir, key="k", lo=20, hi=23)
+    dest = delta_export.export_delta_history(tdir, tdir + "_rdv")
+    log_dir = os.path.join(dest, "_delta_log")
+
+    def commit(v):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            return [json.loads(line) for line in f]
+
+    adds1 = {a["add"]["path"]: a["add"] for a in commit(1)
+             if "add" in a}
+    dvd = [p for p, a in adds1.items() if a.get("deletionVector")]
+    assert len(dvd) == 1, "precondition: one file DV'd at v1"
+    removes1 = [a["remove"] for a in commit(1) if "remove" in a]
+    # v0→v1: the file had NO DV before, so its remove carries none
+    assert all("deletionVector" not in r for r in removes1
+               if r["path"] == dvd[0])
+    removes2 = {a["remove"]["path"]: a["remove"] for a in commit(2)
+                if "remove" in a}
+    assert dvd[0] in removes2, "DV growth must re-emit remove+add"
+    assert removes2[dvd[0]].get("deletionVector") \
+        == adds1[dvd[0]]["deletionVector"], \
+        "remove must carry the superseded add's exact DV descriptor"
+    # the reader still sees exactly txnlog's live rows
+    cols, rows, _ = _ind_reader()(dest)
+    want = _sorted_rows(txnlog.read_table(spark, tdir).select(*cols))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_update_where_assignments_see_pre_update_row(spark, tdir):
+    """ADVICE r14: all SET assignments evaluate against the PRE-update
+    row at once (SQL/Delta UPDATE semantics) — {'a': b, 'b': a} swaps
+    instead of copying b into both."""
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40), (3, 50, 60)],
+        "k long, a long, b long").coalesce(1)
+    txnlog.create_table(spark, df, tdir, key="k")
+    txnlog.update_where(spark, tdir, key="k",
+                        filters=[("k", "<=", 2)],
+                        assignments={"a": F.col("b"),
+                                     "b": F.col("a")})
+    got = {r.k: (r.a, r.b)
+           for r in txnlog.read_table(spark, tdir).collect()}
+    assert got == {1: (20, 10), 2: (40, 30), 3: (50, 60)}
+    # string-expression assignments get the same one-projection view
+    txnlog.update_where(spark, tdir, key="k",
+                        filters=[("k", "=", 3)],
+                        assignments={"a": "a + b", "b": "a - b"})
+    got = {r.k: (r.a, r.b)
+           for r in txnlog.read_table(spark, tdir).collect()}
+    assert got[3] == (110, -10)
 
 
 def test_delta_export_history_and_checkpoint(spark, tdir):
