@@ -87,7 +87,16 @@ CHECKPOINT_EVERY = 10
 
 _ROARING_MAGIC = 1681511377
 _SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+#: RoaringFormatSpec: with the run cookie the offset header is only
+#: written when there are at least this many containers
+_NO_OFFSET_THRESHOLD = 4
 _ARRAY_MAX = 4096
+
+#: serialized-DV size above which the exporter writes an on-disk DV
+#: file (storageType "u") instead of inlining into the JSON commit —
+#: a broad delete's bitmap does not belong in a log line at 100 TB
+DV_INLINE_MAX = 512
 
 #: Z85 alphabet (ZeroMQ spec — the encoding PROTOCOL.md names for
 #: inline DVs and DV file UUIDs)
@@ -112,55 +121,109 @@ def z85_encode(data: bytes) -> str:
     return "".join(out)
 
 
-def _serialize_roaring32(values: list[int]) -> bytes:
-    """One 32-bit roaring bitmap (RoaringFormatSpec, no-run cookie):
-    sorted distinct uint32 values → bytes."""
-    containers: dict[int, list[int]] = {}
-    for v in values:
-        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+def _merge_runs(runs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort inclusive (lo, hi) runs and merge overlaps/adjacency."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(runs):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(lo, hi) for lo, hi in out]
+
+
+def _serialize_roaring32(ranges32: list[tuple[int, int]]) -> bytes:
+    """One 32-bit roaring bitmap (RoaringFormatSpec) from inclusive
+    (lo, hi) uint32 ranges — NEVER expands a broad range to values
+    outside one 64K container: each container picks the smallest of
+    run / array / bitmap encodings, and the bitmap carries the run
+    cookie iff any container chose runs (r15 — a 100 TB broad delete's
+    DV stays O(runs), not O(rows))."""
+    containers: dict[int, list[tuple[int, int]]] = {}
+    for lo, hi in ranges32:
+        for k in range(lo >> 16, (hi >> 16) + 1):
+            clo = lo & 0xFFFF if k == (lo >> 16) else 0
+            chi = hi & 0xFFFF if k == (hi >> 16) else 0xFFFF
+            containers.setdefault(k, []).append((clo, chi))
     keys = sorted(containers)
-    head = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys))
-    desc = b"".join(struct.pack("<HH", k, len(containers[k]) - 1)
-                    for k in keys)
-    # offset header (always present with the no-run cookie): byte
-    # offset of each container from the start of the bitmap stream
-    base = len(head) + len(desc) + 4 * len(keys)
-    offsets = []
-    bodies = []
-    pos = base
+    encs: list[tuple[int, int, bool, bytes]] = []  # key, card, run?, body
     for k in keys:
-        vals = containers[k]
-        offsets.append(pos)
-        if len(vals) <= _ARRAY_MAX:
-            body = struct.pack(f"<{len(vals)}H", *vals)
+        runs = _merge_runs(containers[k])
+        card = sum(hi - lo + 1 for lo, hi in runs)
+        run_sz = 2 + 4 * len(runs)
+        arr_sz = 2 * card
+        if run_sz <= min(arr_sz, 8192):
+            body = struct.pack("<H", len(runs)) + b"".join(
+                struct.pack("<HH", lo, hi - lo) for lo, hi in runs)
+            encs.append((k, card, True, body))
+        elif card <= _ARRAY_MAX:
+            vals = [v for lo, hi in runs for v in range(lo, hi + 1)]
+            encs.append((k, card, False,
+                         struct.pack(f"<{card}H", *vals)))
         else:
             bits = bytearray(8192)
-            for v in vals:
-                bits[v >> 3] |= 1 << (v & 7)
-            body = bytes(bits)
-        bodies.append(body)
-        pos += len(body)
-    return (head + desc
-            + b"".join(struct.pack("<i", o) for o in offsets)
-            + b"".join(bodies))
+            for lo, hi in runs:
+                for v in range(lo, hi + 1):
+                    bits[v >> 3] |= 1 << (v & 7)
+            encs.append((k, card, False, bytes(bits)))
+    n = len(encs)
+    if not any(r for _, _, r, _ in encs):
+        # no-run cookie: 4-byte cookie + 4-byte count, offsets ALWAYS
+        head = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n)
+        desc = b"".join(struct.pack("<HH", k, c - 1)
+                        for k, c, _, _ in encs)
+        pos = len(head) + len(desc) + 4 * n
+        offsets, bodies = [], []
+        for _, _, _, body in encs:
+            offsets.append(pos)
+            bodies.append(body)
+            pos += len(body)
+        return (head + desc
+                + b"".join(struct.pack("<i", o) for o in offsets)
+                + b"".join(bodies))
+    # run cookie: 2-byte cookie + 2-byte (count-1), then the run-flag
+    # bitset, then descriptors, then offsets only at >= threshold
+    head = struct.pack("<HH", _SERIAL_COOKIE_RUN, n - 1)
+    flags = bytearray((n + 7) // 8)
+    for i, (_, _, is_run, _) in enumerate(encs):
+        if is_run:
+            flags[i >> 3] |= 1 << (i & 7)
+    desc = b"".join(struct.pack("<HH", k, c - 1)
+                    for k, c, _, _ in encs)
+    out = [head, bytes(flags), desc]
+    pos = len(head) + len(flags) + len(desc)
+    if n >= _NO_OFFSET_THRESHOLD:
+        pos += 4 * n
+        offsets = []
+        for _, _, _, body in encs:
+            offsets.append(pos)
+            pos += len(body)
+        out.append(b"".join(struct.pack("<i", o) for o in offsets))
+    out.extend(body for _, _, _, body in encs)
+    return b"".join(out)
 
 
 def serialize_dv(ranges: list) -> tuple[bytes, int]:
     """txnlog's inclusive [start, end] row-index runs → (serialized
-    RoaringBitmapArray bytes, cardinality)."""
-    by_high: dict[int, list[int]] = {}
-    n = 0
+    RoaringBitmapArray bytes, cardinality) — range-preserving: the
+    64-bit runs split at 2^32 key boundaries only, so serialization
+    cost is O(runs + containers touched), not O(deleted rows)."""
+    by_high: dict[int, list[tuple[int, int]]] = {}
+    card = 0
     for s, e in ranges:
-        for v in range(int(s), int(e) + 1):
-            by_high.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
-            n += 1
+        s, e = int(s), int(e)
+        card += e - s + 1
+        for h in range(s >> 32, (e >> 32) + 1):
+            lo = s & 0xFFFFFFFF if h == (s >> 32) else 0
+            hi = e & 0xFFFFFFFF if h == (e >> 32) else 0xFFFFFFFF
+            by_high.setdefault(h, []).append((lo, hi))
     highs = sorted(by_high)
     out = [struct.pack("<i", _ROARING_MAGIC),
            struct.pack("<q", len(highs))]
     for h in highs:
         out.append(struct.pack("<i", h))
-        out.append(_serialize_roaring32(sorted(set(by_high[h]))))
-    return b"".join(out), n
+        out.append(_serialize_roaring32(_merge_runs(by_high[h])))
+    return b"".join(out), card
 
 
 def dv_descriptor(ranges: list) -> dict:
@@ -170,6 +233,59 @@ def dv_descriptor(ranges: list) -> dict:
             "pathOrInlineDv": z85_encode(data),
             "sizeInBytes": len(data),
             "cardinality": card}
+
+
+class _DvSink:
+    """Deletion-vector emitter for one export destination (r15,
+    VERDICT r14 item 3): serialized bitmaps at or under
+    ``inline_max`` bytes inline into the commit (storageType "i");
+    larger ones write the PROTOCOL.md on-disk DV file —
+    ``deletion_vector_<uuid>.bin`` in the table root, a 1-byte format
+    version (1), then per DV a 4-byte big-endian size, the
+    RoaringBitmapArray bytes, and a 4-byte big-endian CRC-32 of those
+    bytes — referenced by storageType "u" with the Z85-encoded UUID in
+    ``pathOrInlineDv`` and ``offset`` pointing at the size word.
+
+    Descriptors MEMOIZE on the serialized bytes: export_delta_history
+    re-emits a file's previous descriptor in remove actions and
+    checkpoint state, and Delta reconciliation keys file actions by
+    (path, dvId) — the re-emission must be byte-identical, which a
+    fresh uuid4 per call would break."""
+
+    def __init__(self, dest: str, inline_max: int = DV_INLINE_MAX):
+        self.dest = dest
+        self.inline_max = inline_max
+        self._memo: dict[bytes, dict] = {}
+
+    def descriptor(self, ranges: list) -> dict:
+        data, card = serialize_dv(ranges)
+        hit = self._memo.get(data)
+        if hit is not None:
+            return dict(hit)
+        if len(data) <= self.inline_max:
+            d = {"storageType": "i",
+                 "pathOrInlineDv": z85_encode(data),
+                 "sizeInBytes": len(data),
+                 "cardinality": card}
+        else:
+            import zlib
+            u = uuid.uuid4()
+            payload = (b"\x01" + struct.pack(">i", len(data)) + data
+                       + struct.pack(">I", zlib.crc32(data)))
+            tmp = os.path.join(self.dest, f".dv-{u.hex}")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(
+                self.dest, f"deletion_vector_{u}.bin"))
+            d = {"storageType": "u",
+                 "pathOrInlineDv": z85_encode(u.bytes),
+                 "offset": 1,
+                 "sizeInBytes": len(data),
+                 "cardinality": card}
+        self._memo[data] = d
+        return dict(d)
 
 
 def _delta_type_name(t) -> str:
@@ -327,10 +443,12 @@ def _link_file(path: str, dest: str, name: str) -> os.stat_result:
     return os.stat(src)
 
 
-def _add_action(path: str, dest: str, snap, name: str) -> dict:
+def _add_action(path: str, dest: str, snap, name: str,
+                dvw: "_DvSink | None" = None) -> dict:
     """Hardlink one live file into the export and build its add
     action (stats from the commit's recorded footer intervals; a live
-    deletion vector serializes inline — see module docstring)."""
+    deletion vector serializes inline or to an on-disk DV file via
+    ``dvw`` — see module docstring)."""
     st = snap.files[name]
     info = _link_file(path, dest, name)
     stats = {"numRecords": st["rows"]}
@@ -348,7 +466,8 @@ def _add_action(path: str, dest: str, snap, name: str) -> dict:
         "dataChange": True,
     }
     if st.get("dv"):
-        add["deletionVector"] = dv_descriptor(st["dv"])
+        add["deletionVector"] = (dvw.descriptor(st["dv"]) if dvw
+                                 else dv_descriptor(st["dv"]))
         # physical row count with masked rows present: bounds may be
         # loose relative to the LIVE rows — Delta flags exactly this
         stats["tightBounds"] = False
@@ -368,7 +487,8 @@ def _write_commit(log_dir: str, version: int,
 
 
 def export_delta_log(path: str, dest: str,
-                     version: int | None = None) -> str:
+                     version: int | None = None, *,
+                     dv_inline_max: int = DV_INLINE_MAX) -> str:
     """Materialize the txnlog table at ``version`` (default latest) as
     a Delta table under ``dest``: hardlinked data files (same-inode,
     zero-copy — the clone_table discipline) + a single version-0 Delta
@@ -383,11 +503,12 @@ def export_delta_log(path: str, dest: str,
     os.makedirs(log_dir, exist_ok=True)
 
     protocol, meta = _protocol_and_meta(path, snap)
+    dvw = _DvSink(dest, dv_inline_max)
     actions: list[dict] = [{"protocol": protocol}]
     meta_time = 0
     adds = []
     for name in sorted(snap.files):
-        a = _add_action(path, dest, snap, name)
+        a = _add_action(path, dest, snap, name, dvw)
         meta_time = max(meta_time, a["add"]["modificationTime"])
         adds.append(a)
     meta["createdTime"] = meta_time
@@ -496,7 +617,8 @@ def _write_checkpoint(log_dir: str, delta_version: int,
 
 
 def export_delta_history(path: str, dest: str, *,
-                         checkpoint_every: int = CHECKPOINT_EVERY
+                         checkpoint_every: int = CHECKPOINT_EVERY,
+                         dv_inline_max: int = DV_INLINE_MAX
                          ) -> str:
     """Export the RETAINED txnlog commit history as a multi-commit
     Delta log (VERDICT r13 item 5): one Delta JSON commit per retained
@@ -516,6 +638,11 @@ def export_delta_history(path: str, dest: str, *,
     log_dir = os.path.join(dest, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
+    # ONE sink for the whole history: its descriptor memo guarantees a
+    # remove re-emitting a superseded DV (or a checkpoint re-emitting a
+    # live one) carries the byte-identical descriptor — same uuid for
+    # on-disk "u" DVs — that the original add carried
+    dvw = _DvSink(dest, dv_inline_max)
     prev = None
     prev_proto = prev_meta_sig = None
     for dv_ver, v in enumerate(versions):
@@ -527,7 +654,7 @@ def export_delta_history(path: str, dest: str, *,
         actions: list[dict] = []
         if prev is None:
             actions.append({"protocol": protocol})
-            adds = [_add_action(path, dest, snap, n)
+            adds = [_add_action(path, dest, snap, n, dvw)
                     for n in sorted(snap.files)]
             meta["createdTime"] = max(
                 [a["add"]["modificationTime"] for a in adds],
@@ -560,10 +687,10 @@ def export_delta_history(path: str, dest: str, *,
                         # is deterministic in the ranges, so this is
                         # byte-identical to the descriptor the earlier
                         # add carried.
-                        rm["deletionVector"] = dv_descriptor(prev_dv)
+                        rm["deletionVector"] = dvw.descriptor(prev_dv)
                     actions.append({"remove": rm})
                 if in_cur and (not in_prev or dv_changed):
-                    actions.append(_add_action(path, dest, snap, n))
+                    actions.append(_add_action(path, dest, snap, n, dvw))
             for app, tv in sorted(snap.txns.items()):
                 if prev.txns.get(app) != tv:
                     actions.append({"txn": {"appId": app,
@@ -572,7 +699,7 @@ def export_delta_history(path: str, dest: str, *,
         if dv_ver and dv_ver % checkpoint_every == 0:
             state: list[dict] = [{"protocol": protocol},
                                  {"metaData": meta}]
-            state += [_add_action(path, dest, snap, n)
+            state += [_add_action(path, dest, snap, n, dvw)
                       for n in sorted(snap.files)]
             state += [{"txn": {"appId": app, "version": tv}}
                       for app, tv in sorted(snap.txns.items())]

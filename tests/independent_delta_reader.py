@@ -18,12 +18,18 @@ engine, so agreement is evidence about the FORMAT, not about shared
 helpers.
 
 Supported: protocol/metaData/add/remove/txn actions across any number
-of commit files, checkpoint parquet seeding, schemaString field order,
-columnMapping mode "name", inline ("i") deletion vectors without run
-containers, hive partition columns, primitive type widening.
-Unsupported (raises — honest guards, never a wrong decode): on-disk
-DV files ("u"/"p" storage), run-container roaring serialization,
-reader features beyond {deletionVectors, columnMapping, typeWidening}.
+of commit files — reconciled by the spec's (path, dv uniqueId) file
+key, so a remove lacking the superseded add's DV descriptor leaves
+that add LIVE and surfaces as duplicate rows (the spec behavior the
+r14 exporter bug would have hidden under path-only keying) —
+checkpoint parquet seeding, schemaString field order, columnMapping
+mode "name", inline ("i") AND on-disk ("u") deletion vectors
+(version-byte/size/CRC-framed files, r15), run-container roaring
+bitmaps (cookie 12347, conditional offset header), hive partition
+columns, primitive type widening.
+Unsupported (raises — honest guards, never a wrong decode): absolute-
+path ("p") DV storage, reader features beyond
+{deletionVectors, columnMapping, typeWidening}.
 """
 
 from __future__ import annotations
@@ -31,6 +37,8 @@ from __future__ import annotations
 import json
 import os
 import struct
+import uuid as _uuid
+import zlib
 
 # Z85 alphabet per the ZeroMQ spec (the encoding PROTOCOL.md names)
 _Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
@@ -51,31 +59,61 @@ def _z85_decode(s: str, true_len: int) -> bytes:
 
 
 def _parse_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
-    """One 32-bit roaring bitmap starting at ``pos`` → (values, end)."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
-    if (cookie & 0xFFFF) == 12347:
-        raise NotImplementedError("run-container roaring bitmaps")
-    if cookie != 12346:
-        raise ValueError(f"bad roaring cookie {cookie}")
-    (n_containers,) = struct.unpack_from("<i", buf, pos + 4)
-    desc_at = pos + 8
+    """One 32-bit roaring bitmap starting at ``pos`` → (values, end).
+    Handles both RoaringFormatSpec cookies: 12346 (no runs, 4-byte
+    count, offset header always present) and 12347 (run containers,
+    count-1 in the cookie's high 16 bits, a run-flag bitset, and an
+    offset header only at >= 4 containers)."""
+    (cookie16,) = struct.unpack_from("<H", buf, pos)
+    if cookie16 == 12347:
+        (nm1,) = struct.unpack_from("<H", buf, pos + 2)
+        n_containers = nm1 + 1
+        flag_at = pos + 4
+        n_flag = (n_containers + 7) // 8
+        run_flags = [bool(buf[flag_at + (i >> 3)] >> (i & 7) & 1)
+                     for i in range(n_containers)]
+        desc_at = flag_at + n_flag
+        has_offsets = n_containers >= 4
+    else:
+        (cookie,) = struct.unpack_from("<i", buf, pos)
+        if cookie != 12346:
+            raise ValueError(f"bad roaring cookie {cookie}")
+        (n_containers,) = struct.unpack_from("<i", buf, pos + 4)
+        run_flags = [False] * n_containers
+        desc_at = pos + 8
+        has_offsets = True
     cards = []
     keys = []
     for i in range(n_containers):
         k, cm1 = struct.unpack_from("<HH", buf, desc_at + 4 * i)
         keys.append(k)
         cards.append(cm1 + 1)
-    # offset header: absolute-from-bitmap-start container offsets
     off_at = desc_at + 4 * n_containers
-    offsets = [struct.unpack_from("<i", buf, off_at + 4 * i)[0]
-               for i in range(n_containers)]
+    if has_offsets:
+        # offset header: absolute-from-bitmap-start container offsets
+        offsets = [pos + struct.unpack_from("<i", buf,
+                                            off_at + 4 * i)[0]
+                   for i in range(n_containers)]
+        end = off_at + 4 * n_containers
+    else:
+        offsets = None
+        end = off_at
     values: set[int] = set()
-    end = off_at + 4 * n_containers
-    for k, card, off in zip(keys, cards, offsets):
-        at = pos + off
-        if card <= 4096:
+    at = end
+    for i, (k, card, is_run) in enumerate(zip(keys, cards, run_flags)):
+        if offsets is not None:
+            at = offsets[i]
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, at)
+            vals = []
+            for r in range(n_runs):
+                lo, length = struct.unpack_from(
+                    "<HH", buf, at + 2 + 4 * r)
+                vals.extend(range(lo, lo + length + 1))
+            at += 2 + 4 * n_runs
+        elif card <= 4096:
             vals = struct.unpack_from(f"<{card}H", buf, at)
-            end = max(end, at + 2 * card)
+            at += 2 * card
         else:
             vals = []
             for byte_i in range(8192):
@@ -84,18 +122,48 @@ def _parse_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
                     low = b & -b
                     vals.append(byte_i * 8 + low.bit_length() - 1)
                     b ^= low
-            end = max(end, at + 8192)
+            at += 8192
+        end = max(end, at)
         base = k << 16
         values.update(base | v for v in vals)
     return values, end
 
 
-def _decode_dv(desc: dict) -> set[int]:
-    """Inline deletion-vector descriptor → dead row indexes."""
-    if desc.get("storageType") != "i":
+def _decode_dv(desc: dict, table_path: str | None = None) -> set[int]:
+    """Deletion-vector descriptor → dead row indexes.  storageType
+    "i" decodes the Z85 payload inline; "u" (r15) derives the DV file
+    name from the Z85-encoded UUID (optionally behind a random
+    prefix), checks the 1-byte format version, reads the 4-byte
+    big-endian size at ``offset``, and verifies the trailing CRC-32
+    before parsing the bitmap."""
+    st = desc.get("storageType")
+    if st == "u":
+        if table_path is None:
+            raise ValueError("on-disk DV needs the table path")
+        enc = desc["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(tail, 16))
+        fp = os.path.join(table_path, prefix,
+                          f"deletion_vector_{u}.bin")
+        with open(fp, "rb") as f:
+            blob = f.read()
+        if blob[0] != 1:
+            raise NotImplementedError(
+                f"DV file format version {blob[0]}")
+        off = desc.get("offset") or 1
+        (size,) = struct.unpack_from(">i", blob, off)
+        if size != desc["sizeInBytes"]:
+            raise ValueError(
+                f"DV size {size} != descriptor {desc['sizeInBytes']}")
+        data = blob[off + 4:off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if crc != zlib.crc32(data):
+            raise ValueError("DV file checksum mismatch")
+    elif st == "i":
+        data = _z85_decode(desc["pathOrInlineDv"], desc["sizeInBytes"])
+    else:
         raise NotImplementedError(
-            f"DV storageType {desc.get('storageType')!r} (only inline)")
-    data = _z85_decode(desc["pathOrInlineDv"], desc["sizeInBytes"])
+            f"DV storageType {st!r} (inline and on-disk uuid only)")
     (magic,) = struct.unpack_from("<i", data, 0)
     if magic != 1681511377:
         raise ValueError(f"bad RoaringBitmapArray magic {magic}")
@@ -140,6 +208,19 @@ def _norm_map(m) -> dict:
     return dict(m)
 
 
+def _dv_uid(dv: dict | None) -> str | None:
+    """PROTOCOL.md deletion-vector uniqueId: storageType +
+    pathOrInlineDv (+ '@offset' when an offset is present).  File
+    actions reconcile on (path, uniqueId) — a remove only cancels the
+    add carrying the SAME descriptor."""
+    if not dv or not dv.get("storageType"):
+        return None
+    uid = dv["storageType"] + dv["pathOrInlineDv"]
+    if dv.get("offset"):
+        uid += f"@{dv['offset']}"
+    return uid
+
+
 def _load_checkpoint(log_dir: str) -> tuple[dict, dict, dict, dict, int] | None:
     """Seed state from _last_checkpoint, if present: returns
     (live adds by path, metaData, protocol, txns, checkpoint version)."""
@@ -159,9 +240,14 @@ def _load_checkpoint(log_dir: str) -> tuple[dict, dict, dict, dict, int] | None:
         if row.get("add"):
             a = dict(row["add"])
             a["partitionValues"] = _norm_map(a.get("partitionValues"))
-            live[a["path"]] = a
+            dv = a.get("deletionVector")
+            if dv is not None and not dv.get("storageType"):
+                a["deletionVector"] = dv = None    # null struct row
+            live[(a["path"], _dv_uid(dv))] = a
         elif row.get("remove"):
-            live.pop(row["remove"]["path"], None)
+            r = row["remove"]
+            live.pop((r["path"], _dv_uid(r.get("deletionVector"))),
+                     None)
         elif row.get("metaData"):
             m = dict(row["metaData"])
             m["configuration"] = _norm_map(m.get("configuration"))
@@ -216,9 +302,12 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True,
                     a = action["add"]
                     a["partitionValues"] = _norm_map(
                         a.get("partitionValues"))
-                    live[a["path"]] = a
+                    live[(a["path"],
+                          _dv_uid(a.get("deletionVector")))] = a
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    r = action["remove"]
+                    live.pop((r["path"],
+                              _dv_uid(r.get("deletionVector"))), None)
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "protocol" in action:
@@ -272,8 +361,9 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True,
     # primitive column to the SCHEMA type (which is what widens
     # physically-narrow files — delta.typeChanges tables)
     selects = []
-    for rel in sorted(live):
-        a = live[rel]
+    for lk in sorted(live, key=lambda t: (t[0], t[1] or "")):
+        a = live[lk]
+        rel = a["path"]
         fp = os.path.join(path, rel)
         present = {r[0] for r in con.execute(
             f"SELECT name FROM parquet_schema([{lit(fp)}])").fetchall()}
@@ -298,7 +388,7 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True,
         sql = (f"SELECT {', '.join(cols)} FROM read_parquet("
                f"[{lit(fp)}], file_row_number=true)")
         if a.get("deletionVector"):
-            dead = _decode_dv(a["deletionVector"])
+            dead = _decode_dv(a["deletionVector"], path)
             idx = ", ".join(str(i) for i in sorted(dead))
             sql += f" WHERE file_row_number NOT IN ({idx})"
         selects.append(sql)

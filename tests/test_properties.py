@@ -731,9 +731,18 @@ def test_roaring_dv_serialize_decode_roundtrip():
     cases = [
         [[0, 0]],                              # single row
         [[5, 9], [100, 100], [70000, 70010]],  # cross 64K boundary
-        [[0, 5000]],                           # bitmap container
+        [[0, 5000]],                           # one run container
+        [[2 * i, 2 * i] for i in range(5001)], # bitmap (5001 scattered)
         [[2**32 - 3, 2**32 + 3]],              # crosses the 32-bit key
         [[int(2**33), int(2**33) + 2]],        # high bitmap only
+        # r15 run-cookie shapes: >= 4 containers (offset header
+        # present) and < 4 (offset header absent), runs mixed with
+        # array containers in one bitmap
+        [[0, 300_000]],
+        [[0, 70_000], [80_000, 80_001], [90_000, 90_002]],
+        # run container + array container in one bitmap
+        [[0, 1000]] + [[65_536 + 2 * i, 65_536 + 2 * i]
+                       for i in range(50)],
     ]
     # randomized sparse sets
     for _ in range(5):
@@ -751,3 +760,37 @@ def test_roaring_dv_serialize_decode_roundtrip():
         assert desc["cardinality"] == len(want)
         got = _decode_dv(desc)
         assert got == want, f"roundtrip mismatch for {ranges[:3]}..."
+
+
+def test_roaring_run_cookie_foreign_bitmap_decodes():
+    """r15: the reader must decode run-format bitmaps it did NOT
+    write — a foreign writer may emit runs even where arrays would be
+    smaller, and with < 4 containers the offset header is absent.
+    Bytes hand-packed per RoaringFormatSpec, no writer involvement."""
+    import os as _os
+    import struct
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from independent_delta_reader import _decode_dv
+
+    from docker_aktin_dwh_spark.sources.delta_export import z85_encode
+
+    # 2 containers, run cookie, NO offset header (n < 4):
+    # container 0 (key 0): RUN with 2 runs [3..5], [9..9]
+    # container 1 (key 2): ARRAY {7, 11}
+    bm = struct.pack("<HH", 12347, 1)            # cookie, n-1
+    bm += bytes([0b01])                          # run flags: c0 only
+    bm += struct.pack("<HH", 0, 3)               # key 0, card-1 = 3
+    bm += struct.pack("<HH", 2, 1)               # key 2, card-1 = 1
+    bm += struct.pack("<H", 2)                   # c0: 2 runs
+    bm += struct.pack("<HH", 3, 2)               # run 3..3+2
+    bm += struct.pack("<HH", 9, 0)               # run 9..9
+    bm += struct.pack("<HH", 7, 11)              # c1: array values
+    data = (struct.pack("<i", 1681511377)        # magic
+            + struct.pack("<q", 1)               # one 32-bit bitmap
+            + struct.pack("<i", 0)               # high-32 key 0
+            + bm)
+    desc = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+            "sizeInBytes": len(data), "cardinality": 6}
+    got = _decode_dv(desc)
+    assert got == {3, 4, 5, 9, (2 << 16) | 7, (2 << 16) | 11}
