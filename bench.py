@@ -104,6 +104,9 @@ HEADLINE = (
     # partition-scoped merge, plan-asserted pruned read, metadata-only
     # DROP PARTITION, time travel + CDC across it)
     "part_01",
+    # round 15: foreign Delta-table import (DuckDB-written files,
+    # hand-authored log, run-encoded DV) into txnlog
+    "dimp_01",
 )
 
 

@@ -1331,6 +1331,122 @@ FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
 
 
+# --------------------------------------- dimp_01: foreign Delta import
+
+def dimp_01(spark, sf):
+    """Foreign-Delta-table IMPORT roundtrip (r15, VERDICT r14 item 1):
+    author a Delta table the way an external engine would — data files
+    written by DuckDB (a third parquet writer, single-threaded so file
+    row order is deterministic), a hand-written ``_delta_log`` whose
+    version-0 commit carries a commitInfo line, three adds, and a
+    RUN-encoded deletion vector hand-packed per PROTOCOL.md (not our
+    serializer), and whose version-1 commit REMOVES one file — then
+    import it through sources/delta_import into a txnlog table and
+    return the recovered rows.  Oracle = the identity derivation with
+    the removed file's rows absent and the DV's dead row POSITIONS
+    (ranks 5..24 of the even-key file) excluded; a hash match proves
+    the foreign log replay, (path, dvId) reconciliation, run-container
+    DV decode and txnlog materialization lost nothing.  Reference
+    analogue: the broker exchange format consumed from systems the DWH
+    doesn't control (src/build.sh:255)."""
+    import json as _json
+    import os as _os
+    import struct as _struct
+
+    import duckdb as _duckdb
+
+    from ..sources import delta_import, txnlog
+
+    tmp = tempfile.mkdtemp(prefix="spark_dimp01_")
+    try:
+        t = _os.path.join(tmp, "foreign")
+        _os.makedirs(t)
+        con = _duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        src = f"{sf}/orders.parquet"
+        sel = ("SELECT o_orderkey, o_orderstatus, o_totalprice "
+               f"FROM read_parquet('{src}') WHERE o_orderkey < 4000 ")
+        con.execute(f"COPY ({sel} AND o_orderkey % 2 = 0 "
+                    "ORDER BY o_orderkey) TO "
+                    f"'{t}/even.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({sel} AND o_orderkey % 2 = 1 "
+                    "ORDER BY o_orderkey) TO "
+                    f"'{t}/odd.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({sel} LIMIT 10) TO "
+                    f"'{t}/gone.parquet' (FORMAT PARQUET)")
+        con.close()
+        # dead rows 5..24 of even.parquet as ONE run container —
+        # hand-packed RoaringFormatSpec bytes, not our serializer
+        bm = (_struct.pack("<HH", 12347, 0) + bytes([1])
+              + _struct.pack("<HH", 0, 19)          # key 0, card-1
+              + _struct.pack("<H", 1)               # 1 run
+              + _struct.pack("<HH", 5, 19))         # 5..5+19
+        data = (_struct.pack("<i", 1681511377) + _struct.pack("<q", 1)
+                + _struct.pack("<i", 0) + bm)
+        from ..sources.delta_export import z85_encode
+        dv = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+              "sizeInBytes": len(data), "cardinality": 20}
+        fields = [{"name": n, "type": ty, "nullable": True,
+                   "metadata": {}}
+                  for n, ty in (("o_orderkey", "long"),
+                                ("o_orderstatus", "string"),
+                                ("o_totalprice", "double"))]
+        log = _os.path.join(t, "_delta_log")
+        _os.makedirs(log)
+        with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in (
+                {"commitInfo": {"operation": "WRITE",
+                                "engineInfo": "foreign/1.0"}},
+                {"protocol": {"minReaderVersion": 3,
+                              "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
+                {"metaData": {
+                    "id": "dimp-fixture", "format":
+                        {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+                {"add": {"path": "even.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True, "deletionVector": dv}},
+                {"add": {"path": "odd.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+                {"add": {"path": "gone.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ):
+                f.write(_json.dumps(a) + "\n")
+        with open(_os.path.join(log, f"{1:020d}.json"), "w") as f:
+            f.write(_json.dumps({"remove": {
+                "path": "gone.parquet", "deletionTimestamp": 1,
+                "dataChange": True}}) + "\n")
+        imp = _os.path.join(tmp, "imported")
+        delta_import.import_delta_log(spark, t, imp, key="o_orderkey")
+        return _snap_off_tmp(
+            txnlog.read_table(spark, imp), tmp).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+_DIMP_01_ORACLE = """
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 4000),
+evens AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+    FROM src WHERE o_orderkey % 2 = 0)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM evens
+WHERE rn < 5 OR rn > 24
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+WHERE o_orderkey % 2 = 1
+"""
+
+
 _DOCS = {
     "src_02": "SRC-02 SQL-script ingest (multi-statement run_sql_script)",
     "src_03": "SRC-03 CDA-XML shred roundtrip (mapInPandas parse)",
@@ -1393,6 +1509,11 @@ _DOCS = {
     "bkt_01": "SRC-09 bucketed-storage roundtrip: same-bucketed "
               "tables joined shuffle-free (no Exchange, "
               "plan-asserted), aggregate hash-certified",
+    "dimp_01": "Foreign Delta-table IMPORT (r15): DuckDB-written data "
+               "files + hand-authored _delta_log (commitInfo, remove "
+               "reconciliation, run-encoded DV per PROTOCOL.md) "
+               "imported into txnlog via sources/delta_import; "
+               "identity oracle with the DV's rank-positions excluded",
 }
 
 
@@ -1418,6 +1539,7 @@ def specs() -> list[QuerySpec]:
         "src_orc": _SRC_ORC_ORACLE,
         "src_evo": _SRC_EVO_ORACLE,
         "bkt_01": _BKT_01_ORACLE,
+        "dimp_01": _DIMP_01_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
