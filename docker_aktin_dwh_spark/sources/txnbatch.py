@@ -623,6 +623,35 @@ class _TxnWriteMessage(WriterCommitMessage):
         self.adds = adds
 
 
+def _pv_frag(v) -> str:
+    """One partition value → the raw hive dir fragment txnlog's
+    reader decodes (``_pv_decode`` unquotes, parses by the logged
+    type; booleans compare against 'true'; timestamps tolerate the
+    space form).  Percent-escaping EVERY special character makes any
+    string round-trip."""
+    from urllib.parse import quote
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return quote(str(v), safe="")
+
+
+def _stats_enc(v):
+    """Mirror of txnlog._stats_encode for partition-borne merge-key
+    bounds (byte-compat pinned in tests alongside the replay)."""
+    import datetime
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "d", "v": v.isoformat()}
+    return None
+
+
 class _TxnlogWriterBase:
     """Shared task-side write for the batch writer and the streaming
     sink: each task streams its Arrow batches into ONE immutable
@@ -632,22 +661,32 @@ class _TxnlogWriterBase:
     reclaims after the retention window)."""
 
     def __init__(self, table: str, key: str | None,
-                 colmap: dict[str, str] | None = None):
+                 colmap: dict[str, str] | None = None,
+                 partition_by: list[str] | None = None):
         self._table = table
         self._key = key
         #: complete logical → physical map for the PLAN schema under
         #: column mapping (fresh physical names for evolving columns
         #: assigned at plan time), or None for identity tables
         self._colmap = colmap
+        #: the table's logged partition spec (r15): tasks stage hive
+        #: ``col=value`` layouts, partition columns dropped from the
+        #: files and recorded as pv — same physics as
+        #: txnlog._stage_data_files, derived per Arrow batch slice
+        self._partition_by = partition_by
 
     def write(self, iterator):
         import uuid
         import pyarrow as pa
         import pyarrow.parquet as pq
         os.makedirs(self._table, exist_ok=True)   # create-by-write
+        cm = self._colmap or {}
+        key_phys = (cm.get(self._key, self._key) if self._key
+                    else self._key)
+        if self._partition_by:
+            return self._write_partitioned(iterator, cm, key_phys)
         name = f"p-w-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(self._table, name)
-        cm = self._colmap or {}
         writer = None
         try:
             for batch in iterator:
@@ -664,12 +703,78 @@ class _TxnlogWriterBase:
                 writer.close()
         if writer is None:
             return _TxnWriteMessage([])         # empty partition
-        stats = _file_stats(fpath, cm.get(self._key, self._key)
-                            if self._key else self._key)
+        stats = _file_stats(fpath, key_phys)
         if stats["rows"] == 0:
             os.remove(fpath)
             return _TxnWriteMessage([])
         return _TxnWriteMessage([{"file": name, **stats}])
+
+    def _write_partitioned(self, iterator, cm: dict, key_phys):
+        """r15 (VERDICT r14 item 4): split each Arrow batch by the
+        table's partition values, stream every slice into ONE file per
+        partition under its ``col=value`` dir (partition columns are
+        directory-borne, never stored), and record pv + the key's
+        partition-borne bounds on each add — lifting the r14 refusal
+        so ``df.write.format("txnlog")`` covers partitioned tables."""
+        import uuid
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pby = self._partition_by
+        sinks: dict[str, list] = {}     # frag -> [writer, name, pv]
+        try:
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch])
+                missing = [c for c in pby
+                           if c not in tbl.schema.names]
+                if missing:
+                    raise ValueError(
+                        f"txnlog writer: frame omits partition "
+                        f"column(s) {missing}")
+                by_combo: dict[tuple, list[int]] = {}
+                for i, combo in enumerate(zip(
+                        *[tbl.column(c).to_pylist() for c in pby])):
+                    by_combo.setdefault(combo, []).append(i)
+                data = tbl.drop_columns(list(pby))
+                if cm:
+                    data = data.rename_columns(
+                        [cm.get(n, n) for n in data.schema.names])
+                for combo, idxs in by_combo.items():
+                    frag = "/".join(f"{c}={_pv_frag(v)}"
+                                    for c, v in zip(pby, combo))
+                    sub = data.take(idxs)
+                    sink = sinks.get(frag)
+                    if sink is None:
+                        os.makedirs(os.path.join(self._table, frag),
+                                    exist_ok=True)
+                        name = (f"{frag}/p-w-{uuid.uuid4().hex}"
+                                f".parquet")
+                        w = pq.ParquetWriter(
+                            os.path.join(self._table, name),
+                            sub.schema)
+                        pv = {c: _pv_frag(v)
+                              for c, v in zip(pby, combo)}
+                        kb = (_stats_enc(dict(zip(pby, combo))
+                                         .get(self._key))
+                              if self._key in pby else None)
+                        sinks[frag] = sink = [w, name, pv, kb]
+                    sink[0].write_table(sub)
+        finally:
+            for sink in sinks.values():
+                sink[0].close()
+        adds = []
+        for w, name, pv, kb in sinks.values():
+            fpath = os.path.join(self._table, name)
+            stats = _file_stats(fpath, key_phys)
+            if stats["rows"] == 0:
+                os.remove(fpath)
+                continue
+            stats["pv"] = pv
+            if kb is not None and stats.get("kmin") is None:
+                # merge key IS a partition column: bounds come from
+                # the partition value (file stores no key column)
+                stats["kmin"] = stats["kmax"] = kb
+            adds.append({"file": name, **stats})
+        return _TxnWriteMessage(adds)
 
 
 def _collect_adds(messages) -> list[dict]:
@@ -706,8 +811,9 @@ class TxnlogBatchWriter(_TxnlogWriterBase, DataSourceArrowWriter):
                  evolve: bool, plan_schema_json: str,
                  txn: tuple[str, int] | None = None,
                  colmap: dict[str, str] | None = None,
-                 plan_colmap: dict[str, str] | None = None):
-        super().__init__(table, key, colmap)
+                 plan_colmap: dict[str, str] | None = None,
+                 partition_by: list[str] | None = None):
+        super().__init__(table, key, colmap, partition_by)
         self._overwrite = overwrite
         self._evolve = evolve
         self._plan_schema_json = plan_schema_json
@@ -746,16 +852,23 @@ class TxnlogBatchWriter(_TxnlogWriterBase, DataSourceArrowWriter):
              colmap, version, partition_by) = _replay_meta(
                 self._table, None)
             if partition_by:
-                # r14: the writer mirror stages FLAT files; committing
-                # one into a hive-partitioned table would break the
-                # layout contract (no partition dir, no pv entry).
-                # Refuse with the working route rather than corrupt.
-                _drop_staged(self._table, adds)
-                raise RuntimeError(
-                    f"txnlog writer: {self._table} is partitioned by "
-                    f"{partition_by} — the DataSource writer does not "
-                    f"stage hive layouts; write through txnlog.append/"
-                    f"merge (they partition the staged files)")
+                # r15: tasks stage hive layouts when the PLAN saw the
+                # partition spec.  An add without matching pv means the
+                # spec appeared between plan and commit (create race,
+                # or a plan against the pre-create path) — staged flat
+                # files would break the layout contract; refuse rather
+                # than corrupt (the caller re-runs the write).
+                bad = [a["file"] for a in adds
+                       if set((a.get("pv") or {}))
+                       != set(partition_by)]
+                if bad:
+                    _drop_staged(self._table, adds)
+                    raise RuntimeError(
+                        f"txnlog writer: {self._table} is partitioned "
+                        f"by {partition_by} but staged file(s) "
+                        f"{bad[:3]} carry no matching partition "
+                        f"values (concurrent create/spec change) — "
+                        f"retry the write")
             if self._txn is not None and \
                     txns.get(self._txn[0], -1) >= self._txn[1]:
                 _drop_staged(self._table, adds)
@@ -815,8 +928,9 @@ class TxnlogStreamWriter(_TxnlogWriterBase, DataSourceStreamArrowWriter):
     def __init__(self, table: str, key: str | None, overwrite: bool,
                  evolve: bool, plan_schema_json: str, app_id: str,
                  colmap: dict[str, str] | None = None,
-                 plan_colmap: dict[str, str] | None = None):
-        super().__init__(table, key, colmap)
+                 plan_colmap: dict[str, str] | None = None,
+                 partition_by: list[str] | None = None):
+        super().__init__(table, key, colmap, partition_by)
         self._overwrite = overwrite
         self._evolve = evolve
         self._plan_schema_json = plan_schema_json
@@ -827,7 +941,8 @@ class TxnlogStreamWriter(_TxnlogWriterBase, DataSourceStreamArrowWriter):
         delegate = TxnlogBatchWriter(
             self._table, self._key, self._overwrite, self._evolve,
             self._plan_schema_json, txn=(self._app_id, batchId),
-            colmap=self._colmap, plan_colmap=self._plan_colmap)
+            colmap=self._colmap, plan_colmap=self._plan_colmap,
+            partition_by=self._partition_by)
         delegate.commit(messages)
 
     def abort(self, messages, batchId: int) -> None:
@@ -891,15 +1006,9 @@ class TxnlogBatchDataSource(DataSource):
         FRESH physical names for evolving columns (tasks stage under
         it; the commit records it)."""
         if not _versions(table):
-            return None, None, None
+            return None, None, None, None
         (_, schema_json, _, _, logged_key, colmap,
          _, partition_by) = _replay_meta(table, None)
-        if partition_by:
-            raise RuntimeError(
-                f"txnlog writer: {table} is partitioned by "
-                f"{partition_by} — the DataSource writer does not "
-                f"stage hive layouts; write through txnlog.append/"
-                f"merge (they partition the staged files)")
         new_cols, _w = _check_write_schema(schema.json(), schema_json,
                                            evolve)
         stage = None
@@ -908,22 +1017,23 @@ class TxnlogBatchDataSource(DataSource):
             stage = {**colmap,
                      **{c: f"c-{uuid.uuid4().hex[:12]}"
                         for c in new_cols}}
-        return logged_key, colmap, stage
+        return logged_key, colmap, stage, partition_by
 
     def writer(self, schema: StructType,
                overwrite: bool) -> TxnlogBatchWriter:
         table, key, evolve = self._write_opts()
-        logged_key, plan_colmap, stage = self._plan_checks(
+        logged_key, plan_colmap, stage, pby = self._plan_checks(
             table, schema, evolve)
         return TxnlogBatchWriter(table, key or logged_key, overwrite,
                                  evolve, schema.json(),
-                                 colmap=stage, plan_colmap=plan_colmap)
+                                 colmap=stage, plan_colmap=plan_colmap,
+                                 partition_by=pby)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> TxnlogStreamWriter:
         import hashlib
         table, key, evolve = self._write_opts()
-        logged_key, plan_colmap, stage = self._plan_checks(
+        logged_key, plan_colmap, stage, pby = self._plan_checks(
             table, schema, evolve)
         app_id = self.options.get("txnAppId")
         if app_id is None:
@@ -935,7 +1045,8 @@ class TxnlogBatchDataSource(DataSource):
                 ckpt.encode()).hexdigest()[:16]
         return TxnlogStreamWriter(table, key or logged_key, overwrite,
                                   evolve, schema.json(), app_id,
-                                  colmap=stage, plan_colmap=plan_colmap)
+                                  colmap=stage, plan_colmap=plan_colmap,
+                                  partition_by=pby)
 
     def schema(self) -> StructType:
         _, schema_json, _ = _replay(_norm_path(self.options["path"]),
