@@ -1782,6 +1782,12 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
             def hits(s): return _envelope_hits(s, lo, hi)
             anti_keys = dk        # wide batch: no broadcast (see merge)
         ups = feed.filter(F.col(op_col) != delete_op).drop(op_col)
+        # a delete-only feed stages NOTHING — without this guard the
+        # empty upsert frame still walks _stage_data_files, which on a
+        # partitioned table refuses a feed that (legitimately) carries
+        # only the key column (r15: the MERGE ... WHEN MATCHED THEN
+        # DELETE SQL shape is exactly such a feed)
+        ups_empty = ups.isEmpty()
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
             logged_cols = [fl.name for fl in StructType.fromJson(
@@ -1815,9 +1821,11 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                                               snap.version + 1,
                                               snap.colmap,
                                               snap.partition_by)
-                adds += _stage_data_files(spark, ups, path, key,
-                                          snap.version + 1, snap.colmap,
-                                          snap.partition_by)
+                if not ups_empty:
+                    adds += _stage_data_files(spark, ups, path, key,
+                                              snap.version + 1,
+                                              snap.colmap,
+                                              snap.partition_by)
                 payload = {"op": "apply", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
@@ -1827,8 +1835,8 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                                       snap.files, snap.colmap,
                                       snap.partition_by)
                     kept = old.join(anti_keys, key, "left_anti")
-                    merged = kept.unionByName(ups,
-                                              allowMissingColumns=True)
+                    merged = kept if ups_empty else kept.unionByName(
+                        ups, allowMissingColumns=True)
                 else:
                     merged = ups
                 adds = _stage_data_files(spark, merged, path, key,

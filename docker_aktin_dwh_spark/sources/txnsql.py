@@ -1,0 +1,347 @@
+"""SQL statement surface for the txnlog WRITE verbs (r15, VERDICT r14
+item 5).
+
+The engine spoke UPDATE/DELETE/MERGE/ALTER only through Python APIs;
+the reference's users speak SQL to stock Postgres
+(src/docker/database/Dockerfile:8).  :func:`sql` is a THIN dispatcher:
+it parses the five statement shapes below against txnlog paths and
+routes each to its Python verb — every grammar corner it does not
+cover raises a loud error naming the supported shape and the Python
+API, never a silent misparse.
+
+Supported statements (table = ``txnlog.`/path``` or a name resolved
+through the ``tables`` mapping)::
+
+    UPDATE <t> SET col = <sql expr>[, ...] WHERE <conjunction>
+    DELETE FROM <t> WHERE <conjunction>
+    MERGE INTO <t> USING <view|(subquery)> [AS a] ON <t>.<k> = <s>.<k>
+        WHEN MATCHED [AND <s>.<op> = '<del>'] THEN DELETE
+        [WHEN MATCHED THEN UPDATE SET *]
+        [WHEN NOT MATCHED THEN INSERT *]
+    ALTER TABLE <t> RENAME COLUMN a TO b
+                  | DROP COLUMN a
+                  | ADD COLUMN a <type>
+                  | ALTER COLUMN a TYPE <type>
+                  | DROP PARTITION (c = <lit>[, ...])
+
+``WHERE`` is a conjunction of ``col <op> literal`` terms (op in
+=, <, <=, >, >=, IN) — exactly the (col, op, literal) filter language
+update_where/delete_where prune and evaluate with; SET expressions
+pass through verbatim as SQL expression strings (update_where
+evaluates all of them against the PRE-update row at once).  MERGE with
+``UPDATE SET * / INSERT *`` is txnlog.merge's delete+insert contract;
+adding the ``WHEN MATCHED AND op THEN DELETE`` arm routes to
+apply_changes (the one-commit CDC shape).  All statements honor the
+logged merge key (create_table's ``key=``) unless ``key=`` overrides.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import txnlog
+
+_TABLE_REF = re.compile(r"txnlog\.`([^`]+)`")
+_IDENT = r'(?:[A-Za-z_][A-Za-z_0-9]*|"[^"]+")'
+
+
+class SqlSurfaceError(ValueError):
+    """Statement outside the dispatcher's declared grammar."""
+
+
+def _unq(ident: str) -> str:
+    return ident[1:-1] if ident.startswith('"') else ident
+
+
+def _resolve_table(ref: str, tables: dict[str, str] | None) -> str:
+    m = _TABLE_REF.fullmatch(ref.strip())
+    if m:
+        return m.group(1)
+    name = _unq(ref.strip())
+    if tables and name in tables:
+        return tables[name]
+    raise SqlSurfaceError(
+        f"unknown table {ref!r} — use txnlog.`/path` or pass "
+        f"tables={{name: path}}")
+
+
+def _split_top(s: str, sep_re: str) -> list[str]:
+    """Split on a regex separator at paren/quote depth 0."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(s)
+    pat = re.compile(sep_re, re.IGNORECASE)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and not (j + 1 < n and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            buf.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = pat.match(s, i)
+            if m:
+                parts.append("".join(buf))
+                buf = []
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    m = re.fullmatch(r"DATE\s*'([^']*)'", t, re.IGNORECASE)
+    if m:
+        return datetime.date.fromisoformat(m.group(1))
+    m = re.fullmatch(r"TIMESTAMP\s*'([^']*)'", t, re.IGNORECASE)
+    if m:
+        return datetime.datetime.fromisoformat(
+            m.group(1).replace(" ", "T"))
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    try:
+        return float(t)
+    except ValueError:
+        raise SqlSurfaceError(
+            f"unsupported literal {tok!r} (number, 'string', DATE "
+            f"'...', TIMESTAMP '...')")
+
+
+def _parse_conjunction(s: str) -> list[tuple[str, str, object]]:
+    """``col <op> literal [AND ...]`` → the (col, op, literal) filter
+    conjunction update_where/delete_where speak."""
+    filters = []
+    for term in _split_top(s, r"\bAND\b"):
+        term = term.strip()
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(=|<=|>=|<>|!=|<|>)\s*(.+)", term,
+            re.DOTALL)
+        if m:
+            op = m.group(2)
+            if op in ("<>", "!="):
+                raise SqlSurfaceError(
+                    "<> is not a pruning-safe conjunction term; use "
+                    "the Python API with an explicit predicate")
+            filters.append((_unq(m.group(1)), op,
+                            _parse_literal(m.group(3))))
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+IN\s*\((.+)\)", term,
+                         re.IGNORECASE | re.DOTALL)
+        if m:
+            vals = [_parse_literal(v)
+                    for v in _split_top(m.group(2), r",")]
+            filters.append((_unq(m.group(1)), "in", vals))
+            continue
+        raise SqlSurfaceError(
+            f"WHERE term {term!r} outside the col-op-literal "
+            f"conjunction grammar (AND of =, <, <=, >, >=, IN)")
+    if not filters:
+        raise SqlSurfaceError("empty WHERE conjunction")
+    return filters
+
+
+def _table_key(path: str, key: str | None) -> str:
+    if key is not None:
+        return key
+    k = txnlog.snapshot(path).key
+    if k is None:
+        raise SqlSurfaceError(
+            f"table at {path} logs no merge key; pass key=...")
+    return k
+
+
+def _source_frame(spark: SparkSession, src: str) -> DataFrame:
+    src = src.strip()
+    if src.startswith("("):
+        return spark.sql(src[1:-1])
+    return spark.table(src)
+
+
+def sql(spark: SparkSession, statement: str, *,
+        tables: dict[str, str] | None = None,
+        key: str | None = None):
+    """Execute one write-verb statement against txnlog tables.
+    Returns the resulting :class:`txnlog.Snapshot`."""
+    stmt = statement.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "UPDATE":
+        m = re.fullmatch(
+            r"UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)", stmt,
+            re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlSurfaceError(
+                "UPDATE shape: UPDATE <t> SET col = expr[, ...] "
+                "WHERE <conjunction> (WHERE is required — an "
+                "unfiltered UPDATE rewrites the table; use "
+                "replace_contents)")
+        path = _resolve_table(m.group(1), tables)
+        assignments: dict[str, str] = {}
+        for part in _split_top(m.group(2), r","):
+            am = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*",
+                              part, re.DOTALL)
+            if not am:
+                raise SqlSurfaceError(
+                    f"SET clause {part.strip()!r} is not col = expr")
+            assignments[_unq(am.group(1))] = am.group(2)
+        return txnlog.update_where(
+            spark, path, key=_table_key(path, key),
+            filters=_parse_conjunction(m.group(3)),
+            assignments=assignments)
+    if head == "DELETE":
+        m = re.fullmatch(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)",
+                         stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlSurfaceError(
+                "DELETE shape: DELETE FROM <t> WHERE <conjunction> "
+                "(WHERE is required — an unfiltered DELETE empties "
+                "the table; use replace_contents)")
+        path = _resolve_table(m.group(1), tables)
+        return txnlog.delete_where(
+            spark, path, key=_table_key(path, key),
+            filters=_parse_conjunction(m.group(2)))
+    if head == "MERGE":
+        return _merge(spark, stmt, tables, key)
+    if head == "ALTER":
+        return _alter(spark, stmt, tables)
+    raise SqlSurfaceError(
+        f"statement kind {head!r} not dispatched here — reads go "
+        f"through spark.sql over the txnlog DataSource; writes "
+        f"support UPDATE / DELETE / MERGE / ALTER TABLE")
+
+
+def _merge(spark: SparkSession, stmt: str,
+           tables: dict[str, str] | None, key: str | None):
+    m = re.fullmatch(
+        r"MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+"
+        r"USING\s+(\(.*?\)|\S+)(?:\s+AS\s+(\w+))?\s+"
+        r"ON\s+(.+?)\s+(WHEN\s+.+)", stmt,
+        re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlSurfaceError(
+            "MERGE shape: MERGE INTO <t> [AS a] USING <view|(query)> "
+            "[AS b] ON a.k = b.k WHEN ... THEN ...")
+    tref, talias, sref, salias, on, whens_raw = m.groups()
+    path = _resolve_table(tref, tables)
+    k = _table_key(path, key)
+    om = re.fullmatch(
+        rf"(\w+)\.({_IDENT})\s*=\s*(\w+)\.({_IDENT})", on.strip())
+    if not om:
+        raise SqlSurfaceError(
+            f"MERGE ON must be one equi-key term a.k = b.k, got "
+            f"{on.strip()!r}")
+    on_cols = {_unq(om.group(2)), _unq(om.group(4))}
+    if on_cols != {k}:
+        raise SqlSurfaceError(
+            f"MERGE ON must join the logged merge key {k!r} to "
+            f"itself, got {sorted(on_cols)}")
+    src = _source_frame(spark, sref)
+    clauses = []
+    for w in re.split(r"(?i)\bWHEN\b", whens_raw):
+        w = w.strip()
+        if not w:
+            continue
+        cm = re.fullmatch(
+            r"(NOT\s+MATCHED|MATCHED)"
+            r"(?:\s+AND\s+(?:(\w+)\.)?(\w+)\s*=\s*'([^']*)')?"
+            r"\s+THEN\s+(.+)", w, re.IGNORECASE | re.DOTALL)
+        if not cm:
+            raise SqlSurfaceError(f"WHEN clause {w!r} unsupported")
+        matched = cm.group(1).upper().replace(" ", "") == "MATCHED"
+        cond = (cm.group(3), cm.group(4)) if cm.group(3) else None
+        action = re.sub(r"\s+", " ", cm.group(5).strip().upper())
+        clauses.append((matched, cond, action))
+    shapes = {(mt, act) for mt, _c, act in clauses}
+    has_delete = any(act == "DELETE" for _m, _c, act in clauses)
+    if not has_delete:
+        # classic upsert: UPDATE SET * + INSERT * → txnlog.merge
+        if shapes <= {(True, "UPDATE SET *"), (False, "INSERT *")} \
+                and (False, "INSERT *") in shapes:
+            return txnlog.merge(spark, path, src, key=k)
+        raise SqlSurfaceError(
+            "supported MERGE actions: UPDATE SET * / INSERT * / "
+            "DELETE (column-level SET lists are the UPDATE "
+            "statement's job)")
+    # CDC shape → apply_changes: the DELETE arm's condition names the
+    # op column and delete token; rows NOT matching it upsert
+    del_conds = [c for mt, c, act in clauses
+                 if act == "DELETE" and c is not None]
+    if del_conds:
+        op_col, del_tok = del_conds[0]
+        return txnlog.apply_changes(spark, path, src, key=k,
+                                    op_col=op_col, delete_op=del_tok)
+    if shapes == {(True, "DELETE")}:
+        from pyspark.sql import functions as F
+        feed = src.select(k).withColumn("__op", F.lit("delete"))
+        return txnlog.apply_changes(spark, path, feed, key=k,
+                                    op_col="__op",
+                                    delete_op="delete")
+    raise SqlSurfaceError(
+        "unconditional MATCHED DELETE mixed with other arms is "
+        "ambiguous; condition the DELETE on an op column "
+        "(WHEN MATCHED AND s.op = 'delete' THEN DELETE)")
+
+
+def _alter(spark: SparkSession, stmt: str,
+           tables: dict[str, str] | None):
+    m = re.fullmatch(r"ALTER\s+TABLE\s+(\S+)\s+(.+)", stmt,
+                     re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlSurfaceError("ALTER shape: ALTER TABLE <t> <action>")
+    path = _resolve_table(m.group(1), tables)
+    act = m.group(2).strip()
+    am = re.fullmatch(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})", act,
+        re.IGNORECASE)
+    if am:
+        return txnlog.rename_column(spark, path,
+                                    old=_unq(am.group(1)),
+                                    new=_unq(am.group(2)))
+    am = re.fullmatch(rf"DROP\s+COLUMN\s+({_IDENT})", act,
+                      re.IGNORECASE)
+    if am:
+        return txnlog.drop_column(spark, path,
+                                  column=_unq(am.group(1)))
+    am = re.fullmatch(rf"ADD\s+COLUMN\s+({_IDENT})\s+([\w()\s,]+)",
+                      act, re.IGNORECASE)
+    if am:
+        return txnlog.add_column(spark, path,
+                                 column=_unq(am.group(1)),
+                                 dtype=am.group(2).strip())
+    am = re.fullmatch(
+        rf"ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([\w()\s,]+)", act,
+        re.IGNORECASE)
+    if am:
+        return txnlog.widen_column_type(spark, path,
+                                        column=_unq(am.group(1)),
+                                        to=am.group(2).strip())
+    am = re.fullmatch(r"DROP\s+PARTITION\s*\((.+)\)", act,
+                      re.IGNORECASE | re.DOTALL)
+    if am:
+        values = {}
+        for part in _split_top(am.group(1), r","):
+            pm = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*", part,
+                              re.DOTALL)
+            if not pm:
+                raise SqlSurfaceError(
+                    f"DROP PARTITION term {part.strip()!r} is not "
+                    f"col = literal")
+            values[_unq(pm.group(1))] = _parse_literal(pm.group(2))
+        return txnlog.drop_partition(spark, path, values=values)
+    raise SqlSurfaceError(
+        f"ALTER action {act!r} unsupported (RENAME COLUMN / DROP "
+        f"COLUMN / ADD COLUMN / ALTER COLUMN ... TYPE / DROP "
+        f"PARTITION)")

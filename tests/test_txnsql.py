@@ -1,0 +1,196 @@
+"""SQL write-verb surface (r15, VERDICT r14 item 5): every statement
+shape the dispatcher speaks, certified EQUAL to its Python twin on a
+PARTITIONED + COLUMN-MAPPED table — two identical tables, one driven
+by txnsql.sql(), one by the Python verbs, compared after every verb.
+"""
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_aktin_dwh_spark.sources import txnlog, txnsql
+
+
+@pytest.fixture()
+def pair(spark):
+    """Two identical partitioned + column-mapped tables."""
+    with tempfile.TemporaryDirectory(prefix="txnsql_") as d:
+        paths = [os.path.join(d, n) for n in ("t_sql", "t_py")]
+        df = (spark.range(0, 200).coalesce(2).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            F.concat(F.lit("a"), F.col("id").cast("string"))
+             .alias("v"),
+            (F.col("id") * 10).cast("int").alias("amount"),
+            F.to_date(F.lit("2024-03-01")).alias("d")))
+        for p in paths:
+            txnlog.create_table(spark, df, p, key="k",
+                                partition_by=["p"])
+            txnlog.rename_column(spark, p, old="v", new="val")
+        yield paths
+
+
+def _eq(spark, a, b):
+    ra = sorted(tuple(r) for r in txnlog.read_table(spark, a)
+                .collect())
+    rb = sorted(tuple(r) for r in txnlog.read_table(spark, b)
+                .collect())
+    assert ra == rb and ra, "SQL route must equal the Python twin"
+
+
+def test_update_statement_parity(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark, f"""
+        UPDATE txnlog.`{t_sql}`
+        SET val = concat('u', val),
+            amount = cast(amount + k AS int)
+        WHERE k >= 20 AND k < 40 AND d = DATE '2024-03-01'""")
+    txnlog.update_where(
+        spark, t_py, key="k",
+        filters=[("k", ">=", 20), ("k", "<", 40),
+                 ("d", "=", datetime.date(2024, 3, 1))],
+        assignments={"val": "concat('u', val)",
+                     "amount": "cast(amount + k AS int)"})
+    _eq(spark, t_sql, t_py)
+    # all assignments see the PRE-update row (the ADVICE r14 contract)
+    got = {r.k: r.amount for r in
+           txnlog.read_table(spark, t_sql).collect()}
+    assert got[25] == 275 and got[50] == 500
+
+
+def test_delete_statement_parity(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark, f"DELETE FROM txnlog.`{t_sql}` "
+                      f"WHERE k IN (3, 5, 7) AND p >= 1")
+    txnlog.delete_where(spark, t_py, key="k",
+                        filters=[("k", "in", [3, 5, 7]),
+                                 ("p", ">=", 1)])
+    _eq(spark, t_sql, t_py)
+    assert txnlog.read_table(spark, t_sql).count() == 197
+
+
+def test_merge_upsert_statement_parity(spark, pair):
+    t_sql, t_py = pair
+    batch = (spark.range(190, 210).coalesce(1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("val"),
+        F.lit(0).cast("int").alias("amount"),
+        F.to_date(F.lit("2024-04-01")).alias("d")))
+    batch.createOrReplaceTempView("txnsql_batch")
+    txnsql.sql(spark, f"""
+        MERGE INTO txnlog.`{t_sql}` AS t USING txnsql_batch AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    txnlog.merge(spark, t_py, batch, key="k")
+    _eq(spark, t_sql, t_py)
+    assert txnlog.read_table(spark, t_sql).count() == 210
+
+
+def test_merge_cdc_statement_parity(spark, pair):
+    t_sql, t_py = pair
+    feed = (spark.range(10, 30).coalesce(1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.lit("cdc").alias("val"),
+        F.lit(1).cast("int").alias("amount"),
+        F.to_date(F.lit("2024-05-01")).alias("d"),
+        F.when(F.col("id") < 15, "delete").otherwise("upsert")
+         .alias("op")))
+    feed.createOrReplaceTempView("txnsql_feed")
+    txnsql.sql(spark, f"""
+        MERGE INTO txnlog.`{t_sql}` AS t USING txnsql_feed AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    txnlog.apply_changes(spark, t_py, feed, key="k", op_col="op",
+                         delete_op="delete")
+    _eq(spark, t_sql, t_py)
+    assert txnlog.read_table(spark, t_sql).count() == 195
+
+
+def test_merge_subquery_source_and_matched_delete(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark, f"""
+        MERGE INTO txnlog.`{t_sql}` AS t
+        USING (SELECT id AS k FROM range(100, 120)) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN DELETE""")
+    feed = (spark.range(100, 120).select(F.col("id").alias("k"))
+            .withColumn("__op", F.lit("delete")))
+    txnlog.apply_changes(spark, t_py, feed, key="k", op_col="__op",
+                         delete_op="delete")
+    _eq(spark, t_sql, t_py)
+    assert txnlog.read_table(spark, t_sql).count() == 180
+
+
+def test_alter_statements_parity(spark, pair):
+    t_sql, t_py = pair
+    for stmt, twin in [
+        (f"ALTER TABLE txnlog.`{t_sql}` RENAME COLUMN val TO label",
+         lambda: txnlog.rename_column(spark, t_py, old="val",
+                                      new="label")),
+        (f"ALTER TABLE txnlog.`{t_sql}` ADD COLUMN note string",
+         lambda: txnlog.add_column(spark, t_py, column="note",
+                                   dtype="string")),
+        (f"ALTER TABLE txnlog.`{t_sql}` ALTER COLUMN amount "
+         f"TYPE bigint",
+         lambda: txnlog.widen_column_type(spark, t_py,
+                                          column="amount",
+                                          to="bigint")),
+        (f"ALTER TABLE txnlog.`{t_sql}` DROP COLUMN note",
+         lambda: txnlog.drop_column(spark, t_py, column="note")),
+        (f"ALTER TABLE txnlog.`{t_sql}` DROP PARTITION (p = 2)",
+         lambda: txnlog.drop_partition(spark, t_py,
+                                       values={"p": 2})),
+    ]:
+        txnsql.sql(spark, stmt)
+        twin()
+        _eq(spark, t_sql, t_py)
+    assert txnlog.read_table(spark, t_sql).count() == 150
+    snap = txnlog.snapshot(t_sql)
+    assert "label" in snap.colmap
+
+
+def test_loud_refusals(spark, pair):
+    t_sql, _ = pair
+    t = f"txnlog.`{t_sql}`"
+    for stmt, msg in [
+        (f"UPDATE {t} SET val = 'x'", "WHERE is required"),
+        (f"DELETE FROM {t}", "WHERE is required"),
+        (f"DELETE FROM {t} WHERE k = 1 OR k = 2",
+         "literal|conjunction"),
+        (f"UPDATE {t} SET val = 'x' WHERE k <> 1", "pruning-safe"),
+        (f"DELETE FROM txnlog_typo WHERE k = 1", "unknown table"),
+        (f"MERGE INTO {t} AS a USING v AS b ON a.k = b.other "
+         f"WHEN MATCHED THEN UPDATE SET * "
+         f"WHEN NOT MATCHED THEN INSERT *", "merge key"),
+        (f"TRUNCATE TABLE {t}", "not dispatched"),
+        (f"ALTER TABLE {t} CLUSTER BY (k)", "unsupported"),
+    ]:
+        with pytest.raises(txnsql.SqlSurfaceError, match=msg):
+            txnsql.sql(spark, stmt)
+    # MERGE with column-level SET refuses toward the UPDATE statement
+    spark.range(1).select(F.col("id").alias("k")) \
+         .createOrReplaceTempView("txnsql_v1")
+    with pytest.raises(txnsql.SqlSurfaceError, match="UPDATE SET"):
+        txnsql.sql(spark, f"""
+            MERGE INTO {t} AS a USING txnsql_v1 AS b ON a.k = b.k
+            WHEN MATCHED THEN UPDATE SET val = 'x'
+            WHEN NOT MATCHED THEN INSERT *""")
+
+
+def test_tables_mapping_and_trailing_semicolon(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark,
+               "UPDATE facts SET amount = 0 WHERE k = 1;",
+               tables={"facts": t_sql})
+    txnlog.update_where(spark, t_py, key="k",
+                        filters=[("k", "=", 1)],
+                        assignments={"amount": "0"})
+    _eq(spark, t_sql, t_py)
