@@ -1011,7 +1011,8 @@ def serializability_lane(spark, writers: int = 12,
     stats = {"append": 0, "merge": 0, "evolve": 0, "constraint": 0,
              "compact": 0, "rename": 0, "conflicts": 0,
              "widen": 0, "restore": 0, "dv_delete": 0, "reinsert": 0,
-             "update": 0, "reads": 0}
+             "update": 0, "reads": 0, "truncate": 0, "vacuum": 0,
+             "reclaimed_files": 0}
     lock = _th.Lock()
     errors: list = []
     append_batches: dict[int, int] = {}
@@ -1029,8 +1030,9 @@ def serializability_lane(spark, writers: int = 12,
                     body()
                 except txnlog.CommitConflictError:
                     bump("conflicts")
-        except Exception as e:          # pragma: no cover - lane fail
-            errors.append(e)
+        except Exception:               # pragma: no cover - lane fail
+            import traceback as _tb
+            errors.append(_tb.format_exc())
 
     def appender(i):
         base = 10_000 * (i + 1)
@@ -1100,10 +1102,17 @@ def serializability_lane(spark, writers: int = 12,
             snap = txnlog.snapshot(path)
             names = {f["name"] for f in
                      _json.loads(snap.schema_json)["fields"]}
-            if "w" in names:
-                txnlog.rename_column(spark, path, old="w", new="w_r")
-            elif "w_r" in names:
-                txnlog.rename_column(spark, path, old="w_r", new="w")
+            try:
+                if "w" in names:
+                    txnlog.rename_column(spark, path, old="w",
+                                         new="w_r")
+                elif "w_r" in names:
+                    txnlog.rename_column(spark, path, old="w_r",
+                                         new="w")
+            except KeyError:
+                return   # read-then-act toggle lost to a concurrent
+                # restore/rename flipping the name first: fine (r15 —
+                # same benign race as the constrainer's toggle)
             bump("rename")
             time.sleep(0.6)   # give data verbs room: every rename
             # forces in-flight appends to re-stage
@@ -1173,7 +1182,10 @@ def serializability_lane(spark, writers: int = 12,
         # pinned at version v sees exactly v's state — footer
         # arithmetic equals the actual row count — no matter what the
         # 14 writers are committing meanwhile; a torn read (missing
-        # file, half state) would throw or miscount
+        # file, half state) would throw or miscount.  With the r15
+        # vacuum verb in the mix this is ALSO the reader-never-404s
+        # invariant: a reclaimed-but-referenced file would throw here
+        # and land in `errors`, failing the lane.
         def body():
             s = txnlog.snapshot(path)
             meta_rows = sum(
@@ -1186,13 +1198,40 @@ def serializability_lane(spark, writers: int = 12,
             bump("reads")
         return body
 
+    def vacuumer():
+        # r15 (VERDICT r14 item 6): retention + vacuum RACING the 14
+        # writers and the pinned reader.  truncate_history's cutoff
+        # checkpoint makes pre-cutoff-only files orphans; vacuum
+        # reclaims the aged ones.  keep_last=30 stays far above any
+        # concurrent pin (reader pins the latest, restore targets
+        # latest-1); the 3 s mtime retention protects in-flight
+        # staged-but-uncommitted files exactly as at 100 TB.
+        def body():
+            time.sleep(1.2)
+            # retention 8 s bounds every stall this lane can produce:
+            # truncate_history now refuses to drop YOUNGER versions
+            # (their numbers must stay claimed while a stalled writer
+            # might still target them) and _try_commit refuses claims
+            # at or below the newest checkpoint — the resurrection
+            # hazard this very lane found in r15.  vacuum's retention
+            # likewise bounds stage→commit latency.
+            r = txnlog.truncate_history(path, keep_last=20,
+                                        retention_seconds=8.0)
+            if r["dropped_versions"]:
+                bump("truncate")
+                bump("reclaimed_files", len(r["removed_files"]))
+            bump("reclaimed_files",
+                 len(txnlog.vacuum(path, retention_seconds=8.0)))
+            bump("vacuum")
+        return body
+
     n_app = max(writers - 8, 3)
     bodies = ([appender(i) for i in range(n_app)]
               + [merger(i) for i in range(3)]
               + [evolver(j) for j in range(2)]
               + [constrainer(), compactor(), renamer(),
                  widener(), deleter(), updater(), restorer(),
-                 reader()])
+                 reader(), vacuumer()])
     threads = [_th.Thread(target=run, args=(b,)) for b in bodies]
     for t in threads:
         t.start()
@@ -1200,13 +1239,32 @@ def serializability_lane(spark, writers: int = 12,
         t.join()
     stats["append"] = sum(append_batches.values())
 
+    # quiesced retention pass (r15): with every writer joined, drop
+    # pre-cutoff history and reclaim at retention 0 — the invariant
+    # suite below (final read, per-band checks, sampled time travel
+    # over RETAINED versions) then doubles as the reader-never-404s
+    # proof over a table that really lost files to vacuum
+    try:
+        r = txnlog.truncate_history(path, keep_last=15,
+                                    retention_seconds=0.0)
+        stats["reclaimed_files"] += len(r["removed_files"])
+        stats["reclaimed_files"] += len(
+            txnlog.vacuum(path, retention_seconds=0.0))
+        stats["truncate"] += 1 if r["dropped_versions"] else 0
+    except Exception as e:              # pragma: no cover - lane fail
+        errors.append(e)
+
     out: dict[str, object] = {"writers": len(bodies),
                               "seconds": seconds, **stats}
     try:
         assert not errors, f"writer errors: {errors[:3]}"
         versions = txnlog._list_versions(path)
         out["commits"] = len(versions)
-        assert versions == list(range(len(versions))), \
+        # contiguous from the first RETAINED version (truncation may
+        # have dropped a prefix — r15 vacuum verb); still one parent
+        # per commit, no forks
+        assert versions == list(range(versions[0],
+                                      versions[0] + len(versions))), \
             "version chain must be contiguous (serial history)"
         final = txnlog.snapshot(path)
         meta_rows = sum(s["rows"] - txnlog._ranges_count(s.get("dv") or [])

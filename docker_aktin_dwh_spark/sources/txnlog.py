@@ -370,11 +370,31 @@ def _posix_link_claim(tmp: str, target: str) -> bool:
         return False
 
 
+def _newest_checkpoint_version(path: str) -> int:
+    try:
+        return max((int(n[:_W])
+                    for n in os.listdir(_log_dir(path))
+                    if n.endswith(".ckpt.json")), default=-1)
+    except FileNotFoundError:
+        return -1
+
+
 def _try_commit(path: str, version: int, payload: dict) -> bool:
     """Atomically claim ``version`` through the claim backend (POSIX
     link by default — see _claim_backend for the object-store seam).
     Returns False, side-effect free, when the version was already
-    taken."""
+    taken — or (r15) when the number sits at or below the newest
+    CHECKPOINT: truncate_history deletes dropped commit FILES, which
+    would otherwise make their version numbers claimable again, and a
+    writer stalled long enough to still hold such a target would
+    RESURRECT a version below the cutoff with state derived against
+    ancient history (found by the serializability lane's vacuum verb:
+    an update_where stalled in DV planning re-claimed dropped v2
+    under a cutoff checkpoint at v3 — every bounded replay skipped
+    it, and the direct replay of v2 was inconsistent).  Refusing the
+    claim sends the writer back through its ordinary re-derive loop."""
+    if version <= _newest_checkpoint_version(path):
+        return False
     payload = {"version": version, **payload}
     target = os.path.join(_log_dir(path), _commit_name(version))
     tmp = os.path.join(_log_dir(path), f".commit-{uuid.uuid4().hex}")
@@ -2594,6 +2614,28 @@ def truncate_history(path: str, *, keep_last: int = 10,
     if len(versions) <= keep_last:
         return {"dropped_versions": 0, "removed_files": []}
     cut = versions[-keep_last]
+    # r15: never drop a version YOUNGER than the retention window —
+    # dropping frees its NUMBER for re-claim, and a writer stalled
+    # since before that commit landed could resurrect it below the
+    # cutoff checkpoint (the same contract vacuum applies to data
+    # files: retention bounds every in-flight writer's stall).
+    # Clamp the cut to the oldest version still inside the window.
+    import time as _time
+    now = _time.time()
+    log_dir_ = _log_dir(path)
+    for v in versions:
+        if v >= cut:
+            break
+        try:
+            age = now - os.path.getmtime(
+                os.path.join(log_dir_, _commit_name(v)))
+        except OSError:
+            continue
+        if age < retention_seconds:
+            cut = v
+            break
+    if cut <= versions[0]:
+        return {"dropped_versions": 0, "removed_files": []}
     # Checkpoint the state STRICTLY BELOW the cutoff (cut-1), not at
     # it (ADVICE r11): a checkpoint at cut contains the cut commit's
     # own post-state, so describe_history could never compare the
@@ -2756,6 +2798,24 @@ def vacuum(path: str, *,
         except OSError:
             return False        # vanished mid-scan: nothing to reclaim
 
+    def aged_tree(p: str) -> bool:
+        """A staging DIR ages by the NEWEST mtime anywhere inside it
+        (r15): a live Spark write touches files deep under
+        _temporary/ without refreshing the top dir's mtime, so
+        top-mtime aging could reclaim an in-flight writer's stage the
+        moment it outlives the retention — a crashed writer's tree
+        stops changing and still reclaims one retention later."""
+        newest = 0.0
+        try:
+            for r, _ds, ns in os.walk(p):
+                newest = max(newest, os.path.getmtime(r))
+                for n in ns:
+                    newest = max(newest,
+                                 os.path.getmtime(os.path.join(r, n)))
+        except OSError:
+            return False
+        return (now - newest) >= retention_seconds
+
     removed = []
     for root, dirs, names in os.walk(path):
         rel = os.path.relpath(root, path)
@@ -2766,7 +2826,7 @@ def vacuum(path: str, *,
                        and not d.startswith("_stage-")]
             for d in os.listdir(path):
                 full = os.path.join(path, d)
-                if d.startswith("_stage-") and aged(full):
+                if d.startswith("_stage-") and aged_tree(full):
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(d)
             rel = ""

@@ -826,6 +826,75 @@ def _body_str18_mg_summary_bounded_split_deterministic_and_pruning(
         shutil.rmtree(b, ignore_errors=True)
 
 
+def _body_cdf_stream_across_drop_partition(spark, stream_dir, tmp):
+    """r15 (VERDICT r14 item 7): the STREAMING change feed replays a
+    ``drop_partition`` commit as that partition's rows emitted as
+    deletes EXACTLY ONCE — typed partition values reconstructed from
+    the dropped files' hive paths, agreement with batch
+    table_changes, and a checkpoint-resumed restart re-emits nothing
+    while still delivering commits that land after the drop."""
+    import os
+
+    from docker_aktin_dwh_spark.sources import cdcstream, txnlog
+
+    path = str(tmp / "cdp_tbl")
+
+    def frame(lo, hi, tag):
+        return (spark.range(lo, hi).coalesce(1).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            F.concat(F.lit(tag), F.col("id").cast("string"))
+             .alias("v")))
+
+    txnlog.create_table(spark, frame(0, 80, "a"), path, key="k",
+                        partition_by=["p"])                   # v0
+    txnlog.merge(spark, path,
+                 frame(0, 8, "m").filter("p = 1"), key="k",
+                 partition_filter={"p": 1})                   # v1
+    v_pre = txnlog.snapshot(path).version
+    txnlog.drop_partition(spark, path, values={"p": 2})       # v2
+    v_drop = txnlog.snapshot(path).version
+
+    cdcstream.register(spark)
+    ck = str(tmp / "cdp_ck")
+    rows: list = []
+
+    def run_stream():
+        q = (spark.readStream.format("txnlog_cdc")
+             .option("path", path).option("key", "k").load()
+             .writeStream.foreachBatch(
+                 lambda df, _b: rows.extend(df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_stream()
+    dropped_keys = {k for k in range(80) if k % 4 == 2}
+    dels = [r for r in rows if r.change_type == "delete"
+            and r._commit_version == v_drop]
+    assert {r.k for r in dels} == dropped_keys, \
+        "the drop's rows must stream as deletes, each exactly once"
+    assert len(dels) == len(dropped_keys)
+    assert all(r.p == 2 for r in dels), \
+        "partition values reconstruct TYPED from the dropped paths"
+    # agreement with the batch change feed over the same interval
+    tc = txnlog.table_changes(spark, path, v_pre, v_drop,
+                              key="k").collect()
+    assert {(r.change_type, r.k) for r in tc} \
+        == {("delete", k) for k in dropped_keys}
+    # exactly-once across restart: a post-drop commit streams, the
+    # drop's deletes do NOT re-emit
+    n_before = len(rows)
+    txnlog.append(spark, frame(900, 905, "z"), path, key="k")  # v3
+    run_stream()
+    fresh = rows[n_before:]
+    assert {r.k for r in fresh} == set(range(900, 905))
+    assert all(r.change_type == "insert" for r in fresh)
+    assert sum(1 for r in rows if r.change_type == "delete") \
+        == len(dropped_keys), "drop deletes emitted exactly once"
+    assert os.path.isdir(ck)
+
+
 # ------------------------------------------------------------ pooled run
 
 BODIES = {

@@ -2803,6 +2803,49 @@ def test_delta_export_remove_carries_superseded_dv(spark, tdir):
     assert [tuple(r) for r in rows] == [tuple(r) for r in want]
 
 
+def test_truncation_never_frees_version_numbers(spark, tdir):
+    """r15 (found by the serializability lane's vacuum verb): dropping
+    a commit FILE must not make its version number claimable again — a
+    writer stalled since before the truncation would otherwise
+    resurrect a version below the cutoff checkpoint with state derived
+    against ancient history, and the direct replay of that version is
+    inconsistent (KeyError on its dv action).  Two guards: (1)
+    truncate_history refuses to drop versions younger than
+    retention_seconds; (2) _try_commit refuses any claim at or below
+    the newest checkpoint."""
+    txnlog.create_table(spark, _mk(spark, 0, 50), tdir, key="k")
+    for i in range(14):
+        txnlog.append(spark, _mk(spark, 100 + 10 * i, 105 + 10 * i,
+                                 tag=f"t{i}"), tdir, key="k")
+    # guard 1: young versions never drop, regardless of keep_last
+    r = txnlog.truncate_history(tdir, keep_last=5,
+                                retention_seconds=3600.0)
+    assert r["dropped_versions"] == 0
+    assert txnlog._list_versions(tdir)[0] == 0
+    # aged-out history drops (retention 0 = everything is old enough)
+    r = txnlog.truncate_history(tdir, keep_last=5,
+                                retention_seconds=0.0)
+    assert r["dropped_versions"] == 10
+    versions = txnlog._list_versions(tdir)
+    assert versions[0] == 10
+    # guard 2: a stalled writer's claim at a dropped number REFUSES —
+    # the number space below the cutoff checkpoint stays sealed
+    assert not txnlog._try_commit(
+        tdir, 2, {"op": "append", "add": [], "remove": []})
+    assert not os.path.exists(os.path.join(
+        txnlog._log_dir(tdir), txnlog._commit_name(2)))
+    # honest claims above the checkpoint still work
+    txnlog.append(spark, _mk(spark, 900, 905, tag="z"), tdir, key="k")
+    assert txnlog.read_table(spark, tdir).count() == 125
+    # replay of every retained version stays consistent
+    for v in txnlog._list_versions(tdir):
+        s = txnlog.snapshot(tdir, v)
+        meta = sum(st["rows"] - txnlog._ranges_count(st.get("dv")
+                                                     or [])
+                   for st in s.files.values())
+        assert txnlog.read_table(spark, tdir, v).count() == meta
+
+
 def test_partitioned_mirror_writer_edges(spark, tdir):
     """r15 partitioned DataSource writer edges: merge key AS a
     partition column gets partition-borne kmin/kmax (merge skipping
