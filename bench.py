@@ -110,6 +110,33 @@ HEADLINE = (
 )
 
 
+def _work_counters(spark) -> dict[str, int]:
+    """Cumulative executor work from the AppStatusStore (populated by
+    the listener bus even with the UI off): task time, input bytes,
+    shuffle read/write bytes, task count.  Input bytes and shuffle
+    bytes are DETERMINISTIC per plan; task time is load-damped
+    relative to wall (it excludes scheduler idle).  The listener bus
+    drains before reading so the last job's tasks are counted."""
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.2)      # older signature: best-effort settle
+    store = sc._jsc.sc().statusStore()
+    lst = store.executorList(False)
+    tot = {"task_time_ms": 0, "input_bytes": 0,
+           "shuffle_read_bytes": 0, "shuffle_write_bytes": 0,
+           "tasks": 0}
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        tot["task_time_ms"] += e.totalDuration()
+        tot["input_bytes"] += e.totalInputBytes()
+        tot["shuffle_read_bytes"] += e.totalShuffleRead()
+        tot["shuffle_write_bytes"] += e.totalShuffleWrite()
+        tot["tasks"] += e.totalTasks()
+    return tot
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="bench")
@@ -132,20 +159,32 @@ def main() -> None:
     # direction, and the recorded min/max spread makes a cross-round
     # regression provable from artifacts alone (a noisy box can
     # neither manufacture nor hide a 2× change).
+    # r15 (VERDICT r14 item 2): each key ALSO records load-invariant
+    # work counters — executor task time, input bytes, shuffle
+    # read/write bytes, task count — diffed from the AppStatusStore
+    # around the LAST (steady-state) run, so cross-round comparisons
+    # can be computed from deterministic work, not wall, even on a
+    # ±50%-noise box.
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for key in HEADLINE:
         fn = registry[key].fn
         runs = []
-        for _ in range(3):
+        counters = None
+        for i in range(3):
+            c0 = _work_counters(spark) if i == 2 else None
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            if i == 2:
+                c1 = _work_counters(spark)
+                counters = {k: c1[k] - c0[k] for k in c1}
         runs.sort()
         timings[key] = round(runs[1], 3)
         spread[key] = {"med": round(runs[1], 3),
                        "min": round(runs[0], 3),
-                       "max": round(runs[2], 3)}
+                       "max": round(runs[2], 3),
+                       "work": counters}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
