@@ -1331,6 +1331,97 @@ FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
 
 
+# ------------------------------------ sqlv_01: SQL write-verb surface
+
+def sqlv_01(spark, sf):
+    """SQL statement surface over the txnlog write verbs (r15, VERDICT
+    r14 item 5): UPDATE ... SET ... WHERE, DELETE FROM ... WHERE,
+    MERGE INTO ... USING (upsert star-shape) and ALTER TABLE ... DROP
+    PARTITION all dispatched as SQL TEXT through sources/txnsql onto a
+    PARTITIONED + COLUMN-MAPPED table — the reference's users speak
+    exactly this dialect to stock Postgres
+    (src/docker/database/Dockerfile:8).  Oracle = the same four verbs
+    as pure SQL set algebra; a hash match certifies the parser, the
+    conjunction filters, the one-projection SET semantics, and the
+    metadata-only partition drop end to end."""
+    from ..sources import txnlog, txnsql
+
+    base = (T(spark, sf, "orders")
+            .filter(F.col("o_orderkey") < 4000)
+            .select("o_orderkey", "o_orderstatus",
+                    F.col("o_orderpriority").alias("prio"),
+                    "o_totalprice"))
+    tmp = tempfile.mkdtemp(prefix="spark_sqlv01_")
+    try:
+        path = tmp + "/tbl"
+        txnlog.create_table(
+            spark, base.repartitionByRange(2, "o_orderkey"), path,
+            key="o_orderkey", partition_by=["o_orderstatus"])
+        txnlog.rename_column(spark, path, old="prio", new="p_prio")
+        t = f"txnlog.`{path}`"
+        txnsql.sql(spark, f"""
+            UPDATE {t}
+            SET p_prio = concat('u', p_prio),
+                o_totalprice = o_totalprice + 1
+            WHERE o_orderkey < 500""")
+        txnsql.sql(spark, f"DELETE FROM {t} WHERE o_orderkey >= 1000 "
+                          f"AND o_orderkey < 1600")
+        batch = (base.filter((F.col("o_orderkey") >= 2000)
+                             & (F.col("o_orderkey") < 2400))
+                 .select("o_orderkey", "o_orderstatus",
+                         F.lit("M").alias("p_prio"),
+                         F.lit(0.0).alias("o_totalprice"))
+                 .unionByName(spark.range(5).select(
+                     (F.col("id") + 100000).alias("o_orderkey"),
+                     F.lit("O").alias("o_orderstatus"),
+                     F.lit("NEW").alias("p_prio"),
+                     F.lit(1.0).alias("o_totalprice"))))
+        batch.createOrReplaceTempView("_sqlv01_batch")
+        txnsql.sql(spark, f"""
+            MERGE INTO {t} AS a USING _sqlv01_batch AS b
+            ON a.o_orderkey = b.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+        txnsql.sql(spark, f"ALTER TABLE {t} "
+                          f"DROP PARTITION (o_orderstatus = 'P')")
+        return _snap_off_tmp(
+            txnlog.read_table(spark, path), tmp).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+_SQLV_01_ORACLE = """
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority AS p_prio,
+           o_totalprice
+    FROM orders WHERE o_orderkey < 4000),
+upd AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey < 500 THEN 'u' || p_prio
+                ELSE p_prio END AS p_prio,
+           CASE WHEN o_orderkey < 500 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM src),
+del AS (
+    SELECT * FROM upd
+    WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 1600)),
+batch AS (
+    SELECT o_orderkey, o_orderstatus, 'M' AS p_prio,
+           CAST(0 AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2400
+    UNION ALL
+    SELECT 100000 + range, 'O', 'NEW', CAST(1 AS DOUBLE)
+    FROM range(5)),
+merged AS (
+    SELECT * FROM del
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL SELECT * FROM batch)
+SELECT o_orderkey, o_orderstatus, p_prio, o_totalprice FROM merged
+WHERE o_orderstatus <> 'P'
+"""
+
+
 # --------------------------------------- dimp_01: foreign Delta import
 
 def dimp_01(spark, sf):
@@ -1514,6 +1605,11 @@ _DOCS = {
                "reconciliation, run-encoded DV per PROTOCOL.md) "
                "imported into txnlog via sources/delta_import; "
                "identity oracle with the DV's rank-positions excluded",
+    "sqlv_01": "SQL write-verb surface (r15): UPDATE/DELETE/MERGE/"
+               "ALTER DROP PARTITION dispatched as SQL text through "
+               "sources/txnsql onto a partitioned + column-mapped "
+               "txnlog table; oracle = the same verbs as SQL set "
+               "algebra",
 }
 
 
@@ -1540,6 +1636,7 @@ def specs() -> list[QuerySpec]:
         "src_evo": _SRC_EVO_ORACLE,
         "bkt_01": _BKT_01_ORACLE,
         "dimp_01": _DIMP_01_ORACLE,
+        "sqlv_01": _SQLV_01_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,
