@@ -23,6 +23,15 @@ through the ``tables`` mapping)::
                   | ADD COLUMN a <type>
                   | ALTER COLUMN a TYPE <type>
                   | DROP PARTITION (c = <lit>[, ...])
+    INSERT INTO <t> [(col, ...)] VALUES (lit, ...)[, ...]
+    INSERT INTO <t> [(col, ...)] SELECT ... | <view> | (subquery)
+    CREATE TABLE <t> [USING txnlog] [PARTITIONED BY (c[, ...])]
+        [TBLPROPERTIES ('key' = '<k>')] AS <query>
+    VACUUM <t> [RETAIN <n> HOURS]
+    OPTIMIZE <t> [WHERE <partition equality conjunction>]
+        [ZORDER BY (a, b)]
+    RESTORE TABLE <t> TO VERSION AS OF <n>
+    DESCRIBE HISTORY <t>
 
 ``WHERE`` is a conjunction of ``col <op> literal`` terms (op in
 =, <, <=, >, >=, IN) — exactly the (col, op, literal) filter language
@@ -217,10 +226,198 @@ def sql(spark: SparkSession, statement: str, *,
         return _merge(spark, stmt, tables, key)
     if head == "ALTER":
         return _alter(spark, stmt, tables)
+    if head == "INSERT":
+        return _insert(spark, stmt, tables, key)
+    if head == "CREATE":
+        return _create(spark, stmt, tables, key)
+    if head == "VACUUM":
+        return _vacuum(stmt, tables)
+    if head == "OPTIMIZE":
+        return _optimize(spark, stmt, tables, key)
+    if head == "RESTORE":
+        m = re.fullmatch(
+            r"RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+            r"(\d+)", stmt, re.IGNORECASE)
+        if not m:
+            raise SqlSurfaceError(
+                "RESTORE shape: RESTORE TABLE <t> TO VERSION AS OF n")
+        return txnlog.restore(spark, _resolve_table(m.group(1), tables),
+                              version=int(m.group(2)))
+    if head == "DESCRIBE":
+        m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(\S+)", stmt,
+                         re.IGNORECASE)
+        if not m:
+            raise SqlSurfaceError(
+                "DESCRIBE shape: DESCRIBE HISTORY <t>")
+        return txnlog.describe_history(
+            spark, _resolve_table(m.group(1), tables))
     raise SqlSurfaceError(
         f"statement kind {head!r} not dispatched here — reads go "
         f"through spark.sql over the txnlog DataSource; writes "
-        f"support UPDATE / DELETE / MERGE / ALTER TABLE")
+        f"support UPDATE / DELETE / MERGE / ALTER TABLE / INSERT / "
+        f"CREATE TABLE AS / VACUUM / OPTIMIZE / RESTORE / "
+        f"DESCRIBE HISTORY")
+
+
+def _insert(spark: SparkSession, stmt: str,
+            tables: dict[str, str] | None, key: str | None):
+    """INSERT INTO → txnlog.append (blind append, never a rewrite).
+
+    VALUES rows are parsed with the same literal grammar as WHERE
+    terms and CAST to the logged schema; a column list reorders /
+    shrinks the target set, with omitted NON-partition columns filled
+    NULL (partition columns must be supplied — their values name the
+    file's directory)."""
+    from pyspark.sql import functions as F
+
+    m = re.fullmatch(
+        r"INSERT\s+INTO\s+(\S+)\s*(\(\s*(?!SELECT\b)[^)]*\))?\s*(.+)",
+        stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlSurfaceError(
+            "INSERT shape: INSERT INTO <t> [(cols)] VALUES (...) | "
+            "SELECT ... | <view>")
+    path = _resolve_table(m.group(1), tables)
+    snap = txnlog.snapshot(path)
+    import json
+
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    names = [f.name for f in schema.fields]
+    cols = ([_unq(c.strip()) for c in
+             _split_top(m.group(2)[1:-1], r",")]
+            if m.group(2) else list(names))
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise SqlSurfaceError(
+            f"INSERT column(s) {unknown} not in the logged schema "
+            f"{names} (ALTER TABLE ... ADD COLUMN first)")
+    body = m.group(3).strip()
+    vm = re.match(r"VALUES\s+(.+)", body, re.IGNORECASE | re.DOTALL)
+    if vm:
+        rows = []
+        for tup in _split_top(vm.group(1), r","):
+            tup = tup.strip()
+            if not (tup.startswith("(") and tup.endswith(")")):
+                raise SqlSurfaceError(
+                    f"VALUES row {tup!r} is not a parenthesized "
+                    f"tuple")
+            vals = [None if v.strip().upper() == "NULL"
+                    else _parse_literal(v)
+                    for v in _split_top(tup[1:-1], r",")]
+            if len(vals) != len(cols):
+                raise SqlSurfaceError(
+                    f"VALUES row has {len(vals)} values for "
+                    f"{len(cols)} column(s) {cols}")
+            rows.append(dict(zip(cols, vals)))
+        by_name = {f.name: f for f in schema.fields}
+        frame = spark.createDataFrame(
+            [tuple(str(r[c]) if r[c] is not None else None
+                   for c in cols) for r in rows],
+            ", ".join(f"`{c}` string" for c in cols))
+        frame = frame.select(*[
+            F.col(c).cast(by_name[c].dataType).alias(c)
+            for c in cols])
+    else:
+        src = (spark.sql(body)
+               if re.match(r"SELECT\b", body, re.IGNORECASE)
+               else _source_frame(spark, body))
+        got = src.columns
+        if len(got) != len(cols):
+            raise SqlSurfaceError(
+                f"INSERT SELECT yields {len(got)} column(s) for "
+                f"{len(cols)} target(s) {cols}")
+        by_name = {f.name: f for f in schema.fields}
+        frame = src.select(*[
+            F.col(g).cast(by_name[c].dataType).alias(c)
+            for g, c in zip(got, cols)])
+    by_name = {f.name: f for f in schema.fields}
+    frame = frame.select(*[
+        (F.col(c) if c in frame.columns
+         else F.lit(None).cast(by_name[c].dataType)).alias(c)
+        for c in names])
+    return txnlog.append(spark, frame, path,
+                         key=_table_key(path, key))
+
+
+def _create(spark: SparkSession, stmt: str,
+            tables: dict[str, str] | None, key: str | None):
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(\S+)"
+        r"(?:\s+USING\s+txnlog)?"
+        r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+        r"(?:\s+TBLPROPERTIES\s*\(\s*'key'\s*=\s*'([^']+)'\s*\))?"
+        r"\s+AS\s+(.+)", stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlSurfaceError(
+            "CREATE shape: CREATE TABLE <t> [USING txnlog] "
+            "[PARTITIONED BY (c, ...)] [TBLPROPERTIES ('key'='k')] "
+            "AS <query>")
+    path = _resolve_table(m.group(1), tables)
+    partition_by = ([_unq(c.strip()) for c in
+                     _split_top(m.group(2), r",")]
+                    if m.group(2) else None)
+    k = key or m.group(3)
+    if k is None:
+        raise SqlSurfaceError(
+            "CREATE TABLE needs the merge key: TBLPROPERTIES "
+            "('key' = '<col>') or key=...")
+    body = m.group(4).strip()
+    df = (spark.sql(body)
+          if re.match(r"SELECT\b", body, re.IGNORECASE)
+          else _source_frame(spark, body))
+    return txnlog.create_table(spark, df, path, key=k,
+                               partition_by=partition_by)
+
+
+def _vacuum(stmt: str, tables: dict[str, str] | None):
+    m = re.fullmatch(
+        r"VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?",
+        stmt, re.IGNORECASE)
+    if not m:
+        raise SqlSurfaceError(
+            "VACUUM shape: VACUUM <t> [RETAIN n HOURS]")
+    path = _resolve_table(m.group(1), tables)
+    if m.group(2) is not None:
+        return txnlog.vacuum(
+            path, retention_seconds=float(m.group(2)) * 3600.0)
+    return txnlog.vacuum(path)
+
+
+def _optimize(spark: SparkSession, stmt: str,
+              tables: dict[str, str] | None, key: str | None):
+    """OPTIMIZE → txnlog.compact; WHERE must be partition-column
+    equalities (compact's partition_filter — a scoped rewrite), ZORDER
+    BY takes exactly two columns (compact's interleave contract)."""
+    m = re.fullmatch(
+        r"OPTIMIZE\s+(\S+)"
+        r"(?:\s+WHERE\s+(.+?))?"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?",
+        stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlSurfaceError(
+            "OPTIMIZE shape: OPTIMIZE <t> [WHERE c = lit [AND ...]] "
+            "[ZORDER BY (a, b)]")
+    path = _resolve_table(m.group(1), tables)
+    pf = None
+    if m.group(2):
+        pf = {}
+        for col, op, lit in _parse_conjunction(m.group(2)):
+            if op != "=":
+                raise SqlSurfaceError(
+                    "OPTIMIZE WHERE terms must be partition "
+                    "equalities (compact rewrites whole partitions)")
+            pf[col] = lit
+    zo = None
+    if m.group(3):
+        zcols = [_unq(c.strip()) for c in _split_top(m.group(3), r",")]
+        if len(zcols) != 2:
+            raise SqlSurfaceError(
+                "ZORDER BY takes exactly two columns (the compact "
+                "interleave contract)")
+        zo = (zcols[0], zcols[1])
+    return txnlog.compact(spark, path, key=_table_key(path, key),
+                          partition_filter=pf, zorder_by=zo)
 
 
 def _merge(spark: SparkSession, stmt: str,

@@ -194,3 +194,104 @@ def test_tables_mapping_and_trailing_semicolon(spark, pair):
                         filters=[("k", "=", 1)],
                         assignments={"amount": "0"})
     _eq(spark, t_sql, t_py)
+
+
+def test_insert_values_parity(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark, f"""
+        INSERT INTO txnlog.`{t_sql}` (k, p, val, amount, d)
+        VALUES (1000, 1, 'i1000', 7, DATE '2024-03-02'),
+               (1001, 2, NULL, NULL, NULL)""")
+    rows = [(1000, 1, "i1000", 7, datetime.date(2024, 3, 2)),
+            (1001, 2, None, None, None)]
+    txnlog.append(
+        spark,
+        spark.createDataFrame(
+            rows, "k long, p int, val string, amount int, d date"),
+        t_py, key="k")
+    _eq(spark, t_sql, t_py)
+
+
+def test_insert_column_subset_fills_null(spark, pair):
+    t_sql, t_py = pair
+    txnsql.sql(spark, f"INSERT INTO txnlog.`{t_sql}` (k, p) "
+                      f"VALUES (2000, 3)")
+    txnlog.append(
+        spark,
+        spark.createDataFrame(
+            [(2000, 3, None, None, None)],
+            "k long, p int, val string, amount int, d date"),
+        t_py, key="k")
+    _eq(spark, t_sql, t_py)
+
+
+def test_insert_select_parity(spark, pair):
+    t_sql, t_py = pair
+    src = spark.range(3000, 3005).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.lit("s").alias("val"),
+        F.lit(1).alias("amount"),
+        F.to_date(F.lit("2024-04-01")).alias("d"))
+    src.createOrReplaceTempView("txnsql_ins_src")
+    txnsql.sql(spark, f"INSERT INTO txnlog.`{t_sql}` "
+                      f"SELECT * FROM txnsql_ins_src")
+    txnlog.append(spark, src, t_py, key="k")
+    _eq(spark, t_sql, t_py)
+
+
+def test_ctas_restore_optimize_history_vacuum(spark, tmp_path):
+    path = str(tmp_path / "ctas")
+    t = f"txnlog.`{path}`"
+    txnsql.sql(spark, f"""
+        CREATE TABLE {t} USING txnlog PARTITIONED BY (p)
+        TBLPROPERTIES ('key' = 'k')
+        AS SELECT id AS k, CAST(id % 2 AS INT) AS p,
+                  CAST(id * 2 AS INT) AS amount
+        FROM range(100)""")
+    snap = txnlog.snapshot(path)
+    assert snap.version == 0 and snap.key == "k"
+    base = sorted(tuple(r) for r in
+                  txnlog.read_table(spark, path).collect())
+    assert len(base) == 100
+    # small-file churn, then a partition-scoped OPTIMIZE
+    for i in (100, 101, 102):
+        txnsql.sql(spark, f"INSERT INTO {t} (k, p, amount) "
+                          f"VALUES ({i}, 0, 0)")
+    files_before = {f for f, s in txnlog.snapshot(path).files.items()
+                    if (s.get("pv") or {}).get("p") == "0"}
+    txnsql.sql(spark, f"OPTIMIZE {t} WHERE p = 0")
+    after = txnlog.snapshot(path)
+    files_after = {f for f, s in after.files.items()
+                   if (s.get("pv") or {}).get("p") == "0"}
+    assert len(files_after) < len(files_before)
+    # content unchanged by OPTIMIZE
+    got = sorted(tuple(r) for r in
+                 txnlog.read_table(spark, path).collect())
+    assert len(got) == 103
+    # RESTORE back to v0
+    txnsql.sql(spark, f"RESTORE TABLE {t} TO VERSION AS OF 0")
+    assert sorted(tuple(r) for r in
+                  txnlog.read_table(spark, path).collect()) == base
+    # DESCRIBE HISTORY is a DataFrame carrying the verbs
+    hist = txnsql.sql(spark, f"DESCRIBE HISTORY {t}")
+    ops = [r.op for r in hist.collect()]
+    assert "restore" in ops and "create" in ops
+    # VACUUM returns the reclaimed list (nothing young is reclaimed)
+    assert txnsql.sql(spark, f"VACUUM {t} RETAIN 1 HOURS") == []
+
+
+def test_new_statement_refusals(spark, pair):
+    t_sql, _ = pair
+    t = f"txnlog.`{t_sql}`"
+    for stmt, msg in [
+        (f"INSERT INTO {t} (k, nope) VALUES (1, 2)", "not in the"),
+        (f"INSERT INTO {t} (k, p) VALUES (1)", "values for"),
+        (f"OPTIMIZE {t} WHERE p > 1", "partition"),
+        (f"OPTIMIZE {t} ZORDER BY (k, p, amount)", "two columns"),
+        (f"CREATE TABLE {t} AS SELECT 1 AS k", "merge key"),
+        (f"RESTORE {t} TO 0", "RESTORE shape"),
+        (f"DESCRIBE DETAIL {t}", "DESCRIBE shape"),
+    ]:
+        with pytest.raises(txnsql.SqlSurfaceError, match=msg):
+            txnsql.sql(spark, stmt)
