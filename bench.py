@@ -105,9 +105,10 @@ HEADLINE = (
     # DROP PARTITION, time travel + CDC across it)
     "part_01",
     # round 15: foreign Delta-table import (DuckDB-written files,
-    # hand-authored log, run-encoded DV) into txnlog, and the SQL
-    # write-verb surface (UPDATE/DELETE/MERGE/ALTER as statements)
-    "dimp_01", "sqlv_01",
+    # hand-authored log, run-encoded DV) into txnlog, the SQL
+    # write-verb surface (UPDATE/DELETE/MERGE/ALTER as statements),
+    # and incremental foreign-Delta sync (continuous replication)
+    "dimp_01", "sqlv_01", "dsync_01",
 )
 
 

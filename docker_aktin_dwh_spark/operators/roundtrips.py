@@ -1538,6 +1538,144 @@ WHERE o_orderkey % 2 = 1
 """
 
 
+# ------------------------------- dsync_01: incremental foreign sync
+
+def dsync_01(spark, sf):
+    """Incremental foreign-Delta SYNC roundtrip (r15): import a
+    DuckDB-written Delta table at version 0, then author three MORE
+    foreign commits the way an external engine would — an append (plus
+    an exactly-once txn watermark), a rewrite-delete (remove + thinner
+    re-add), and a merge-on-read delete (re-add of a live file with a
+    hand-packed RUN deletion vector) — and replicate all three with
+    ONE ``sync_delta_log`` call (one txnlog commit per foreign
+    version, progress on the txn channel).  Oracle = the same three
+    mutations as SQL set algebra; the hash match certifies the cursor
+    arithmetic, per-commit replay, remove→rel-path mapping on a
+    partition-free layout, and DV decode-on-sync end to end.
+    Reference analogue: the broker POLLS its exchange partner for new
+    submissions (src/build.sh:255)."""
+    import json as _json
+    import os as _os
+    import struct as _struct
+
+    import duckdb as _duckdb
+
+    from ..sources import delta_import, txnlog
+    from ..sources.delta_export import z85_encode
+
+    tmp = tempfile.mkdtemp(prefix="spark_dsync01_")
+    try:
+        t = _os.path.join(tmp, "foreign")
+        log = _os.path.join(t, "_delta_log")
+        _os.makedirs(log)
+        con = _duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        src = f"{sf}/orders.parquet"
+        sel = ("SELECT o_orderkey, o_orderstatus, o_totalprice "
+               f"FROM read_parquet('{src}') WHERE o_orderkey < 3000 ")
+        con.execute(f"COPY ({sel} AND o_orderkey < 1500 "
+                    f"ORDER BY o_orderkey) TO '{t}/a.parquet' "
+                    f"(FORMAT PARQUET)")
+        con.execute(f"COPY ({sel} AND o_orderkey >= 1500 "
+                    f"ORDER BY o_orderkey) TO '{t}/b.parquet' "
+                    f"(FORMAT PARQUET)")
+        fields = [{"name": n, "type": ty, "nullable": True,
+                   "metadata": {}}
+                  for n, ty in (("o_orderkey", "long"),
+                                ("o_orderstatus", "string"),
+                                ("o_totalprice", "double"))]
+
+        def _commit(v, actions):
+            with open(_os.path.join(log, f"{v:020d}.json"),
+                      "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+
+        def _add(p, dv=None):
+            a = {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}
+            if dv:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        _commit(0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {
+                "id": "dsync-fixture", "format":
+                    {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}},
+            _add("a.parquet"), _add("b.parquet"),
+        ])
+        imp = _os.path.join(tmp, "imported")
+        delta_import.import_delta_log(spark, t, imp,
+                                      key="o_orderkey")
+        # foreign v1: append + watermark
+        con.execute(f"COPY (SELECT 10000 + range AS o_orderkey, "
+                    f"'Z' AS o_orderstatus, "
+                    f"CAST(1.5 AS DOUBLE) AS o_totalprice "
+                    f"FROM range(50)) TO '{t}/c.parquet' "
+                    f"(FORMAT PARQUET)")
+        _commit(1, [{"commitInfo": {"operation": "WRITE"}},
+                    {"txn": {"appId": "up-9", "version": 4}},
+                    _add("c.parquet")])
+        # foreign v2: rewrite-delete of b (every 7th key gone)
+        con.execute(f"COPY ({sel} AND o_orderkey >= 1500 AND "
+                    f"o_orderkey % 7 <> 0 ORDER BY o_orderkey) TO "
+                    f"'{t}/b2.parquet' (FORMAT PARQUET)")
+        _commit(2, [{"remove": {"path": "b.parquet",
+                                "deletionTimestamp": 2,
+                                "dataChange": True}},
+                    _add("b2.parquet")])
+        con.close()
+        # foreign v3: merge-on-read delete — a.parquet's ranks 10..29
+        # die via a hand-packed run-container DV
+        bm = (_struct.pack("<HH", 12347, 0) + bytes([1])
+              + _struct.pack("<HH", 0, 19)
+              + _struct.pack("<H", 1)
+              + _struct.pack("<HH", 10, 19))        # 10..10+19
+        data = (_struct.pack("<i", 1681511377)
+                + _struct.pack("<q", 1)
+                + _struct.pack("<i", 0) + bm)
+        dv = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+              "sizeInBytes": len(data), "cardinality": 20}
+        _commit(3, [{"remove": {"path": "a.parquet",
+                                "deletionTimestamp": 3,
+                                "dataChange": True}},
+                    _add("a.parquet", dv)])
+        snap = delta_import.sync_delta_log(spark, t, imp)
+        assert snap.txns["up-9"] == 4
+        return _snap_off_tmp(
+            txnlog.read_table(spark, imp), tmp).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+_DSYNC_01_ORACLE = """
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 3000),
+a AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+    FROM src WHERE o_orderkey < 1500)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM a
+WHERE rn < 10 OR rn > 29
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+WHERE o_orderkey >= 1500 AND o_orderkey % 7 <> 0
+UNION ALL
+SELECT 10000 + range AS o_orderkey, 'Z' AS o_orderstatus,
+       CAST(1.5 AS DOUBLE) AS o_totalprice
+FROM range(50)
+"""
+
+
 _DOCS = {
     "src_02": "SRC-02 SQL-script ingest (multi-statement run_sql_script)",
     "src_03": "SRC-03 CDA-XML shred roundtrip (mapInPandas parse)",
@@ -1610,6 +1748,11 @@ _DOCS = {
                "sources/txnsql onto a partitioned + column-mapped "
                "txnlog table; oracle = the same verbs as SQL set "
                "algebra",
+    "dsync_01": "Incremental foreign-Delta sync (r15): import at v0, "
+                "then replicate three externally-authored commits "
+                "(append + txn watermark, rewrite-delete, run-DV "
+                "merge-on-read delete) with one sync_delta_log call; "
+                "oracle = the same mutations as SQL set algebra",
 }
 
 
@@ -1637,6 +1780,7 @@ def specs() -> list[QuerySpec]:
         "bkt_01": _BKT_01_ORACLE,
         "dimp_01": _DIMP_01_ORACLE,
         "sqlv_01": _SQLV_01_ORACLE,
+        "dsync_01": _DSYNC_01_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

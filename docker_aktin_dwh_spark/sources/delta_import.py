@@ -326,6 +326,48 @@ def _import_schema(meta: dict) -> tuple[str, dict[str, str] | None]:
     return json.dumps(schema), colmap
 
 
+def _materialize_add(src: str, dest: str, a: dict, pcols: list[str],
+                     schema: StructType, key: str | None,
+                     phys_key: str | None) -> tuple[dict, dict | None]:
+    """One foreign add action → (txnlog add entry, dv entry or None):
+    hardlink (or copy) the data file into dest under the hive layout
+    rebuilt from the action's partitionValues, derive footer stats,
+    decode the deletion vector."""
+    base = os.path.basename(a["path"])
+    pv = a.get("partitionValues") or {}
+    if pcols:
+        frag = "/".join(f"{c}={_pv_fragment(pv.get(c))}"
+                        for c in pcols)
+        rel = f"{frag}/{base}"
+        os.makedirs(os.path.join(dest, frag), exist_ok=True)
+    else:
+        rel = base
+    srcf = os.path.join(src, a["path"])
+    dstf = os.path.join(dest, rel)
+    if not os.path.exists(dstf):
+        try:
+            os.link(srcf, dstf)
+        except OSError:
+            import shutil
+            shutil.copyfile(srcf, dstf)
+    stats = txnlog._file_stats(dstf, phys_key or "")
+    if pcols:
+        stats["pv"] = {c: _pv_fragment(pv.get(c)) for c in pcols}
+        if key in pcols and stats.get("kmin") is None:
+            enc = txnlog._stats_encode(
+                txnlog._pv_decode(stats["pv"][key],
+                                  txnlog._pv_types(schema,
+                                                   [key])[key]))
+            if enc is not None:
+                stats["kmin"] = stats["kmax"] = enc
+    add = {"file": rel, **stats}
+    dv = None
+    if a.get("deletionVector"):
+        dv = {"file": rel,
+              "ranges": _dv_to_ranges(a["deletionVector"], src)}
+    return add, dv
+
+
 def import_delta_log(spark: SparkSession, src: str, dest: str, *,
                      key: str | None = None,
                      version: int | None = None) -> "txnlog.Snapshot":
@@ -365,37 +407,11 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
                 f"two live adds for one path means the log's removes "
                 f"failed to reconcile)")
         seen_base.add(base)
-        pv = a.get("partitionValues") or {}
-        if pcols:
-            frag = "/".join(f"{c}={_pv_fragment(pv.get(c))}"
-                            for c in pcols)
-            rel = f"{frag}/{base}"
-            os.makedirs(os.path.join(dest, frag), exist_ok=True)
-        else:
-            rel = base
-        srcf = os.path.join(src, a["path"])
-        dstf = os.path.join(dest, rel)
-        if not os.path.exists(dstf):
-            try:
-                os.link(srcf, dstf)
-            except OSError:
-                import shutil
-                shutil.copyfile(srcf, dstf)
-        stats = txnlog._file_stats(dstf, phys_key or "")
-        if pcols:
-            stats["pv"] = {c: _pv_fragment(pv.get(c)) for c in pcols}
-            if key in pcols and stats.get("kmin") is None:
-                enc = txnlog._stats_encode(
-                    txnlog._pv_decode(stats["pv"][key],
-                                      txnlog._pv_types(schema,
-                                                       [key])[key]))
-                if enc is not None:
-                    stats["kmin"] = stats["kmax"] = enc
-        adds.append({"file": rel, **stats})
-        if a.get("deletionVector"):
-            dvs.append({"file": rel,
-                        "ranges": _dv_to_ranges(a["deletionVector"],
-                                                src)})
+        add, dv = _materialize_add(src, dest, a, pcols, schema, key,
+                                   phys_key)
+        adds.append(add)
+        if dv:
+            dvs.append(dv)
     payload = {"op": "import", "add": adds, "remove": [],
                "schema": schema_json}
     if key is not None:
@@ -406,6 +422,14 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
         payload["colmap"] = colmap
     if dvs:
         payload["dv"] = dvs
+    # progress marker for sync_delta_log: the foreign version this
+    # import reached, under the table-id-scoped app name (the same
+    # exactly-once txn channel foreign streaming sinks use)
+    imported_v = version if version is not None else max(
+        (int(n[:20]) for n in os.listdir(os.path.join(
+            src, "_delta_log"))
+         if n.endswith(".json") and n[:20].isdigit()), default=0)
+    payload["txn"] = {"app": _sync_app(meta), "version": imported_v}
     if not txnlog._try_commit(dest, 0, payload):
         raise txnlog.CommitConflictError(
             f"table already created at {dest}")
@@ -417,3 +441,139 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
                                              "version": tv}})
         v += 1
     return txnlog.snapshot(dest)
+
+
+def _sync_app(meta: dict) -> str:
+    return f"delta-import:{meta.get('id') or 'unknown'}"
+
+
+def sync_delta_log(spark: SparkSession, src: str, dest: str
+                   ) -> "txnlog.Snapshot | None":
+    """Incrementally replicate NEW foreign Delta commits into a table
+    previously created by :func:`import_delta_log` (continuous
+    replication — the reference's broker polls its exchange partner
+    the same way, src/build.sh:255).
+
+    One txnlog commit per foreign version, so ``table_changes`` /
+    the commit-log stream source see foreign history at its native
+    granularity — a downstream ``readStream`` over the txnlog table
+    turns this into a live pipeline off an externally-written Delta
+    table.  Progress rides the exactly-once txn channel (app =
+    ``delta-import:<table id>``, version = foreign version): a re-run
+    after a crash resumes exactly after the last replicated foreign
+    commit, and replaying an already-synced version is impossible by
+    construction.  Returns the new snapshot, or None when the foreign
+    log has nothing new.
+
+    Refusals match the importer's (never a wrong decode): protocol
+    upgrades beyond {deletionVectors, columnMapping, typeWidening},
+    partition-spec changes, column-mapping mode changes away from the
+    imported one."""
+    snap = txnlog.snapshot(dest)
+    sync_apps = [a for a in snap.txns if a.startswith("delta-import:")]
+    if len(sync_apps) != 1:
+        raise ValueError(
+            f"{dest} is not a table import_delta_log created "
+            f"(found progress markers {sync_apps})")
+    app = sync_apps[0]
+    last = snap.txns[app]
+    log_dir = os.path.join(src, "_delta_log")
+    pending = sorted(
+        int(n[:20]) for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:20].isdigit()
+        and int(n[:20]) > last)
+    if not pending:
+        return None
+    if pending[0] != last + 1:
+        raise ValueError(
+            f"foreign log gap: last synced {last}, next available "
+            f"{pending[0]} — the source vacuumed past our cursor; "
+            f"re-import from scratch")
+    pcols = list(snap.partition_by or [])
+    key = snap.key
+    out = snap
+    basenames = {os.path.basename(f): f for f in snap.files}
+    for fv in pending:
+        adds, dvs, removes = [], [], []
+        schema_json = colmap = None
+        extra_txns: list[dict] = []
+        with open(os.path.join(log_dir, f"{fv:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = dict(action["add"])
+                    a["partitionValues"] = _norm_map(
+                        a.get("partitionValues"))
+                    schema = StructType.fromJson(
+                        json.loads(schema_json or out.schema_json))
+                    cm = colmap if colmap is not None else out.colmap
+                    phys_key = (txnlog._phys_name(cm, key)
+                                if key else None)
+                    add, dv = _materialize_add(
+                        src, dest, a, pcols, schema, key, phys_key)
+                    adds.append(add)
+                    if dv:
+                        dvs.append(dv)
+                    basenames[os.path.basename(a["path"])] = \
+                        add["file"]
+                elif "remove" in action:
+                    base = os.path.basename(action["remove"]["path"])
+                    rel = basenames.get(base)
+                    if rel is not None:
+                        removes.append(rel)
+                elif "metaData" in action:
+                    m = dict(action["metaData"])
+                    m["configuration"] = _norm_map(
+                        m.get("configuration"))
+                    if list(m.get("partitionColumns") or []) != pcols:
+                        raise NotImplementedError(
+                            "foreign partition-spec change mid-log")
+                    schema_json, colmap = _import_schema(m)
+                    if (out.colmap is None) != (colmap is None):
+                        raise NotImplementedError(
+                            "foreign column-mapping mode change "
+                            "mid-log")
+                elif "protocol" in action:
+                    p = action["protocol"]
+                    if p.get("minReaderVersion", 1) > 3:
+                        raise NotImplementedError(
+                            f"minReaderVersion "
+                            f"{p['minReaderVersion']}")
+                    unknown = set(p.get("readerFeatures") or ()) - {
+                        "deletionVectors", "columnMapping",
+                        "typeWidening"}
+                    if unknown:
+                        raise NotImplementedError(
+                            f"reader features {sorted(unknown)}")
+                elif "txn" in action:
+                    t = action["txn"]
+                    extra_txns.append({"app": t["appId"],
+                                       "version": t["version"]})
+        # foreign per-app txns first (idempotent: txns take max), the
+        # data commit with the progress marker LAST — a crash between
+        # them re-syncs this foreign version, which re-commits the
+        # same txns and the same file diff against the same basenames
+        for t in extra_txns:
+            _commit_next(dest, {"op": "txn", "add": [], "remove": [],
+                                "txn": t})
+        payload = {"op": "sync", "add": adds, "remove": removes,
+                   "txn": {"app": app, "version": fv}}
+        if dvs:
+            payload["dv"] = dvs
+        if schema_json is not None:
+            payload["schema"] = schema_json
+            if colmap:
+                payload["colmap"] = colmap
+        _commit_next(dest, payload)
+        out = txnlog.snapshot(dest)
+    return out
+
+
+def _commit_next(dest: str, payload: dict) -> None:
+    while True:
+        v = txnlog.snapshot(dest).version + 1
+        if txnlog._try_commit(dest, v, payload):
+            txnlog._maybe_checkpoint(dest, v)
+            return

@@ -172,7 +172,12 @@ def test_roundtrip_import_txns_survive(spark, tdir):
                   key="k", txn=("app-x", 7))
     dest = delta_export.export_delta_log(tdir, tdir + "_d")
     imp = _three_way(spark, tdir, dest)
-    assert txnlog.snapshot(imp).txns == {"app-x": 7}, \
+    txns = txnlog.snapshot(imp).txns
+    sync_markers = {a for a in txns if a.startswith("delta-import:")}
+    assert len(sync_markers) == 1, \
+        "import must leave exactly one sync progress marker"
+    assert {a: v for a, v in txns.items()
+            if a not in sync_markers} == {"app-x": 7}, \
         "exactly-once appIds must survive export → import"
 
 
@@ -423,7 +428,9 @@ def test_foreign_vacuumed_checkpoint_only_history(spark, tdir):
     snap = delta_import.import_delta_log(spark, t, t + "_imp")
     got = txnlog.read_table(spark, t + "_imp")
     assert _rows(got.select(*cols)) == [tuple(r) for r in rows_r]
-    assert snap.txns == {"stream-7": 42}, \
+    assert {a: v for a, v in snap.txns.items()
+            if not a.startswith("delta-import:")} == \
+        {"stream-7": 42}, \
         "appId watermarks must survive a checkpoint-only import"
 
 
@@ -526,3 +533,156 @@ def test_import_refuses_bad_key_and_existing_dest(spark, tdir):
     delta_import.import_delta_log(spark, t, t + "_i2")
     with pytest.raises(FileExistsError):
         delta_import.import_delta_log(spark, t, t + "_i2")
+
+
+# --------------------------------------- incremental sync (r15 late)
+
+def _sync_fixture_v0(t):
+    """Foreign partitioned table, flat (non-hive) layout: f0 p=0
+    k 0..29, f1 p=1 k 100..119."""
+    os.makedirs(t)
+    _duck_parquet(os.path.join(t, "f0.parquet"),
+                  "SELECT range AS k, 'a' || range AS v "
+                  "FROM range(0, 30)")
+    _duck_parquet(os.path.join(t, "f1.parquet"),
+                  "SELECT range AS k, 'b' || range AS v "
+                  "FROM range(100, 120)")
+    _write_log(os.path.join(t, "_delta_log"), 0, [
+        {"protocol": _PROTO},
+        {"metaData": _meta(
+            [_fld("k", "long"), _fld("v", "string"),
+             _fld("p", "integer")], partition_cols=["p"])},
+        {"add": {"path": "f0.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+
+
+def _assert_synced(spark, t, dest):
+    cols, rows, _ = read_delta_table(t)
+    got = _rows(txnlog.read_table(spark, dest).select(*cols))
+    assert [tuple(r) for r in rows] == got, \
+        "sync must track the foreign table's current state"
+
+
+def test_sync_foreign_incremental(spark, tdir):
+    """Continuous replication off an externally-written Delta log:
+    append, rewrite-delete, DV-on-existing-file and schema-evolution
+    commits land AFTER the import, each synced as one txnlog commit,
+    pinned ≡ the independent reader at every step; progress rides the
+    exactly-once txn channel so re-sync is a no-op."""
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    dest = t + "_imp"
+    delta_import.import_delta_log(spark, t, dest, key="k")
+    assert delta_import.sync_delta_log(spark, t, dest) is None
+
+    # foreign v1: append + an exactly-once txn watermark
+    _duck_parquet(os.path.join(t, "f2.parquet"),
+                  "SELECT range AS k, 'c' || range AS v "
+                  "FROM range(200, 205)")
+    _write_log(os.path.join(t, "_delta_log"), 1, [
+        {"commitInfo": {"operation": "WRITE"}},
+        {"txn": {"appId": "up-1", "version": 3}},
+        {"add": {"path": "f2.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 1,
+                 "dataChange": True}},
+    ])
+    snap = delta_import.sync_delta_log(spark, t, dest)
+    assert snap.txns["up-1"] == 3
+    _assert_synced(spark, t, dest)
+
+    # foreign v2: rewrite-delete of the p=1 file (k 112..114 gone)
+    _duck_parquet(os.path.join(t, "f3.parquet"),
+                  "SELECT range AS k, 'b' || range AS v "
+                  "FROM range(100, 120) WHERE range NOT IN "
+                  "(112, 113, 114)")
+    _write_log(os.path.join(t, "_delta_log"), 2, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}},
+        {"add": {"path": "f3.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 2,
+                 "dataChange": True}},
+    ])
+    # foreign v3: merge-on-read delete — f0 gains a run-encoded DV
+    # (dead ranks 3..7 and 12), the hand-packed foreign form
+    bm = struct.pack("<HH", 12347, 0)
+    bm += bytes([0b1])
+    bm += struct.pack("<HH", 0, 5)
+    bm += struct.pack("<H", 2)
+    bm += struct.pack("<HH", 3, 4)
+    bm += struct.pack("<HH", 12, 0)
+    data = (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+            + struct.pack("<i", 0) + bm)
+    desc = {"storageType": "i",
+            "pathOrInlineDv": delta_export.z85_encode(data),
+            "sizeInBytes": len(data), "cardinality": 6}
+    _write_log(os.path.join(t, "_delta_log"), 3, [
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 3,
+                    "dataChange": True}},
+        {"add": {"path": "f0.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 3,
+                 "dataChange": True, "deletionVector": desc}},
+    ])
+    v_before = txnlog.snapshot(dest).version
+    snap = delta_import.sync_delta_log(spark, t, dest)
+    # one txnlog commit per foreign version (CDC at native granularity)
+    assert snap.version == v_before + 2
+    _assert_synced(spark, t, dest)
+    ks = {r.k for r in txnlog.read_table(spark, dest)
+          .select("k").collect()}
+    assert ks == ((set(range(30)) - {3, 4, 5, 6, 7, 12})
+                  | (set(range(100, 120)) - {112, 113, 114})
+                  | set(range(200, 205)))
+
+    # foreign v4: schema evolution (added column) + a file carrying it
+    _duck_parquet(os.path.join(t, "f4.parquet"),
+                  "SELECT range AS k, 'd' || range AS v, "
+                  "'w' || range AS w FROM range(300, 305)")
+    _write_log(os.path.join(t, "_delta_log"), 4, [
+        {"metaData": _meta(
+            [_fld("k", "long"), _fld("v", "string"),
+             _fld("w", "string"), _fld("p", "integer")],
+            partition_cols=["p"])},
+        {"add": {"path": "f4.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 4,
+                 "dataChange": True}},
+    ])
+    delta_import.sync_delta_log(spark, t, dest)
+    _assert_synced(spark, t, dest)
+    got = txnlog.read_table(spark, dest)
+    assert "w" in got.columns
+    assert got.filter(F.col("w").isNotNull()).count() == 5
+
+    # exactly-once: nothing new → None, state untouched
+    assert delta_import.sync_delta_log(spark, t, dest) is None
+    _assert_synced(spark, t, dest)
+    # the synced table keeps taking ordinary txnlog writes
+    txnlog.delete_range(spark, dest, key="k", lo=200, hi=205)
+    assert txnlog.read_table(spark, dest).count() == \
+        len(ks) - 5 + 5   # -f2's five, +f4's five
+
+
+def test_sync_refuses_gap_and_foreign_tables(spark, tdir):
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    dest = t + "_imp"
+    delta_import.import_delta_log(spark, t, dest, key="k")
+    # a non-imported txnlog table has no progress marker
+    other = os.path.join(tdir, "plain")
+    txnlog.create_table(spark, _mk(spark, 0, 10), other, key="k")
+    with pytest.raises(ValueError, match="import_delta_log"):
+        delta_import.sync_delta_log(spark, t, other)
+    # source vacuumed past the cursor: v1 missing, v2 present
+    _duck_parquet(os.path.join(t, "f9.parquet"),
+                  "SELECT range AS k, 'z' AS v FROM range(400, 405)")
+    _write_log(os.path.join(t, "_delta_log"), 2, [
+        {"add": {"path": "f9.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 9,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="gap"):
+        delta_import.sync_delta_log(spark, t, dest)
