@@ -686,3 +686,53 @@ def test_sync_refuses_gap_and_foreign_tables(spark, tdir):
     ])
     with pytest.raises(ValueError, match="gap"):
         delta_import.sync_delta_log(spark, t, dest)
+
+
+def test_sync_feeds_live_stream_replication(spark, tdir):
+    """The composition the sync exists for: a FOREIGN engine writes a
+    Delta table; sync_delta_log replicates its commits into txnlog;
+    a Structured Streaming query over the commit-log source tails the
+    synced table into a downstream txnlog sink exactly-once — a live
+    pipeline off a table some other engine owns, with a restart
+    replaying nothing."""
+    from docker_aktin_dwh_spark.sources import txnbatch, txnstream
+    txnbatch.register(spark)
+    txnstream.register(spark)
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    dest = t + "_imp"
+    replica = t + "_replica"
+    delta_import.import_delta_log(spark, t, dest, key="k")
+
+    def run():
+        q = (spark.readStream.format("txnlog_stream")
+             .option("path", dest).load()
+             .drop("_commit_version")
+             .writeStream.format("txnlog")
+             .option("path", replica).option("key", "k")
+             .option("txnAppId", "fsync-repl")
+             .option("checkpointLocation",
+                     os.path.join(tdir, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    assert txnlog.read_table(spark, replica).count() == 50
+    # the foreign engine appends; sync + next trigger propagate it
+    _duck_parquet(os.path.join(t, "f2.parquet"),
+                  "SELECT range AS k, 'c' || range AS v "
+                  "FROM range(200, 205)")
+    _write_log(os.path.join(t, "_delta_log"), 1, [
+        {"add": {"path": "f2.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 1,
+                 "dataChange": True}},
+    ])
+    delta_import.sync_delta_log(spark, t, dest)
+    run()
+    rep = txnlog.read_table(spark, replica)
+    assert rep.count() == 55
+    cols, rows, _ = read_delta_table(t)
+    assert _rows(rep.select(*cols)) == [tuple(r) for r in rows]
+    # restart delivers nothing new
+    run()
+    assert txnlog.read_table(spark, replica).count() == 55
