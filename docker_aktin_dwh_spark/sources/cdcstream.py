@@ -161,8 +161,23 @@ class TxnlogCdcStreamReader(DataSourceStreamReader):
         return {"version": vs[-1]}
 
     def partitions(self, start: dict, end: dict):
+        import json as _json
+        import os as _os
+
+        from . import txnlog as _t
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
+            try:
+                with open(_os.path.join(_t._log_dir(self._table),
+                                        _t._commit_name(v))) as cf:
+                    if _json.load(cf).get("data_change") is False:
+                        # compact/OPTIMIZE (or a synced foreign
+                        # no-data commit): rows declared identical —
+                        # the change feed emits NOTHING for it (batch
+                        # table_changes_range skips the same way)
+                        continue
+            except FileNotFoundError:
+                pass        # truncated: _replay raises its own error
             f0, s0, cm0 = _replay(self._table, v - 1)
             f1, s1, cm1 = _replay(self._table, v)
             schema_json = _nullable(s1 or s0)

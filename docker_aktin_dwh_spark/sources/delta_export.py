@@ -444,7 +444,8 @@ def _link_file(path: str, dest: str, name: str) -> os.stat_result:
 
 
 def _add_action(path: str, dest: str, snap, name: str,
-                dvw: "_DvSink | None" = None) -> dict:
+                dvw: "_DvSink | None" = None,
+                data_change: bool = True) -> dict:
     """Hardlink one live file into the export and build its add
     action (stats from the commit's recorded footer intervals; a live
     deletion vector serializes inline or to an on-disk DV file via
@@ -463,7 +464,7 @@ def _add_action(path: str, dest: str, snap, name: str,
         "partitionValues": _partition_values(name, st),
         "size": info.st_size,
         "modificationTime": int(info.st_mtime * 1000),
-        "dataChange": True,
+        "dataChange": data_change,
     }
     if st.get("dv"):
         add["deletionVector"] = (dvw.descriptor(st["dv"]) if dvw
@@ -669,6 +670,13 @@ def export_delta_history(path: str, dest: str, *,
             if meta_sig != prev_meta_sig:
                 actions.append({"metaData": meta})
             now_ms = 0
+            # Delta's OPTIMIZE contract: a commit that declares its
+            # rows identical (txnlog compact, or a synced foreign
+            # no-data commit) exports its file actions with
+            # dataChange=false so external streaming readers skip it
+            with open(os.path.join(txnlog._log_dir(path),
+                                   txnlog._commit_name(v))) as cf:
+                dc = json.load(cf).get("data_change") is not False
             for n in sorted(set(prev.files) | set(snap.files)):
                 in_prev, in_cur = n in prev.files, n in snap.files
                 dv_changed = (in_prev and in_cur
@@ -676,7 +684,7 @@ def export_delta_history(path: str, dest: str, *,
                               != (snap.files[n].get("dv") or []))
                 if in_prev and (not in_cur or dv_changed):
                     rm = {"path": n, "deletionTimestamp": now_ms,
-                          "dataChange": True}
+                          "dataChange": dc}
                     prev_dv = prev.files[n].get("dv") or []
                     if prev_dv:
                         # Delta log reconciliation keys file actions
@@ -690,7 +698,8 @@ def export_delta_history(path: str, dest: str, *,
                         rm["deletionVector"] = dvw.descriptor(prev_dv)
                     actions.append({"remove": rm})
                 if in_cur and (not in_prev or dv_changed):
-                    actions.append(_add_action(path, dest, snap, n, dvw))
+                    actions.append(_add_action(path, dest, snap, n,
+                                               dvw, data_change=dc))
             for app, tv in sorted(snap.txns.items()):
                 if prev.txns.get(app) != tv:
                     actions.append({"txn": {"appId": app,

@@ -497,11 +497,18 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
         adds, dvs, removes = [], [], []
         schema_json = colmap = None
         extra_txns: list[dict] = []
+        data_change = False
+        saw_file_action = False
         with open(os.path.join(log_dir, f"{fv:020d}.json")) as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
+                if "add" in action or "remove" in action:
+                    saw_file_action = True
+                    if (action.get("add") or action["remove"]).get(
+                            "dataChange", True):
+                        data_change = True
                 if "add" in action:
                     a = dict(action["add"])
                     a["partitionValues"] = _norm_map(
@@ -560,6 +567,11 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
                                 "txn": t})
         payload = {"op": "sync", "add": adds, "remove": removes,
                    "txn": {"app": app, "version": fv}}
+        if saw_file_action and not data_change:
+            # a foreign OPTIMIZE: every file action carries
+            # dataChange=false — mark the mirrored commit so
+            # streaming readers skip it (Delta stream parity)
+            payload["data_change"] = False
         if dvs:
             payload["dv"] = dvs
         if schema_json is not None:

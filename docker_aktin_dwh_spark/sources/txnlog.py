@@ -1998,7 +1998,12 @@ def compact(spark: SparkSession, path: str, *, key: str,
                                  snap.partition_by)
         if _try_commit(path, snap.version + 1,
                        {"op": "compact", "add": adds,
-                        "remove": sorted(scope)}):
+                        "remove": sorted(scope),
+                        # Delta's OPTIMIZE marks its file actions
+                        # dataChange=false: identical rows, new
+                        # layout — streaming readers skip the commit
+                        # instead of erroring or re-delivering
+                        "data_change": False}):
             return snapshot(path, snap.version + 1)
         _drop_files(path, adds)
     raise CommitConflictError(
@@ -2690,11 +2695,37 @@ def table_changes_range(spark: SparkSession, path: str, v_from: int,
     (bounded by retained versions) and builds ONE union plan."""
     s_to = snapshot(path, v_to)
     out = None
+    skipped = 0
     for v in range(v_from + 1, s_to.version + 1):
+        try:
+            with open(os.path.join(_log_dir(path),
+                                   _commit_name(v))) as f:
+                c = json.load(f)
+        except FileNotFoundError:
+            # truncated below a checkpoint: let table_changes raise
+            # its own (clearer) error for the missing version
+            c = {}
+        if c.get("data_change") is False:
+            # compact/OPTIMIZE (or a synced foreign no-data commit):
+            # the rows are DECLARED identical — skip the whole
+            # version instead of scanning both sides to suppress
+            # every rewritten-but-identical row (the dominant cost of
+            # CDC over a freshly compacted 100 TB table)
+            skipped += 1
+            continue
         d = (table_changes(spark, path, v - 1, v, key=key)
              .withColumn("commit_version", F.lit(v).cast("long")))
         out = d if out is None else out.unionByName(d)
     if out is None:
+        if skipped:
+            # a non-empty range of ONLY no-data commits: an empty
+            # frame in the change-feed shape (filter-false folds to
+            # an empty LocalTableScan — no file is read)
+            return (table_changes(spark, path, v_from,
+                                  s_to.version, key=key)
+                    .withColumn("commit_version",
+                                F.lit(v_to).cast("long"))
+                    .filter(F.lit(False)))
         raise ValueError(
             f"table_changes_range: empty range ({v_from}, "
             f"{s_to.version}]")

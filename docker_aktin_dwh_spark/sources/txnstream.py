@@ -148,6 +148,14 @@ class TxnlogStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             with open(_commit_path(self._path, v)) as f:
                 c = json.load(f)
+            if c.get("data_change") is False:
+                # the commit declares its rows IDENTICAL to the prior
+                # version (compact/OPTIMIZE, or a synced foreign
+                # commit whose actions all carry dataChange=false):
+                # Delta's streaming source skips such commits without
+                # any option, and so does this one — emitting the
+                # rewritten files would re-deliver history
+                continue
             if c.get("remove") or c.get("dv") or c.get("op") == "restore":
                 # a deletion-vector commit changes rows without
                 # changing file membership, and a RESTORE re-adds OLD

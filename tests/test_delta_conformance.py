@@ -736,3 +736,45 @@ def test_sync_feeds_live_stream_replication(spark, tdir):
     # restart delivers nothing new
     run()
     assert txnlog.read_table(spark, replica).count() == 55
+    # the foreign engine OPTIMIZEs (dataChange=false rewrite): the
+    # synced commit is marked no-data and the stream SKIPS it —
+    # no error, no re-delivery (Delta stream parity)
+    _duck_parquet(os.path.join(t, "opt.parquet"),
+                  "SELECT * FROM read_parquet("
+                  f"['{t}/f0.parquet', '{t}/f2.parquet'])")
+    _write_log(os.path.join(t, "_delta_log"), 2, [
+        {"commitInfo": {"operation": "OPTIMIZE"}},
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 2,
+                    "dataChange": False}},
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": False}},
+        {"add": {"path": "opt.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 2,
+                 "dataChange": False}},
+    ])
+    snap = delta_import.sync_delta_log(spark, t, dest)
+    assert "p=0/opt.parquet" in snap.files and len(snap.files) == 2
+    run()
+    rep = txnlog.read_table(spark, replica)
+    assert rep.count() == 55
+    cols, rows, _ = read_delta_table(t)
+    assert _rows(rep.select(*cols)) == [tuple(r) for r in rows]
+
+
+def test_export_history_marks_compact_no_data(spark, tdir):
+    """txnlog compact → export_delta_history: that version's exported
+    file actions carry dataChange=false (Delta's OPTIMIZE contract),
+    and the full replay still reconciles."""
+    txnlog.create_table(spark, _mk(spark, 0, 40), tdir, key="k")
+    txnlog.append(spark, _mk(spark, 40, 80, tag="b"), tdir, key="k")
+    txnlog.compact(spark, tdir, key="k", target_files=1)
+    dest = delta_export.export_delta_history(tdir, tdir + "_h")
+    with open(os.path.join(dest, "_delta_log",
+                           f"{2:020d}.json")) as f:
+        acts = [json.loads(l) for l in f if l.strip()]
+    file_acts = [a for a in acts if "add" in a or "remove" in a]
+    assert file_acts and all(
+        (a.get("add") or a["remove"])["dataChange"] is False
+        for a in file_acts), \
+        "compact's exported actions must be dataChange=false"
+    _three_way(spark, tdir, dest)

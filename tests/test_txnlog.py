@@ -959,6 +959,62 @@ def _body_stream_reader_skip_change_commits(spark, tdir):
             if p.version == 3} == v3_files
 
 
+def _body_stream_skips_compact_commits(spark, tdir):
+    """Delta stream parity (r15): OPTIMIZE/compact commits declare
+    data_change=false — the commit-log stream skips them WITHOUT any
+    option (no error, no re-delivery), while appends on both sides
+    keep flowing; genuinely row-changing commits still trip the
+    strict guard."""
+    import pytest as _pytest
+
+    from docker_aktin_dwh_spark.sources.txnstream import (
+        TxnlogStreamReader)
+
+    txnlog.create_table(spark, _mk(spark, 0, 30), tdir, key="k")       # v0
+    txnlog.append(spark, _mk(spark, 30, 60, tag="b"), tdir, key="k")   # v1
+    assert txnlog.compact(spark, tdir, key="k",
+                          target_files=1) is not None                  # v2
+    txnlog.append(spark, _mk(spark, 60, 90, tag="c"), tdir, key="k")   # v3
+
+    strict = TxnlogStreamReader(tdir)
+    parts = strict.partitions({"version": -1}, {"version": 3})
+    assert {p.version for p in parts} == {0, 1, 3}, \
+        "compact commit must be skipped silently, appends delivered"
+    # a data-changing rewrite still requires skipChangeCommits
+    txnlog.merge(spark, tdir, _mk(spark, 0, 5, tag="u"), key="k")      # v4
+    with _pytest.raises(ValueError, match="skipChangeCommits"):
+        strict.partitions({"version": -1}, {"version": 4})
+
+
+def _body_cdc_skips_compact_commits(spark, tdir):
+    """CDC across OPTIMIZE (r15): a data_change=false commit emits
+    NOTHING in the change feed — batch table_changes_range skips the
+    version without scanning either side, a range of ONLY no-data
+    commits is an empty frame (not an error), and the streaming CDC
+    reader builds no partition for it."""
+    from docker_aktin_dwh_spark.sources.cdcstream import (
+        TxnlogCdcStreamReader)
+
+    txnlog.create_table(spark, _mk(spark, 0, 30), tdir, key="k")       # v0
+    txnlog.append(spark, _mk(spark, 30, 60, tag="b"), tdir, key="k")   # v1
+    assert txnlog.compact(spark, tdir, key="k",
+                          target_files=1) is not None                  # v2
+    txnlog.append(spark, _mk(spark, 60, 90, tag="c"), tdir, key="k")   # v3
+
+    feed = txnlog.table_changes_range(spark, tdir, 0, 3, key="k")
+    got = {(r.commit_version, r.change_type)
+           for r in feed.select("commit_version",
+                                "change_type").distinct().collect()}
+    assert got == {(1, "insert"), (3, "insert")}, \
+        "compact version must be absent from the feed"
+    only = txnlog.table_changes_range(spark, tdir, 1, 2, key="k")
+    assert only.count() == 0, \
+        "a compact-only range is an empty feed, not an error"
+    cdc = TxnlogCdcStreamReader(tdir, "k", 0)
+    parts = cdc.partitions({"version": 0}, {"version": 3})
+    assert {p.version for p in parts} == {1, 3}
+
+
 def _body_compact_zorder_two_dim_envelopes(spark, tdir):
     """OPTIMIZE ZORDER BY on the txn table: content unchanged, and the
     z-ordered layout keeps per-file envelopes tight in BOTH dimensions
