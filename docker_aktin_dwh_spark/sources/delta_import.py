@@ -347,9 +347,17 @@ def _materialize_add(src: str, dest: str, a: dict, pcols: list[str],
     if not os.path.exists(dstf):
         try:
             os.link(srcf, dstf)
+        except FileExistsError:
+            pass        # a concurrent syncer linked it first — same
+            # source file either way (Delta data files are immutable)
         except OSError:
+            # cross-device: copy to a private name, publish
+            # atomically (a concurrent syncer's replace is idempotent
+            # — both copies carry the same immutable bytes)
             import shutil
-            shutil.copyfile(srcf, dstf)
+            tmpf = f"{dstf}.tmp-{_uuid.uuid4().hex}"
+            shutil.copyfile(srcf, tmpf)
+            os.replace(tmpf, dstf)
     stats = txnlog._file_stats(dstf, phys_key or "")
     if pcols:
         stats["pv"] = {c: _pv_fragment(pv.get(c)) for c in pcols}
@@ -584,8 +592,19 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
 
 
 def _commit_next(dest: str, payload: dict) -> None:
+    """Claim the next version for one mirrored commit.  Concurrent
+    syncers are legal: on every lost claim the progress watermark is
+    re-read, and a commit whose foreign version another syncer already
+    replicated is DROPPED instead of applied twice — state would
+    survive a double apply (adds replace, removes no-op, txns take
+    max) but the change feed would see the foreign commit twice."""
+    t = payload.get("txn") or {}
+    is_progress = str(t.get("app", "")).startswith("delta-import:")
     while True:
-        v = txnlog.snapshot(dest).version + 1
+        snap = txnlog.snapshot(dest)
+        if is_progress and snap.txns.get(t["app"], -1) >= t["version"]:
+            return
+        v = snap.version + 1
         if txnlog._try_commit(dest, v, payload):
             txnlog._maybe_checkpoint(dest, v)
             return

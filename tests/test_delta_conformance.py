@@ -778,3 +778,37 @@ def test_export_history_marks_compact_no_data(spark, tdir):
         for a in file_acts), \
         "compact's exported actions must be dataChange=false"
     _three_way(spark, tdir, dest)
+
+
+def test_sync_concurrent_callers_apply_each_version_once(spark, tdir):
+    """Two sync_delta_log callers race over the same three pending
+    foreign commits: whatever the interleaving, every foreign version
+    lands as EXACTLY ONE sync commit (the claim loop re-reads the
+    progress watermark and drops already-replicated versions), so the
+    change feed never sees a foreign commit twice."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    dest = t + "_imp"
+    delta_import.import_delta_log(spark, t, dest, key="k")
+    for i in (1, 2, 3):
+        _duck_parquet(os.path.join(t, f"g{i}.parquet"),
+                      f"SELECT {1000 * i} + range AS k, "
+                      f"'g' AS v FROM range(10)")
+        _write_log(os.path.join(t, "_delta_log"), i, [
+            {"add": {"path": f"g{i}.parquet",
+                     "partitionValues": {"p": "0"}, "size": 1,
+                     "modificationTime": i, "dataChange": True}},
+        ])
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(
+            lambda _i: delta_import.sync_delta_log(spark, t, dest),
+            range(2)))
+    snap = txnlog.snapshot(dest)
+    assert snap.txns["delta-import:m-1"] == 3
+    hist = txnlog.describe_history(spark, dest).collect()
+    assert sum(1 for r in hist if r.op == "sync") == 3, \
+        "each foreign version must be replicated exactly once"
+    assert txnlog.read_table(spark, dest).count() == 80
+    _assert_synced(spark, t, dest)
