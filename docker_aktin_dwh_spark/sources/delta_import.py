@@ -250,6 +250,20 @@ def replay_delta_log(src: str, version: int | None = None
                      if n.endswith(".json") and n[:20].isdigit()
                      and int(n[:20]) >= start
                      and (version is None or int(n[:20]) <= version))
+    got = [int(n[:20]) for n in commits]
+    target = version if version is not None \
+        else (got[-1] if got else start - 1)
+    required = list(range(start, target + 1))
+    if got != required:
+        # version above the latest commit, below a checkpoint whose
+        # older commits were log-cleaned, or a hole in the run —
+        # replaying a non-contiguous prefix silently drops actions
+        missing = sorted(set(required) - set(got))[:5]
+        raise ValueError(
+            f"delta log at {log_dir} cannot replay version "
+            f"{target}: missing commit(s) {missing} "
+            f"(checkpoint seed at {start - 1}, "
+            f"available {got[:3]}..{got[-3:] if got else []})")
     for name in commits:
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
@@ -303,6 +317,28 @@ def _pv_fragment(v: str | None) -> str:
     return quote(str(v), safe="")
 
 
+def _nested_mapping(t) -> bool:
+    """True when a (possibly nested) Delta type dict carries a
+    columnMapping physicalName below the top level."""
+    if not isinstance(t, dict):
+        return False
+    k = t.get("type")
+    if k == "struct":
+        for f in t.get("fields", []):
+            if (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"):
+                return True
+            if _nested_mapping(f.get("type")):
+                return True
+        return False
+    if k == "array":
+        return _nested_mapping(t.get("elementType"))
+    if k == "map":
+        return (_nested_mapping(t.get("keyType"))
+                or _nested_mapping(t.get("valueType")))
+    return False
+
+
 def _import_schema(meta: dict) -> tuple[str, dict[str, str] | None]:
     """metaData → (txnlog schema_json under LOGICAL names with Delta's
     bookkeeping metadata stripped, colmap or None)."""
@@ -315,6 +351,15 @@ def _import_schema(meta: dict) -> tuple[str, dict[str, str] | None]:
     if mode == "name":
         colmap = {}
         for fld in schema["fields"]:
+            if _nested_mapping(fld["type"]):
+                # data files store col-xxxx physical names INSIDE the
+                # struct too; txnlog's colmap is top-level only, so
+                # aligning nested logical names against them would be
+                # a wrong decode — refuse instead
+                raise NotImplementedError(
+                    f"columnMapping mode 'name' with NESTED mapped "
+                    f"fields (column {fld['name']!r}) is not "
+                    f"importable")
             colmap[fld["name"]] = (fld.get("metadata") or {})[
                 "delta.columnMapping.physicalName"]
     for fld in schema["fields"]:
@@ -399,7 +444,9 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
     if bad_p:
         raise ValueError(f"partition columns {bad_p} not in schema")
     os.makedirs(dest, exist_ok=True)
-    os.makedirs(txnlog._log_dir(dest), exist_ok=False)
+    if os.path.isdir(txnlog._log_dir(dest)):
+        raise txnlog.CommitConflictError(
+            f"table already created at {dest}")
 
     phys_key = txnlog._phys_name(colmap, key) if key else None
     adds: list[dict] = []
@@ -438,6 +485,15 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
             src, "_delta_log"))
          if n.endswith(".json") and n[:20].isdigit()), default=0)
     payload["txn"] = {"app": _sync_app(meta), "version": imported_v}
+    # the log dir is created LAST (post-review r15): a refusal during
+    # materialization leaves only idempotent hardlinks behind, so a
+    # RETRY after fixing the source succeeds instead of dying on a
+    # half-created table; the dir creation doubles as the create race
+    try:
+        os.makedirs(txnlog._log_dir(dest), exist_ok=False)
+    except FileExistsError:
+        raise txnlog.CommitConflictError(
+            f"table already created at {dest}") from None
     if not txnlog._try_commit(dest, 0, payload):
         raise txnlog.CommitConflictError(
             f"table already created at {dest}")
@@ -492,11 +548,16 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
         and int(n[:20]) > last)
     if not pending:
         return None
-    if pending[0] != last + 1:
+    expected = list(range(last + 1, last + 1 + len(pending)))
+    if pending != expected:
+        # leading gap (source vacuumed past the cursor) OR a hole
+        # INSIDE the pending run (partial log cleanup, a lost copy):
+        # replaying around a missing version would silently diverge
+        # and the advanced cursor could never recover it
+        missing = sorted(set(expected) - set(pending))[:5]
         raise ValueError(
-            f"foreign log gap: last synced {last}, next available "
-            f"{pending[0]} — the source vacuumed past our cursor; "
-            f"re-import from scratch")
+            f"foreign log gap: last synced {last}, missing "
+            f"version(s) {missing} — re-import from scratch")
     pcols = list(snap.partition_by or [])
     key = snap.key
     out = snap
@@ -606,5 +667,4 @@ def _commit_next(dest: str, payload: dict) -> None:
             return
         v = snap.version + 1
         if txnlog._try_commit(dest, v, payload):
-            txnlog._maybe_checkpoint(dest, v)
-            return
+            return      # _try_commit checkpoints on every win

@@ -637,21 +637,6 @@ def _pv_frag(v) -> str:
     return quote(str(v), safe="")
 
 
-def _stats_enc(v):
-    """Mirror of txnlog._stats_encode for partition-borne merge-key
-    bounds (byte-compat pinned in tests alongside the replay)."""
-    import datetime
-    if isinstance(v, bool) or v is None:
-        return None
-    if isinstance(v, (int, float, str)):
-        return v
-    if isinstance(v, datetime.datetime):
-        return {"t": "ts", "v": v.isoformat()}
-    if isinstance(v, datetime.date):
-        return {"t": "d", "v": v.isoformat()}
-    return None
-
-
 class _TxnlogWriterBase:
     """Shared task-side write for the batch writer and the streaming
     sink: each task streams its Arrow batches into ONE immutable
@@ -753,8 +738,11 @@ class _TxnlogWriterBase:
                             sub.schema)
                         pv = {c: _pv_frag(v)
                               for c, v in zip(pby, combo)}
-                        kb = (_stats_enc(dict(zip(pby, combo))
-                                         .get(self._key))
+                        # the ONE _stats_encode (with the string cap)
+                        # — a >64-char string partition key drops its
+                        # bounds here exactly as txnlog.append would
+                        kb = (_stats_encode(dict(zip(pby, combo))
+                                            .get(self._key))
                               if self._key in pby else None)
                         sinks[frag] = sink = [w, name, pv, kb]
                     sink[0].write_table(sub)

@@ -370,6 +370,23 @@ def _posix_link_claim(tmp: str, target: str) -> bool:
         return False
 
 
+#: truncation floor marker: the first RETAINED version after the most
+#: recent truncate_history, published atomically BEFORE any commit
+#: file is deleted.  Claims below the floor are refused O(1), and the
+#: floor is re-checked after a won claim — the two reads bracket the
+#: whole claim, so a truncation landing anywhere inside it cannot
+#: leave a resurrected version behind.
+_TRUNC_MARK = "_truncated_below"
+
+
+def _truncated_floor(path: str) -> int:
+    try:
+        with open(os.path.join(_log_dir(path), _TRUNC_MARK)) as f:
+            return int(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
 def _newest_checkpoint_version(path: str) -> int:
     try:
         return max((int(n[:_W])
@@ -392,8 +409,20 @@ def _try_commit(path: str, version: int, payload: dict) -> bool:
     an update_where stalled in DV planning re-claimed dropped v2
     under a cutoff checkpoint at v3 — every bounded replay skipped
     it, and the direct replay of v2 was inconsistent).  Refusing the
-    claim sends the writer back through its ordinary re-derive loop."""
-    if version <= _newest_checkpoint_version(path):
+    claim sends the writer back through its ordinary re-derive loop.
+
+    The guard is gated on the O(1) truncation-floor marker: numbers
+    are only ever freed by truncate_history, which publishes the
+    floor before deleting anything, so never-truncated tables (the
+    common case) skip the O(retained-versions) checkpoint scan
+    entirely on this hottest write path.  The floor is RE-CHECKED
+    after a won link (post-review r15): a truncation landing between
+    the pre-check and the link can no longer leave the resurrected
+    version behind — the writer deletes its own just-linked commit
+    and reports the claim lost."""
+    floor = _truncated_floor(path)
+    if floor and (version < floor
+                  or version <= _newest_checkpoint_version(path)):
         return False
     payload = {"version": version, **payload}
     target = os.path.join(_log_dir(path), _commit_name(version))
@@ -408,6 +437,16 @@ def _try_commit(path: str, version: int, payload: dict) -> bool:
         with contextlib.suppress(OSError):
             os.remove(tmp)
     if not won:
+        return False
+    if version < _truncated_floor(path):
+        # truncation raced the claim: the floor rose between the
+        # pre-check and the link, so this number was freed by a
+        # truncate whose cutoff checkpoint does not include it —
+        # self-revert before anything can replay the resurrected
+        # version (bounded replays would skip it; a direct replay
+        # would be inconsistent)
+        with contextlib.suppress(OSError):
+            os.remove(target)
         return False
     _maybe_checkpoint(path, version)
     return True
@@ -2663,6 +2702,20 @@ def truncate_history(path: str, *, keep_last: int = 10,
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(log, _ckpt_name(pre)))
+    # Publish the truncation floor BEFORE deleting any commit file
+    # (r15, post-review): _try_commit refuses claims below it with an
+    # O(1) read, and RE-CHECKS it after winning a link — closing the
+    # check-then-act window where a stalled writer passes the
+    # pre-check, truncation lands, and the writer links a freed
+    # number anyway.  Monotonic: the floor only ever rises.
+    mark = os.path.join(log, _TRUNC_MARK)
+    floor = max(cut, _truncated_floor(path))
+    mtmp = os.path.join(log, f".trunc-{uuid.uuid4().hex}")
+    with open(mtmp, "w") as f:
+        f.write(str(floor))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, mark)
     dropped = 0
     for n in os.listdir(log):
         if not n.endswith(".json") or n.startswith("."):

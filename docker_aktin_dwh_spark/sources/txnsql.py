@@ -292,6 +292,12 @@ def _insert(spark: SparkSession, stmt: str,
         raise SqlSurfaceError(
             f"INSERT column(s) {unknown} not in the logged schema "
             f"{names} (ALTER TABLE ... ADD COLUMN first)")
+    missing_p = [c for c in (snap.partition_by or []) if c not in cols]
+    if missing_p:
+        raise SqlSurfaceError(
+            f"INSERT must supply partition column(s) {missing_p} — "
+            f"their values name the file's directory (a NULL fill "
+            f"would silently land rows in the null partition)")
     body = m.group(3).strip()
     vm = re.match(r"VALUES\s+(.+)", body, re.IGNORECASE | re.DOTALL)
     if vm:
@@ -478,8 +484,27 @@ def _merge(spark: SparkSession, stmt: str,
                  if act == "DELETE" and c is not None]
     if del_conds:
         op_col, del_tok = del_conds[0]
-        return txnlog.apply_changes(spark, path, src, key=k,
-                                    op_col=op_col, delete_op=del_tok)
+        if (False, "INSERT *") in shapes:
+            # the full CDC shape: non-delete rows upsert
+            return txnlog.apply_changes(spark, path, src, key=k,
+                                        op_col=op_col,
+                                        delete_op=del_tok)
+        if any(act != "DELETE" for _m, _c, act in clauses):
+            raise SqlSurfaceError(
+                "MERGE with a conditional DELETE plus UPDATE arms "
+                "needs the full CDC shape (add WHEN NOT MATCHED THEN "
+                "INSERT *) — a partial arm set would silently write "
+                "rows the statement never asked for")
+        # conditional DELETE as the ONLY action: the statement asks
+        # to touch nothing but the matched delete rows — feed ONLY
+        # those keys (routing the whole source through apply_changes
+        # would silently upsert every non-delete row)
+        from pyspark.sql import functions as F
+        feed = (src.filter(F.col(op_col) == del_tok)
+                .select(k).withColumn("__op", F.lit("delete")))
+        return txnlog.apply_changes(spark, path, feed, key=k,
+                                    op_col="__op",
+                                    delete_op="delete")
     if shapes == {(True, "DELETE")}:
         from pyspark.sql import functions as F
         feed = src.select(k).withColumn("__op", F.lit("delete"))

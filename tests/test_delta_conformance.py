@@ -531,7 +531,8 @@ def test_import_refuses_bad_key_and_existing_dest(spark, tdir):
         delta_import.import_delta_log(spark, t, t + "_i1",
                                       key="nope")
     delta_import.import_delta_log(spark, t, t + "_i2")
-    with pytest.raises(FileExistsError):
+    with pytest.raises(txnlog.CommitConflictError,
+                       match="already created"):
         delta_import.import_delta_log(spark, t, t + "_i2")
 
 
@@ -812,3 +813,60 @@ def test_sync_concurrent_callers_apply_each_version_once(spark, tdir):
         "each foreign version must be replicated exactly once"
     assert txnlog.read_table(spark, dest).count() == 80
     _assert_synced(spark, t, dest)
+
+
+def test_import_version_validation_and_retry(spark, tdir):
+    """Post-review r15: a pinned version above the latest foreign
+    commit (or over a hole) refuses instead of silently importing a
+    different state and poisoning the sync cursor; a refusal mid-
+    materialization leaves a RETRYABLE dest (hardlinks are
+    idempotent, the log dir is created last)."""
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    dest = t + "_imp"
+    with pytest.raises(ValueError, match="missing commit"):
+        delta_import.import_delta_log(spark, t, dest, version=50)
+    # the failed attempt left no log dir → the same dest retries fine
+    snap = delta_import.import_delta_log(spark, t, dest, key="k")
+    assert snap.version == 0
+    assert txnlog.read_table(spark, dest).count() == 50
+    # a hole INSIDE the replay run also refuses (v1 missing, v2 on)
+    _duck_parquet(os.path.join(t, "h2.parquet"),
+                  "SELECT range AS k, 'h' AS v FROM range(500, 505)")
+    _write_log(os.path.join(t, "_delta_log"), 2, [
+        {"add": {"path": "h2.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 2,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="missing"):
+        delta_import.import_delta_log(spark, t, t + "_imp2")
+    with pytest.raises(ValueError, match="gap"):
+        delta_import.sync_delta_log(spark, t, dest)
+
+
+def test_refuses_nested_column_mapping(spark, tdir):
+    """columnMapping mode 'name' with physicalNames INSIDE a struct:
+    txnlog's colmap is top-level only — importing would mis-decode,
+    so the importer refuses (post-review r15)."""
+    t = os.path.join(tdir, "ft")
+    os.makedirs(t)
+    nested = {"type": "struct", "fields": [
+        {"name": "inner", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName":
+                          "col-inner-xyz"}}]}
+    _write_log(os.path.join(t, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": _meta(
+            [_fld("k", "long",
+                  {"delta.columnMapping.id": 1,
+                   "delta.columnMapping.physicalName": "col-k"}),
+             _fld("s", nested,
+                  {"delta.columnMapping.id": 3,
+                   "delta.columnMapping.physicalName": "col-s"})],
+            config={"delta.columnMapping.mode": "name"})},
+    ])
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        delta_import.import_delta_log(spark, t, t + "_imp")

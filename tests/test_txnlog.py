@@ -2890,6 +2890,25 @@ def test_truncation_never_frees_version_numbers(spark, tdir):
         tdir, 2, {"op": "append", "add": [], "remove": []})
     assert not os.path.exists(os.path.join(
         txnlog._log_dir(tdir), txnlog._commit_name(2)))
+    # guard 3 (r15 post-review): the truncation floor is re-checked
+    # AFTER a won link — simulate a truncate landing inside the claim
+    # window (pre-check saw no floor, post-check sees it) and assert
+    # the writer self-reverts instead of resurrecting the number
+    import unittest.mock as _mock
+    real_floor = txnlog._truncated_floor
+    calls = {"n": 0}
+
+    def raced(path):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_floor(path)
+
+    with _mock.patch.object(txnlog, "_truncated_floor",
+                            side_effect=raced):
+        assert not txnlog._try_commit(
+            tdir, 3, {"op": "append", "add": [], "remove": []})
+    assert calls["n"] >= 2
+    assert not os.path.exists(os.path.join(
+        txnlog._log_dir(tdir), txnlog._commit_name(3)))
     # honest claims above the checkpoint still work
     txnlog.append(spark, _mk(spark, 900, 905, tag="z"), tdir, key="k")
     assert txnlog.read_table(spark, tdir).count() == 125

@@ -295,3 +295,41 @@ def test_new_statement_refusals(spark, pair):
     ]:
         with pytest.raises(txnsql.SqlSurfaceError, match=msg):
             txnsql.sql(spark, stmt)
+
+
+def test_merge_conditional_delete_only_touches_only_deletes(
+        spark, pair):
+    """Post-review r15: a MERGE whose ONLY action is a conditional
+    DELETE must not upsert the source's non-delete rows."""
+    t_sql, t_py = pair
+    feed = spark.createDataFrame(
+        [(5, "delete"), (6, "keep"), (9999, "keep")],
+        "k long, op string")
+    feed.createOrReplaceTempView("txnsql_del_only")
+    txnsql.sql(spark, f"""
+        MERGE INTO txnlog.`{t_sql}` AS a USING txnsql_del_only AS b
+        ON a.k = b.k
+        WHEN MATCHED AND b.op = 'delete' THEN DELETE""")
+    txnlog.delete_where(spark, t_py, key="k",
+                        filters=[("k", "=", 5)])
+    _eq(spark, t_sql, t_py)
+    got = txnlog.read_table(spark, t_sql)
+    assert got.filter("k = 9999").count() == 0, \
+        "non-delete source rows must NOT be inserted"
+    assert got.filter("k = 6").count() == 1, \
+        "non-delete matched rows must be untouched"
+    # partial arm sets refuse instead of silently writing
+    with pytest.raises(txnsql.SqlSurfaceError, match="CDC shape"):
+        txnsql.sql(spark, f"""
+            MERGE INTO txnlog.`{t_sql}` AS a
+            USING txnsql_del_only AS b ON a.k = b.k
+            WHEN MATCHED AND b.op = 'delete' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *""")
+
+
+def test_insert_requires_partition_columns(spark, pair):
+    t_sql, _ = pair
+    with pytest.raises(txnsql.SqlSurfaceError,
+                       match="partition column"):
+        txnsql.sql(spark, f"INSERT INTO txnlog.`{t_sql}` (k, val) "
+                          f"VALUES (9000, 'x')")
