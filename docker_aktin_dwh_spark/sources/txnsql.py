@@ -32,6 +32,8 @@ through the ``tables`` mapping)::
         [ZORDER BY (a, b)]
     RESTORE TABLE <t> TO VERSION AS OF <n>
     DESCRIBE HISTORY <t>
+    SELECT / WITH ... over <t> [VERSION AS OF n | TIMESTAMP AS OF
+        'ts'] — rewritten to temp views, run through spark.sql
 
 ``WHERE`` is a conjunction of ``col <op> literal`` terms (op in
 =, <, <=, >, >=, IN) — exactly the (col, op, literal) filter language
@@ -226,6 +228,8 @@ def sql(spark: SparkSession, statement: str, *,
         return _merge(spark, stmt, tables, key)
     if head == "ALTER":
         return _alter(spark, stmt, tables)
+    if head in ("SELECT", "WITH"):
+        return _select(spark, stmt, tables)
     if head == "INSERT":
         return _insert(spark, stmt, tables, key)
     if head == "CREATE":
@@ -252,11 +256,50 @@ def sql(spark: SparkSession, statement: str, *,
         return txnlog.describe_history(
             spark, _resolve_table(m.group(1), tables))
     raise SqlSurfaceError(
-        f"statement kind {head!r} not dispatched here — reads go "
-        f"through spark.sql over the txnlog DataSource; writes "
-        f"support UPDATE / DELETE / MERGE / ALTER TABLE / INSERT / "
-        f"CREATE TABLE AS / VACUUM / OPTIMIZE / RESTORE / "
-        f"DESCRIBE HISTORY")
+        f"statement kind {head!r} not dispatched here — supported: "
+        f"SELECT / WITH (time travel via VERSION AS OF), UPDATE / "
+        f"DELETE / MERGE / ALTER TABLE / INSERT / CREATE TABLE AS / "
+        f"VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY")
+
+
+def _select(spark: SparkSession, stmt: str,
+            tables: dict[str, str] | None) -> DataFrame:
+    """SELECT/WITH over txnlog tables: every ``txnlog.`/path```
+    reference (optionally followed by ``VERSION AS OF n`` or
+    ``TIMESTAMP AS OF 'ts'`` — Delta's time-travel clauses) is
+    materialized as a temp view and the rewritten statement runs
+    through ordinary ``spark.sql`` — one entry point for the
+    reference's SQL-speaking users, reads and writes alike."""
+    import hashlib
+
+    def repl(m: "re.Match[str]") -> str:
+        path, verb, arg = m.group(1), m.group(2), m.group(3)
+        version = ts = None
+        if verb:
+            if verb.upper().startswith("VERSION"):
+                version = int(arg)
+            else:
+                import datetime as _dt
+                ts = _dt.datetime.fromisoformat(
+                    arg.strip("'").replace(" ", "T")).timestamp()
+        if ts is not None:
+            version = txnlog.resolve_timestamp(path, ts)
+        view = "_txnsql_" + hashlib.sha256(
+            f"{path}@{version}".encode()).hexdigest()[:16]
+        txnlog.read_table(spark, path, version) \
+            .createOrReplaceTempView(view)
+        return view
+
+    rewritten = re.sub(
+        r"txnlog\.`([^`]+)`"
+        r"(?:\s+(VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+"
+        r"(\d+|'[^']*'))?",
+        repl, stmt, flags=re.IGNORECASE)
+    for name, path in (tables or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+            txnlog.read_table(spark, path) \
+                .createOrReplaceTempView(name)
+    return spark.sql(rewritten)
 
 
 def _insert(spark: SparkSession, stmt: str,

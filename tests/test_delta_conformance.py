@@ -870,3 +870,47 @@ def test_refuses_nested_column_mapping(spark, tdir):
     ])
     with pytest.raises(NotImplementedError, match="NESTED"):
         delta_import.import_delta_log(spark, t, t + "_imp")
+
+
+def test_sync_work_proportional_to_churn(spark, tdir, monkeypatch):
+    """Scale property: syncing ONE new foreign commit over an
+    imported table does work ∝ that commit's actions, not table size
+    — exactly one new file is stat'd/linked regardless of how many
+    live files the table already holds (the 100 TB continuous-
+    replication contract)."""
+    t = os.path.join(tdir, "ft")
+    os.makedirs(t)
+    log = os.path.join(t, "_delta_log")
+    adds = []
+    for i in range(40):
+        _duck_parquet(os.path.join(t, f"w{i}.parquet"),
+                      f"SELECT {100 * i} + range AS k, 'x' AS v "
+                      f"FROM range(5)")
+        adds.append({"add": {"path": f"w{i}.parquet",
+                             "partitionValues": {}, "size": 1,
+                             "modificationTime": 0,
+                             "dataChange": True}})
+    _write_log(log, 0, [
+        {"protocol": _PROTO},
+        {"metaData": _meta([_fld("k", "long"), _fld("v", "string")])},
+    ] + adds)
+    dest = t + "_imp"
+    delta_import.import_delta_log(spark, t, dest, key="k")
+    _duck_parquet(os.path.join(t, "new.parquet"),
+                  "SELECT 90000 + range AS k, 'n' AS v "
+                  "FROM range(5)")
+    _write_log(log, 1, [
+        {"add": {"path": "new.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1,
+                 "dataChange": True}},
+    ])
+    stats_calls = []
+    real_stats = txnlog._file_stats
+    monkeypatch.setattr(
+        txnlog, "_file_stats",
+        lambda f, k: (stats_calls.append(f), real_stats(f, k))[1])
+    delta_import.sync_delta_log(spark, t, dest)
+    assert len(stats_calls) == 1 and \
+        stats_calls[0].endswith("new.parquet"), \
+        "sync must touch ONLY the new commit's files"
+    assert txnlog.read_table(spark, dest).count() == 205

@@ -333,3 +333,28 @@ def test_insert_requires_partition_columns(spark, pair):
                        match="partition column"):
         txnsql.sql(spark, f"INSERT INTO txnlog.`{t_sql}` (k, val) "
                           f"VALUES (9000, 'x')")
+
+
+def test_select_statement_with_time_travel(spark, pair):
+    """One entry point for reads too: SELECT/WITH over txnlog refs,
+    VERSION AS OF time travel, joins across two txnlog tables, and
+    the tables mapping."""
+    t_sql, t_py = pair
+    v0_count = txnlog.read_table(spark, t_sql).count()
+    txnsql.sql(spark, f"DELETE FROM txnlog.`{t_sql}` "
+                      f"WHERE k >= 100 AND k < 150")
+    df = txnsql.sql(spark, f"SELECT count(*) AS n "
+                           f"FROM txnlog.`{t_sql}`")
+    assert df.collect()[0].n == v0_count - 50
+    old = txnsql.sql(spark, f"""
+        SELECT count(*) AS n
+        FROM txnlog.`{t_sql}` VERSION AS OF 1""")
+    assert old.collect()[0].n == v0_count
+    joined = txnsql.sql(spark, f"""
+        WITH a AS (SELECT k FROM txnlog.`{t_sql}`)
+        SELECT count(*) AS n
+        FROM a JOIN txnlog.`{t_py}` AS b ON a.k = b.k""")
+    assert joined.collect()[0].n == v0_count - 50
+    named = txnsql.sql(spark, "SELECT max(k) AS mx FROM facts",
+                       tables={"facts": t_py})
+    assert named.collect()[0].mx == 199
