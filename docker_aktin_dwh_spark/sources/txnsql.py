@@ -290,11 +290,32 @@ def _select(spark: SparkSession, stmt: str,
             .createOrReplaceTempView(view)
         return view
 
-    rewritten = re.sub(
+    ref = re.compile(
         r"txnlog\.`([^`]+)`"
         r"(?:\s+(VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+"
-        r"(\d+|'[^']*'))?",
-        repl, stmt, flags=re.IGNORECASE)
+        r"(\d+|'[^']*'))?", re.IGNORECASE)
+    # rewrite refs OUTSIDE string literals only — a quoted
+    # 'txnlog.`x`' is data, not a table reference
+    out, i, n = [], 0, len(stmt)
+    while i < n:
+        if stmt[i] == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'" and not (j + 1 < n
+                                           and stmt[j + 1] == "'"):
+                    break
+                j += 2 if stmt[j] == "'" else 1
+            out.append(stmt[i:j + 1])
+            i = j + 1
+            continue
+        m = ref.match(stmt, i)
+        if m:
+            out.append(repl(m))
+            i = m.end()
+        else:
+            out.append(stmt[i])
+            i += 1
+    rewritten = "".join(out)
     for name, path in (tables or {}).items():
         if re.search(rf"\b{re.escape(name)}\b", rewritten):
             txnlog.read_table(spark, path) \

@@ -358,3 +358,12 @@ def test_select_statement_with_time_travel(spark, pair):
     named = txnsql.sql(spark, "SELECT max(k) AS mx FROM facts",
                        tables={"facts": t_py})
     assert named.collect()[0].mx == 199
+
+
+def test_select_leaves_quoted_literals_alone(spark, pair):
+    t_sql, _ = pair
+    df = txnsql.sql(spark, f"""
+        SELECT count(*) AS n, 'txnlog.`not-a-ref`' AS lit
+        FROM txnlog.`{t_sql}` GROUP BY lit""")
+    row = df.collect()[0]
+    assert row.n == 200 and row.lit == "txnlog.`not-a-ref`"
