@@ -1300,7 +1300,13 @@ def serializability_lane(spark, writers: int = 12,
     try:
         assert not errors, f"writer errors: {errors[:3]}"
         versions = txnlog._list_versions(path)
-        out["commits"] = len(versions)
+        # committed THROUGHPUT is the highest version number + 1 —
+        # truncation deletes dropped commit FILES, so len(versions)
+        # counts only the retained suffix and silently understated
+        # the lane once the vacuum verb joined (15 "commits" for a
+        # ~60-version run); retained count is reported separately
+        out["commits"] = versions[-1] + 1
+        out["retained_commits"] = len(versions)
         # contiguous from the first RETAINED version (truncation may
         # have dropped a prefix — r15 vacuum verb); still one parent
         # per commit, no forks
