@@ -185,8 +185,10 @@ def _source_frame(spark: SparkSession, src: str) -> DataFrame:
 def sql(spark: SparkSession, statement: str, *,
         tables: dict[str, str] | None = None,
         key: str | None = None):
-    """Execute one write-verb statement against txnlog tables.
-    Returns the resulting :class:`txnlog.Snapshot`."""
+    """Execute one statement against txnlog tables.  Write verbs
+    return the resulting :class:`txnlog.Snapshot`; SELECT/WITH and
+    DESCRIBE HISTORY return a :class:`DataFrame`; VACUUM returns the
+    reclaimed-file list."""
     stmt = statement.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "UPDATE":
@@ -262,15 +264,73 @@ def sql(spark: SparkSession, statement: str, *,
         f"VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY")
 
 
+def _skip_opaque(s: str, i: int) -> int:
+    """If ``s[i]`` opens a region the SQL parser treats as opaque — a
+    single- or double-quoted string literal (doubled-quote AND
+    backslash escapes, Spark's default dialect) or a ``--`` / ``/*``
+    comment — return the index just past it, else ``i``."""
+    n = len(s)
+    ch = s[i]
+    if ch in ("'", '"'):
+        j = i + 1
+        while j < n:
+            if s[j] == "\\":
+                j += 2
+                continue
+            if s[j] == ch:
+                if j + 1 < n and s[j + 1] == ch:
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    if ch == "-" and s[i:i + 2] == "--":
+        j = s.find("\n", i)
+        return n if j < 0 else j + 1
+    if ch == "/" and s[i:i + 2] == "/*":
+        j = s.find("*/", i + 2)
+        return n if j < 0 else j + 2
+    return i
+
+
+def _strip_opaque(s: str) -> str:
+    """The statement with every literal/comment region blanked —
+    for structural keyword/name searches that must not match data."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        j = _skip_opaque(s, i)
+        if j > i:
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _select(spark: SparkSession, stmt: str,
             tables: dict[str, str] | None) -> DataFrame:
     """SELECT/WITH over txnlog tables: every ``txnlog.`/path```
     reference (optionally followed by ``VERSION AS OF n`` or
-    ``TIMESTAMP AS OF 'ts'`` — Delta's time-travel clauses) is
+    ``TIMESTAMP AS OF 'ts'`` — Delta's time-travel clauses,
+    timestamps interpreted in ``spark.sql.session.timeZone``) is
     materialized as a temp view and the rewritten statement runs
     through ordinary ``spark.sql`` — one entry point for the
-    reference's SQL-speaking users, reads and writes alike."""
+    reference's SQL-speaking users, reads and writes alike.  The
+    temp views are dropped again before returning (spark.sql
+    analyzes eagerly, so the DataFrame stays valid)."""
     import hashlib
+
+    if stmt.split(None, 1)[0].upper() == "WITH" and re.search(
+            r"\b(INSERT\s+INTO|MERGE\s+INTO|DELETE\s+FROM"
+            r"|UPDATE\s+\S+\s+SET)\b",
+            _strip_opaque(stmt), re.IGNORECASE):
+        raise SqlSurfaceError(
+            "CTE-prefixed DML (WITH ... INSERT/UPDATE/DELETE/MERGE) "
+            "is not dispatched — inline the CTE into the DML "
+            "statement's source, or use the Python API")
+
+    views: list[str] = []
 
     def repl(m: "re.Match[str]") -> str:
         path, verb, arg = m.group(1), m.group(2), m.group(3)
@@ -280,33 +340,33 @@ def _select(spark: SparkSession, stmt: str,
                 version = int(arg)
             else:
                 import datetime as _dt
+                from zoneinfo import ZoneInfo
+                tz = ZoneInfo(spark.conf.get(
+                    "spark.sql.session.timeZone"))
                 ts = _dt.datetime.fromisoformat(
-                    arg.strip("'").replace(" ", "T")).timestamp()
+                    arg.strip("'").replace(" ", "T")) \
+                    .replace(tzinfo=tz).timestamp()
         if ts is not None:
             version = txnlog.resolve_timestamp(path, ts)
         view = "_txnsql_" + hashlib.sha256(
             f"{path}@{version}".encode()).hexdigest()[:16]
         txnlog.read_table(spark, path, version) \
             .createOrReplaceTempView(view)
+        views.append(view)
         return view
 
     ref = re.compile(
         r"txnlog\.`([^`]+)`"
         r"(?:\s+(VERSION\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+"
         r"(\d+|'[^']*'))?", re.IGNORECASE)
-    # rewrite refs OUTSIDE string literals only — a quoted
-    # 'txnlog.`x`' is data, not a table reference
+    # rewrite refs OUTSIDE string literals and comments only — a
+    # quoted or commented txnlog.`x` is data, not a table reference
     out, i, n = [], 0, len(stmt)
     while i < n:
-        if stmt[i] == "'":
-            j = i + 1
-            while j < n:
-                if stmt[j] == "'" and not (j + 1 < n
-                                           and stmt[j + 1] == "'"):
-                    break
-                j += 2 if stmt[j] == "'" else 1
-            out.append(stmt[i:j + 1])
-            i = j + 1
+        j = _skip_opaque(stmt, i)
+        if j > i:
+            out.append(stmt[i:j])
+            i = j
             continue
         m = ref.match(stmt, i)
         if m:
@@ -316,11 +376,21 @@ def _select(spark: SparkSession, stmt: str,
             out.append(stmt[i])
             i += 1
     rewritten = "".join(out)
+    # the tables mapping binds names that appear STRUCTURALLY (not
+    # inside literals/comments — clobbering a user view over a match
+    # in a string would silently redirect their later queries)
+    structural = _strip_opaque(rewritten)
     for name, path in (tables or {}).items():
-        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+        if re.search(rf"\b{re.escape(name)}\b", structural):
             txnlog.read_table(spark, path) \
                 .createOrReplaceTempView(name)
-    return spark.sql(rewritten)
+            views.append(name)
+    try:
+        return spark.sql(rewritten)
+    finally:
+        for v in views:
+            if v.startswith("_txnsql_"):
+                spark.catalog.dropTempView(v)
 
 
 def _insert(spark: SparkSession, stmt: str,

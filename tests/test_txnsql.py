@@ -367,3 +367,58 @@ def test_select_leaves_quoted_literals_alone(spark, pair):
         FROM txnlog.`{t_sql}` GROUP BY lit""")
     row = df.collect()[0]
     assert row.n == 200 and row.lit == "txnlog.`not-a-ref`"
+
+
+def test_select_scanner_and_hygiene(spark, pair):
+    """Post-review r15: comments and double-quoted/backslash-escaped
+    literals are opaque to the rewriter; CTE-prefixed DML refuses;
+    the helper temp views are dropped before returning (the result
+    stays usable — spark.sql analyzes eagerly)."""
+    t_sql, _ = pair
+    df = txnsql.sql(spark, f"""
+        SELECT count(*) AS n  -- not a ref: txnlog.`/line-comment`
+        FROM txnlog.`{t_sql}` /* nor txnlog.`/block-comment` */""")
+    assert not [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("_txnsql_")], \
+        "helper views must be dropped before returning"
+    assert df.collect()[0].n == 200, \
+        "dropping the view must not break the returned frame"
+    row = txnsql.sql(spark, f"""
+        SELECT "txnlog.`dq`" AS d, 'esc\\' txnlog.`bs`' AS b,
+               count(*) AS n
+        FROM txnlog.`{t_sql}` GROUP BY d, b""").collect()[0]
+    assert row.d == "txnlog.`dq`" and "txnlog.`bs`" in row.b \
+        and row.n == 200
+    with pytest.raises(txnsql.SqlSurfaceError, match="CTE-prefixed"):
+        txnsql.sql(spark, f"""
+            WITH s AS (SELECT 1 AS k)
+            INSERT INTO txnlog.`{t_sql}` SELECT * FROM s""")
+    # tables mapping ignores names that appear only inside literals
+    spark.range(3).createOrReplaceTempView("user_facts")
+    txnsql.sql(spark, f"SELECT 'user_facts' AS tag "
+                      f"FROM txnlog.`{t_sql}` LIMIT 1",
+               tables={"user_facts": t_sql})
+    assert spark.table("user_facts").count() == 3, \
+        "a literal-only match must not clobber the user's view"
+
+
+def test_select_timestamp_as_of_session_tz(spark, pair):
+    """TIMESTAMP AS OF interprets the literal in Spark's session
+    timezone (Delta's rule), not the host's."""
+    import datetime
+    from zoneinfo import ZoneInfo
+    t_sql, _ = pair
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        now = datetime.datetime.now(
+            ZoneInfo("Pacific/Kiritimati")) \
+            + datetime.timedelta(seconds=5)
+        df = txnsql.sql(spark, f"""
+            SELECT count(*) AS n FROM txnlog.`{t_sql}`
+            TIMESTAMP AS OF '{now.strftime('%Y-%m-%d %H:%M:%S')}'""")
+        assert df.collect()[0].n == 200, \
+            "a now-in-session-tz timestamp must resolve to the " \
+            "latest version (a host-tz parse would be ±14 h off)"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
