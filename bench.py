@@ -108,7 +108,7 @@ HEADLINE = (
     # hand-authored log, run-encoded DV) into txnlog, the SQL
     # write-verb surface (UPDATE/DELETE/MERGE/ALTER as statements),
     # and incremental foreign-Delta sync (continuous replication)
-    "dimp_01", "sqlv_01", "dsync_01",
+    "dimp_01", "sqlv_01", "dsync_01", "dstr_01",
 )
 
 

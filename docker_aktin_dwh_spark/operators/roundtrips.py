@@ -1422,6 +1422,110 @@ WHERE o_orderstatus <> 'P'
 """
 
 
+# --------------------------- dstr_01: foreign Delta STREAMING source
+
+def dstr_01(spark, sf):
+    """Foreign-Delta STREAMING tail (r15): readStream directly off an
+    externally-written ``_delta_log`` (sources/deltastream — no
+    import step), two availableNow triggers across a foreign append,
+    exactly-once into the txnlog sink, with ``_commit_version``
+    certifying the version→row assignment.  Oracle = the same two
+    commits as set algebra with the version derived from the key
+    band.  Reference analogue: the broker's incremental poll loop
+    against an engine it doesn't control (src/build.sh:255)."""
+    import json as _json
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from ..sources import deltastream, txnbatch, txnlog
+    deltastream.register(spark)
+    txnbatch.register(spark)
+
+    tmp = tempfile.mkdtemp(prefix="spark_dstr01_")
+    try:
+        t = _os.path.join(tmp, "foreign")
+        log = _os.path.join(t, "_delta_log")
+        _os.makedirs(log)
+        con = _duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        src = f"{sf}/orders.parquet"
+        sel = ("SELECT o_orderkey, o_orderstatus, o_totalprice "
+               f"FROM read_parquet('{src}') WHERE o_orderkey < 3000 ")
+        con.execute(f"COPY ({sel} ORDER BY o_orderkey) TO "
+                    f"'{t}/base.parquet' (FORMAT PARQUET)")
+        fields = [{"name": n, "type": ty, "nullable": True,
+                   "metadata": {}}
+                  for n, ty in (("o_orderkey", "long"),
+                                ("o_orderstatus", "string"),
+                                ("o_totalprice", "double"))]
+
+        def _commit(v, actions):
+            with open(_os.path.join(log, f"{v:020d}.json"),
+                      "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+
+        _commit(0, [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "dstr-fixture", "format":
+                    {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}},
+            {"add": {"path": "base.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        rep = _os.path.join(tmp, "rep")
+        ck = _os.path.join(tmp, "ck")
+
+        def run():
+            q = (spark.readStream.format("delta_stream")
+                 .option("path", t).load()
+                 .writeStream.format("txnlog")
+                 .option("path", rep).option("key", "o_orderkey")
+                 .option("txnAppId", "dstr01")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run()
+        con.execute("COPY (SELECT 10000 + range AS o_orderkey, "
+                    "'Z' AS o_orderstatus, "
+                    "CAST(1.5 AS DOUBLE) AS o_totalprice "
+                    f"FROM range(50)) TO '{t}/app.parquet' "
+                    "(FORMAT PARQUET)")
+        con.close()
+        _commit(1, [{"commitInfo": {"operation": "WRITE"}},
+                    {"add": {"path": "app.parquet",
+                             "partitionValues": {}, "size": 1,
+                             "modificationTime": 1,
+                             "dataChange": True}}])
+        run()
+        run()       # exactly-once: the third trigger delivers nothing
+        return _snap_off_tmp(
+            txnlog.read_table(spark, rep), tmp).orderBy("o_orderkey")
+    except BaseException:
+        _rmtree(tmp)
+        raise
+
+
+_DSTR_01_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(0 AS BIGINT) AS _commit_version
+FROM orders WHERE o_orderkey < 3000
+UNION ALL
+SELECT 10000 + range AS o_orderkey, 'Z' AS o_orderstatus,
+       CAST(1.5 AS DOUBLE) AS o_totalprice,
+       CAST(1 AS BIGINT) AS _commit_version
+FROM range(50)
+"""
+
+
 # --------------------------------------- dimp_01: foreign Delta import
 
 def dimp_01(spark, sf):
@@ -1748,6 +1852,12 @@ _DOCS = {
                "sources/txnsql onto a partitioned + column-mapped "
                "txnlog table; oracle = the same verbs as SQL set "
                "algebra",
+    "dstr_01": "Foreign-Delta streaming source (r15): readStream off "
+               "an externally-written _delta_log (no import step), "
+               "two availableNow triggers across a foreign append, "
+               "exactly-once into the txnlog sink, _commit_version "
+               "certifying version->row assignment; oracle = the two "
+               "commits as set algebra",
     "dsync_01": "Incremental foreign-Delta sync (r15): import at v0, "
                 "then replicate three externally-authored commits "
                 "(append + txn watermark, rewrite-delete, run-DV "
@@ -1781,6 +1891,7 @@ def specs() -> list[QuerySpec]:
         "dimp_01": _DIMP_01_ORACLE,
         "sqlv_01": _SQLV_01_ORACLE,
         "dsync_01": _DSYNC_01_ORACLE,
+        "dstr_01": _DSTR_01_ORACLE,
     }
     g = globals()
     return [QuerySpec(key=k, fn=g[k], oracle=oracles.get(k), doc=d,

@@ -914,3 +914,111 @@ def test_sync_work_proportional_to_churn(spark, tdir, monkeypatch):
         stats_calls[0].endswith("new.parquet"), \
         "sync must touch ONLY the new commit's files"
     assert txnlog.read_table(spark, dest).count() == 205
+
+
+# ------------------------------ foreign-Delta STREAMING source (r15)
+
+def test_delta_stream_source_tails_foreign_log(spark, tdir):
+    """readStream directly off an externally-written _delta_log — no
+    import step: version offsets, per-commit fidelity
+    (_commit_version), exactly-once restart, foreign OPTIMIZE skipped
+    natively, rewrites honest-guarded with Delta's skipChangeCommits
+    escape hatch."""
+    from docker_aktin_dwh_spark.sources import (deltastream,
+                                                txnbatch)
+    deltastream.register(spark)
+    txnbatch.register(spark)
+    t = os.path.join(tdir, "ft")
+    _sync_fixture_v0(t)
+    ck = os.path.join(tdir, "ck")
+    rep = os.path.join(tdir, "rep")
+
+    def run(sink=None, skip="false"):
+        q = (spark.readStream.format("delta_stream")
+             .option("path", t)
+             .option("skipChangeCommits", skip).load()
+             .writeStream.format("txnlog")
+             .option("path", sink or rep).option("key", "k")
+             .option("txnAppId", "dstr")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return txnlog.read_table(spark, sink or rep)
+
+    got = run()
+    rows = got.collect()
+    assert len(rows) == 50
+    assert {r._commit_version for r in rows} == {0}
+    assert {r.p for r in rows} == {0, 1}, \
+        "partition columns materialize from the log's pv"
+    # restart: nothing re-delivered
+    assert run().count() == 50
+    # a foreign append flows on the next trigger, version-tagged
+    _duck_parquet(os.path.join(t, "f2.parquet"),
+                  "SELECT range AS k, 'c' || range AS v "
+                  "FROM range(200, 205)")
+    _write_log(os.path.join(t, "_delta_log"), 1, [
+        {"commitInfo": {"operation": "WRITE"}},
+        {"add": {"path": "f2.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 1,
+                 "dataChange": True}},
+    ])
+    got = run()
+    assert got.count() == 55
+    assert got.filter("_commit_version = 1").count() == 5
+    # a foreign OPTIMIZE is skipped natively (no option, no rows)
+    _duck_parquet(os.path.join(t, "opt.parquet"),
+                  "SELECT * FROM read_parquet("
+                  f"['{t}/f0.parquet', '{t}/f2.parquet'])")
+    _write_log(os.path.join(t, "_delta_log"), 2, [
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 2,
+                    "dataChange": False}},
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": False}},
+        {"add": {"path": "opt.parquet", "partitionValues": {"p": "0"},
+                 "size": 1, "modificationTime": 2,
+                 "dataChange": False}},
+    ])
+    assert run().count() == 55
+    # a data-changing rewrite raises without the escape hatch...
+    _duck_parquet(os.path.join(t, "f3.parquet"),
+                  "SELECT range AS k, 'b' || range AS v "
+                  "FROM range(100, 110)")
+    _write_log(os.path.join(t, "_delta_log"), 3, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 3,
+                    "dataChange": True}},
+        {"add": {"path": "f3.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 3,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run()
+    # ...and skips entirely with it (fresh checkpoint, lax from v0)
+    import shutil
+    shutil.rmtree(ck)
+    lax = run(sink=os.path.join(tdir, "rep_lax"), skip="true")
+    assert lax.count() == 55, \
+        "skipChangeCommits drops the rewrite commit wholesale"
+
+
+def test_delta_stream_refuses_column_mapping(spark, tdir):
+    from docker_aktin_dwh_spark.sources import deltastream
+    deltastream.register(spark)
+    t = os.path.join(tdir, "ft")
+    os.makedirs(t)
+    _write_log(os.path.join(t, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": _meta(
+            [_fld("k", "long",
+                  {"delta.columnMapping.id": 1,
+                   "delta.columnMapping.physicalName": "col-k"})],
+            config={"delta.columnMapping.mode": "name"})},
+    ])
+    with pytest.raises(Exception, match="columnMapping"):
+        (spark.readStream.format("delta_stream").option("path", t)
+         .load().writeStream.format("memory")
+         .queryName("delta_stream_cm")
+         .option("checkpointLocation", os.path.join(tdir, "ck2"))
+         .trigger(availableNow=True).start().awaitTermination())
