@@ -38,7 +38,8 @@ import os
 import struct
 import uuid as _uuid
 import zlib
-from urllib.parse import quote
+import re as _re
+from urllib.parse import quote, unquote
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
@@ -59,6 +60,13 @@ def _z85_decode(s: str, true_len: int) -> bytes:
             v = v * 85 + _Z85_REV[c]
         out += v.to_bytes(4, "big")
     return bytes(out[:true_len])
+
+
+#: exact commit-file shape — V2 checkpoints
+#: (<v>.checkpoint.<uuid>.json) and compacted logs
+#: (<s>.<e>.compact.json) also end in .json with digit prefixes and
+#: must NOT parse as commit versions
+_COMMIT_NAME = _re.compile(r"\d{20}\.json")
 
 
 # --------------------------------------------------- DV decode (import)
@@ -247,7 +255,7 @@ def replay_delta_log(src: str, version: int | None = None
                     txns[t["appId"]] = t["version"]
             start = v + 1
     commits = sorted(n for n in os.listdir(log_dir)
-                     if n.endswith(".json") and n[:20].isdigit()
+                     if _COMMIT_NAME.fullmatch(n)
                      and int(n[:20]) >= start
                      and (version is None or int(n[:20]) <= version))
     got = [int(n[:20]) for n in commits]
@@ -378,7 +386,12 @@ def _materialize_add(src: str, dest: str, a: dict, pcols: list[str],
     hardlink (or copy) the data file into dest under the hive layout
     rebuilt from the action's partitionValues, derive footer stats,
     decode the deletion vector."""
-    base = os.path.basename(a["path"])
+    # add.path is RFC 2396 percent-encoded per PROTOCOL.md — the
+    # on-disk file lives at the DECODED path.  The txnlog rel keeps
+    # the (re-encoded-by-_pv_fragment) hive frag + the decoded
+    # basename, so round-trips stay byte-stable.
+    disk_path = unquote(a["path"])
+    base = os.path.basename(disk_path)
     pv = a.get("partitionValues") or {}
     if pcols:
         frag = "/".join(f"{c}={_pv_fragment(pv.get(c))}"
@@ -387,7 +400,7 @@ def _materialize_add(src: str, dest: str, a: dict, pcols: list[str],
         os.makedirs(os.path.join(dest, frag), exist_ok=True)
     else:
         rel = base
-    srcf = os.path.join(src, a["path"])
+    srcf = os.path.join(src, disk_path)
     dstf = os.path.join(dest, rel)
     if not os.path.exists(dstf):
         try:
@@ -454,7 +467,7 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
     seen_base: set[str] = set()
     for lk in sorted(live, key=lambda t: (t[0], t[1] or "")):
         a = live[lk]
-        base = os.path.basename(a["path"])
+        base = os.path.basename(unquote(a["path"]))
         if base in seen_base:
             raise ValueError(
                 f"duplicate live file basename {base!r} — txnlog DVs "
@@ -483,7 +496,7 @@ def import_delta_log(spark: SparkSession, src: str, dest: str, *,
     imported_v = version if version is not None else max(
         (int(n[:20]) for n in os.listdir(os.path.join(
             src, "_delta_log"))
-         if n.endswith(".json") and n[:20].isdigit()), default=0)
+         if _COMMIT_NAME.fullmatch(n)), default=0)
     payload["txn"] = {"app": _sync_app(meta), "version": imported_v}
     # the log dir is created LAST (post-review r15): a refusal during
     # materialization leaves only idempotent hardlinks behind, so a
@@ -544,7 +557,7 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
     log_dir = os.path.join(src, "_delta_log")
     pending = sorted(
         int(n[:20]) for n in os.listdir(log_dir)
-        if n.endswith(".json") and n[:20].isdigit()
+        if _COMMIT_NAME.fullmatch(n)
         and int(n[:20]) > last)
     if not pending:
         return None
@@ -592,10 +605,11 @@ def sync_delta_log(spark: SparkSession, src: str, dest: str
                     adds.append(add)
                     if dv:
                         dvs.append(dv)
-                    basenames[os.path.basename(a["path"])] = \
-                        add["file"]
+                    basenames[os.path.basename(
+                        unquote(a["path"]))] = add["file"]
                 elif "remove" in action:
-                    base = os.path.basename(action["remove"]["path"])
+                    base = os.path.basename(
+                        unquote(action["remove"]["path"]))
                     rel = basenames.get(base)
                     if rel is not None:
                         removes.append(rel)

@@ -56,6 +56,11 @@ def _commit_path(table: str, version: int) -> str:
     return os.path.join(table, _DLOG, f"{version:0{_W}d}.json")
 
 
+import re as _re
+
+_COMMIT_RE = _re.compile(r"\d{20}\.json")
+
+
 def _versions(table: str) -> list[int]:
     log = os.path.join(table, _DLOG)
     try:
@@ -63,28 +68,32 @@ def _versions(table: str) -> list[int]:
     except FileNotFoundError:
         raise FileNotFoundError(
             f"delta_stream: no _delta_log under {table}")
+    # fullmatch on the exact commit shape — V2 checkpoints
+    # (<v>.checkpoint.<uuid>.json) and compacted logs
+    # (<s>.<e>.compact.json) also end in .json with digit prefixes
     return sorted(int(n[:_W]) for n in names
-                  if n.endswith(".json") and n[:_W].isdigit())
+                  if _COMMIT_RE.fullmatch(n))
 
 
-def _latest_meta(table: str) -> dict:
-    """The newest metaData action across the retained JSON commits
-    (schema evolution re-emits metaData; the latest governs the
-    stream's declared schema, older files align with null fills)."""
-    meta = None
-    for v in _versions(table):
-        with open(_commit_path(table, v)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "metaData" in a:
-                    meta = a["metaData"]
-    if meta is None:
-        raise FileNotFoundError(
-            f"delta_stream: no metaData action in any JSON commit of "
-            f"{table} (checkpoint-only history? point "
-            f"startingVersion at the first retained JSON commit)")
+_ALLOWED_READER_FEATURES = {"deletionVectors", "columnMapping",
+                            "typeWidening"}
+
+
+def _check_protocol(p: dict) -> None:
+    """PROTOCOL.md requires readers to FAIL on unsupported reader
+    versions/features (same gate as sources/delta_import)."""
+    if p.get("minReaderVersion", 1) > 3:
+        raise NotImplementedError(
+            f"delta_stream: minReaderVersion "
+            f"{p['minReaderVersion']}")
+    unknown = set(p.get("readerFeatures") or ()) \
+        - _ALLOWED_READER_FEATURES
+    if unknown:
+        raise NotImplementedError(
+            f"delta_stream: reader features {sorted(unknown)}")
+
+
+def _check_mapping(meta: dict) -> None:
     mode = ((meta.get("configuration") or {})
             .get("delta.columnMapping.mode", "none"))
     if mode != "none":
@@ -93,6 +102,52 @@ def _latest_meta(table: str) -> dict:
             f"file names diverge from the logical schema; import the "
             f"table (sources/delta_import) and stream the txnlog "
             f"commit log instead")
+
+
+def _latest_meta(table: str) -> dict:
+    """The newest metaData action — checkpoint parquet (via
+    ``_last_checkpoint``) seeded first so log-cleaned histories work,
+    then the retained JSON commits (schema evolution re-emits
+    metaData; the latest governs the stream's declared schema, older
+    files align with null fills).  Protocol and columnMapping gates
+    run here AND again in streamReader (a user-supplied .schema()
+    bypasses this function entirely)."""
+    meta = protocol = None
+    lc = os.path.join(table, _DLOG, "_last_checkpoint")
+    if os.path.exists(lc):
+        import pyarrow.parquet as pq
+        with open(lc) as f:
+            v = json.load(f)["version"]
+        rows = pq.read_table(os.path.join(
+            table, _DLOG, f"{v:0{_W}d}.checkpoint.parquet")).to_pylist()
+        for row in rows:
+            if row.get("metaData"):
+                meta = {k: val for k, val in row["metaData"].items()
+                        if val is not None}
+                meta["configuration"] = dict(
+                    meta.get("configuration") or {})
+            elif row.get("protocol"):
+                protocol = {k: val
+                            for k, val in row["protocol"].items()
+                            if val is not None}
+    for v in _versions(table):
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    if meta is None:
+        raise FileNotFoundError(
+            f"delta_stream: no metaData action in any retained JSON "
+            f"commit or checkpoint of {table} — is this a Delta "
+            f"table?")
+    if protocol is not None:
+        _check_protocol(protocol)
+    _check_mapping(meta)
     return meta
 
 
@@ -118,11 +173,13 @@ def _pv_constant(raw, n, arrow_type):
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, table: str, schema_json: str,
                  starting_version: int = 0,
-                 skip_change_commits: bool = False):
+                 skip_change_commits: bool = False,
+                 with_version_col: bool = True):
         self._table = table
         self._schema_json = schema_json
         self._start = starting_version
         self._skip_change = skip_change_commits
+        self._with_version = with_version_col
 
     def initialOffset(self) -> dict:
         return {"version": self._start - 1}
@@ -143,6 +200,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"delta_stream: foreign commit {v} missing under "
                     f"{self._table} (vacuumed? set startingVersion "
                     f"to the first retained JSON commit)")
+            # mid-stream protocol/metaData actions re-run the gates:
+            # a foreign writer enabling columnMapping (or an unknown
+            # reader feature) after the stream started must REFUSE,
+            # not deliver null-aligned garbage
+            for a in lines:
+                if "protocol" in a:
+                    _check_protocol(a["protocol"])
+                elif "metaData" in a:
+                    _check_mapping(a["metaData"])
             adds = [a["add"] for a in lines if "add" in a]
             removes = [a["remove"] for a in lines if "remove" in a]
             file_actions = adds + removes
@@ -159,9 +225,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"APPEND-ONLY history; import + CDC covers "
                     f"rewrites, or option('skipChangeCommits', "
                     f"'true') skips such commits entirely")
+            from urllib.parse import unquote
             for a in adds:
+                # add.path is RFC 2396 percent-encoded per PROTOCOL.md
                 parts.append(_FilePartition(
-                    os.path.join(self._table, a["path"]), v,
+                    os.path.join(self._table, unquote(a["path"])), v,
                     a.get("partitionValues") or None))
         return parts
 
@@ -185,9 +253,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             else:
                 cols.append(pa.nulls(t.num_rows, field.type))
         t = pa.table(dict(zip(target.names, cols)), schema=target)
-        ver = pa.nulls(t.num_rows, pa.int64()) \
-            .fill_null(partition.version)
-        t = t.append_column("_commit_version", ver)
+        if self._with_version:
+            ver = pa.nulls(t.num_rows, pa.int64()) \
+                .fill_null(partition.version)
+            t = t.append_column("_commit_version", ver)
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -216,6 +285,12 @@ class DeltaStreamDataSource(DataSource):
                                          LongType(), False)])
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        # a user-supplied .schema(...) bypasses DataSource.schema()
+        # entirely (pyspark create_data_source), so the protocol /
+        # columnMapping gates must run HERE too; a user schema
+        # without _commit_version simply doesn't get the column
+        _latest_meta(self.options["path"])
+        names = [f.name for f in schema.fields]
         logical = StructType([f for f in schema.fields
                               if f.name != "_commit_version"])
         skip = str(self.options.get("skipChangeCommits", "false"))
@@ -223,7 +298,8 @@ class DeltaStreamDataSource(DataSource):
             self.options["path"], logical.json(),
             starting_version=int(
                 self.options.get("startingVersion", 0)),
-            skip_change_commits=skip.lower() == "true")
+            skip_change_commits=skip.lower() == "true",
+            with_version_col="_commit_version" in names)
 
 
 def register(spark) -> None:

@@ -285,8 +285,9 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True,
                                    or seeded[4] <= version):
             live, meta, protocol, txns, v = seeded
             start = v + 1
+    import re as _re
     commits = sorted(n for n in os.listdir(log_dir)
-                     if n.endswith(".json") and n[:20].isdigit()
+                     if _re.fullmatch(r"\d{20}\.json", n)
                      and int(n[:20]) >= start
                      and (version is None or int(n[:20]) <= version))
     if not commits and not live:
@@ -363,7 +364,8 @@ def read_delta_table(path: str, *, from_checkpoint: bool = True,
     selects = []
     for lk in sorted(live, key=lambda t: (t[0], t[1] or "")):
         a = live[lk]
-        rel = a["path"]
+        from urllib.parse import unquote as _uq
+        rel = _uq(a["path"])          # RFC 2396 per PROTOCOL.md
         fp = os.path.join(path, rel)
         present = {r[0] for r in con.execute(
             f"SELECT name FROM parquet_schema([{lit(fp)}])").fetchall()}

@@ -1022,3 +1022,42 @@ def test_delta_stream_refuses_column_mapping(spark, tdir):
          .queryName("delta_stream_cm")
          .option("checkpointLocation", os.path.join(tdir, "ck2"))
          .trigger(availableNow=True).start().awaitTermination())
+
+
+def test_percent_encoded_paths_and_v2_checkpoint_names(spark, tdir):
+    """Post-review r15: add.path is RFC 2396 percent-encoded per
+    PROTOCOL.md — import AND the streaming source decode it before
+    touching disk; V2-checkpoint and compacted-log file names ending
+    in .json must not parse as commit versions."""
+    from docker_aktin_dwh_spark.sources import deltastream, txnbatch
+    deltastream.register(spark)
+    txnbatch.register(spark)
+    t = os.path.join(tdir, "ft")
+    os.makedirs(os.path.join(t, "sub dir"))
+    _duck_parquet(os.path.join(t, "sub dir", "f 1.parquet"),
+                  "SELECT range AS k, 'x' AS v FROM range(0, 20)")
+    log = os.path.join(t, "_delta_log")
+    _write_log(log, 0, [
+        {"protocol": _PROTO},
+        {"metaData": _meta([_fld("k", "long"), _fld("v", "string")])},
+        {"add": {"path": "sub%20dir/f%201.parquet",
+                 "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    # decoys a naive .json/isdigit() filter would misparse
+    open(os.path.join(
+        log, f"{0:020d}.checkpoint.0123456789abcdef.json"),
+        "w").write("{}")
+    open(os.path.join(
+        log, f"{0:020d}.{1:020d}.compact.json"), "w").write("{}")
+    imp = t + "_imp"
+    delta_import.import_delta_log(spark, t, imp, key="k")
+    assert txnlog.read_table(spark, imp).count() == 20
+    q = (spark.readStream.format("delta_stream").option("path", t)
+         .load().writeStream.format("txnlog")
+         .option("path", t + "_rep").option("key", "k")
+         .option("txnAppId", "pe")
+         .option("checkpointLocation", os.path.join(tdir, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert txnlog.read_table(spark, t + "_rep").count() == 20
