@@ -459,8 +459,13 @@ def _add_action(path: str, dest: str, snap, name: str,
                               for c, iv in sorted(cols.items())}
         stats["maxValues"] = {c: txnlog._stats_decode(iv[1])
                               for c, iv in sorted(cols.items())}
+    # PROTOCOL.md: add.path is an RFC 2396 percent-encoded relative
+    # path — the ON-DISK name may contain literal '%'/'=' characters
+    # (txnlog's hive fragments are themselves percent-encoded), so
+    # the log entry re-encodes them; readers unquote before opening
+    from urllib.parse import quote as _q
     add = {
-        "path": name,
+        "path": _q(name, safe="/"),
         "partitionValues": _partition_values(name, st),
         "size": info.st_size,
         "modificationTime": int(info.st_mtime * 1000),
@@ -683,7 +688,9 @@ def export_delta_history(path: str, dest: str, *,
                               and (prev.files[n].get("dv") or [])
                               != (snap.files[n].get("dv") or []))
                 if in_prev and (not in_cur or dv_changed):
-                    rm = {"path": n, "deletionTimestamp": now_ms,
+                    from urllib.parse import quote as _q
+                    rm = {"path": _q(n, safe="/"),
+                          "deletionTimestamp": now_ms,
                           "dataChange": dc}
                     prev_dv = prev.files[n].get("dv") or []
                     if prev_dv:
