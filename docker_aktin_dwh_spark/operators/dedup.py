@@ -902,18 +902,21 @@ def embed_lsh_pairs(emb: DataFrame, tau: float,
     cand = (a.join(b, ["table", "sig"])
              .filter(F.col("i") < F.col("j"))
              .select("i", "j").distinct())
+    from .similarity import _dot, _norm
+
+    # per-row norm computed once per vector (identical doubles; the
+    # pair pass multiplies two carried scalars), dot unrolled into
+    # codegen — see similarity._dot
     vec = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("v"))
+    vec = vec.select("vec_id", "v", _norm("v").alias("nv"))
     cand = (cand.join(vec.select(F.col("vec_id").alias("i"),
-                                 F.col("v").alias("va")), "i")
+                                 F.col("v").alias("va"),
+                                 F.col("nv").alias("na")), "i")
                 .join(vec.select(F.col("vec_id").alias("j"),
-                                 F.col("v").alias("vb")), "j"))
-    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
-           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                                 F.lit(0.0), lambda acc, x: acc + x))
-              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                                   F.lit(0.0), lambda acc, x: acc + x))))
+                                 F.col("v").alias("vb"),
+                                 F.col("nv").alias("nb")), "j"))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (cand.select("i", "j", cos.alias("cos"))
                 .filter(F.col("cos") >= tau))
 
@@ -973,13 +976,20 @@ def sdd_01(spark, sf):
     on both engines.  Reference analogue: semantic near-duplicate
     collapse before corpus statistics, generalizing the encounter-
     level re-import dedup (aktin_init.sql) to embedding space."""
-    from .similarity import (DIM, KM_ITERS, _km_assign,
-                             _km_seed_centroids, _km_update, sdd_k)
+    from .similarity import (DIM, KM_ITERS, _dot, _km_assign,
+                             _km_seed_centroids, _km_step, _norm, sdd_k)
 
     base = T(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding",
                               lambda x: x.cast("double")).alias("x"))
-    offset = base.agg(F.max("vec_id")).first()[0] + 1
+    # ONE control-plane action for offset AND the corpus size feeding
+    # sdd_k: |pts| = |base| + |planted| and planted is a pure filter of
+    # base, so both counts fold into the same aggregate (r15: was two
+    # sequential actions — agg(max).first() then pts.count())
+    mx, n_base, n_planted = base.agg(
+        F.max("vec_id"), F.count("*"),
+        F.count_if(F.col("vec_id") % EMBED2_STRIDE == 0)).first()
+    offset = mx + 1
     planted = (base.filter(F.col("vec_id") % EMBED2_STRIDE == 0)
                .select((F.col("vec_id") + offset).alias("vec_id"),
                        F.concat(
@@ -987,22 +997,23 @@ def sdd_01(spark, sf):
                                    * F.lit(EMBED2_PERTURB)),
                            F.slice("x", 2, DIM - 1)).alias("x")))
     pts = materialize(base.unionByName(planted))
-    cents = _km_seed_centroids(pts, k=sdd_k(pts.count()))
+    cents = _km_seed_centroids(pts, k=sdd_k(n_base + n_planted))
     for _ in range(KM_ITERS):
-        cents = _km_update(_km_assign(pts, cents))
+        cents = _km_step(pts, cents)
+    # per-ROW norm precomputed on the assigned frame: the pair pass
+    # then multiplies two scalars instead of re-folding 2×DIM squares
+    # per candidate (norms are a function of the row's own array, so
+    # the doubles are identical — just computed |rows| times instead
+    # of |pairs| times; guide §2.3 narrower-shuffle + §4 codegen)
     assigned = materialize(
-        _km_assign(pts, cents).select("vec_id", "x", "cid"))
+        _km_assign(pts, cents).select("vec_id", "x", "cid",
+                                      _norm("x").alias("nx")))
     a = assigned.select("cid", F.col("vec_id").alias("i"),
-                        F.col("x").alias("va"))
+                        F.col("x").alias("va"), F.col("nx").alias("na"))
     b = assigned.select("cid", F.col("vec_id").alias("j"),
-                        F.col("x").alias("vb"))
+                        F.col("x").alias("vb"), F.col("nx").alias("nb"))
     cand = a.join(b, "cid").filter(F.col("i") < F.col("j"))
-    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
-           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                                 F.lit(0.0), lambda acc, x: acc + x))
-              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                                   F.lit(0.0), lambda acc, x: acc + x))))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (cand.select("cid", "i", "j", cos.alias("cos"))
                 .filter(F.col("cos") >= EMBED2_TAU)
                 .select("cid", "i", "j",
@@ -1027,14 +1038,18 @@ def sdd_02(spark, sf):
     DuckDB oracle re-derives the whole chain (exist-only Lloyd, frozen
     assignment of both sets, cross-set prune), so the hash certifies
     the frozen-centroid assignment and the asymmetric prune."""
-    from .similarity import (DIM, KM_ITERS, _km_assign,
-                             _km_seed_centroids, _km_update, sdd_k)
+    from .similarity import (DIM, KM_ITERS, _dot, _km_assign,
+                             _km_seed_centroids, _km_step, _norm, sdd_k)
 
     base = T(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding",
                               lambda x: x.cast("double")).alias("x"))
     exist = materialize(base.filter(F.col("vec_id") % 4 != 0))
-    offset = base.agg(F.max("vec_id")).first()[0] + 1
+    # one action for offset AND |exist| (was agg(max).first() + count())
+    mx, n_exist = base.agg(
+        F.max("vec_id"),
+        F.count_if(F.col("vec_id") % 4 != 0)).first()
+    offset = mx + 1
     # stride-residue 1 (not 0): vec_id % 16 == 0 implies % 4 == 0,
     # which the exist filter excludes — residue 1 intersects exist,
     # so the planted-twin set is non-empty at every scale
@@ -1046,22 +1061,19 @@ def sdd_02(spark, sf):
                            F.slice("x", 2, DIM - 1)).alias("x")))
     novel = base.filter(F.col("vec_id") % 4 == 0)
     arrivals = materialize(planted.unionByName(novel))
-    cents = _km_seed_centroids(exist, k=sdd_k(exist.count()))
+    cents = _km_seed_centroids(exist, k=sdd_k(n_exist))
     for _ in range(KM_ITERS):
-        cents = _km_update(_km_assign(exist, cents))
+        cents = _km_step(exist, cents)
+    # per-row norms (sdd_01's rationale: identical doubles, computed
+    # once per vector instead of once per candidate pair)
     a = (_km_assign(exist, cents)
          .select("cid", F.col("vec_id").alias("i"),
-                 F.col("x").alias("va")))
+                 F.col("x").alias("va"), _norm("x").alias("na")))
     b = (_km_assign(arrivals, cents)
          .select("cid", F.col("vec_id").alias("j"),
-                 F.col("x").alias("vb")))
+                 F.col("x").alias("vb"), _norm("x").alias("nb")))
     cand = a.join(b, "cid")
-    cos = (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
-           / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                                 F.lit(0.0), lambda acc, x: acc + x))
-              * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                                   F.lit(0.0), lambda acc, x: acc + x))))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (cand.select("cid", "i", "j", cos.alias("cos"))
                 .filter(F.col("cos") >= EMBED2_TAU)
                 .select("cid", "i", "j",

@@ -41,6 +41,12 @@ def _as_double(col: str):
 
 
 def _dot(a: str, b: str):
+    # NOTE (r15 optimization round, measured): unrolling this fold into
+    # 64 element_at terms looked faster in isolation (0.78 s vs 1.02 s
+    # on a materialized pair frame) but REGRESSED every real caller
+    # 1.3-2.6× (ann_topk 0.48→1.87 s, ded_embed2 1.93→5.02 s at sf0.1)
+    # — the 200-node-per-fold expression trees blow up codegen/planning
+    # in full plans.  The interpreted HOF left-fold stays.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
@@ -817,6 +823,74 @@ def _km_update(assigned) -> list[tuple[int, list[float]]]:
                   for cid, d in by.items())
 
 
+def _km_step(pts, cents) -> list[tuple[int, list[float]]]:
+    """One fused Lloyd iteration ≡ ``_km_update(_km_assign(pts,
+    cents))`` — provably identical output (test_llmops pins equality):
+
+    - assignment distances and the update sums are BOTH
+      order-independent int64 sums of floored scaled doubles, so the
+      per-task numpy partials commute with any grouping;
+    - argmin's first-index rule = the lowest-cid tie-break (centroids
+      arrive cid-sorted), exactly ``_km_assign``'s rule;
+    - the final mean divides the int64 sum (as double) by the int64
+      count then by KM_SUM_SCALE — the same expression ``_km_update``
+      collects.
+
+    Why fused (guide §4.1/§4.2): the two-op form runs an
+    ArrowEvalPython assignment pass PLUS a posexplode of N×DIM rows
+    into a groupBy per iteration; this form computes the ≤ K×DIM
+    integer partials inside the SAME Arrow pass (mapInPandas), so the
+    JVM side only reduces K×DIM-bounded partials.  Measured at sf0.1
+    (2,125×64, K=34): 1.16 s vs 2.41 s warm for the 2-iteration loop,
+    identical centroids."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int32)
+    K, dim = C.shape
+
+    def partials(batches):
+        psum = np.zeros((K, dim), dtype=np.int64)
+        cnt = np.zeros(K, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            seen = True
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["x"].to_numpy()])
+            XS = np.floor(X * KM_SUM_SCALE).astype(np.int64)
+            step = max(1, (1 << 23) // max(K * dim, 1))
+            for s in range(0, n, step):
+                xb = X[s:s + step]
+                d = np.floor((xb[:, None, :] - C[None, :, :]) ** 2
+                             * KM_DIST_SCALE).astype(np.int64).sum(axis=2)
+                j = np.argmin(d, axis=1)
+                np.add.at(psum, j, XS[s:s + len(xb)])
+                np.add.at(cnt, j, 1)
+        if seen:
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame({
+                "cid": np.repeat(cids[nz], dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "psum": psum[nz].ravel(),
+                "cnt": np.repeat(cnt[nz], dim)})
+
+    rows = (pts.select("x")
+               .mapInPandas(partials, "cid int, dim int, psum long, cnt long")
+               .groupBy("cid", "dim")
+               .agg(((F.sum("psum").cast("double") / F.sum("cnt"))
+                     / F.lit(KM_SUM_SCALE)).alias("cv"))
+               .collect())
+    by: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by.setdefault(int(r["cid"]), {})[int(r["dim"])] = r["cv"]
+    return sorted((cid, [d[i] for i in range(DIM)])
+                  for cid, d in by.items())
+
+
 def km_01(spark, sf):
     """Distributed Lloyd k-means over the embedding corpus — the IVF
     training step as a first-class certified operator (reference
@@ -837,7 +911,7 @@ def km_01(spark, sf):
     pts = _km_pts(spark, sf)
     cents = _km_seed_centroids(pts)
     for _ in range(KM_ITERS):
-        cents = _km_update(_km_assign(pts, cents))
+        cents = _km_step(pts, cents)
     final = _km_assign(pts, cents)
 
     # centroid L2 norms on the same exact integer route (python floats

@@ -716,6 +716,30 @@ def test_km01_recovers_planted_clusters_and_inertia_monotone(spark):
         emb.unpersist()
 
 
+def test_km_step_equals_assign_update_composition(spark):
+    """r15 optimization invariant: the fused one-pass Lloyd step
+    (similarity._km_step — numpy partial sums inside the assignment's
+    Arrow pass) returns EXACTLY the centroids of the two-op
+    composition _km_update(_km_assign(pts, cents)) it replaced, over
+    multiple iterations on the planted-cluster fixture.  Both routes
+    sum order-independent int64 partials, so equality is exact, not
+    approximate."""
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 400, n_clusters=8).cache()
+    try:
+        pts = emb.select("vec_id", similarity._as_double("embedding")
+                          .alias("x"))
+        c_old = similarity._km_seed_centroids(pts)
+        c_new = list(c_old)
+        for _ in range(3):
+            c_old = similarity._km_update(similarity._km_assign(pts, c_old))
+            c_new = similarity._km_step(pts, c_new)
+            assert c_new == c_old, "fused step diverged from composition"
+    finally:
+        emb.unpersist()
+
+
 def test_cosine_pairs_recover_cluster_structure(spark):
     """ded_embed's pair engine on the clustered fixture: at τ=0.7 the
     blocked-matmul pair set must be ≈exactly the in-cluster pair set
