@@ -25,3 +25,70 @@ from pyspark.sql import DataFrame
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute ``df`` once; return a frame reading the result."""
     return df.localCheckpoint()
+
+
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Widen a NARROW scan to the session's core count (r15, guide
+    §2.5 "input skew: one small unsplittable file → one task"): the
+    driver fixtures are single parquet files, so every scan stage —
+    and the tokenize/shingle/codec work fused into it — runs on ONE
+    core unless an exchange intervenes.  When the upstream has fewer
+    partitions than ``defaultParallelism``, repartition (round-robin,
+    or hash on ``by`` so a following groupBy on the same key reuses
+    the exchange instead of adding one — guide §2.4); when the scan is
+    already at least core-wide (the 100 TB case: thousands of input
+    splits), this is a NO-OP — no shuffle is added at scale, and the
+    decision derives from input size, not a tuned constant.  Streaming
+    frames pass through untouched (no partition introspection there).
+    """
+    if not scan_is_narrow(df):
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *by) if by else df.repartition(p)
+
+
+def scan_is_narrow(df: DataFrame) -> bool:
+    """True when ``df``'s file inputs are too small to fill the
+    session's cores with scan splits — the single-small-file fixture
+    shape: total input bytes below defaultParallelism ×
+    maxPartitionBytes means the scan yields fewer than core-count
+    tasks, so the per-row work fused into it (tokenize, shingle,
+    codec) underuses the machine.  Callers use the flag to spread the
+    scan and to pre-partition a downstream Python-heavy aggregation by
+    its group key (an explicit user repartition, which AQE will not
+    coalesce back to one byte-sized task the way it does a plain
+    groupBy exchange under ``parallelismFirst=false``).
+
+    Decided from FILE SIZES (`inputFiles()` — FileIndex metadata, no
+    job, no RDD planning: a `.rdd.getNumPartitions()` probe measured
+    +0.5 s of duplicated physical planning on the pipe_03 subtree),
+    so the decision scales with input size, not a tuned constant: a
+    100 TB table reports wide and the helpers are no-ops.  Streaming
+    frames and frames with no file provenance (in-memory, checkpoints,
+    Python data sources) report wide — never touched."""
+    if df.isStreaming:
+        return False
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        local = unquote(urlparse(f).path) or f
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return False
+    sess = df.sparkSession
+    p = sess.sparkContext.defaultParallelism
+    try:
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes")
+        max_pb = int("".join(ch for ch in raw if ch.isdigit()) or 0)
+    except Exception:
+        max_pb = 0
+    return total < p * (max_pb or 128 * 1024 * 1024)

@@ -268,11 +268,22 @@ def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
     # micro-benchmark
     from ..functions.barrier import materialize
 
-    cp = (fact.groupBy("concept_cd", "patient_num")
-          .agg(F.count("*").alias("n")))
-    cp = materialize(cp.join(F.broadcast(cd), "concept_cd"))
-    n_facts = (cp.groupBy("path").agg(F.sum("n").alias("n"))
-               .select(F.explode(anc("path")).alias("c_fullname"), "n")
+    # r15 optimization (guide §2.3 "shuffle keys, not payloads" /
+    # measured 5.0 → 2.2 s at sf0.1, identical rows): the ancestor
+    # expansion — a regex split + array_join transform — used to run
+    # per cp ROW in BOTH branches (520k × 2 evaluations at sf0.1, and
+    # pair-frame-sized at 100 TB).  The ontology has only ~154 distinct
+    # concepts, so ancestors are computed ONCE on the concept dimension
+    # and broadcast-joined; the checkpoint also narrows (no path string
+    # pinned per pair).  Inner-join semantics unchanged: concepts
+    # without an ontology row dropped before, and drop at the ancmap
+    # join now (collect-equality pinned while measuring).
+    cp = materialize(fact.groupBy("concept_cd", "patient_num")
+                     .agg(F.count("*").alias("n")))
+    ancmap = cd.select("concept_cd",
+                       F.explode(anc("path")).alias("c_fullname"))
+    n_facts = (cp.groupBy("concept_cd").agg(F.sum("n").alias("n"))
+               .join(F.broadcast(ancmap), "concept_cd")
                .groupBy("c_fullname")
                .agg(F.sum("n").alias("n_facts")))
     # gate on the pinned pair frame (cheap count of checkpointed
@@ -283,8 +294,7 @@ def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
     else:
         distinct_agg = F.approx_count_distinct("patient_num",
                                                _ONT3_RSD)
-    totalnum = (cp.select("patient_num",
-                          F.explode(anc("path")).alias("c_fullname"))
+    totalnum = (cp.join(F.broadcast(ancmap), "concept_cd")
                 .groupBy("c_fullname")
                 .agg(distinct_agg.alias("totalnum")))
     return (n_facts.join(totalnum, "c_fullname")
@@ -318,9 +328,14 @@ def ont_03(spark, sf):
                                F.array_join(F.slice(parts, 2, k), "\\"),
                                F.lit("\\")))
 
-    exploded = (fact.join(F.broadcast(cd), "concept_cd")
-                .select("patient_num",
-                        F.explode(anc("path")).alias("c_fullname")))
+    # ancestors computed once per CONCEPT (154 rows), not per fact row
+    # (600k at sf0.1) — ont_02's r15 broadcast-ancmap rewrite; the
+    # (patient, c_fullname) multiset is identical, so both the exact
+    # distinct and the HLL sketch are unchanged
+    ancmap = cd.select("concept_cd",
+                       F.explode(anc("path")).alias("c_fullname"))
+    exploded = (fact.join(F.broadcast(ancmap), "concept_cd")
+                .select("patient_num", "c_fullname"))
     return (exploded.groupBy("c_fullname")
             .agg(F.countDistinct("patient_num").alias("totalnum"),
                  F.approx_count_distinct("patient_num").alias("_apx"))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions.barrier import materialize
+from ..functions.barrier import materialize, scan_is_narrow, spread
 from ..functions.textfns import SQL_SHINGLES3, SQL_TOKENS, shingles, tokens
 from ..registry import QuerySpec
 
@@ -167,6 +167,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 
 
 def ded_ngram(spark, sf):
+    # NOT spread (r15, measured): the chain is all-JVM and the scan
+    # tokenize is cheap next to the shingle self-join — the extra
+    # exchange cost more than the scan-width bought (1.29 → 1.47 s)
     docs = T(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     return (ngram_jaccard_pairs(docs, 0.8)
             .select("i", "j", F.round("jac", 3).alias("jac"))
@@ -263,7 +266,8 @@ def ded_ngram2(spark, sf):
     computed by prefix filtering instead of the full shingle self-join;
     shares ded_ngram's oracle verbatim, so the hash certifies the two
     plans compute the SAME pair set."""
-    docs = T(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    docs = spread(T(spark, sf, "documents")
+                  .filter(F.col("doc_id") < 2000))
     return (prefix_jaccard_pairs(docs, 0.8)
             .select("i", "j", F.round("jac", 3).alias("jac"))
             .orderBy("i", "j"))
@@ -288,8 +292,22 @@ def doc_minhash_frame(docs: DataFrame) -> DataFrame:
     estimate prune keep it).  At 100 TB this row layout IS the
     persisted signature index an incremental pipeline maintains
     (see streaming/dedup_ingest.py)."""
-    per_doc = (_shingle_hash_rows(docs)
-               .groupBy("doc_id").agg(F.collect_list("h").alias("hs")))
+    # r15 (guide §2.5/§2.4): on a small corpus the post-groupBy Arrow
+    # minhash stage ran on ~1 core (AQE's byte-sized coalescing under
+    # parallelismFirst=false shrinks the tiny shuffle to 1-2 tasks,
+    # which is the wrong trade for a Python-heavy stage).  When the
+    # corpus is narrow, pre-partition the shingle rows by doc_id at
+    # core width — the groupBy reuses the user exchange (no extra
+    # shuffle) and AQE does not coalesce it.  Wide corpora (the 100 TB
+    # case) pass through untouched; callers with raw single-file scans
+    # additionally spread the scan itself (ded_minhash/tri_01 — the
+    # scan-side tokenize is the other single-core stage).  Measured:
+    # full minhash chain 2.68 → 1.74 s warm at sf0.1, identical pairs.
+    sh = _shingle_hash_rows(docs)
+    if scan_is_narrow(docs):
+        sh = sh.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    per_doc = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
 
     a = np.array(_PERM_A, dtype=np.int64)
     b = np.array(_PERM_B, dtype=np.int64)
@@ -416,7 +434,9 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float,
 
 
 def ded_minhash(spark, sf):
-    docs = T(spark, sf, "documents")
+    # spread the single-file scan so tokenize+shingle use the cores
+    # (r15, guide §2.5; no-op on wide scans)
+    docs = spread(T(spark, sf, "documents"))
     return (minhash_dedup_pairs(docs, JACCARD_THRESHOLD)
             .select("i", "j", F.round("jac", 3).alias("jac"))
             .orderBy("i", "j"))

@@ -145,7 +145,10 @@ def tri_01(spark, sf):
     triangle-dense; a chain of borderline matches has none).  The
     near-dup fixture graph is triangle-sparse at small SF (1 at
     sf0.01) — the planted-K4 semantics are pinned in tests."""
-    docs = T(spark, sf, "documents")
+    from ..functions.barrier import spread
+
+    # spread the single-file scan (r15, guide §2.5; no-op when wide)
+    docs = spread(T(spark, sf, "documents"))
     pairs = minhash_dedup_pairs(docs, JACCARD_THRESHOLD).select("i", "j")
     return triangle_stats(pairs)
 

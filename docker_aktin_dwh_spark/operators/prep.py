@@ -39,7 +39,11 @@ def _kept(spark, sf):
     """The quality gate: ≥ MIN_TOKENS tokens, stopword ratio ≤
     MAX_STOP_RATIO — shared by every pipe_* chain so the gate always
     prunes before any shingle explode."""
-    d = catalog.load(spark, sf, "documents")
+    from ..functions.barrier import spread
+
+    # spread a narrow single-file scan before the tokenize gate (r15,
+    # guide §2.5) — the gate's regex tokenize otherwise runs on 1 core
+    d = spread(catalog.load(spark, sf, "documents"))
     # tokens bound to a column first (r12, the col_01 finding): the
     # gate reads the array three times — bound, that is one tokenize
     # per row instead of three
