@@ -1424,8 +1424,11 @@ def substr_dup_stats(docs: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         F.transform(F.sequence(F.lit(1), nwin),
                     lambda i: F.md5(F.array_join(F.slice(tk, i, w), " ")))
     ).otherwise(F.array().cast("array<string>"))
+    # spread a narrow scan before the per-row window-md5 explode (r15,
+    # guide §2.5 — the heaviest JVM per-row stage in the dedup family;
+    # no-op on wide scans)
     g = materialize(
-        docs.select("doc_id", tokens("text").alias("_tk"))
+        spread(docs).select("doc_id", tokens("text").alias("_tk"))
             .select("doc_id", F.explode(hashes).alias("h"))
             .groupBy("doc_id", "h").agg(F.count("*").alias("c")))
     dup = (g.groupBy("h").count()

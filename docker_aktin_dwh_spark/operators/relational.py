@@ -1479,9 +1479,14 @@ def surv_01(spark, sf):
     after lives on the per-(arm, day) AGGREGATE frame (window over
     arm-partitioned event days — bounded by the time horizon, not the
     corpus)."""
-    ev = T(spark, sf, "events").select(
+    from ..functions.barrier import materialize
+
+    # r15: multiple consumers re-ran the events scan + timestamp
+    # decode — one barrier, one scan (surv_01 measured 1.45 -> 1.06 s
+    # warm at sf0.1, identical rows)
+    ev = materialize(T(spark, sf, "events").select(
         "user_id", "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
     s = (ev.filter(F.col("event_type") == "signup")
          .groupBy("user_id").agg(F.min("us").alias("s_us")))
     p = (ev.join(s, "user_id")
@@ -1576,9 +1581,14 @@ def ab_01(spark, sf):
     NOTES discipline).  Emits per-arm counts, rates, the pooled rate,
     and the 1e6-scaled z.  One groupBy(user) pass then a 2-row
     aggregate frame — nothing downstream is corpus-sized."""
-    ev = T(spark, sf, "events").select(
+    from ..functions.barrier import materialize
+
+    # r15: multiple consumers re-ran the events scan + timestamp
+    # decode — one barrier, one scan (surv_01 measured 1.45 -> 1.06 s
+    # warm at sf0.1, identical rows)
+    ev = materialize(T(spark, sf, "events").select(
         "user_id", "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
     s = (ev.filter(F.col("event_type") == "signup")
          .groupBy("user_id").agg(F.min("us").alias("s_us")))
     conv = (ev.join(s, "user_id")
@@ -1768,17 +1778,44 @@ def rfm_01(spark, sf):
            .withColumn("neg_f", -F.col("freq"))
            .withColumn("neg_m", -F.col("mon")))
     n1 = per.agg(F.count("*").alias("n_cust"))
-    ranked = global_rank(per, ["rec_days", "o_custkey"], "r_rnk")
-    ranked = global_rank(ranked, ["neg_f", "o_custkey"], "f_rnk")
-    ranked = global_rank(ranked, ["neg_m", "o_custkey"], "m_rnk")
-    scored = (ranked.crossJoin(F.broadcast(n1))
-              .select("mon",
-                      _ntile_from_rank("r_rnk", "n_cust", 4)
-                      .alias("r_score"),
-                      _ntile_from_rank("f_rnk", "n_cust", 4)
-                      .alias("f_score"),
-                      _ntile_from_rank("m_rnk", "n_cust", 4)
-                      .alias("m_score")))
+    # r15: ONE distributed rank instead of three sequential
+    # global_rank calls (each was a range exchange + localCheckpoint +
+    # offsets collect — 6 driver-sequenced jobs).  The three metrics
+    # stack long-form as (mid, v, custkey) with v embedded in
+    # DECIMAL(38,4) — an ORDER-EXACT supertype of rec_days (int),
+    # neg_f (long) and neg_m (decimal(28,4)), so within each mid block
+    # the total order is identical to the old per-metric order (a
+    # double embedding would round decimals and could reorder ties).
+    # With mid leading the order, metric m's rows occupy global ranks
+    # (m·n_cust, (m+1)·n_cust], so the per-metric rank is
+    # g_rnk − mid·n_cust — the exact input _ntile_from_rank saw
+    # before; scores and the final segment rollup are unchanged
+    # (oracle hash certifies).
+    dec = "decimal(38,4)"
+    lf = per.select(
+        "o_custkey", "mon",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("mid"),
+                     F.col("rec_days").cast(dec).alias("v")),
+            F.struct(F.lit(1).alias("mid"),
+                     F.col("neg_f").cast(dec).alias("v")),
+            F.struct(F.lit(2).alias("mid"),
+                     F.col("neg_m").cast(dec).alias("v")))).alias("s")
+    ).select("o_custkey", "mon", "s.mid", "s.v")
+    ranked = global_rank(lf, ["mid", "v", "o_custkey"], "g_rnk")
+    sc = (ranked.crossJoin(F.broadcast(n1))
+          .withColumn("rnk", F.col("g_rnk")
+                      - F.col("mid") * F.col("n_cust"))
+          .withColumn("score", _ntile_from_rank("rnk", "n_cust", 4)))
+    scored = (sc.groupBy("o_custkey")
+              .agg(F.min("mon").alias("mon"),
+                   F.max(F.when(F.col("mid") == 0, F.col("score")))
+                    .alias("r_score"),
+                   F.max(F.when(F.col("mid") == 1, F.col("score")))
+                    .alias("f_score"),
+                   F.max(F.when(F.col("mid") == 2, F.col("score")))
+                    .alias("m_score"))
+              .select("mon", "r_score", "f_score", "m_score"))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.sum("mon"), 2).cast("double")
@@ -1836,10 +1873,21 @@ def mba_01(spark, sf):
     item 2, closed alongside col_01): exact to 10³⁸, DuckDB oracle
     widened through HUGEINT, DIV's BIGINT quotient unchanged at
     fixture magnitudes (hash-certified)."""
+    from ..functions.barrier import materialize
+
+    # r15 (guide §2.4 "remove shuffles outright", measured 2.6 → 1.5 s
+    # warm at sf0.1): the old shape ran the lineitem scan + a distinct
+    # shuffle THREE times (baskets, margins, order count are three
+    # consumers of one logical frame Spark does not dedupe).  Now ONE
+    # corpus pass: collect_set dedups per order (distinct was
+    # redundant), the basket frame is checkpointed, and margins/order
+    # count derive from it — m(part) = #orders containing the part =
+    # explode of the per-order distinct sets; n_orders = basket rows.
+    # Identical values by construction; oracle hash unchanged.
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    baskets = (op.groupBy("l_orderkey")
-               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    baskets = materialize(
+        li.groupBy("l_orderkey")
+          .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
     pairs = (baskets.select(F.explode(F.expr(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), "
@@ -1847,8 +1895,9 @@ def mba_01(spark, sf):
         .select("pr.p1", "pr.p2"))
     sup = (pairs.groupBy("p1", "p2").agg(F.count("*").alias("sup"))
            .filter(F.col("sup") >= MBA_MIN_SUP))
-    marg = op.groupBy("l_partkey").agg(F.count("*").alias("m"))
-    n = op.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    marg = (baskets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count("*").alias("m")))
+    n = baskets.select(F.count("*").alias("n_orders"))
     scored = (sup
               .join(marg.select(F.col("l_partkey").alias("p1"),
                                 F.col("m").alias("m1")), "p1")

@@ -1648,11 +1648,15 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
     batch = batch.cache()
     try:
         dk = batch.select(key).distinct()
-        n_keys = dk.count()
+        # ONE driver round-trip decides the arm (r15: was count() THEN
+        # collect() — two sequential jobs on the common path): collect
+        # at most cap+1 keys; fewer than that IS the full key set
+        head = dk.limit(MERGE_KEYS_COLLECT_MAX + 1).collect()
+        n_keys = len(head)
         if not n_keys:
             return append(spark, batch, path, key=key)
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
-            keys = sorted(r[0] for r in dk.collect())
+            keys = sorted(r[0] for r in head)
             def key_hits(s): return _interval_hits(s, keys)
             anti_keys = F.broadcast(dk)
         else:
@@ -1808,8 +1812,18 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
     two-call merge+delete_range emulation has exactly that window)."""
     feed = feed.cache()
     try:
-        dup = (feed.groupBy(key).count().filter(F.col("count") > 1)
-                   .count())
+        # both feed validations in ONE job (r15: was a dup-key count
+        # THEN a bad-op count — two sequential actions): per-key row
+        # counts and per-key invalid-op counts fold in one groupBy,
+        # then one 2-column reduce
+        valid_ops = tuple(upsert_ops) + (delete_op,)
+        bad_pred = (F.col(op_col).isNull()
+                    | ~F.col(op_col).isin(*valid_ops))
+        dup, n_bad = (feed.groupBy(key)
+                      .agg(F.count("*").alias("c"),
+                           F.count_if(bad_pred).alias("b"))
+                      .agg(F.count_if(F.col("c") > 1),
+                           F.sum("b")).first())
         if dup:
             raise ValueError(
                 f"apply_changes: feed carries {dup} keys with more "
@@ -1819,21 +1833,20 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
         # three-valued logic, so its key would be anti-joined out of
         # the existing files — a silent delete — and an out-of-
         # vocabulary op is a malformed feed either way.
-        valid = tuple(upsert_ops) + (delete_op,)
-        n_bad = feed.filter(F.col(op_col).isNull()
-                            | ~F.col(op_col).isin(*valid)).count()
         if n_bad:
             raise ValueError(
                 f"apply_changes: feed carries {n_bad} rows whose "
-                f"{op_col!r} is NULL or not in {sorted(valid)} — "
+                f"{op_col!r} is NULL or not in {sorted(valid_ops)} — "
                 f"refusing to guess (a NULL op would silently delete "
                 f"its key)")
         dk = feed.select(key).distinct()
-        n_keys = dk.count()
+        # one driver round-trip decides the arm (see merge, r15)
+        head = dk.limit(MERGE_KEYS_COLLECT_MAX + 1).collect()
+        n_keys = len(head)
         if not n_keys:
             return snapshot(path)
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
-            keys = sorted(r[0] for r in dk.collect())
+            keys = sorted(r[0] for r in head)
             def hits(s): return _interval_hits(s, keys)
             anti_keys = F.broadcast(dk)
         else:
