@@ -179,12 +179,22 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
 
 def _planted_rank1(emb: DataFrame, topk_fn, k: int = 10) -> DataFrame:
+    from ..functions.barrier import materialize
+
     base = emb.select("vec_id", "embedding")
     offset = base.agg(F.max("vec_id")).first()[0] + 1
     queries = base.filter(F.col("vec_id") < 5)
     planted = queries.select(
         (F.col("vec_id") + offset).alias("vec_id"), "embedding")
-    res = topk_fn(base.unionByName(planted), queries, k)
+    # r15: the index pipelines consume the planted corpus 5-8 times
+    # (train count, seeds, per-iteration assigns, cells, bounds,
+    # encode) — each re-ran the scan+union subtree.  One barrier;
+    # measured ann_sq 3.32 → 2.76 s, ann_pq 3.35 → 2.83 s warm at
+    # sf0.1, identical output (the rank-1 certification is robust to
+    # the partition-order FP jitter applyInPandas means already had).
+    corpus = materialize(base.unionByName(planted))
+    queries = materialize(queries)
+    res = topk_fn(corpus, queries, k)
     pr = F.max(F.when(F.col("neighbor_id") == F.col("q_id") + offset,
                       F.col("rank")))
     return (res.groupBy("q_id").agg(pr.alias("pr"))
