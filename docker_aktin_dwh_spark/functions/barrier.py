@@ -47,6 +47,29 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(p, *by) if by else df.repartition(p)
 
 
+def _parse_bytes(raw: str) -> int:
+    """Parse a Spark byte-size string — plain digits, or a value with
+    a b/k/m/g/t/p (or kb/mb/...) suffix, case-insensitive, binary
+    multiples like Spark's JavaUtils.byteStringAsBytes — into bytes.
+    Returns 0 on anything unparseable (ADVICE r15: the old digit-strip
+    parse read '128m' as 128 BYTES, silently collapsing the narrow
+    threshold and disabling spread() under a legitimate config)."""
+    s = (raw or "").strip().lower()
+    mult = 1
+    for suf, m in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                   ("mb", 1 << 20), ("kb", 1 << 10), ("p", 1 << 50),
+                   ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+                   ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 0
+
+
 def scan_is_narrow(df: DataFrame) -> bool:
     """True when ``df``'s file inputs are too small to fill the
     session's cores with scan splits — the single-small-file fixture
@@ -77,6 +100,21 @@ def scan_is_narrow(df: DataFrame) -> bool:
     import os
     from urllib.parse import unquote, urlparse
 
+    sess = df.sparkSession
+    p = sess.sparkContext.defaultParallelism
+    # VERDICT r15 item 5: bound the driver-side stat loop.  A table
+    # with more than 4×cores files can fill the machine with scan
+    # tasks anyway (each file is charged openCostInBytes when packing
+    # splits), so give up early and report wide WITHOUT statting a
+    # million files on an NFS/Lustre-visible cluster path.
+    if len(files) > 4 * p:
+        return False
+    try:
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes")
+        max_pb = _parse_bytes(raw)
+    except Exception:
+        max_pb = 0
+    threshold = p * (max_pb or 128 * 1024 * 1024)
     total = 0
     for f in files:
         local = unquote(urlparse(f).path) or f
@@ -84,11 +122,8 @@ def scan_is_narrow(df: DataFrame) -> bool:
             total += os.path.getsize(local)
         except OSError:
             return False
-    sess = df.sparkSession
-    p = sess.sparkContext.defaultParallelism
-    try:
-        raw = sess.conf.get("spark.sql.files.maxPartitionBytes")
-        max_pb = int("".join(ch for ch in raw if ch.isdigit()) or 0)
-    except Exception:
-        max_pb = 0
-    return total < p * (max_pb or 128 * 1024 * 1024)
+        if total >= threshold:
+            # already provably wide: stop statting (early exit — the
+            # common wide case terminates after a handful of files)
+            return False
+    return total < threshold
