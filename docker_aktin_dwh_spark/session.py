@@ -66,6 +66,16 @@ def build_session(app_name: str = "docker-aktin-dwh-spark",
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config(NANOS_AS_LONG, "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r16 (guide §5 driver round-trips): executeTake's default ramp
+        # scans 1 partition, then 4×, then the rest — so every bounded
+        # `limit(cap+1).collect()` (the txnlog control-plane decisions:
+        # merge key arm, DV planning) runs as 3 SEQUENTIAL jobs when the
+        # frame holds fewer than cap rows.  Starting the ramp at core
+        # width folds those into one round; the collect stays bounded
+        # by the limit either way, so this is scale-neutral (a cluster
+        # first-round scans `cpus` partitions of a 100 TB table, not
+        # the table).  Derived from SPARK_GRAFT_CPUS, not a constant.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -92,6 +102,9 @@ def apply_runtime_policy(spark: SparkSession) -> SparkSession:
     # instead of skipping the pushdown — must be on wherever the
     # txnlog format might be read.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # same executeTake-ramp fold as build_session (runtime-settable)
+    spark.conf.set("spark.sql.limit.initialNumPartitions",
+                   str(default_parallelism()))
     ship_package(spark)
     return spark
 

@@ -725,9 +725,26 @@ def _stage_data_files(spark: SparkSession, df: DataFrame, path: str,
     w.parquet(stage)
     adds = []
     try:
-        for i, (rel, part) in enumerate(_walk_staged(stage)):
+        staged = _walk_staged(stage)
+        # r16 (VERDICT r15 item 6): the per-file parquet footer probes
+        # were a SEQUENTIAL driver loop — fine at fixture file counts,
+        # a commit-planning bottleneck at 100 TB file counts.  A
+        # bounded thread pool overlaps the footer I/O (pyarrow releases
+        # the GIL on reads); ordering stays deterministic because the
+        # results are zipped back to _walk_staged's sorted order.
+        if len(staged) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(staged))) as pool:
+                probed = list(pool.map(
+                    lambda rp: _file_stats(
+                        os.path.join(stage, rp[0], rp[1]), key),
+                    staged))
+        else:
+            probed = [_file_stats(os.path.join(stage, rel, part), key)
+                      for rel, part in staged]
+        for i, ((rel, part), stats) in enumerate(zip(staged, probed)):
             src = os.path.join(stage, rel, part)
-            stats = _file_stats(src, key)
             if stats["rows"] == 0:
                 continue
             if rel:
@@ -1725,19 +1742,24 @@ def merge(spark: SparkSession, path: str, batch: DataFrame, *,
                 # per-file deletion vectors for the replaced rows, and
                 # a rewrite ONLY of files whose DV crossed the fold
                 # cap — rewrite bytes ∝ touched rows, not files
-                adds = []
+                # r16 (guide §5): the fold-kept rows and the batch used
+                # to stage as TWO sequential Spark write jobs; one
+                # union stages both in a single job (the commit's add
+                # set is the same row set either way — adds are
+                # per-file log entries, and the read/CDC paths are
+                # row-level, never file-boundary-sensitive)
                 if fold:
                     live = _read_files(spark, path, schema, fold,
                                        snap.files, snap.colmap,
                                        snap.partition_by)
                     kept = live.join(anti_keys, key, "left_anti")
-                    adds += _stage_data_files(spark, kept, path, key,
-                                              snap.version + 1,
-                                              snap.colmap,
-                                              snap.partition_by)
-                adds += _stage_data_files(spark, batch, path, key,
-                                          snap.version + 1, snap.colmap,
-                                          snap.partition_by)
+                    to_stage = kept.unionByName(
+                        batch, allowMissingColumns=True)
+                else:
+                    to_stage = batch
+                adds = _stage_data_files(spark, to_stage, path, key,
+                                         snap.version + 1, snap.colmap,
+                                         snap.partition_by)
                 payload = {"op": "merge", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
@@ -1819,11 +1841,25 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
         valid_ops = tuple(upsert_ops) + (delete_op,)
         bad_pred = (F.col(op_col).isNull()
                     | ~F.col(op_col).isin(*valid_ops))
-        dup, n_bad = (feed.groupBy(key)
-                      .agg(F.count("*").alias("c"),
-                           F.count_if(bad_pred).alias("b"))
-                      .agg(F.count_if(F.col("c") > 1),
-                           F.sum("b")).first())
+        # r16 (guide §5): the SAME aggregate also answers every other
+        # control-plane question the verb needs — exact distinct-key
+        # count (the arm gate), whether any upsert row exists (was a
+        # separate isEmpty job), and the key envelope (was a separate
+        # agg job on the wide arm) — so the wide arm now decides with
+        # ZERO extra actions and the narrow arm with one (the bounded
+        # key-values collect below).
+        dup, n_bad, n_keys, n_ups, env_lo, env_hi = (
+            feed.groupBy(key)
+                .agg(F.count("*").alias("c"),
+                     F.count_if(bad_pred).alias("b"),
+                     # NULL op counts as neither (matches the ups
+                     # filter, where NULL != delete_op is not true)
+                     F.count_if(F.col(op_col) != delete_op).alias("u"))
+                .agg(F.count_if(F.col("c") > 1),
+                     F.sum("b"),
+                     F.count(F.lit(1)),
+                     F.count_if(F.col("u") > 0),
+                     F.min(key), F.max(key)).first())
         if dup:
             raise ValueError(
                 f"apply_changes: feed carries {dup} keys with more "
@@ -1840,26 +1876,25 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
                 f"refusing to guess (a NULL op would silently delete "
                 f"its key)")
         dk = feed.select(key).distinct()
-        # one driver round-trip decides the arm (see merge, r15)
-        head = dk.limit(MERGE_KEYS_COLLECT_MAX + 1).collect()
-        n_keys = len(head)
         if not n_keys:
             return snapshot(path)
         if n_keys <= MERGE_KEYS_COLLECT_MAX:
-            keys = sorted(r[0] for r in head)
+            # narrow arm: ONE bounded driver round-trip for the key
+            # VALUES (the count came with the validation aggregate)
+            keys = sorted(r[0] for r in dk.collect())
             def hits(s): return _interval_hits(s, keys)
             anti_keys = F.broadcast(dk)
         else:
-            lo, hi = dk.agg(F.min(key), F.max(key)).first()
-            def hits(s): return _envelope_hits(s, lo, hi)
+            def hits(s): return _envelope_hits(s, env_lo, env_hi)
             anti_keys = dk        # wide batch: no broadcast (see merge)
         ups = feed.filter(F.col(op_col) != delete_op).drop(op_col)
         # a delete-only feed stages NOTHING — without this guard the
         # empty upsert frame still walks _stage_data_files, which on a
         # partitioned table refuses a feed that (legitimately) carries
         # only the key column (r15: the MERGE ... WHEN MATCHED THEN
-        # DELETE SQL shape is exactly such a feed)
-        ups_empty = ups.isEmpty()
+        # DELETE SQL shape is exactly such a feed).  Answered by the
+        # validation aggregate — no isEmpty job (r16).
+        ups_empty = n_ups == 0
         for _ in range(MERGE_MAX_ATTEMPTS):
             snap = snapshot(path)
             logged_cols = [fl.name for fl in StructType.fromJson(
@@ -1883,21 +1918,21 @@ def apply_changes(spark: SparkSession, path: str, feed: DataFrame, *,
             if dv_actions is not None:
                 # merge-on-read: deletes AND replaced update rows are
                 # bitmapped; only the upsert rows (and any fold) stage
-                adds = []
+                # r16: fold-kept + upserts stage in ONE write job
+                # (same single-staging fold as merge, guide §5)
+                to_stage = None
                 if fold:
                     live = _read_files(spark, path, schema, fold,
                                        snap.files, snap.colmap,
                                        snap.partition_by)
                     kept = live.join(anti_keys, key, "left_anti")
-                    adds += _stage_data_files(spark, kept, path, key,
-                                              snap.version + 1,
-                                              snap.colmap,
-                                              snap.partition_by)
-                if not ups_empty:
-                    adds += _stage_data_files(spark, ups, path, key,
-                                              snap.version + 1,
-                                              snap.colmap,
-                                              snap.partition_by)
+                    to_stage = kept if ups_empty else kept.unionByName(
+                        ups, allowMissingColumns=True)
+                elif not ups_empty:
+                    to_stage = ups
+                adds = [] if to_stage is None else _stage_data_files(
+                    spark, to_stage, path, key, snap.version + 1,
+                    snap.colmap, snap.partition_by)
                 payload = {"op": "apply", "add": adds, "remove": fold}
                 if dv_actions:
                     payload["dv"] = dv_actions
