@@ -243,13 +243,77 @@ def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
     return emb.withColumn("cluster", nearest("embedding"))
 
 
+def _ivf_step(corpus: DataFrame, centroids) -> "np.ndarray":
+    """One fused IVF Lloyd iteration (r16, VERDICT r15 item 3 — the
+    ``_km_step`` discipline applied to ivf_train): cosine assignment
+    (the IDENTICAL numpy route as :func:`ivf_assign` — normalize,
+    matmul against the normalized centroid matrix, argmax with numpy's
+    first-index tie-break) plus the per-cluster elementwise mean in
+    ONE mapInPandas pass emitting ≤ k×DIM int64 partials, which the
+    JVM reduces — instead of an ArrowEvalPython assignment pass PLUS a
+    groupBy(cluster).applyInPandas that shipped EVERY corpus row's
+    embedding through a shuffle and the Python boundary again (guide
+    §2.3 "aggregate before you shuffle" + §4.1).
+
+    The mean rides the exact FLOOR(x·KM_SUM_SCALE) BIGINT route, so it
+    is ORDER-EXACT — independent of partitioning and row order —
+    where the former applyInPandas ``m.mean(axis=0)`` was an
+    order-dependent double fold over whatever rows the shuffle
+    delivered.  The ≤1e-9 per-element value shift is invisible to
+    every declared consumer: ann_ivf/ann_sq/ann_bx certify a planted
+    IDENTICAL duplicate at rank 1 through an exact re-rank (robust to
+    centroid jitter by construction), and ann_ivf_raw is declared
+    rows-only.  Equality of this fused kernel against its unfused
+    composition is pinned by
+    tests/test_llmops.py::test_ivf_step_equals_assign_mean_composition.
+    Empty clusters keep their previous centroid (same rule as before).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    k, dim = C.shape
+
+    def partials(batches):
+        psum = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            seen = True
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            j = (Xn @ cn.T).argmax(axis=1)
+            XS = np.floor(X * KM_SUM_SCALE).astype(np.int64)
+            np.add.at(psum, j, XS)
+            np.add.at(cnt, j, 1)
+        if seen:
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame({
+                "cid": np.repeat(nz.astype(np.int32), dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "psum": psum[nz].ravel(),
+                "cnt": np.repeat(cnt[nz], dim)})
+
+    rows = (corpus.select("embedding")
+            .mapInPandas(partials,
+                         "cid int, dim int, psum long, cnt long")
+            .groupBy("cid", "dim")
+            .agg(((F.sum("psum").cast("double") / F.sum("cnt"))
+                  / F.lit(KM_SUM_SCALE)).alias("cv"))
+            .collect())
+    out = C.copy()
+    for r in rows:
+        out[r["cid"], r["dim"]] = r["cv"]
+    return out
+
+
 def ivf_train(corpus: DataFrame, n_clusters: int = IVF_CLUSTERS,
               iters: int = 1):
     """k-means-ish centroids: deterministic evenly-spaced seeds, then
-    `iters` Lloyd steps.  Assignment is distributed (Arrow matmul);
-    per-cluster means reduce via applyInPandas — one shuffle of the
-    corpus per iteration, centroid matrix collected each step (k×DIM,
-    control-plane)."""
+    `iters` fused Lloyd steps (:func:`_ivf_step` — one Arrow pass per
+    iteration, k×DIM-bounded partials; the centroid matrix collected
+    each step is control-plane kilobytes)."""
     n = corpus.count()
     stride = max(n // n_clusters, 1)
     # deterministic hash-strided seeds — distributed TakeOrdered, never
@@ -258,19 +322,8 @@ def ivf_train(corpus: DataFrame, n_clusters: int = IVF_CLUSTERS,
                    .orderBy("vec_id").limit(n_clusters)
                    .select("vec_id", "embedding").collect())
     centroids = np.asarray([r.embedding for r in seeds], dtype=np.float64)
-
-    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])],
-                             "centroid": [m.mean(axis=0)]})
-
     for _ in range(iters):
-        assigned = ivf_assign(corpus.select("vec_id", "embedding"), centroids)
-        rows = (assigned.groupBy("cluster")
-                .applyInPandas(mean_vec, "cluster int, centroid array<double>")
-                .collect())
-        for r in rows:   # empty clusters keep their previous centroid
-            centroids[r.cluster] = np.asarray(r.centroid)
+        centroids = _ivf_step(corpus.select("embedding"), centroids)
     return centroids
 
 
@@ -609,20 +662,69 @@ def pq_train(corpus: DataFrame) -> "np.ndarray":
     for r in seeds:
         cb[r["m"], r["cid"]] = r["sv"]
     for _ in range(PQ_ITERS):
-        enc = _pq_encode_udf(cb)
-        coded = e.select("e", enc("e").alias("codes"))
-        asg = (coded.select(F.explode(F.array(*[
-                    F.struct(F.lit(m).alias("m"),
-                             F.element_at("codes", m + 1).alias("cid"),
-                             _pq_sub("e", m).alias("sv"))
-                    for m in range(PQ_M)])).alias("s"))
-                .select("s.m", "s.cid",
-                        F.posexplode("s.sv").alias("dim", "xv")))
-        rows = (asg.groupBy("m", "cid", "dim")
-                   .agg(F.avg("xv").alias("cv")).collect())
-        for r in rows:
-            cb[r["m"], r["cid"], r["dim"]] = r["cv"]
+        cb = _pq_step(e, cb)
     return cb
+
+
+def _pq_step(e: DataFrame, cb: "np.ndarray") -> "np.ndarray":
+    """One fused PQ Lloyd iteration (r16, VERDICT r15 item 3): the
+    per-subspace argmin ENCODE (the identical numpy kernel as
+    :func:`_pq_encode_udf` — same squared-distance broadcast, same
+    first-index tie-break) plus the per-(m, cid) sub-vector mean in
+    ONE mapInPandas pass emitting ≤ M·KS·DS int64 partials.  The
+    former loop ran an ArrowEvalPython encode pass PLUS an
+    explode(M)+posexplode(DS) of |sample|·M·DS rows into a
+    groupBy-avg PER ITERATION (guide §2.3/§4.1).
+
+    The mean rides the FLOOR(x·KM_SUM_SCALE) BIGINT route — ORDER
+    EXACT, where the former ``F.avg(xv)`` was an order-dependent
+    double fold over the shuffle's delivery order.  The ≤1e-9 shift in
+    codebook entries is invisible to the declared consumers: ann_pq
+    certifies a planted IDENTICAL duplicate (it encodes to the same M
+    codes as its query whatever the codebook, and the exact-cosine
+    re-rank pins rank 1).  Fused-vs-unfused equality is pinned by
+    tests/test_llmops.py::test_pq_step_equals_encode_mean_composition.
+    Codebook entries for empty cells keep their previous value."""
+    cbm = np.asarray(cb, dtype=np.float64)
+
+    def partials(batches):
+        psum = np.zeros((PQ_M, PQ_KS, PQ_DS), dtype=np.int64)
+        cnt = np.zeros((PQ_M, PQ_KS), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            seen = True
+            m = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            sub = m.reshape(n, PQ_M, PQ_DS)
+            d = ((sub[:, :, None, :] - cbm[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(axis=2)                      # (n, M)
+            svs = np.floor(sub * KM_SUM_SCALE).astype(np.int64)
+            for mm in range(PQ_M):
+                np.add.at(psum[mm], codes[:, mm], svs[:, mm, :])
+                np.add.at(cnt[mm], codes[:, mm], 1)
+        if seen:
+            nz_m, nz_k = np.nonzero(cnt)
+            yield pd.DataFrame({
+                "m": np.repeat(nz_m.astype(np.int32), PQ_DS),
+                "cid": np.repeat(nz_k.astype(np.int32), PQ_DS),
+                "dim": np.tile(np.arange(PQ_DS, dtype=np.int32),
+                               len(nz_m)),
+                "psum": psum[nz_m, nz_k].ravel(),
+                "cnt": np.repeat(cnt[nz_m, nz_k], PQ_DS)})
+
+    rows = (e.select("e")
+            .mapInPandas(partials,
+                         "m int, cid int, dim int, psum long, cnt long")
+            .groupBy("m", "cid", "dim")
+            .agg(((F.sum("psum").cast("double") / F.sum("cnt"))
+                  / F.lit(KM_SUM_SCALE)).alias("cv"))
+            .collect())
+    out = cbm.copy()
+    for r in rows:
+        out[r["m"], r["cid"], r["dim"]] = r["cv"]
+    return out
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:

@@ -740,6 +740,102 @@ def test_km_step_equals_assign_update_composition(spark):
         emb.unpersist()
 
 
+def test_ivf_step_equals_assign_mean_composition(spark):
+    """r16 optimization invariant (VERDICT r15 item 3): the fused IVF
+    Lloyd step (similarity._ivf_step — cosine assignment + int64
+    partial sums in one Arrow pass) returns EXACTLY the centroids of
+    its unfused composition: ivf_assign's cluster column followed by
+    the same order-exact integer-scaled per-cluster mean, computed
+    row-by-row in plain Python from collected rows.  Both routes sum
+    order-independent int64 partials, so equality is exact."""
+    from collections import defaultdict
+    import math
+
+    import numpy as np
+
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 300, n_clusters=8).cache()
+    try:
+        corpus = emb.select("vec_id", "embedding")
+        seeds = (corpus.orderBy("vec_id").limit(similarity.IVF_CLUSTERS)
+                 .collect())
+        cents = np.asarray([r.embedding for r in seeds],
+                           dtype=np.float64)
+        for _ in range(2):
+            # reference: the OLD assignment route (ivf_assign) + the
+            # integer-scaled mean, computed serially on the driver
+            assigned = similarity.ivf_assign(corpus, cents).collect()
+            psum = defaultdict(lambda: [0] * similarity.DIM)
+            cnt = defaultdict(int)
+            for r in assigned:
+                c = r.cluster
+                cnt[c] += 1
+                for d, v in enumerate(r.embedding):
+                    psum[c][d] += int(
+                        math.floor(v * similarity.KM_SUM_SCALE))
+            ref = cents.copy()
+            for c in cnt:
+                for d in range(similarity.DIM):
+                    ref[c, d] = ((float(psum[c][d]) / cnt[c])
+                                 / similarity.KM_SUM_SCALE)
+            fused = similarity._ivf_step(corpus.select("embedding"),
+                                         cents)
+            assert fused.tolist() == ref.tolist(), \
+                "fused IVF step diverged from composition"
+            cents = fused
+    finally:
+        emb.unpersist()
+
+
+def test_pq_step_equals_encode_mean_composition(spark):
+    """r16 optimization invariant (VERDICT r15 item 3): the fused PQ
+    Lloyd step (similarity._pq_step) returns EXACTLY the codebook of
+    its unfused composition: _pq_encode_udf's codes followed by the
+    same order-exact integer-scaled per-(m, cid) sub-vector mean,
+    computed serially from collected rows.  Empty cells must keep
+    their previous entries on both routes."""
+    from collections import defaultdict
+    import math
+
+    import numpy as np
+
+    from docker_aktin_dwh_spark.scalegen import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 300, n_clusters=8).cache()
+    try:
+        e = emb.select("vec_id", similarity._as_double("embedding")
+                       .alias("e"))
+        rng = np.random.RandomState(7)
+        cb = rng.rand(similarity.PQ_M, similarity.PQ_KS,
+                      similarity.PQ_DS)
+        for _ in range(2):
+            enc = similarity._pq_encode_udf(cb)
+            coded = e.select("e", enc("e").alias("codes")).collect()
+            psum = defaultdict(lambda: [0] * similarity.PQ_DS)
+            cnt = defaultdict(int)
+            for r in coded:
+                for m in range(similarity.PQ_M):
+                    cid = r.codes[m]
+                    sv = r.e[m * similarity.PQ_DS:
+                             (m + 1) * similarity.PQ_DS]
+                    cnt[(m, cid)] += 1
+                    for d, v in enumerate(sv):
+                        psum[(m, cid)][d] += int(
+                            math.floor(v * similarity.KM_SUM_SCALE))
+            ref = np.asarray(cb, dtype=np.float64).copy()
+            for (m, cid), c in cnt.items():
+                for d in range(similarity.PQ_DS):
+                    ref[m, cid, d] = ((float(psum[(m, cid)][d]) / c)
+                                      / similarity.KM_SUM_SCALE)
+            fused = similarity._pq_step(e, cb)
+            assert fused.tolist() == ref.tolist(), \
+                "fused PQ step diverged from composition"
+            cb = fused
+    finally:
+        emb.unpersist()
+
+
 def test_cosine_pairs_recover_cluster_structure(spark):
     """ded_embed's pair engine on the clustered fixture: at τ=0.7 the
     blocked-matmul pair set must be ≈exactly the in-cluster pair set
