@@ -122,7 +122,21 @@ def pipe_03(spark, sf):
     with_fp = kept.withColumn("fp", fp)
     first_per_fp = (with_fp.groupBy("fp")
                     .agg(F.min("doc_id").alias("doc_id")))
-    ex = with_fp.join(first_per_fp.select("doc_id"), "doc_id", "left_semi")
+    # r16 (VERDICT r15 item 4): the gate+fingerprint subtree feeds four
+    # consumers (the minhash per-doc frame, surv's anti-join, and the
+    # contaminated/clean branches) and Catalyst re-executes it for
+    # each; one barrier on the EXPLICITLY PRUNED column set — the
+    # projection the cross-chain column-pruning argument used to infer
+    # (`fp` is dead after the semi-join; everything downstream reads
+    # exactly these four columns) — keeps the pruning as a visible
+    # select instead of a Catalyst inference.  Measured cold at sf0.1:
+    # the chain re-ran the tokenize gate 4×; with the barrier it runs
+    # once (plan: one documents scan left, test_plans pins the shape).
+    from ..functions.barrier import materialize
+    ex = materialize(
+        with_fp.join(first_per_fp.select("doc_id"), "doc_id",
+                     "left_semi")
+               .select("doc_id", "lang", "text", "n_tokens"))
 
     dup_j = (minhash_dedup_pairs(ex, DUP_THRESHOLD)
              .select(F.col("j").alias("doc_id")).distinct())
@@ -246,8 +260,15 @@ def pipe_04(spark, sf):
     with_fp = kept.withColumn("fp", fp)
     first_per_fp = (with_fp.groupBy("fp")
                     .agg(F.min("doc_id").alias("doc_id")))
-    ex = with_fp.join(first_per_fp.select("doc_id"), "doc_id",
-                      "left_semi")
+    # same pruned barrier as pipe_03 (VERDICT r15 item 4): the
+    # gate+fingerprint subtree otherwise re-executes for the minhash
+    # per-doc frame AND the nd anti-join; `fp` is dead past the
+    # semi-join, `text` is read only by the shingle stage
+    from ..functions.barrier import materialize
+    ex = materialize(
+        with_fp.join(first_per_fp.select("doc_id"), "doc_id",
+                     "left_semi")
+               .select("doc_id", "lang", "text", "n_tokens"))
 
     dup_j = (minhash_dedup_pairs(ex, DUP_THRESHOLD)
              .select(F.col("j").alias("doc_id")).distinct())

@@ -536,3 +536,48 @@ def test_partitioned_txnlog_scan_shape(spark, tmp_path):
     rs = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "region" not in rs, rs
     assert "WholeStageCodegen" in plan or "codegen id" in plan
+
+
+def test_pipe03_gate_subtree_materialized_pruned(spark):
+    """r16 (VERDICT r15 item 4): pipe_03's gate+fingerprint subtree is
+    checkpointed once behind an EXPLICIT pruned projection.  Pinned in
+    the final plan: (a) exactly one documents parquet scan survives —
+    the benchmark-shingle branch; every other consumer reads the
+    checkpointed partitions; (b) the checkpointed frame's schema is
+    exactly the pruned set (doc_id, lang, text, n_tokens) — `fp` is
+    dead past the semi-join and must not be pinned per row."""
+    from docker_aktin_dwh_spark.operators import prep
+
+    import re
+
+    plan = plans.formatted_plan(prep.pipe_03(spark, SF_SMOKE))
+    # one scan = one "(NN) Scan parquet" detail header (the formatted
+    # output also names each scan in the tree summary)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, \
+        "gate+fingerprint subtree not materialized (documents re-scan)"
+    outs = re.findall(
+        r"\(\d+\) Scan ExistingRDD[^\n]*\nOutput \[\d+\]: \[([^\]]*)\]",
+        plan)
+    ex_scans = [o for o in outs if "n_tokens" in o]
+    assert ex_scans, outs
+    assert all("fp#" not in o for o in ex_scans), \
+        "checkpointed frame carries the dead fp column"
+
+
+def test_pipe04_gate_subtree_materialized_pruned(spark):
+    """Same pruned-barrier pin for pipe_04 (no benchmark branch there,
+    so NO parquet scan survives at all)."""
+    from docker_aktin_dwh_spark.operators import prep
+
+    import re
+
+    plan = plans.formatted_plan(prep.pipe_04(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, \
+        "gate+fingerprint subtree not materialized (documents re-scan)"
+    outs = re.findall(
+        r"\(\d+\) Scan ExistingRDD[^\n]*\nOutput \[\d+\]: \[([^\]]*)\]",
+        plan)
+    ex_scans = [o for o in outs if "n_tokens" in o]
+    assert ex_scans, outs
+    assert all("fp#" not in o for o in ex_scans), \
+        "checkpointed frame carries the dead fp column"
