@@ -234,6 +234,11 @@ def main() -> None:
     compact["queries"] = {k: timings[k] for k in flagship
                           if k in timings}
     compact["n_queries"] = len(timings)
+    # VERDICT r15 item 2: echo the EFFECTIVE parallelism so the
+    # $SPARK_GRAFT_CPUS contract is provable from artifacts alone (the
+    # session master is local[$SPARK_GRAFT_CPUS]; defaultParallelism is
+    # what that resolved to at runtime, not an echo of the env var).
+    compact["cpus"] = spark.sparkContext.defaultParallelism
     if "scaling" in out:
         sl = out["scaling"]["slope"]
         compact["scale10x_max_slope"] = max(sl.values())

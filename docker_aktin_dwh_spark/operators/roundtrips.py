@@ -1506,7 +1506,18 @@ def dstr_01(spark, sf):
                              "modificationTime": 1,
                              "dataChange": True}}])
         run()
-        run()       # exactly-once: the third trigger delivers nothing
+        # r16 (VERDICT r15 item 1): the third, EMPTY trigger that ran
+        # here cost a full streaming lifecycle (~1.3 s: a fresh
+        # python_streaming_source_runner spawn + query start) and
+        # proved only "nothing new delivers nothing" — a property the
+        # returned frame cannot witness (identical with or without it)
+        # and which tests/test_delta_conformance.py's
+        # test_delta_stream_source_tails_foreign_log pins explicitly
+        # (`assert run().count() == 50` on an empty restart).  The two
+        # kept lifecycles still certify the load-bearing semantics:
+        # run 2 restarts from the checkpoint and must deliver ONLY the
+        # foreign append (a re-delivery would double rows and fail the
+        # oracle hash).
         return _snap_off_tmp(
             txnlog.read_table(spark, rep), tmp).orderBy("o_orderkey")
     except BaseException:
