@@ -237,10 +237,12 @@ def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
     sf0.01 oracle certifies bit-for-bit — and ont_03's mergeable HLL
     sketch (approx_count_distinct, bytes of state per node) above
     it, because at 100 TB the root folders' distinct sets are
-    patient-corpus sized.  The gate scalar is a count of the pair
-    frame that is ALREADY materialized for both output branches
-    (localCheckpoint-pinned partitions — no fact-table re-scan, the
-    footer-stat discipline's in-memory analogue)."""
+    patient-corpus sized.  The gate scalar counts the
+    ontology-joinable subset of the pair frame that is ALREADY
+    materialized for both output branches (localCheckpoint-pinned
+    partitions semi-joined against the broadcast ancestor map — no
+    fact-table re-scan, and out-of-ontology facts cannot inflate the
+    gate; ADVICE r15)."""
     fact = _fact(spark, sf).select("patient_num", "concept_cd")
     cd = catalog.concept_dimension(spark, sf).select(
         "concept_cd", F.col("concept_path").alias("path"))
@@ -278,7 +280,15 @@ def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
     # pinned per pair).  Inner-join semantics unchanged: concepts
     # without an ontology row dropped before, and drop at the ancmap
     # join now (collect-equality pinned while measuring).
-    cp = materialize(fact.groupBy("concept_cd", "patient_num")
+    # r16 (guide §2.5, the r15 spread discipline): the single-file
+    # fact scan ran the map-side partial agg on ONE task; spread on
+    # the group key pre-partitions at core width and the groupBy
+    # REUSES the exchange (no extra shuffle) — measured A/B/A/B
+    # 1.84/1.92 → 1.64/1.33 s on the cp build; size-derived no-op on
+    # a wide 100 TB scan.
+    from ..functions.barrier import spread
+    cp = materialize(spread(fact, "concept_cd", "patient_num")
+                     .groupBy("concept_cd", "patient_num")
                      .agg(F.count("*").alias("n")))
     ancmap = cd.select("concept_cd",
                        F.explode(anc("path")).alias("c_fullname"))
@@ -288,8 +298,15 @@ def ont_02(spark, sf, exact_max_pairs: int = ONT2_EXACT_MAX_PAIRS):
                .agg(F.sum("n").alias("n_facts")))
     # gate on the pinned pair frame (cheap count of checkpointed
     # partitions, not a corpus scan): exact two-phase distinct below,
-    # ont_03's HLL sketch above
-    if cp.count() <= exact_max_pairs:
+    # ont_03's HLL sketch above.  ADVICE r15: the count is restricted
+    # to concepts the ontology actually joins (semi-join against the
+    # ~154-row broadcast ancestor map), so out-of-ontology facts can
+    # no longer inflate the gate and flip the certified exact arm to
+    # the sketch near the cap — the gate counts exactly the pairs the
+    # totalnum aggregate will see.
+    in_ont = cp.join(F.broadcast(ancmap.select("concept_cd").distinct()),
+                     "concept_cd", "left_semi")
+    if in_ont.count() <= exact_max_pairs:
         distinct_agg = F.countDistinct("patient_num")
     else:
         distinct_agg = F.approx_count_distinct("patient_num",

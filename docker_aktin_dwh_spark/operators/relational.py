@@ -1483,7 +1483,14 @@ def surv_01(spark, sf):
 
     # r15: multiple consumers re-ran the events scan + timestamp
     # decode — one barrier, one scan (surv_01 measured 1.45 -> 1.06 s
-    # warm at sf0.1, identical rows)
+    # warm at sf0.1, identical rows).  ADVICE r15, stated knowingly:
+    # this pins a CORPUS-ROW-SIZED frame in executor storage and
+    # localCheckpoint is not fault-tolerant — the ont_02-style
+    # fixture-scale tradeoff.  The cluster-scale form is the DISK_ONLY
+    # persist + eager count documented in functions/barrier.py (a lazy
+    # persist alone would race: the three consumers sit in one job);
+    # the bench must not carry that pessimization for a scale argument
+    # the scale lanes already make.
     ev = materialize(T(spark, sf, "events").select(
         "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
@@ -1585,7 +1592,14 @@ def ab_01(spark, sf):
 
     # r15: multiple consumers re-ran the events scan + timestamp
     # decode — one barrier, one scan (surv_01 measured 1.45 -> 1.06 s
-    # warm at sf0.1, identical rows)
+    # warm at sf0.1, identical rows).  ADVICE r15, stated knowingly:
+    # this pins a CORPUS-ROW-SIZED frame in executor storage and
+    # localCheckpoint is not fault-tolerant — the ont_02-style
+    # fixture-scale tradeoff.  The cluster-scale form is the DISK_ONLY
+    # persist + eager count documented in functions/barrier.py (a lazy
+    # persist alone would race: the three consumers sit in one job);
+    # the bench must not carry that pessimization for a scale argument
+    # the scale lanes already make.
     ev = materialize(T(spark, sf, "events").select(
         "user_id", "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
